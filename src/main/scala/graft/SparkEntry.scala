@@ -16,7 +16,9 @@ object SparkEntry {
     Seq(
       (AggQueries.queries, AggQueries.oracles),
       (JoinQueries.queries, JoinQueries.oracles),
-      (RelationalQueries.queries, RelationalQueries.oracles)
+      (RelationalQueries.queries, RelationalQueries.oracles),
+      (OverQueries.queries, OverQueries.oracles),
+      (TimeWindowQueries.queries, TimeWindowQueries.oracles)
     )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -25,9 +25,11 @@ object Tables {
       import org.apache.spark.sql.functions._
       // timestamp_ntz so parquet output carries isAdjustedToUTC=false, the
       // same representation DuckDB's make_timestamp(epoch_ns(ts)//1000) has.
+      // integer DIV, not `/`: epoch-nanos exceed double's 53-bit mantissa,
+      // so floating division is off by up to ±1µs.
       raw.withColumn(
         "ts",
-        timestamp_micros(floor(col("ts") / 1000L).cast("long")).cast("timestamp_ntz"))
+        timestamp_micros(expr("ts DIV 1000L")).cast("timestamp_ntz"))
     } else raw
   }
 

@@ -1,0 +1,191 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import Q._
+
+/** SQL window TVF parity — the reference's TUMBLE/HOP/CUMULATE/SESSION
+  * table functions (StreamExecWindowTableFunction.java:73,
+  * StreamExecWindowAggregate.java:90, slice assigners
+  * flink-table-runtime/.../operators/window/tvf/slicing/SliceAssigners.java:46)
+  * plus window top-n (StreamExecWindowRank.java:77) and window dedup
+  * (StreamExecWindowDeduplicate.java:69), expressed in their batch form
+  * over the events table (SURVEY.md §2.5, §2.7).
+  *
+  * Spark-first mapping: tumble → `window(ts, w)`, hop → `window(ts, w,
+  * slide)`, session → `session_window(ts, gap)`, cumulate (no built-in) →
+  * explode of growing slice ends off the max-window bucket, exactly the
+  * reference's slice-end model. Windows are epoch-aligned in both engines
+  * (DuckDB `time_bucket` origin 2000-01-01 is a whole multiple of every
+  * bucket width used here).
+  *
+  * Scale notes: each query is one hash shuffle on (window, key) with
+  * map-side partial aggregation; the hop/cumulate row-multiplication
+  * happens before the partial agg, mirroring the reference's slicing
+  * (shared slices, not per-window copies, would be the next optimization —
+  * at 2-4 slices per row the expand cost is bounded).
+  */
+object TimeWindowQueries {
+
+  val queries: Map[String, QFn] = Map(
+    // Tumbling window aggregate (TumblingWindowAssigner parity).
+    "q_window_tumble" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "events")
+        .groupBy(window($"ts", "1 hour"), $"event_type")
+        .agg(count(lit(1)).as("n"), dsum($"value").as("sum_value"))
+        .select(
+          $"window.start".as("window_start"),
+          $"window.end".as("window_end"),
+          $"event_type", $"n", $"sum_value")
+        .orderBy($"window_start", $"event_type")
+    }),
+
+    // Hopping/sliding window aggregate (SlidingWindowAssigner parity):
+    // 1 hour window sliding every 30 minutes → every row in 2 windows.
+    "q_window_hop" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "events")
+        .groupBy(window($"ts", "1 hour", "30 minutes"), $"event_type")
+        .agg(count(lit(1)).as("n"), dsum($"value").as("sum_value"))
+        .select(
+          $"window.start".as("window_start"),
+          $"window.end".as("window_end"),
+          $"event_type", $"n", $"sum_value")
+        .orderBy($"window_start", $"event_type")
+    }),
+
+    // Session window with a 1 hour inactivity gap (SessionWindowAssigner /
+    // MergingWindowSet parity). Window end = last event + gap.
+    "q_window_session" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "events")
+        .groupBy(session_window($"ts", "1 hour"), $"user_id")
+        .agg(count(lit(1)).as("n"), dsum($"value").as("sum_value"))
+        .select(
+          $"session_window.start".as("session_start"),
+          $"session_window.end".as("session_end"),
+          $"user_id", $"n", $"sum_value")
+        .orderBy($"user_id", $"session_start")
+    }),
+
+    // Cumulate window (CumulativeWindowAssigner parity): max 4 hours,
+    // step 1 hour — shared window_start, growing window_end slices.
+    "q_window_cumulate" -> ((s, dir) => {
+      import s.implicits._
+      val base = window($"ts", "4 hours").getField("start")
+      t(s, dir, "events")
+        .withColumn("window_start", base)
+        .withColumn("window_end", explode(sequence(
+          col("window_start") + expr("INTERVAL 1 HOUR"),
+          col("window_start") + expr("INTERVAL 4 HOURS"),
+          expr("INTERVAL 1 HOUR"))))
+        .filter($"window_end" > $"ts")
+        .groupBy($"window_start", $"window_end", $"event_type")
+        .agg(count(lit(1)).as("n"), dsum($"value").as("sum_value"))
+        .orderBy($"window_start", $"window_end", $"event_type")
+    }),
+
+    // Window Top-N (WindowRankProcessor parity): top-2 users by revenue
+    // per (1 day tumble, event_type).
+    "q_window_topn" -> ((s, dir) => {
+      import s.implicits._
+      val perUser = t(s, dir, "events")
+        .groupBy(window($"ts", "1 day").getField("start").as("window_start"),
+          $"event_type", $"user_id")
+        .agg(sum(dec2($"value")).as("sum_dec"))
+      val w = Window.partitionBy($"window_start", $"event_type")
+        .orderBy($"sum_dec".desc, $"user_id")
+      perUser
+        .select($"window_start", $"event_type", $"user_id",
+          $"sum_dec".cast(DoubleType).as("sum_value"),
+          row_number().over(w).cast(LongType).as("rn"))
+        .filter($"rn" <= 2)
+        .orderBy($"window_start", $"event_type", $"rn")
+    }),
+
+    // Window dedup (RowTimeWindowDeduplicateProcessor parity): first event
+    // per (user, 6 hour tumble).
+    "q_window_dedup" -> ((s, dir) => {
+      import s.implicits._
+      val withW = t(s, dir, "events")
+        .withColumn("window_start", window($"ts", "6 hours").getField("start"))
+      val w = Window.partitionBy($"window_start", $"user_id")
+        .orderBy($"ts", $"event_id")
+      withW
+        .select($"window_start", $"user_id", $"event_id", $"ts",
+          row_number().over(w).as("rn"))
+        .filter($"rn" === 1)
+        .select($"window_start", $"user_id", $"event_id", $"ts")
+        .orderBy($"window_start", $"user_id")
+    })
+  )
+
+  private val evCte =
+    "SELECT event_id, user_id, make_timestamp(epoch_ns(ts) // 1000) AS ts, event_type, value FROM events"
+
+  val oracles: Map[String, String] = Map(
+    "q_window_tumble" ->
+      s"""WITH e AS ($evCte)
+        |SELECT time_bucket(INTERVAL 1 HOUR, ts) AS window_start,
+        |  time_bucket(INTERVAL 1 HOUR, ts) + INTERVAL 1 HOUR AS window_end,
+        |  event_type, COUNT(*) AS n, ${dsumSql("value")} AS sum_value
+        |FROM e GROUP BY 1, 2, 3 ORDER BY window_start, event_type""".stripMargin,
+
+    "q_window_hop" ->
+      s"""WITH e AS ($evCte)
+        |SELECT ws AS window_start, ws + INTERVAL 1 HOUR AS window_end,
+        |  event_type, COUNT(*) AS n, ${dsumSql("value")} AS sum_value
+        |FROM e, UNNEST([time_bucket(INTERVAL 30 MINUTE, ts),
+        |                time_bucket(INTERVAL 30 MINUTE, ts) - INTERVAL 30 MINUTE]) AS u(ws)
+        |GROUP BY 1, 2, 3 ORDER BY window_start, event_type""".stripMargin,
+
+    "q_window_session" ->
+      s"""WITH e AS ($evCte),
+        |m AS (SELECT user_id, ts, value,
+        |  CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |            <= INTERVAL 1 HOUR THEN 0 ELSE 1 END AS new_s
+        |  FROM e),
+        |g AS (SELECT user_id, ts, value,
+        |  SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+        |                   ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM m)
+        |SELECT MIN(ts) AS session_start, MAX(ts) + INTERVAL 1 HOUR AS session_end,
+        |  user_id, COUNT(*) AS n, ${dsumSql("value")} AS sum_value
+        |FROM g GROUP BY user_id, sid ORDER BY user_id, session_start""".stripMargin,
+
+    "q_window_cumulate" ->
+      s"""WITH e AS ($evCte)
+        |SELECT time_bucket(INTERVAL 4 HOUR, ts) AS window_start, we AS window_end,
+        |  event_type, COUNT(*) AS n, ${dsumSql("value")} AS sum_value
+        |FROM e, UNNEST(generate_series(time_bucket(INTERVAL 4 HOUR, ts) + INTERVAL 1 HOUR,
+        |                               time_bucket(INTERVAL 4 HOUR, ts) + INTERVAL 4 HOUR,
+        |                               INTERVAL 1 HOUR)) AS u(we)
+        |WHERE we > ts
+        |GROUP BY 1, 2, 3 ORDER BY window_start, window_end, event_type""".stripMargin,
+
+    "q_window_topn" ->
+      s"""WITH e AS ($evCte),
+        |per_user AS (
+        |  SELECT time_bucket(INTERVAL 1 DAY, ts) AS window_start, event_type, user_id,
+        |    SUM(CAST(value AS DECIMAL(12,2))) AS sum_dec
+        |  FROM e GROUP BY 1, 2, 3)
+        |SELECT window_start, event_type, user_id,
+        |  CAST(sum_dec AS DOUBLE) AS sum_value, rn FROM (
+        |  SELECT *, CAST(row_number() OVER (PARTITION BY window_start, event_type
+        |    ORDER BY sum_dec DESC, user_id) AS BIGINT) AS rn
+        |  FROM per_user)
+        |WHERE rn <= 2 ORDER BY window_start, event_type, rn""".stripMargin,
+
+    "q_window_dedup" ->
+      s"""WITH e AS ($evCte)
+        |SELECT window_start, user_id, event_id, ts FROM (
+        |  SELECT time_bucket(INTERVAL 6 HOUR, ts) AS window_start, user_id, event_id, ts,
+        |    row_number() OVER (PARTITION BY time_bucket(INTERVAL 6 HOUR, ts), user_id
+        |                       ORDER BY ts, event_id) AS rn
+        |  FROM e)
+        |WHERE rn = 1 ORDER BY window_start, user_id""".stripMargin
+  )
+}
