@@ -18,7 +18,9 @@ object SparkEntry {
       (JoinQueries.queries, JoinQueries.oracles),
       (RelationalQueries.queries, RelationalQueries.oracles),
       (OverQueries.queries, OverQueries.oracles),
-      (TimeWindowQueries.queries, TimeWindowQueries.oracles)
+      (TimeWindowQueries.queries, TimeWindowQueries.oracles),
+      (FunctionQueries.queries, FunctionQueries.oracles),
+      (LateralQueries.queries, LateralQueries.oracles)
     )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
