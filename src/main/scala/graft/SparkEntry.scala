@@ -20,7 +20,8 @@ object SparkEntry {
       (OverQueries.queries, OverQueries.oracles),
       (TimeWindowQueries.queries, TimeWindowQueries.oracles),
       (FunctionQueries.queries, FunctionQueries.oracles),
-      (LateralQueries.queries, LateralQueries.oracles)
+      (LateralQueries.queries, LateralQueries.oracles),
+      (PipelineQueries.queries, PipelineQueries.oracles)
     )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -1,0 +1,120 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Deduplication operators for training-data pipelines: exact, MinHash+LSH
+  * near-dup candidate generation, SimHash signatures, and n-gram Jaccard
+  * verification.
+  *
+  * Scale design (the part that matters at 100 TB):
+  *   - exact dedup = one hash shuffle on the content key, map-side partial
+  *     min — identical to the reference's `dropDuplicates`-style plans;
+  *   - MinHash signatures are computed with a single explode + groupBy
+  *     (partial min aggregation per hash seed), so the shuffle carries one
+  *     row of k longs per document, never the shingle stream;
+  *   - LSH banding turns all-pairs O(n²) comparison into an equi-join on
+  *     (band, bucket) — the only quadratic blow-up left is within a
+  *     bucket, which salting/AQE handles if a bucket is hot;
+  *   - Jaccard verification joins only the LSH candidate pairs back to the
+  *     shingle sets.
+  */
+object DedupOps {
+  import TextOps.{tokens, wordHash}
+
+  /** Exact dedup: keep the smallest id per identical content. Deterministic
+    * (unlike dropDuplicates, whose survivor depends on partition order).
+    */
+  def exactDedup(docs: DataFrame, contentCol: String = "text",
+      idCol: String = "doc_id"): DataFrame =
+    docs.groupBy(col(contentCol))
+      .agg(min(col(idCol)).as(idCol), count(lit(1)).as("n_copies"))
+      .select(col(idCol), col("n_copies"))
+
+  /** Word n-gram shingles of a document. */
+  def shingles(textCol: Column, n: Int = 3): Column = {
+    val w = tokens(textCol)
+    transform(
+      sequence(lit(1), greatest(size(w) - (n - 1), lit(0))),
+      i => concat_ws(" ", (0 until n).map(j => element_at(w, i + j)): _*))
+  }
+
+  /** MinHash signature: k independent hash functions h_i(s) =
+    * wordHash(i || ':' || s), min over the document's shingles.
+    * One explode + one partial-min groupBy; signature row = k longs.
+    */
+  def minhash(docs: DataFrame, k: Int = 8, shingleN: Int = 3,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    docs
+      .select(col(idCol), explode(shingles(col(textCol), shingleN)).as("sh"))
+      .groupBy(col(idCol))
+      .agg(
+        min(wordHash(concat(lit("0:"), col("sh")))).as("mh0"),
+        (1 until k).map(i =>
+          min(wordHash(concat(lit(s"$i:"), col("sh")))).as(s"mh$i")): _*)
+  }
+
+  /** LSH banding over a minhash signature: `bands` bands of `rowsPerBand`
+    * consecutive minhashes, each hashed to a bucket id. Output: one row per
+    * (doc, band) — candidates are docs sharing (band, bucket).
+    */
+  def lshBuckets(sig: DataFrame, bands: Int = 4, rowsPerBand: Int = 2,
+      idCol: String = "doc_id"): DataFrame = {
+    val bandRows = (0 until bands).map { b =>
+      val cols = (0 until rowsPerBand).map(r => col(s"mh${b * rowsPerBand + r}"))
+      sig.select(
+        col(idCol), lit(b).as("band"),
+        md5(concat_ws("_", cols: _*)).as("bucket"))
+    }
+    bandRows.reduce(_ unionAll _)
+  }
+
+  /** Candidate near-dup pairs: equi-join on (band, bucket), id_a < id_b. */
+  def candidatePairs(buckets: DataFrame, idCol: String = "doc_id"): DataFrame = {
+    val a = buckets.select(col(idCol).as("id_a"), col("band"), col("bucket"))
+    val b = buckets.select(col(idCol).as("id_b"), col("band"), col("bucket"))
+    a.join(b, Seq("band", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+  }
+
+  /** Exact n-gram Jaccard for given pairs: |A ∩ B| / |A ∪ B| over distinct
+    * shingles. Join-based — only the candidate pairs are scored.
+    */
+  def jaccardVerify(docs: DataFrame, pairs: DataFrame, shingleN: Int = 3,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val sh = docs.select(col(idCol).as("jid"),
+      explode(array_distinct(shingles(col(textCol), shingleN))).as("sh"))
+    val sizes = sh.groupBy(col("jid")).agg(count(lit(1)).as("n_sh"))
+    val inter = pairs
+      .join(sh.select(col("jid").as("id_a"), col("sh")), "id_a")
+      .join(sh.select(col("jid").as("id_b"), col("sh").as("sh_b")), "id_b")
+      .filter(col("sh") === col("sh_b"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("n_inter"))
+    pairs
+      .join(inter, Seq("id_a", "id_b"), "left")
+      .join(sizes.select(col("jid").as("id_a"), col("n_sh").as("n_a")), "id_a")
+      .join(sizes.select(col("jid").as("id_b"), col("n_sh").as("n_b")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        (coalesce(col("n_inter"), lit(0L)).cast(DoubleType) /
+          (col("n_a") + col("n_b") - coalesce(col("n_inter"), lit(0L)))
+            .cast(DoubleType)).as("jaccard"))
+  }
+
+  /** SimHash signature (16-bit): per bit b, sum over words of
+    * (((wordHash >> b) & 1) * 2 - 1); bit set iff the sum is >= 0.
+    * Pure expression tree (16 static bit positions), no shuffle.
+    */
+  def simhash(docs: DataFrame, bits: Int = 16,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val w = tokens(col(textCol))
+    val sig = (0 until bits).map { b =>
+      val bitSum = aggregate(w, lit(0L),
+        (acc, x) => acc + (shiftright(wordHash(x), b) % 2L) * 2L - 1L)
+      when(bitSum >= 0, lit(1L << b)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    docs.select(col(idCol), sig.as("simhash"))
+  }
+}

@@ -1,0 +1,108 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Text-analysis operators for large-scale training-data pipelines:
+  * tokenization, token counting, quality scoring, language identification
+  * (stopword-set heuristic), and document fingerprinting (rolling hash).
+  *
+  * All operators are pure Catalyst expressions (no UDFs) so they stay
+  * inside whole-stage codegen and scale linearly with executors — at
+  * 100 TB the only cost is the scan plus per-row compute; no shuffle is
+  * introduced by any of them.
+  */
+object TextOps {
+
+  /** Whitespace tokenizer (the convention of the synthetic corpus). */
+  def tokens(textCol: Column): Column = split(textCol, " ")
+
+  /** 64-bit-ish (60-bit, always positive) deterministic word hash that both
+    * the engine and SQL oracles can compute: first 15 hex digits of md5.
+    */
+  def wordHash(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast(LongType)
+
+  /** SQL-oracle twin of [[wordHash]] (DuckDB syntax). */
+  def wordHashSql(e: String): String =
+    s"('0x' || substr(md5($e), 1, 15))::BIGINT"
+
+  val stopwordsEn: Seq[String] = Seq("the", "a", "of", "and", "to", "in", "is")
+
+  /** Token count + length stats per document. */
+  def tokenStats(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val w = tokens(col(textCol))
+    docs.select(
+      col("doc_id"),
+      size(w).cast(LongType).as("n_tokens"),
+      size(array_distinct(w)).cast(LongType).as("n_unique_tokens"),
+      length(col(textCol)).cast(LongType).as("n_chars"),
+      aggregate(transform(w, x => length(x).cast(LongType)), lit(0L), _ + _)
+        .as("sum_token_chars"))
+  }
+
+  /** Heuristic quality score: length band + stopword ratio + mean word
+    * length, combined with exact decimal weights so the score is
+    * cross-engine deterministic.
+    */
+  def qualityScore(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val w = tokens(col(textCol))
+    val nTok = size(w).cast(LongType)
+    val nStop = size(filter(w, x => x.isin(stopwordsEn: _*))).cast(LongType)
+    val sumLen = aggregate(transform(w, x => length(x).cast(LongType)), lit(0L), _ + _)
+    // plain double division: integer operands are exact in double and IEEE
+    // division is correctly rounded, so both engines produce the same bits.
+    val stopRatio = nStop.cast(DoubleType) / nTok.cast(DoubleType)
+    val meanWlen = sumLen.cast(DoubleType) / nTok.cast(DoubleType)
+    docs.select(
+      col("doc_id"),
+      nTok.as("n_tokens"),
+      stopRatio.as("stopword_ratio"),
+      meanWlen.as("mean_token_len"),
+      // short docs and stopword-free docs are low quality
+      (when(nTok < 20, lit(0.2)).otherwise(lit(1.0))
+        * when(nStop === 0, lit(0.5)).otherwise(lit(1.0))).as("quality"))
+  }
+
+  /** Stopword-set language-ID heuristic. Scores each candidate language by
+    * its marker-token hits and returns the argmax (ties break by fixed
+    * language order). A real system would use char-n-gram profiles; the
+    * *operator shape* — per-row array scoring, no shuffle — is the same.
+    */
+  val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and"),
+    "de" -> Seq("der", "die", "das", "und"),
+    "es" -> Seq("el", "la", "los", "y"),
+    "fr" -> Seq("le", "les", "et", "une"))
+
+  def languageId(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val w = tokens(col(textCol))
+    val scores = langMarkers.map { case (lang, markers) =>
+      lang -> size(filter(w, x => x.isin(markers: _*))).cast(LongType)
+    }
+    val best = scores.tail.foldLeft(
+      struct(scores.head._2.as("score"), lit(scores.head._1).as("lang"))) {
+      case (acc, (lang, sc)) =>
+        when(sc > acc.getField("score"),
+          struct(sc.as("score"), lit(lang).as("lang"))).otherwise(acc)
+    }
+    val outCols = col("doc_id") +:
+      (scores.map { case (l, c) => c.as(s"score_$l") } :+
+        best.getField("lang").as("lang_pred") :+
+        best.getField("score").as("lang_score"))
+    docs.select(outCols: _*)
+  }
+
+  /** Order-sensitive rolling-hash fingerprint: fold words left-to-right as
+    * acc = (acc * 31 + wordHash(w)) mod (2^31 - 1). Stays below 2^63 so
+    * both engines compute it with plain BIGINT arithmetic.
+    */
+  def fingerprint(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val w = tokens(col(textCol))
+    docs.select(
+      col("doc_id"),
+      aggregate(w, lit(0L),
+        (acc, x) => (acc * 31L + wordHash(x)) % 2147483647L).as("fingerprint"))
+  }
+}

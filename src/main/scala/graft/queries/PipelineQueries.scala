@@ -1,0 +1,283 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.operators.{DedupOps, MultimodalOps, SimilarityOps, TextOps}
+import Q._
+
+/** Training-data pipeline operators (beyond the reference's own surface):
+  * text analysis, dedup (exact / MinHash+LSH / SimHash / n-gram Jaccard),
+  * similarity search over embeddings, and multimodal chunk plumbing —
+  * each wired to a DuckDB oracle computing the identical result.
+  *
+  * The synthetic corpus has no exact duplicates, so dedup queries inject
+  * deterministic copies (docs with doc_id % 10 == 0, re-added at
+  * doc_id + 1000000) on BOTH sides before deduplicating.
+  */
+object PipelineQueries {
+
+  private val dupOffset = 1000000L
+
+  val queries: Map[String, QFn] = Map(
+    // Token/length stats per document (TextOps.tokenStats).
+    "q_text_stats" -> ((s, dir) => {
+      TextOps.tokenStats(t(s, dir, "documents")).orderBy(col("doc_id"))
+    }),
+
+    // Quality scoring (TextOps.qualityScore).
+    "q_text_quality" -> ((s, dir) => {
+      TextOps.qualityScore(t(s, dir, "documents")).orderBy(col("doc_id"))
+    }),
+
+    // Stopword-set language ID (TextOps.languageId).
+    "q_text_langid" -> ((s, dir) => {
+      TextOps.languageId(t(s, dir, "documents")).orderBy(col("doc_id"))
+    }),
+
+    // Rolling-hash fingerprint (TextOps.fingerprint).
+    "q_text_fingerprint" -> ((s, dir) => {
+      TextOps.fingerprint(t(s, dir, "documents")).orderBy(col("doc_id"))
+    }),
+
+    // Exact dedup over a corpus with injected duplicates (DedupOps.exactDedup).
+    "q_dedup_exact" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val withDups = docs.unionAll(
+        docs.filter(col("doc_id") % 10 === 0)
+          .withColumn("doc_id", col("doc_id") + dupOffset))
+      DedupOps.exactDedup(withDups)
+        .orderBy(col("doc_id"))
+    }),
+
+    // MinHash signatures (DedupOps.minhash, k=4 shown; full k=8 in LSH).
+    "q_dedup_minhash" -> ((s, dir) => {
+      DedupOps.minhash(t(s, dir, "documents"), k = 4)
+        .orderBy(col("doc_id"))
+    }),
+
+    // MinHash + LSH near-dup pipeline end-to-end: signatures → bands →
+    // candidate pairs → exact Jaccard verification (threshold 0.8).
+    "q_dedup_lsh" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val withDups = docs.unionAll(
+        docs.filter(col("doc_id") % 10 === 0)
+          .withColumn("doc_id", col("doc_id") + dupOffset))
+      val sig = DedupOps.minhash(withDups, k = 8)
+      val pairs = DedupOps.candidatePairs(DedupOps.lshBuckets(sig))
+      DedupOps.jaccardVerify(withDups, pairs)
+        .filter(col("jaccard") >= 0.8)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // SimHash 16-bit signatures (DedupOps.simhash).
+    "q_dedup_simhash" -> ((s, dir) => {
+      DedupOps.simhash(t(s, dir, "documents").filter(col("doc_id") < 100))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Brute-force cosine top-5 for the first 10 query vectors
+    // (SimilarityOps.bruteForceTopK).
+    "q_sim_bruteforce" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      SimilarityOps.bruteForceTopK(emb.filter(col("vec_id") < 10), emb, k = 5)
+        .withColumn("cos", round(col("cos"), 6))
+        .orderBy(col("q_id"), col("rank"))
+    }),
+
+    // IVF-style bucket-pruned top-5 (SimilarityOps.bucketedTopK).
+    "q_sim_bucketed" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      SimilarityOps.bucketedTopK(emb.filter(col("vec_id") < 10), emb, k = 5)
+        .withColumn("cos", round(col("cos"), 6))
+        .orderBy(col("q_id"), col("rank"))
+    }),
+
+    // Multimodal chunk sampling plumbing (MultimodalOps.sampleChunks).
+    "q_mm_chunks" -> ((s, dir) => {
+      MultimodalOps.sampleChunks(t(s, dir, "documents"))
+        .orderBy(col("media_id"), col("chunk_id"))
+    }),
+
+    // Multimodal decode/featurize (typed mapPartitions; deterministic
+    // fake codec) — checksum and byte stats are oracle-checkable.
+    "q_mm_features" -> ((s, dir) => {
+      val feats = MultimodalOps.decodeFeatures(
+        MultimodalOps.asMedia(t(s, dir, "documents")))
+      feats.toDF()
+        .select(col("media_id"), col("n_bytes"), col("head_byte"),
+          col("checksum"),
+          element_at(col("feature"), 2).as("mean_byte"))
+        .orderBy(col("media_id"))
+    })
+  )
+
+  private val mh = (i: Int, e: String) => TextOps.wordHashSql(s"'$i:' || $e")
+
+  private val shinglesSql =
+    """list_transform(generate_series(1, greatest(len(w) - 2, 0)),
+      |  i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])""".stripMargin
+
+  private val docsW =
+    "SELECT doc_id, string_split(text, ' ') AS w FROM documents"
+
+  private val withDupsSql =
+    s"""SELECT doc_id, text FROM documents
+       |UNION ALL
+       |SELECT doc_id + $dupOffset, text FROM documents WHERE doc_id % 10 = 0""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "q_text_stats" ->
+      s"""SELECT doc_id,
+        |  CAST(len(w) AS BIGINT) AS n_tokens,
+        |  CAST(len(list_distinct(w)) AS BIGINT) AS n_unique_tokens,
+        |  CAST(length(text) AS BIGINT) AS n_chars,
+        |  CAST(list_sum(list_transform(w, x -> length(x))) AS BIGINT) AS sum_token_chars
+        |FROM (SELECT doc_id, text, string_split(text, ' ') AS w FROM documents)
+        |ORDER BY doc_id""".stripMargin,
+
+    "q_text_quality" ->
+      """SELECT doc_id,
+        |  CAST(len(w) AS BIGINT) AS n_tokens,
+        |  CAST(len(list_filter(w, x -> x IN ('the','a','of','and','to','in','is'))) AS DOUBLE)
+        |       / CAST(len(w) AS DOUBLE) AS stopword_ratio,
+        |  CAST(list_sum(list_transform(w, x -> length(x))) AS DOUBLE)
+        |       / CAST(len(w) AS DOUBLE) AS mean_token_len,
+        |  (CAST(CASE WHEN len(w) < 20 THEN 0.2 ELSE 1.0 END AS DOUBLE)
+        |   * CAST(CASE WHEN len(list_filter(w, x -> x IN ('the','a','of','and','to','in','is'))) = 0
+        |          THEN 0.5 ELSE 1.0 END AS DOUBLE)) AS quality
+        |FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+        |ORDER BY doc_id""".stripMargin,
+
+    "q_text_langid" ->
+      s"""SELECT doc_id, score_en, score_de, score_es, score_fr,
+        |  CASE
+        |    WHEN score_en >= score_de AND score_en >= score_es AND score_en >= score_fr THEN 'en'
+        |    WHEN score_de >= score_es AND score_de >= score_fr THEN 'de'
+        |    WHEN score_es >= score_fr THEN 'es'
+        |    ELSE 'fr' END AS lang_pred,
+        |  GREATEST(score_en, score_de, score_es, score_fr) AS lang_score
+        |FROM (
+        |  SELECT doc_id,
+        |    CAST(len(list_filter(w, x -> x IN ('the','a','of','and'))) AS BIGINT) AS score_en,
+        |    CAST(len(list_filter(w, x -> x IN ('der','die','das','und'))) AS BIGINT) AS score_de,
+        |    CAST(len(list_filter(w, x -> x IN ('el','la','los','y'))) AS BIGINT) AS score_es,
+        |    CAST(len(list_filter(w, x -> x IN ('le','les','et','une'))) AS BIGINT) AS score_fr
+        |  FROM ($docsW))
+        |ORDER BY doc_id""".stripMargin,
+
+    "q_text_fingerprint" ->
+      s"""SELECT doc_id,
+        |  list_reduce(
+        |    list_prepend(0::BIGINT, list_transform(w, x -> ${TextOps.wordHashSql("x")})),
+        |    (acc, h) -> (acc * 31 + h) % 2147483647) AS fingerprint
+        |FROM ($docsW) ORDER BY doc_id""".stripMargin,
+
+    "q_dedup_exact" ->
+      s"""SELECT MIN(doc_id) AS doc_id, COUNT(*) AS n_copies
+        |FROM ($withDupsSql) GROUP BY text ORDER BY doc_id""".stripMargin,
+
+    "q_dedup_minhash" ->
+      s"""SELECT doc_id,
+        |  MIN(${mh(0, "sh")}) AS mh0, MIN(${mh(1, "sh")}) AS mh1,
+        |  MIN(${mh(2, "sh")}) AS mh2, MIN(${mh(3, "sh")}) AS mh3
+        |FROM (SELECT doc_id, unnest($shinglesSql) AS sh FROM ($docsW))
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q_dedup_lsh" ->
+      s"""WITH docs2 AS ($withDupsSql),
+        |dw AS (SELECT doc_id, string_split(text, ' ') AS w FROM docs2),
+        |sh AS (SELECT doc_id, unnest($shinglesSql) AS sh FROM dw),
+        |sig AS (SELECT doc_id,
+        |  MIN(${mh(0, "sh")}) AS mh0, MIN(${mh(1, "sh")}) AS mh1,
+        |  MIN(${mh(2, "sh")}) AS mh2, MIN(${mh(3, "sh")}) AS mh3,
+        |  MIN(${mh(4, "sh")}) AS mh4, MIN(${mh(5, "sh")}) AS mh5,
+        |  MIN(${mh(6, "sh")}) AS mh6, MIN(${mh(7, "sh")}) AS mh7
+        |  FROM sh GROUP BY doc_id),
+        |buckets AS (
+        |  SELECT doc_id, 0 AS band, md5(mh0 || '_' || mh1) AS bucket FROM sig UNION ALL
+        |  SELECT doc_id, 1, md5(mh2 || '_' || mh3) FROM sig UNION ALL
+        |  SELECT doc_id, 2, md5(mh4 || '_' || mh5) FROM sig UNION ALL
+        |  SELECT doc_id, 3, md5(mh6 || '_' || mh7) FROM sig),
+        |pairs AS (
+        |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM buckets a JOIN buckets b ON a.band = b.band AND a.bucket = b.bucket
+        |  WHERE a.doc_id < b.doc_id),
+        |dsh AS (SELECT DISTINCT doc_id, sh FROM sh),
+        |sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM dsh GROUP BY doc_id),
+        |inter AS (
+        |  SELECT p.id_a, p.id_b, COUNT(*) AS n_inter
+        |  FROM pairs p
+        |  JOIN dsh a ON a.doc_id = p.id_a
+        |  JOIN dsh b ON b.doc_id = p.id_b AND a.sh = b.sh
+        |  GROUP BY p.id_a, p.id_b)
+        |SELECT p.id_a, p.id_b,
+        |  CAST(coalesce(i.n_inter, 0) AS DOUBLE)
+        |    / CAST(sa.n_sh + sb.n_sh - coalesce(i.n_inter, 0) AS DOUBLE) AS jaccard
+        |FROM pairs p
+        |LEFT JOIN inter i ON i.id_a = p.id_a AND i.id_b = p.id_b
+        |JOIN sizes sa ON sa.doc_id = p.id_a
+        |JOIN sizes sb ON sb.doc_id = p.id_b
+        |WHERE CAST(coalesce(i.n_inter, 0) AS DOUBLE)
+        |    / CAST(sa.n_sh + sb.n_sh - coalesce(i.n_inter, 0) AS DOUBLE) >= 0.8
+        |ORDER BY p.id_a, p.id_b""".stripMargin,
+
+    "q_dedup_simhash" -> {
+      val bitTerms = (0 until 16).map { b =>
+        s"""CASE WHEN list_sum(list_transform(w,
+           |  x -> ((${TextOps.wordHashSql("x")} >> $b) % 2) * 2 - 1)) >= 0
+           |  THEN ${1L << b} ELSE 0 END""".stripMargin
+      }.mkString(" + ")
+      s"""SELECT doc_id, CAST($bitTerms AS BIGINT) AS simhash
+        |FROM ($docsW WHERE doc_id < 100) ORDER BY doc_id""".stripMargin
+    },
+
+    "q_sim_bruteforce" ->
+      """WITH q AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS e FROM embeddings WHERE vec_id < 10),
+        |c AS (SELECT vec_id AS c_id, embedding::DOUBLE[] AS e FROM embeddings),
+        |scored AS (
+        |  SELECT q.q_id, c.c_id,
+        |    list_dot_product(q.e, c.e)
+        |      / (sqrt(list_dot_product(q.e, q.e)) * sqrt(list_dot_product(c.e, c.e))) AS cos
+        |  FROM q, c WHERE q.q_id <> c.c_id),
+        |r AS (SELECT q_id, c_id, cos,
+        |  CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id) AS BIGINT) AS rank
+        |  FROM scored)
+        |SELECT q_id, c_id, round(cos, 6) AS cos, rank FROM r
+        |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin,
+
+    "q_sim_bucketed" ->
+      """WITH q AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS e, label FROM embeddings WHERE vec_id < 10),
+        |c AS (SELECT vec_id AS c_id, embedding::DOUBLE[] AS e, label FROM embeddings),
+        |scored AS (
+        |  SELECT q.q_id, c.c_id,
+        |    list_dot_product(q.e, c.e)
+        |      / (sqrt(list_dot_product(q.e, q.e)) * sqrt(list_dot_product(c.e, c.e))) AS cos
+        |  FROM q JOIN c ON q.label = c.label WHERE q.q_id <> c.c_id),
+        |r AS (SELECT q_id, c_id, cos,
+        |  CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id) AS BIGINT) AS rank
+        |  FROM scored)
+        |SELECT q_id, c_id, round(cos, 6) AS cos, rank FROM r
+        |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin,
+
+    "q_mm_chunks" ->
+      """SELECT doc_id AS media_id, CAST(i - 1 AS BIGINT) AS chunk_id,
+        |  CAST(length(substr(text, (i - 1) * 64 + 1, 64)) AS BIGINT) AS chunk_len,
+        |  md5(substr(text, (i - 1) * 64 + 1, 64)) AS chunk_digest
+        |FROM documents,
+        |  UNNEST(generate_series(1, CAST(floor((length(text) - 1) / 64) AS BIGINT) + 1)) AS u(i)
+        |ORDER BY media_id, chunk_id""".stripMargin,
+
+    "q_mm_features" ->
+      """SELECT doc_id AS media_id,
+        |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        |  CAST(ascii(substr(text, 1, 1)) AS BIGINT) AS head_byte,
+        |  list_reduce(list_prepend(0::BIGINT,
+        |    list_transform(generate_series(1, length(text)), i -> ascii(substr(text, i, 1))::BIGINT)),
+        |    (acc, v) -> (acc * 31 + v) % 2147483647) AS checksum,
+        |  CAST(list_sum(list_transform(generate_series(1, length(text)),
+        |    i -> ascii(substr(text, i, 1))::BIGINT)) AS DOUBLE)
+        |    / CAST(octet_length(encode(text)) AS DOUBLE) AS mean_byte
+        |FROM documents ORDER BY media_id""".stripMargin
+  )
+}
