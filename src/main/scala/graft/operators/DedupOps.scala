@@ -40,20 +40,37 @@ object DedupOps {
       i => concat_ws(" ", (0 until n).map(j => element_at(w, i + j)): _*))
   }
 
-  /** MinHash signature: k independent hash functions h_i(s) =
-    * wordHash(i || ':' || s), min over the document's shingles.
+  /** Universal-hash family over the Mersenne prime 2^31-1: one md5 per
+    * shingle, then h_i = (a_i * h + b_i) mod p in pure integer arithmetic
+    * (a_i * h stays below 2^62 — no overflow in either engine). 8× cheaper
+    * than hashing each shingle k times, and the SQL oracle mirrors it
+    * exactly.
+    */
+  val HashP = 2147483647L
+  def hashA(i: Int): Long = 1000003L * (i + 1) + 7919L
+  def hashB(i: Int): Long = 104729L * (i + 1) + 12345L
+
+  /** MinHash signature: k universal hash functions of one base word hash,
+    * min over the document's shingles.
     * One explode + one partial-min groupBy; signature row = k longs.
     */
   def minhash(docs: DataFrame, k: Int = 8, shingleN: Int = 3,
       textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
     docs
       .select(col(idCol), explode(shingles(col(textCol), shingleN)).as("sh"))
+      .select(col(idCol), (wordHash(col("sh")) % HashP).as("h"))
       .groupBy(col(idCol))
       .agg(
-        min(wordHash(concat(lit("0:"), col("sh")))).as("mh0"),
+        min((col("h") * hashA(0) + hashB(0)) % HashP).as("mh0"),
         (1 until k).map(i =>
-          min(wordHash(concat(lit(s"$i:"), col("sh")))).as(s"mh$i")): _*)
+          min((col("h") * hashA(i) + hashB(i)) % HashP).as(s"mh$i")): _*)
   }
+
+  /** SQL-oracle twin of the minhash aggregate for seed `i` over a base-hash
+    * column `h` (DuckDB syntax).
+    */
+  def minhashSql(i: Int, h: String): String =
+    s"MIN(($h * ${hashA(i)} + ${hashB(i)}) % $HashP)"
 
   /** LSH banding over a minhash signature: `bands` bands of `rowsPerBand`
     * consecutive minhashes, each hashed to a bucket id. Output: one row per
@@ -81,11 +98,23 @@ object DedupOps {
 
   /** Exact n-gram Jaccard for given pairs: |A ∩ B| / |A ∪ B| over distinct
     * shingles. Join-based — only the candidate pairs are scored.
+    *
+    * The candidate pairs (reused by three consumers) and the
+    * candidate-restricted shingle sets are persisted: without this the
+    * whole upstream minhash pipeline re-executes once per consumer, and
+    * the shingle explode runs over the full corpus instead of only the
+    * candidate docs — the difference between O(candidates) and O(corpus)
+    * verification cost at scale.
     */
-  def jaccardVerify(docs: DataFrame, pairs: DataFrame, shingleN: Int = 3,
+  def jaccardVerify(docs: DataFrame, pairs0: DataFrame, shingleN: Int = 3,
       textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val pairs = pairs0.persist()
+    val candIds = pairs.select(col("id_a").as("jid"))
+      .unionAll(pairs.select(col("id_b").as("jid"))).distinct()
     val sh = docs.select(col(idCol).as("jid"),
       explode(array_distinct(shingles(col(textCol), shingleN))).as("sh"))
+      .join(candIds, "jid")
+      .persist()
     val sizes = sh.groupBy(col("jid")).agg(count(lit(1)).as("n_sh"))
     val inter = pairs
       .join(sh.select(col("jid").as("id_a"), col("sh")), "id_a")
@@ -109,12 +138,15 @@ object DedupOps {
     */
   def simhash(docs: DataFrame, bits: Int = 16,
       textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
-    val w = tokens(col(textCol))
+    // hash each word once, then fold the precomputed array per bit —
+    // subexpression elimination keeps the md5 count at one per word.
+    val hashed = docs.select(col(idCol),
+      transform(tokens(col(textCol)), x => wordHash(x)).as("hs"))
     val sig = (0 until bits).map { b =>
-      val bitSum = aggregate(w, lit(0L),
-        (acc, x) => acc + (shiftright(wordHash(x), b) % 2L) * 2L - 1L)
+      val bitSum = aggregate(col("hs"), lit(0L),
+        (acc, h) => acc + (shiftright(h, b) % 2L) * 2L - 1L)
       when(bitSum >= 0, lit(1L << b)).otherwise(lit(0L))
     }.reduce(_ + _)
-    docs.select(col(idCol), sig.as("simhash"))
+    hashed.select(col(idCol), sig.as("simhash"))
   }
 }

@@ -112,7 +112,10 @@ object PipelineQueries {
     })
   )
 
-  private val mh = (i: Int, e: String) => TextOps.wordHashSql(s"'$i:' || $e")
+  private val mh = (i: Int, h: String) => DedupOps.minhashSql(i, h)
+
+  private val baseHashSql =
+    s"(${TextOps.wordHashSql("sh")}) % ${DedupOps.HashP}"
 
   private val shinglesSql =
     """list_transform(generate_series(1, greatest(len(w) - 2, 0)),
@@ -179,21 +182,23 @@ object PipelineQueries {
 
     "q_dedup_minhash" ->
       s"""SELECT doc_id,
-        |  MIN(${mh(0, "sh")}) AS mh0, MIN(${mh(1, "sh")}) AS mh1,
-        |  MIN(${mh(2, "sh")}) AS mh2, MIN(${mh(3, "sh")}) AS mh3
-        |FROM (SELECT doc_id, unnest($shinglesSql) AS sh FROM ($docsW))
+        |  ${mh(0, "h")} AS mh0, ${mh(1, "h")} AS mh1,
+        |  ${mh(2, "h")} AS mh2, ${mh(3, "h")} AS mh3
+        |FROM (SELECT doc_id, $baseHashSql AS h
+        |      FROM (SELECT doc_id, unnest($shinglesSql) AS sh FROM ($docsW)))
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "q_dedup_lsh" ->
       s"""WITH docs2 AS ($withDupsSql),
         |dw AS (SELECT doc_id, string_split(text, ' ') AS w FROM docs2),
         |sh AS (SELECT doc_id, unnest($shinglesSql) AS sh FROM dw),
+        |bh AS (SELECT doc_id, $baseHashSql AS h FROM sh),
         |sig AS (SELECT doc_id,
-        |  MIN(${mh(0, "sh")}) AS mh0, MIN(${mh(1, "sh")}) AS mh1,
-        |  MIN(${mh(2, "sh")}) AS mh2, MIN(${mh(3, "sh")}) AS mh3,
-        |  MIN(${mh(4, "sh")}) AS mh4, MIN(${mh(5, "sh")}) AS mh5,
-        |  MIN(${mh(6, "sh")}) AS mh6, MIN(${mh(7, "sh")}) AS mh7
-        |  FROM sh GROUP BY doc_id),
+        |  ${mh(0, "h")} AS mh0, ${mh(1, "h")} AS mh1,
+        |  ${mh(2, "h")} AS mh2, ${mh(3, "h")} AS mh3,
+        |  ${mh(4, "h")} AS mh4, ${mh(5, "h")} AS mh5,
+        |  ${mh(6, "h")} AS mh6, ${mh(7, "h")} AS mh7
+        |  FROM bh GROUP BY doc_id),
         |buckets AS (
         |  SELECT doc_id, 0 AS band, md5(mh0 || '_' || mh1) AS bucket FROM sig UNION ALL
         |  SELECT doc_id, 1, md5(mh2 || '_' || mh3) FROM sig UNION ALL
