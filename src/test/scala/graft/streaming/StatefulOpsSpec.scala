@@ -1,0 +1,155 @@
+package graft.streaming
+
+import org.apache.spark.sql.Dataset
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+
+import graft.SparkSuite
+import StatefulOps._
+
+/** MemoryStream-driven specs for the transformWithState operators — the
+  * analogue of the reference's operator test harnesses
+  * (flink-table-runtime/src/test/java/.../operators/...Test.java): feed
+  * elements batch by batch, assert the emitted (changelog) output.
+  */
+class StatefulOpsSpec extends SparkSuite {
+  import spark.implicits._
+
+  /** Run a streaming Dataset to a memory sink, feeding `batches` one
+    * micro-batch at a time; returns the rows emitted per batch.
+    */
+  def runBatches[I: org.apache.spark.sql.Encoder, O](
+      batches: Seq[Seq[I]],
+      pipeline: Dataset[I] => Dataset[O]): Seq[Seq[O]] = {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[I]
+    val out = pipeline(input.toDS())
+    val name = s"sink_${System.nanoTime()}"
+    val query = out.writeStream
+      .format("memory").queryName(name)
+      .outputMode("update")
+      .option("checkpointLocation", tmpDir("ckpt"))
+      .start()
+    try {
+      val emitted = scala.collection.mutable.ArrayBuffer.empty[Seq[O]]
+      var seen = 0L
+      batches.foreach { b =>
+        input.addData(b)
+        query.processAllAvailable()
+        val all = spark.table(name).as[O](out.encoder).collect().toSeq
+        emitted += all.drop(seen.toInt)
+        seen = all.length
+      }
+      emitted.toSeq
+    } finally query.stop()
+  }
+
+  test("keep-first dedup emits only the first row per key") {
+    val batches = Seq(
+      Seq(Ranked("a", 1, 10), Ranked("b", 2, 20)),
+      Seq(Ranked("a", 3, 5), Ranked("c", 4, 1)),
+      Seq(Ranked("b", 5, 9)))
+    val out = runBatches[Ranked, Ranked](batches,
+      ds => ds.groupByKey(_.key)
+        .transformWithState(new KeepFirstProcessor[String, Ranked](implicitly),
+          TimeMode.None(), OutputMode.Update()))
+    assert(out(0).toSet == Set(Ranked("a", 1, 10), Ranked("b", 2, 20)))
+    assert(out(1).toSet == Set(Ranked("c", 4, 1))) // a already seen
+    assert(out(2).isEmpty)                          // b already seen
+  }
+
+  test("keep-last dedup emits -U/+U retractions (ChangelogNormalize)") {
+    val batches = Seq(
+      Seq(Ranked("a", 1, 10)),
+      Seq(Ranked("a", 2, 20), Ranked("b", 3, 30)))
+    val out = runBatches[Ranked, Change[String, Ranked]](batches,
+      ds => ds.groupByKey(_.key)
+        .transformWithState(new KeepLastProcessor[String, Ranked](implicitly),
+          TimeMode.None(), OutputMode.Update()))
+    assert(out(0) == Seq(Change(Changelog.Insert, "a", Ranked("a", 1, 10))))
+    assert(out(1).toSet == Set(
+      Change(Changelog.UpdateBefore, "a", Ranked("a", 1, 10)),
+      Change(Changelog.UpdateAfter, "a", Ranked("a", 2, 20)),
+      Change(Changelog.Insert, "b", Ranked("b", 3, 30))))
+  }
+
+  test("retractable sum: +I, -U/+U, and -D on empty group (RecordCounter)") {
+    val batches = Seq(
+      Seq(Change(Changelog.Insert, "k", 5L)),
+      Seq(Change(Changelog.Insert, "k", 7L)),
+      Seq(Change(Changelog.Delete, "k", 5L)),
+      Seq(Change(Changelog.Delete, "k", 7L)))
+    val out = runBatches[Change[String, Long], Change[String, AggResult]](batches,
+      ds => ds.groupByKey(_.key)
+        .transformWithState(new RetractSumProcessor(),
+          TimeMode.None(), OutputMode.Update()))
+    assert(out(0) == Seq(Change(Changelog.Insert, "k", AggResult("k", 5, 1))))
+    assert(out(1) == Seq(
+      Change(Changelog.UpdateBefore, "k", AggResult("k", 5, 1)),
+      Change(Changelog.UpdateAfter, "k", AggResult("k", 12, 2))))
+    assert(out(2) == Seq(
+      Change(Changelog.UpdateBefore, "k", AggResult("k", 12, 2)),
+      Change(Changelog.UpdateAfter, "k", AggResult("k", 7, 1))))
+    // group emptied: delete, then state cleared
+    assert(out(3) == Seq(Change(Changelog.Delete, "k", AggResult("k", 7, 1))))
+  }
+
+  test("retractable sum state clears: re-insert after -D starts fresh") {
+    val batches = Seq(
+      Seq(Change(Changelog.Insert, "k", 3L)),
+      Seq(Change(Changelog.Delete, "k", 3L)),
+      Seq(Change(Changelog.Insert, "k", 9L)))
+    val out = runBatches[Change[String, Long], Change[String, AggResult]](batches,
+      ds => ds.groupByKey(_.key)
+        .transformWithState(new RetractSumProcessor(),
+          TimeMode.None(), OutputMode.Update()))
+    assert(out(2) == Seq(Change(Changelog.Insert, "k", AggResult("k", 9, 1))))
+  }
+
+  test("append-only top-n emits +I on entry and -D on eviction") {
+    val batches = Seq(
+      Seq(Ranked("k", 1, 30), Ranked("k", 2, 10)),
+      Seq(Ranked("k", 3, 20)),  // evicts sort=30
+      Seq(Ranked("k", 4, 50))) // outside top-2: no output
+    val out = runBatches[Ranked, Change[String, Ranked]](batches,
+      ds => ds.groupByKey(_.key)
+        .transformWithState(new AppendOnlyTopNProcessor(2),
+          TimeMode.None(), OutputMode.Update()))
+    assert(out(0).toSet == Set(
+      Change(Changelog.Insert, "k", Ranked("k", 1, 30)),
+      Change(Changelog.Insert, "k", Ranked("k", 2, 10))))
+    assert(out(1).toSet == Set(
+      Change(Changelog.Insert, "k", Ranked("k", 3, 20)),
+      Change(Changelog.Delete, "k", Ranked("k", 1, 30))))
+    assert(out(2).isEmpty)
+  }
+
+  test("count window emits one aggregate per `size` rows per key") {
+    val batches = Seq(
+      Seq(Change(Changelog.Insert, "k", 1L), Change(Changelog.Insert, "k", 2L)),
+      Seq(Change(Changelog.Insert, "k", 3L)),
+      Seq(Change(Changelog.Insert, "k", 4L), Change(Changelog.Insert, "k", 5L),
+        Change(Changelog.Insert, "k", 6L), Change(Changelog.Insert, "x", 9L)))
+    val out = runBatches[Change[String, Long], CountWindowResult](batches,
+      ds => ds.groupByKey(_.key)
+        .transformWithState(new CountWindowProcessor(3),
+          TimeMode.None(), OutputMode.Update()))
+    assert(out(0).isEmpty)
+    assert(out(1) == Seq(CountWindowResult("k", 0, 6, 3)))
+    assert(out(2) == Seq(CountWindowResult("k", 1, 15, 3)))
+  }
+
+  test("changelog materialize folds emitted stream to final table") {
+    import org.apache.spark.sql.functions._
+    val changelog = Seq(
+      (Changelog.Insert, "a", 1L, 1L),
+      (Changelog.UpdateBefore, "a", 1L, 2L),
+      (Changelog.UpdateAfter, "a", 5L, 3L),
+      (Changelog.Insert, "b", 7L, 4L),
+      (Changelog.Delete, "b", 7L, 5L)
+    ).toDF(Changelog.RowKindCol, "k", "v", "seq")
+    val result = Changelog.materialize(changelog, Seq("k"), "seq")
+      .select("k", "v").as[(String, Long)].collect().toSet
+    assert(result == Set(("a", 5L)))
+  }
+}
