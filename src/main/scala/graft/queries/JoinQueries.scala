@@ -116,6 +116,24 @@ object JoinQueries {
           $"e_ts" <= $"p_ts")
         .select($"p_id", $"e_id")
         .orderBy($"p_id", $"e_id")
+    }),
+
+    // As-of (temporal) join — StreamExecTemporalJoin semantics
+    // (TemporalRowTimeJoinOperator.java:78) in batch form: each purchase
+    // joins the latest view of the same user at-or-before its time.
+    // Implemented with the union + carry-forward pattern (AsOfJoin.asOf);
+    // oracle uses DuckDB's native ASOF LEFT JOIN.
+    "q_join_asof" -> ((s, dir) => {
+      import s.implicits._
+      val ev = t(s, dir, "events")
+      val purchases = ev.filter($"event_type" === "purchase")
+        .select($"event_id".as("p_id"), $"user_id", $"ts")
+      val views = ev.filter($"event_type" === "view")
+        .select($"event_id".as("v_id"), $"user_id", $"ts", $"value".as("v_value"))
+      graft.operators.AsOfJoin
+        .asOf(purchases, views, "user_id", "ts", Seq("v_id", "v_value"))
+        .select($"p_id", $"r_v_id", $"r_v_value")
+        .orderBy($"p_id")
     })
   )
 
@@ -174,6 +192,14 @@ object JoinQueries {
         |ON p.user_id = e.user_id
         | AND e.ts >= p.ts - INTERVAL 1 HOUR
         | AND e.ts <= p.ts
-        |ORDER BY p_id, e_id""".stripMargin
+        |ORDER BY p_id, e_id""".stripMargin,
+
+    "q_join_asof" ->
+      """WITH e AS (SELECT event_id, user_id, make_timestamp(epoch_ns(ts) // 1000) AS ts, event_type, value FROM events),
+        |p AS (SELECT event_id AS p_id, user_id, ts FROM e WHERE event_type = 'purchase'),
+        |v AS (SELECT event_id AS v_id, user_id, ts, value AS v_value FROM e WHERE event_type = 'view')
+        |SELECT p.p_id, v.v_id AS r_v_id, v.v_value AS r_v_value
+        |FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND v.ts <= p.ts
+        |ORDER BY p_id""".stripMargin
   )
 }
