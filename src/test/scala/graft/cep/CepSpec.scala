@@ -1,0 +1,112 @@
+package graft.cep
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+import graft.SparkSuite
+
+/** NFA + CEP specs mirroring the reference's pattern semantics
+  * (Pattern.java quantifiers, NFA.java matching, MatchRecognizeITCase
+  * shapes): strict vs relaxed contiguity, times/oneOrMore/optional,
+  * within-windows, skip-past-last-row, and the batch/streaming executors.
+  */
+case class Ev(key: String, ts: Long, kind: String, v: Long)
+
+class CepSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def nfa(p: Pattern[Ev]) = new NFA[Ev](p, _.ts)
+  private def evs(kinds: String*): IndexedSeq[Ev] =
+    kinds.zipWithIndex.map { case (k, i) => Ev("k", i.toLong, k, i.toLong) }.toIndexedSeq
+
+  test("strict next requires adjacency; followedBy allows gaps") {
+    val strict = Pattern.begin[Ev]("a")(_.kind == "A").next("b")(_.kind == "B")
+    val relaxed = Pattern.begin[Ev]("a")(_.kind == "A").followedBy("b")(_.kind == "B")
+    val seq = evs("A", "X", "B")
+    assert(nfa(strict).findMatches(seq).isEmpty)
+    val m = nfa(relaxed).findMatches(seq)
+    assert(m.size == 1 && m.head._1 == 0 && m.head._2 == 2)
+  }
+
+  test("times(n) consumes exactly n; backtracks to close when short") {
+    val p = Pattern.begin[Ev]("fail")(_.kind == "F").times(3)
+      .followedBy("ok")(_.kind == "S")
+    assert(nfa(p).findMatches(evs("F", "F", "F", "S")).size == 1)
+    assert(nfa(p).findMatches(evs("F", "F", "S")).isEmpty)
+    // times(1,2) strict-closing fallback: 1 rep then next stage
+    val p2 = Pattern.begin[Ev]("f")(_.kind == "F").times(1, 2)
+      .next("s")(_.kind == "S")
+    val m = nfa(p2).findMatches(evs("F", "S"))
+    assert(m.size == 1)
+  }
+
+  test("oneOrMore is greedy") {
+    val p = Pattern.begin[Ev]("a")(_.kind == "A").oneOrMore
+      .followedBy("b")(_.kind == "B")
+    val m = nfa(p).findMatches(evs("A", "A", "A", "B"))
+    assert(m.size == 1)
+    val stages = m.head._3.toMap
+    assert(stages("a").size == 3) // greedy: all three As
+  }
+
+  test("optional stage may be skipped") {
+    val p = Pattern.begin[Ev]("a")(_.kind == "A")
+      .followedBy("x")(_.kind == "X").optional
+      .followedBy("b")(_.kind == "B")
+    assert(nfa(p).findMatches(evs("A", "X", "B")).head._3.toMap.apply("x").size == 1)
+    assert(nfa(p).findMatches(evs("A", "B")).head._3.toMap.apply("x").isEmpty)
+  }
+
+  test("within bounds first-to-last event time") {
+    val p = Pattern.begin[Ev]("a")(_.kind == "A")
+      .followedBy("b")(_.kind == "B").within(5)
+    val in = IndexedSeq(Ev("k", 0, "A", 0), Ev("k", 4, "B", 0))
+    val out = IndexedSeq(Ev("k", 0, "A", 0), Ev("k", 10, "B", 0))
+    assert(nfa(p).findMatches(in).size == 1)
+    assert(nfa(p).findMatches(out).isEmpty)
+  }
+
+  test("skip past last row yields non-overlapping matches") {
+    val p = Pattern.begin[Ev]("a")(_.kind == "A").next("b")(_.kind == "B")
+    val m = nfa(p).findMatches(evs("A", "B", "A", "B", "A"))
+    assert(m.map(x => (x._1, x._2)) == Seq((0, 1), (2, 3)))
+  }
+
+  test("batch CEP finds matches per key over unsorted input") {
+    val p = Pattern.begin[Ev]("fail")(_.kind == "F").times(2)
+      .followedBy("ok")(_.kind == "S")
+    val data = Seq(
+      Ev("u1", 3, "S", 0), Ev("u1", 1, "F", 0), Ev("u1", 2, "F", 0),
+      Ev("u2", 1, "F", 0), Ev("u2", 2, "S", 0),
+      Ev("u3", 1, "F", 0), Ev("u3", 2, "F", 0), Ev("u3", 3, "S", 0))
+    val out = CEP.batch[Ev](data.toDS(), _.key, _.ts, p).collect()
+    assert(out.map(_.key).sorted.toSeq == Seq("u1", "u3"))
+    val u1 = out.find(_.key == "u1").get
+    assert(u1.startTs == 1 && u1.endTs == 3)
+  }
+
+  test("streaming CEP matches across micro-batches with buffer state") {
+    import org.apache.spark.sql.streaming.StreamingQuery
+    implicit val sqlCtx = spark.sqlContext
+    val p = Pattern.begin[Ev]("fail")(_.kind == "F").times(2)
+      .followedBy("ok")(_.kind == "S")
+    val input = MemoryStream[Ev]
+    val out = CEP.streaming[Ev](input.toDS(), _.key, _.ts, p)
+      .map(m => (m.key, m.startTs, m.endTs))
+    val name = s"cep_${System.nanoTime()}"
+    val q: StreamingQuery = out.writeStream.format("memory").queryName(name)
+      .outputMode("update").option("checkpointLocation", tmpDir("ckpt")).start()
+    try {
+      input.addData(Seq(Ev("u1", 1, "F", 0), Ev("u1", 2, "F", 0)))
+      q.processAllAvailable()
+      assert(spark.table(name).count() == 0) // incomplete: waiting for S
+      input.addData(Seq(Ev("u1", 3, "S", 0)))
+      q.processAllAvailable()
+      val rows = spark.table(name).as[(String, Long, Long)].collect().toSet
+      assert(rows == Set(("u1", 1L, 3L)))
+      // buffer trimmed past the match: a lone S must not re-match
+      input.addData(Seq(Ev("u1", 4, "S", 0)))
+      q.processAllAvailable()
+      assert(spark.table(name).count() == 1)
+    } finally q.stop()
+  }
+}
