@@ -1,0 +1,95 @@
+package graft.operators
+
+import java.util.concurrent.{Executors, TimeUnit}
+
+import scala.concurrent.duration.Duration
+import scala.concurrent.{Await, ExecutionContext, Future}
+
+import org.apache.spark.sql.{Dataset, Encoder}
+
+/** Async I/O — the reference's AsyncDataStream.orderedWait:165 /
+  * unorderedWait:115 and AsyncWaitOperator
+  * (flink-streaming-java/.../operators/async/AsyncWaitOperator.java:92),
+  * plus StreamExecAsyncCalc's async scalar UDF execution (SURVEY.md §2.2).
+  *
+  * Spark-first shape: `mapPartitions` with a bounded in-flight pool of
+  * futures per partition:
+  *   - ordered: results emitted in input order (a sliding window of
+  *     `capacity` futures keeps the pipeline full while preserving order);
+  *   - unordered: results emitted as they complete.
+  * Parallelism = partitions × capacity, with no extra shuffle.
+  */
+object AsyncOps {
+
+  trait AsyncFunction[I, O] extends Serializable {
+    def open(): Unit = {}
+    def invoke(in: I)(implicit ec: ExecutionContext): Future[O]
+    def close(): Unit = {}
+  }
+
+  /** Ordered async apply (AsyncDataStream.orderedWait semantics). */
+  def orderedAsync[I, O](ds: Dataset[I], fn: AsyncFunction[I, O],
+      capacity: Int = 16, timeoutMs: Long = 60000)(
+      implicit outEnc: Encoder[O]): Dataset[O] =
+    ds.mapPartitions { (rows: Iterator[I]) =>
+      fn.open()
+      val pool = Executors.newFixedThreadPool(capacity)
+      implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+      val inFlight = scala.collection.mutable.Queue.empty[Future[O]]
+      val input = rows.buffered
+      new Iterator[O] {
+        private def fill(): Unit =
+          while (inFlight.size < capacity && input.hasNext)
+            inFlight.enqueue(fn.invoke(input.next()))
+        def hasNext: Boolean = {
+          fill()
+          val h = inFlight.nonEmpty
+          if (!h) { pool.shutdown(); pool.awaitTermination(1, TimeUnit.SECONDS); fn.close() }
+          h
+        }
+        def next(): O = {
+          fill()
+          // head completes first in emission order regardless of the
+          // completion order behind it
+          Await.result(inFlight.dequeue(), Duration(timeoutMs, TimeUnit.MILLISECONDS))
+        }
+      }
+    }
+
+  /** Unordered async apply (AsyncDataStream.unorderedWait semantics):
+    * completion order within a partition, maximizing throughput when
+    * latencies vary.
+    */
+  def unorderedAsync[I, O](ds: Dataset[I], fn: AsyncFunction[I, O],
+      capacity: Int = 16, timeoutMs: Long = 60000)(
+      implicit outEnc: Encoder[O]): Dataset[O] =
+    ds.mapPartitions { (rows: Iterator[I]) =>
+      fn.open()
+      val pool = Executors.newFixedThreadPool(capacity)
+      implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+      val queue = new java.util.concurrent.LinkedBlockingQueue[O]()
+      val inFlight = new java.util.concurrent.atomic.AtomicInteger(0)
+      val input = rows.buffered
+      new Iterator[O] {
+        private def fill(): Unit =
+          while (inFlight.get() < capacity && input.hasNext) {
+            inFlight.incrementAndGet()
+            fn.invoke(input.next()).foreach { o =>
+              queue.put(o); inFlight.decrementAndGet()
+            }
+          }
+        def hasNext: Boolean = {
+          fill()
+          val h = input.hasNext || inFlight.get() > 0 || !queue.isEmpty
+          if (!h) { pool.shutdown(); pool.awaitTermination(1, TimeUnit.SECONDS); fn.close() }
+          h
+        }
+        def next(): O = {
+          fill()
+          val o = queue.poll(timeoutMs, TimeUnit.MILLISECONDS)
+          if (o == null) throw new java.util.concurrent.TimeoutException("async I/O timeout")
+          o
+        }
+      }
+    }
+}

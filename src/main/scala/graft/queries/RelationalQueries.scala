@@ -56,13 +56,49 @@ object RelationalQueries {
       highCust.intersect(highSupp).orderBy($"nationkey")
     }),
 
-    // EXCEPT (→ anti join).
+    // EXCEPT (→ anti join). Threshold chosen so the result is non-empty —
+    // an empty result would make the compare trivially pass.
     "q_setop_except" -> ((s, dir) => {
       import s.implicits._
       val all = t(s, dir, "nation").select($"n_nationkey".as("nationkey"))
-      val withBigCust = t(s, dir, "customer").filter($"c_acctbal" > 9000)
+      val withCheapCust = t(s, dir, "customer").filter($"c_acctbal" < -900)
         .select($"c_nationkey".as("nationkey"))
-      all.except(withBigCust).orderBy($"nationkey")
+      all.except(withCheapCust).orderBy($"nationkey")
+    }),
+
+    // Scalar subquery + IN subquery + correlated EXISTS in one Calc —
+    // Calcite subquery program parity (SubQueryDecorrelator.java).
+    "q_subquery" -> ((s, dir) => {
+      import s.implicits._
+      val o = t(s, dir, "orders")
+      // scalar subquery as a broadcast cross join — stays distributed,
+      // exactly Catalyst's own scalar-subquery plan shape
+      val avgPrice = o.agg(
+        (dsum($"o_totalprice") / count(lit(1))).as("avg_price"))
+      val bigCust = t(s, dir, "customer").filter($"c_acctbal" > 9000)
+        .select($"c_custkey".as("bk"))
+      o.join(bigCust, $"o_custkey" === $"bk", "left_semi")
+        .crossJoin(broadcast(avgPrice))
+        .filter(dec2($"o_totalprice").cast(DoubleType) > $"avg_price")
+        .select($"o_orderkey", $"o_custkey")
+        .orderBy($"o_orderkey")
+    }),
+
+    // Window join — StreamExecWindowJoin (WindowJoinOperator.java:66)
+    // batch form: both sides bucketed to the same tumbling window, then
+    // equi-joined on (window, key).
+    "q_window_join" -> ((s, dir) => {
+      import s.implicits._
+      val ev = t(s, dir, "events")
+      val clicks = ev.filter($"event_type" === "click")
+        .select(window($"ts", "1 hour").getField("start").as("w"),
+          $"user_id", $"event_id".as("click_id"))
+      val purchases = ev.filter($"event_type" === "purchase")
+        .select(window($"ts", "1 hour").getField("start").as("w"),
+          $"user_id", $"event_id".as("purchase_id"))
+      clicks.join(purchases, Seq("w", "user_id"))
+        .select($"w".as("window_start"), $"user_id", $"click_id", $"purchase_id")
+        .orderBy($"window_start", $"user_id", $"click_id", $"purchase_id")
     }),
 
     // INTERSECT ALL / EXCEPT ALL (multiset semantics, RewriteIntersectAllRule).
@@ -135,8 +171,25 @@ object RelationalQueries {
     "q_setop_except" ->
       """SELECT n_nationkey AS nationkey FROM nation
         |EXCEPT
-        |SELECT c_nationkey AS nationkey FROM customer WHERE c_acctbal > 9000
+        |SELECT c_nationkey AS nationkey FROM customer WHERE c_acctbal < -900
         |ORDER BY nationkey""".stripMargin,
+
+    "q_subquery" ->
+      """SELECT o_orderkey, o_custkey FROM orders
+        |WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_acctbal > 9000)
+        |  AND CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DOUBLE) >
+        |      (SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) FROM orders)
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "q_window_join" ->
+      """WITH e AS (SELECT event_id, user_id, make_timestamp(epoch_ns(ts) // 1000) AS ts, event_type FROM events),
+        |c AS (SELECT time_bucket(INTERVAL 1 HOUR, ts) AS w, user_id, event_id AS click_id
+        |      FROM e WHERE event_type = 'click'),
+        |p AS (SELECT time_bucket(INTERVAL 1 HOUR, ts) AS w, user_id, event_id AS purchase_id
+        |      FROM e WHERE event_type = 'purchase')
+        |SELECT c.w AS window_start, c.user_id AS user_id, click_id, purchase_id
+        |FROM c JOIN p ON c.w = p.w AND c.user_id = p.user_id
+        |ORDER BY window_start, c.user_id, click_id, purchase_id""".stripMargin,
 
     "q_setop_intersect_all" ->
       """SELECT k, COUNT(*) AS multiplicity FROM (
