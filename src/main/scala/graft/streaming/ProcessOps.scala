@@ -1,0 +1,94 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Encoder, Encoders}
+import org.apache.spark.sql.streaming._
+
+/** Process-function layer — the reference's KeyedProcessFunction surface
+  * (flink-streaming-java/.../api/functions/KeyedProcessFunction.java:
+  * timers + keyed state; KeyedStream.process KeyedStream.java:327) and the
+  * streaming bounded over-aggregate
+  * (flink-table-runtime/.../operators/over/RowTimeRowsBoundedPrecedingFunction.java:57)
+  * on transformWithState (SURVEY.md §2.6, §2.10, §7.2 phase 5).
+  */
+object ProcessOps {
+
+  /** Inactivity-timeout detector — the canonical KeyedProcessFunction
+    * example: for each key, (re)register a processing-time timer `gapMs`
+    * after the last seen row; when it fires with no intervening rows, emit
+    * a timeout marker. Exercises both timer registration/deletion and the
+    * timer callback (ProcessingTimeTriggers parity).
+    */
+  case class Timeout(key: String, lastValue: Long, firedAtMs: Long)
+
+  class InactivityTimeoutProcessor(gapMs: Long)
+      extends StatefulProcessor[String, (String, Long), Timeout] {
+    @transient private var lastVal: ValueState[Long] = _
+    @transient private var timerAt: ValueState[Long] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      lastVal = getHandle.getValueState[Long]("lastVal", Encoders.scalaLong, TTLConfig.NONE)
+      timerAt = getHandle.getValueState[Long]("timerAt", Encoders.scalaLong, TTLConfig.NONE)
+    }
+    override def handleInputRows(key: String, rows: Iterator[(String, Long)],
+        timerValues: TimerValues): Iterator[Timeout] = {
+      rows.foreach { case (_, v) => lastVal.update(v) }
+      // slide the timer: delete the pending one, register a fresh one
+      if (timerAt.exists()) getHandle.deleteTimer(timerAt.get())
+      val at = timerValues.getCurrentProcessingTimeInMs() + gapMs
+      getHandle.registerTimer(at)
+      timerAt.update(at)
+      Iterator.empty
+    }
+    override def handleExpiredTimer(key: String, timerValues: TimerValues,
+        expiredTimerInfo: ExpiredTimerInfo): Iterator[Timeout] = {
+      val v = if (lastVal.exists()) lastVal.get() else -1L
+      timerAt.clear()
+      Iterator.single(Timeout(key, v, expiredTimerInfo.getExpiryTimeInMs()))
+    }
+  }
+
+  /** Streaming ROWS-bounded over-aggregate — semantics of
+    * RowTimeRowsBoundedPrecedingFunction.java:57: per key, for each input
+    * row emit the running sum over the last `nRows` rows (ROWS BETWEEN
+    * n-1 PRECEDING AND CURRENT ROW) in event order. State = the bounded
+    * row buffer, exactly the reference's retained-rows state.
+    */
+  case class OverIn(key: String, ts: Long, v: Long)
+  case class OverOut(key: String, ts: Long, v: Long, movingSum: Long, n: Long)
+  case class OverBuf(items: Seq[Long])
+
+  class RowsBoundedOverProcessor(nRows: Int)
+      extends StatefulProcessor[String, OverIn, OverOut] {
+    @transient private var buf: ValueState[OverBuf] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      buf = getHandle.getValueState[OverBuf]("window",
+        Encoders.product[OverBuf], TTLConfig.NONE)
+    override def handleInputRows(key: String, rows: Iterator[OverIn],
+        timerValues: TimerValues): Iterator[OverOut] = {
+      var cur: Seq[Long] = if (buf.exists()) buf.get().items else Nil
+      val out = rows.toSeq.sortBy(_.ts).map { r =>
+        cur = (cur :+ r.v).takeRight(nRows)
+        OverOut(r.key, r.ts, r.v, cur.sum, cur.length.toLong)
+      }
+      buf.update(OverBuf(cur))
+      out.iterator
+    }
+  }
+
+  /** State TTL demonstration — StateTtlConfig parity: a counting state
+    * with a TTL; keys silently reset after expiry.
+    */
+  class TtlCountProcessor(ttlMs: Long)
+      extends StatefulProcessor[String, (String, Long), (String, Long)] {
+    @transient private var cnt: ValueState[Long] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      cnt = getHandle.getValueState[Long]("cnt", Encoders.scalaLong,
+        TTLConfig(java.time.Duration.ofMillis(ttlMs)))
+    override def handleInputRows(key: String, rows: Iterator[(String, Long)],
+        timerValues: TimerValues): Iterator[(String, Long)] = {
+      var c = if (cnt.exists()) cnt.get() else 0L
+      rows.foreach(_ => c += 1)
+      cnt.update(c)
+      Iterator.single((key, c))
+    }
+  }
+}
