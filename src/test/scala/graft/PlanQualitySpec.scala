@@ -1,0 +1,72 @@
+package graft
+
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.functions._
+
+import graft.queries.{JoinQueries, AggQueries}
+
+/** Plan-quality assertions — the 100 TB readiness checks from the build
+  * brief: filters and projections must reach the parquet scan, small dims
+  * must broadcast, aggregates must keep partial (map-side) aggregation,
+  * and the hot path must stay inside whole-stage codegen.
+  */
+class PlanQualitySpec extends SparkSuite {
+  import spark.implicits._
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def planString(df: org.apache.spark.sql.DataFrame): String = {
+    val qe = df.queryExecution
+    qe.executedPlan.toString()
+  }
+
+  test("filter pushdown reaches the parquet scan (PushedFilters)") {
+    val df = Tables.load(spark, sf, "lineitem")
+      .filter($"l_quantity" < 30)
+      .select($"l_orderkey", $"l_quantity")
+    val scan = df.queryExecution.executedPlan.collectLeaves().map(_.toString).mkString
+    assert(scan.contains("PushedFilters: [IsNotNull(l_quantity), LessThan(l_quantity,30.0)]"),
+      s"pushdown missing in: $scan")
+  }
+
+  test("column pruning reaches the scan (ReadSchema only has needed cols)") {
+    val df = Tables.load(spark, sf, "lineitem").select($"l_orderkey", $"l_quantity")
+    val scan = df.queryExecution.executedPlan.collectLeaves().map(_.toString).mkString
+    assert(scan.contains("ReadSchema") &&
+      scan.contains("l_orderkey") && scan.contains("l_quantity") &&
+      !scan.contains("l_extendedprice"),
+      s"pruning missing in: $scan")
+  }
+
+  test("dimension join broadcasts the small side") {
+    val plan = planString(JoinQueries.queries("q_join_inner")(spark, sf))
+    assert(plan.contains("BroadcastHashJoin"), s"no broadcast join in: $plan")
+  }
+
+  test("aggregation keeps map-side partial aggregation") {
+    val plan = planString(AggQueries.queries("q_agg_basic")(spark, sf))
+    // partial + final HashAggregate pair
+    assert("HashAggregate".r.findAllIn(plan).size >= 2, s"no partial agg in: $plan")
+  }
+
+  test("hot path stays inside whole-stage codegen") {
+    val df = AggQueries.queries("q_agg_basic")(spark, sf)
+    df.collect() // finalize the adaptive plan
+    val plan = df.queryExecution.executedPlan.toString()
+    // codegen stages print as WholeStageCodegen or the *(n) marker
+    assert(plan.contains("WholeStageCodegen") || plan.contains("*("),
+      s"no codegen span in: $plan")
+  }
+
+  test("custom split_index expression stays codegen-compatible") {
+    import graft.functions.GraftFunctions
+    val df = Tables.load(spark, sf, "part")
+      .select(GraftFunctions.splitIndex($"p_name", lit(" "), lit(1)).as("x"))
+      .filter($"x".isNotNull)
+    val plan = planString(df)
+    // the *(n) marker = inside a WholeStageCodegen stage; the expression
+    // must not force a fallback out of codegen
+    assert(plan.contains("*("), s"split_index fell out of codegen: $plan")
+    assert(df.count() > 0)
+  }
+}
