@@ -21,7 +21,8 @@ object SparkEntry {
       (TimeWindowQueries.queries, TimeWindowQueries.oracles),
       (FunctionQueries.queries, FunctionQueries.oracles),
       (LateralQueries.queries, LateralQueries.oracles),
-      (PipelineQueries.queries, PipelineQueries.oracles)
+      (PipelineQueries.queries, PipelineQueries.oracles),
+      (CepQueries.queries, CepQueries.oracles)
     )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -1,0 +1,87 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.cep.{CEP, Pattern}
+import Q._
+
+/** MATCH_RECOGNIZE parity in batch form (StreamExecMatch/BatchExecMatch,
+  * SURVEY.md §2.10) — the CEP engine run over the events table, with SQL
+  * oracles reconstructing the same matches via window functions.
+  */
+object CepQueries {
+
+  case class E(user_id: Long, ts: Long, event_type: String, event_id: Long)
+
+  val queries: Map[String, QFn] = Map(
+    // Strict-contiguity two-stage pattern: a purchase whose IMMEDIATELY
+    // next event for the same user is an error (A next B). With two
+    // distinct stages, skip-past-last-row equals simple adjacency, which
+    // the SQL oracle expresses with lead() over (user, time) — the exact
+    // golden-result technique the reference's MatchRecognizeITCase uses.
+    "q_cep_next" -> ((s, dir) => {
+      import s.implicits._
+      val ev = t(s, dir, "events")
+        .select($"user_id", unix_micros(col("ts").cast(TimestampType)).as("ts"),
+          $"event_type", $"event_id")
+        .as[E]
+      val pat = Pattern.begin[E]("buy")(_.event_type == "purchase")
+        .next("err")(_.event_type == "error")
+      CEP.batch[E](ev, e => e.user_id.toString, _.ts, pat)
+        .flatMap { m =>
+          val stages = m.stages.toMap
+          for {
+            b <- stages("buy").headOption
+            x <- stages("err").headOption
+          } yield (b.user_id, b.event_id, x.event_id)
+        }
+        .toDF("user_id", "purchase_id", "error_id")
+        .orderBy($"user_id", $"purchase_id")
+    }),
+
+    // within-window variant: purchase strictly followed by an error no
+    // later than 2 hours after it.
+    "q_cep_within" -> ((s, dir) => {
+      import s.implicits._
+      val ev = t(s, dir, "events")
+        .select($"user_id", unix_micros(col("ts").cast(TimestampType)).as("ts"),
+          $"event_type", $"event_id")
+        .as[E]
+      val pat = Pattern.begin[E]("buy")(_.event_type == "purchase")
+        .next("err")(_.event_type == "error")
+        .within(7200L * 1000000L) // ts is epoch-micros
+      CEP.batch[E](ev, e => e.user_id.toString, _.ts, pat)
+        .map(m => (m.stages.toMap.apply("buy").head.user_id, m.startTs, m.endTs))
+        .toDF("user_id", "buy_ts", "err_ts")
+        .orderBy($"user_id", $"buy_ts")
+    })
+  )
+
+  // NOTE: ts is epoch-microseconds on both sides (unix_micros in Spark,
+  // epoch_us in DuckDB) so ordering never ties at second granularity.
+  private val ordered =
+    """SELECT user_id, epoch_us(make_timestamp(epoch_ns(ts) // 1000)) AS ts,
+      |       event_type, event_id,
+      |       lead(event_type) OVER w AS next_type,
+      |       lead(event_id) OVER w AS next_id,
+      |       lead(epoch_us(make_timestamp(epoch_ns(ts) // 1000))) OVER w AS next_ts
+      |FROM events
+      |WINDOW w AS (PARTITION BY user_id
+      |             ORDER BY make_timestamp(epoch_ns(ts) // 1000), event_id)""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "q_cep_next" ->
+      s"""SELECT user_id, event_id AS purchase_id, next_id AS error_id
+        |FROM ($ordered)
+        |WHERE event_type = 'purchase' AND next_type = 'error'
+        |ORDER BY user_id, purchase_id""".stripMargin,
+
+    "q_cep_within" ->
+      s"""SELECT user_id, ts AS buy_ts, next_ts AS err_ts
+        |FROM ($ordered)
+        |WHERE event_type = 'purchase' AND next_type = 'error'
+        |  AND next_ts <= ts + 7200000000
+        |ORDER BY user_id, buy_ts""".stripMargin
+  )
+}
