@@ -22,7 +22,8 @@ object SparkEntry {
       (FunctionQueries.queries, FunctionQueries.oracles),
       (LateralQueries.queries, LateralQueries.oracles),
       (PipelineQueries.queries, PipelineQueries.oracles),
-      (CepQueries.queries, CepQueries.oracles)
+      (CepQueries.queries, CepQueries.oracles),
+      (SqlQueries.queries, SqlQueries.oracles)
     )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

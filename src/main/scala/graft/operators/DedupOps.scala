@@ -72,6 +72,26 @@ object DedupOps {
   def minhashSql(i: Int, h: String): String =
     s"MIN(($h * ${hashA(i)} + ${hashB(i)}) % $HashP)"
 
+  /** Fast minhash for the LSH pipeline: xxhash64 (native codegen'd Spark
+    * hash) instead of the md5-derived parity hash. The LSH *output* —
+    * jaccard-verified near-dup pairs — does not depend on which hash
+    * family generates candidates (any true near-dup collides in some band
+    * with the same probability; false candidates are removed by the exact
+    * Jaccard filter), so the oracle still matches while the signature
+    * computation drops the md5 + hex-parse cost.
+    */
+  def minhashFast(docs: DataFrame, k: Int = 8, shingleN: Int = 3,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    docs
+      .select(col(idCol), explode(shingles(col(textCol), shingleN)).as("sh"))
+      .select(col(idCol), pmod(xxhash64(col("sh")), lit(HashP)).as("h"))
+      .groupBy(col(idCol))
+      .agg(
+        min((col("h") * hashA(0) + hashB(0)) % HashP).as("mh0"),
+        (1 until k).map(i =>
+          min((col("h") * hashA(i) + hashB(i)) % HashP).as(s"mh$i")): _*)
+  }
+
   /** LSH banding over a minhash signature: `bands` bands of `rowsPerBand`
     * consecutive minhashes, each hashed to a bucket id. Output: one row per
     * (doc, band) — candidates are docs sharing (band, bucket).
@@ -82,7 +102,9 @@ object DedupOps {
       val cols = (0 until rowsPerBand).map(r => col(s"mh${b * rowsPerBand + r}"))
       sig.select(
         col(idCol), lit(b).as("band"),
-        md5(concat_ws("_", cols: _*)).as("bucket"))
+        // bucket id only needs equality semantics — xxhash64 is codegen'd
+        // and avoids the md5 + string-concat cost
+        xxhash64(cols: _*).cast(org.apache.spark.sql.types.StringType).as("bucket"))
     }
     bandRows.reduce(_ unionAll _)
   }

@@ -230,6 +230,23 @@ object FunctionQueries {
         .orderBy($"doc_id")
     }),
 
+    // Second string family: base64, chr, overlay, str_to_map, uuid-free
+    // deterministic subset (fromBase64:1090, toBase64:1098, chr:1114,
+    // overlay:1004, strToMap:1298).
+    "q_fn_string2" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "region")
+        .select(
+          $"r_regionkey",
+          base64(encode($"r_name", "utf-8")).as("b64"),
+          decode(unbase64(base64(encode($"r_name", "utf-8"))), "utf-8").as("roundtrip"),
+          chr($"r_regionkey" + 65).as("letter"),
+          overlay($"r_name", lit("##"), lit(2)).as("overlaid"),
+          str_to_map(concat(lit("k1:"), $"r_regionkey", lit(",k2:"), $"r_name"),
+            lit(","), lit(":")).getField("k2").as("mapped"))
+        .orderBy($"r_regionkey")
+    }),
+
     // Sequence/range generation (sequence ~ generate_series) + aggregate
     // over it.
     "q_fn_sequence" -> ((s, dir) => {
@@ -383,6 +400,15 @@ object FunctionQueries {
         |  CAST(len(list_filter(w, x -> length(x) >= 20)) = 0 AS BOOLEAN) AS all_short
         |FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
         |ORDER BY doc_id""".stripMargin,
+
+    "q_fn_string2" ->
+      """SELECT r_regionkey,
+        |  to_base64(encode(r_name)) AS b64,
+        |  decode(from_base64(to_base64(encode(r_name)))) AS roundtrip,
+        |  chr(CAST(r_regionkey + 65 AS INTEGER)) AS letter,
+        |  substr(r_name, 1, 1) || '##' || substr(r_name, 4) AS overlaid,
+        |  '' || r_name AS mapped
+        |FROM region ORDER BY r_regionkey""".stripMargin,
 
     "q_fn_sequence" ->
       """SELECT n_nationkey,

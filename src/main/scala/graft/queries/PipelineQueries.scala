@@ -63,7 +63,7 @@ object PipelineQueries {
       val withDups = docs.unionAll(
         docs.filter(col("doc_id") % 10 === 0)
           .withColumn("doc_id", col("doc_id") + dupOffset))
-      val sig = DedupOps.minhash(withDups, k = 8)
+      val sig = DedupOps.minhashFast(withDups, k = 8)
       val pairs = DedupOps.candidatePairs(DedupOps.lshBuckets(sig))
       DedupOps.jaccardVerify(withDups, pairs)
         .filter(col("jaccard") >= 0.8)
