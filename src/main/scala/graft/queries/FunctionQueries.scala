@@ -247,6 +247,40 @@ object FunctionQueries {
         .orderBy($"r_regionkey")
     }),
 
+    // Map constructors + ops (map:2079, MAP_KEYS:147, MAP_VALUES:159,
+    // MAP_UNION:172, MAP_FROM_ARRAYS:195, at/element_at:2031). Keys and
+    // values are emitted as sorted arrays/scalars — map column ordering is
+    // not comparable across engines.
+    "q_fn_map" -> ((s, dir) => {
+      import s.implicits._
+      val m = map_from_arrays(
+        array(lit("key"), lit("region")),
+        array($"r_regionkey".cast(StringType), $"r_name"))
+      val merged = map_concat(m, map_from_arrays(array(lit("extra")), array(lit("1"))))
+      t(s, dir, "region")
+        .select(
+          $"r_regionkey",
+          array_sort(map_keys(merged)).as("ks"),
+          element_at(m, "region").as("region_v"),
+          element_at(m, "missing").as("missing_v"),
+          size(map_values(merged)).cast(LongType).as("n_entries"))
+        .orderBy($"r_regionkey")
+    }),
+
+    // MULTISET semantics (§1.2: MULTISET ≈ element→count map, as the
+    // reference's runtime represents it): per-region multiset of customer
+    // nation keys, emitted as sorted "elem:count" entries.
+    "q_fn_multiset" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "customer")
+        .groupBy($"c_nationkey", $"c_mktsegment")
+        .agg(count(lit(1)).as("cnt"))
+        .groupBy($"c_nationkey")
+        .agg(array_join(array_sort(collect_list(
+          concat($"c_mktsegment", lit(":"), $"cnt"))), ",").as("multiset"))
+        .orderBy($"c_nationkey")
+    }),
+
     // Sequence/range generation (sequence ~ generate_series) + aggregate
     // over it.
     "q_fn_sequence" -> ((s, dir) => {
@@ -409,6 +443,22 @@ object FunctionQueries {
         |  substr(r_name, 1, 1) || '##' || substr(r_name, 4) AS overlaid,
         |  '' || r_name AS mapped
         |FROM region ORDER BY r_regionkey""".stripMargin,
+
+    "q_fn_map" ->
+      """SELECT r_regionkey,
+        |  ['extra', 'key', 'region'] AS ks,
+        |  r_name AS region_v,
+        |  CAST(NULL AS VARCHAR) AS missing_v,
+        |  CAST(3 AS BIGINT) AS n_entries
+        |FROM region ORDER BY r_regionkey""".stripMargin,
+
+    "q_fn_multiset" ->
+      """SELECT c_nationkey,
+        |  string_agg(entry, ',' ORDER BY entry) AS multiset
+        |FROM (
+        |  SELECT c_nationkey, c_mktsegment || ':' || COUNT(*) AS entry
+        |  FROM customer GROUP BY c_nationkey, c_mktsegment)
+        |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
 
     "q_fn_sequence" ->
       """SELECT n_nationkey,

@@ -42,6 +42,20 @@ object OverQueries {
         .orderBy($"o_orderstatus", $"rn")
     }),
 
+    // percent_rank / cume_dist (statistical ranking; double results are
+    // (rank-1)/(n-1) and rank/n — identical IEEE division both engines).
+    "q_over_pctrank" -> ((s, dir) => {
+      import s.implicits._
+      val w = Window.partitionBy($"o_orderstatus")
+        .orderBy($"o_totalprice", $"o_orderkey")
+      t(s, dir, "orders")
+        .select(
+          $"o_orderstatus", $"o_orderkey",
+          percent_rank().over(w).as("pct"),
+          cume_dist().over(w).as("cume"))
+        .orderBy($"o_orderstatus", $"o_orderkey")
+    }),
+
     // LEAD/LAG (OffsetOverFrame parity) with default values.
     "q_over_leadlag" -> ((s, dir) => {
       import s.implicits._
@@ -168,6 +182,14 @@ object OverQueries {
         |  FROM orders
         |  WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice DESC, o_orderkey))
         |WHERE rn <= 100 ORDER BY o_orderstatus, rn""".stripMargin,
+
+    "q_over_pctrank" ->
+      """SELECT o_orderstatus, o_orderkey,
+        |  percent_rank() OVER w AS pct,
+        |  cume_dist() OVER w AS cume
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey)
+        |ORDER BY o_orderstatus, o_orderkey""".stripMargin,
 
     "q_over_leadlag" ->
       """SELECT o_custkey, o_orderkey,

@@ -35,7 +35,20 @@ object SqlQueries {
       |HAVING COUNT(*) > 10
       |ORDER BY n_name""".stripMargin
 
+  // explicit GROUPING SETS (DecomposeGroupingSetsRule → Expand parity).
+  private val groupingSets =
+    """SELECT l_returnflag, l_linestatus,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+      |  COUNT(*) AS n
+      |FROM lineitem
+      |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+      |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin
+
   val queries: Map[String, QFn] = Map(
+    "q_sql_groupingsets" -> ((s, dir) => {
+      Tables.registerAll(s, dir)
+      s.sql(groupingSets)
+    }),
     "q_sql_tpch3" -> ((s, dir) => {
       Tables.registerAll(s, dir)
       s.sql(q3ish)
@@ -48,6 +61,7 @@ object SqlQueries {
 
   // identical SQL text runs as the oracle
   val oracles: Map[String, String] = Map(
+    "q_sql_groupingsets" -> groupingSets,
     "q_sql_tpch3" -> q3ish,
     "q_sql_tpch5" -> q5ish
   )
