@@ -58,6 +58,46 @@ class PlanQualitySpec extends SparkSuite {
       s"no codegen span in: $plan")
   }
 
+  test("bucketed tables co-locate the join: no shuffle exchange in plan") {
+    // the 100 TB fact-fact join path: both sides bucketed on the join key
+    // → SortMergeJoin without Exchange (SURVEY §2.8 partitioning row)
+    val o = Tables.load(spark, sf, "orders")
+    val l = Tables.load(spark, sf, "lineitem")
+    o.write.mode("overwrite").bucketBy(4, "o_orderkey").sortBy("o_orderkey")
+      .saveAsTable("orders_b")
+    l.write.mode("overwrite").bucketBy(4, "l_orderkey").sortBy("l_orderkey")
+      .saveAsTable("lineitem_b")
+    try {
+      // disable broadcast so the co-located SMJ path is what's planned
+      withSQLConf("spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+        val joined = spark.table("orders_b")
+          .join(spark.table("lineitem_b"), $"o_orderkey" === $"l_orderkey")
+          .groupBy($"o_orderstatus").agg(count(lit(1)).as("n"))
+        joined.collect()
+        val plan = joined.queryExecution.executedPlan.toString()
+        assert(plan.contains("SortMergeJoin"), s"expected SMJ in: $plan")
+        assert(plan.contains("Bucketed: true"), s"scan not bucketed: $plan")
+        // no shuffle on the JOIN keys (the aggregate's own exchange on
+        // o_orderstatus is expected and unrelated)
+        assert(!plan.contains("Exchange hashpartitioning(o_orderkey") &&
+          !plan.contains("Exchange hashpartitioning(l_orderkey"),
+          s"bucketed join still shuffles: $plan")
+      }
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS orders_b")
+      spark.sql("DROP TABLE IF EXISTS lineitem_b")
+    }
+  }
+
+  private def withSQLConf[T](kv: (String, String)*)(f: => T): T = {
+    val old = kv.map { case (k, _) => k -> spark.conf.getOption(k) }
+    kv.foreach { case (k, v) => spark.conf.set(k, v) }
+    try f finally old.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("custom split_index expression stays codegen-compatible") {
     import graft.functions.GraftFunctions
     val df = Tables.load(spark, sf, "part")

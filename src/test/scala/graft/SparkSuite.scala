@@ -29,6 +29,9 @@ object SparkSuite {
       .config("spark.ui.enabled", "false")
       .config("spark.sql.streaming.stateStore.providerClass",
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      .config("spark.sql.warehouse.dir",
+        java.nio.file.Files.createTempDirectory("graft-warehouse").toString)
+      .config("spark.sql.autoBroadcastJoinThreshold", "10MB")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s
