@@ -132,6 +132,19 @@ object AggQueries {
         .orderBy($"l_returnflag")
     }),
 
+    // User-defined aggregate (AggregateFunction surface, §2.11): typed
+    // Aggregator registered through functions.udaf and used like a
+    // built-in; exact long arithmetic keeps it partition-order-proof.
+    "q_agg_udaf" -> ((s, dir) => {
+      import s.implicits._
+      val sumSq = udaf(graft.functions.SumOfSquares)
+      t(s, dir, "lineitem")
+        .groupBy($"l_returnflag")
+        .agg(sumSq($"l_quantity".cast(LongType)).as("sum_sq"),
+          count(lit(1)).as("n"))
+        .orderBy($"l_returnflag")
+    }),
+
     // approx_count_distinct — HLL++ on both sides but implementations
     // differ, so no SQL oracle (driver rows-only check).
     "q_agg_approx_distinct" -> ((s, dir) => {
@@ -211,6 +224,12 @@ object AggQueries {
         |FROM r JOIN d ON r.o_orderstatus = d.o_orderstatus
         |GROUP BY r.o_orderstatus, d.first_date, d.last_date
         |ORDER BY r.o_orderstatus""".stripMargin,
+
+    "q_agg_udaf" ->
+      """SELECT l_returnflag,
+        |  CAST(SUM(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_sq,
+        |  COUNT(*) AS n
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
     "q_agg_stats" ->
       """SELECT l_returnflag,

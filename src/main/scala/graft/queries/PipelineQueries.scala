@@ -93,6 +93,22 @@ object PipelineQueries {
         .orderBy(col("q_id"), col("rank"))
     }),
 
+    // Random-hyperplane LSH bucketing over embeddings
+    // (SimilarityOps.rpLshBucket): 6 sign bits from deterministic
+    // md5-derived hyperplanes — the bucket-join scale path for cosine
+    // similarity (vectors sharing a bucket are close with high
+    // probability). Output: bucket histogram.
+    "q_sim_rplsh" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "embeddings")
+        .select($"vec_id",
+          graft.operators.SimilarityOps.rpLshBucket($"embedding", dim = 64, bits = 6)
+            .as("bucket"))
+        .groupBy($"bucket")
+        .agg(count(lit(1)).as("n_vecs"), min($"vec_id").as("min_vec"))
+        .orderBy($"bucket")
+    }),
+
     // Multimodal chunk sampling plumbing (MultimodalOps.sampleChunks).
     "q_mm_chunks" -> ((s, dir) => {
       MultimodalOps.sampleChunks(t(s, dir, "documents"))
@@ -264,6 +280,20 @@ object PipelineQueries {
         |  FROM scored)
         |SELECT q_id, c_id, round(cos, 6) AS cos, rank FROM r
         |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin,
+
+    "q_sim_rplsh" -> {
+      // reproduce the hyperplane signs: md5("b:i") first hex digit parity
+      val bitTerms = (0 until 6).map { b =>
+        s"""CASE WHEN list_sum(list_transform(generate_series(1, 64),
+           |  i -> e[i]::DOUBLE * (CASE WHEN ('0x' || substr(md5($b || ':' || (i-1)), 1, 1))::INT % 2 = 0
+           |                       THEN 1.0 ELSE -1.0 END))) >= 0
+           |  THEN ${1L << b} ELSE 0 END""".stripMargin
+      }.mkString(" + ")
+      s"""SELECT bucket, COUNT(*) AS n_vecs, MIN(vec_id) AS min_vec FROM (
+        |  SELECT vec_id, CAST($bitTerms AS BIGINT) AS bucket
+        |  FROM (SELECT vec_id, embedding AS e FROM embeddings))
+        |GROUP BY bucket ORDER BY bucket""".stripMargin
+    },
 
     "q_mm_chunks" ->
       """SELECT doc_id AS media_id, CAST(i - 1 AS BIGINT) AS chunk_id,
