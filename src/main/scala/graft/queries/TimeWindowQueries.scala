@@ -71,6 +71,23 @@ object TimeWindowQueries {
         .orderBy($"user_id", $"session_start")
     }),
 
+    // Session window with a DYNAMIC gap expression (SessionWindowAssigner
+    // withDynamicGap parity): purchases extend the session by 2 hours,
+    // everything else by 1 hour. Each event spans [ts, ts+gap); touching
+    // spans merge.
+    "q_window_session_dyn" -> ((s, dir) => {
+      import s.implicits._
+      val gap = when($"event_type" === "purchase", "2 hours").otherwise("1 hour")
+      t(s, dir, "events")
+        .groupBy(session_window($"ts", gap), $"user_id")
+        .agg(count(lit(1)).as("n"), dsum($"value").as("sum_value"))
+        .select(
+          $"session_window.start".as("session_start"),
+          $"session_window.end".as("session_end"),
+          $"user_id", $"n", $"sum_value")
+        .orderBy($"user_id", $"session_start")
+    }),
+
     // Cumulate window (CumulativeWindowAssigner parity): max 4 hours,
     // step 1 hour — shared window_start, growing window_end slices.
     "q_window_cumulate" -> ((s, dir) => {
@@ -153,6 +170,21 @@ object TimeWindowQueries {
         |                   ROWS UNBOUNDED PRECEDING) AS sid
         |  FROM m)
         |SELECT MIN(ts) AS session_start, MAX(ts) + INTERVAL 1 HOUR AS session_end,
+        |  user_id, COUNT(*) AS n, ${dsumSql("value")} AS sum_value
+        |FROM g GROUP BY user_id, sid ORDER BY user_id, session_start""".stripMargin,
+
+    "q_window_session_dyn" ->
+      s"""WITH e AS (SELECT event_id, user_id, make_timestamp(epoch_ns(ts) // 1000) AS ts, event_type, value,
+        |  CASE WHEN event_type = 'purchase' THEN INTERVAL 2 HOUR ELSE INTERVAL 1 HOUR END AS gap
+        |  FROM events),
+        |m AS (SELECT user_id, ts, value, event_id, ts + gap AS myend,
+        |  MAX(ts + gap) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+        |  FROM e),
+        |s AS (SELECT *, CASE WHEN prev_end IS NULL OR ts >= prev_end THEN 1 ELSE 0 END AS new_s FROM m),
+        |g AS (SELECT *, SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                                 ROWS UNBOUNDED PRECEDING) AS sid FROM s)
+        |SELECT MIN(ts) AS session_start, MAX(myend) AS session_end,
         |  user_id, COUNT(*) AS n, ${dsumSql("value")} AS sum_value
         |FROM g GROUP BY user_id, sid ORDER BY user_id, session_start""".stripMargin,
 
