@@ -4,10 +4,10 @@ package graft
   * surface covers map/flatMap/filter/keyBy(reduce/mapGroups)/union/
   * partitioning verbs 1:1 — pinned here as executable documentation.
   */
+case class Click(user: String, n: Long)
+
 class DataStreamVerbsSpec extends SparkSuite {
   import spark.implicits._
-
-  case class Click(user: String, n: Long)
 
   test("map/flatMap/filter/keyBy-reduce/union chain") {
     val ds = Seq("a:1", "b:2", "a:3", "c:4").toDS()
