@@ -29,6 +29,21 @@ object RelationalQueries {
         .orderBy($"o_orderkey")
     }),
 
+    // datagen source parity (DataGenTableSourceFactory): spark.range +
+    // deterministic hash-derived columns — the batch form of the
+    // reference's sequence/random generator, oracle-reproducible.
+    "q_datagen" -> ((s, _) => {
+      import s.implicits._
+      s.range(0, 1000)
+        .select(
+          $"id",
+          (conv(substring(md5($"id".cast(StringType)), 1, 15), 16, 10)
+            .cast(LongType) % 100L).as("rand_val"),
+          concat(lit("user_"), ($"id" % 10L)).as("user_tag"))
+        .filter($"rand_val" < 50)
+        .orderBy($"id")
+    }),
+
     // VALUES literal rows (StreamExecValues/BatchExecValues).
     "q_values" -> ((s, _) => {
       import s.implicits._
@@ -150,6 +165,14 @@ object RelationalQueries {
         |  o_orderstatus || '/' || o_orderpriority AS status_prio
         |FROM orders WHERE o_totalprice > 10000 AND o_orderstatus <> 'P'
         |ORDER BY o_orderkey""".stripMargin,
+
+    "q_datagen" ->
+      """SELECT id,
+        |  ('0x' || substr(md5(CAST(id AS VARCHAR)), 1, 15))::BIGINT % 100 AS rand_val,
+        |  'user_' || (id % 10) AS user_tag
+        |FROM range(0, 1000) t(id)
+        |WHERE ('0x' || substr(md5(CAST(id AS VARCHAR)), 1, 15))::BIGINT % 100 < 50
+        |ORDER BY id""".stripMargin,
 
     "q_values" ->
       """SELECT * FROM (VALUES (CAST(1 AS BIGINT), 'a'), (2, 'b'), (3, 'c')) AS t(id, tag)
