@@ -58,9 +58,15 @@ class NFA[E](pattern: Pattern[E], timestampOf: E => Long) extends Serializable {
             stageRec(si + 1, at, acc :+ (st.name -> taken))
           else None
         // option B: consume one more repetition (contiguity applies both
-        // to a stage's first event and between its repetitions)
+        // to a stage's first event and between its repetitions). A
+        // negative constraint (notNext/notFollowedBy) guards the gap
+        // before the stage's FIRST repetition only.
         lazy val extended: Option[(Int, Match)] = {
+          val gapNot = if (count == 0) st.notBefore else None
           if (count >= st.maxTimes) None
+          // notNext: the immediately following event must not match
+          else if (gapNot.exists { case (p, strict) =>
+            strict && at < events.length && p(events(at)) }) None
           else st.contiguity match {
             case Contiguity.Strict =>
               // strict: the repetition must sit exactly at `at`
@@ -69,12 +75,18 @@ class NFA[E](pattern: Pattern[E], timestampOf: E => Long) extends Serializable {
               else None
             case Contiguity.Relaxed =>
               // relaxed: scan forward; on downstream failure backtrack to
-              // the next candidate position
+              // the next candidate position. A relaxed negative
+              // constraint (notFollowedBy) aborts the scan at the first
+              // forbidden event in the gap.
+              val relaxedNot = gapNot.collect { case (p, false) => p }
               var i = at
               var res: Option[(Int, Match)] = None
-              while (res.isEmpty && i < events.length && inWindow(i)) {
+              var blocked = false
+              while (res.isEmpty && !blocked && i < events.length && inWindow(i)) {
                 if (st.predicate(events(i)))
                   res = repRec(count + 1, i + 1, taken :+ events(i))
+                else if (relaxedNot.exists(_(events(i))))
+                  blocked = true
                 i += 1
               }
               res
@@ -93,6 +105,18 @@ class NFA[E](pattern: Pattern[E], timestampOf: E => Long) extends Serializable {
     }
 
     // anchor consumes events(start) as the first repetition of stage 0
-    stageRec(0, start, Vector.empty).map { case (endIdx, m) => (endIdx, m) }
+    stageRec(0, start, Vector.empty).filter { case (endIdx, _) =>
+      // terminal notFollowedBy (legal only with within): no forbidden
+      // event may occur after the last stage inside the window
+      pattern.endNot.forall { p =>
+        var j = endIdx + 1
+        var ok = true
+        while (ok && j < events.length && inWindow(j)) {
+          if (p(events(j))) ok = false
+          j += 1
+        }
+        ok
+      }
+    }
   }
 }

@@ -21,9 +21,20 @@ case class Stage[E](
     predicate: E => Boolean,
     contiguity: Contiguity.Value,
     minTimes: Int,
-    maxTimes: Int) // Int.MaxValue = unbounded (oneOrMore)
+    maxTimes: Int, // Int.MaxValue = unbounded (oneOrMore)
+    // negative constraint BETWEEN the previous stage and this one:
+    // (predicate, strict). strict (notNext:338) = only the immediately
+    // following event is checked; relaxed (notFollowedBy:369) = no event
+    // in the whole gap may match.
+    notBefore: Option[(E => Boolean, Boolean)] = None)
 
-case class Pattern[E](stages: Vector[Stage[E]], withinMs: Option[Long] = None) {
+case class Pattern[E](stages: Vector[Stage[E]], withinMs: Option[Long] = None,
+    // terminal notFollowedBy (legal only with `within`, as in the
+    // reference): no matching event may occur after the last stage inside
+    // the window.
+    endNot: Option[E => Boolean] = None,
+    // pending negative constraint to attach to the next positive stage
+    private val pendingNot: Option[(E => Boolean, Boolean)] = None) {
 
   private def updLast(f: Stage[E] => Stage[E]): Pattern[E] =
     copy(stages = stages.init :+ f(stages.last))
@@ -34,11 +45,23 @@ case class Pattern[E](stages: Vector[Stage[E]], withinMs: Option[Long] = None) {
 
   /** Strict contiguity: the very next event (Pattern.next:327). */
   def next(name: String)(p: E => Boolean): Pattern[E] =
-    copy(stages = stages :+ Stage(name, p, Contiguity.Strict, 1, 1))
+    copy(stages = stages :+ Stage(name, p, Contiguity.Strict, 1, 1, pendingNot),
+      pendingNot = None)
 
   /** Relaxed contiguity (Pattern.followedBy:356). */
   def followedBy(name: String)(p: E => Boolean): Pattern[E] =
-    copy(stages = stages :+ Stage(name, p, Contiguity.Relaxed, 1, 1))
+    copy(stages = stages :+ Stage(name, p, Contiguity.Relaxed, 1, 1, pendingNot),
+      pendingNot = None)
+
+  /** The immediately next event must NOT match (Pattern.notNext:338). */
+  def notNext(p: E => Boolean): Pattern[E] = copy(pendingNot = Some((p, true)))
+
+  /** No event matching `p` may occur before the next stage
+    * (Pattern.notFollowedBy:369). If no positive stage follows, the
+    * pattern must carry `within` and the constraint applies to the rest
+    * of the window (use [[withinNot]] implicitly via `within`).
+    */
+  def notFollowedBy(p: E => Boolean): Pattern[E] = copy(pendingNot = Some((p, false)))
 
   /** Current stage may be skipped (Pattern.optional:397). */
   def optional: Pattern[E] = updLast(s => s.copy(minTimes = 0))
@@ -53,8 +76,16 @@ case class Pattern[E](stages: Vector[Stage[E]], withinMs: Option[Long] = None) {
   /** One or more repetitions, greedy (Pattern.oneOrMore:415). */
   def oneOrMore: Pattern[E] = updLast(s => s.copy(minTimes = 1, maxTimes = Int.MaxValue))
 
-  /** Bound first-to-last event time of a match (Pattern.within:272). */
-  def within(ms: Long): Pattern[E] = copy(withinMs = Some(ms))
+  /** Bound first-to-last event time of a match (Pattern.within:272). A
+    * pending terminal notFollowedBy becomes the window-scoped negative
+    * constraint, as in the reference (terminal notFollowedBy is legal
+    * only with within).
+    */
+  def within(ms: Long): Pattern[E] = pendingNot match {
+    case Some((p, false)) =>
+      copy(withinMs = Some(ms), endNot = Some(p), pendingNot = None)
+    case _ => copy(withinMs = Some(ms))
+  }
 }
 
 object Pattern {

@@ -56,6 +56,37 @@ class CepSpec extends SparkSuite {
     assert(nfa(p).findMatches(evs("A", "B")).head._3.toMap.apply("x").isEmpty)
   }
 
+  test("notNext: immediately following event must not match") {
+    val p = Pattern.begin[Ev]("a")(_.kind == "A")
+      .notNext(_.kind == "X")
+      .followedBy("b")(_.kind == "B")
+    assert(nfa(p).findMatches(evs("A", "X", "B")).isEmpty)  // X right after A
+    assert(nfa(p).findMatches(evs("A", "Y", "B")).size == 1) // Y is fine
+  }
+
+  test("notFollowedBy: no forbidden event anywhere in the gap") {
+    val p = Pattern.begin[Ev]("a")(_.kind == "A")
+      .notFollowedBy(_.kind == "X")
+      .followedBy("b")(_.kind == "B")
+    assert(nfa(p).findMatches(evs("A", "Y", "X", "Y", "B")).isEmpty)
+    assert(nfa(p).findMatches(evs("A", "Y", "Y", "B")).size == 1)
+    // the forbidden event AFTER the match is irrelevant
+    assert(nfa(p).findMatches(evs("A", "B", "X")).size == 1)
+  }
+
+  test("terminal notFollowedBy with within rejects matches followed by X in-window") {
+    val p = Pattern.begin[Ev]("a")(_.kind == "A")
+      .followedBy("b")(_.kind == "B")
+      .notFollowedBy(_.kind == "X")
+      .within(10)
+    // evs assigns ts = index; X at ts 2 is inside [0, 10]
+    assert(nfa(p).findMatches(evs("A", "B", "X")).isEmpty)
+    assert(nfa(p).findMatches(evs("A", "B", "Y")).size == 1)
+    // X outside the window does not reject
+    val far = IndexedSeq(Ev("k", 0, "A", 0), Ev("k", 1, "B", 0), Ev("k", 100, "X", 0))
+    assert(nfa(p).findMatches(far).size == 1)
+  }
+
   test("within bounds first-to-last event time") {
     val p = Pattern.begin[Ev]("a")(_.kind == "A")
       .followedBy("b")(_.kind == "B").within(5)
