@@ -76,6 +76,23 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // SimHash near-dup candidates: pairs of docs whose 16-bit signatures
+    // are within hamming distance 3 — the constant-cost per-pair screen
+    // that MinHash-LSH replaces at scale (here over a bounded subset, as
+    // the all-pairs form is quadratic by construction).
+    "q_dedup_simhash_pairs" -> ((s, dir) => {
+      import s.implicits._
+      val sig = DedupOps.simhash(t(s, dir, "documents").filter(col("doc_id") < 100))
+      val a = sig.select($"doc_id".as("id_a"), $"simhash".as("sig_a"))
+      val b = sig.select($"doc_id".as("id_b"), $"simhash".as("sig_b"))
+      a.crossJoin(b)
+        .filter($"id_a" < $"id_b")
+        .select($"id_a", $"id_b",
+          bit_count($"sig_a".bitwiseXOR($"sig_b")).cast(LongType).as("hamming"))
+        .filter($"hamming" <= 3)
+        .orderBy($"id_a", $"id_b")
+    }),
+
     // Brute-force cosine top-5 for the first 10 query vectors
     // (SimilarityOps.bruteForceTopK).
     "q_sim_bruteforce" -> ((s, dir) => {
@@ -251,6 +268,23 @@ object PipelineQueries {
       }.mkString(" + ")
       s"""SELECT doc_id, CAST($bitTerms AS BIGINT) AS simhash
         |FROM ($docsW WHERE doc_id < 100) ORDER BY doc_id""".stripMargin
+    },
+
+    "q_dedup_simhash_pairs" -> {
+      val bitTerms = (0 until 16).map { b =>
+        s"""CASE WHEN list_sum(list_transform(w,
+           |  x -> ((${TextOps.wordHashSql("x")} >> $b) % 2) * 2 - 1)) >= 0
+           |  THEN ${1L << b} ELSE 0 END""".stripMargin
+      }.mkString(" + ")
+      s"""WITH sig AS (
+        |  SELECT doc_id, CAST($bitTerms AS BIGINT) AS simhash
+        |  FROM ($docsW WHERE doc_id < 100))
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+        |FROM sig a, sig b
+        |WHERE a.doc_id < b.doc_id
+        |  AND bit_count(xor(a.simhash, b.simhash)) <= 3
+        |ORDER BY id_a, id_b""".stripMargin
     },
 
     "q_sim_bruteforce" ->
