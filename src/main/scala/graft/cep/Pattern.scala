@@ -76,6 +76,11 @@ case class Pattern[E](stages: Vector[Stage[E]], withinMs: Option[Long] = None,
   /** One or more repetitions, greedy (Pattern.oneOrMore:415). */
   def oneOrMore: Pattern[E] = updLast(s => s.copy(minTimes = 1, maxTimes = Int.MaxValue))
 
+  /** Repetitions of the current stage must be contiguous
+    * (Pattern.consecutive — quantifier contiguity, NFA strict-internal).
+    */
+  def consecutive: Pattern[E] = updLast(s => s.copy(contiguity = Contiguity.Strict))
+
   /** Bound first-to-last event time of a match (Pattern.within:272). A
     * pending terminal notFollowedBy becomes the window-scoped negative
     * constraint, as in the reference (terminal notFollowedBy is legal

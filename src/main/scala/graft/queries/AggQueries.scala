@@ -145,6 +145,19 @@ object AggQueries {
         .orderBy($"l_returnflag")
     }),
 
+    // Exact interpolated percentiles (median family): both engines use
+    // linear interpolation over the sorted values.
+    "q_agg_percentile" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "lineitem")
+        .groupBy($"l_returnflag")
+        .agg(
+          percentile($"l_quantity".cast(LongType), lit(0.5)).as("median_qty"),
+          percentile($"l_quantity".cast(LongType), lit(0.9)).as("p90_qty"),
+          count(lit(1)).as("n"))
+        .orderBy($"l_returnflag")
+    }),
+
     // approx_count_distinct — HLL++ on both sides but implementations
     // differ, so no SQL oracle (driver rows-only check).
     "q_agg_approx_distinct" -> ((s, dir) => {
@@ -224,6 +237,13 @@ object AggQueries {
         |FROM r JOIN d ON r.o_orderstatus = d.o_orderstatus
         |GROUP BY r.o_orderstatus, d.first_date, d.last_date
         |ORDER BY r.o_orderstatus""".stripMargin,
+
+    "q_agg_percentile" ->
+      """SELECT l_returnflag,
+        |  quantile_cont(CAST(l_quantity AS BIGINT), 0.5) AS median_qty,
+        |  quantile_cont(CAST(l_quantity AS BIGINT), 0.9) AS p90_qty,
+        |  COUNT(*) AS n
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
     "q_agg_udaf" ->
       """SELECT l_returnflag,

@@ -40,6 +40,29 @@ object CepQueries {
         .orderBy($"user_id", $"purchase_id")
     }),
 
+    // Greedy consecutive run: one-or-more clicks with strict internal
+    // contiguity (Pattern.consecutive + oneOrMore), immediately followed
+    // by a purchase. The oracle reconstructs maximal click-runs ending at
+    // a purchase with an islands computation.
+    "q_cep_run" -> ((s, dir) => {
+      import s.implicits._
+      val ev = t(s, dir, "events")
+        .select($"user_id", unix_micros(col("ts").cast(TimestampType)).as("ts"),
+          $"event_type", $"event_id")
+        .as[E]
+      val pat = Pattern.begin[E]("clicks")(_.event_type == "click")
+        .oneOrMore.consecutive
+        .next("buy")(_.event_type == "purchase")
+      CEP.batch[E](ev, e => e.user_id.toString, _.ts, pat)
+        .map { m =>
+          val st = m.stages.toMap
+          (st("clicks").head.user_id, st("buy").head.event_id,
+            st("clicks").size.toLong)
+        }
+        .toDF("user_id", "purchase_id", "n_clicks")
+        .orderBy($"user_id", $"purchase_id")
+    }),
+
     // within-window variant: purchase strictly followed by an error no
     // later than 2 hours after it.
     "q_cep_within" -> ((s, dir) => {
@@ -75,6 +98,24 @@ object CepQueries {
       s"""SELECT user_id, event_id AS purchase_id, next_id AS error_id
         |FROM ($ordered)
         |WHERE event_type = 'purchase' AND next_type = 'error'
+        |ORDER BY user_id, purchase_id""".stripMargin,
+
+    "q_cep_run" ->
+      s"""WITH numbered AS (
+        |  SELECT user_id, event_type, event_id,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY make_timestamp(epoch_ns(ts) // 1000), event_id) AS rn
+        |  FROM events),
+        |o AS (
+        |  SELECT user_id, event_type, event_id, rn,
+        |    MAX(CASE WHEN event_type <> 'click' THEN rn END)
+        |      OVER (PARTITION BY user_id ORDER BY rn
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_nonclick
+        |  FROM numbered)
+        |SELECT user_id, event_id AS purchase_id,
+        |  CAST(rn - 1 - coalesce(last_nonclick, 0) AS BIGINT) AS n_clicks
+        |FROM o
+        |WHERE event_type = 'purchase' AND rn - 1 - coalesce(last_nonclick, 0) >= 1
         |ORDER BY user_id, purchase_id""".stripMargin,
 
     "q_cep_within" ->
