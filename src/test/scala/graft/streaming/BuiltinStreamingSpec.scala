@@ -73,6 +73,55 @@ class BuiltinStreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("hopping window agg finalizes overlapping windows (append)") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, Long)]
+    val agg = input.toDS().toDF("ts", "v")
+      .withWatermark("ts", "5 seconds")
+      .groupBy(window($"ts", "60 seconds", "30 seconds"))
+      .agg(sum($"v").as("s"))
+      .select($"window.start".cast("long").as("ws"), $"s")
+    val name = s"hop_${System.nanoTime()}"
+    val q = agg.writeStream.format("memory").queryName(name)
+      .outputMode("append").option("checkpointLocation", tmpDir("ckpt")).start()
+    try {
+      input.addData(Seq((ts(40), 7L))) // in windows [0,60) and [30,90)
+      q.processAllAvailable()
+      input.addData(Seq((ts(200), 1L))) // advance watermark past both
+      q.processAllAvailable()
+      val rows = spark.table(name).as[(Long, Long)].collect().toSet
+      assert(rows == Set((0L, 7L), (30L, 7L)))
+    } finally q.stop()
+  }
+
+  test("cumulate window agg (slice-end explode) works in streaming") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, Long)]
+    // max window 60s, step 20s: row at t belongs to slices ending after t
+    val base = window($"ts", "60 seconds").getField("start")
+    val agg = input.toDS().toDF("ts", "v")
+      .withWatermark("ts", "5 seconds")
+      .withColumn("ws", base)
+      .withColumn("we", explode(sequence(
+        col("ws") + expr("INTERVAL 20 seconds"),
+        col("ws") + expr("INTERVAL 60 seconds"),
+        expr("INTERVAL 20 seconds"))))
+      .filter($"we" > $"ts")
+      .groupBy($"ws", $"we")
+      .agg(sum($"v").as("s"))
+      .select($"ws".cast("long").as("ws"), $"we".cast("long").as("we"), $"s")
+    val name = s"cum_${System.nanoTime()}"
+    val q = agg.writeStream.format("memory").queryName(name)
+      .outputMode("update").option("checkpointLocation", tmpDir("ckpt")).start()
+    try {
+      input.addData(Seq((ts(10), 3L), (ts(30), 4L)))
+      q.processAllAvailable()
+      val rows = spark.table(name).as[(Long, Long, Long)].collect().toSet
+      // t=10 in slices ending 20/40/60; t=30 in slices ending 40/60
+      assert(rows == Set((0L, 20L, 3L), (0L, 40L, 7L), (0L, 60L, 7L)))
+    } finally q.stop()
+  }
+
   test("stream-stream interval join with watermarks") {
     implicit val sqlCtx = spark.sqlContext
     val orders = MemoryStream[(Timestamp, Long)]
