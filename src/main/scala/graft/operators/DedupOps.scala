@@ -32,12 +32,17 @@ object DedupOps {
       .agg(min(col(idCol)).as(idCol), count(lit(1)).as("n_copies"))
       .select(col(idCol), col("n_copies"))
 
-  /** Word n-gram shingles of a document. */
+  /** Word n-gram shingles of a document. Documents shorter than `n` words
+    * produce an empty shingle set — guarded explicitly because
+    * `sequence(1, 0)` infers a NEGATIVE step and would yield [1, 0]
+    * (then element_at(w, 0) errors), not an empty array.
+    */
   def shingles(textCol: Column, n: Int = 3): Column = {
     val w = tokens(textCol)
-    transform(
-      sequence(lit(1), greatest(size(w) - (n - 1), lit(0))),
-      i => concat_ws(" ", (0 until n).map(j => element_at(w, i + j)): _*))
+    when(size(w) < n, array().cast("array<string>"))
+      .otherwise(transform(
+        sequence(lit(1), size(w) - (n - 1)),
+        i => concat_ws(" ", (0 until n).map(j => element_at(w, i + j)): _*)))
   }
 
   /** Universal-hash family over the Mersenne prime 2^31-1: one md5 per

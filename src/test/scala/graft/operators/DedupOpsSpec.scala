@@ -1,0 +1,50 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSuite
+
+/** Unit edges of the dedup operators on tiny inputs (the oracle queries
+  * cover the bulk path on real data).
+  */
+class DedupOpsSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("shingles of short documents are empty, not an error") {
+    val df = Seq((1L, "one two"), (2L, "a b c d")).toDF("doc_id", "text")
+    val sh = df.select($"doc_id",
+      DedupOps.shingles($"text", 3).as("sh"))
+      .as[(Long, Seq[String])].collect().toMap
+    assert(sh(1L).isEmpty)
+    assert(sh(2L) == Seq("a b c", "b c d"))
+  }
+
+  test("exact dedup keeps smallest id and counts copies") {
+    val df = Seq((5L, "same"), (3L, "same"), (9L, "other")).toDF("doc_id", "text")
+    val out = DedupOps.exactDedup(df).as[(Long, Long)].collect().toMap
+    assert(out == Map(3L -> 2L, 9L -> 1L))
+  }
+
+  test("identical docs share full minhash signature; disjoint docs do not") {
+    val df = Seq(
+      (1L, "w1 w2 w3 w4 w5 w6"),
+      (2L, "w1 w2 w3 w4 w5 w6"),
+      (3L, "x1 x2 x3 x4 x5 x6")).toDF("doc_id", "text")
+    val sig = DedupOps.minhash(df, k = 4).collect()
+      .map(r => r.getLong(0) -> (1 to 4).map(i => r.getLong(i))).toMap
+    assert(sig(1L) == sig(2L))
+    assert(sig(1L) != sig(3L))
+  }
+
+  test("candidate pairs surface the identical docs") {
+    val df = Seq(
+      (1L, "w1 w2 w3 w4 w5 w6"),
+      (2L, "w1 w2 w3 w4 w5 w6"),
+      (3L, "x1 x2 x3 x4 x5 x6")).toDF("doc_id", "text")
+    val pairs = DedupOps.candidatePairs(
+      DedupOps.lshBuckets(DedupOps.minhash(df, k = 8)))
+    val verified = DedupOps.jaccardVerify(df, pairs)
+      .as[(Long, Long, Double)].collect()
+    assert(verified.exists { case (a, b, j) => a == 1L && b == 2L && j == 1.0 })
+  }
+}
