@@ -74,6 +74,33 @@ object ProcessOps {
     }
   }
 
+  /** Streaming RANGE-bounded over-aggregate — semantics of
+    * RowTimeRangeBoundedPrecedingFunction.java:56: for each row, the sum
+    * over rows of the same key within the trailing event-time range
+    * (RANGE BETWEEN x PRECEDING AND CURRENT ROW). State = the retained
+    * (ts, value) buffer; rows behind the current row's range horizon are
+    * evicted as it advances (the reference's cleanup-timer analogue).
+    */
+  class RangeBoundedOverProcessor(rangeMs: Long)
+      extends StatefulProcessor[String, OverIn, OverOut] {
+    @transient private var buf: ValueState[RangeBuf] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      buf = getHandle.getValueState[RangeBuf]("range",
+        Encoders.product[RangeBuf], TTLConfig.NONE)
+    override def handleInputRows(key: String, rows: Iterator[OverIn],
+        timerValues: TimerValues): Iterator[OverOut] = {
+      var cur: Seq[(Long, Long)] =
+        if (buf.exists()) buf.get().ts.zip(buf.get().vs) else Nil
+      val out = rows.toSeq.sortBy(_.ts).map { r =>
+        cur = (cur :+ (r.ts, r.v)).filter { case (t, _) => t >= r.ts - rangeMs }
+        OverOut(r.key, r.ts, r.v, cur.map(_._2).sum, cur.length.toLong)
+      }
+      buf.update(RangeBuf(cur.map(_._1), cur.map(_._2)))
+      out.iterator
+    }
+  }
+  case class RangeBuf(ts: Seq[Long], vs: Seq[Long])
+
   /** State TTL demonstration — StateTtlConfig parity: a counting state
     * with a TTL; keys silently reset after expiry.
     */

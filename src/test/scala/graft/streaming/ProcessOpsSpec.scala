@@ -74,6 +74,29 @@ class ProcessOpsSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("range-bounded over agg: trailing 10ms event-time window per key") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[OverIn]
+    val out = input.toDS().groupByKey(_.key)
+      .transformWithState(new RangeBoundedOverProcessor(rangeMs = 10),
+        TimeMode.None(), OutputMode.Update())
+    val name = s"rng_${System.nanoTime()}"
+    val q = out.writeStream.format("memory").queryName(name)
+      .outputMode("update").option("checkpointLocation", tmpDir("ckpt")).start()
+    try {
+      input.addData(Seq(OverIn("k", 100, 1), OverIn("k", 105, 2)))
+      q.processAllAvailable()
+      input.addData(Seq(OverIn("k", 114, 4), OverIn("k", 130, 8)))
+      q.processAllAvailable()
+      val rows = spark.table(name).as[OverOut].collect()
+        .map(o => o.ts -> (o.movingSum, o.n)).toMap
+      assert(rows(100L) == ((1L, 1L)))
+      assert(rows(105L) == ((3L, 2L)))  // 100 within [95, 105]
+      assert(rows(114L) == ((6L, 2L)))  // 100 evicted, 105+114
+      assert(rows(130L) == ((8L, 1L)))  // everything else evicted
+    } finally q.stop()
+  }
+
   test("state TTL: counts reset after expiry") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(String, Long)]
