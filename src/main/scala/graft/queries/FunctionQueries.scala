@@ -247,6 +247,21 @@ object FunctionQueries {
         .orderBy($"r_regionkey")
     }),
 
+    // parse_url (parseUrl:1193) over synthesized URLs.
+    "q_fn_url" -> ((s, dir) => {
+      import s.implicits._
+      val url = concat(lit("https://shop.example.com/cat/"),
+        lower(regexp_replace($"p_type", " ", "-")),
+        lit("?id="), $"p_partkey")
+      t(s, dir, "part")
+        .select(
+          $"p_partkey",
+          parse_url(url, lit("HOST")).as("host"),
+          parse_url(url, lit("PATH")).as("path"),
+          parse_url(url, lit("QUERY"), lit("id")).cast(LongType).as("qid"))
+        .orderBy($"p_partkey")
+    }),
+
     // Map constructors + ops (map:2079, MAP_KEYS:147, MAP_VALUES:159,
     // MAP_UNION:172, MAP_FROM_ARRAYS:195, at/element_at:2031). Keys and
     // values are emitted as sorted arrays/scalars — map column ordering is
@@ -443,6 +458,13 @@ object FunctionQueries {
         |  substr(r_name, 1, 1) || '##' || substr(r_name, 4) AS overlaid,
         |  '' || r_name AS mapped
         |FROM region ORDER BY r_regionkey""".stripMargin,
+
+    "q_fn_url" ->
+      """SELECT p_partkey,
+        |  'shop.example.com' AS host,
+        |  '/cat/' || lower(replace(p_type, ' ', '-')) AS path,
+        |  p_partkey AS qid
+        |FROM part ORDER BY p_partkey""".stripMargin,
 
     "q_fn_map" ->
       """SELECT r_regionkey,

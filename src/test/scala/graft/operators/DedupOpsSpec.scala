@@ -36,6 +36,18 @@ class DedupOpsSpec extends SparkSuite {
     assert(sig(1L) != sig(3L))
   }
 
+  test("salted join equals plain join and spreads the hot key") {
+    val probe = (1 to 1000).map(i => (if (i <= 900) 7L else i.toLong, i.toLong))
+      .toDF("k", "v") // 90% of rows share key 7 — the hot-key shape
+    val build = Seq((7L, "hot"), (50L, "cold")).toDF("k", "tag")
+    val plain = probe.join(build, "k").select("k", "v", "tag")
+      .collect().toSet
+    val salted = SkewOps.saltedJoin(probe, build, "k", factor = 8)
+      .select("k", "v", "tag").collect().toSet
+    assert(salted == plain)
+    assert(salted.count(_.getLong(0) == 7L) == 900)
+  }
+
   test("candidate pairs surface the identical docs") {
     val df = Seq(
       (1L, "w1 w2 w3 w4 w5 w6"),
