@@ -13,6 +13,28 @@ class NFA[E](pattern: Pattern[E], timestampOf: E => Long) extends Serializable {
   /** One complete match: stage name → the events it consumed, in order. */
   type Match = Seq[(String, Seq[E])]
 
+  /** Timed-out partial matches (the reference's CEP timeout side output,
+    * PatternStream.select timeout variant / CepOperator timed-out
+    * patterns): anchor events that begin a pattern but whose
+    * within-window closed (relative to `nowTs`) without a complete
+    * match. Only meaningful for patterns with `within`.
+    */
+  def findTimeouts(events: IndexedSeq[E], nowTs: Long): Seq[E] =
+    pattern.withinMs match {
+      case None => Nil
+      case Some(w) =>
+        val matched = findMatches(events)
+        val covered = matched.flatMap { case (s, e, _) => s to e }.toSet
+        events.indices
+          .filter { i =>
+            !covered.contains(i) &&
+              pattern.stages.head.predicate(events(i)) &&
+              timestampOf(events(i)) + w < nowTs &&
+              matchAt(events, i).isEmpty
+          }
+          .map(events)
+    }
+
   /** All non-overlapping matches over `events` (assumed time-ordered),
     * scanning left to right with skip-past-last-row after each match.
     */

@@ -102,6 +102,20 @@ class CepSpec extends SparkSuite {
     assert(m.map(x => (x._1, x._2)) == Seq((0, 1), (2, 3)))
   }
 
+  test("timed-out anchors surface as timeout output") {
+    val p = Pattern.begin[Ev]("a")(_.kind == "A")
+      .followedBy("b")(_.kind == "B").within(5)
+    val seq = IndexedSeq(
+      Ev("k", 0, "A", 1),   // times out: no B within [0, 5]
+      Ev("k", 10, "A", 2),  // completes with B@12
+      Ev("k", 12, "B", 3),
+      Ev("k", 20, "A", 4))  // window still open at now=23
+    val timeouts = nfa(p).findTimeouts(seq, nowTs = 23)
+    assert(timeouts.map(_.v) == Seq(1L))
+    // once now passes 25, the third anchor times out too
+    assert(nfa(p).findTimeouts(seq, nowTs = 26).map(_.v) == Seq(1L, 4L))
+  }
+
   test("batch CEP finds matches per key over unsorted input") {
     val p = Pattern.begin[Ev]("fail")(_.kind == "F").times(2)
       .followedBy("ok")(_.kind == "S")
