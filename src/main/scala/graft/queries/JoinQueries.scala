@@ -118,6 +118,18 @@ object JoinQueries {
         .orderBy($"p_id", $"e_id")
     }),
 
+    // Null-aware ANTI join — NOT IN subquery semantics
+    // (NullAwareJoinHelper.java): a NULL anywhere in the subquery result
+    // makes NOT IN return no rows; Spark plans this as a null-aware
+    // (broadcast) anti join, distinct from the EXISTS-style left_anti.
+    "q_join_notin" -> ((s, dir) => {
+      graft.Tables.registerAll(s, dir)
+      s.sql(
+        """SELECT c_custkey, c_name FROM customer
+          |WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_totalprice > 400000)
+          |ORDER BY c_custkey""".stripMargin)
+    }),
+
     // As-of (temporal) join — StreamExecTemporalJoin semantics
     // (TemporalRowTimeJoinOperator.java:78) in batch form: each purchase
     // joins the latest view of the same user at-or-before its time.
@@ -193,6 +205,11 @@ object JoinQueries {
         | AND e.ts >= p.ts - INTERVAL 1 HOUR
         | AND e.ts <= p.ts
         |ORDER BY p_id, e_id""".stripMargin,
+
+    "q_join_notin" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_totalprice > 400000)
+        |ORDER BY c_custkey""".stripMargin,
 
     "q_join_asof" ->
       """WITH e AS (SELECT event_id, user_id, make_timestamp(epoch_ns(ts) // 1000) AS ts, event_type, value FROM events),

@@ -70,6 +70,24 @@ object OverQueries {
         .orderBy($"o_custkey", $"o_orderkey")
     }),
 
+    // IGNORE NULLS offset/value functions (the reference's FIRST_VALUE/
+    // LAST_VALUE:985-989 skip nulls by default): last non-null o_orderkey
+    // among orders above a price threshold, carried forward.
+    "q_over_ignorenulls" -> ((s, dir) => {
+      import s.implicits._
+      val w = Window.partitionBy($"o_orderstatus")
+        .orderBy($"o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, dir, "orders")
+        .select(
+          $"o_orderstatus", $"o_orderkey",
+          when($"o_totalprice" > 300000, $"o_orderkey").as("big_key"))
+        .select(
+          $"o_orderstatus", $"o_orderkey",
+          last($"big_key", ignoreNulls = true).over(w).as("last_big_key"))
+        .orderBy($"o_orderstatus", $"o_orderkey")
+    }),
+
     // Running aggregates: ROWS UNBOUNDED PRECEDING → CURRENT ROW
     // (RowUnboundedPrecedingOverFrame parity).
     "q_over_running" -> ((s, dir) => {
@@ -199,6 +217,14 @@ object OverQueries {
         |FROM orders
         |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
         |ORDER BY o_custkey, o_orderkey""".stripMargin,
+
+    "q_over_ignorenulls" ->
+      """SELECT o_orderstatus, o_orderkey,
+        |  last_value(CASE WHEN o_totalprice > 300000 THEN o_orderkey END IGNORE NULLS)
+        |    OVER (PARTITION BY o_orderstatus ORDER BY o_orderkey
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_big_key
+        |FROM orders
+        |ORDER BY o_orderstatus, o_orderkey""".stripMargin,
 
     "q_over_running" ->
       """SELECT o_orderstatus, o_orderkey,
