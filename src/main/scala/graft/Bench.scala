@@ -21,7 +21,18 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val full =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    // Stdout capture may truncate a long line; persist the full JSON to a
+    // file and print it first, then a short self-contained summary line
+    // LAST so a tail-capture always sees one complete JSON object.
+    try {
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get("/root/repo/bench_out.json"),
+        full.getBytes("UTF-8"))
+    } catch { case _: Throwable => () }
+    println(full)
+    println(s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","queries_file":"/root/repo/bench_out.json"}""")
     spark.stop()
   }
 }

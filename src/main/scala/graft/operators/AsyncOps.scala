@@ -67,15 +67,17 @@ object AsyncOps {
       fn.open()
       val pool = Executors.newFixedThreadPool(capacity)
       implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
-      val queue = new java.util.concurrent.LinkedBlockingQueue[O]()
+      // Try-typed queue: a failed future must surface its own exception
+      // promptly (and decrement inFlight), not a generic timeout 60s later.
+      val queue = new java.util.concurrent.LinkedBlockingQueue[scala.util.Try[O]]()
       val inFlight = new java.util.concurrent.atomic.AtomicInteger(0)
       val input = rows.buffered
       new Iterator[O] {
         private def fill(): Unit =
           while (inFlight.get() < capacity && input.hasNext) {
             inFlight.incrementAndGet()
-            fn.invoke(input.next()).foreach { o =>
-              queue.put(o); inFlight.decrementAndGet()
+            fn.invoke(input.next()).onComplete { r =>
+              queue.put(r); inFlight.decrementAndGet()
             }
           }
         def hasNext: Boolean = {
@@ -88,7 +90,7 @@ object AsyncOps {
           fill()
           val o = queue.poll(timeoutMs, TimeUnit.MILLISECONDS)
           if (o == null) throw new java.util.concurrent.TimeoutException("async I/O timeout")
-          o
+          o.get
         }
       }
     }

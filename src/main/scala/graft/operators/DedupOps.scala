@@ -77,13 +77,13 @@ object DedupOps {
   def minhashSql(i: Int, h: String): String =
     s"MIN(($h * ${hashA(i)} + ${hashB(i)}) % $HashP)"
 
-  /** Fast minhash for the LSH pipeline: xxhash64 (native codegen'd Spark
-    * hash) instead of the md5-derived parity hash. The LSH *output* —
-    * jaccard-verified near-dup pairs — does not depend on which hash
-    * family generates candidates (any true near-dup collides in some band
-    * with the same probability; false candidates are removed by the exact
-    * Jaccard filter), so the oracle still matches while the signature
-    * computation drops the md5 + hex-parse cost.
+  /** Fast minhash (bench-only path): xxhash64 (native codegen'd Spark
+    * hash) instead of the md5-derived parity hash. NOTE: candidate
+    * generation IS hash-family-dependent — a genuine near-dup with
+    * 0.8 <= J < 1 collides in some band only probabilistically
+    * (miss prob ~(1-J^r)^bands per family), so an oracle-checked query
+    * must use [[minhash]] (the md5 family the oracle mirrors); use this
+    * variant only where no cross-engine compare happens.
     */
   def minhashFast(docs: DataFrame, k: Int = 8, shingleN: Int = 3,
       textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
@@ -138,9 +138,12 @@ object DedupOps {
     val pairs = pairs0.persist()
     val candIds = pairs.select(col("id_a").as("jid"))
       .unionAll(pairs.select(col("id_b").as("jid"))).distinct()
-    val sh = docs.select(col(idCol).as("jid"),
+    // Semi-join the corpus down to candidate docs BEFORE shingling: a join
+    // cannot be pushed below explode by Catalyst, so filtering first is the
+    // difference between O(candidates) and O(corpus) shingle cost.
+    val candDocs = docs.join(candIds, col(idCol) === col("jid"), "left_semi")
+    val sh = candDocs.select(col(idCol).as("jid"),
       explode(array_distinct(shingles(col(textCol), shingleN))).as("sh"))
-      .join(candIds, "jid")
       .persist()
     val sizes = sh.groupBy(col("jid")).agg(count(lit(1)).as("n_sh"))
     val inter = pairs

@@ -76,12 +76,17 @@ object MultimodalOps {
     * explode of substrings — so it scales as a Generate, no UDF.
     */
   def sampleChunks(docs: DataFrame, chunkChars: Int = 64): DataFrame = {
+    // chunk count = ceil(length / chunkChars); an empty payload yields ZERO
+    // chunks (guarded explicitly — Long division truncates toward zero, so
+    // the naive floor((length-1)/n) form would emit one empty chunk, while
+    // the SQL oracle's floor rounds toward -inf and emits none).
+    val nChunks = ceil(length(col("text")).cast(DoubleType) / chunkChars).cast(LongType)
     docs
       .select(
         col("doc_id").as("media_id"),
         col("text"),
-        explode(sequence(lit(0L),
-          floor((length(col("text")).cast(LongType) - 1L) / chunkChars).cast(LongType)))
+        explode(when(nChunks <= 0L, array().cast("array<bigint>"))
+          .otherwise(sequence(lit(0L), nChunks - 1L)))
           .as("chunk_id"))
       .select(
         col("media_id"), col("chunk_id"),

@@ -158,13 +158,22 @@ object AggQueries {
         .orderBy($"l_returnflag")
     }),
 
-    // approx_count_distinct — HLL++ on both sides but implementations
-    // differ, so no SQL oracle (driver rows-only check).
+    // approx_count_distinct — HLL++ sketches can't hash-match across
+    // engines, so the hash-checkable surface is the exact count plus a
+    // bounded-error flag: Spark's HLL++ is deterministic for fixed input,
+    // so `within_5pct` is a stable boolean the DuckDB oracle emits as TRUE.
     "q_agg_approx_distinct" -> ((s, dir) => {
       import s.implicits._
       t(s, dir, "lineitem")
         .groupBy($"l_returnflag")
-        .agg(approx_count_distinct($"l_orderkey").as("approx_orders"))
+        .agg(
+          countDistinct($"l_orderkey").as("exact_orders"),
+          approx_count_distinct($"l_orderkey", rsd = 0.02).as("approx"))
+        .select(
+          $"l_returnflag",
+          $"exact_orders",
+          (abs($"approx" - $"exact_orders") / $"exact_orders" <= 0.05)
+            .as("within_5pct"))
         .orderBy($"l_returnflag")
     })
   )
@@ -243,6 +252,12 @@ object AggQueries {
         |  quantile_cont(CAST(l_quantity AS BIGINT), 0.5) AS median_qty,
         |  quantile_cont(CAST(l_quantity AS BIGINT), 0.9) AS p90_qty,
         |  COUNT(*) AS n
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q_agg_approx_distinct" ->
+      """SELECT l_returnflag,
+        |  COUNT(DISTINCT l_orderkey) AS exact_orders,
+        |  TRUE AS within_5pct
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
     "q_agg_udaf" ->

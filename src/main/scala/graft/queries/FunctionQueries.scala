@@ -176,6 +176,39 @@ object FunctionQueries {
         .orderBy($"event_id")
     }),
 
+    // SQL/JSON path functions (JSON_EXISTS:2339, JSON_VALUE:2361,
+    // JSON_QUERY:2379 in BuiltInFunctionDefinitions.java) — native Catalyst
+    // expressions (graft.functions.JsonPath) with Flink's defaults: NULL ON
+    // EMPTY / NULL ON ERROR for JSON_VALUE (non-scalar → error), FALSE ON
+    // ERROR for JSON_EXISTS, WITHOUT ARRAY WRAPPER for JSON_QUERY. The
+    // nested document is synthesized identically on both engines.
+    "q_fn_jsonpath" -> ((s, dir) => {
+      import s.implicits._
+      import graft.functions.JsonFunctions._
+      val j = concat(
+        lit("{\"name\":\""), $"n_name",
+        lit("\",\"info\":{\"region\":"), $"n_regionkey",
+        lit(",\"ids\":["), $"n_nationkey", lit(","), $"n_nationkey" + 100,
+        lit("]}}"))
+      t(s, dir, "nation")
+        .select(
+          $"n_nationkey",
+          jsonValue(j, lit("$.name")).as("name_v"),
+          jsonValue(j, lit("$.info.region")).cast(LongType).as("region_v"),
+          jsonValue(j, lit("$.info.ids[1]")).cast(LongType).as("id1_v"),
+          jsonValue(j, lit("$.missing")).as("missing_v"),
+          jsonValue(j, lit("$.missing"), lit("dflt"), lit("err")).as("dflt_v"),
+          jsonValue(j, lit("$.info")).isNull.as("nonscalar_is_null"),
+          jsonExists(j, lit("$.info.region")).as("ex_hit"),
+          jsonExists(j, lit("$.nope")).as("ex_miss"),
+          jsonExists(j, lit("strict $.nope")).as("ex_strict"),
+          jsonQuery(j, lit("$.info")).as("q_obj"),
+          jsonQuery(j, lit("$.info.ids")).as("q_arr"),
+          jsonQuery(j, lit("$.name")).as("q_scalar"),
+          jsonQuery(j, lit("$.name"), "with").as("q_wrapped"))
+        .orderBy($"n_nationkey")
+    }),
+
     // Conditional family (COALESCE:221, IFNULL:135, GREATEST:688,
     // LEAST:698, nullif, ifThenElse:525, TRY_CAST:2501).
     "q_fn_conditional" -> ((s, dir) => {
@@ -275,7 +308,7 @@ object FunctionQueries {
       t(s, dir, "region")
         .select(
           $"r_regionkey",
-          array_sort(map_keys(merged)).as("ks"),
+          array_join(array_sort(map_keys(merged)), ",").as("ks"),
           element_at(m, "region").as("region_v"),
           element_at(m, "missing").as("missing_v"),
           size(map_values(merged)).cast(LongType).as("n_entries"))
@@ -418,6 +451,28 @@ object FunctionQueries {
         |  json_extract_string(props, '$.missing') AS missing_val
         |FROM events ORDER BY event_id""".stripMargin,
 
+    "q_fn_jsonpath" ->
+      """WITH d AS (
+        |  SELECT n_nationkey, n_name,
+        |    '{"name":"' || n_name || '","info":{"region":' || n_regionkey
+        |      || ',"ids":[' || n_nationkey || ',' || (n_nationkey + 100) || ']}}' AS j
+        |  FROM nation)
+        |SELECT n_nationkey,
+        |  json_extract_string(j, '$.name') AS name_v,
+        |  CAST(json_extract_string(j, '$.info.region') AS BIGINT) AS region_v,
+        |  CAST(json_extract_string(j, '$.info.ids[1]') AS BIGINT) AS id1_v,
+        |  json_extract_string(j, '$.missing') AS missing_v,
+        |  coalesce(json_extract_string(j, '$.missing'), 'dflt') AS dflt_v,
+        |  TRUE AS nonscalar_is_null,
+        |  (json_extract(j, '$.info.region') IS NOT NULL) AS ex_hit,
+        |  (json_extract(j, '$.nope') IS NOT NULL) AS ex_miss,
+        |  FALSE AS ex_strict,
+        |  CAST(json_extract(j, '$.info') AS VARCHAR) AS q_obj,
+        |  CAST(json_extract(j, '$.info.ids') AS VARCHAR) AS q_arr,
+        |  CAST(NULL AS VARCHAR) AS q_scalar,
+        |  '["' || n_name || '"]' AS q_wrapped
+        |FROM d ORDER BY n_nationkey""".stripMargin,
+
     "q_fn_conditional" ->
       """SELECT c_custkey,
         |  coalesce(nullif(c_mktsegment, 'BUILDING'), '(bldg)') AS seg,
@@ -468,7 +523,7 @@ object FunctionQueries {
 
     "q_fn_map" ->
       """SELECT r_regionkey,
-        |  ['extra', 'key', 'region'] AS ks,
+        |  'extra,key,region' AS ks,
         |  r_name AS region_v,
         |  CAST(NULL AS VARCHAR) AS missing_v,
         |  CAST(3 AS BIGINT) AS n_entries

@@ -58,12 +58,16 @@ object PipelineQueries {
 
     // MinHash + LSH near-dup pipeline end-to-end: signatures → bands →
     // candidate pairs → exact Jaccard verification (threshold 0.8).
+    // Uses the md5-derived hash family the oracle mirrors exactly —
+    // candidate sets are hash-family-dependent, so the bench-only
+    // minhashFast variant is NOT oracle-safe here. sig is persisted:
+    // it feeds 4 band branches and a self-join (8 consumers).
     "q_dedup_lsh" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
       val withDups = docs.unionAll(
         docs.filter(col("doc_id") % 10 === 0)
           .withColumn("doc_id", col("doc_id") + dupOffset))
-      val sig = DedupOps.minhashFast(withDups, k = 8)
+      val sig = DedupOps.minhash(withDups, k = 8).persist()
       val pairs = DedupOps.candidatePairs(DedupOps.lshBuckets(sig))
       DedupOps.jaccardVerify(withDups, pairs)
         .filter(col("jaccard") >= 0.8)
@@ -334,7 +338,7 @@ object PipelineQueries {
         |  CAST(length(substr(text, (i - 1) * 64 + 1, 64)) AS BIGINT) AS chunk_len,
         |  md5(substr(text, (i - 1) * 64 + 1, 64)) AS chunk_digest
         |FROM documents,
-        |  UNNEST(generate_series(1, CAST(floor((length(text) - 1) / 64) AS BIGINT) + 1)) AS u(i)
+        |  UNNEST(generate_series(1, CAST(ceil(length(text) / 64.0) AS BIGINT))) AS u(i)
         |ORDER BY media_id, chunk_id""".stripMargin,
 
     "q_mm_features" ->

@@ -1,6 +1,7 @@
 package graft.streaming
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.catalyst.expressions.{Attribute, Expression, SessionWindow, TimeWindow}
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.streaming.OutputMode
 
@@ -64,9 +65,21 @@ object ChangelogInference {
     * reference's window-agg exec nodes being insert-only producers.
     */
   private def isWindowed(a: Aggregate): Boolean =
-    a.groupingExpressions.exists { e =>
-      val s = e.toString
-      s.contains("window#") || s.contains("session_window#") ||
-        s.contains("'window") || s.contains("window(")
+    a.groupingExpressions.exists(isWindowExpr)
+
+  /** Structural detection (not toString matching, which would misclassify a
+    * user column literally named "window"): either the grouping expression
+    * contains a TimeWindow/SessionWindow node, or it references the
+    * attribute the TimeWindowing/SessionWindowing analyzer rules produced —
+    * recognizable by the spark.timeWindow / spark.sessionWindow metadata
+    * marker those rules attach.
+    */
+  private def isWindowExpr(e: Expression): Boolean =
+    e.exists {
+      case _: TimeWindow | _: SessionWindow => true
+      case attr: Attribute =>
+        attr.metadata.contains("spark.timeWindow") ||
+          attr.metadata.contains("spark.sessionWindow")
+      case _ => false
     }
 }

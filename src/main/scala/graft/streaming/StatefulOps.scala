@@ -92,6 +92,9 @@ object StatefulOps {
             if (add) 1L else -1L)
         }
         prev match {
+          // GroupAggFunction.java:131 — a retraction arriving for an
+          // absent group must not create an accumulator; drop it.
+          case None if !add => ()
           case None =>
             out += Change(Changelog.Insert, key, next)
             acc.update(next)
