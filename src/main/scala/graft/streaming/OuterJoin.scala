@@ -1,9 +1,13 @@
 package graft.streaming
 
-import org.apache.spark.sql.Encoders
+import java.time.Duration
+
+import scala.reflect.runtime.universe.TypeTag
+
+import org.apache.spark.sql.{Dataset, Encoder, Encoders}
 import org.apache.spark.sql.streaming._
 
-/** Stream–stream OUTER join with retractions — semantics of the
+/** Stream–stream INNER/OUTER join with retractions — semantics of the
   * reference's StreamingJoinOperator
   * (flink-table-runtime/.../operators/join/stream/StreamingJoinOperator.java:36,
   * with AbstractStreamingJoinOperator.java:46 and the
@@ -20,8 +24,15 @@ import org.apache.spark.sql.streaming._
   *   - inner rows join/retract symmetrically.
   *
   * Both inputs union into one keyed stream of tagged envelopes (the
-  * micro-batch two-input pattern, SURVEY.md §2.10). State: both sides'
-  * rows per key — exactly the reference's JoinRecordStateView pair.
+  * micro-batch two-input pattern, SURVEY.md §2.10).
+  *
+  * State layout mirrors the reference's JoinRecordStateView pair: one
+  * MapState[payload → count] PER SIDE, so a duplicate row increments a
+  * counter instead of appending to a list, point lookups are O(1) (no
+  * Seq.contains scans), and a retraction decrements/removes in O(1).
+  * "Side empty" / "side will empty" checks read at most two map entries.
+  * Optional TTL (InputRecordStateTtl in the reference planner,
+  * table.exec.state.ttl) bounds state for keys that stop receiving input.
   */
 object OuterJoin {
 
@@ -32,80 +43,134 @@ object OuterJoin {
   case object FullOuter extends JoinType(true, true)
 
   /** One input envelope: a row arriving on the left or right side of the
-    * join, as an insert (isAdd) or a retraction of a prior insert.
+    * join (exactly one of `left`/`right` is set), as an insert (isAdd) or a
+    * retraction of a prior insert.
     */
-  case class JoinInput(key: String, isLeft: Boolean, isAdd: Boolean, id: Long)
+  case class JoinInput[K, L, R](key: K, isLeft: Boolean, isAdd: Boolean,
+      left: Option[L], right: Option[R])
 
-  /** Emitted changelog row: leftId / rightId are null-padded with -1 (the
-    * encoders-friendly stand-in for NULL in the id domain).
-    */
-  case class JoinOutput(kind: Byte, key: String, leftId: Long, rightId: Long)
-  val NullId: Long = -1L
+  /** Emitted changelog row: the unmatched side is None (SQL NULL padding). */
+  case class JoinOutput[K, L, R](kind: Byte, key: K, left: Option[L], right: Option[R])
 
-  case class SideState(leftIds: Seq[Long], rightIds: Seq[Long])
+  object JoinInput {
+    def addLeft[K, L, R](key: K, l: L): JoinInput[K, L, R] =
+      JoinInput(key, isLeft = true, isAdd = true, Some(l), None)
+    def addRight[K, L, R](key: K, r: R): JoinInput[K, L, R] =
+      JoinInput(key, isLeft = false, isAdd = true, None, Some(r))
+    def retractLeft[K, L, R](key: K, l: L): JoinInput[K, L, R] =
+      JoinInput(key, isLeft = true, isAdd = false, Some(l), None)
+    def retractRight[K, L, R](key: K, r: R): JoinInput[K, L, R] =
+      JoinInput(key, isLeft = false, isAdd = false, None, Some(r))
+  }
 
-  class OuterJoinProcessor(joinType: JoinType)
-      extends StatefulProcessor[String, JoinInput, JoinOutput] {
-    @transient private var st: ValueState[SideState] = _
-    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
-      st = getHandle.getValueState[SideState]("join",
-        Encoders.product[SideState], TTLConfig.NONE)
+  class OuterJoinProcessor[K, L, R](joinType: JoinType,
+      lEnc: Encoder[L], rEnc: Encoder[R], stateTtl: Option[Duration] = None)
+      extends StatefulProcessor[K, JoinInput[K, L, R], JoinOutput[K, L, R]] {
 
-    override def handleInputRows(key: String, rows: Iterator[JoinInput],
-        timerValues: TimerValues): Iterator[JoinOutput] = {
-      val out = scala.collection.mutable.ArrayBuffer.empty[JoinOutput]
-      var s = if (st.exists()) st.get() else SideState(Nil, Nil)
+    @transient private var leftSt: MapState[L, Long] = _
+    @transient private var rightSt: MapState[R, Long] = _
 
-      def joined(l: Long, r: Long, kind: Byte): Unit =
-        out += JoinOutput(kind, key, l, r)
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      val ttl = stateTtl.map(TTLConfig(_)).getOrElse(TTLConfig.NONE)
+      leftSt = getHandle.getMapState[L, Long]("left", lEnc, Encoders.scalaLong, ttl)
+      rightSt = getHandle.getMapState[R, Long]("right", rEnc, Encoders.scalaLong, ttl)
+    }
+
+    override def handleInputRows(key: K, rows: Iterator[JoinInput[K, L, R]],
+        timerValues: TimerValues): Iterator[JoinOutput[K, L, R]] = {
+      val out = scala.collection.mutable.ArrayBuffer.empty[JoinOutput[K, L, R]]
+
+      def emitN(n: Long)(o: JoinOutput[K, L, R]): Unit = {
+        var i = 0L; while (i < n) { out += o; i += 1 }
+      }
 
       rows.foreach { in =>
-        // views of "this side" and "other side", normalized so the logic
-        // below is written once (thisOuter: does THIS side null-pad?)
-        val (same, other, thisOuter, otherOuter) =
-          if (in.isLeft) (s.leftIds, s.rightIds, joinType.leftOuter, joinType.rightOuter)
-          else (s.rightIds, s.leftIds, joinType.rightOuter, joinType.leftOuter)
-
-        def emitJoined(id: Long, o: Long, kind: Byte): Unit =
-          if (in.isLeft) joined(id, o, kind) else joined(o, id, kind)
-        def emitPadded(id: Long, kind: Byte): Unit =
-          if (in.isLeft) joined(id, NullId, kind) else joined(NullId, id, kind)
-        def emitOtherPadded(o: Long, kind: Byte): Unit =
-          if (in.isLeft) joined(NullId, o, kind) else joined(o, NullId, kind)
-
-        if (in.isAdd) {
-          if (other.isEmpty) {
-            if (thisOuter) emitPadded(in.id, Changelog.Insert)
-          } else {
-            other.foreach(o => emitJoined(in.id, o, Changelog.Insert))
-          }
-          // first row on THIS side: other side's null-padded rows retract
-          if (same.isEmpty && otherOuter)
-            other.foreach { o =>
-              emitOtherPadded(o, Changelog.Delete)
-            }
-          s = if (in.isLeft) s.copy(leftIds = s.leftIds :+ in.id)
-              else s.copy(rightIds = s.rightIds :+ in.id)
-        } else if (!same.contains(in.id)) {
-          // retraction for a row never inserted: drop it (the same
-          // no-accumulator-for-first-retraction rule as GroupAggFunction)
-        } else {
-          // retraction of a prior insert on this side
-          val remaining = same.diff(Seq(in.id))
-          if (other.isEmpty) {
-            if (thisOuter) emitPadded(in.id, Changelog.Delete)
-          } else {
-            other.foreach(o => emitJoined(in.id, o, Changelog.Delete))
-          }
-          // last row on THIS side left: other side re-emits null padding
-          if (remaining.isEmpty && same.nonEmpty && otherOuter)
-            other.foreach(o => emitOtherPadded(o, Changelog.Insert))
-          s = if (in.isLeft) s.copy(leftIds = remaining)
-              else s.copy(rightIds = remaining)
-        }
+        if (in.isLeft) process[L, R](key, in.left.get, in.isAdd, leftSt, rightSt,
+          joinType.leftOuter, joinType.rightOuter,
+          (k, l, r) => JoinOutput(0: Byte, k, l, r), out, emitN)
+        else process[R, L](key, in.right.get, in.isAdd, rightSt, leftSt,
+          joinType.rightOuter, joinType.leftOuter,
+          (k, r, l) => JoinOutput(0: Byte, k, l, r), out, emitN)
       }
-      if (s.leftIds.isEmpty && s.rightIds.isEmpty) st.clear() else st.update(s)
       out.iterator
     }
+
+    /** One input record on side `same` (payload type A) against side
+      * `other` (payload type B), written once for both orientations via
+      * `mk(key, thisSide, otherSide)` which re-orders into (left, right).
+      */
+    private def process[A, B](key: K, p: A, isAdd: Boolean,
+        same: MapState[A, Long], other: MapState[B, Long],
+        thisOuter: Boolean, otherOuter: Boolean,
+        mk: (K, Option[A], Option[B]) => JoinOutput[K, L, R],
+        out: scala.collection.mutable.ArrayBuffer[JoinOutput[K, L, R]],
+        emitN: Long => JoinOutput[K, L, R] => Unit): Unit = {
+
+      def withKind(kind: Byte)(o: JoinOutput[K, L, R]) = o.copy(kind = kind)
+
+      if (isAdd) {
+        // O(1): does the other side have any row / is this the first row here?
+        val otherEmpty = !other.iterator().hasNext
+        val firstOnThisSide = !same.iterator().hasNext
+        if (otherEmpty) {
+          if (thisOuter) out += withKind(Changelog.Insert)(mk(key, Some(p), None))
+        } else {
+          other.iterator().foreach { case (o, cnt) =>
+            // reference order: retract the match's null-padding first,
+            // then emit the joined row (StreamingJoinOperator retract-then-emit)
+            if (firstOnThisSide && otherOuter)
+              emitN(cnt)(withKind(Changelog.Delete)(mk(key, None, Some(o))))
+            emitN(cnt)(withKind(Changelog.Insert)(mk(key, Some(p), Some(o))))
+          }
+        }
+        val prev = if (same.containsKey(p)) same.getValue(p) else 0L
+        same.updateValue(p, prev + 1L)
+      } else if (!same.containsKey(p)) {
+        // retraction for a row never inserted: drop it (the same
+        // no-accumulator-for-first-retraction rule as GroupAggFunction)
+      } else {
+        // O(1): after removing one instance of p, is this side empty?
+        // (true iff the side's only entry is (p, 1))
+        val it = same.iterator()
+        val first = it.next()
+        val willBeEmpty = !it.hasNext && first._1 == p && first._2 == 1L
+        val otherEmpty = !other.iterator().hasNext
+        if (otherEmpty) {
+          if (thisOuter) out += withKind(Changelog.Delete)(mk(key, Some(p), None))
+        } else {
+          other.iterator().foreach { case (o, cnt) =>
+            emitN(cnt)(withKind(Changelog.Delete)(mk(key, Some(p), Some(o))))
+            // last row on THIS side left: the match re-emits null padding
+            if (willBeEmpty && otherOuter)
+              emitN(cnt)(withKind(Changelog.Insert)(mk(key, None, Some(o))))
+          }
+        }
+        val cnt = same.getValue(p)
+        if (cnt <= 1L) same.removeKey(p) else same.updateValue(p, cnt - 1L)
+      }
+    }
+  }
+
+  /** Dataset-level entry point: union two changelog-tagged sides (rowkind
+    * per Changelog's byte constants) into the envelope stream and run the
+    * keyed join processor. Pass `stateTtl` to bound state for idle keys
+    * (requires a processing-time query); the default keeps state until
+    * both sides' rows for a key are retracted.
+    */
+  def outerJoin[K: Encoder: TypeTag, L: Encoder: TypeTag, R: Encoder: TypeTag](
+      left: Dataset[(K, Byte, L)], right: Dataset[(K, Byte, R)],
+      joinType: JoinType, stateTtl: Option[Duration] = None): Dataset[JoinOutput[K, L, R]] = {
+    implicit val inEnc: Encoder[JoinInput[K, L, R]] = Encoders.product[JoinInput[K, L, R]]
+    implicit val outEnc: Encoder[JoinOutput[K, L, R]] = Encoders.product[JoinOutput[K, L, R]]
+    val env = left.map { case (k, kind, l) =>
+        JoinInput[K, L, R](k, isLeft = true, Changelog.isAdd(kind), Some(l), None) }
+      .union(right.map { case (k, kind, r) =>
+        JoinInput[K, L, R](k, isLeft = false, Changelog.isAdd(kind), None, Some(r)) })
+    val timeMode = if (stateTtl.isDefined) TimeMode.ProcessingTime() else TimeMode.None()
+    env.groupByKey(_.key)
+      .transformWithState(
+        new OuterJoinProcessor[K, L, R](joinType,
+          implicitly[Encoder[L]], implicitly[Encoder[R]], stateTtl),
+        timeMode, OutputMode.Update())
   }
 }
