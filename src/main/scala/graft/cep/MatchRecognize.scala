@@ -1,0 +1,525 @@
+package graft.cep
+
+import org.apache.spark.sql.{DataFrame, Encoders, Row}
+import org.apache.spark.sql.types._
+
+/** SQL `MATCH_RECOGNIZE` front door — the engine's analogue of the
+  * reference's StreamExecMatch
+  * (flink-table/flink-table-planner/.../exec/stream/StreamExecMatch.java:59,
+  * with pattern translation in MatchCodeGenerator.scala; query shapes in
+  * flink-table-planner's MatchRecognizeITCase): parses the standard
+  * clause subset into the [[Pattern]] DSL and runs the shared [[NFA]]
+  * per partition.
+  *
+  * Supported subset (parity with the reference's most-used surface):
+  *
+  *   - `PARTITION BY c1, c2` / `ORDER BY c1, c2`
+  *   - `MEASURES expr AS alias, …` with `V.col` (last row of V),
+  *     `FIRST(V.col)`, `LAST(V.col)`, `COUNT(V.*)`, `COUNT(*)`,
+  *     `SUM/MIN/MAX/AVG(V.col)`
+  *   - `ONE ROW PER MATCH` (the only row-per-match mode, as in the
+  *     reference's streaming planner)
+  *   - `AFTER MATCH SKIP PAST LAST ROW` (the default strategy)
+  *   - `PATTERN (A B+ C? D* E{2} F{1,3})` — concatenation is strict row
+  *     adjacency (SQL semantics: every row is consumed), quantifiers are
+  *     greedy
+  *   - `WITHIN INTERVAL 'n' SECOND|MINUTE|HOUR|DAY` (reference extension,
+  *     Pattern.within) — the first ORDER BY column must be a TIMESTAMP or
+  *     an epoch-microseconds BIGINT
+  *   - `DEFINE V AS predicate, …` — predicates over the CURRENT row's
+  *     columns (`V.col` or bare `col`), literals, arithmetic, comparison,
+  *     AND/OR/NOT. Pattern variables without a DEFINE match any row (SQL
+  *     default). Cross-variable references (LAST(other.col)) are not in
+  *     the subset.
+  *
+  * Output: one row per match — partition columns then measures, ordered
+  * as written.
+  */
+object MatchRecognize {
+
+  // ---------------------------------------------------------------- AST
+
+  private sealed trait Ex
+  private case class VarField(variable: String, field: String) extends Ex
+  private case class ColRef(field: String) extends Ex
+  private case class Lit(v: Any) extends Ex
+  private case class Bin(op: String, l: Ex, r: Ex) extends Ex
+  private case class Not(e: Ex) extends Ex
+  /** FIRST/LAST/COUNT/SUM/MIN/MAX/AVG over a variable's rows (measures). */
+  private case class Agg(fn: String, variable: String, field: String) extends Ex
+
+  private case class PatVar(name: String, minTimes: Int, maxTimes: Int)
+
+  private case class Spec(
+      partitionBy: Seq[String],
+      orderBy: Seq[String],
+      measures: Seq[(Ex, String)],
+      pattern: Seq[PatVar],
+      withinMicros: Option[Long],
+      defines: Map[String, Ex])
+
+  // ---------------------------------------------------------- tokenizer
+
+  private val TokenRe =
+    """\s*(?:('(?:[^']|'')*')|([A-Za-z_][A-Za-z_0-9]*)|(\d+\.\d+|\d+)|(<=|>=|<>|!=|[(),.*+?{}=<>/%-]))""".r
+
+  private def tokenize(s: String): Vector[String] = {
+    val out = Vector.newBuilder[String]
+    var i = 0
+    while (i < s.length) {
+      TokenRe.findPrefixMatchOf(s.substring(i)) match {
+        case Some(m) =>
+          out += m.group(0).trim
+          i += m.end
+        case None =>
+          if (s.substring(i).trim.isEmpty) i = s.length
+          else throw new IllegalArgumentException(
+            s"MATCH_RECOGNIZE: cannot tokenize at: ${s.substring(i).take(30)}")
+      }
+    }
+    out.result()
+  }
+
+  // ------------------------------------------------------------- parser
+
+  private class P(toks: Vector[String]) {
+    private var pos = 0
+    def peek: String = if (pos < toks.length) toks(pos) else ""
+    def peekUpper: String = peek.toUpperCase
+    def next(): String = { val t = peek; pos += 1; t }
+    def expect(up: String): Unit = {
+      val t = next()
+      require(t.equalsIgnoreCase(up), s"MATCH_RECOGNIZE: expected $up, got $t")
+    }
+    def accept(up: String): Boolean =
+      if (peekUpper == up) { pos += 1; true } else false
+    def atEnd: Boolean = pos >= toks.length
+
+    def ident(): String = {
+      val t = next()
+      require(t.nonEmpty && (t.head.isLetter || t.head == '_'),
+        s"MATCH_RECOGNIZE: expected identifier, got '$t'")
+      t
+    }
+
+    def identList(): Seq[String] = {
+      val out = Seq.newBuilder[String]
+      out += ident()
+      while (accept(",")) out += ident()
+      out.result()
+    }
+
+    // expr := or ; or := and (OR and)* ; and := unary (AND unary)*
+    // unary := NOT unary | cmp
+    // cmp := add ((=|<>|!=|<|<=|>|>=) add)?
+    // add := mul ((+|-) mul)* ; mul := atom ((*|/|%) atom)*
+    // atom := literal | fn(var.field|var.*|*) | var.field | col | (expr)
+    def expr(): Ex = orExpr()
+
+    private def orExpr(): Ex = {
+      var l = andExpr()
+      while (accept("OR")) l = Bin("OR", l, andExpr())
+      l
+    }
+    private def andExpr(): Ex = {
+      var l = unary()
+      while (accept("AND")) l = Bin("AND", l, unary())
+      l
+    }
+    private def unary(): Ex =
+      if (accept("NOT")) Not(unary()) else cmp()
+
+    private def cmp(): Ex = {
+      val l = add()
+      peek match {
+        case "=" | "<>" | "!=" | "<" | "<=" | ">" | ">=" =>
+          Bin(next(), l, add())
+        case _ => l
+      }
+    }
+    private def add(): Ex = {
+      var l = mul()
+      while (peek == "+" || peek == "-") l = Bin(next(), l, mul())
+      l
+    }
+    private def mul(): Ex = {
+      var l = atom()
+      while (peek == "*" || peek == "/" || peek == "%") l = Bin(next(), l, atom())
+      l
+    }
+
+    private val aggFns = Set("FIRST", "LAST", "COUNT", "SUM", "MIN", "MAX", "AVG")
+
+    private def atom(): Ex = peek match {
+      case "(" => next(); val e = expr(); expect(")"); e
+      case t if t.startsWith("'") =>
+        next(); Lit(t.substring(1, t.length - 1).replace("''", "'"))
+      case t if t.nonEmpty && (t.head.isDigit) =>
+        next()
+        if (t.contains('.')) Lit(java.lang.Double.valueOf(t))
+        else Lit(java.lang.Long.valueOf(t))
+      case t if t.equalsIgnoreCase("TRUE") => next(); Lit(java.lang.Boolean.TRUE)
+      case t if t.equalsIgnoreCase("FALSE") => next(); Lit(java.lang.Boolean.FALSE)
+      case t if t.equalsIgnoreCase("NULL") => next(); Lit(null)
+      case t if aggFns.contains(t.toUpperCase) =>
+        val fn = next().toUpperCase
+        expect("(")
+        if (fn == "COUNT" && accept("*")) { expect(")"); Agg("COUNT", "", "") }
+        else {
+          val v = ident()
+          expect(".")
+          val f = if (accept("*")) "" else ident()
+          expect(")")
+          Agg(fn, v, f)
+        }
+      case _ =>
+        val name = ident()
+        if (accept(".")) VarField(name, ident()) else ColRef(name)
+    }
+
+    def patternVars(): Seq[PatVar] = {
+      expect("(")
+      val out = Seq.newBuilder[PatVar]
+      while (peek != ")") {
+        val name = ident()
+        val (mn, mx) = peek match {
+          case "*" => next(); (0, Int.MaxValue)
+          case "+" => next(); (1, Int.MaxValue)
+          case "?" => next(); (0, 1)
+          case "{" =>
+            next()
+            val lo = next().toInt
+            val hi = if (accept(",")) next().toInt else lo
+            expect("}")
+            (lo, hi)
+          case _ => (1, 1)
+        }
+        out += PatVar(name, mn, mx)
+      }
+      expect(")")
+      out.result()
+    }
+  }
+
+  private val intervalMicros = Map(
+    "SECOND" -> 1000000L, "MINUTE" -> 60000000L,
+    "HOUR" -> 3600000000L, "DAY" -> 86400000000L)
+
+  private def parse(clause: String): Spec = {
+    // tolerate the full `MATCH_RECOGNIZE ( … )` wrapper or the bare body
+    val body = {
+      val t = clause.trim
+      val up = t.toUpperCase
+      if (up.startsWith("MATCH_RECOGNIZE")) {
+        val inner = t.substring("MATCH_RECOGNIZE".length).trim
+        require(inner.startsWith("(") && inner.endsWith(")"),
+          "MATCH_RECOGNIZE: expected parenthesized clause")
+        inner.substring(1, inner.length - 1)
+      } else t
+    }
+    val p = new P(tokenize(body))
+
+    var partitionBy = Seq.empty[String]
+    if (p.accept("PARTITION")) { p.expect("BY"); partitionBy = p.identList() }
+    p.expect("ORDER"); p.expect("BY")
+    val orderBy = p.identList()
+
+    p.expect("MEASURES")
+    val measures = Seq.newBuilder[(Ex, String)]
+    var more = true
+    while (more) {
+      val e = p.expr()
+      p.expect("AS")
+      measures += ((e, p.ident()))
+      more = p.accept(",")
+    }
+
+    if (p.accept("ONE")) { p.expect("ROW"); p.expect("PER"); p.expect("MATCH") }
+    if (p.accept("AFTER")) {
+      p.expect("MATCH"); p.expect("SKIP"); p.expect("PAST")
+      p.expect("LAST"); p.expect("ROW")
+    }
+
+    p.expect("PATTERN")
+    val pat = p.patternVars()
+    require(pat.nonEmpty, "MATCH_RECOGNIZE: empty PATTERN")
+    require(pat.head.minTimes >= 1,
+      "MATCH_RECOGNIZE subset: the first pattern variable must not be optional")
+
+    var within: Option[Long] = None
+    if (p.accept("WITHIN")) {
+      p.expect("INTERVAL")
+      val lit = p.next()
+      require(lit.startsWith("'"), "MATCH_RECOGNIZE: INTERVAL literal expected")
+      val n = lit.substring(1, lit.length - 1).trim.toLong
+      val unit = p.ident().toUpperCase
+      val scale = intervalMicros.getOrElse(unit,
+        throw new IllegalArgumentException(s"MATCH_RECOGNIZE: unsupported interval unit $unit"))
+      within = Some(n * scale)
+    }
+
+    var defines = Map.empty[String, Ex]
+    if (p.accept("DEFINE")) {
+      var m = true
+      while (m) {
+        val v = p.ident()
+        p.expect("AS")
+        defines += (v -> p.expr())
+        m = p.accept(",")
+      }
+    }
+    require(p.atEnd, s"MATCH_RECOGNIZE: trailing tokens at '${p.peek}'")
+    Spec(partitionBy, orderBy, measures.result(), pat, within, defines)
+  }
+
+  // --------------------------------------------------------- evaluation
+
+  private def num(v: Any): Double = v match {
+    case n: java.lang.Number => n.doubleValue()
+    case d: java.math.BigDecimal => d.doubleValue()
+    case d: scala.math.BigDecimal => d.toDouble
+    case other => throw new IllegalArgumentException(s"not numeric: $other")
+  }
+
+  private def isNum(v: Any): Boolean = v match {
+    case _: java.lang.Number | _: java.math.BigDecimal | _: scala.math.BigDecimal => true
+    case _ => false
+  }
+
+  private def compare(a: Any, b: Any): Int = (a, b) match {
+    case (x, y) if isNum(x) && isNum(y) => java.lang.Double.compare(num(x), num(y))
+    case (x: String, y: String) => x.compareTo(y)
+    case (x: java.sql.Timestamp, y: java.sql.Timestamp) => x.compareTo(y)
+    case (x: java.time.Instant, y: java.time.Instant) => x.compareTo(y)
+    case (x: java.sql.Date, y: java.sql.Date) => x.compareTo(y)
+    case (x: java.lang.Boolean, y: java.lang.Boolean) => x.compareTo(y)
+    case _ => throw new IllegalArgumentException(s"incomparable: $a vs $b")
+  }
+
+  /** Compile a DEFINE predicate into Row => Boolean over the current row.
+    * `V.col` and bare `col` both read the current row (the NFA predicate
+    * is per-event, matching the reference's simple-condition codegen).
+    */
+  private def compilePred(e: Ex, schema: StructType): Row => Boolean = {
+    val value = compileRowExpr(e, schema)
+    row => value(row) match {
+      case b: java.lang.Boolean => b.booleanValue()
+      case null => false
+      case other => throw new IllegalArgumentException(s"predicate is not boolean: $other")
+    }
+  }
+
+  private def compileRowExpr(e: Ex, schema: StructType): Row => Any = e match {
+    case Lit(v) => _ => v
+    case VarField(_, f) =>
+      val i = schema.fieldIndex(f)
+      row => if (row.isNullAt(i)) null else row.get(i)
+    case ColRef(f) =>
+      val i = schema.fieldIndex(f)
+      row => if (row.isNullAt(i)) null else row.get(i)
+    case Not(inner) =>
+      val v = compileRowExpr(inner, schema)
+      row => v(row) match {
+        case b: java.lang.Boolean => java.lang.Boolean.valueOf(!b.booleanValue())
+        case null => null
+        case other => throw new IllegalArgumentException(s"NOT over non-boolean: $other")
+      }
+    case Agg(fn, v, _) =>
+      throw new IllegalArgumentException(
+        s"MATCH_RECOGNIZE subset: $fn($v.…) is only legal in MEASURES, not DEFINE")
+    case Bin(op, l, r) =>
+      val lv = compileRowExpr(l, schema)
+      val rv = compileRowExpr(r, schema)
+      op match {
+        case "AND" => row => (lv(row), rv(row)) match {
+          case (a: java.lang.Boolean, b: java.lang.Boolean) =>
+            java.lang.Boolean.valueOf(a.booleanValue() && b.booleanValue())
+          case _ => null
+        }
+        case "OR" => row => (lv(row), rv(row)) match {
+          case (a: java.lang.Boolean, b: java.lang.Boolean) =>
+            java.lang.Boolean.valueOf(a.booleanValue() || b.booleanValue())
+          case _ => null
+        }
+        case "=" | "<>" | "!=" | "<" | "<=" | ">" | ">=" => row => {
+          val (a, b) = (lv(row), rv(row))
+          if (a == null || b == null) null
+          else {
+            val c = compare(a, b)
+            val res = op match {
+              case "=" => c == 0
+              case "<>" | "!=" => c != 0
+              case "<" => c < 0
+              case "<=" => c <= 0
+              case ">" => c > 0
+              case ">=" => c >= 0
+            }
+            java.lang.Boolean.valueOf(res)
+          }
+        }
+        case "+" | "-" | "*" | "/" | "%" => row => {
+          val (a, b) = (lv(row), rv(row))
+          if (a == null || b == null) null
+          else {
+            val (x, y) = (num(a), num(b))
+            val d = op match {
+              case "+" => x + y
+              case "-" => x - y
+              case "*" => x * y
+              case "/" => x / y
+              case "%" => x % y
+            }
+            java.lang.Double.valueOf(d)
+          }
+        }
+      }
+  }
+
+  /** Measure evaluation over a complete match (variable → consumed rows).
+    * Bare `V.col` is the LAST row of V (the reference's final/running
+    * semantics collapse to "last" under ONE ROW PER MATCH).
+    */
+  private def compileMeasure(e: Ex, schema: StructType)
+      : Map[String, IndexedSeq[Row]] => Any = e match {
+    case VarField(v, f) =>
+      val i = schema.fieldIndex(f)
+      st => st.getOrElse(v, IndexedSeq.empty).lastOption
+        .map(r => if (r.isNullAt(i)) null else r.get(i)).orNull
+    case Agg("FIRST", v, f) =>
+      val i = schema.fieldIndex(f)
+      st => st.getOrElse(v, IndexedSeq.empty).headOption
+        .map(r => if (r.isNullAt(i)) null else r.get(i)).orNull
+    case Agg("LAST", v, f) =>
+      val i = schema.fieldIndex(f)
+      st => st.getOrElse(v, IndexedSeq.empty).lastOption
+        .map(r => if (r.isNullAt(i)) null else r.get(i)).orNull
+    case Agg("COUNT", "", _) =>
+      st => java.lang.Long.valueOf(st.valuesIterator.map(_.size.toLong).sum)
+    case Agg("COUNT", v, _) =>
+      st => java.lang.Long.valueOf(st.getOrElse(v, IndexedSeq.empty).size.toLong)
+    case Agg(fn @ ("SUM" | "MIN" | "MAX" | "AVG"), v, f) =>
+      val i = schema.fieldIndex(f)
+      val integral = schema(i).dataType match {
+        case _: IntegerType | _: LongType | _: ShortType | _: ByteType => true
+        case _ => false
+      }
+      st => {
+        val vals = st.getOrElse(v, IndexedSeq.empty)
+          .filterNot(_.isNullAt(i)).map(_.get(i))
+        if (vals.isEmpty) null
+        else fn match {
+          case "MIN" => vals.minBy(identity[Any])(Ordering.fromLessThan(compare(_, _) < 0))
+          case "MAX" => vals.maxBy(identity[Any])(Ordering.fromLessThan(compare(_, _) < 0))
+          case "AVG" => java.lang.Double.valueOf(vals.map(num).sum / vals.size)
+          case "SUM" =>
+            if (integral) java.lang.Long.valueOf(vals.map(num(_).toLong).sum)
+            else java.lang.Double.valueOf(vals.map(num).sum)
+        }
+      }
+    case other =>
+      throw new IllegalArgumentException(
+        s"MATCH_RECOGNIZE subset: unsupported MEASURES expression $other")
+  }
+
+  private def measureType(e: Ex, schema: StructType): DataType = e match {
+    case VarField(_, f) => schema(schema.fieldIndex(f)).dataType
+    case Agg("FIRST" | "LAST" | "MIN" | "MAX", _, f) => schema(schema.fieldIndex(f)).dataType
+    case Agg("COUNT", _, _) => LongType
+    case Agg("AVG", _, _) => DoubleType
+    case Agg("SUM", _, f) => schema(schema.fieldIndex(f)).dataType match {
+      case _: IntegerType | _: LongType | _: ShortType | _: ByteType => LongType
+      case d: DecimalType => d
+      case _ => DoubleType
+    }
+    case other =>
+      throw new IllegalArgumentException(s"unsupported MEASURES expression $other")
+  }
+
+  /** Epoch-microseconds from the first ORDER BY column (for WITHIN). */
+  private def tsExtractor(schema: StructType, col: String): Row => Long = {
+    val i = schema.fieldIndex(col)
+    schema(i).dataType match {
+      case _: TimestampType => row => row.get(i) match {
+        case t: java.sql.Timestamp => t.getTime * 1000L + (t.getNanos % 1000000) / 1000L
+        case t: java.time.Instant => t.getEpochSecond * 1000000L + t.getNano / 1000L
+      }
+      case _: LongType => _.getLong(i)
+      case _: IntegerType => _.getInt(i).toLong
+      case d => throw new IllegalArgumentException(
+        s"MATCH_RECOGNIZE WITHIN: ORDER BY column $col has unsupported type $d")
+    }
+  }
+
+  // ------------------------------------------------------------ runner
+
+  /** Run a MATCH_RECOGNIZE clause over a bounded DataFrame. */
+  def apply(df: DataFrame, clause: String): DataFrame = {
+    val spec = parse(clause)
+    val schema = df.schema
+    val sortKey = orderingFor(schema, spec.orderBy)
+
+    val tsFn: Row => Long =
+      if (spec.withinMicros.isDefined) tsExtractor(schema, spec.orderBy.head)
+      else _ => 0L
+
+    val pattern = buildPattern(spec, schema)
+    val nfa = new NFA[Row](pattern, tsFn)
+
+    val partIdx = spec.partitionBy.map(schema.fieldIndex)
+    val measureFns = spec.measures.map { case (e, _) => compileMeasure(e, schema) }
+    val outSchema = StructType(
+      spec.partitionBy.map(c => schema(schema.fieldIndex(c))) ++
+        spec.measures.map { case (e, alias) =>
+          StructField(alias, measureType(e, schema), nullable = true) })
+    implicit val outEnc = Encoders.row(outSchema)
+    implicit val keyEnc = Encoders.STRING
+
+    df.groupByKey(r => partIdx.map(i => String.valueOf(r.get(i))).mkString(" "))
+      .flatMapGroups { (_, it) =>
+        val sorted = it.toIndexedSeq.sortBy(sortKey)(SeqAnyOrdering)
+        nfa.findMatches(sorted).iterator.map { case (s, _, m) =>
+          val stageMap: Map[String, IndexedSeq[Row]] =
+            m.groupBy(_._1).map { case (k, vs) => k -> vs.flatMap(_._2).toIndexedSeq }
+          val anchor = sorted(s)
+          Row.fromSeq(partIdx.map(anchor.get) ++ measureFns.map(_(stageMap)))
+        }
+      }
+  }
+
+  private def buildPattern(spec: Spec, schema: StructType): Pattern[Row] = {
+    def predFor(v: String): Row => Boolean =
+      spec.defines.get(v).map(compilePred(_, schema)).getOrElse(_ => true)
+
+    // SQL concatenation = strict adjacency (every row is consumed), and
+    // quantifier repetitions are likewise consecutive. Anchoring is
+    // handled by NFA.findMatches scanning every start position, so the
+    // first stage being Strict only constrains its own repetitions.
+    val stages = spec.pattern.map { pv =>
+      Stage[Row](pv.name, predFor(pv.name), Contiguity.Strict,
+        pv.minTimes, pv.maxTimes)
+    }
+    Pattern(stages.toVector, withinMs = spec.withinMicros)
+  }
+
+  /** Sort key: the ORDER BY column values as a Seq, compared pairwise. */
+  private def orderingFor(schema: StructType, cols: Seq[String]): Row => Seq[Any] = {
+    val idx = cols.map(schema.fieldIndex)
+    row => idx.map(row.get)
+  }
+
+  private object SeqAnyOrdering extends Ordering[Seq[Any]] {
+    def compare(a: Seq[Any], b: Seq[Any]): Int = {
+      val it = a.iterator.zip(b.iterator)
+      while (it.hasNext) {
+        val (x, y) = it.next()
+        val c =
+          if (x == null && y == null) 0
+          else if (x == null) -1
+          else if (y == null) 1
+          else MatchRecognize.compare(x, y)
+        if (c != 0) return c
+      }
+      0
+    }
+  }
+}

@@ -3,63 +3,65 @@ package graft.queries
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
-import graft.cep.{CEP, Pattern}
+import graft.cep.{CEP, MatchRecognize, Pattern}
 import Q._
 
 /** MATCH_RECOGNIZE parity in batch form (StreamExecMatch/BatchExecMatch,
-  * SURVEY.md §2.10) — the CEP engine run over the events table, with SQL
-  * oracles reconstructing the same matches via window functions.
+  * SURVEY.md §2.10) — q_cep_next/q_cep_run go through the SQL
+  * MATCH_RECOGNIZE front door (the reference's user-facing surface,
+  * MatchRecognizeITCase shapes), q_cep_within exercises the Pattern DSL +
+  * CEP.batch path directly. SQL oracles reconstruct the same matches via
+  * window functions.
   */
 object CepQueries {
 
   case class E(user_id: Long, ts: Long, event_type: String, event_id: Long)
 
   val queries: Map[String, QFn] = Map(
-    // Strict-contiguity two-stage pattern: a purchase whose IMMEDIATELY
-    // next event for the same user is an error (A next B). With two
-    // distinct stages, skip-past-last-row equals simple adjacency, which
-    // the SQL oracle expresses with lead() over (user, time) — the exact
-    // golden-result technique the reference's MatchRecognizeITCase uses.
+    // Strict-adjacency two-stage pattern: a purchase whose IMMEDIATELY
+    // next event for the same user is an error. With two distinct stages,
+    // skip-past-last-row equals simple adjacency, which the SQL oracle
+    // expresses with lead() over (user, time) — the exact golden-result
+    // technique the reference's MatchRecognizeITCase uses.
     "q_cep_next" -> ((s, dir) => {
       import s.implicits._
       val ev = t(s, dir, "events")
         .select($"user_id", unix_micros(col("ts").cast(TimestampType)).as("ts"),
           $"event_type", $"event_id")
-        .as[E]
-      val pat = Pattern.begin[E]("buy")(_.event_type == "purchase")
-        .next("err")(_.event_type == "error")
-      CEP.batch[E](ev, e => e.user_id.toString, _.ts, pat)
-        .flatMap { m =>
-          val stages = m.stages.toMap
-          for {
-            b <- stages("buy").headOption
-            x <- stages("err").headOption
-          } yield (b.user_id, b.event_id, x.event_id)
-        }
-        .toDF("user_id", "purchase_id", "error_id")
+      MatchRecognize(ev,
+        """MATCH_RECOGNIZE (
+          |  PARTITION BY user_id
+          |  ORDER BY ts, event_id
+          |  MEASURES A.event_id AS purchase_id, B.event_id AS error_id
+          |  ONE ROW PER MATCH
+          |  AFTER MATCH SKIP PAST LAST ROW
+          |  PATTERN (A B)
+          |  DEFINE A AS A.event_type = 'purchase',
+          |         B AS B.event_type = 'error'
+          |)""".stripMargin)
         .orderBy($"user_id", $"purchase_id")
     }),
 
-    // Greedy consecutive run: one-or-more clicks with strict internal
-    // contiguity (Pattern.consecutive + oneOrMore), immediately followed
-    // by a purchase. The oracle reconstructs maximal click-runs ending at
-    // a purchase with an islands computation.
+    // Greedy consecutive run: one-or-more clicks (SQL quantifier
+    // repetitions are adjacent rows) immediately followed by a purchase.
+    // The oracle reconstructs maximal click-runs ending at a purchase
+    // with an islands computation.
     "q_cep_run" -> ((s, dir) => {
       import s.implicits._
       val ev = t(s, dir, "events")
         .select($"user_id", unix_micros(col("ts").cast(TimestampType)).as("ts"),
           $"event_type", $"event_id")
-        .as[E]
-      val pat = Pattern.begin[E]("clicks")(_.event_type == "click")
-        .oneOrMore.consecutive
-        .next("buy")(_.event_type == "purchase")
-      CEP.batch[E](ev, e => e.user_id.toString, _.ts, pat)
-        .map { m =>
-          val st = m.stages.toMap
-          (st("clicks").head.user_id, st("buy").head.event_id,
-            st("clicks").size.toLong)
-        }
-        .toDF("user_id", "purchase_id", "n_clicks")
+      MatchRecognize(ev,
+        """MATCH_RECOGNIZE (
+          |  PARTITION BY user_id
+          |  ORDER BY ts, event_id
+          |  MEASURES B.event_id AS purchase_id, COUNT(A.*) AS n_clicks
+          |  ONE ROW PER MATCH
+          |  AFTER MATCH SKIP PAST LAST ROW
+          |  PATTERN (A+ B)
+          |  DEFINE A AS A.event_type = 'click',
+          |         B AS B.event_type = 'purchase'
+          |)""".stripMargin)
         .orderBy($"user_id", $"purchase_id")
     }),
 

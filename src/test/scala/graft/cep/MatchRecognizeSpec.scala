@@ -1,0 +1,115 @@
+package graft.cep
+
+import graft.SparkSuite
+
+/** SQL MATCH_RECOGNIZE front door over the shared NFA — clause shapes
+  * mirroring the reference's MatchRecognizeITCase (flink-table-planner).
+  */
+class MatchRecognizeSpec extends SparkSuite {
+  import spark.implicits._
+
+  // (user, seq, type, amount)
+  private def events = Seq(
+    ("u1", 1L, "click", 10.0),
+    ("u1", 2L, "click", 20.0),
+    ("u1", 3L, "buy", 100.0),
+    ("u1", 4L, "click", 5.0),
+    ("u1", 5L, "error", 0.0),
+    ("u2", 1L, "buy", 50.0),
+    ("u2", 2L, "error", 0.0),
+    ("u2", 3L, "buy", 60.0)
+  ).toDF("user_id", "seq", "event_type", "amount")
+
+  test("two-stage adjacency: buy immediately followed by error") {
+    val out = MatchRecognize(events,
+      """MATCH_RECOGNIZE (
+        |  PARTITION BY user_id
+        |  ORDER BY seq
+        |  MEASURES A.seq AS buy_seq, B.seq AS err_seq
+        |  ONE ROW PER MATCH
+        |  AFTER MATCH SKIP PAST LAST ROW
+        |  PATTERN (A B)
+        |  DEFINE A AS A.event_type = 'buy', B AS B.event_type = 'error'
+        |)""".stripMargin)
+      .as[(String, Long, Long)].collect().toSet
+    // u1's buy@3 is followed by click@4, not error → strict adjacency
+    // rejects it; only u2's buy@1/error@2 pair matches
+    assert(out == Set(("u2", 1L, 2L)))
+  }
+
+  test("greedy plus-quantifier run with COUNT and SUM measures") {
+    val out = MatchRecognize(events,
+      """PARTITION BY user_id
+        |ORDER BY seq
+        |MEASURES FIRST(A.seq) AS first_click, COUNT(A.*) AS n_clicks,
+        |         SUM(A.amount) AS spent, B.seq AS buy_seq
+        |PATTERN (A+ B)
+        |DEFINE A AS event_type = 'click', B AS event_type = 'buy'""".stripMargin)
+      .as[(String, Long, Long, Double, Long)].collect().toSet
+    assert(out == Set(("u1", 1L, 2L, 30.0, 3L)))
+  }
+
+  test("optional and bounded quantifiers parse and match") {
+    val out = MatchRecognize(events,
+      """PARTITION BY user_id
+        |ORDER BY seq
+        |MEASURES A.seq AS buy_seq, COUNT(B.*) AS n_err
+        |PATTERN (A B?)
+        |DEFINE A AS event_type = 'buy', B AS event_type = 'error'""".stripMargin)
+      .as[(String, Long, Long)].collect().toSet
+    // greedy B?: u1 buy@3 has click@4 next → 0 errors; u2 buy@1 error@2 → 1
+    assert(out == Set(("u1", 3L, 0L), ("u2", 1L, 1L), ("u2", 3L, 0L)))
+  }
+
+  test("WITHIN bounds first-to-last event time") {
+    val ts = Seq(
+      ("k", 1000000L, "buy"), ("k", 2000000L, "error"), // 1s apart → in
+      ("k", 10000000L, "buy"), ("k", 20000000L, "error") // 10s apart → out
+    ).toDF("k", "ts", "event_type")
+    val out = MatchRecognize(ts,
+      """PARTITION BY k
+        |ORDER BY ts
+        |MEASURES A.ts AS buy_ts
+        |PATTERN (A B)
+        |WITHIN INTERVAL '5' SECOND
+        |DEFINE A AS event_type = 'buy', B AS event_type = 'error'""".stripMargin)
+      .as[(String, Long)].collect().toSet
+    assert(out == Set(("k", 1000000L)))
+  }
+
+  test("undefined pattern variable matches any row (SQL default)") {
+    val out = MatchRecognize(events,
+      """PARTITION BY user_id
+        |ORDER BY seq
+        |MEASURES A.seq AS buy_seq, X.event_type AS next_type
+        |PATTERN (A X)
+        |DEFINE A AS event_type = 'buy'""".stripMargin)
+      .as[(String, Long, String)].collect().toSet
+    assert(out == Set(("u1", 3L, "click"), ("u2", 1L, "error")))
+  }
+
+  test("arithmetic and boolean operators in DEFINE") {
+    val out = MatchRecognize(events,
+      """PARTITION BY user_id
+        |ORDER BY seq
+        |MEASURES A.seq AS s
+        |PATTERN (A)
+        |DEFINE A AS amount * 2 >= 40 AND (event_type = 'click' OR event_type = 'buy')""".stripMargin)
+      .as[(String, Long)].collect().toSet
+    assert(out == Set(("u1", 2L), ("u1", 3L), ("u2", 1L), ("u2", 3L)))
+  }
+
+  test("skip past last row: non-overlapping matches") {
+    val df = Seq(
+      ("k", 1L, "a"), ("k", 2L, "a"), ("k", 3L, "a"), ("k", 4L, "a")
+    ).toDF("k", "seq", "t")
+    val out = MatchRecognize(df,
+      """PARTITION BY k
+        |ORDER BY seq
+        |MEASURES FIRST(A.seq) AS s, LAST(A.seq) AS e
+        |PATTERN (A{2})
+        |DEFINE A AS t = 'a'""".stripMargin)
+      .as[(String, Long, Long)].collect().toSet
+    assert(out == Set(("k", 1L, 2L), ("k", 3L, 4L)))
+  }
+}
