@@ -101,6 +101,84 @@ object ProcessOps {
   }
   case class RangeBuf(ts: Seq[Long], vs: Seq[Long])
 
+  /** Streaming UNBOUNDED PRECEDING over-aggregate — semantics of
+    * AbstractRowTimeUnboundedPrecedingOver.java:51 (and the ROWS/RANGE
+    * split of RowTimeRowsUnboundedPrecedingFunction /
+    * RowTimeRangeUnboundedPrecedingFunction): out-of-order rows are
+    * buffered in MapState[ts → rows] with one event-time timer per
+    * distinct timestamp; when the watermark passes a timestamp the
+    * buffered rows are emitted in event-time order, each carrying the
+    * running aggregate from the start of the partition. The accumulator
+    * (ValueState) persists forever — that is what "unbounded preceding"
+    * means — while the row buffer is bounded by watermark lag and is
+    * drained on every emission (the reference's cleanupTimestamp logic).
+    *
+    * `rangeMode = false` → ROWS semantics (each row its own incremental
+    * sum, insertion order within a timestamp); `rangeMode = true` → RANGE
+    * semantics (all rows of one timestamp accumulate first, then emit
+    * with the same aggregate, RowTimeRangeUnboundedPrecedingFunction:47).
+    * Rows at or behind the watermark on arrival are late and dropped
+    * (the reference's numLateRecordsDropped counter path).
+    */
+  case class TsRows(vs: Seq[Long])
+
+  /** Event-time input envelope: transformWithState(TimeMode.EventTime)
+    * needs the watermarked TIMESTAMP column to reach the operator, so the
+    * input type carries it (a .map would strip the watermark metadata).
+    */
+  case class TimedIn(key: String, eventTime: java.sql.Timestamp, v: Long)
+
+  class UnboundedPrecedingOverProcessor(rangeMode: Boolean)
+      extends StatefulProcessor[String, TimedIn, OverOut] {
+    @transient private var buf: MapState[Long, TsRows] = _
+    @transient private var acc: ValueState[Long] = _ // running sum
+    @transient private var cnt: ValueState[Long] = _ // running count
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      buf = getHandle.getMapState[Long, TsRows]("buffer",
+        Encoders.scalaLong, Encoders.product[TsRows], TTLConfig.NONE)
+      acc = getHandle.getValueState[Long]("acc", Encoders.scalaLong, TTLConfig.NONE)
+      cnt = getHandle.getValueState[Long]("cnt", Encoders.scalaLong, TTLConfig.NONE)
+    }
+
+    override def handleInputRows(key: String, rows: Iterator[TimedIn],
+        timerValues: TimerValues): Iterator[OverOut] = {
+      val wm = timerValues.getCurrentWatermarkInMs()
+      rows.foreach { r =>
+        val ts = r.eventTime.getTime
+        if (ts > wm) { // not yet late: buffer + schedule emission
+          val cur = if (buf.containsKey(ts)) buf.getValue(ts).vs else Seq.empty
+          buf.updateValue(ts, TsRows(cur :+ r.v))
+          getHandle.registerTimer(ts)
+        } // else: late row, dropped (reference numLateRecordsDropped)
+      }
+      Iterator.empty
+    }
+
+    override def handleExpiredTimer(key: String, timerValues: TimerValues,
+        expiredTimerInfo: ExpiredTimerInfo): Iterator[OverOut] = {
+      val wm = timerValues.getCurrentWatermarkInMs()
+      val due = buf.iterator().map(_._1).filter(_ <= wm).toArray.sorted
+      var a = if (acc.exists()) acc.get() else 0L
+      var n = if (cnt.exists()) cnt.get() else 0L
+      val out = scala.collection.mutable.ArrayBuffer.empty[OverOut]
+      due.foreach { ts =>
+        val vs = buf.getValue(ts).vs
+        if (rangeMode) {
+          vs.foreach { v => a += v; n += 1 }
+          vs.foreach { v => out += OverOut(key, ts, v, a, n) }
+        } else vs.foreach { v =>
+          a += v; n += 1
+          out += OverOut(key, ts, v, a, n)
+        }
+        buf.removeKey(ts)
+      }
+      acc.update(a)
+      cnt.update(n)
+      out.iterator
+    }
+  }
+
   /** State TTL demonstration — StateTtlConfig parity: a counting state
     * with a TTL; keys silently reset after expiry.
     */

@@ -1,0 +1,76 @@
+package graft.streaming
+
+import scala.reflect.runtime.universe.TypeTag
+
+import org.apache.spark.sql.{Dataset, Encoder, Encoders}
+import org.apache.spark.sql.streaming._
+
+/** Streaming temporal (watermark-ordered) sort — semantics of the
+  * reference's StreamExecTemporalSort
+  * (flink-table/flink-table-planner/.../exec/stream/StreamExecTemporalSort.java:64)
+  * backed by RowTimeSortOperator
+  * (flink-table-runtime/.../operators/sort/RowTimeSortOperator.java:43):
+  * an append-only stream ordered primarily by event time is re-emitted in
+  * exact event-time order once the watermark guarantees completeness.
+  *
+  * Out-of-order rows are buffered in MapState[ts → rows] with one
+  * event-time timer per distinct timestamp; when the watermark passes a
+  * timestamp its rows are emitted in (ts, arrival) order — arrival order
+  * within equal timestamps matches the reference (RowTimeSortOperator
+  * appends to the per-timestamp list and emits in list order). Rows at or
+  * behind the watermark on arrival are late and dropped. State is bounded
+  * by watermark lag: every emission drains the buffered prefix.
+  */
+object TemporalSort {
+
+  case class Buffered[V](vs: Seq[V])
+
+  class TemporalSortProcessor[K, V: TypeTag](tsOf: V => Long, vEnc: Encoder[V])
+      extends StatefulProcessor[K, V, V] {
+
+    @transient private var buf: MapState[Long, Buffered[V]] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      implicit val ev: Encoder[V] = vEnc
+      buf = getHandle.getMapState[Long, Buffered[V]]("buffer",
+        Encoders.scalaLong, Encoders.product[Buffered[V]], TTLConfig.NONE)
+    }
+
+    override def handleInputRows(key: K, rows: Iterator[V],
+        timerValues: TimerValues): Iterator[V] = {
+      val wm = timerValues.getCurrentWatermarkInMs()
+      rows.foreach { v =>
+        val ts = tsOf(v)
+        if (ts > wm) {
+          val cur = if (buf.containsKey(ts)) buf.getValue(ts).vs else Seq.empty
+          buf.updateValue(ts, Buffered(cur :+ v))
+          getHandle.registerTimer(ts)
+        } // else: late row, dropped
+      }
+      Iterator.empty
+    }
+
+    override def handleExpiredTimer(key: K, timerValues: TimerValues,
+        expiredTimerInfo: ExpiredTimerInfo): Iterator[V] = {
+      val wm = timerValues.getCurrentWatermarkInMs()
+      val due = buf.iterator().map(_._1).filter(_ <= wm).toArray.sorted
+      val out = scala.collection.mutable.ArrayBuffer.empty[V]
+      due.foreach { ts =>
+        out ++= buf.getValue(ts).vs
+        buf.removeKey(ts)
+      }
+      out.iterator
+    }
+  }
+
+  /** Dataset entry point: watermark-ordered re-emission per key. The
+    * input must already carry a watermark (withWatermark upstream);
+    * `tsOf` must read the same event-time values in epoch millis.
+    */
+  def sorted[K: Encoder, V: Encoder: TypeTag](ds: Dataset[V], keyOf: V => K,
+      tsOf: V => Long): Dataset[V] =
+    ds.groupByKey(keyOf)
+      .transformWithState(
+        new TemporalSortProcessor[K, V](tsOf, implicitly[Encoder[V]]),
+        TimeMode.EventTime(), OutputMode.Append())
+}
