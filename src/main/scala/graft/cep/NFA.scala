@@ -37,10 +37,13 @@ class NFA[E](pattern: Pattern[E], timestampOf: E => Long) extends Serializable {
 
   /** All non-overlapping matches over `events` (assumed time-ordered),
     * scanning left to right with skip-past-last-row after each match.
+    * `from` skips anchors before that index — the incremental-scan entry
+    * for streaming CEP, where anchors whose within-window closed before
+    * any new event are known-failed (CEP.step).
     */
-  def findMatches(events: IndexedSeq[E]): Seq[(Int, Int, Match)] = {
+  def findMatches(events: IndexedSeq[E], from: Int = 0): Seq[(Int, Int, Match)] = {
     val out = scala.collection.mutable.ArrayBuffer.empty[(Int, Int, Match)]
-    var start = 0
+    var start = from max 0
     while (start < events.length) {
       matchAt(events, start) match {
         case Some((endIdx, m)) =>

@@ -135,7 +135,8 @@ class CepSpec extends SparkSuite {
     val p = Pattern.begin[Ev]("fail")(_.kind == "F").times(2)
       .followedBy("ok")(_.kind == "S")
     val input = MemoryStream[Ev]
-    val out = CEP.streaming[Ev](input.toDS(), _.key, _.ts, p)
+    val out = CEP.streaming[Ev](input.toDS(), _.key, _.ts, p,
+        maxBufferPerKey = Some(1000))
       .map(m => (m.key, m.startTs, m.endTs))
     val name = s"cep_${System.nanoTime()}"
     val q: StreamingQuery = out.writeStream.format("memory").queryName(name)
@@ -153,5 +154,70 @@ class CepSpec extends SparkSuite {
       q.processAllAvailable()
       assert(spark.table(name).count() == 1)
     } finally q.stop()
+  }
+
+  test("streaming CEP requires a state bound (within or cap)") {
+    implicit val sqlCtx = spark.sqlContext
+    val unbounded = Pattern.begin[Ev]("a")(_.kind == "F")
+    val input = MemoryStream[Ev]
+    intercept[IllegalArgumentException] {
+      CEP.streaming[Ev](input.toDS(), _.key, _.ts, unbounded)
+    }
+  }
+
+  test("step: within-horizon eviction bounds the buffer when nothing matches") {
+    // pattern that never matches: F then G (no G ever arrives)
+    val p = Pattern.begin[Ev]("f")(_.kind == "F")
+      .next("g")(_.kind == "G").within(100)
+    val nfa = new NFA[Ev](p, _.ts)
+    var buf = IndexedSeq.empty[Ev]
+    // feed 50 batches of 20 events each, timestamps advancing 10 apart
+    (0 until 50).foreach { b =>
+      val fresh = (0 until 20).map(i => Ev("k", b * 200L + i * 10L, "F", 0))
+      val (ms, retained) = CEP.step[Ev](buf, fresh, p, nfa, _.ts, None)
+      assert(ms.isEmpty)
+      buf = retained
+      // events whose within-window closed are evicted: buffer holds at
+      // most the last `within` span (100ms / 10ms spacing + 1 = 11 events)
+      assert(buf.size <= 11, s"buffer grew to ${buf.size} at batch $b")
+    }
+  }
+
+  test("step: maxBufferPerKey caps state without within") {
+    val p = Pattern.begin[Ev]("f")(_.kind == "F").next("g")(_.kind == "G")
+    val nfa = new NFA[Ev](p, _.ts)
+    var buf = IndexedSeq.empty[Ev]
+    (0 until 30).foreach { b =>
+      val fresh = (0 until 10).map(i => Ev("k", b * 10L + i, "F", 0))
+      val (_, retained) = CEP.step[Ev](buf, fresh, p, nfa, _.ts, Some(25))
+      buf = retained
+    }
+    assert(buf.size == 25)
+    // the cap keeps the NEWEST events
+    assert(buf.last.ts == 299L)
+  }
+
+  test("step: incremental scan still finds matches spanning old and new batches") {
+    val p = Pattern.begin[Ev]("f")(_.kind == "F")
+      .next("g")(_.kind == "G").within(1000)
+    val nfa = new NFA[Ev](p, _.ts)
+    // batch 1: F alone (no match), batch 2: adjacent G completes it
+    val (m1, buf1) = CEP.step[Ev](IndexedSeq.empty, Seq(Ev("k", 10, "F", 0)), p, nfa, _.ts, None)
+    assert(m1.isEmpty && buf1.size == 1)
+    val (m2, buf2) = CEP.step[Ev](buf1, Seq(Ev("k", 20, "G", 0)), p, nfa, _.ts, None)
+    assert(m2.size == 1)
+    assert(buf2.isEmpty) // matched events trimmed (skip past last row)
+  }
+
+  test("step: out-of-order arrival merges into sorted buffer") {
+    val p = Pattern.begin[Ev]("f")(_.kind == "F")
+      .next("g")(_.kind == "G").within(1000)
+    val nfa = new NFA[Ev](p, _.ts)
+    // G arrives first, F (earlier ts) arrives out of order in batch 2:
+    // the merged sorted buffer makes them adjacent → match
+    val (m1, buf1) = CEP.step[Ev](IndexedSeq.empty, Seq(Ev("k", 20, "G", 0)), p, nfa, _.ts, None)
+    assert(m1.isEmpty)
+    val (m2, _) = CEP.step[Ev](buf1, Seq(Ev("k", 10, "F", 0)), p, nfa, _.ts, None)
+    assert(m2.size == 1)
   }
 }
