@@ -112,6 +112,130 @@ object StatefulOps {
     }
   }
 
+  /** Retraction-aware MAX/MIN aggregate — semantics of
+    * flink-table-runtime/.../functions/aggregate/MaxWithRetractAggFunction.java
+    * (and MinWithRetractAggFunction): the accumulator is a value→count
+    * map plus the current extreme. Accumulating only compares against
+    * the extreme (O(1)); retracting the LAST instance of the current
+    * extreme recomputes it from the remaining distinct values — the only
+    * non-O(1) path, taken exactly when the reference walks its sorted
+    * map. Emits the same changelog protocol as [[RetractSumProcessor]]
+    * (+I new group, -U/+U around each change, -D on empty, retraction
+    * for an absent group/value dropped).
+    */
+  case class MinMaxResult(key: String, extreme: Long, count: Long)
+
+  class RetractMinMaxProcessor(isMax: Boolean)
+      extends StatefulProcessor[String, Change[String, Long], Change[String, MinMaxResult]] {
+    @transient private var counts: MapState[Long, Long] = _
+    @transient private var cur: ValueState[MinMaxResult] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      counts = getHandle.getMapState[Long, Long]("counts",
+        Encoders.scalaLong, Encoders.scalaLong, TTLConfig.NONE)
+      cur = getHandle.getValueState[MinMaxResult]("cur",
+        Encoders.product[MinMaxResult], TTLConfig.NONE)
+    }
+
+    private def better(a: Long, b: Long): Long = if (isMax) a max b else a min b
+
+    override def handleInputRows(key: String, rows: Iterator[Change[String, Long]],
+        timerValues: TimerValues): Iterator[Change[String, MinMaxResult]] = {
+      val out = scala.collection.mutable.ArrayBuffer.empty[Change[String, MinMaxResult]]
+      rows.foreach { c =>
+        val prev = if (cur.exists()) Some(cur.get()) else None
+        if (Changelog.isAdd(c.kind)) {
+          val n = if (counts.containsKey(c.value)) counts.getValue(c.value) else 0L
+          counts.updateValue(c.value, n + 1L)
+          prev match {
+            case None =>
+              val next = MinMaxResult(key, c.value, 1L)
+              out += Change(Changelog.Insert, key, next)
+              cur.update(next)
+            case Some(p) =>
+              val next = MinMaxResult(key, better(p.extreme, c.value), p.count + 1)
+              out += Change(Changelog.UpdateBefore, key, p)
+              out += Change(Changelog.UpdateAfter, key, next)
+              cur.update(next)
+          }
+        } else prev match {
+          // retraction for an absent group: no accumulator is created
+          case None => ()
+          case Some(p) =>
+            if (counts.containsKey(c.value)) {
+              val n = counts.getValue(c.value)
+              if (n <= 1L) counts.removeKey(c.value)
+              else counts.updateValue(c.value, n - 1L)
+              if (p.count <= 1L) {
+                out += Change(Changelog.Delete, key, p)
+                cur.clear()
+              } else {
+                val extreme =
+                  if (c.value == p.extreme && !counts.containsKey(c.value)) {
+                    // last instance of the extreme left: recompute
+                    counts.iterator().map(_._1).reduce(better)
+                  } else p.extreme
+                val next = MinMaxResult(key, extreme, p.count - 1)
+                out += Change(Changelog.UpdateBefore, key, p)
+                out += Change(Changelog.UpdateAfter, key, next)
+                cur.update(next)
+              }
+            } // retraction for a never-inserted value: drop
+        }
+      }
+      out.iterator
+    }
+  }
+
+  /** Retraction-aware LISTAGG — semantics of
+    * ListAggWithRetractAggFunction.java: the accumulator is the ordered
+    * element list; retraction removes the FIRST occurrence (reference
+    * List.remove(Object) semantics). The list is the aggregate value
+    * itself, so O(n) state per key is inherent to the function; the
+    * rebuild-on-retract path costs O(n) exactly as the reference's
+    * ArrayList removal does.
+    */
+  case class ListAggResult(key: String, agg: String, count: Long)
+
+  class RetractListAggProcessor(sep: String = ",")
+      extends StatefulProcessor[String, Change[String, String], Change[String, ListAggResult]] {
+    @transient private var items: ListState[String] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      items = getHandle.getListState[String]("items", Encoders.STRING, TTLConfig.NONE)
+
+    override def handleInputRows(key: String, rows: Iterator[Change[String, String]],
+        timerValues: TimerValues): Iterator[Change[String, ListAggResult]] = {
+      val out = scala.collection.mutable.ArrayBuffer.empty[Change[String, ListAggResult]]
+      var cur = items.get().toVector
+      def result(v: Vector[String]) = ListAggResult(key, v.mkString(sep), v.length.toLong)
+      rows.foreach { c =>
+        if (Changelog.isAdd(c.kind)) {
+          if (cur.isEmpty) out += Change(Changelog.Insert, key, result(cur :+ c.value))
+          else {
+            out += Change(Changelog.UpdateBefore, key, result(cur))
+            out += Change(Changelog.UpdateAfter, key, result(cur :+ c.value))
+          }
+          cur = cur :+ c.value
+        } else {
+          val i = cur.indexOf(c.value)
+          if (i >= 0) { // absent element: drop the retraction
+            val next = cur.patch(i, Nil, 1)
+            if (next.isEmpty) out += Change(Changelog.Delete, key, result(cur))
+            else {
+              out += Change(Changelog.UpdateBefore, key, result(cur))
+              out += Change(Changelog.UpdateAfter, key, result(next))
+            }
+            cur = next
+          }
+        }
+      }
+      items.clear()
+      cur.foreach(items.appendValue)
+      out.iterator
+    }
+  }
+
   /** Append-only streaming Top-N — semantics of
     * flink-table-runtime/.../operators/rank/AppendOnlyTopNFunction.java:52:
     * per key, keep the n smallest sort values seen so far; a new row that

@@ -106,6 +106,73 @@ class StatefulOpsSpec extends SparkSuite {
     assert(out(2) == Seq(Change(Changelog.Insert, "k", AggResult("k", 9, 1))))
   }
 
+  test("max-with-retract: retracting the max recomputes from remaining values") {
+    val batches = Seq(
+      Seq(Change(Changelog.Insert, "k", 5L)),
+      Seq(Change(Changelog.Insert, "k", 9L), Change(Changelog.Insert, "k", 7L)),
+      Seq(Change(Changelog.Delete, "k", 9L)), // max leaves → recompute to 7
+      Seq(Change(Changelog.Delete, "k", 7L), Change(Changelog.Delete, "k", 5L)))
+    val out = runBatches[Change[String, Long], Change[String, MinMaxResult]](batches,
+      ds => ds.groupByKey(_.key)
+        .transformWithState(new RetractMinMaxProcessor(isMax = true),
+          TimeMode.None(), OutputMode.Update()))
+    assert(out(0) == Seq(Change(Changelog.Insert, "k", MinMaxResult("k", 5, 1))))
+    assert(out(1) == Seq(
+      Change(Changelog.UpdateBefore, "k", MinMaxResult("k", 5, 1)),
+      Change(Changelog.UpdateAfter, "k", MinMaxResult("k", 9, 2)),
+      Change(Changelog.UpdateBefore, "k", MinMaxResult("k", 9, 2)),
+      Change(Changelog.UpdateAfter, "k", MinMaxResult("k", 9, 3))))
+    assert(out(2) == Seq(
+      Change(Changelog.UpdateBefore, "k", MinMaxResult("k", 9, 3)),
+      Change(Changelog.UpdateAfter, "k", MinMaxResult("k", 7, 2))))
+    // group drains: last change is the delete carrying the final state
+    assert(out(3).last == Change(Changelog.Delete, "k", MinMaxResult("k", 5, 1)))
+  }
+
+  test("min-with-retract: duplicate minimum survives one retraction") {
+    val batches = Seq(
+      Seq(Change(Changelog.Insert, "k", 3L), Change(Changelog.Insert, "k", 3L),
+        Change(Changelog.Insert, "k", 8L)),
+      Seq(Change(Changelog.Delete, "k", 3L))) // one of two 3s: min stays 3
+    val out = runBatches[Change[String, Long], Change[String, MinMaxResult]](batches,
+      ds => ds.groupByKey(_.key)
+        .transformWithState(new RetractMinMaxProcessor(isMax = false),
+          TimeMode.None(), OutputMode.Update()))
+    assert(out(1) == Seq(
+      Change(Changelog.UpdateBefore, "k", MinMaxResult("k", 3, 3)),
+      Change(Changelog.UpdateAfter, "k", MinMaxResult("k", 3, 2))))
+  }
+
+  test("min-with-retract drops retractions for absent groups and values") {
+    val batches = Seq(
+      Seq(Change(Changelog.Delete, "k", 5L)), // absent group
+      Seq(Change(Changelog.Insert, "k", 5L)),
+      Seq(Change(Changelog.Delete, "k", 42L))) // never-inserted value
+    val out = runBatches[Change[String, Long], Change[String, MinMaxResult]](batches,
+      ds => ds.groupByKey(_.key)
+        .transformWithState(new RetractMinMaxProcessor(isMax = false),
+          TimeMode.None(), OutputMode.Update()))
+    assert(out(0).isEmpty)
+    assert(out(2).isEmpty)
+  }
+
+  test("listagg-with-retract removes the first occurrence") {
+    val batches = Seq(
+      Seq(Change(Changelog.Insert, "k", "a"), Change(Changelog.Insert, "k", "b"),
+        Change(Changelog.Insert, "k", "a")),
+      Seq(Change(Changelog.Delete, "k", "a")), // first 'a' leaves → "b,a"
+      Seq(Change(Changelog.Delete, "k", "b"), Change(Changelog.Delete, "k", "a")))
+    val out = runBatches[Change[String, String], Change[String, ListAggResult]](batches,
+      ds => ds.groupByKey(_.key)
+        .transformWithState(new RetractListAggProcessor(),
+          TimeMode.None(), OutputMode.Update()))
+    assert(out(0).last == Change(Changelog.UpdateAfter, "k", ListAggResult("k", "a,b,a", 3)))
+    assert(out(1) == Seq(
+      Change(Changelog.UpdateBefore, "k", ListAggResult("k", "a,b,a", 3)),
+      Change(Changelog.UpdateAfter, "k", ListAggResult("k", "b,a", 2))))
+    assert(out(2).last == Change(Changelog.Delete, "k", ListAggResult("k", "a", 1)))
+  }
+
   test("append-only top-n emits +I on entry and -D on eviction") {
     val batches = Seq(
       Seq(Ranked("k", 1, 30), Ranked("k", 2, 10)),
