@@ -127,15 +127,16 @@ object DedupOps {
     * shingles. Join-based — only the candidate pairs are scored.
     *
     * The candidate pairs (reused by three consumers) and the
-    * candidate-restricted shingle sets are persisted: without this the
-    * whole upstream minhash pipeline re-executes once per consumer, and
-    * the shingle explode runs over the full corpus instead of only the
-    * candidate docs — the difference between O(candidates) and O(corpus)
-    * verification cost at scale.
+    * candidate-restricted shingle sets are cached for the consuming
+    * action ([[CacheOnce]] releases them when it completes): without the
+    * cache the whole upstream minhash pipeline re-executes once per
+    * consumer, and the shingle explode runs over the full corpus instead
+    * of only the candidate docs — the difference between O(candidates)
+    * and O(corpus) verification cost at scale.
     */
   def jaccardVerify(docs: DataFrame, pairs0: DataFrame, shingleN: Int = 3,
       textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
-    val pairs = pairs0.persist()
+    val pairs = pairs0
     val candIds = pairs.select(col("id_a").as("jid"))
       .unionAll(pairs.select(col("id_b").as("jid"))).distinct()
     // Semi-join the corpus down to candidate docs BEFORE shingling: a join
@@ -144,7 +145,7 @@ object DedupOps {
     val candDocs = docs.join(candIds, col(idCol) === col("jid"), "left_semi")
     val sh = candDocs.select(col(idCol).as("jid"),
       explode(array_distinct(shingles(col(textCol), shingleN))).as("sh"))
-      .persist()
+    CacheOnce.untilNextAction(pairs, sh)
     val sizes = sh.groupBy(col("jid")).agg(count(lit(1)).as("n_sh"))
     val inter = pairs
       .join(sh.select(col("jid").as("id_a"), col("sh")), "id_a")

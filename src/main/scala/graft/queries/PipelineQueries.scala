@@ -60,14 +60,16 @@ object PipelineQueries {
     // candidate pairs → exact Jaccard verification (threshold 0.8).
     // Uses the md5-derived hash family the oracle mirrors exactly —
     // candidate sets are hash-family-dependent, so the bench-only
-    // minhashFast variant is NOT oracle-safe here. sig is persisted:
-    // it feeds 4 band branches and a self-join (8 consumers).
+    // minhashFast variant is NOT oracle-safe here. sig is cached for the
+    // consuming action (it feeds 4 band branches and a self-join — 8
+    // consumers) and released by CacheOnce when that action completes.
     "q_dedup_lsh" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
       val withDups = docs.unionAll(
         docs.filter(col("doc_id") % 10 === 0)
           .withColumn("doc_id", col("doc_id") + dupOffset))
-      val sig = DedupOps.minhash(withDups, k = 8).persist()
+      val sig = DedupOps.minhash(withDups, k = 8)
+      graft.operators.CacheOnce.untilNextAction(sig)
       val pairs = DedupOps.candidatePairs(DedupOps.lshBuckets(sig))
       DedupOps.jaccardVerify(withDups, pairs)
         .filter(col("jaccard") >= 0.8)

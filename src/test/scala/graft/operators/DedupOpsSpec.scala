@@ -59,4 +59,19 @@ class DedupOpsSpec extends SparkSuite {
       .as[(Long, Long, Double)].collect()
     assert(verified.exists { case (a, b, j) => a == 1L && b == 2L && j == 1.0 })
   }
+
+  test("dedup pipeline caches are released after the consuming action") {
+    val df = (0 until 40).map(i =>
+      (i.toLong, s"tok${i % 7} tok${(i + 1) % 7} tok${(i + 2) % 7} common words here"))
+      .toDF("doc_id", "text")
+    val pairs = DedupOps.candidatePairs(
+      DedupOps.lshBuckets(DedupOps.minhash(df, k = 8)))
+    val n = DedupOps.jaccardVerify(df, pairs).count() // the consuming action
+    assert(n >= 0)
+    // CacheOnce releases asynchronously on the listener bus — poll
+    val deadline = System.nanoTime() + 15e9.toLong
+    def leaked = spark.sparkContext.getPersistentRDDs
+    while (leaked.nonEmpty && System.nanoTime() < deadline) Thread.sleep(100)
+    assert(leaked.isEmpty, s"persisted RDDs leaked: ${leaked.values.map(_.name)}")
+  }
 }
