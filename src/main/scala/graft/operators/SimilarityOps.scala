@@ -69,6 +69,111 @@ object SimilarityOps {
       .filter(col("rank") <= k)
   }
 
+  /** Deterministic coarse centroids for IVF: the `nCells` lowest-id
+    * corpus vectors, as (seed_id, s_emb). Any coarse quantizer works for
+    * IVF; seeding from fixed ids keeps the whole pipeline reproducible
+    * and SQL-oracle-expressible. Refine with [[lloydIterate]] when the
+    * data is clusterable.
+    */
+  def seedCentroids(corpus: DataFrame, nCells: Int,
+      idCol: String = "vec_id", embCol: String = "embedding"): DataFrame =
+    corpus.orderBy(col(idCol)).limit(nCells)
+      .select(col(idCol).as("seed_id"),
+        transform(col(embCol), _.cast(DoubleType)).as("s_emb"))
+
+  /** The centroid set folded into ONE broadcastable row holding a sorted
+    * (seed_id, s_emb) array — the "model" that assignment projects over.
+    */
+  private def centroidArray(centroids: DataFrame): DataFrame =
+    centroids.agg(sort_array(
+      collect_list(struct(col("seed_id"), col("s_emb")))).as("cents"))
+
+  /** Nearest-centroid id for `emb` — a pure projection folding over the
+    * centroid array (argmax cosine, ties to the lower seed_id). This is
+    * the 100 TB-critical piece: corpus assignment needs NO shuffle and NO
+    * per-vector join, just a broadcast of O(nCells·dim) model state.
+    */
+  private def nearestCell(cents: Column, emb: Column): Column =
+    aggregate(cents,
+      struct(lit(-1L).as("cell"), lit(-2.0).as("best")),
+      (acc, s) => {
+        val c = cosine(emb, s.getField("s_emb"))
+        when(c > acc.getField("best"),
+          struct(s.getField("seed_id").as("cell"), c.as("best")))
+          .otherwise(acc)
+      }).getField("cell")
+
+  /** One Lloyd iteration: assign every corpus vector to its nearest
+    * centroid, then recompute each centroid as the per-dimension mean of
+    * its cell. Fully declarative — assignment is a projection, the
+    * recompute is one partial-aggregated groupBy of nCells rows; the
+    * centroid "model" never leaves the cluster.
+    */
+  def lloydIterate(corpus: DataFrame, centroids: DataFrame, dim: Int,
+      idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
+    val assigned = corpus
+      .crossJoin(broadcast(centroidArray(centroids)))
+      .select(col(idCol),
+        nearestCell(col("cents"), col(embCol)).as("seed_id"),
+        col(embCol).as("e"))
+    val means = (0 until dim).map(i =>
+      avg(element_at(col("e"), i + 1).cast(DoubleType)).as(s"m$i"))
+    assigned.groupBy(col("seed_id"))
+      .agg(means.head, means.tail: _*)
+      .select(col("seed_id"),
+        array((0 until dim).map(i => col(s"m$i")): _*).as("s_emb"))
+  }
+
+  /** End-to-end IVF approximate top-k over raw embeddings: corpus vectors
+    * are assigned to their nearest coarse centroid (projection, no
+    * shuffle); each query probes its `nProbe` nearest cells (multi-probe)
+    * and scores only those cells' vectors. Scored pairs shrink by
+    * ~nProbe/nCells at the classic IVF recall cost; nProbe = nCells
+    * degrades gracefully to exact brute force.
+    */
+  def ivfTopKWith(queries: DataFrame, corpus: DataFrame, centroids: DataFrame,
+      k: Int, nProbe: Int,
+      idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
+    val assigned = corpus
+      .crossJoin(broadcast(centroidArray(centroids)))
+      .select(col(idCol).as("c_id"), col(embCol).as("c_emb"),
+        nearestCell(col("cents"), col(embCol)).as("cell"))
+    // query side is small: rank all cells per query, keep nProbe
+    val wq = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id")).orderBy(col("scos").desc, col("seed_id"))
+    val probes = queries
+      .select(col(idCol).as("q_id"), col(embCol).as("q_emb"))
+      .crossJoin(broadcast(centroids))
+      .select(col("q_id"), col("q_emb"), col("seed_id"),
+        cosine(col("q_emb"), col("s_emb")).as("scos"))
+      .withColumn("rn", row_number().over(wq))
+      .filter(col("rn") <= nProbe)
+      .select(col("q_id"), col("q_emb"), col("seed_id").as("cell"))
+    val scored = probes.join(assigned, "cell")
+      .filter(col("q_id") =!= col("c_id"))
+      .select(col("q_id"), col("c_id"),
+        cosine(col("q_emb"), col("c_emb")).as("cos"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id")).orderBy(col("cos").desc, col("c_id"))
+    scored
+      .select(col("q_id"), col("c_id"), col("cos"),
+        row_number().over(w).cast(LongType).as("rank"))
+      .filter(col("rank") <= k)
+  }
+
+  /** IVF top-k with deterministic seeded centroids (the oracle-checked
+    * form); `lloydIters > 0` refines the centroids first (k-means-lite).
+    */
+  def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+      nCells: Int, nProbe: Int, lloydIters: Int = 0, dim: Int = 64,
+      idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
+    var cents = seedCentroids(corpus, nCells, idCol, embCol)
+    (0 until lloydIters).foreach { _ =>
+      cents = lloydIterate(corpus, cents, dim, idCol, embCol)
+    }
+    ivfTopKWith(queries, corpus, cents, k, nProbe, idCol, embCol)
+  }
+
   /** Random-hyperplane LSH bucket id (`bits` sign bits) — the embedding
     * analogue of MinHash banding: vectors sharing a bucket are cosine-close
     * with high probability. Hyperplanes are deterministic pseudo-random

@@ -116,6 +116,19 @@ object PipelineQueries {
         .orderBy(col("q_id"), col("rank"))
     }),
 
+    // End-to-end IVF ANN over raw embeddings (SimilarityOps.ivfTopK):
+    // deterministic seeded coarse centroids, projection-only corpus
+    // assignment (no shuffle), query-side multi-probe (3 of 8 cells).
+    // The oracle reproduces the identical quantizer, so this checks the
+    // full assign→probe→score→rank pipeline cross-engine.
+    "q_sim_ann" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      SimilarityOps.ivfTopK(emb.filter(col("vec_id") < 10), emb,
+          k = 5, nCells = 8, nProbe = 3)
+        .withColumn("cos", round(col("cos"), 6))
+        .orderBy(col("q_id"), col("rank"))
+    }),
+
     // Random-hyperplane LSH bucketing over embeddings
     // (SimilarityOps.rpLshBucket): 6 sign bits from deterministic
     // md5-derived hyperplanes — the bucket-join scale path for cosine
@@ -320,6 +333,40 @@ object PipelineQueries {
         |  FROM scored)
         |SELECT q_id, c_id, round(cos, 6) AS cos, rank FROM r
         |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin,
+
+    "q_sim_ann" -> {
+      val cosSql = (a: String, b: String) =>
+        s"list_dot_product($a, $b) / (sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b)))"
+      s"""WITH seeds AS (
+        |  SELECT vec_id AS seed_id, embedding::DOUBLE[] AS se
+        |  FROM embeddings ORDER BY vec_id LIMIT 8),
+        |c AS (SELECT vec_id AS c_id, embedding::DOUBLE[] AS ce FROM embeddings),
+        |cass AS (
+        |  SELECT c_id, ce, seed_id AS cell FROM (
+        |    SELECT c.c_id, c.ce, s.seed_id,
+        |      row_number() OVER (PARTITION BY c.c_id
+        |        ORDER BY ${cosSql("c.ce", "s.se")} DESC, s.seed_id) AS rn
+        |    FROM c, seeds s)
+        |  WHERE rn = 1),
+        |q AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS qe
+        |      FROM embeddings WHERE vec_id < 10),
+        |qprobe AS (
+        |  SELECT q_id, qe, cell FROM (
+        |    SELECT q.q_id, q.qe, s.seed_id AS cell,
+        |      row_number() OVER (PARTITION BY q.q_id
+        |        ORDER BY ${cosSql("q.qe", "s.se")} DESC, s.seed_id) AS rn
+        |    FROM q, seeds s)
+        |  WHERE rn <= 3),
+        |scored AS (
+        |  SELECT p.q_id, a.c_id, ${cosSql("p.qe", "a.ce")} AS cos
+        |  FROM qprobe p JOIN cass a ON p.cell = a.cell
+        |  WHERE p.q_id <> a.c_id),
+        |r AS (SELECT q_id, c_id, cos,
+        |  CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id) AS BIGINT) AS rank
+        |  FROM scored)
+        |SELECT q_id, c_id, round(cos, 6) AS cos, rank FROM r
+        |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin
+    },
 
     "q_sim_rplsh" -> {
       // reproduce the hyperplane signs: md5("b:i") first hex digit parity

@@ -1,0 +1,102 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.SparkSuite
+
+/** ANN quality properties: recall vs brute force on clusterable data
+  * (the honest ANN measurement — on uniform random vectors no index can
+  * beat scanning), degradation to exact when probing every cell, and
+  * Lloyd refinement convergence.
+  */
+class SimilarityOpsSpec extends SparkSuite {
+  import spark.implicits._
+
+  private val Dim = 16
+  private val Cells = 8
+  private val PerCluster = 40
+
+  /** 8 well-separated cluster centers; point i belongs to cluster i % 8
+    * with small deterministic noise, so the seed centroids (the 8 lowest
+    * ids) start one-per-cluster — the quantizer fits the data and IVF
+    * recall is meaningfully high.
+    */
+  private lazy val corpus: DataFrame = {
+    val centerRng = new scala.util.Random(7)
+    val centers = Array.fill(Cells, Dim)(centerRng.nextGaussian())
+    (0 until Cells * PerCluster).map { i =>
+      val c = centers(i % Cells)
+      val rng = new scala.util.Random(1000 + i)
+      val v = c.map(x => (x + 0.15 * rng.nextGaussian()).toFloat)
+      (i.toLong, v, i % Cells)
+    }.toDF("vec_id", "embedding", "label")
+  }
+
+  private def pairs(df: DataFrame): Set[(Long, Long)] =
+    df.select("q_id", "c_id").as[(Long, Long)].collect().toSet
+
+  private def recall(approx: DataFrame, exact: DataFrame): Double = {
+    val e = pairs(exact)
+    val a = pairs(approx)
+    e.intersect(a).size.toDouble / e.size
+  }
+
+  test("IVF multi-probe reaches recall >= 0.9 on clustered data") {
+    val queries = corpus.filter($"vec_id" < 24) // 3 queries per cluster
+    val exact = SimilarityOps.bruteForceTopK(queries, corpus, k = 5)
+    val ann = SimilarityOps.ivfTopK(queries, corpus, k = 5,
+      nCells = Cells, nProbe = 2, dim = Dim)
+    val r = recall(ann, exact)
+    assert(r >= 0.9, s"recall $r < 0.9")
+    // multi-probe is monotone: probing more cells never loses neighbors
+    val ann1 = SimilarityOps.ivfTopK(queries, corpus, k = 5,
+      nCells = Cells, nProbe = 1, dim = Dim)
+    assert(recall(ann1, exact) <= r)
+  }
+
+  test("probing every cell degrades IVF to exact brute force") {
+    val queries = corpus.filter($"vec_id" < 16)
+    val exact = SimilarityOps.bruteForceTopK(queries, corpus, k = 5)
+      .select($"q_id", $"c_id", round($"cos", 9).as("cos"), $"rank")
+    val full = SimilarityOps.ivfTopK(queries, corpus, k = 5,
+      nCells = Cells, nProbe = Cells, dim = Dim)
+      .select($"q_id", $"c_id", round($"cos", 9).as("cos"), $"rank")
+    assert(full.collect().toSet == exact.collect().toSet)
+  }
+
+  test("Lloyd iterations converge centroids to the true cluster means") {
+    var cents = SimilarityOps.seedCentroids(corpus, Cells)
+    (0 until 3).foreach { _ =>
+      cents = SimilarityOps.lloydIterate(corpus, cents, Dim)
+    }
+    // after refinement, every corpus point's nearest centroid cell is
+    // shared by >= 95% of its true cluster (clusters are well-separated,
+    // so converged centroids induce the true partition)
+    val labeled = corpus.crossJoin(
+        broadcast(cents.agg(sort_array(
+          collect_list(struct($"seed_id", $"s_emb"))).as("cents"))))
+      .select($"label",
+        aggregate($"cents",
+          struct(lit(-1L).as("cell"), lit(-2.0).as("best")),
+          (acc, s) => {
+            val c = SimilarityOps.cosine($"embedding", s.getField("s_emb"))
+            when(c > acc.getField("best"),
+              struct(s.getField("seed_id").as("cell"), c.as("best"))).otherwise(acc)
+          }).getField("cell").as("cell"))
+    // purity: the dominant cell per label covers >= 95% of the label
+    val purity = labeled.groupBy($"label", $"cell").count()
+      .groupBy($"label").agg((max($"count") / sum($"count")).as("purity"))
+      .agg(min($"purity")).as[Double].head()
+    assert(purity >= 0.95, s"cluster purity $purity < 0.95")
+  }
+
+  test("trained centroids keep IVF recall on clustered data") {
+    val queries = corpus.filter($"vec_id" < 16)
+    val exact = SimilarityOps.bruteForceTopK(queries, corpus, k = 5)
+    val ann = SimilarityOps.ivfTopK(queries, corpus, k = 5,
+      nCells = Cells, nProbe = 2, lloydIters = 2, dim = Dim)
+    val r = recall(ann, exact)
+    assert(r >= 0.9, s"trained recall $r < 0.9")
+  }
+}
