@@ -209,6 +209,42 @@ object FunctionQueries {
         .orderBy($"n_nationkey")
     }),
 
+    // JSON constructors (JSON_OBJECT:2324, JSON_ARRAY:2442, IS_JSON:2455
+    // in BuiltInFunctionDefinitions.java) — codegen'd concat trees over
+    // the JsonScalar serializer (graft.functions.JsonConstructors) with
+    // the reference's NULL ON NULL / ABSENT ON NULL defaults.
+    "q_fn_jsonctor" -> ((s, dir) => {
+      import s.implicits._
+      import graft.functions.JsonConstructors._
+      val maybe = when($"n_regionkey" > 2, $"n_name")
+      t(s, dir, "nation")
+        .select(
+          $"n_nationkey",
+          jsonObject(Seq(lit("name") -> $"n_name", lit("region") -> $"n_regionkey"))
+            .as("obj"),
+          jsonObject(Seq(lit("maybe") -> maybe)).as("obj_nullonnull"),
+          jsonObject(Seq(lit("maybe") -> maybe), nullOnNull = false).as("obj_absent"),
+          jsonArray(Seq($"n_name", $"n_nationkey")).as("arr"),
+          isJson($"n_name").as("raw_is_json"),
+          isJson(jsonObject(Seq(lit("k") -> $"n_nationkey")), "object").as("obj_is_obj"),
+          isJson(concat(lit("["), $"n_nationkey", lit("]")), "array").as("arr_is_arr"),
+          isJson($"n_nationkey".cast(StringType), "scalar").as("num_is_scalar"))
+        .orderBy($"n_nationkey")
+    }),
+
+    // JSON aggregates (JSON_OBJECTAGG:2406, JSON_ARRAYAGG:2442) — the
+    // deterministic (sorted) forms; partial aggregation is collect_list's.
+    "q_fn_jsonagg" -> ((s, dir) => {
+      import s.implicits._
+      import graft.functions.JsonConstructors._
+      t(s, dir, "nation")
+        .groupBy($"n_regionkey")
+        .agg(
+          jsonArrayAgg($"n_name").as("names_json"),
+          jsonObjectAgg($"n_name", $"n_nationkey").as("keys_json"))
+        .orderBy($"n_regionkey")
+    }),
+
     // Conditional family (COALESCE:221, IFNULL:135, GREATEST:688,
     // LEAST:698, nullif, ifThenElse:525, TRY_CAST:2501).
     "q_fn_conditional" -> ((s, dir) => {
@@ -472,6 +508,34 @@ object FunctionQueries {
         |  CAST(NULL AS VARCHAR) AS q_scalar,
         |  '["' || n_name || '"]' AS q_wrapped
         |FROM d ORDER BY n_nationkey""".stripMargin,
+
+    "q_fn_jsonctor" ->
+      """SELECT n_nationkey,
+        |  '{"name":' || to_json(n_name) || ',"region":' || to_json(n_regionkey) || '}' AS obj,
+        |  CASE WHEN n_regionkey > 2
+        |       THEN '{"maybe":' || to_json(n_name) || '}'
+        |       ELSE '{"maybe":null}' END AS obj_nullonnull,
+        |  CASE WHEN n_regionkey > 2
+        |       THEN '{"maybe":' || to_json(n_name) || '}'
+        |       ELSE '{}' END AS obj_absent,
+        |  '[' || to_json(n_name) || ',' || to_json(n_nationkey) || ']' AS arr,
+        |  json_valid(n_name) AS raw_is_json,
+        |  (json_valid('{"k":' || n_nationkey || '}')
+        |    AND json_type(('{"k":' || n_nationkey || '}')::JSON) = 'OBJECT') AS obj_is_obj,
+        |  (json_valid('[' || n_nationkey || ']')
+        |    AND json_type(('[' || n_nationkey || ']')::JSON) = 'ARRAY') AS arr_is_arr,
+        |  (json_valid(CAST(n_nationkey AS VARCHAR))
+        |    AND json_type(CAST(n_nationkey AS VARCHAR)::JSON) NOT IN ('OBJECT', 'ARRAY'))
+        |    AS num_is_scalar
+        |FROM nation ORDER BY n_nationkey""".stripMargin,
+
+    "q_fn_jsonagg" ->
+      """SELECT n_regionkey,
+        |  '[' || coalesce(string_agg(to_json(n_name), ',' ORDER BY n_name), '') || ']'
+        |    AS names_json,
+        |  '{' || coalesce(string_agg(to_json(n_name) || ':' || to_json(n_nationkey),
+        |           ',' ORDER BY n_name, n_nationkey), '') || '}' AS keys_json
+        |FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin,
 
     "q_fn_conditional" ->
       """SELECT c_custkey,
