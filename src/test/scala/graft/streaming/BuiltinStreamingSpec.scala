@@ -163,33 +163,65 @@ class BuiltinStreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
-  test("streaming temporal join resolves probes against versioned state") {
+  test("streaming temporal join resolves probes at the watermark, out of order") {
     import TemporalJoin._
     implicit val sqlCtx = spark.sqlContext
-    val input = MemoryStream[ProbeOrVersion]
-    val out = input.toDS().groupByKey(_.key)
+    val input = MemoryStream[TemporalEvent]
+    val out = input.toDS()
+      .withWatermark("eventTime", "0 milliseconds")
+      .groupByKey(_.key)
       .transformWithState(new TemporalJoinProcessor(),
-        TimeMode.None(), OutputMode.Update())
+        TimeMode.EventTime(), OutputMode.Append())
     val name = s"tj_${System.nanoTime()}"
     val q = out.writeStream.format("memory").queryName(name)
-      .outputMode("update").option("checkpointLocation", tmpDir("ckpt")).start()
+      .outputMode("append").option("checkpointLocation", tmpDir("ckpt")).start()
     try {
-      // batch 1: two versions of rate=A, one early probe
+      // batch 1: the PROBE at 150 arrives BEFORE the version at 100 —
+      // watermark buffering must still match them (TemporalRowTimeJoin
+      // semantics, impossible with process-as-it-arrives)
       input.addData(Seq(
-        ProbeOrVersion("A", 100L, isProbe = false, 0L, 10L),
-        ProbeOrVersion("A", 200L, isProbe = false, 0L, 20L),
-        ProbeOrVersion("A", 150L, isProbe = true, 1L, 0L)))
+        TemporalEvent("A", ts(1), isProbe = true, 2L, 0L), // no version yet
+        TemporalEvent("A", ts(150), isProbe = true, 1L, 0L),
+        TemporalEvent("A", ts(100), isProbe = false, 0L, 10L),
+        TemporalEvent("A", ts(200), isProbe = false, 0L, 20L)))
       q.processAllAvailable()
-      // batch 2: probes before any version / after latest
+      // batch 2: late probe (behind watermark 200) is dropped; probe at
+      // 500 resolves against version 200 once the sentinel advances wm
       input.addData(Seq(
-        ProbeOrVersion("A", 50L, isProbe = true, 2L, 0L),
-        ProbeOrVersion("A", 500L, isProbe = true, 3L, 0L)))
+        TemporalEvent("A", ts(50), isProbe = true, 9L, 0L),
+        TemporalEvent("A", ts(500), isProbe = true, 3L, 0L)))
+      q.processAllAvailable()
+      input.addData(Seq(TemporalEvent("A", ts(9000), isProbe = false, 0L, 99L)))
+      q.processAllAvailable()
+      input.addData(Seq(TemporalEvent("A", ts(20000), isProbe = true, 8L, 0L)))
       q.processAllAvailable()
       val rows = spark.table(name).as[AsOfMatch].collect()
-        .map(m => m.probeId -> (m.versionTs, m.value, m.matched)).toMap
-      assert(rows(1L) == ((100L, 10L, true)))  // version@100 current at 150
-      assert(rows(2L) == ((-1L, -1L, false)))  // no version yet at 50
-      assert(rows(3L) == ((200L, 20L, true)))  // latest version
+        .map(m => m.probeId -> ((m.versionTs, m.value, m.matched))).toMap
+      assert(rows(1L) == ((100000L, 10L, true)))  // version@100s current at 150s
+      assert(rows(2L) == ((-1L, -1L, false)))     // probe before any version
+      assert(rows(3L) == ((200000L, 20L, true)))  // resolved after wm passed 500s
+      assert(!rows.contains(9L))               // late probe dropped
     } finally q.stop()
+  }
+
+  test("temporal advance: GC keeps only the current version at the watermark") {
+    import TemporalJoin._
+    val versions = Seq((100L, 10L), (200L, 20L), (300L, 30L), (400L, 40L))
+    val (out, remaining, evict) = advance("k",
+      Seq(ProbeBuf(250L, 1L), ProbeBuf(350L, 2L), ProbeBuf(999L, 3L)),
+      versions, wm = 350L)
+    // probes ≤ wm resolve in order; the 999 probe stays buffered
+    assert(out.map(m => (m.probeId, m.versionTs, m.value)) ==
+      Seq((1L, 200L, 20L), (2L, 300L, 30L)))
+    assert(remaining == Seq(ProbeBuf(999L, 3L)))
+    // versions 100 and 200 are superseded by 300 at wm=350; 300 stays
+    // current, 400 is still future
+    assert(evict == Seq(100L, 200L))
+  }
+
+  test("temporal advance: nothing evicted before the second version matures") {
+    import TemporalJoin._
+    val (_, _, evict) = advance("k", Nil, Seq((100L, 1L), (200L, 2L)), wm = 150L)
+    assert(evict.isEmpty) // 100 is still the current version at wm=150
   }
 }
