@@ -26,13 +26,17 @@ object Bench {
     // Stdout capture may truncate a long line; persist the full JSON to a
     // file and print it first, then a short self-contained summary line
     // LAST so a tail-capture always sees one complete JSON object.
+    val outPath = sys.props.getOrElse("graft.bench.out",
+      java.nio.file.Paths.get(sys.props.getOrElse("user.dir", "."),
+        "bench_out.json").toString)
     try {
       java.nio.file.Files.write(
-        java.nio.file.Paths.get("/root/repo/bench_out.json"),
-        full.getBytes("UTF-8"))
-    } catch { case _: Throwable => () }
+        java.nio.file.Paths.get(outPath), full.getBytes("UTF-8"))
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] could not write $outPath: ${e.getMessage}")
+    }
     println(full)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","queries_file":"/root/repo/bench_out.json"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","queries_file":"$outPath"}""")
     spark.stop()
   }
 }

@@ -173,14 +173,21 @@ object JsonPathUtil {
       else scalarText(rs.head)
     } catch { case _: PathError => onError }
 
-  /** wrapper: 0 = without, 1 = with (unconditional), 2 = conditional. */
+  /** wrapper: 0 = without, 1 = with (unconditional), 2 = conditional.
+    * An empty path result is NULL ON EMPTY in every wrapper mode (the
+    * standard applies ON EMPTY before wrapping — Calcite/the reference
+    * return NULL, not `[]`).
+    */
   def jsonQuery(json: UTF8String, path: UTF8String, wrapper: Int): UTF8String =
     try {
       val rs = evalPath(json.toString, parsePath(path.toString))
       wrapper match {
-        case 1 => UTF8String.fromString(rs.mkString("[", ",", "]"))
+        case 1 =>
+          if (rs.isEmpty) null
+          else UTF8String.fromString(rs.mkString("[", ",", "]"))
         case 2 =>
-          if (rs.size == 1 && rs.head.isContainerNode)
+          if (rs.isEmpty) null
+          else if (rs.size == 1 && rs.head.isContainerNode)
             UTF8String.fromString(rs.head.toString)
           else UTF8String.fromString(rs.mkString("[", ",", "]"))
         case _ =>
@@ -335,7 +342,25 @@ object JsonFunctions {
       new ExpressionInfo(classOf[JsonQuery].getName, "json_query"),
       (cs: Seq[Expression]) => cs match {
         case Seq(a, b) => JsonQuery(a, b, Literal(0))
-        case Seq(a, b, c) => JsonQuery(a, b, c)
+        case Seq(a, b, c) =>
+          // validate the wrapper argument at analysis time: an integer
+          // 0..2 or a 'without'/'with'/'conditional' string literal —
+          // anything else would ClassCastException at runtime otherwise
+          c match {
+            case Literal(i: Int, _) if i >= 0 && i <= 2 => JsonQuery(a, b, c)
+            case Literal(s: org.apache.spark.unsafe.types.UTF8String, _) =>
+              val w = s.toString.toLowerCase match {
+                case "without" => 0
+                case "with" => 1
+                case "conditional" => 2
+                case other => throw new IllegalArgumentException(
+                  s"json_query wrapper must be without/with/conditional, got '$other'")
+              }
+              JsonQuery(a, b, Literal(w))
+            case other => throw new IllegalArgumentException(
+              "json_query wrapper argument must be an integer 0..2 or a " +
+                s"'without'/'with'/'conditional' literal, got $other")
+          }
         case _ => throw new IllegalArgumentException("json_query expects 2 or 3 arguments")
       })
   }

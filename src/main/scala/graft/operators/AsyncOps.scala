@@ -51,7 +51,12 @@ object AsyncOps {
           fill()
           // head completes first in emission order regardless of the
           // completion order behind it
-          Await.result(inFlight.dequeue(), Duration(timeoutMs, TimeUnit.MILLISECONDS))
+          try Await.result(inFlight.dequeue(), Duration(timeoutMs, TimeUnit.MILLISECONDS))
+          catch { case t: Throwable =>
+            // a failed/timed-out future aborts the task: release the pool
+            // and user resources before rethrowing (no thread leak)
+            pool.shutdownNow(); fn.close(); throw t
+          }
         }
       }
     }
@@ -89,8 +94,14 @@ object AsyncOps {
         def next(): O = {
           fill()
           val o = queue.poll(timeoutMs, TimeUnit.MILLISECONDS)
-          if (o == null) throw new java.util.concurrent.TimeoutException("async I/O timeout")
-          o.get
+          try {
+            if (o == null) throw new java.util.concurrent.TimeoutException("async I/O timeout")
+            o.get
+          } catch { case t: Throwable =>
+            // failure aborts the task: release the pool and user
+            // resources before rethrowing (no thread leak per partition)
+            pool.shutdownNow(); fn.close(); throw t
+          }
         }
       }
     }

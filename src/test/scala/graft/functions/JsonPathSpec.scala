@@ -82,6 +82,21 @@ class JsonPathSpec extends AnyFunSuite with SparkSuite {
     assert(jq(doc, "$.arr", 2) == "[1,2,3]") // conditional: container kept as-is
     assert(jq(doc, "$.a.b", 2) == "[7]") // conditional: scalar wrapped
     assert(jq(doc, "$.missing") == null)
+    // NULL ON EMPTY applies BEFORE wrapping: empty is NULL, not []
+    assert(jq(doc, "$.missing", 1) == null)
+    assert(jq(doc, "$.missing", 2) == null)
+  }
+
+  test("json_query wrapper argument validated at analysis time") {
+    JsonFunctions.register(spark)
+    // string wrapper-mode literal accepted
+    assert(spark.sql(s"SELECT json_query('$doc', '$$.a.b', 'with')")
+      .head().getString(0) == "[7]")
+    // bad literal rejected at analysis, not a runtime ClassCastException
+    val e = intercept[Exception] {
+      spark.sql(s"SELECT json_query('$doc', '$$.a.b', 'sideways')").collect()
+    }
+    assert(e.getMessage.contains("without/with/conditional"))
   }
 
   test("bracket field access and wildcards") {
