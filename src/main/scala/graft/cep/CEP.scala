@@ -23,13 +23,14 @@ object CEP {
 
   /** Batch CEP over a bounded Dataset (BatchExecMatch parity). */
   def batch[E: Encoder](events: Dataset[E], keyFn: E => String,
-      tsFn: E => Long, pattern: Pattern[E])(
+      tsFn: E => Long, pattern: Pattern[E],
+      skip: AfterMatchSkip = AfterMatchSkip.SkipPastLastRow)(
       implicit outEnc: Encoder[CepMatch[E]]): Dataset[CepMatch[E]] = {
     implicit val strEnc: Encoder[String] = Encoders.STRING
     val nfa = new NFA[E](pattern, tsFn)
     events.groupByKey(keyFn).flatMapGroups { (key, it) =>
       val sorted = it.toIndexedSeq.sortBy(tsFn)
-      nfa.findMatches(sorted).iterator.map { case (s, e, m) =>
+      nfa.findMatches(sorted, 0, skip).iterator.map { case (s, e, m) =>
         CepMatch(key, tsFn(sorted(s)), tsFn(sorted(e)), m)
       }
     }

@@ -56,7 +56,8 @@ object MatchRecognize {
       measures: Seq[(Ex, String)],
       pattern: Seq[PatVar],
       withinMicros: Option[Long],
-      defines: Map[String, Ex])
+      defines: Map[String, Ex],
+      skip: AfterMatchSkip = AfterMatchSkip.SkipPastLastRow)
 
   // ---------------------------------------------------------- tokenizer
 
@@ -235,9 +236,18 @@ object MatchRecognize {
     }
 
     if (p.accept("ONE")) { p.expect("ROW"); p.expect("PER"); p.expect("MATCH") }
+    var skip: AfterMatchSkip = AfterMatchSkip.SkipPastLastRow
     if (p.accept("AFTER")) {
-      p.expect("MATCH"); p.expect("SKIP"); p.expect("PAST")
-      p.expect("LAST"); p.expect("ROW")
+      p.expect("MATCH"); p.expect("SKIP")
+      if (p.accept("PAST")) { p.expect("LAST"); p.expect("ROW") }
+      else {
+        p.expect("TO")
+        if (p.accept("NEXT")) { p.expect("ROW"); skip = AfterMatchSkip.SkipToNext }
+        else if (p.accept("FIRST")) skip = AfterMatchSkip.SkipToFirst(p.ident())
+        else if (p.accept("LAST")) skip = AfterMatchSkip.SkipToLast(p.ident())
+        else throw new IllegalArgumentException(
+          s"MATCH_RECOGNIZE: unsupported skip strategy at '${p.peek}'")
+      }
     }
 
     p.expect("PATTERN")
@@ -269,7 +279,7 @@ object MatchRecognize {
       }
     }
     require(p.atEnd, s"MATCH_RECOGNIZE: trailing tokens at '${p.peek}'")
-    Spec(partitionBy, orderBy, measures.result(), pat, within, defines)
+    Spec(partitionBy, orderBy, measures.result(), pat, within, defines, skip)
   }
 
   // --------------------------------------------------------- evaluation
@@ -477,7 +487,7 @@ object MatchRecognize {
     df.groupByKey(r => partIdx.map(i => String.valueOf(r.get(i))).mkString(" "))
       .flatMapGroups { (_, it) =>
         val sorted = it.toIndexedSeq.sortBy(sortKey)(SeqAnyOrdering)
-        nfa.findMatches(sorted).iterator.map { case (s, _, m) =>
+        nfa.findMatches(sorted, 0, spec.skip).iterator.map { case (s, _, m) =>
           val stageMap: Map[String, IndexedSeq[Row]] =
             m.groupBy(_._1).map { case (k, vs) => k -> vs.flatMap(_._2).toIndexedSeq }
           val anchor = sorted(s)

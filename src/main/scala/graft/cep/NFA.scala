@@ -3,8 +3,15 @@ package graft.cep
 /** Backtracking matcher over an ordered event sequence — the engine's
   * equivalent of the reference's NFA + SharedBuffer
   * (flink-libraries/flink-cep/.../nfa/NFA.java:85): greedy quantifiers
-  * with backtracking, strict/relaxed contiguity, within-window pruning,
-  * AFTER MATCH SKIP PAST LAST ROW.
+  * with backtracking, strict/relaxed/non-deterministic contiguity,
+  * within-window pruning, until-conditions, and the after-match skip
+  * strategies (AfterMatchSkipStrategy.java: NO_SKIP, SKIP_TO_NEXT,
+  * SKIP_PAST_LAST_ROW, SKIP_TO_FIRST, SKIP_TO_LAST).
+  *
+  * Deterministic stages (`next`/`followedBy`) contribute exactly one
+  * greedy branch; `followedByAny` stages (Contiguity.AnyRelaxed) branch
+  * over every candidate position, the reference's non-deterministic
+  * relaxed contiguity — match multiplicity comes only from Any stages.
   *
   * `timestampOf` supplies event time for the `within` constraint.
   */
@@ -12,6 +19,9 @@ class NFA[E](pattern: Pattern[E], timestampOf: E => Long) extends Serializable {
 
   /** One complete match: stage name → the events it consumed, in order. */
   type Match = Seq[(String, Seq[E])]
+
+  /** Internal match: stage name → consumed event INDICES (for skip-to). */
+  private type IMatch = Vector[(String, Vector[Int])]
 
   /** Timed-out partial matches (the reference's CEP timeout side output,
     * PatternStream.select timeout variant / CepOperator timed-out
@@ -30,109 +40,143 @@ class NFA[E](pattern: Pattern[E], timestampOf: E => Long) extends Serializable {
             !covered.contains(i) &&
               pattern.stages.head.predicate(events(i)) &&
               timestampOf(events(i)) + w < nowTs &&
-              matchAt(events, i).isEmpty
+              matchesAt(events, i).isEmpty
           }
           .map(events)
     }
 
-  /** All non-overlapping matches over `events` (assumed time-ordered),
-    * scanning left to right with skip-past-last-row after each match.
-    * `from` skips anchors before that index — the incremental-scan entry
-    * for streaming CEP, where anchors whose within-window closed before
-    * any new event are known-failed (CEP.step).
+  /** Matches over `events` (assumed time-ordered) under the given
+    * after-match skip strategy; `from` skips anchors before that index —
+    * the incremental-scan entry for streaming CEP (CEP.step).
     */
-  def findMatches(events: IndexedSeq[E], from: Int = 0): Seq[(Int, Int, Match)] = {
+  def findMatches(events: IndexedSeq[E], from: Int = 0,
+      skip: AfterMatchSkip = AfterMatchSkip.SkipPastLastRow): Seq[(Int, Int, Match)] = {
     val out = scala.collection.mutable.ArrayBuffer.empty[(Int, Int, Match)]
     var start = from max 0
     while (start < events.length) {
-      matchAt(events, start) match {
-        case Some((endIdx, m)) =>
-          out += ((start, endIdx, m))
-          start = endIdx + 1 // SKIP PAST LAST ROW
-        case None =>
-          start += 1
+      val ms = matchesAt(events, start)
+      if (ms.isEmpty) start += 1
+      else {
+        val emit = skip match {
+          case AfterMatchSkip.NoSkip => ms // every branch
+          case _ => ms.take(1) // the greedy branch
+        }
+        emit.foreach { case (end, im) =>
+          out += ((start, end, im.map { case (n, idx) => n -> idx.map(events) }))
+        }
+        val (firstEnd, firstIm) = ms.head
+        start = skip match {
+          case AfterMatchSkip.SkipPastLastRow => firstEnd + 1
+          case AfterMatchSkip.NoSkip | AfterMatchSkip.SkipToNext => start + 1
+          case AfterMatchSkip.SkipToFirst(v) =>
+            stageIdx(firstIm, v, first = true).getOrElse(firstEnd) max (start + 1)
+          case AfterMatchSkip.SkipToLast(v) =>
+            stageIdx(firstIm, v, first = false).getOrElse(firstEnd) max (start + 1)
+        }
       }
     }
     out.toSeq
   }
 
-  /** Try to match the full pattern with the FIRST stage anchored at
-    * `start` (the reference anchors match starts the same way: a match
-    * begins at an event that satisfies the begin stage).
+  private def stageIdx(im: IMatch, v: String, first: Boolean): Option[Int] =
+    im.find(_._1 == v).flatMap { case (_, idx) =>
+      if (idx.isEmpty) None else Some(if (first) idx.head else idx.last)
+    }
+
+  /** All match branches anchored at `start`, greedy branch first.
+    * Deterministic stages yield one branch; AnyRelaxed stages multiply.
     */
-  private def matchAt(events: IndexedSeq[E], start: Int): Option[(Int, Match)] = {
-    if (!pattern.stages.head.predicate(events(start))) return None
+  private def matchesAt(events: IndexedSeq[E], start: Int): Seq[(Int, IMatch)] = {
+    if (!pattern.stages.head.predicate(events(start))) return Nil
     val deadline = pattern.withinMs.map(w => timestampOf(events(start)) + w)
 
     def inWindow(i: Int): Boolean =
       deadline.forall(d => timestampOf(events(i)) <= d)
 
-    /** Match stage `si` starting at event index `ei`; returns last
-      * consumed index + accumulated match, exploring greedily.
+    /** Match stage `si` starting at event index `ei`; returns complete
+      * matches as (last consumed index, accumulated stages).
       */
-    def stageRec(si: Int, ei: Int, acc: Match): Option[(Int, Match)] = {
-      if (si == pattern.stages.length) return Some((ei - 1, acc))
+    def stageRec(si: Int, ei: Int, acc: IMatch): Seq[(Int, IMatch)] = {
+      if (si == pattern.stages.length) return Seq((ei - 1, acc))
       val st = pattern.stages(si)
+      val anyStage = st.contiguity == Contiguity.AnyRelaxed
 
-      // collect candidate repetition runs at increasing counts, then try
-      // the greediest first (reference default: greedy)
-      def repRec(count: Int, at: Int, taken: Vector[E]): Option[(Int, Match)] = {
-        // option A (only when enough reps consumed): close this stage
-        lazy val closed =
-          if (count >= st.minTimes)
-            stageRec(si + 1, at, acc :+ (st.name -> taken))
-          else None
-        // option B: consume one more repetition (contiguity applies both
-        // to a stage's first event and between its repetitions). A
+      def repRec(count: Int, at: Int, taken: Vector[Int]): Seq[(Int, IMatch)] = {
+        // option A (when enough reps consumed): close this stage
+        def closed: Seq[(Int, IMatch)] =
+          if (count >= st.minTimes) stageRec(si + 1, at, acc :+ (st.name -> taken))
+          else Nil
+        // option B: consume one more repetition. Contiguity applies both
+        // to a stage's first event and between its repetitions; a
         // negative constraint (notNext/notFollowedBy) guards the gap
-        // before the stage's FIRST repetition only.
-        lazy val extended: Option[(Int, Match)] = {
+        // before the stage's FIRST repetition only; `until` stops the
+        // loop at the first matching event WITHOUT consuming it
+        // (Pattern.until:244 — only meaningful on looping stages).
+        def extended: Seq[(Int, IMatch)] = {
           val gapNot = if (count == 0) st.notBefore else None
-          if (count >= st.maxTimes) None
+          if (count >= st.maxTimes) Nil
           // notNext: the immediately following event must not match
           else if (gapNot.exists { case (p, strict) =>
-            strict && at < events.length && p(events(at)) }) None
+            strict && at < events.length && p(events(at)) }) Nil
+          else if (count >= 1 && st.until.exists(u =>
+            at < events.length && u(events(at)))) Nil
           else st.contiguity match {
             case Contiguity.Strict =>
               // strict: the repetition must sit exactly at `at`
               if (at < events.length && inWindow(at) && st.predicate(events(at)))
-                repRec(count + 1, at + 1, taken :+ events(at))
-              else None
+                repRec(count + 1, at + 1, taken :+ at)
+              else Nil
             case Contiguity.Relaxed =>
               // relaxed: scan forward; on downstream failure backtrack to
               // the next candidate position. A relaxed negative
-              // constraint (notFollowedBy) aborts the scan at the first
-              // forbidden event in the gap.
+              // constraint (notFollowedBy) or an until-condition aborts
+              // the scan at the first forbidden event in the gap.
               val relaxedNot = gapNot.collect { case (p, false) => p }
               var i = at
-              var res: Option[(Int, Match)] = None
+              var res: Seq[(Int, IMatch)] = Nil
               var blocked = false
               while (res.isEmpty && !blocked && i < events.length && inWindow(i)) {
                 if (st.predicate(events(i)))
-                  res = repRec(count + 1, i + 1, taken :+ events(i))
-                else if (relaxedNot.exists(_(events(i))))
+                  res = repRec(count + 1, i + 1, taken :+ i)
+                else if (relaxedNot.exists(_(events(i))) ||
+                    (count >= 1 && st.until.exists(_(events(i)))))
                   blocked = true
                 i += 1
               }
               res
+            case Contiguity.AnyRelaxed =>
+              // non-deterministic relaxed (followedByAny:387): EVERY
+              // candidate position branches, nearest-first
+              val relaxedNot = gapNot.collect { case (p, false) => p }
+              val all = Seq.newBuilder[(Int, IMatch)]
+              var i = at
+              var blocked = false
+              while (!blocked && i < events.length && inWindow(i)) {
+                if (st.predicate(events(i)))
+                  all ++= repRec(count + 1, i + 1, taken :+ i)
+                else if (relaxedNot.exists(_(events(i))) ||
+                    (count >= 1 && st.until.exists(_(events(i)))))
+                  blocked = true
+                i += 1
+              }
+              all.result()
           }
         }
-        // greedy: prefer extending before closing
-        extended.orElse(closed)
+        // greedy: prefer extending before closing; Any stages keep both
+        if (anyStage) extended ++ closed
+        else { val e = extended; if (e.nonEmpty) e else closed }
       }
 
       if (si == 0) {
-        // begin stage anchored at `start`
-        if (!inWindow(ei)) None
-        else repRec(1, ei + 1,
-          Vector(events(ei))) // first repetition = anchor event
+        // begin stage anchored at `start`: events(ei) is repetition 1
+        if (!inWindow(ei)) Nil
+        else repRec(1, ei + 1, Vector(ei))
       } else repRec(0, ei, Vector.empty)
     }
 
-    // anchor consumes events(start) as the first repetition of stage 0
+    // terminal notFollowedBy (legal only with within): no forbidden
+    // event may occur after the last stage inside the window
     stageRec(0, start, Vector.empty).filter { case (endIdx, _) =>
-      // terminal notFollowedBy (legal only with within): no forbidden
-      // event may occur after the last stage inside the window
       pattern.endNot.forall { p =>
         var j = endIdx + 1
         var ok = true
@@ -144,4 +188,21 @@ class NFA[E](pattern: Pattern[E], timestampOf: E => Long) extends Serializable {
       }
     }
   }
+}
+
+/** After-match skip strategies (AfterMatchSkipStrategy.java). */
+sealed trait AfterMatchSkip
+object AfterMatchSkip {
+  /** Emit every branch of every anchor; resume at anchor + 1. */
+  case object NoSkip extends AfterMatchSkip
+  /** Greedy branch per anchor; resume at anchor + 1 (overlaps allowed). */
+  case object SkipToNext extends AfterMatchSkip
+  /** Greedy branch; resume after the match (the DSL/SQL default). */
+  case object SkipPastLastRow extends AfterMatchSkip
+  /** Resume at the FIRST event of stage `variable` (guarded to anchor+1
+    * to rule out the reference's infinite-loop case).
+    */
+  final case class SkipToFirst(variable: String) extends AfterMatchSkip
+  /** Resume at the LAST event of stage `variable` (same guard). */
+  final case class SkipToLast(variable: String) extends AfterMatchSkip
 }

@@ -14,7 +14,13 @@ package graft.cep
   * Matching semantics follow the reference's defaults: greedy quantifiers
   * with backtracking, AFTER MATCH SKIP PAST LAST ROW.
   */
-object Contiguity extends Enumeration { val Strict, Relaxed = Value }
+object Contiguity extends Enumeration {
+  /** Strict = `next`; Relaxed = `followedBy` (skip non-matching events,
+    * deterministic first-match); AnyRelaxed = `followedByAny`
+    * (non-deterministic: every candidate position is its own branch).
+    */
+  val Strict, Relaxed, AnyRelaxed = Value
+}
 
 case class Stage[E](
     name: String,
@@ -26,7 +32,10 @@ case class Stage[E](
     // (predicate, strict). strict (notNext:338) = only the immediately
     // following event is checked; relaxed (notFollowedBy:369) = no event
     // in the whole gap may match.
-    notBefore: Option[(E => Boolean, Boolean)] = None)
+    notBefore: Option[(E => Boolean, Boolean)] = None,
+    // loop-stop condition (Pattern.until:244): an event matching it ends
+    // the stage's repetitions without being consumed.
+    until: Option[E => Boolean] = None)
 
 case class Pattern[E](stages: Vector[Stage[E]], withinMs: Option[Long] = None,
     // terminal notFollowedBy (legal only with `within`, as in the
@@ -52,6 +61,26 @@ case class Pattern[E](stages: Vector[Stage[E]], withinMs: Option[Long] = None,
   def followedBy(name: String)(p: E => Boolean): Pattern[E] =
     copy(stages = stages :+ Stage(name, p, Contiguity.Relaxed, 1, 1, pendingNot),
       pendingNot = None)
+
+  /** Non-deterministic relaxed contiguity (Pattern.followedByAny:387):
+    * every candidate event for this stage opens its own match branch —
+    * surfaced by NFA.findMatches under AfterMatchSkip.NoSkip.
+    */
+  def followedByAny(name: String)(p: E => Boolean): Pattern[E] =
+    copy(stages = stages :+ Stage(name, p, Contiguity.AnyRelaxed, 1, 1, pendingNot),
+      pendingNot = None)
+
+  /** Loop-stop condition for the current (looping) stage
+    * (Pattern.until:244): repetitions end at the first event matching
+    * `p`, which itself stays unconsumed.
+    */
+  def until(p: E => Boolean): Pattern[E] = updLast(s => s.copy(until = Some(p)))
+
+  /** Restrict the current stage to events of a subtype
+    * (Pattern.subtype:221) — predicate sugar over the class check.
+    */
+  def subtype(cls: Class[_]): Pattern[E] =
+    updLast(s => s.copy(predicate = e => cls.isInstance(e) && s.predicate(e)))
 
   /** The immediately next event must NOT match (Pattern.notNext:338). */
   def notNext(p: E => Boolean): Pattern[E] = copy(pendingNot = Some((p, true)))

@@ -87,6 +87,73 @@ class CepSpec extends SparkSuite {
     assert(nfa(p).findMatches(far).size == 1)
   }
 
+  test("followedByAny branches over every candidate (NO_SKIP)") {
+    val p = Pattern.begin[Ev]("a")(_.kind == "A")
+      .followedByAny("b")(_.kind == "B")
+    // A B B: deterministic followedBy gives one greedy match; Any + NoSkip
+    // yields a branch per B candidate
+    val seq = evs("A", "B", "B")
+    val det = Pattern.begin[Ev]("a")(_.kind == "A").followedBy("b")(_.kind == "B")
+    assert(nfa(det).findMatches(seq, 0, AfterMatchSkip.NoSkip).size == 1)
+    val m = nfa(p).findMatches(seq, 0, AfterMatchSkip.NoSkip)
+    assert(m.map(x => (x._1, x._2)) == Seq((0, 1), (0, 2)))
+  }
+
+  test("until stops a loop without consuming the stopping event") {
+    val p = Pattern.begin[Ev]("a")(_.kind == "A").oneOrMore
+      .until(_.kind == "STOP")
+      .followedBy("b")(_.kind == "B")
+    // run of As is cut by STOP: only A@0,A@1 count, then B completes
+    val m = nfa(p).findMatches(evs("A", "A", "STOP", "A", "B"))
+    assert(m.size == 1)
+    assert(m.head._3.toMap.apply("a").map(_.v) == Seq(0L, 1L))
+  }
+
+  test("subtype restricts a stage via class check") {
+    // Ev is final; demonstrate via the class-check composition on Any
+    val p = Pattern.begin[Any]("x")(_ => true).subtype(classOf[String])
+    val n = new NFA[Any](p, _ => 0L)
+    val m = n.findMatches(IndexedSeq[Any](42, "hit", 7.5))
+    assert(m.size == 1 && m.head._3.head._2 == Seq("hit"))
+  }
+
+  test("skip-to-next allows overlapping matches; skip-past-last-row does not") {
+    val p = Pattern.begin[Ev]("a")(_.kind == "A").times(2)
+    val seq = evs("A", "A", "A")
+    assert(nfa(p).findMatches(seq).map(x => (x._1, x._2)) == Seq((0, 1)))
+    assert(nfa(p).findMatches(seq, 0, AfterMatchSkip.SkipToNext)
+      .map(x => (x._1, x._2)) == Seq((0, 1), (1, 2)))
+  }
+
+  test("skip-to-first/last resume at the named stage's events") {
+    val p = Pattern.begin[Ev]("a")(_.kind == "A")
+      .followedBy("b")(_.kind == "B").oneOrMore
+    val seq = evs("A", "B", "A", "B")
+    // SKIP TO LAST b: after match [A@0, b=[B@1... greedy b takes B@1,B@3?
+    // relaxed oneOrMore greedy consumes B@1 and B@3 → match spans 0..3
+    val greedy = nfa(p).findMatches(seq)
+    assert(greedy.size == 1 && greedy.head._2 == 3)
+    // SKIP TO FIRST b resumes at index of B@1 → finds the A@2 B@3 match too
+    val stf = nfa(p).findMatches(seq, 0, AfterMatchSkip.SkipToFirst("b"))
+    assert(stf.map(x => (x._1, x._2)) == Seq((0, 3), (2, 3)))
+  }
+
+  test("MATCH_RECOGNIZE parses AFTER MATCH SKIP TO NEXT ROW") {
+    import spark.implicits._
+    val df = Seq(("k", 1L, "a"), ("k", 2L, "a"), ("k", 3L, "a"))
+      .toDF("k", "seq", "t")
+    val out = MatchRecognize(df,
+      """PARTITION BY k
+        |ORDER BY seq
+        |MEASURES FIRST(A.seq) AS s, LAST(A.seq) AS e
+        |AFTER MATCH SKIP TO NEXT ROW
+        |PATTERN (A{2})
+        |DEFINE A AS t = 'a'""".stripMargin)
+      .as[(String, Long, Long)].collect().toSet
+    // overlapping pairs, vs {(1,2)} only under SKIP PAST LAST ROW
+    assert(out == Set(("k", 1L, 2L), ("k", 2L, 3L)))
+  }
+
   test("within bounds first-to-last event time") {
     val p = Pattern.begin[Ev]("a")(_.kind == "A")
       .followedBy("b")(_.kind == "B").within(5)
