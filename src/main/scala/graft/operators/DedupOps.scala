@@ -163,6 +163,42 @@ object DedupOps {
             .cast(DoubleType)).as("jaccard"))
   }
 
+  /** SimHash near-dup candidate pairs via banded equi-join — the scale
+    * form of the hamming screen: the `bits`-bit signature splits into
+    * `bands` equal chunks, and by pigeonhole any pair within hamming
+    * `bands - 1` agrees EXACTLY on at least one chunk. Candidates come
+    * from an equi-join on (band, chunk) — one explode + one shuffle —
+    * never an all-pairs product, and the result is exact (not
+    * probabilistic) for `maxHamming <= bands - 1`. The only quadratic
+    * residue is within a (band, chunk) bucket, the same hot-bucket story
+    * as MinHash-LSH (salting/AQE at scale).
+    */
+  def simhashPairs(sig: DataFrame, maxHamming: Int = 3, bits: Int = 16,
+      bands: Int = 4, idCol: String = "doc_id", sigCol: String = "simhash"): DataFrame = {
+    require(maxHamming <= bands - 1,
+      s"banded screen is exact only for maxHamming <= bands-1 (${bands - 1})")
+    require(bits % bands == 0, "bits must divide evenly into bands")
+    val chunkBits = bits / bands
+    val mask = (1L << chunkBits) - 1
+    val banded = sig.select(col(idCol), col(sigCol),
+        explode(array((0 until bands).map(b =>
+          struct(lit(b).as("band"),
+            shiftright(col(sigCol), b * chunkBits).bitwiseAND(mask).as("chunk"))): _*))
+          .as("bc"))
+      .select(col(idCol), col(sigCol), col("bc.band").as("band"), col("bc.chunk").as("chunk"))
+    val a = banded.select(col(idCol).as("id_a"), col(sigCol).as("sig_a"),
+      col("band"), col("chunk"))
+    val b = banded.select(col(idCol).as("id_b"), col(sigCol).as("sig_b"),
+      col("band"), col("chunk"))
+    a.join(b, Seq("band", "chunk"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col("sig_a"), col("sig_b"))
+      .distinct() // a pair may share several chunks
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).cast(LongType).as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+  }
+
   /** SimHash signature (16-bit): per bit b, sum over words of
     * (((wordHash >> b) & 1) * 2 - 1); bit set iff the sum is >= 0.
     * Pure expression tree (16 static bit positions), no shuffle.

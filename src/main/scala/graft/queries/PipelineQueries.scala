@@ -82,20 +82,14 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     }),
 
-    // SimHash near-dup candidates: pairs of docs whose 16-bit signatures
-    // are within hamming distance 3 — the constant-cost per-pair screen
-    // that MinHash-LSH replaces at scale (here over a bounded subset, as
-    // the all-pairs form is quadratic by construction).
+    // SimHash near-dup candidates over the FULL corpus: pairs within
+    // hamming distance 3 of the 16-bit signature via the banded
+    // equi-join (4 chunks of 4 bits; pigeonhole makes the screen exact
+    // for hamming <= 3) — no all-pairs product anywhere.
     "q_dedup_simhash_pairs" -> ((s, dir) => {
       import s.implicits._
-      val sig = DedupOps.simhash(t(s, dir, "documents").filter(col("doc_id") < 100))
-      val a = sig.select($"doc_id".as("id_a"), $"simhash".as("sig_a"))
-      val b = sig.select($"doc_id".as("id_b"), $"simhash".as("sig_b"))
-      a.crossJoin(b)
-        .filter($"id_a" < $"id_b")
-        .select($"id_a", $"id_b",
-          bit_count($"sig_a".bitwiseXOR($"sig_b")).cast(LongType).as("hamming"))
-        .filter($"hamming" <= 3)
+      val sig = DedupOps.simhash(t(s, dir, "documents"))
+      DedupOps.simhashPairs(sig, maxHamming = 3)
         .orderBy($"id_a", $"id_b")
     }),
 
@@ -297,7 +291,7 @@ object PipelineQueries {
       }.mkString(" + ")
       s"""WITH sig AS (
         |  SELECT doc_id, CAST($bitTerms AS BIGINT) AS simhash
-        |  FROM ($docsW WHERE doc_id < 100))
+        |  FROM ($docsW))
         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
         |  CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
         |FROM sig a, sig b

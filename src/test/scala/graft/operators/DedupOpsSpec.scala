@@ -60,6 +60,26 @@ class DedupOpsSpec extends SparkSuite {
     assert(verified.exists { case (a, b, j) => a == 1L && b == 2L && j == 1.0 })
   }
 
+  test("banded simhash pairs equal the all-pairs screen (pigeonhole exactness)") {
+    // synthetic signatures with controlled hamming distances
+    val sigs = Seq(
+      (1L, 0x0000L), (2L, 0x0001L),          // hamming 1
+      (3L, 0x0007L),                          // hamming 3 from id=1
+      (4L, 0x000FL),                          // hamming 4 from id=1 (excluded)
+      (5L, 0xF0F0L), (6L, 0xF0F1L),           // hamming 1
+      (7L, 0xFFFFL)).toDF("doc_id", "simhash")
+    val banded = DedupOps.simhashPairs(sigs, maxHamming = 3)
+      .select("id_a", "id_b", "hamming")
+      .as[(Long, Long, Long)].collect().toSet
+    val brute = sigs.as[(Long, Long)].collect().toSeq.combinations(2).flatMap {
+      case Seq((a, sa), (b, sb)) =>
+        val h = java.lang.Long.bitCount(sa ^ sb).toLong
+        if (h <= 3) Some((a min b, a max b, h)) else None
+    }.toSet
+    assert(banded == brute)
+    assert(banded.contains((1L, 3L, 3L)) && !banded.exists(p => p._1 == 1L && p._2 == 4L))
+  }
+
   test("dedup pipeline caches are released after the consuming action") {
     val df = (0 until 40).map(i =>
       (i.toLong, s"tok${i % 7} tok${(i + 1) % 7} tok${(i + 2) % 7} common words here"))
