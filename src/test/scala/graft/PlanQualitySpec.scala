@@ -98,6 +98,42 @@ class PlanQualitySpec extends SparkSuite {
     }
   }
 
+  test("IVF ANN plan: corpus assignment is a projection over a broadcast model") {
+    val emb = Tables.load(spark, sf, "embeddings")
+    val df = graft.operators.SimilarityOps.ivfTopK(
+      emb.filter($"vec_id" < 10), emb, k = 5, nCells = 8, nProbe = 3)
+    df.collect() // finalize adaptive plan
+    val plan = df.queryExecution.executedPlan.toString()
+    // the centroid "model" reaches the corpus as a broadcast, and the
+    // only join against the corpus is the (cell) equi-join — NO cartesian
+    // product over corpus rows
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastExchange"),
+      s"centroid model not broadcast: $plan")
+    assert(!plan.contains("CartesianProduct"), s"cartesian over corpus: $plan")
+  }
+
+  test("banded simhash pair screen plan: equi-join, no cartesian product") {
+    val docs = Tables.load(spark, sf, "documents")
+    val df = graft.operators.DedupOps.simhashPairs(
+      graft.operators.DedupOps.simhash(docs), maxHamming = 3)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString()
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"pair screen is not an equi-join: $plan")
+    // candidates come from a hash-partitioned join on (band, chunk)
+    assert(plan.contains("band") && plan.contains("chunk"), s"missing band/chunk join: $plan")
+  }
+
+  test("JSON constructors stay inside whole-stage codegen") {
+    import graft.functions.JsonConstructors._
+    val df = Tables.load(spark, sf, "nation")
+      .select(jsonObject(Seq(lit("name") -> $"n_name", lit("key") -> $"n_nationkey")).as("j"))
+      .filter($"j".isNotNull)
+    val plan = planString(df)
+    assert(plan.contains("*("), s"json_object fell out of codegen: $plan")
+    assert(df.count() > 0)
+  }
+
   test("custom split_index expression stays codegen-compatible") {
     import graft.functions.GraftFunctions
     val df = Tables.load(spark, sf, "part")
