@@ -1,6 +1,6 @@
 package graft.cep
 
-import org.apache.spark.sql.{DataFrame, Encoders, Row}
+import org.apache.spark.sql.{DataFrame, Encoder, Encoders, Row}
 import org.apache.spark.sql.types._
 
 /** SQL `MATCH_RECOGNIZE` front door — the engine's analogue of the
@@ -494,6 +494,71 @@ object MatchRecognize {
           Row.fromSeq(partIdx.map(anchor.get) ++ measureFns.map(_(stageMap)))
         }
       }
+  }
+
+  /** Run a MATCH_RECOGNIZE clause over an unbounded keyed stream — the
+    * StreamExecMatch path. As in the reference, the primary ORDER BY
+    * column must be the event-time attribute (a TIMESTAMP or epoch
+    * numeric); rows buffer per key and matches emit incrementally via
+    * [[CEP.step]] (sorted-merge buffer, incremental scan, within-horizon
+    * eviction). The state bound rule is CEP.streaming's: the clause
+    * carries WITHIN or `maxBufferPerKey` caps the buffer. Only the
+    * default AFTER MATCH SKIP PAST LAST ROW is supported on streams
+    * (buffer trimming assumes non-overlapping matches).
+    */
+  def streaming(df: DataFrame, clause: String,
+      maxBufferPerKey: Option[Int] = None): DataFrame = {
+    val spec = parse(clause)
+    require(spec.skip == AfterMatchSkip.SkipPastLastRow,
+      "streaming MATCH_RECOGNIZE supports AFTER MATCH SKIP PAST LAST ROW only")
+    require(spec.withinMicros.isDefined || maxBufferPerKey.isDefined,
+      "streaming MATCH_RECOGNIZE needs a state bound: WITHIN or maxBufferPerKey")
+    val schema = df.schema
+    val tsFn = tsExtractor(schema, spec.orderBy.head)
+    val pattern = buildPattern(spec, schema)
+    val partIdx = spec.partitionBy.map(schema.fieldIndex)
+    val measureFns = spec.measures.map { case (e, _) => compileMeasure(e, schema) }
+    val outSchema = StructType(
+      spec.partitionBy.map(c => schema(schema.fieldIndex(c))) ++
+        spec.measures.map { case (e, alias) =>
+          StructField(alias, measureType(e, schema), nullable = true) })
+    implicit val outEnc: Encoder[Row] = Encoders.row(outSchema)
+    implicit val keyEnc: Encoder[String] = Encoders.STRING
+    df.groupByKey(r => partIdx.map(i => String.valueOf(r.get(i))).mkString(" "))
+      .transformWithState(
+        new MatchProcessor(pattern, tsFn, Encoders.row(schema),
+          maxBufferPerKey, partIdx, measureFns),
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        org.apache.spark.sql.streaming.OutputMode.Update())
+  }
+
+  private class MatchProcessor(pattern: Pattern[Row], tsFn: Row => Long,
+      rowEnc: Encoder[Row], maxBufferPerKey: Option[Int],
+      partIdx: Seq[Int], measureFns: Seq[Map[String, IndexedSeq[Row]] => Any])
+      extends org.apache.spark.sql.streaming.StatefulProcessor[String, Row, Row] {
+
+    @transient private var buf: org.apache.spark.sql.streaming.ListState[Row] = _
+    private val nfa = new NFA[Row](pattern, tsFn)
+
+    override def init(outputMode: org.apache.spark.sql.streaming.OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      buf = getHandle.getListState[Row]("buffer", rowEnc,
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+
+    override def handleInputRows(key: String, rows: Iterator[Row],
+        timerValues: org.apache.spark.sql.streaming.TimerValues): Iterator[Row] = {
+      val existing = buf.get().toIndexedSeq
+      val (matches, retained) =
+        CEP.step(existing, rows.toSeq, pattern, nfa, tsFn, maxBufferPerKey)
+      buf.clear()
+      retained.foreach(buf.appendValue)
+      matches.iterator.map { case (_, _, m) =>
+        val stageMap: Map[String, IndexedSeq[Row]] =
+          m.groupBy(_._1).map { case (k, vs) => k -> vs.flatMap(_._2).toIndexedSeq }
+        val anchor = m.flatMap(_._2).head
+        Row.fromSeq(partIdx.map(anchor.get) ++ measureFns.map(_(stageMap)))
+      }
+    }
   }
 
   private def buildPattern(spec: Spec, schema: StructType): Pattern[Row] = {

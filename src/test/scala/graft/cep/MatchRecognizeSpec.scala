@@ -99,6 +99,51 @@ class MatchRecognizeSpec extends SparkSuite {
     assert(out == Set(("u1", 2L), ("u1", 3L), ("u2", 1L), ("u2", 3L)))
   }
 
+  test("streaming MATCH_RECOGNIZE completes matches across micro-batches") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(String, Long, String)]
+    val out = MatchRecognize.streaming(
+      input.toDS().toDF("user_id", "seq", "event_type"),
+      """PARTITION BY user_id
+        |ORDER BY seq
+        |MEASURES A.seq AS buy_seq, B.seq AS err_seq
+        |PATTERN (A B)
+        |DEFINE A AS event_type = 'buy', B AS event_type = 'error'""".stripMargin,
+      maxBufferPerKey = Some(100))
+    val name = s"mr_${System.nanoTime()}"
+    val q = out.writeStream.format("memory").queryName(name)
+      .outputMode("update").option("checkpointLocation", tmpDir("ckpt")).start()
+    try {
+      input.addData(Seq(("u1", 1L, "buy")))
+      q.processAllAvailable()
+      assert(spark.table(name).count() == 0) // waiting for the adjacent error
+      input.addData(Seq(("u1", 2L, "error"), ("u2", 1L, "click")))
+      q.processAllAvailable()
+      val rows = spark.table(name).as[(String, Long, Long)].collect().toSet
+      assert(rows == Set(("u1", 1L, 2L)))
+      // buffer trimmed: a lone error does not re-match
+      input.addData(Seq(("u1", 3L, "error")))
+      q.processAllAvailable()
+      assert(spark.table(name).count() == 1)
+    } finally q.stop()
+  }
+
+  test("streaming MATCH_RECOGNIZE requires a state bound") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(String, Long, String)]
+    intercept[IllegalArgumentException] {
+      MatchRecognize.streaming(
+        input.toDS().toDF("user_id", "seq", "event_type"),
+        """PARTITION BY user_id
+          |ORDER BY seq
+          |MEASURES A.seq AS s
+          |PATTERN (A)
+          |DEFINE A AS event_type = 'buy'""".stripMargin)
+    }
+  }
+
   test("skip past last row: non-overlapping matches") {
     val df = Seq(
       ("k", 1L, "a"), ("k", 2L, "a"), ("k", 3L, "a"), ("k", 4L, "a")
