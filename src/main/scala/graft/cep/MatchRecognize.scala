@@ -47,6 +47,12 @@ object MatchRecognize {
   private case class Not(e: Ex) extends Ex
   /** FIRST/LAST/COUNT/SUM/MIN/MAX/AVG over a variable's rows (measures). */
   private case class Agg(fn: String, variable: String, field: String) extends Ex
+  /** CLASSIFIER(): the pattern variable that matched the current row
+    * (ALL ROWS PER MATCH) or the last variable (ONE ROW PER MATCH).
+    */
+  private case object Classifier extends Ex
+  /** MATCH_NUMBER(): 1-based sequence of the match within its partition. */
+  private case object MatchNum extends Ex
 
   private case class PatVar(name: String, minTimes: Int, maxTimes: Int)
 
@@ -57,7 +63,8 @@ object MatchRecognize {
       pattern: Seq[PatVar],
       withinMicros: Option[Long],
       defines: Map[String, Ex],
-      skip: AfterMatchSkip = AfterMatchSkip.SkipPastLastRow)
+      skip: AfterMatchSkip = AfterMatchSkip.SkipPastLastRow,
+      allRows: Boolean = false)
 
   // ---------------------------------------------------------- tokenizer
 
@@ -162,6 +169,10 @@ object MatchRecognize {
       case t if t.equalsIgnoreCase("TRUE") => next(); Lit(java.lang.Boolean.TRUE)
       case t if t.equalsIgnoreCase("FALSE") => next(); Lit(java.lang.Boolean.FALSE)
       case t if t.equalsIgnoreCase("NULL") => next(); Lit(null)
+      case t if t.equalsIgnoreCase("CLASSIFIER") =>
+        next(); expect("("); expect(")"); Classifier
+      case t if t.equalsIgnoreCase("MATCH_NUMBER") =>
+        next(); expect("("); expect(")"); MatchNum
       case t if aggFns.contains(t.toUpperCase) =>
         val fn = next().toUpperCase
         expect("(")
@@ -235,7 +246,11 @@ object MatchRecognize {
       more = p.accept(",")
     }
 
+    var allRows = false
     if (p.accept("ONE")) { p.expect("ROW"); p.expect("PER"); p.expect("MATCH") }
+    else if (p.accept("ALL")) {
+      p.expect("ROWS"); p.expect("PER"); p.expect("MATCH"); allRows = true
+    }
     var skip: AfterMatchSkip = AfterMatchSkip.SkipPastLastRow
     if (p.accept("AFTER")) {
       p.expect("MATCH"); p.expect("SKIP")
@@ -279,7 +294,7 @@ object MatchRecognize {
       }
     }
     require(p.atEnd, s"MATCH_RECOGNIZE: trailing tokens at '${p.peek}'")
-    Spec(partitionBy, orderBy, measures.result(), pat, within, defines, skip)
+    Spec(partitionBy, orderBy, measures.result(), pat, within, defines, skip, allRows)
   }
 
   // --------------------------------------------------------- evaluation
@@ -385,36 +400,45 @@ object MatchRecognize {
       }
   }
 
+  /** Evaluation context for one emitted row: the (possibly running)
+    * stage→rows map, the classifier variable, and the match number.
+    */
+  private case class MeasureCtx(stages: Map[String, IndexedSeq[Row]],
+      classifier: String, matchNumber: Long)
+
   /** Measure evaluation over a complete match (variable → consumed rows).
-    * Bare `V.col` is the LAST row of V (the reference's final/running
-    * semantics collapse to "last" under ONE ROW PER MATCH).
+    * Bare `V.col` is the LAST row of V; under ALL ROWS PER MATCH the
+    * context is the running prefix, giving the standard's RUNNING
+    * semantics per emitted row.
     */
   private def compileMeasure(e: Ex, schema: StructType)
-      : Map[String, IndexedSeq[Row]] => Any = e match {
+      : MeasureCtx => Any = e match {
+    case Classifier => ctx => ctx.classifier
+    case MatchNum => ctx => java.lang.Long.valueOf(ctx.matchNumber)
     case VarField(v, f) =>
       val i = schema.fieldIndex(f)
-      st => st.getOrElse(v, IndexedSeq.empty).lastOption
+      ctx => ctx.stages.getOrElse(v, IndexedSeq.empty).lastOption
         .map(r => if (r.isNullAt(i)) null else r.get(i)).orNull
     case Agg("FIRST", v, f) =>
       val i = schema.fieldIndex(f)
-      st => st.getOrElse(v, IndexedSeq.empty).headOption
+      ctx => ctx.stages.getOrElse(v, IndexedSeq.empty).headOption
         .map(r => if (r.isNullAt(i)) null else r.get(i)).orNull
     case Agg("LAST", v, f) =>
       val i = schema.fieldIndex(f)
-      st => st.getOrElse(v, IndexedSeq.empty).lastOption
+      ctx => ctx.stages.getOrElse(v, IndexedSeq.empty).lastOption
         .map(r => if (r.isNullAt(i)) null else r.get(i)).orNull
     case Agg("COUNT", "", _) =>
-      st => java.lang.Long.valueOf(st.valuesIterator.map(_.size.toLong).sum)
+      ctx => java.lang.Long.valueOf(ctx.stages.valuesIterator.map(_.size.toLong).sum)
     case Agg("COUNT", v, _) =>
-      st => java.lang.Long.valueOf(st.getOrElse(v, IndexedSeq.empty).size.toLong)
+      ctx => java.lang.Long.valueOf(ctx.stages.getOrElse(v, IndexedSeq.empty).size.toLong)
     case Agg(fn @ ("SUM" | "MIN" | "MAX" | "AVG"), v, f) =>
       val i = schema.fieldIndex(f)
       val integral = schema(i).dataType match {
         case _: IntegerType | _: LongType | _: ShortType | _: ByteType => true
         case _ => false
       }
-      st => {
-        val vals = st.getOrElse(v, IndexedSeq.empty)
+      ctx => {
+        val vals = ctx.stages.getOrElse(v, IndexedSeq.empty)
           .filterNot(_.isNullAt(i)).map(_.get(i))
         if (vals.isEmpty) null
         else fn match {
@@ -432,6 +456,8 @@ object MatchRecognize {
   }
 
   private def measureType(e: Ex, schema: StructType): DataType = e match {
+    case Classifier => StringType
+    case MatchNum => LongType
     case VarField(_, f) => schema(schema.fieldIndex(f)).dataType
     case Agg("FIRST" | "LAST" | "MIN" | "MAX", _, f) => schema(schema.fieldIndex(f)).dataType
     case Agg("COUNT", _, _) => LongType
@@ -477,21 +503,44 @@ object MatchRecognize {
 
     val partIdx = spec.partitionBy.map(schema.fieldIndex)
     val measureFns = spec.measures.map { case (e, _) => compileMeasure(e, schema) }
-    val outSchema = StructType(
-      spec.partitionBy.map(c => schema(schema.fieldIndex(c))) ++
-        spec.measures.map { case (e, alias) =>
-          StructField(alias, measureType(e, schema), nullable = true) })
+    val measureFields = spec.measures.map { case (e, alias) =>
+      StructField(alias, measureType(e, schema), nullable = true) }
+    // ONE ROW PER MATCH: partition cols + measures;
+    // ALL ROWS PER MATCH: every input column + measures (SQL standard)
+    val outSchema =
+      if (spec.allRows) StructType(schema.fields ++ measureFields.toArray)
+      else StructType(
+        spec.partitionBy.map(c => schema(schema.fieldIndex(c))) ++ measureFields)
     implicit val outEnc = Encoders.row(outSchema)
     implicit val keyEnc = Encoders.STRING
 
     df.groupByKey(r => partIdx.map(i => String.valueOf(r.get(i))).mkString(" "))
       .flatMapGroups { (_, it) =>
         val sorted = it.toIndexedSeq.sortBy(sortKey)(SeqAnyOrdering)
-        nfa.findMatches(sorted, 0, spec.skip).iterator.map { case (s, _, m) =>
-          val stageMap: Map[String, IndexedSeq[Row]] =
-            m.groupBy(_._1).map { case (k, vs) => k -> vs.flatMap(_._2).toIndexedSeq }
-          val anchor = sorted(s)
-          Row.fromSeq(partIdx.map(anchor.get) ++ measureFns.map(_(stageMap)))
+        var matchNo = 0L
+        nfa.findMatches(sorted, 0, spec.skip).iterator.flatMap { case (s, _, m) =>
+          matchNo += 1
+          if (!spec.allRows) {
+            val stageMap: Map[String, IndexedSeq[Row]] =
+              m.groupBy(_._1).map { case (k, vs) => k -> vs.flatMap(_._2).toIndexedSeq }
+            val cls = m.reverseIterator.find(_._2.nonEmpty).map(_._1).getOrElse("")
+            val ctx = MeasureCtx(stageMap, cls, matchNo)
+            val anchor = sorted(s)
+            Iterator.single(
+              Row.fromSeq(partIdx.map(anchor.get) ++ measureFns.map(_(ctx))))
+          } else {
+            // RUNNING semantics: each consumed row is emitted with the
+            // measures over the prefix up to and including it
+            var running = Map.empty[String, IndexedSeq[Row]]
+            m.iterator.flatMap { case (stage, rows) =>
+              rows.iterator.map { r =>
+                running = running.updated(stage,
+                  running.getOrElse(stage, IndexedSeq.empty) :+ r)
+                val ctx = MeasureCtx(running, stage, matchNo)
+                Row.fromSeq(r.toSeq ++ measureFns.map(_(ctx)))
+              }
+            }
+          }
         }
       }
   }
@@ -511,6 +560,8 @@ object MatchRecognize {
     val spec = parse(clause)
     require(spec.skip == AfterMatchSkip.SkipPastLastRow,
       "streaming MATCH_RECOGNIZE supports AFTER MATCH SKIP PAST LAST ROW only")
+    require(!spec.allRows,
+      "streaming MATCH_RECOGNIZE supports ONE ROW PER MATCH only (as the reference)")
     require(spec.withinMicros.isDefined || maxBufferPerKey.isDefined,
       "streaming MATCH_RECOGNIZE needs a state bound: WITHIN or maxBufferPerKey")
     val schema = df.schema
@@ -524,7 +575,7 @@ object MatchRecognize {
           StructField(alias, measureType(e, schema), nullable = true) })
     implicit val outEnc: Encoder[Row] = Encoders.row(outSchema)
     implicit val keyEnc: Encoder[String] = Encoders.STRING
-    df.groupByKey(r => partIdx.map(i => String.valueOf(r.get(i))).mkString(" "))
+    df.groupByKey(r => partIdx.map(i => String.valueOf(r.get(i))).mkString(" "))
       .transformWithState(
         new MatchProcessor(pattern, tsFn, Encoders.row(schema),
           maxBufferPerKey, partIdx, measureFns),
@@ -534,16 +585,20 @@ object MatchRecognize {
 
   private class MatchProcessor(pattern: Pattern[Row], tsFn: Row => Long,
       rowEnc: Encoder[Row], maxBufferPerKey: Option[Int],
-      partIdx: Seq[Int], measureFns: Seq[Map[String, IndexedSeq[Row]] => Any])
+      partIdx: Seq[Int], measureFns: Seq[MeasureCtx => Any])
       extends org.apache.spark.sql.streaming.StatefulProcessor[String, Row, Row] {
 
     @transient private var buf: org.apache.spark.sql.streaming.ListState[Row] = _
+    @transient private var nMatches: org.apache.spark.sql.streaming.ValueState[Long] = _
     private val nfa = new NFA[Row](pattern, tsFn)
 
     override def init(outputMode: org.apache.spark.sql.streaming.OutputMode,
-        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit = {
       buf = getHandle.getListState[Row]("buffer", rowEnc,
         org.apache.spark.sql.streaming.TTLConfig.NONE)
+      nMatches = getHandle.getValueState[Long]("nMatches",
+        Encoders.scalaLong, org.apache.spark.sql.streaming.TTLConfig.NONE)
+    }
 
     override def handleInputRows(key: String, rows: Iterator[Row],
         timerValues: org.apache.spark.sql.streaming.TimerValues): Iterator[Row] = {
@@ -552,12 +607,18 @@ object MatchRecognize {
         CEP.step(existing, rows.toSeq, pattern, nfa, tsFn, maxBufferPerKey)
       buf.clear()
       retained.foreach(buf.appendValue)
-      matches.iterator.map { case (_, _, m) =>
+      var matchNo = if (nMatches.exists()) nMatches.get() else 0L
+      val out = matches.map { case (_, _, m) =>
+        matchNo += 1
         val stageMap: Map[String, IndexedSeq[Row]] =
           m.groupBy(_._1).map { case (k, vs) => k -> vs.flatMap(_._2).toIndexedSeq }
+        val cls = m.reverseIterator.find(_._2.nonEmpty).map(_._1).getOrElse("")
+        val ctx = MeasureCtx(stageMap, cls, matchNo)
         val anchor = m.flatMap(_._2).head
-        Row.fromSeq(partIdx.map(anchor.get) ++ measureFns.map(_(stageMap)))
+        Row.fromSeq(partIdx.map(anchor.get) ++ measureFns.map(_(ctx)))
       }
+      nMatches.update(matchNo)
+      out.iterator
     }
   }
 

@@ -99,6 +99,45 @@ class MatchRecognizeSpec extends SparkSuite {
     assert(out == Set(("u1", 2L), ("u1", 3L), ("u2", 1L), ("u2", 3L)))
   }
 
+  test("ALL ROWS PER MATCH emits every consumed row with running measures") {
+    val df = Seq(
+      ("k", 1L, "click", 10.0), ("k", 2L, "click", 20.0), ("k", 3L, "buy", 100.0)
+    ).toDF("user_id", "seq", "event_type", "amount")
+    val out = MatchRecognize(df,
+      """PARTITION BY user_id
+        |ORDER BY seq
+        |MEASURES CLASSIFIER() AS var_name, MATCH_NUMBER() AS mno,
+        |         COUNT(A.*) AS n_so_far, SUM(A.amount) AS amt_so_far
+        |ALL ROWS PER MATCH
+        |PATTERN (A+ B)
+        |DEFINE A AS event_type = 'click', B AS event_type = 'buy'""".stripMargin)
+    // output schema = all input columns + measures
+    assert(out.columns.toSeq ==
+      Seq("user_id", "seq", "event_type", "amount", "var_name", "mno", "n_so_far", "amt_so_far"))
+    val rows = out
+      .select($"seq", $"var_name", $"mno", $"n_so_far", $"amt_so_far")
+      .as[(Long, String, Long, Long, Double)].collect().sortBy(_._1)
+    // running semantics: per-row classifier and prefix aggregates
+    assert(rows.toSeq == Seq(
+      (1L, "A", 1L, 1L, 10.0),
+      (2L, "A", 1L, 2L, 30.0),
+      (3L, "B", 1L, 2L, 30.0)))
+  }
+
+  test("CLASSIFIER and MATCH_NUMBER under ONE ROW PER MATCH") {
+    val df = Seq(
+      ("k", 1L, "a"), ("k", 2L, "a"), ("k", 3L, "a"), ("k", 4L, "a")
+    ).toDF("k", "seq", "t")
+    val out = MatchRecognize(df,
+      """PARTITION BY k
+        |ORDER BY seq
+        |MEASURES CLASSIFIER() AS v, MATCH_NUMBER() AS n, FIRST(A.seq) AS s
+        |PATTERN (A{2})
+        |DEFINE A AS t = 'a'""".stripMargin)
+      .as[(String, String, Long, Long)].collect().toSet
+    assert(out == Set(("k", "A", 1L, 1L), ("k", "A", 2L, 3L)))
+  }
+
   test("streaming MATCH_RECOGNIZE completes matches across micro-batches") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx = spark.sqlContext
