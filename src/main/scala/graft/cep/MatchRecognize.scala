@@ -53,6 +53,12 @@ object MatchRecognize {
   private case object Classifier extends Ex
   /** MATCH_NUMBER(): 1-based sequence of the match within its partition. */
   private case object MatchNum extends Ex
+  /** PREV/NEXT row navigation (DEFINE only): since SQL MATCH_RECOGNIZE
+    * consumes every row, PREV(col, n) is exactly lag(col, n) over the
+    * partition in ORDER BY order — computed as a window column BEFORE
+    * matching (the Spark-first translation), then referenced here.
+    */
+  private case class Nav(fn: String, field: String, offset: Int) extends Ex
 
   private case class PatVar(name: String, minTimes: Int, maxTimes: Int)
 
@@ -169,6 +175,14 @@ object MatchRecognize {
       case t if t.equalsIgnoreCase("TRUE") => next(); Lit(java.lang.Boolean.TRUE)
       case t if t.equalsIgnoreCase("FALSE") => next(); Lit(java.lang.Boolean.FALSE)
       case t if t.equalsIgnoreCase("NULL") => next(); Lit(null)
+      case t if t.equalsIgnoreCase("PREV") || t.equalsIgnoreCase("NEXT") =>
+        val fn = next().toUpperCase
+        expect("(")
+        val n1 = ident()
+        val f = if (accept(".")) ident() else n1 // PREV(V.col) == PREV(col)
+        val off = if (accept(",")) next().toInt else 1
+        expect(")")
+        Nav(fn, f, off)
       case t if t.equalsIgnoreCase("CLASSIFIER") =>
         next(); expect("("); expect(")"); Classifier
       case t if t.equalsIgnoreCase("MATCH_NUMBER") =>
@@ -211,6 +225,22 @@ object MatchRecognize {
       expect(")")
       out.result()
     }
+  }
+
+  /** Collect Nav nodes and rewrite them to helper-column refs. */
+  private def navCols(e: Ex): Seq[Nav] = e match {
+    case n: Nav => Seq(n)
+    case Bin(_, l, r) => navCols(l) ++ navCols(r)
+    case Not(i) => navCols(i)
+    case _ => Nil
+  }
+  private def navName(n: Nav): String =
+    s"__nav_${n.fn.toLowerCase}_${n.field}_${n.offset}"
+  private def rewriteNav(e: Ex): Ex = e match {
+    case n: Nav => ColRef(navName(n))
+    case Bin(op, l, r) => Bin(op, rewriteNav(l), rewriteNav(r))
+    case Not(i) => Not(rewriteNav(i))
+    case other => other
   }
 
   private val intervalMicros = Map(
@@ -489,8 +519,29 @@ object MatchRecognize {
   // ------------------------------------------------------------ runner
 
   /** Run a MATCH_RECOGNIZE clause over a bounded DataFrame. */
-  def apply(df: DataFrame, clause: String): DataFrame = {
-    val spec = parse(clause)
+  def apply(df0: DataFrame, clause: String): DataFrame = {
+    val spec0 = parse(clause)
+    // PREV/NEXT in DEFINE become lag/lead window columns over
+    // (PARTITION BY, ORDER BY) — every row is consumed in SQL
+    // MATCH_RECOGNIZE, so row navigation IS partition-order navigation
+    val navs = spec0.defines.values.flatMap(navCols).toSeq.distinct
+    val (df, spec) =
+      if (navs.isEmpty) (df0, spec0)
+      else {
+        import org.apache.spark.sql.expressions.Window
+        import org.apache.spark.sql.functions.{col, lag, lead}
+        val w = Window
+          .partitionBy(spec0.partitionBy.map(col): _*)
+          .orderBy(spec0.orderBy.map(col): _*)
+        val augmented = navs.foldLeft(df0) { (d, n) =>
+          val e = if (n.fn == "PREV") lag(col(n.field), n.offset)
+                  else lead(col(n.field), n.offset)
+          d.withColumn(navName(n), e.over(w))
+        }
+        (augmented, spec0.copy(
+          defines = spec0.defines.map { case (k, v) => k -> rewriteNav(v) }))
+      }
+    val originalFieldCount = df0.schema.length
     val schema = df.schema
     val sortKey = orderingFor(schema, spec.orderBy)
 
@@ -506,9 +557,11 @@ object MatchRecognize {
     val measureFields = spec.measures.map { case (e, alias) =>
       StructField(alias, measureType(e, schema), nullable = true) }
     // ONE ROW PER MATCH: partition cols + measures;
-    // ALL ROWS PER MATCH: every input column + measures (SQL standard)
+    // ALL ROWS PER MATCH: every ORIGINAL input column + measures (the
+    // __nav helper columns stay internal)
     val outSchema =
-      if (spec.allRows) StructType(schema.fields ++ measureFields.toArray)
+      if (spec.allRows)
+        StructType(schema.fields.take(originalFieldCount) ++ measureFields.toArray)
       else StructType(
         spec.partitionBy.map(c => schema(schema.fieldIndex(c))) ++ measureFields)
     implicit val outEnc = Encoders.row(outSchema)
@@ -537,7 +590,7 @@ object MatchRecognize {
                 running = running.updated(stage,
                   running.getOrElse(stage, IndexedSeq.empty) :+ r)
                 val ctx = MeasureCtx(running, stage, matchNo)
-                Row.fromSeq(r.toSeq ++ measureFns.map(_(ctx)))
+                Row.fromSeq(r.toSeq.take(originalFieldCount) ++ measureFns.map(_(ctx)))
               }
             }
           }
@@ -562,6 +615,8 @@ object MatchRecognize {
       "streaming MATCH_RECOGNIZE supports AFTER MATCH SKIP PAST LAST ROW only")
     require(!spec.allRows,
       "streaming MATCH_RECOGNIZE supports ONE ROW PER MATCH only (as the reference)")
+    require(spec.defines.values.flatMap(navCols).isEmpty,
+      "streaming MATCH_RECOGNIZE does not support PREV/NEXT (window columns need a bounded input)")
     require(spec.withinMicros.isDefined || maxBufferPerKey.isDefined,
       "streaming MATCH_RECOGNIZE needs a state bound: WITHIN or maxBufferPerKey")
     val schema = df.schema

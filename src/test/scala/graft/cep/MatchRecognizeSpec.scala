@@ -99,6 +99,39 @@ class MatchRecognizeSpec extends SparkSuite {
     assert(out == Set(("u1", 2L), ("u1", 3L), ("u2", 1L), ("u2", 3L)))
   }
 
+  test("PREV navigation in DEFINE: the canonical falling-price pattern") {
+    val prices = Seq(
+      ("s", 1L, 10.0), ("s", 2L, 8.0), ("s", 3L, 6.0), // falling run
+      ("s", 4L, 9.0),                                   // rebound
+      ("s", 5L, 7.0), ("s", 6L, 5.0)                    // second fall
+    ).toDF("sym", "seq", "price")
+    val out = MatchRecognize(prices,
+      """PARTITION BY sym
+        |ORDER BY seq
+        |MEASURES FIRST(D.seq) AS start_seq, LAST(D.seq) AS end_seq,
+        |         COUNT(D.*) AS n_down
+        |PATTERN (D+)
+        |DEFINE D AS price < PREV(price)""".stripMargin)
+      .as[(String, Long, Long, Long)].collect().toSet
+    // rows 2,3 fall (PREV exists and is greater); row 5,6 fall again
+    assert(out == Set(("s", 2L, 3L, 2L), ("s", 5L, 6L, 2L)))
+  }
+
+  test("NEXT navigation and helper columns stay internal under ALL ROWS") {
+    val df = Seq(("k", 1L, 5.0), ("k", 2L, 9.0), ("k", 3L, 1.0))
+      .toDF("k", "seq", "v")
+    val out = MatchRecognize(df,
+      """PARTITION BY k
+        |ORDER BY seq
+        |MEASURES CLASSIFIER() AS c
+        |ALL ROWS PER MATCH
+        |PATTERN (A)
+        |DEFINE A AS v < NEXT(v)""".stripMargin)
+    // helper __nav columns must not leak into the output schema
+    assert(out.columns.toSeq == Seq("k", "seq", "v", "c"))
+    assert(out.select($"seq").as[Long].collect().toSet == Set(1L)) // 5<9 only
+  }
+
   test("ALL ROWS PER MATCH emits every consumed row with running measures") {
     val df = Seq(
       ("k", 1L, "click", 10.0), ("k", 2L, "click", 20.0), ("k", 3L, "buy", 100.0)
