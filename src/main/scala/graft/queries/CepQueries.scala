@@ -65,6 +65,29 @@ object CepQueries {
         .orderBy($"user_id", $"purchase_id")
     }),
 
+    // PREV navigation through the SQL front door: maximal runs of
+    // strictly-decreasing event_id per user (the canonical falling-price
+    // MATCH_RECOGNIZE shape). The oracle reconstructs the same maximal
+    // runs with a lag + gaps-and-islands computation.
+    "q_cep_prev" -> ((s, dir) => {
+      import s.implicits._
+      val ev = t(s, dir, "events")
+        .select($"user_id", unix_micros(col("ts").cast(TimestampType)).as("ts"),
+          $"event_type", $"event_id")
+      MatchRecognize(ev,
+        """MATCH_RECOGNIZE (
+          |  PARTITION BY user_id
+          |  ORDER BY ts, event_id
+          |  MEASURES FIRST(D.event_id) AS start_id, LAST(D.event_id) AS end_id,
+          |           COUNT(D.*) AS n_down
+          |  ONE ROW PER MATCH
+          |  AFTER MATCH SKIP PAST LAST ROW
+          |  PATTERN (D+)
+          |  DEFINE D AS event_id < PREV(event_id)
+          |)""".stripMargin)
+        .orderBy($"user_id", $"start_id")
+    }),
+
     // within-window variant: purchase strictly followed by an error no
     // later than 2 hours after it.
     "q_cep_within" -> ((s, dir) => {
@@ -125,6 +148,30 @@ object CepQueries {
         |FROM ($ordered)
         |WHERE event_type = 'purchase' AND next_type = 'error'
         |  AND next_ts <= ts + 7200000000
-        |ORDER BY user_id, buy_ts""".stripMargin
+        |ORDER BY user_id, buy_ts""".stripMargin,
+
+    // maximal strictly-decreasing runs via lag + gaps-and-islands: a row
+    // is "down" iff its event_id < the previous row's; consecutive down
+    // rows share (rn - cumulative down count)
+    "q_cep_prev" ->
+      s"""WITH x AS (
+        |  SELECT user_id, event_id,
+        |    row_number() OVER w AS rn,
+        |    CASE WHEN event_id < lag(event_id) OVER w THEN 1 ELSE 0 END AS is_down
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id
+        |               ORDER BY make_timestamp(epoch_ns(ts) // 1000), event_id)),
+        |g AS (
+        |  SELECT user_id, event_id, rn, is_down,
+        |    rn - SUM(is_down) OVER (PARTITION BY user_id ORDER BY rn
+        |      ROWS UNBOUNDED PRECEDING) AS grp
+        |  FROM x)
+        |SELECT user_id,
+        |  first(event_id ORDER BY rn) AS start_id,
+        |  last(event_id ORDER BY rn) AS end_id,
+        |  COUNT(*) AS n_down
+        |FROM g WHERE is_down = 1
+        |GROUP BY user_id, grp
+        |ORDER BY user_id, start_id""".stripMargin
   )
 }
