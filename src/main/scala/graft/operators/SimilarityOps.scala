@@ -189,6 +189,40 @@ object SimilarityOps {
       when(proj >= 0, lit(1L << b)).otherwise(lit(0L))
     }.reduce(_ + _)
 
+  /** RP-LSH bucket-join top-k with multi-probe: corpus vectors bucket by
+    * their `bits` hyperplane signs (one projection per vector, no
+    * shuffle); each query probes its own bucket plus, at
+    * `probeRadius = 1`, every bucket one sign-flip away (the classic
+    * multi-probe trade: bits+1 probed buckets recover neighbors that
+    * straddle one hyperplane). Candidates come from the bucket equi-join
+    * — expected corpus fraction scored ≈ (probed buckets) / 2^bits.
+    */
+  def rpLshTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+      dim: Int = 64, bits: Int = 6, probeRadius: Int = 1,
+      idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
+    require(probeRadius >= 0 && probeRadius <= 1, "probeRadius 0 or 1")
+    val c = corpus.select(col(idCol).as("c_id"), col(embCol).as("c_emb"),
+      rpLshBucket(col(embCol), dim, bits).as("bucket"))
+    val qb = queries.select(col(idCol).as("q_id"), col(embCol).as("q_emb"),
+      rpLshBucket(col(embCol), dim, bits).as("qb"))
+    val probeList =
+      if (probeRadius == 0) array(col("qb"))
+      else array(col("qb") +: (0 until bits).map(i =>
+        col("qb").bitwiseXOR(lit(1L << i))): _*)
+    val probes = qb.select(col("q_id"), col("q_emb"),
+      explode(probeList).as("bucket"))
+    val scored = probes.join(c, "bucket")
+      .filter(col("q_id") =!= col("c_id"))
+      .select(col("q_id"), col("c_id"),
+        cosine(col("q_emb"), col("c_emb")).as("cos"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id")).orderBy(col("cos").desc, col("c_id"))
+    scored
+      .select(col("q_id"), col("c_id"), col("cos"),
+        row_number().over(w).cast(LongType).as("rank"))
+      .filter(col("rank") <= k)
+  }
+
   /** {-1,+1} signs for pseudo-random hyperplane `b` over `dim` dims. */
   private[operators] def planeSigns(b: Int, dim: Int): Column =
     array((0 until dim).map { i =>

@@ -139,6 +139,17 @@ object PipelineQueries {
         .orderBy($"bucket")
     }),
 
+    // RP-LSH bucket-join top-5 with one-flip multi-probe
+    // (SimilarityOps.rpLshTopK): queries probe their own bucket plus the
+    // 6 one-bit-flip neighbors; candidates from the bucket equi-join.
+    "q_sim_rplsh_topk" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      SimilarityOps.rpLshTopK(emb.filter(col("vec_id") < 10), emb,
+          k = 5, dim = 64, bits = 6, probeRadius = 1)
+        .withColumn("cos", round(col("cos"), 6))
+        .orderBy(col("q_id"), col("rank"))
+    }),
+
     // Multimodal chunk sampling plumbing (MultimodalOps.sampleChunks).
     "q_mm_chunks" -> ((s, dir) => {
       MultimodalOps.sampleChunks(t(s, dir, "documents"))
@@ -374,6 +385,34 @@ object PipelineQueries {
         |  SELECT vec_id, CAST($bitTerms AS BIGINT) AS bucket
         |  FROM (SELECT vec_id, embedding AS e FROM embeddings))
         |GROUP BY bucket ORDER BY bucket""".stripMargin
+    },
+
+    "q_sim_rplsh_topk" -> {
+      val bitTerms = (0 until 6).map { b =>
+        s"""CASE WHEN list_sum(list_transform(generate_series(1, 64),
+           |  i -> e[i]::DOUBLE * (CASE WHEN ('0x' || substr(md5($b || ':' || (i-1)), 1, 1))::INT % 2 = 0
+           |                       THEN 1.0 ELSE -1.0 END))) >= 0
+           |  THEN ${1L << b} ELSE 0 END""".stripMargin
+      }.mkString(" + ")
+      val cosSql = (a: String, b: String) =>
+        s"list_dot_product($a, $b) / (sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b)))"
+      s"""WITH b AS (
+        |  SELECT vec_id, e, CAST($bitTerms AS BIGINT) AS bucket
+        |  FROM (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings)),
+        |q AS (SELECT vec_id AS q_id, e AS qe, bucket AS qb FROM b WHERE vec_id < 10),
+        |probe AS (
+        |  SELECT q_id, qe, unnest([qb, xor(qb, 1), xor(qb, 2), xor(qb, 4),
+        |                           xor(qb, 8), xor(qb, 16), xor(qb, 32)]) AS pb
+        |  FROM q),
+        |scored AS (
+        |  SELECT p.q_id, c.vec_id AS c_id, ${cosSql("p.qe", "c.e")} AS cos
+        |  FROM probe p JOIN b c ON c.bucket = p.pb
+        |  WHERE p.q_id <> c.vec_id),
+        |r AS (SELECT q_id, c_id, cos,
+        |  CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id) AS BIGINT) AS rank
+        |  FROM scored)
+        |SELECT q_id, c_id, round(cos, 6) AS cos, rank FROM r
+        |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin
     },
 
     "q_mm_chunks" ->

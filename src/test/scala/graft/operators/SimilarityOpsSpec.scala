@@ -91,6 +91,17 @@ class SimilarityOpsSpec extends SparkSuite {
     assert(purity >= 0.95, s"cluster purity $purity < 0.95")
   }
 
+  test("RP-LSH bucket-join top-k: multi-probe lifts recall, radius-1 >= 0.7") {
+    val queries = corpus.filter($"vec_id" < 24)
+    val exact = SimilarityOps.bruteForceTopK(queries, corpus, k = 5)
+    val r0 = recall(SimilarityOps.rpLshTopK(queries, corpus, k = 5,
+      dim = Dim, bits = 6, probeRadius = 0), exact)
+    val r1 = recall(SimilarityOps.rpLshTopK(queries, corpus, k = 5,
+      dim = Dim, bits = 6, probeRadius = 1), exact)
+    assert(r1 >= r0, s"multi-probe lowered recall: $r0 -> $r1")
+    assert(r1 >= 0.7, s"radius-1 recall $r1 < 0.7")
+  }
+
   test("trained centroids keep IVF recall on clustered data") {
     val queries = corpus.filter($"vec_id" < 16)
     val exact = SimilarityOps.bruteForceTopK(queries, corpus, k = 5)
