@@ -128,6 +128,14 @@ object JsonConstructors {
   def jsonScalar(c: Column): Column =
     Bridge.column(JsonScalar(Bridge.expression(c)))
 
+  /** JSON_STRING(v) — the reference's name
+    * (BuiltInFunctionDefinitions.java:2397) for scalar JSON
+    * serialization; SQL NULL input serializes to SQL NULL per the
+    * reference (unlike the internal jsonScalar building block).
+    */
+  def jsonString(c: Column): Column =
+    when(c.isNull, lit(null).cast(StringType)).otherwise(jsonScalar(c))
+
   /** JSON_OBJECT(KEY k VALUE v, ...): keys serialize in written order.
     * `nullOnNull = false` is ABSENT ON NULL (entries with NULL values are
     * omitted via concat_ws, which skips SQL NULLs).
@@ -202,6 +210,14 @@ object JsonConstructors {
           IsJson(a, k)
         case _ => throw new IllegalArgumentException(
           "is_json expects (json) or (json, 'value'|'object'|'array'|'scalar' literal)")
+      })
+    reg.registerFunction(
+      FunctionIdentifier("json_string"),
+      new ExpressionInfo(classOf[JsonScalar].getName, "json_string"),
+      (cs: Seq[Expression]) => {
+        require(cs.length == 1, "json_string expects 1 argument")
+        import org.apache.spark.sql.catalyst.expressions.{If, IsNull}
+        If(IsNull(cs.head), Literal.create(null, StringType), JsonScalar(cs.head))
       })
     reg.registerFunction(
       FunctionIdentifier("json_object"),

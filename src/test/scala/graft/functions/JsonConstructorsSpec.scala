@@ -64,4 +64,15 @@ class JsonConstructorsSpec extends SparkSuite {
       .as[(String, Boolean, Boolean)].head()
     assert(r == (("{\"k\":5,\"name\":\"x\\\"y\"}", true, false)))
   }
+
+  test("JSON_STRING serializes scalars; SQL NULL stays NULL") {
+    JsonConstructors.register(spark)
+    val df = Seq((Some("a\"b"), Some(7L)), (None, None))
+      .toDF("s", "n")
+    val rows = df.select(jsonString($"s"), jsonString($"n"))
+      .as[(Option[String], Option[String])].collect().toSet
+    assert(rows == Set((Some("\"a\\\"b\""), Some("7")), (None, None)))
+    assert(spark.sql("SELECT json_string('x'), json_string(CAST(NULL AS STRING))")
+      .as[(String, Option[String])].head() == (("\"x\"", None)))
+  }
 }
