@@ -52,6 +52,14 @@ case class Pattern[E](stages: Vector[Stage[E]], withinMs: Option[Long] = None,
   def where(p: E => Boolean): Pattern[E] =
     updLast(s => s.copy(predicate = e => s.predicate(e) && p(e)))
 
+  /** OR-alternative condition on the current stage (Pattern.or:200). */
+  def or(p: E => Boolean): Pattern[E] =
+    updLast(s => s.copy(predicate = e => s.predicate(e) || p(e)))
+
+  /** At least n repetitions, greedy (Pattern.timesOrMore:577). */
+  def timesOrMore(n: Int): Pattern[E] =
+    updLast(s => s.copy(minTimes = n, maxTimes = Int.MaxValue))
+
   /** Strict contiguity: the very next event (Pattern.next:327). */
   def next(name: String)(p: E => Boolean): Pattern[E] =
     copy(stages = stages :+ Stage(name, p, Contiguity.Strict, 1, 1, pendingNot),

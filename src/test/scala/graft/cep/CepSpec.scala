@@ -39,6 +39,15 @@ class CepSpec extends SparkSuite {
     assert(m.size == 1)
   }
 
+  test("or-condition widens a stage; timesOrMore sets an open repetition floor") {
+    val p = Pattern.begin[Ev]("ab")(_.kind == "A").or(_.kind == "B").timesOrMore(2)
+      .followedBy("c")(_.kind == "C")
+    val m = nfa(p).findMatches(evs("A", "B", "A", "C"))
+    assert(m.size == 1)
+    assert(m.head._3.toMap.apply("ab").size == 3) // greedy: all three
+    assert(nfa(p).findMatches(evs("A", "C")).isEmpty) // below the floor
+  }
+
   test("oneOrMore is greedy") {
     val p = Pattern.begin[Ev]("a")(_.kind == "A").oneOrMore
       .followedBy("b")(_.kind == "B")
