@@ -187,6 +187,123 @@ object StatefulOps {
     }
   }
 
+  /** Retraction-aware AVG — AvgAggFunction with retraction (the
+    * reference's retract() path): the accumulator is (sum, count), the
+    * result is their double quotient. Same changelog protocol as
+    * [[RetractSumProcessor]].
+    */
+  case class AvgResult(key: String, avg: Double, count: Long)
+
+  class RetractAvgProcessor
+      extends StatefulProcessor[String, Change[String, Long], Change[String, AvgResult]] {
+    @transient private var acc: ValueState[AggResult] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      acc = getHandle.getValueState[AggResult]("acc",
+        Encoders.product[AggResult], TTLConfig.NONE)
+    override def handleInputRows(key: String, rows: Iterator[Change[String, Long]],
+        timerValues: TimerValues): Iterator[Change[String, AvgResult]] = {
+      val out = scala.collection.mutable.ArrayBuffer.empty[Change[String, AvgResult]]
+      def result(a: AggResult) = AvgResult(key, a.sum.toDouble / a.count, a.count)
+      rows.foreach { c =>
+        val prev = if (acc.exists()) Some(acc.get()) else None
+        val add = Changelog.isAdd(c.kind)
+        prev match {
+          case None if !add => () // retraction for an absent group: drop
+          case None =>
+            val next = AggResult(key, c.value, 1L)
+            out += Change(Changelog.Insert, key, result(next))
+            acc.update(next)
+          case Some(p) =>
+            val next = AggResult(key,
+              p.sum + (if (add) c.value else -c.value),
+              p.count + (if (add) 1 else -1))
+            if (next.count <= 0) {
+              out += Change(Changelog.Delete, key, result(p))
+              acc.clear()
+            } else {
+              out += Change(Changelog.UpdateBefore, key, result(p))
+              out += Change(Changelog.UpdateAfter, key, result(next))
+              acc.update(next)
+            }
+        }
+      }
+      out.iterator
+    }
+  }
+
+  /** Retraction-aware FIRST_VALUE / LAST_VALUE — semantics of
+    * FirstValueWithRetractAggFunction / LastValueWithRetractAggFunction:
+    * the accumulator maps arrival order → value; the result is the value
+    * at the minimal (first) or maximal (last) retained order. Retraction
+    * removes ONE instance of the value (its earliest order, the
+    * reference's List.remove semantics); only when the current
+    * first/last itself leaves does the recompute scan run.
+    */
+  case class OrderedValue(key: String, value: Long, count: Long)
+
+  class RetractFirstLastProcessor(first: Boolean)
+      extends StatefulProcessor[String, Change[String, Long], Change[String, OrderedValue]] {
+    @transient private var byOrder: MapState[Long, Long] = _ // order → value
+    @transient private var nextOrder: ValueState[Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      byOrder = getHandle.getMapState[Long, Long]("byOrder",
+        Encoders.scalaLong, Encoders.scalaLong, TTLConfig.NONE)
+      nextOrder = getHandle.getValueState[Long]("nextOrder",
+        Encoders.scalaLong, TTLConfig.NONE)
+    }
+
+    private def pick(): Option[(Long, Long)] = { // (order, value) at extreme
+      var best: Option[(Long, Long)] = None
+      byOrder.iterator().foreach { case (o, v) =>
+        if (best.isEmpty || (if (first) o < best.get._1 else o > best.get._1))
+          best = Some((o, v))
+      }
+      best
+    }
+
+    override def handleInputRows(key: String, rows: Iterator[Change[String, Long]],
+        timerValues: TimerValues): Iterator[Change[String, OrderedValue]] = {
+      val out = scala.collection.mutable.ArrayBuffer.empty[Change[String, OrderedValue]]
+      rows.foreach { c =>
+        val prev = pick()
+        val n = byOrder.iterator().size.toLong
+        if (Changelog.isAdd(c.kind)) {
+          val o = if (nextOrder.exists()) nextOrder.get() else 0L
+          nextOrder.update(o + 1L)
+          byOrder.updateValue(o, c.value)
+          val cur = pick().get
+          prev match {
+            case None =>
+              out += Change(Changelog.Insert, key, OrderedValue(key, cur._2, 1L))
+            case Some(p) =>
+              out += Change(Changelog.UpdateBefore, key, OrderedValue(key, p._2, n))
+              out += Change(Changelog.UpdateAfter, key, OrderedValue(key, cur._2, n + 1))
+          }
+        } else prev match {
+          case None => () // absent group
+          case Some(p) =>
+            // remove the EARLIEST instance of the retracted value
+            var victim = -1L
+            byOrder.iterator().foreach { case (o, v) =>
+              if (v == c.value && (victim < 0 || o < victim)) victim = o
+            }
+            if (victim >= 0) { // never-inserted value: drop
+              byOrder.removeKey(victim)
+              if (n <= 1L) {
+                out += Change(Changelog.Delete, key, OrderedValue(key, p._2, 1L))
+              } else {
+                val cur = pick().get
+                out += Change(Changelog.UpdateBefore, key, OrderedValue(key, p._2, n))
+                out += Change(Changelog.UpdateAfter, key, OrderedValue(key, cur._2, n - 1))
+              }
+            }
+        }
+      }
+      out.iterator
+    }
+  }
+
   /** Retraction-aware LISTAGG — semantics of
     * ListAggWithRetractAggFunction.java: the accumulator is the ordered
     * element list; retraction removes the FIRST occurrence (reference

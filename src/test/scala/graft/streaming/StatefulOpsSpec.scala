@@ -156,6 +156,47 @@ class StatefulOpsSpec extends SparkSuite {
     assert(out(2).isEmpty)
   }
 
+  test("avg-with-retract emits running quotients and -D on empty") {
+    val batches = Seq(
+      Seq(Change(Changelog.Insert, "k", 4L), Change(Changelog.Insert, "k", 8L)),
+      Seq(Change(Changelog.Delete, "k", 4L)),
+      Seq(Change(Changelog.Delete, "k", 8L)))
+    val out = runBatches[Change[String, Long], Change[String, AvgResult]](batches,
+      ds => ds.groupByKey(_.key)
+        .transformWithState(new RetractAvgProcessor(),
+          TimeMode.None(), OutputMode.Update()))
+    assert(out(0).last == Change(Changelog.UpdateAfter, "k", AvgResult("k", 6.0, 2)))
+    assert(out(1) == Seq(
+      Change(Changelog.UpdateBefore, "k", AvgResult("k", 6.0, 2)),
+      Change(Changelog.UpdateAfter, "k", AvgResult("k", 8.0, 1))))
+    assert(out(2) == Seq(Change(Changelog.Delete, "k", AvgResult("k", 8.0, 1))))
+  }
+
+  test("first/last-value-with-retract recompute when the extreme leaves") {
+    val batches = Seq(
+      Seq(Change(Changelog.Insert, "k", 10L), Change(Changelog.Insert, "k", 20L),
+        Change(Changelog.Insert, "k", 30L)),
+      Seq(Change(Changelog.Delete, "k", 10L))) // first arrival leaves
+    val firsts = runBatches[Change[String, Long], Change[String, OrderedValue]](batches,
+      ds => ds.groupByKey(_.key)
+        .transformWithState(new RetractFirstLastProcessor(first = true),
+          TimeMode.None(), OutputMode.Update()))
+    // after retracting the first arrival (10), FIRST_VALUE becomes 20
+    assert(firsts(1) == Seq(
+      Change(Changelog.UpdateBefore, "k", OrderedValue("k", 10L, 3)),
+      Change(Changelog.UpdateAfter, "k", OrderedValue("k", 20L, 2))))
+    val lasts = runBatches[Change[String, Long], Change[String, OrderedValue]](
+      Seq(Seq(Change(Changelog.Insert, "k", 10L), Change(Changelog.Insert, "k", 20L)),
+        Seq(Change(Changelog.Delete, "k", 20L))),
+      ds => ds.groupByKey(_.key)
+        .transformWithState(new RetractFirstLastProcessor(first = false),
+          TimeMode.None(), OutputMode.Update()))
+    // LAST_VALUE falls back to 10 when the newest arrival is retracted
+    assert(lasts(1) == Seq(
+      Change(Changelog.UpdateBefore, "k", OrderedValue("k", 20L, 2)),
+      Change(Changelog.UpdateAfter, "k", OrderedValue("k", 10L, 1))))
+  }
+
   test("listagg-with-retract removes the first occurrence") {
     val batches = Seq(
       Seq(Change(Changelog.Insert, "k", "a"), Change(Changelog.Insert, "k", "b"),
