@@ -1,0 +1,94 @@
+package graft.cep
+
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Micro-batch split independence — THE streaming CEP correctness
+  * property: for an in-order stream, however the events are cut into
+  * micro-batches, folding them through CEP.step must emit exactly the
+  * matches that batch findMatches produces on the whole sequence (same
+  * consumed events, same order). This pins the sorted-merge buffer, the
+  * incremental anchor frontier, and the within-horizon eviction against
+  * the batch semantics.
+  */
+class CepStepPropertySpec extends AnyFunSuite {
+
+  private case class E(ts: Long, kind: Char)
+
+  private def check(prop: Prop): Unit = {
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(300), prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  private val genEvents: Gen[IndexedSeq[E]] =
+    Gen.listOf(Gen.oneOf('a', 'b', 'c')).map(ks =>
+      ks.zipWithIndex.map { case (k, i) => E(i.toLong, k) }.toIndexedSeq)
+
+  /** Random cut points → consecutive micro-batches covering the stream. */
+  private def genSplits(n: Int): Gen[List[Int]] =
+    Gen.listOf(Gen.choose(0, math.max(0, n - 1))).map(cs =>
+      (cs :+ n).distinct.sorted)
+
+  private def pat: Pattern[E] =
+    Pattern.begin[E]("a")(_.kind == 'a').oneOrMore.consecutive
+      .next("b")(_.kind == 'b')
+      .within(6)
+
+  private def consumed(ms: Seq[(Int, Int, Seq[(String, Seq[E])])]): Seq[Seq[E]] =
+    ms.map(_._3.flatMap(_._2))
+
+  test("any micro-batch split of an in-order stream reproduces batch matches") {
+    check(Prop.forAll(genEvents.suchThat(_.nonEmpty)) { events =>
+      Prop.forAll(genSplits(events.length)) { cuts =>
+        val p = pat
+        val nfa = new NFA[E](p, _.ts)
+        val batchMatches = consumed(nfa.findMatches(events))
+
+        var buf = IndexedSeq.empty[E]
+        val streamed = Seq.newBuilder[Seq[E]]
+        var prev = 0
+        cuts.foreach { c =>
+          if (c > prev) {
+            val (ms, retained) =
+              CEP.step[E](buf, events.slice(prev, c), p, nfa, _.ts, None)
+            streamed ++= consumed(ms)
+            buf = retained
+            prev = c
+          }
+        }
+        // events after the last cut
+        if (prev < events.length) {
+          val (ms, retained) =
+            CEP.step[E](buf, events.slice(prev, events.length), p, nfa, _.ts, None)
+          streamed ++= consumed(ms)
+          buf = retained
+        }
+        streamed.result() == batchMatches
+      }
+    })
+  }
+
+  test("buffer stays bounded by the within horizon under any split") {
+    check(Prop.forAll(genEvents.suchThat(_.nonEmpty)) { events =>
+      Prop.forAll(genSplits(events.length)) { cuts =>
+        val p = pat
+        val nfa = new NFA[E](p, _.ts)
+        var buf = IndexedSeq.empty[E]
+        var prev = 0
+        var ok = true
+        (cuts.filter(_ > 0) :+ events.length).distinct.sorted.foreach { c =>
+          if (c > prev) {
+            val (_, retained) =
+              CEP.step[E](buf, events.slice(prev, c), p, nfa, _.ts, None)
+            buf = retained
+            prev = c
+            // every retained event is within the horizon of the max seen ts
+            val maxTs = events(c - 1).ts
+            ok = ok && buf.forall(e => e.ts >= maxTs - 6)
+          }
+        }
+        ok
+      }
+    })
+  }
+}
