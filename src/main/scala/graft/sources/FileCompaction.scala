@@ -64,11 +64,26 @@ object FileCompaction {
       .write.mode("overwrite").parquet(tmp.toString)
 
     // phase 2 (commit): move merged files in, then delete the originals —
-    // in that order, so a crash can duplicate but never lose records
+    // in that order, so a crash can duplicate but never lose records.
+    // Every rename must succeed before any original is deleted: a failed
+    // rename aborts the whole compaction (originals kept, temp removed),
+    // otherwise records merged into the unmoved file would be lost.
     val merged = fs.listStatus(tmp)
       .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
-    merged.zipWithIndex.foreach { case (m, i) =>
-      fs.rename(m.getPath, new Path(hPath, s"compacted-${System.nanoTime()}-$i.parquet"))
+    val landed = Vector.newBuilder[Path]
+    val allRenamed = merged.zipWithIndex.forall { case (m, i) =>
+      val dest = new Path(hPath, s"compacted-${System.nanoTime()}-$i.parquet")
+      val ok = fs.rename(m.getPath, dest)
+      if (ok) landed += dest
+      ok
+    }
+    if (!allRenamed) {
+      // roll back: drop any already-landed merged files (the originals
+      // still hold every record), then the temp dir, and signal failure
+      landed.result().foreach(p => fs.delete(p, false))
+      fs.delete(tmp, true)
+      throw new java.io.IOException(
+        s"compaction aborted: rename into $dir failed; original files kept")
     }
     small.foreach(s => fs.delete(s.getPath, false))
     fs.delete(tmp, true)

@@ -138,7 +138,10 @@ class MemReaderFactory(fields: Array[String], pushed: Array[Filter])
         case LessThan(c, x) => field(r, c) < num(x)
         case GreaterThanOrEqual(c, x) => field(r, c) >= num(x)
         case LessThanOrEqual(c, x) => field(r, c) <= num(x)
-        case IsNotNull(_) => true
+        // the pushdown contract: Spark drops pushed filters from the
+        // post-scan, so the reader MUST honor them — `name` is the one
+        // nullable column, id/v are non-nullable by schema
+        case IsNotNull(c) => c != "name" || r._2 != null
         case _ => true
       }
       private def field(r: (Long, String, Long), c: String): Long =

@@ -49,4 +49,55 @@ class FileCompactionSpec extends SparkSuite {
     val stats = FileCompaction.compactParquet(spark, dir, 10L, 1 << 20)
     assert(stats.smallFilesMerged == 0 && stats.filesBefore == stats.filesAfter)
   }
+
+  test("a failed commit rename aborts compaction and keeps every original") {
+    val conf = spark.sparkContext.hadoopConfiguration
+    conf.set("fs.failfs.impl", classOf[FailingRenameFs].getName)
+    val local = tmpDir("failcompact")
+    val dir = s"failfs://${local}"
+    (1 to 50).toDF("v").repartition(10).write.mode("append").parquet(dir)
+    val localDir = new java.io.File(local)
+    def parquetNames() = localDir.listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.getName).toSet
+    val namesBefore = parquetNames()
+    assert(namesBefore.size == 10)
+
+    FailingRenameFs.failCompactedRenamesAfter = 1 // land one, fail the next
+    try {
+      val err = intercept[java.io.IOException] {
+        // tiny targetBytes → several merged outputs → a partial landing
+        FileCompaction.compactParquet(spark, dir,
+          smallBytes = 1 << 20, targetBytes = 1L)
+      }
+      assert(err.getMessage.contains("original files kept"))
+    } finally FailingRenameFs.failCompactedRenamesAfter = Int.MaxValue
+
+    // commit-then-cleanup contract: nothing lost, nothing half-landed
+    assert(parquetNames() == namesBefore)          // originals untouched
+    assert(!localDir.listFiles().exists(_.getName.startsWith("compacted-")))
+    assert(!localDir.listFiles().exists(f =>       // temp dir rolled back
+      f.isDirectory && f.getName.startsWith("_compact_")))
+    assert(spark.read.parquet(dir).as[Int].collect().sorted.toSeq ==
+      (1 to 50).toSeq)
+  }
+}
+
+/** RawLocalFileSystem that fails renames to `compacted-*` destinations
+  * once armed — injects the commit-phase failure the abort path guards.
+  */
+class FailingRenameFs extends org.apache.hadoop.fs.RawLocalFileSystem {
+  override def getScheme: String = "failfs"
+  override def getUri: java.net.URI = java.net.URI.create("failfs:///")
+  override def rename(src: org.apache.hadoop.fs.Path,
+      dst: org.apache.hadoop.fs.Path): Boolean = {
+    if (dst.getName.startsWith("compacted-")) {
+      if (FailingRenameFs.failCompactedRenamesAfter <= 0) return false
+      FailingRenameFs.failCompactedRenamesAfter -= 1
+    }
+    super.rename(src, dst)
+  }
+}
+
+object FailingRenameFs {
+  @volatile var failCompactedRenamesAfter: Int = Int.MaxValue
 }

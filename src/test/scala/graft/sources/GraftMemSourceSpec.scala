@@ -72,6 +72,20 @@ class GraftMemSourceSpec extends SparkSuite {
     assert(MemTables.commits == 0 && MemTables.aborts == 1)
   }
 
+  test("pushed IS NOT NULL is honored by the reader (no null-name rows leak)") {
+    MemTables.reset()
+    seed("t_nn", Vector((1L, "a", 10L), (2L, null, 20L), (3L, "c", 30L),
+      (4L, null, 40L)))
+    val df = read("t_nn").filter($"name".isNotNull)
+    // Spark removes fully-pushed filters from the post-scan, so the scan
+    // itself must drop the null-name rows — the round-5 bug returned all 4
+    assert(df.select($"id").as[Long].collect().sorted.toSeq == Seq(1L, 3L))
+    assert(MemTables.lastPushedFilters.contains(IsNotNull("name")))
+    // and nothing re-filters above the scan: pushed means pushed
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("IsNotNull(name)"))
+  }
+
   test("multi-split scan covers all rows") {
     MemTables.reset()
     seed("t_split", (1L to 7L).map(i => (i, null: String, i)).toVector)
