@@ -166,6 +166,13 @@ object MatchRecognize {
 
     private def atom(): Ex = peek match {
       case "(" => next(); val e = expr(); expect(")"); e
+      case "-" => // unary minus: fold into the literal, else 0 - x
+        next()
+        atom() match {
+          case Lit(l: java.lang.Long) => Lit(java.lang.Long.valueOf(-l))
+          case Lit(d: java.lang.Double) => Lit(java.lang.Double.valueOf(-d))
+          case other => Bin("-", Lit(java.lang.Long.valueOf(0L)), other)
+        }
       case t if t.startsWith("'") =>
         next(); Lit(t.substring(1, t.length - 1).replace("''", "'"))
       case t if t.nonEmpty && (t.head.isDigit) =>
@@ -336,6 +343,13 @@ object MatchRecognize {
     case other => throw new IllegalArgumentException(s"not numeric: $other")
   }
 
+  private def toJavaBigDecimal(v: Any): java.math.BigDecimal = v match {
+    case d: java.math.BigDecimal => d
+    case d: scala.math.BigDecimal => d.bigDecimal
+    case n: java.lang.Number => new java.math.BigDecimal(n.toString)
+    case other => throw new IllegalArgumentException(s"not numeric: $other")
+  }
+
   private def isNum(v: Any): Boolean = v match {
     case _: java.lang.Number | _: java.math.BigDecimal | _: scala.math.BigDecimal => true
     case _ => false
@@ -467,6 +481,10 @@ object MatchRecognize {
         case _: IntegerType | _: LongType | _: ShortType | _: ByteType => true
         case _ => false
       }
+      val decimalScale = schema(i).dataType match {
+        case d: DecimalType => d.scale
+        case _ => -1
+      }
       ctx => {
         val vals = ctx.stages.getOrElse(v, IndexedSeq.empty)
           .filterNot(_.isNullAt(i)).map(_.get(i))
@@ -477,6 +495,10 @@ object MatchRecognize {
           case "AVG" => java.lang.Double.valueOf(vals.map(num).sum / vals.size)
           case "SUM" =>
             if (integral) java.lang.Long.valueOf(vals.map(num(_).toLong).sum)
+            else if (decimalScale >= 0)
+              // keep exact decimal arithmetic: the declared measure type is
+              // DecimalType, so a Double here would fail the RowEncoder
+              vals.map(toJavaBigDecimal).reduce(_.add(_)).setScale(decimalScale)
             else java.lang.Double.valueOf(vals.map(num).sum)
         }
       }
@@ -494,7 +516,7 @@ object MatchRecognize {
     case Agg("AVG", _, _) => DoubleType
     case Agg("SUM", _, f) => schema(schema.fieldIndex(f)).dataType match {
       case _: IntegerType | _: LongType | _: ShortType | _: ByteType => LongType
-      case d: DecimalType => d
+      case d: DecimalType => DecimalType(math.min(38, d.precision + 10), d.scale)
       case _ => DoubleType
     }
     case other =>

@@ -145,7 +145,7 @@ object DedupOps {
     val candDocs = docs.join(candIds, col(idCol) === col("jid"), "left_semi")
     val sh = candDocs.select(col(idCol).as("jid"),
       explode(array_distinct(shingles(col(textCol), shingleN))).as("sh"))
-    CacheOnce.untilNextAction(pairs, sh)
+    CacheOnce.untilConsumed(pairs, sh)
     val sizes = sh.groupBy(col("jid")).agg(count(lit(1)).as("n_sh"))
     val inter = pairs
       .join(sh.select(col("jid").as("id_a"), col("sh")), "id_a")

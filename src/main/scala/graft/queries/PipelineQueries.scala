@@ -69,7 +69,7 @@ object PipelineQueries {
         docs.filter(col("doc_id") % 10 === 0)
           .withColumn("doc_id", col("doc_id") + dupOffset))
       val sig = DedupOps.minhash(withDups, k = 8)
-      graft.operators.CacheOnce.untilNextAction(sig)
+      graft.operators.CacheOnce.untilConsumed(sig)
       val pairs = DedupOps.candidatePairs(DedupOps.lshBuckets(sig))
       DedupOps.jaccardVerify(withDups, pairs)
         .filter(col("jaccard") >= 0.8)

@@ -229,4 +229,49 @@ class MatchRecognizeSpec extends SparkSuite {
       .as[(String, Long, Long)].collect().toSet
     assert(out == Set(("k", 1L, 2L), ("k", 3L, 4L)))
   }
+
+  test("SUM measure over a decimal column stays exact decimal") {
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.types.DecimalType
+    val df = Seq(
+      ("k", 1L, "a", "10.25"), ("k", 2L, "a", "0.50"), ("k", 3L, "b", "99.99")
+    ).toDF("k", "seq", "t", "price")
+      .withColumn("price", col("price").cast(DecimalType(10, 2)))
+    val out = MatchRecognize(df,
+      """PARTITION BY k
+        |ORDER BY seq
+        |MEASURES SUM(A.price) AS total, MAX(A.price) AS hi
+        |PATTERN (A+ B)
+        |DEFINE A AS t = 'a', B AS t = 'b'""".stripMargin)
+    assert(out.schema("total").dataType == DecimalType(20, 2))
+    assert(out.schema("hi").dataType == DecimalType(10, 2))
+    val row = out.collect().head
+    assert(row.getDecimal(out.schema.fieldIndex("total")) ==
+      new java.math.BigDecimal("10.75"))
+    assert(row.getDecimal(out.schema.fieldIndex("hi")) ==
+      new java.math.BigDecimal("10.25"))
+  }
+
+  test("unary minus parses in DEFINE and MEASURES") {
+    val df = Seq(
+      ("k", 1L, -10L), ("k", 2L, -3L), ("k", 3L, 7L)
+    ).toDF("k", "seq", "delta")
+    val out = MatchRecognize(df,
+      """PARTITION BY k
+        |ORDER BY seq
+        |MEASURES A.seq AS s
+        |PATTERN (A)
+        |DEFINE A AS A.delta < -5""".stripMargin)
+      .as[(String, Long)].collect().toSet
+    assert(out == Set(("k", 1L))) // only delta=-10 < -5
+    // negative double literal and -x arithmetic
+    val out2 = MatchRecognize(df,
+      """PARTITION BY k
+        |ORDER BY seq
+        |MEASURES A.seq AS s
+        |PATTERN (A)
+        |DEFINE A AS A.delta * -1.5 > 4.0""".stripMargin)
+      .as[(String, Long)].collect().toSet
+    assert(out2 == Set(("k", 1L), ("k", 2L))) // 15.0 and 4.5 > 4.0
+  }
 }
