@@ -69,27 +69,32 @@ object StatefulOps {
     * (+I/+U accumulate, -U/-D retract), emits -U/+U pairs around each
     * change, +I for a new group, and -D when the group's record count
     * returns to zero.
+    *
+    * Generic over key `K` and measure `N` the way the reference's
+    * GroupAggFunction is generic over RowData: arithmetic comes from
+    * `Numeric[N]` (Long, Double, BigDecimal, …), state encoding from the
+    * caller-supplied accumulator [[Encoder]].
     */
-  case class AggResult(key: String, sum: Long, count: Long)
+  case class AggResult[K, N](key: K, sum: N, count: Long)
 
-  class RetractSumProcessor
-      extends StatefulProcessor[String, Change[String, Long], Change[String, AggResult]] {
-    @transient private var acc: ValueState[AggResult] = _
+  class RetractSumProcessor[K, N](implicit num: Numeric[N],
+      accEnc: Encoder[AggResult[K, N]])
+      extends StatefulProcessor[K, Change[K, N], Change[K, AggResult[K, N]]] {
+    @transient private var acc: ValueState[AggResult[K, N]] = _
     override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
-      acc = getHandle.getValueState[AggResult]("acc",
-        Encoders.product[AggResult], TTLConfig.NONE)
-    override def handleInputRows(key: String, rows: Iterator[Change[String, Long]],
-        timerValues: TimerValues): Iterator[Change[String, AggResult]] = {
-      val out = scala.collection.mutable.ArrayBuffer.empty[Change[String, AggResult]]
+      acc = getHandle.getValueState[AggResult[K, N]]("acc", accEnc, TTLConfig.NONE)
+    override def handleInputRows(key: K, rows: Iterator[Change[K, N]],
+        timerValues: TimerValues): Iterator[Change[K, AggResult[K, N]]] = {
+      val out = scala.collection.mutable.ArrayBuffer.empty[Change[K, AggResult[K, N]]]
       rows.foreach { c =>
         val prev = if (acc.exists()) Some(acc.get()) else None
         val add = Changelog.isAdd(c.kind)
+        val signed = if (add) c.value else num.negate(c.value)
         val next = prev match {
           case Some(p) => AggResult(key,
-            p.sum + (if (add) c.value else -c.value),
+            num.plus(p.sum, signed),
             p.count + (if (add) 1 else -1))
-          case None => AggResult(key, if (add) c.value else -c.value,
-            if (add) 1L else -1L)
+          case None => AggResult(key, signed, if (add) 1L else -1L)
         }
         prev match {
           // GroupAggFunction.java:131 — a retraction arriving for an
@@ -123,25 +128,26 @@ object StatefulOps {
     * (+I new group, -U/+U around each change, -D on empty, retraction
     * for an absent group/value dropped).
     */
-  case class MinMaxResult(key: String, extreme: Long, count: Long)
+  case class MinMaxResult[K, N](key: K, extreme: N, count: Long)
 
-  class RetractMinMaxProcessor(isMax: Boolean)
-      extends StatefulProcessor[String, Change[String, Long], Change[String, MinMaxResult]] {
-    @transient private var counts: MapState[Long, Long] = _
-    @transient private var cur: ValueState[MinMaxResult] = _
+  class RetractMinMaxProcessor[K, N](isMax: Boolean)(implicit ord: Ordering[N],
+      nEnc: Encoder[N], curEnc: Encoder[MinMaxResult[K, N]])
+      extends StatefulProcessor[K, Change[K, N], Change[K, MinMaxResult[K, N]]] {
+    @transient private var counts: MapState[N, Long] = _
+    @transient private var cur: ValueState[MinMaxResult[K, N]] = _
 
     override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
-      counts = getHandle.getMapState[Long, Long]("counts",
-        Encoders.scalaLong, Encoders.scalaLong, TTLConfig.NONE)
-      cur = getHandle.getValueState[MinMaxResult]("cur",
-        Encoders.product[MinMaxResult], TTLConfig.NONE)
+      counts = getHandle.getMapState[N, Long]("counts",
+        nEnc, Encoders.scalaLong, TTLConfig.NONE)
+      cur = getHandle.getValueState[MinMaxResult[K, N]]("cur",
+        curEnc, TTLConfig.NONE)
     }
 
-    private def better(a: Long, b: Long): Long = if (isMax) a max b else a min b
+    private def better(a: N, b: N): N = if (isMax) ord.max(a, b) else ord.min(a, b)
 
-    override def handleInputRows(key: String, rows: Iterator[Change[String, Long]],
-        timerValues: TimerValues): Iterator[Change[String, MinMaxResult]] = {
-      val out = scala.collection.mutable.ArrayBuffer.empty[Change[String, MinMaxResult]]
+    override def handleInputRows(key: K, rows: Iterator[Change[K, N]],
+        timerValues: TimerValues): Iterator[Change[K, MinMaxResult[K, N]]] = {
+      val out = scala.collection.mutable.ArrayBuffer.empty[Change[K, MinMaxResult[K, N]]]
       rows.foreach { c =>
         val prev = if (cur.exists()) Some(cur.get()) else None
         if (Changelog.isAdd(c.kind)) {
@@ -192,18 +198,19 @@ object StatefulOps {
     * result is their double quotient. Same changelog protocol as
     * [[RetractSumProcessor]].
     */
-  case class AvgResult(key: String, avg: Double, count: Long)
+  case class AvgResult[K](key: K, avg: Double, count: Long)
 
-  class RetractAvgProcessor
-      extends StatefulProcessor[String, Change[String, Long], Change[String, AvgResult]] {
-    @transient private var acc: ValueState[AggResult] = _
+  class RetractAvgProcessor[K, N](implicit num: Numeric[N],
+      accEnc: Encoder[AggResult[K, N]], avgEnc: Encoder[AvgResult[K]])
+      extends StatefulProcessor[K, Change[K, N], Change[K, AvgResult[K]]] {
+    @transient private var acc: ValueState[AggResult[K, N]] = _
     override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
-      acc = getHandle.getValueState[AggResult]("acc",
-        Encoders.product[AggResult], TTLConfig.NONE)
-    override def handleInputRows(key: String, rows: Iterator[Change[String, Long]],
-        timerValues: TimerValues): Iterator[Change[String, AvgResult]] = {
-      val out = scala.collection.mutable.ArrayBuffer.empty[Change[String, AvgResult]]
-      def result(a: AggResult) = AvgResult(key, a.sum.toDouble / a.count, a.count)
+      acc = getHandle.getValueState[AggResult[K, N]]("acc", accEnc, TTLConfig.NONE)
+    override def handleInputRows(key: K, rows: Iterator[Change[K, N]],
+        timerValues: TimerValues): Iterator[Change[K, AvgResult[K]]] = {
+      val out = scala.collection.mutable.ArrayBuffer.empty[Change[K, AvgResult[K]]]
+      def result(a: AggResult[K, N]) =
+        AvgResult(key, num.toDouble(a.sum) / a.count, a.count)
       rows.foreach { c =>
         val prev = if (acc.exists()) Some(acc.get()) else None
         val add = Changelog.isAdd(c.kind)
@@ -215,7 +222,7 @@ object StatefulOps {
             acc.update(next)
           case Some(p) =>
             val next = AggResult(key,
-              p.sum + (if (add) c.value else -c.value),
+              num.plus(p.sum, if (add) c.value else num.negate(c.value)),
               p.count + (if (add) 1 else -1))
             if (next.count <= 0) {
               out += Change(Changelog.Delete, key, result(p))
@@ -239,22 +246,23 @@ object StatefulOps {
     * reference's List.remove semantics); only when the current
     * first/last itself leaves does the recompute scan run.
     */
-  case class OrderedValue(key: String, value: Long, count: Long)
+  case class OrderedValue[K, V](key: K, value: V, count: Long)
 
-  class RetractFirstLastProcessor(first: Boolean)
-      extends StatefulProcessor[String, Change[String, Long], Change[String, OrderedValue]] {
-    @transient private var byOrder: MapState[Long, Long] = _ // order → value
+  class RetractFirstLastProcessor[K, V](first: Boolean)(implicit vEnc: Encoder[V],
+      outEnc: Encoder[OrderedValue[K, V]])
+      extends StatefulProcessor[K, Change[K, V], Change[K, OrderedValue[K, V]]] {
+    @transient private var byOrder: MapState[Long, V] = _ // order → value
     @transient private var nextOrder: ValueState[Long] = _
 
     override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
-      byOrder = getHandle.getMapState[Long, Long]("byOrder",
-        Encoders.scalaLong, Encoders.scalaLong, TTLConfig.NONE)
+      byOrder = getHandle.getMapState[Long, V]("byOrder",
+        Encoders.scalaLong, vEnc, TTLConfig.NONE)
       nextOrder = getHandle.getValueState[Long]("nextOrder",
         Encoders.scalaLong, TTLConfig.NONE)
     }
 
-    private def pick(): Option[(Long, Long)] = { // (order, value) at extreme
-      var best: Option[(Long, Long)] = None
+    private def pick(): Option[(Long, V)] = { // (order, value) at extreme
+      var best: Option[(Long, V)] = None
       byOrder.iterator().foreach { case (o, v) =>
         if (best.isEmpty || (if (first) o < best.get._1 else o > best.get._1))
           best = Some((o, v))
@@ -262,9 +270,9 @@ object StatefulOps {
       best
     }
 
-    override def handleInputRows(key: String, rows: Iterator[Change[String, Long]],
-        timerValues: TimerValues): Iterator[Change[String, OrderedValue]] = {
-      val out = scala.collection.mutable.ArrayBuffer.empty[Change[String, OrderedValue]]
+    override def handleInputRows(key: K, rows: Iterator[Change[K, V]],
+        timerValues: TimerValues): Iterator[Change[K, OrderedValue[K, V]]] = {
+      val out = scala.collection.mutable.ArrayBuffer.empty[Change[K, OrderedValue[K, V]]]
       rows.foreach { c =>
         val prev = pick()
         val n = byOrder.iterator().size.toLong
@@ -312,18 +320,18 @@ object StatefulOps {
     * rebuild-on-retract path costs O(n) exactly as the reference's
     * ArrayList removal does.
     */
-  case class ListAggResult(key: String, agg: String, count: Long)
+  case class ListAggResult[K](key: K, agg: String, count: Long)
 
-  class RetractListAggProcessor(sep: String = ",")
-      extends StatefulProcessor[String, Change[String, String], Change[String, ListAggResult]] {
+  class RetractListAggProcessor[K](sep: String = ",")
+      extends StatefulProcessor[K, Change[K, String], Change[K, ListAggResult[K]]] {
     @transient private var items: ListState[String] = _
 
     override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
       items = getHandle.getListState[String]("items", Encoders.STRING, TTLConfig.NONE)
 
-    override def handleInputRows(key: String, rows: Iterator[Change[String, String]],
-        timerValues: TimerValues): Iterator[Change[String, ListAggResult]] = {
-      val out = scala.collection.mutable.ArrayBuffer.empty[Change[String, ListAggResult]]
+    override def handleInputRows(key: K, rows: Iterator[Change[K, String]],
+        timerValues: TimerValues): Iterator[Change[K, ListAggResult[K]]] = {
+      val out = scala.collection.mutable.ArrayBuffer.empty[Change[K, ListAggResult[K]]]
       var cur = items.get().toVector
       def result(v: Vector[String]) = ListAggResult(key, v.mkString(sep), v.length.toLong)
       rows.foreach { c =>

@@ -79,9 +79,9 @@ class StatefulOpsSpec extends SparkSuite {
       Seq(Change(Changelog.Insert, "k", 7L)),
       Seq(Change(Changelog.Delete, "k", 5L)),
       Seq(Change(Changelog.Delete, "k", 7L)))
-    val out = runBatches[Change[String, Long], Change[String, AggResult]](batches,
+    val out = runBatches[Change[String, Long], Change[String, AggResult[String, Long]]](batches,
       ds => ds.groupByKey(_.key)
-        .transformWithState(new RetractSumProcessor(),
+        .transformWithState(new RetractSumProcessor[String, Long](),
           TimeMode.None(), OutputMode.Update()))
     assert(out(0) == Seq(Change(Changelog.Insert, "k", AggResult("k", 5, 1))))
     assert(out(1) == Seq(
@@ -99,11 +99,50 @@ class StatefulOpsSpec extends SparkSuite {
       Seq(Change(Changelog.Insert, "k", 3L)),
       Seq(Change(Changelog.Delete, "k", 3L)),
       Seq(Change(Changelog.Insert, "k", 9L)))
-    val out = runBatches[Change[String, Long], Change[String, AggResult]](batches,
+    val out = runBatches[Change[String, Long], Change[String, AggResult[String, Long]]](batches,
       ds => ds.groupByKey(_.key)
-        .transformWithState(new RetractSumProcessor(),
+        .transformWithState(new RetractSumProcessor[String, Long](),
           TimeMode.None(), OutputMode.Update()))
     assert(out(2) == Seq(Change(Changelog.Insert, "k", AggResult("k", 9, 1))))
+  }
+
+  test("retractable sum is generic: BigDecimal measure, composite key") {
+    val k = ("emea", "gold")
+    def d(s: String) = BigDecimal(s)
+    val batches = Seq(
+      Seq(Change(Changelog.Insert, k, d("10.25"))),
+      Seq(Change(Changelog.Insert, k, d("0.50"))),
+      Seq(Change(Changelog.Delete, k, d("10.25"))))
+    val out = runBatches[Change[(String, String), BigDecimal],
+        Change[(String, String), AggResult[(String, String), BigDecimal]]](
+      batches,
+      ds => ds.groupByKey(_.key)
+        .transformWithState(
+          new RetractSumProcessor[(String, String), BigDecimal](),
+          TimeMode.None(), OutputMode.Update()))
+    assert(out(0) == Seq(Change(Changelog.Insert, k, AggResult(k, d("10.25"), 1))))
+    // exact decimal arithmetic through state round-trips, no double drift
+    assert(out(1) == Seq(
+      Change(Changelog.UpdateBefore, k, AggResult(k, d("10.25"), 1)),
+      Change(Changelog.UpdateAfter, k, AggResult(k, d("10.75"), 2))))
+    assert(out(2) == Seq(
+      Change(Changelog.UpdateBefore, k, AggResult(k, d("10.75"), 2)),
+      Change(Changelog.UpdateAfter, k, AggResult(k, d("0.50"), 1))))
+  }
+
+  test("min-with-retract is generic: String measure under its ordering") {
+    val batches = Seq(
+      Seq(Change(Changelog.Insert, "k", "pear"), Change(Changelog.Insert, "k", "apple")),
+      Seq(Change(Changelog.Delete, "k", "apple"))) // min leaves → recompute
+    val out = runBatches[Change[String, String], Change[String, MinMaxResult[String, String]]](
+      batches,
+      ds => ds.groupByKey(_.key)
+        .transformWithState(new RetractMinMaxProcessor[String, String](isMax = false),
+          TimeMode.None(), OutputMode.Update()))
+    assert(out(0).last == Change(Changelog.UpdateAfter, "k", MinMaxResult("k", "apple", 2)))
+    assert(out(1) == Seq(
+      Change(Changelog.UpdateBefore, "k", MinMaxResult("k", "apple", 2)),
+      Change(Changelog.UpdateAfter, "k", MinMaxResult("k", "pear", 1))))
   }
 
   test("max-with-retract: retracting the max recomputes from remaining values") {
@@ -112,9 +151,9 @@ class StatefulOpsSpec extends SparkSuite {
       Seq(Change(Changelog.Insert, "k", 9L), Change(Changelog.Insert, "k", 7L)),
       Seq(Change(Changelog.Delete, "k", 9L)), // max leaves → recompute to 7
       Seq(Change(Changelog.Delete, "k", 7L), Change(Changelog.Delete, "k", 5L)))
-    val out = runBatches[Change[String, Long], Change[String, MinMaxResult]](batches,
+    val out = runBatches[Change[String, Long], Change[String, MinMaxResult[String, Long]]](batches,
       ds => ds.groupByKey(_.key)
-        .transformWithState(new RetractMinMaxProcessor(isMax = true),
+        .transformWithState(new RetractMinMaxProcessor[String, Long](isMax = true),
           TimeMode.None(), OutputMode.Update()))
     assert(out(0) == Seq(Change(Changelog.Insert, "k", MinMaxResult("k", 5, 1))))
     assert(out(1) == Seq(
@@ -134,9 +173,9 @@ class StatefulOpsSpec extends SparkSuite {
       Seq(Change(Changelog.Insert, "k", 3L), Change(Changelog.Insert, "k", 3L),
         Change(Changelog.Insert, "k", 8L)),
       Seq(Change(Changelog.Delete, "k", 3L))) // one of two 3s: min stays 3
-    val out = runBatches[Change[String, Long], Change[String, MinMaxResult]](batches,
+    val out = runBatches[Change[String, Long], Change[String, MinMaxResult[String, Long]]](batches,
       ds => ds.groupByKey(_.key)
-        .transformWithState(new RetractMinMaxProcessor(isMax = false),
+        .transformWithState(new RetractMinMaxProcessor[String, Long](isMax = false),
           TimeMode.None(), OutputMode.Update()))
     assert(out(1) == Seq(
       Change(Changelog.UpdateBefore, "k", MinMaxResult("k", 3, 3)),
@@ -148,9 +187,9 @@ class StatefulOpsSpec extends SparkSuite {
       Seq(Change(Changelog.Delete, "k", 5L)), // absent group
       Seq(Change(Changelog.Insert, "k", 5L)),
       Seq(Change(Changelog.Delete, "k", 42L))) // never-inserted value
-    val out = runBatches[Change[String, Long], Change[String, MinMaxResult]](batches,
+    val out = runBatches[Change[String, Long], Change[String, MinMaxResult[String, Long]]](batches,
       ds => ds.groupByKey(_.key)
-        .transformWithState(new RetractMinMaxProcessor(isMax = false),
+        .transformWithState(new RetractMinMaxProcessor[String, Long](isMax = false),
           TimeMode.None(), OutputMode.Update()))
     assert(out(0).isEmpty)
     assert(out(2).isEmpty)
@@ -161,9 +200,9 @@ class StatefulOpsSpec extends SparkSuite {
       Seq(Change(Changelog.Insert, "k", 4L), Change(Changelog.Insert, "k", 8L)),
       Seq(Change(Changelog.Delete, "k", 4L)),
       Seq(Change(Changelog.Delete, "k", 8L)))
-    val out = runBatches[Change[String, Long], Change[String, AvgResult]](batches,
+    val out = runBatches[Change[String, Long], Change[String, AvgResult[String]]](batches,
       ds => ds.groupByKey(_.key)
-        .transformWithState(new RetractAvgProcessor(),
+        .transformWithState(new RetractAvgProcessor[String, Long](),
           TimeMode.None(), OutputMode.Update()))
     assert(out(0).last == Change(Changelog.UpdateAfter, "k", AvgResult("k", 6.0, 2)))
     assert(out(1) == Seq(
@@ -177,19 +216,19 @@ class StatefulOpsSpec extends SparkSuite {
       Seq(Change(Changelog.Insert, "k", 10L), Change(Changelog.Insert, "k", 20L),
         Change(Changelog.Insert, "k", 30L)),
       Seq(Change(Changelog.Delete, "k", 10L))) // first arrival leaves
-    val firsts = runBatches[Change[String, Long], Change[String, OrderedValue]](batches,
+    val firsts = runBatches[Change[String, Long], Change[String, OrderedValue[String, Long]]](batches,
       ds => ds.groupByKey(_.key)
-        .transformWithState(new RetractFirstLastProcessor(first = true),
+        .transformWithState(new RetractFirstLastProcessor[String, Long](first = true),
           TimeMode.None(), OutputMode.Update()))
     // after retracting the first arrival (10), FIRST_VALUE becomes 20
     assert(firsts(1) == Seq(
       Change(Changelog.UpdateBefore, "k", OrderedValue("k", 10L, 3)),
       Change(Changelog.UpdateAfter, "k", OrderedValue("k", 20L, 2))))
-    val lasts = runBatches[Change[String, Long], Change[String, OrderedValue]](
+    val lasts = runBatches[Change[String, Long], Change[String, OrderedValue[String, Long]]](
       Seq(Seq(Change(Changelog.Insert, "k", 10L), Change(Changelog.Insert, "k", 20L)),
         Seq(Change(Changelog.Delete, "k", 20L))),
       ds => ds.groupByKey(_.key)
-        .transformWithState(new RetractFirstLastProcessor(first = false),
+        .transformWithState(new RetractFirstLastProcessor[String, Long](first = false),
           TimeMode.None(), OutputMode.Update()))
     // LAST_VALUE falls back to 10 when the newest arrival is retracted
     assert(lasts(1) == Seq(
@@ -203,9 +242,9 @@ class StatefulOpsSpec extends SparkSuite {
         Change(Changelog.Insert, "k", "a")),
       Seq(Change(Changelog.Delete, "k", "a")), // first 'a' leaves → "b,a"
       Seq(Change(Changelog.Delete, "k", "b"), Change(Changelog.Delete, "k", "a")))
-    val out = runBatches[Change[String, String], Change[String, ListAggResult]](batches,
+    val out = runBatches[Change[String, String], Change[String, ListAggResult[String]]](batches,
       ds => ds.groupByKey(_.key)
-        .transformWithState(new RetractListAggProcessor(),
+        .transformWithState(new RetractListAggProcessor[String](),
           TimeMode.None(), OutputMode.Update()))
     assert(out(0).last == Change(Changelog.UpdateAfter, "k", ListAggResult("k", "a,b,a", 3)))
     assert(out(1) == Seq(
