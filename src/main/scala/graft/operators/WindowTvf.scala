@@ -1,0 +1,172 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.{Window => W}
+import org.apache.spark.sql.functions._
+
+/** Window table-valued-function SQL front door — the reference's
+  * `TUMBLE/HOP/CUMULATE/SESSION(TABLE t, DESCRIPTOR(ts), …)` syntax
+  * (StreamExecWindowTableFunction.java:73; grammar in flink-sql-parser's
+  * SqlWindowTableFunction): the TVF call annotates each input row with
+  * `window_start`/`window_end`, and the rest of the statement is ordinary
+  * SQL over that expanded table.
+  *
+  * Spark has no TVF syntax, so `sql` rewrites the statement: the
+  * `TABLE(TVF(…))` span is parsed, expanded into a DataFrame with the
+  * window columns (built-in `window`-function bucketing for tumble, an
+  * explode over the covering starts for hop, growing slice ends for
+  * cumulate — the reference's slice model — and a lag/running-sum
+  * sessionization for session), registered as a temp view, and the view
+  * name is substituted back into the statement for `spark.sql`.
+  *
+  * Scale shape: tumble adds two columns (no shuffle); hop/cumulate
+  * multiply rows by size/step BEFORE the downstream partial aggregation,
+  * exactly the reference's per-slice expansion; session costs one
+  * shuffle on the partition keys for the two analytic passes.
+  */
+object WindowTvf {
+
+  /** Execute a SQL statement whose FROM references a window TVF. */
+  def sql(spark: SparkSession, query: String): DataFrame = {
+    val call = findCall(query).getOrElse(throw new IllegalArgumentException(
+      "no TUMBLE/HOP/CUMULATE/SESSION(TABLE …) call found in statement"))
+    val expanded = expand(spark, call)
+    val view = s"__tvf_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    expanded.createOrReplaceTempView(view)
+    try spark.sql(query.substring(0, call.from) + view + query.substring(call.to))
+    finally spark.catalog.dropTempView(view)
+  }
+
+  // ------------------------------------------------------------- parsing
+
+  private case class Call(fn: String, args: Seq[String], from: Int, to: Int)
+
+  private val Head = """(?is)TABLE\s*\(\s*(TUMBLE|HOP|CUMULATE|SESSION)\s*\(""".r
+
+  /** Locate the TABLE(TVF(…)) span and split its args at top level. */
+  private def findCall(q: String): Option[Call] =
+    Head.findFirstMatchIn(q).map { m =>
+      var depth = 2 // inside TABLE( and TVF(
+      var i = m.end
+      val args = Seq.newBuilder[String]
+      val cur = new StringBuilder
+      var innerEnd = -1
+      while (depth > 1 && i < q.length) {
+        val ch = q.charAt(i)
+        ch match {
+          case '(' => depth += 1; cur += ch
+          case ')' =>
+            depth -= 1
+            if (depth > 1) cur += ch else { args += cur.result().trim; innerEnd = i }
+          case ',' if depth == 2 => args += cur.result().trim; cur.clear()
+          case _ => cur += ch
+        }
+        i += 1
+      }
+      require(innerEnd >= 0, s"unbalanced parentheses in TVF call")
+      // consume the TABLE(…) closer
+      var j = innerEnd + 1
+      while (j < q.length && q.charAt(j).isWhitespace) j += 1
+      require(j < q.length && q.charAt(j) == ')',
+        "TVF call must be wrapped as TABLE(TVF(…))")
+      Call(m.group(1).toUpperCase, args.result(), m.start, j + 1)
+    }
+
+  private val TableRe =
+    """(?is)TABLE\s+(\w+)(?:\s+PARTITION\s+BY\s+\(?\s*([\w\s,]+?)\s*\)?)?\s*""".r
+  private val DescriptorRe = """(?is)DESCRIPTOR\s*\(\s*(\w+)\s*\)""".r
+  private val IntervalRe =
+    """(?is)INTERVAL\s+'(\d+)'\s+(SECOND|MINUTE|HOUR|DAY)S?""".r
+
+  private case class Interval(n: Long, unit: String) {
+    def spark: String = s"$n ${unit.toLowerCase}"
+    def micros: Long = unit match {
+      case "SECOND" => n * 1000000L
+      case "MINUTE" => n * 60L * 1000000L
+      case "HOUR" => n * 3600L * 1000000L
+      case "DAY" => n * 86400L * 1000000L
+    }
+  }
+
+  private def parseInterval(s: String): Interval = s match {
+    case IntervalRe(n, u) => Interval(n.toLong, u.toUpperCase)
+    case other => throw new IllegalArgumentException(
+      s"expected INTERVAL '<n>' <unit>, got: $other")
+  }
+
+  // ----------------------------------------------------------- expansion
+
+  private def expand(spark: SparkSession, call: Call): DataFrame = {
+    val (tableName, partCols) = call.args.head match {
+      case TableRe(name, parts) =>
+        (name, Option(parts).toSeq.flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty))
+      case other => throw new IllegalArgumentException(
+        s"first TVF argument must be TABLE <name>, got: $other")
+    }
+    val tsCol = call.args(1) match {
+      case DescriptorRe(c) => c
+      case other => throw new IllegalArgumentException(
+        s"second TVF argument must be DESCRIPTOR(<col>), got: $other")
+    }
+    val df = spark.table(tableName)
+    val ts = col(tsCol)
+
+    call.fn match {
+      case "TUMBLE" =>
+        val size = parseInterval(call.args(2))
+        val w = window(ts, size.spark)
+        df.withColumn("window_start", w.getField("start"))
+          .withColumn("window_end", w.getField("end"))
+
+      case "HOP" =>
+        val slide = parseInterval(call.args(2))
+        val size = parseInterval(call.args(3))
+        require(size.micros % slide.micros == 0,
+          "HOP size must be a multiple of slide")
+        // every window whose [start, start+size) covers the row: starts
+        // descend from the row's slide-bucket in slide steps
+        val bucket = window(ts, slide.spark).getField("start")
+        df.withColumn("window_start", explode(sequence(
+            bucket - expr(s"INTERVAL ${size.spark}") + expr(s"INTERVAL ${slide.spark}"),
+            bucket, expr(s"INTERVAL ${slide.spark}"))))
+          .withColumn("window_end", col("window_start") + expr(s"INTERVAL ${size.spark}"))
+
+      case "CUMULATE" =>
+        val step = parseInterval(call.args(2))
+        val size = parseInterval(call.args(3))
+        require(size.micros % step.micros == 0,
+          "CUMULATE size must be a multiple of step")
+        df.withColumn("window_start", window(ts, size.spark).getField("start"))
+          .withColumn("window_end", explode(sequence(
+            col("window_start") + expr(s"INTERVAL ${step.spark}"),
+            col("window_start") + expr(s"INTERVAL ${size.spark}"),
+            expr(s"INTERVAL ${step.spark}"))))
+          .filter(col("window_end") > ts)
+
+      case "SESSION" =>
+        require(partCols.nonEmpty,
+          "SESSION TVF requires TABLE <t> PARTITION BY <keys>")
+        val gap = parseInterval(call.args(2))
+        // lag/running-sum sessionization (the batch form of the
+        // reference's MergingWindowSet): a row starts a new session when
+        // it is more than `gap` after the previous row of its key
+        val parts: Seq[Column] = partCols.map(col)
+        val byTs = W.partitionBy(parts: _*).orderBy(ts)
+        // timestamp difference as an interval (works for TIMESTAMP and
+        // TIMESTAMP_NTZ alike, unlike unix_micros)
+        val newSession = when(
+          ts - lag(ts, 1).over(byTs) <= expr(s"INTERVAL ${gap.spark}"), 0L)
+          .otherwise(1L)
+        val sessioned = df
+          .withColumn("__new_s", newSession)
+          .withColumn("__sid", sum(col("__new_s"))
+            .over(byTs.rowsBetween(W.unboundedPreceding, W.currentRow)))
+        val bySession = W.partitionBy((parts :+ col("__sid")): _*)
+        sessioned
+          .withColumn("window_start", min(ts).over(bySession))
+          .withColumn("window_end",
+            max(ts).over(bySession) + expr(s"INTERVAL ${gap.spark}"))
+          .drop("__new_s", "__sid")
+    }
+  }
+}

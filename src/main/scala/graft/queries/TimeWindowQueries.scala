@@ -123,6 +123,51 @@ object TimeWindowQueries {
         .orderBy($"window_start", $"event_type", $"rn")
     }),
 
+    // The same four window shapes through the reference's TVF syntax
+    // (TUMBLE/HOP/CUMULATE/SESSION(TABLE …, DESCRIPTOR(ts), …)) — the
+    // WindowTvf front door expands the TVF and hands the rest to spark.sql;
+    // oracles are shared with the DataFrame forms above.
+    "q_tvf_tumble" -> ((s, dir) => {
+      graft.Tables.registerAll(s, dir)
+      graft.operators.WindowTvf.sql(s,
+        """SELECT window_start, window_end, event_type, COUNT(*) AS n,
+          |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+          |FROM TABLE(TUMBLE(TABLE events, DESCRIPTOR(ts), INTERVAL '1' HOUR))
+          |GROUP BY window_start, window_end, event_type
+          |ORDER BY window_start, event_type""".stripMargin)
+    }),
+
+    "q_tvf_hop" -> ((s, dir) => {
+      graft.Tables.registerAll(s, dir)
+      graft.operators.WindowTvf.sql(s,
+        """SELECT window_start, window_end, event_type, COUNT(*) AS n,
+          |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+          |FROM TABLE(HOP(TABLE events, DESCRIPTOR(ts), INTERVAL '30' MINUTES, INTERVAL '1' HOUR))
+          |GROUP BY window_start, window_end, event_type
+          |ORDER BY window_start, event_type""".stripMargin)
+    }),
+
+    "q_tvf_cumulate" -> ((s, dir) => {
+      graft.Tables.registerAll(s, dir)
+      graft.operators.WindowTvf.sql(s,
+        """SELECT window_start, window_end, event_type, COUNT(*) AS n,
+          |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+          |FROM TABLE(CUMULATE(TABLE events, DESCRIPTOR(ts), INTERVAL '1' HOUR, INTERVAL '4' HOURS))
+          |GROUP BY window_start, window_end, event_type
+          |ORDER BY window_start, window_end, event_type""".stripMargin)
+    }),
+
+    "q_tvf_session" -> ((s, dir) => {
+      graft.Tables.registerAll(s, dir)
+      graft.operators.WindowTvf.sql(s,
+        """SELECT window_start AS session_start, window_end AS session_end,
+          |  user_id, COUNT(*) AS n,
+          |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+          |FROM TABLE(SESSION(TABLE events PARTITION BY user_id, DESCRIPTOR(ts), INTERVAL '1' HOUR))
+          |GROUP BY window_start, window_end, user_id
+          |ORDER BY user_id, session_start""".stripMargin)
+    }),
+
     // Window dedup (RowTimeWindowDeduplicateProcessor parity): first event
     // per (user, 6 hour tumble).
     "q_window_dedup" -> ((s, dir) => {
@@ -143,7 +188,7 @@ object TimeWindowQueries {
   private val evCte =
     "SELECT event_id, user_id, make_timestamp(epoch_ns(ts) // 1000) AS ts, event_type, value FROM events"
 
-  val oracles: Map[String, String] = Map(
+  private val baseOracles: Map[String, String] = Map(
     "q_window_tumble" ->
       s"""WITH e AS ($evCte)
         |SELECT time_bucket(INTERVAL 1 HOUR, ts) AS window_start,
@@ -220,4 +265,13 @@ object TimeWindowQueries {
         |  FROM e)
         |WHERE rn = 1 ORDER BY window_start, user_id""".stripMargin
   )
+
+  /** The TVF-syntax queries compute the same results as the DataFrame
+    * forms, so they share oracles (with the session's aliased columns).
+    */
+  val oracles: Map[String, String] = baseOracles ++ Map(
+    "q_tvf_tumble" -> baseOracles("q_window_tumble"),
+    "q_tvf_hop" -> baseOracles("q_window_hop"),
+    "q_tvf_cumulate" -> baseOracles("q_window_cumulate"),
+    "q_tvf_session" -> baseOracles("q_window_session"))
 }

@@ -1,0 +1,86 @@
+package graft.operators
+
+import java.sql.Timestamp
+
+import graft.SparkSuite
+
+/** Window TVF front door: TABLE(TVF(…)) parsing, per-shape expansion
+  * semantics, and rejection of malformed calls. The oracle queries
+  * (q_tvf_*) check result parity with the DataFrame window forms; this
+  * spec pins the mechanics on a controlled table.
+  */
+class WindowTvfSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def t(ms: Long) = new Timestamp(ms)
+  private val H = 3600L * 1000 // one hour in millis
+
+  private def seed(): Unit =
+    Seq(
+      ("u1", t(0), 1L), ("u1", t(30 * 60 * 1000), 2L), // same hour
+      ("u1", t(3 * H), 4L),                            // 2.5h gap → new session
+      ("u2", t(H), 8L))
+      .toDF("user_id", "ts", "v").createOrReplaceTempView("tvf_events")
+
+  test("TUMBLE annotates each row with its bucket; aggregation downstream") {
+    seed()
+    val out = WindowTvf.sql(spark,
+      """SELECT window_start, window_end, SUM(v) AS s
+        |FROM TABLE(TUMBLE(TABLE tvf_events, DESCRIPTOR(ts), INTERVAL '1' HOUR))
+        |GROUP BY window_start, window_end ORDER BY window_start""".stripMargin)
+      .as[(Timestamp, Timestamp, Long)].collect().toSeq
+    assert(out == Seq(
+      (t(0), t(H), 3L), (t(H), t(2 * H), 8L), (t(3 * H), t(4 * H), 4L)))
+  }
+
+  test("HOP multiplies each row into size/slide covering windows") {
+    seed()
+    val rows = WindowTvf.sql(spark,
+      """SELECT window_start, window_end, v
+        |FROM TABLE(HOP(TABLE tvf_events, DESCRIPTOR(ts), INTERVAL '30' MINUTES, INTERVAL '1' HOUR))
+        |WHERE v = 1 ORDER BY window_start""".stripMargin)
+      .as[(Timestamp, Timestamp, Long)].collect().toSeq
+    // row at epoch 0 is covered by windows starting at -30min and 0
+    assert(rows == Seq(
+      (t(-30 * 60 * 1000), t(30 * 60 * 1000), 1L), (t(0), t(H), 1L)))
+  }
+
+  test("CUMULATE emits growing slices from the shared start") {
+    seed()
+    val rows = WindowTvf.sql(spark,
+      """SELECT window_end, v
+        |FROM TABLE(CUMULATE(TABLE tvf_events, DESCRIPTOR(ts), INTERVAL '1' HOUR, INTERVAL '4' HOURS))
+        |WHERE v = 4 ORDER BY window_end""".stripMargin)
+      .as[(Timestamp, Long)].collect().toSeq
+    // v=4 sits at 3h into its 4h window: only the 4h slice still covers it
+    assert(rows == Seq((t(4 * H), 4L)))
+  }
+
+  test("SESSION partitions by key and merges gap-connected rows") {
+    seed()
+    val out = WindowTvf.sql(spark,
+      """SELECT window_start AS s, window_end AS e, user_id, COUNT(*) AS n
+        |FROM TABLE(SESSION(TABLE tvf_events PARTITION BY user_id, DESCRIPTOR(ts), INTERVAL '1' HOUR))
+        |GROUP BY window_start, window_end, user_id ORDER BY user_id, s""".stripMargin)
+      .as[(Timestamp, Timestamp, String, Long)].collect().toSeq
+    assert(out == Seq(
+      (t(0), t(30 * 60 * 1000 + H), "u1", 2L), // 0 and 0:30 merge, end = last+gap
+      (t(3 * H), t(4 * H), "u1", 1L),
+      (t(H), t(2 * H), "u2", 1L)))
+  }
+
+  test("malformed calls are rejected with clear errors") {
+    seed()
+    assert(intercept[IllegalArgumentException] {
+      WindowTvf.sql(spark, "SELECT * FROM tvf_events")
+    }.getMessage.contains("no TUMBLE/HOP"))
+    assert(intercept[IllegalArgumentException] {
+      WindowTvf.sql(spark,
+        "SELECT * FROM TABLE(SESSION(TABLE tvf_events, DESCRIPTOR(ts), INTERVAL '1' HOUR))")
+    }.getMessage.contains("PARTITION BY"))
+    assert(intercept[IllegalArgumentException] {
+      WindowTvf.sql(spark,
+        "SELECT * FROM TABLE(TUMBLE(TABLE tvf_events, DESCRIPTOR(ts), '1 hour'))")
+    }.getMessage.contains("INTERVAL"))
+  }
+}
