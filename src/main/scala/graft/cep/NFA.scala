@@ -100,6 +100,9 @@ class NFA[E](pattern: Pattern[E], timestampOf: E => Long) extends Serializable {
       if (si == pattern.stages.length) return Seq((ei - 1, acc))
       val st = pattern.stages(si)
       val anyStage = st.contiguity == Contiguity.AnyRelaxed
+      // branch-keeping: Any stages, combination loops, and reluctant
+      // loops all contribute multiple branches per anchor
+      val branching = anyStage || st.combinations || !st.greedyLoop
 
       def repRec(count: Int, at: Int, taken: Vector[Int]): Seq[(Int, IMatch)] = {
         // option A (when enough reps consumed): close this stage
@@ -120,7 +123,11 @@ class NFA[E](pattern: Pattern[E], timestampOf: E => Long) extends Serializable {
             strict && at < events.length && p(events(at)) }) Nil
           else if (count >= 1 && st.until.exists(u =>
             at < events.length && u(events(at)))) Nil
-          else st.contiguity match {
+          // allowCombinations: repetitions after the first use
+          // non-deterministic relaxed contiguity — every candidate
+          // position branches (Pattern.allowCombinations:612)
+          else (if (st.combinations && count >= 1) Contiguity.AnyRelaxed
+                else st.contiguity) match {
             case Contiguity.Strict =>
               // strict: the repetition must sit exactly at `at`
               if (at < events.length && inWindow(at) && st.predicate(events(at)))
@@ -162,9 +169,12 @@ class NFA[E](pattern: Pattern[E], timestampOf: E => Long) extends Serializable {
               all.result()
           }
         }
-        // greedy: prefer extending before closing; Any stages keep both
-        if (anyStage) extended ++ closed
-        else { val e = extended; if (e.nonEmpty) e else closed }
+        // greedy: prefer extending before closing; branching stages keep
+        // every branch (Any/combinations longest-first, reluctant
+        // shortest-first per the reference's lazy quantifier)
+        if (branching) {
+          if (st.greedyLoop) extended ++ closed else closed ++ extended
+        } else { val e = extended; if (e.nonEmpty) e else closed }
       }
 
       if (si == 0) {

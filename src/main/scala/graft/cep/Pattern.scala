@@ -35,7 +35,17 @@ case class Stage[E](
     notBefore: Option[(E => Boolean, Boolean)] = None,
     // loop-stop condition (Pattern.until:244): an event matching it ends
     // the stage's repetitions without being consumed.
-    until: Option[E => Boolean] = None)
+    until: Option[E => Boolean] = None,
+    // loop branch policy (Pattern.greedy:632): greedy loops contribute
+    // only their longest extension per anchor; reluctant loops branch
+    // over EVERY legal repetition count (the reference Pattern API's
+    // default — this DSL defaults to greedy, the SQL MATCH_RECOGNIZE
+    // default, so `.reluctant` opts into the reference behavior).
+    greedyLoop: Boolean = true,
+    // internal loop contiguity (Pattern.allowCombinations:612): when set,
+    // repetitions after the first may skip matching events, branching
+    // over every order-preserving combination.
+    combinations: Boolean = false)
 
 case class Pattern[E](stages: Vector[Stage[E]], withinMs: Option[Long] = None,
     // terminal notFollowedBy (legal only with `within`, as in the
@@ -117,6 +127,26 @@ case class Pattern[E](stages: Vector[Stage[E]], withinMs: Option[Long] = None,
     * (Pattern.consecutive — quantifier contiguity, NFA strict-internal).
     */
   def consecutive: Pattern[E] = updLast(s => s.copy(contiguity = Contiguity.Strict))
+
+  /** Greedy looping — as many repetitions as possible, one branch per
+    * anchor (Pattern.greedy:632). This DSL's default; present for
+    * reference-API parity and to undo [[reluctant]].
+    */
+  def greedy: Pattern[E] = updLast(s => s.copy(greedyLoop = true))
+
+  /** Reluctant looping — the reference Pattern API's default quantifier
+    * behavior: every legal repetition count is its own match branch
+    * (visible under NoSkip / followedByAny), shortest first.
+    */
+  def reluctant: Pattern[E] = updLast(s => s.copy(greedyLoop = false))
+
+  /** Loop repetitions may skip matching events, branching over every
+    * order-preserving combination (Pattern.allowCombinations:612).
+    * Implies reluctant branching, as in the reference (greedy cannot be
+    * combined with combinations).
+    */
+  def allowCombinations: Pattern[E] =
+    updLast(s => s.copy(combinations = true, greedyLoop = false))
 
   /** Bound first-to-last event time of a match (Pattern.within:272). A
     * pending terminal notFollowedBy becomes the window-scoped negative

@@ -109,6 +109,61 @@ class NfaPropertySpec extends AnyFunSuite {
     })
   }
 
+  test("greedy vs reluctant loop branch counts match the run-length model") {
+    check(Prop.forAll(genEvents) { events =>
+      // terminal consecutive a+ loop: at anchor i with r remaining
+      // contiguous a's, greedy yields 1 branch (the longest), reluctant
+      // yields r branches (every count) — Pattern.greedy:632 semantics
+      def runFrom(i: Int): Int =
+        events.drop(i).takeWhile(_.kind == 'a').length
+      val base = Pattern.begin[E]("as")(_.kind == 'a').oneOrMore.consecutive
+      val greedyN = new NFA[E](base.greedy, _.ts)
+        .findMatches(events, 0, AfterMatchSkip.NoSkip).size
+      val reluctantN = new NFA[E](base.reluctant, _.ts)
+        .findMatches(events, 0, AfterMatchSkip.NoSkip).size
+      val anchors = events.indices.filter(events(_).kind == 'a')
+      greedyN == anchors.size &&
+        reluctantN == anchors.map(runFrom).sum
+    })
+  }
+
+  test("greedy NoSkip spans are a subset of reluctant NoSkip spans") {
+    check(Prop.forAll(genEvents) { events =>
+      val base = Pattern.begin[E]("as")(_.kind == 'a').oneOrMore
+        .followedBy("b")(_.kind == 'b')
+      def spans(p: Pattern[E]) =
+        new NFA[E](p, _.ts).findMatches(events, 0, AfterMatchSkip.NoSkip)
+          .map { case (s, e, _) => (s, e) }.toSet
+      spans(base.greedy).subsetOf(spans(base.reluctant))
+    })
+  }
+
+  test("allowCombinations branches over every order-preserving pair") {
+    check(Prop.forAll(genEvents) { events =>
+      // a{2} with combinations: every ordered pair of a's is a branch →
+      // C(#a, 2) matches under NoSkip; without combinations the second
+      // repetition is the deterministic next a → (#a - 1) matches
+      val base = Pattern.begin[E]("as")(_.kind == 'a').times(2)
+      val na = events.count(_.kind == 'a')
+      val combN = new NFA[E](base.allowCombinations, _.ts)
+        .findMatches(events, 0, AfterMatchSkip.NoSkip).size
+      val plainN = new NFA[E](base, _.ts)
+        .findMatches(events, 0, AfterMatchSkip.NoSkip).size
+      combN == na * (na - 1) / 2 && plainN == math.max(0, na - 1)
+    })
+  }
+
+  test("combination branches consume only matching events, in order") {
+    check(Prop.forAll(genEvents) { events =>
+      val p = Pattern.begin[E]("as")(_.kind == 'a').times(2).allowCombinations
+      new NFA[E](p, _.ts).findMatches(events, 0, AfterMatchSkip.NoSkip)
+        .forall { case (_, _, m) =>
+          val as = m.head._2
+          as.size == 2 && as.forall(_.kind == 'a') && as(0).ts < as(1).ts
+        }
+    })
+  }
+
   test("until never admits a repetition at or past the stopping event") {
     check(Prop.forAll(genEvents) { events =>
       // a+ until 'c', then b: no consumed 'a' may sit after the first 'c'
