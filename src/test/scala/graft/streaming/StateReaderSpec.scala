@@ -30,9 +30,48 @@ class StateReaderSpec extends SparkSuite {
     // offline read: the keyed aggregation state survives in the store
     // the value struct carries the aggregation BUFFER fields (sum), not
     // the output aliases — exactly the savepoint-reader view of state
-    val state = spark.read.format("statestore").load(ckpt)
+    val state = StateReader.store(spark, ckpt)
       .select($"key.k".as("k"), $"value".getField("sum").as("s"))
       .as[(String, Long)].collect().toMap
     assert(state == Map("a" -> 8L, "b" -> 7L))
+  }
+
+  test("StateReader reads an OuterJoinProcessor's MapStates offline") {
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    import OuterJoin._
+    implicit val sqlCtx = spark.sqlContext
+    val ckpt = tmpDir("ckpt_oj")
+    val input = MemoryStream[JoinInput[String, String, Long]]
+    val joined = input.toDS().groupByKey(_.key)
+      .transformWithState(
+        new OuterJoinProcessor[String, String, Long](FullOuter,
+          org.apache.spark.sql.Encoders.STRING,
+          org.apache.spark.sql.Encoders.scalaLong),
+        TimeMode.None(), OutputMode.Update())
+    val q = joined.writeStream.format("memory")
+      .queryName(s"oj_${System.nanoTime()}")
+      .outputMode("update").option("checkpointLocation", ckpt).start()
+    try {
+      input.addData(Seq(
+        JoinInput.addLeft[String, String, Long]("k1", "l1"),
+        JoinInput.addLeft[String, String, Long]("k1", "l1"), // count 2
+        JoinInput.addRight[String, String, Long]("k1", 42L),
+        JoinInput.addLeft[String, String, Long]("k2", "solo")))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    // each MapState var is addressable by name, the savepoint-reader way:
+    // (grouping key, map user-key, count) — payload → reference count
+    val left = StateReader.stateVar(spark, ckpt, "left")
+      .select($"key.value".as("k"), $"user_map_key.value".as("payload"),
+        $"user_map_value.value".as("n"))
+      .as[(String, String, Long)].collect().toSet
+    assert(left == Set(("k1", "l1", 2L), ("k2", "solo", 1L)))
+
+    val right = StateReader.stateVar(spark, ckpt, "right")
+      .select($"key.value".as("k"), $"user_map_key.value".as("payload"),
+        $"user_map_value.value".as("n"))
+      .as[(String, Long, Long)].collect().toSet
+    assert(right == Set(("k1", 42L, 1L)))
   }
 }
