@@ -61,8 +61,12 @@ object DedupOps {
     */
   def minhash(docs: DataFrame, k: Int = 8, shingleN: Int = 3,
       textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    // min is duplicate-insensitive: array_distinct before the explode cuts
+    // the md5-per-shingle cost on repetitive documents without changing
+    // any signature (the oracle dedups identically)
     docs
-      .select(col(idCol), explode(shingles(col(textCol), shingleN)).as("sh"))
+      .select(col(idCol),
+        explode(array_distinct(shingles(col(textCol), shingleN))).as("sh"))
       .select(col(idCol), (wordHash(col("sh")) % HashP).as("h"))
       .groupBy(col(idCol))
       .agg(
@@ -88,7 +92,8 @@ object DedupOps {
   def minhashFast(docs: DataFrame, k: Int = 8, shingleN: Int = 3,
       textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
     docs
-      .select(col(idCol), explode(shingles(col(textCol), shingleN)).as("sh"))
+      .select(col(idCol),
+        explode(array_distinct(shingles(col(textCol), shingleN))).as("sh"))
       .select(col(idCol), pmod(xxhash64(col("sh")), lit(HashP)).as("h"))
       .groupBy(col(idCol))
       .agg(
