@@ -60,7 +60,8 @@ object MatchRecognize {
     */
   private case class Nav(fn: String, field: String, offset: Int) extends Ex
 
-  private case class PatVar(name: String, minTimes: Int, maxTimes: Int)
+  private case class PatVar(name: String, minTimes: Int, maxTimes: Int,
+      greedy: Boolean = true)
 
   private case class Spec(
       partitionBy: Seq[String],
@@ -215,19 +216,23 @@ object MatchRecognize {
       val out = Seq.newBuilder[PatVar]
       while (peek != ")") {
         val name = ident()
-        val (mn, mx) = peek match {
-          case "*" => next(); (0, Int.MaxValue)
-          case "+" => next(); (1, Int.MaxValue)
-          case "?" => next(); (0, 1)
+        val (mn, mx, quantified) = peek match {
+          case "*" => next(); (0, Int.MaxValue, true)
+          case "+" => next(); (1, Int.MaxValue, true)
+          case "?" => next(); (0, 1, true)
           case "{" =>
             next()
             val lo = next().toInt
             val hi = if (accept(",")) next().toInt else lo
             expect("}")
-            (lo, hi)
-          case _ => (1, 1)
+            (lo, hi, true)
+          case _ => (1, 1, false)
         }
-        out += PatVar(name, mn, mx)
+        // SQL reluctant quantifiers: A+? / A*? / A?? / A{n,m}? prefer the
+        // SHORTEST repetition count (rows row 19.2, reference
+        // MatchCodeGenerator greedy/reluctant handling)
+        val reluctant = quantified && accept("?")
+        out += PatVar(name, mn, mx, greedy = !reluctant)
       }
       expect(")")
       out.result()
@@ -709,7 +714,7 @@ object MatchRecognize {
     // first stage being Strict only constrains its own repetitions.
     val stages = spec.pattern.map { pv =>
       Stage[Row](pv.name, predFor(pv.name), Contiguity.Strict,
-        pv.minTimes, pv.maxTimes)
+        pv.minTimes, pv.maxTimes, greedyLoop = pv.greedy)
     }
     Pattern(stages.toVector, withinMs = spec.withinMicros)
   }

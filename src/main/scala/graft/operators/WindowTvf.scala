@@ -115,8 +115,8 @@ object WindowTvf {
       case "TUMBLE" =>
         val size = parseInterval(call.args(2))
         val w = window(ts, size.spark)
-        df.withColumn("window_start", w.getField("start"))
-          .withColumn("window_end", w.getField("end"))
+        withTime(df.withColumn("window_start", w.getField("start"))
+          .withColumn("window_end", w.getField("end")))
 
       case "HOP" =>
         val slide = parseInterval(call.args(2))
@@ -130,6 +130,7 @@ object WindowTvf {
             bucket - expr(s"INTERVAL ${size.spark}") + expr(s"INTERVAL ${slide.spark}"),
             bucket, expr(s"INTERVAL ${slide.spark}"))))
           .withColumn("window_end", col("window_start") + expr(s"INTERVAL ${size.spark}"))
+          .transform(withTime)
 
       case "CUMULATE" =>
         val step = parseInterval(call.args(2))
@@ -142,6 +143,7 @@ object WindowTvf {
             col("window_start") + expr(s"INTERVAL ${size.spark}"),
             expr(s"INTERVAL ${step.spark}"))))
           .filter(col("window_end") > ts)
+          .transform(withTime)
 
       case "SESSION" =>
         require(partCols.nonEmpty,
@@ -167,6 +169,15 @@ object WindowTvf {
           .withColumn("window_end",
             max(ts).over(bySession) + expr(s"INTERVAL ${gap.spark}"))
           .drop("__new_s", "__sid")
+          .transform(withTime)
     }
   }
+
+  /** The reference's third TVF column: `window_time`, the window's
+    * event-time attribute, defined as window_end - 1ms
+    * (SqlWindowTableFunction docs / window TVF spec).
+    */
+  private def withTime(df: DataFrame): DataFrame =
+    df.withColumn("window_time",
+      col("window_end") - expr("INTERVAL 1 MILLISECOND"))
 }

@@ -252,6 +252,25 @@ class MatchRecognizeSpec extends SparkSuite {
       new java.math.BigDecimal("10.25"))
   }
 
+  test("reluctant quantifier A+? takes the shortest run; A+ the longest") {
+    // every row satisfies both A and B, so greediness alone decides how
+    // many rows A absorbs before handing one to B
+    val df = Seq(
+      ("k", 1L, "a"), ("k", 2L, "a"), ("k", 3L, "a"), ("k", 4L, "a")
+    ).toDF("k", "seq", "t")
+    def run(pattern: String) = MatchRecognize(df,
+      s"""PARTITION BY k
+        |ORDER BY seq
+        |MEASURES COUNT(A.*) AS n_a, B.seq AS b_seq
+        |PATTERN ($pattern)
+        |DEFINE A AS t = 'a', B AS t = 'a'""".stripMargin)
+      .as[(String, Long, Long)].collect().toSet
+    // greedy: A eats 1-3 (backtracking one for B) → one match per partition
+    assert(run("A+ B") == Set(("k", 3L, 4L)))
+    // reluctant: A stops at one repetition → two non-overlapping matches
+    assert(run("A+? B") == Set(("k", 1L, 2L), ("k", 1L, 4L)))
+  }
+
   test("unary minus parses in DEFINE and MEASURES") {
     val df = Seq(
       ("k", 1L, -10L), ("k", 2L, -3L), ("k", 3L, 7L)

@@ -33,6 +33,17 @@ class WindowTvfSpec extends SparkSuite {
       (t(0), t(H), 3L), (t(H), t(2 * H), 8L), (t(3 * H), t(4 * H), 4L)))
   }
 
+  test("the TVF exposes window_time = window_end - 1ms (event-time attr)") {
+    seed()
+    val out = WindowTvf.sql(spark,
+      """SELECT DISTINCT window_end, window_time
+        |FROM TABLE(TUMBLE(TABLE tvf_events, DESCRIPTOR(ts), INTERVAL '1' HOUR))
+        |ORDER BY window_end""".stripMargin)
+      .as[(Timestamp, Timestamp)].collect().toSeq
+    assert(out.nonEmpty &&
+      out.forall { case (end, time) => time.getTime == end.getTime - 1 })
+  }
+
   test("HOP multiplies each row into size/slide covering windows") {
     seed()
     val rows = WindowTvf.sql(spark,
