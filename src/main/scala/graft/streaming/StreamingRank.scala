@@ -46,7 +46,8 @@ object StreamingRank {
     * row id (LongType) used to correlate changelog updates; append-only
     * inputs may omit it.
     */
-  def rewrite(df: DataFrame, idCol: String = "id"): DataFrame = {
+  def rewrite(df: DataFrame, idCol: String = "id",
+      stateTtl: Option[java.time.Duration] = None): DataFrame = {
     val spec = recognize(df.queryExecution.analyzed).getOrElse(
       throw new IllegalArgumentException(
         "not a streaming rank pattern: expected FILTER on " +
@@ -56,10 +57,11 @@ object StreamingRank {
 
     val isTimeDedup = spec.n == 1 && spec.orderCols.size == 1 &&
       child.schema(spec.orderCols.head._1).dataType.isInstanceOf[TimestampType]
+    val ttl = stateTtl.map(TTLConfig(_)).getOrElse(TTLConfig.NONE)
     if (isTimeDedup) {
-      if (spec.orderCols.head._2) keepFirstRows(child, spec.partitionCols)
-      else keepLastRows(child, spec.partitionCols)
-    } else topN(child, spec, idCol)
+      if (spec.orderCols.head._2) keepFirstRows(child, spec.partitionCols, ttl)
+      else keepLastRows(child, spec.partitionCols, ttl)
+    } else topN(child, spec, idCol, ttl)
   }
 
   // ---------------------------------------------------------- recognition
@@ -142,20 +144,23 @@ object StreamingRank {
   }
 
   /** rn = 1 ORDER BY ts ASC: first row per key wins — insert-only output. */
-  private def keepFirstRows(child: DataFrame, partitionCols: Seq[String]): DataFrame =
+  private def keepFirstRows(child: DataFrame, partitionCols: Seq[String],
+      ttl: TTLConfig): DataFrame =
     groupByPartitionKey(child, partitionCols)
-      .transformWithState(new RowKeepFirstProcessor(child.schema),
+      .transformWithState(new RowKeepFirstProcessor(child.schema, ttl),
         TimeMode.None(), OutputMode.Update())(Encoders.row(child.schema))
 
   /** rn = 1 ORDER BY ts DESC: newest row wins — retract-stream output. */
-  private def keepLastRows(child: DataFrame, partitionCols: Seq[String]): DataFrame = {
+  private def keepLastRows(child: DataFrame, partitionCols: Seq[String],
+      ttl: TTLConfig): DataFrame = {
     val out = outSchema(child)
     groupByPartitionKey(child, partitionCols)
-      .transformWithState(new RowKeepLastProcessor(child.schema, out),
+      .transformWithState(new RowKeepLastProcessor(child.schema, out, ttl),
         TimeMode.None(), OutputMode.Update())(Encoders.row(out))
   }
 
-  private def topN(child: DataFrame, spec: RankSpec, idCol: String): DataFrame = {
+  private def topN(child: DataFrame, spec: RankSpec, idCol: String,
+      ttl: TTLConfig): DataFrame = {
     val schema = child.schema
     val out = outSchema(child)
     val idIdx = if (schema.fieldNames.contains(idCol)) {
@@ -170,7 +175,7 @@ object StreamingRank {
     val ord = rowOrdering(schema, spec.orderCols)
     groupByPartitionKey(child, spec.partitionCols)
       .transformWithState(
-        new RowTopNProcessor(spec.n, schema, out, idIdx, ord),
+        new RowTopNProcessor(spec.n, schema, out, idIdx, ord, ttl),
         TimeMode.None(), OutputMode.Update())(Encoders.row(out))
   }
 
@@ -201,12 +206,13 @@ object StreamingRank {
   // ---------------------------------------------------------- processors
 
   /** Append-only keep-first per key (StreamExecDeduplicate keep-first). */
-  class RowKeepFirstProcessor(schema: StructType)
+  class RowKeepFirstProcessor(schema: StructType,
+      ttl: TTLConfig = TTLConfig.NONE)
       extends StatefulProcessor[String, Row, Row] {
     @transient private var seen: ValueState[Boolean] = _
     override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
       seen = getHandle.getValueState[Boolean]("seen",
-        Encoders.scalaBoolean, TTLConfig.NONE)
+        Encoders.scalaBoolean, ttl)
     override def handleInputRows(key: String, rows: Iterator[Row],
         timerValues: TimerValues): Iterator[Row] =
       if (seen.exists()) Iterator.empty
@@ -214,11 +220,12 @@ object StreamingRank {
   }
 
   /** Keep-last per key emitting +I then -U/+U retract pairs. */
-  class RowKeepLastProcessor(schema: StructType, out: StructType)
+  class RowKeepLastProcessor(schema: StructType, out: StructType,
+      ttl: TTLConfig = TTLConfig.NONE)
       extends StatefulProcessor[String, Row, Row] {
     @transient private var last: ValueState[Row] = _
     override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
-      last = getHandle.getValueState[Row]("last", Encoders.row(schema), TTLConfig.NONE)
+      last = getHandle.getValueState[Row]("last", Encoders.row(schema), ttl)
     private def tag(kind: Byte, r: Row): Row =
       new org.apache.spark.sql.catalyst.expressions.GenericRow(
         (kind +: r.toSeq).toArray[Any])
@@ -241,7 +248,7 @@ object StreamingRank {
     * (RetractableTopNFunction.java:56 semantics, rank cascades included).
     */
   class RowTopNProcessor(n: Int, schema: StructType, out: StructType,
-      idIdx: Int, ord: Ordering[Row])
+      idIdx: Int, ord: Ordering[Row], ttl: TTLConfig = TTLConfig.NONE)
       extends StatefulProcessor[String, Row, Row] {
     @transient private var rowsState: MapState[Long, Row] = _
     @transient private var nextId: ValueState[Long] = _
@@ -251,9 +258,9 @@ object StreamingRank {
 
     override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
       rowsState = getHandle.getMapState[Long, Row]("rows",
-        Encoders.scalaLong, Encoders.row(schema), TTLConfig.NONE)
+        Encoders.scalaLong, Encoders.row(schema), ttl)
       nextId = getHandle.getValueState[Long]("nextId",
-        Encoders.scalaLong, TTLConfig.NONE)
+        Encoders.scalaLong, ttl)
     }
 
     private def tag(kind: Byte, r: Row): Row =

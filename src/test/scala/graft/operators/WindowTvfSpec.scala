@@ -80,6 +80,27 @@ class WindowTvfSpec extends SparkSuite {
       (t(H), t(2 * H), "u2", 1L)))
   }
 
+  test("TUMBLE TVF composes with a streaming source (update-mode agg)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, Long)]
+    input.toDS().toDF("ts", "v").createOrReplaceTempView("tvf_stream")
+    val agg = WindowTvf.sql(spark,
+      """SELECT window_start, SUM(v) AS s
+        |FROM TABLE(TUMBLE(TABLE tvf_stream, DESCRIPTOR(ts), INTERVAL '1' HOUR))
+        |GROUP BY window_start""".stripMargin)
+    assert(agg.isStreaming)
+    val name = s"tvf_stream_${System.nanoTime()}"
+    val q = agg.writeStream.format("memory").queryName(name)
+      .outputMode("update").option("checkpointLocation", tmpDir("ckpt")).start()
+    try {
+      input.addData(Seq((t(0), 1L), (t(30 * 60 * 1000), 2L), (t(H), 10L)))
+      q.processAllAvailable()
+      val out = spark.table(name).as[(Timestamp, Long)].collect().toMap
+      assert(out == Map(t(0) -> 3L, t(H) -> 10L))
+    } finally q.stop()
+  }
+
   test("malformed calls are rejected with clear errors") {
     seed()
     assert(intercept[IllegalArgumentException] {
