@@ -11,57 +11,45 @@ import org.apache.spark.sql.streaming._
   * rank-movement cascades included (a delete inside the top-n promotes
   * the first row below it; an update can move a row in or out).
   *
-  * State = the key's full id→sort map (the reference keeps the same in
-  * its data-state map plus a sorted index; at n ≪ rows-per-key a
-  * sorted-map index state would cut the re-rank cost — noted as the
-  * optimization path).
+  * State = a point-addressable MapState (id → sort) mirrored into a
+  * [[TopNIndex]] sorted set once per micro-batch — the reference's
+  * treeMap + data-state shape. Per record: O(log m) index mutation +
+  * O(n) boundary walk + one MapState point write; no full re-sort and
+  * no monolithic whole-set state value.
   */
 object RetractableTopN {
 
   /** kind: Insert/UpdateAfter upserts (id, sort); Delete removes id. */
   case class TopNChange(kind: Byte, key: String, id: Long, sort: Long)
-  case class RowsState(ids: Seq[Long], sorts: Seq[Long])
 
   class RetractableTopNProcessor(n: Int)
       extends StatefulProcessor[String, TopNChange, TopNChange] {
-    @transient private var st: ValueState[RowsState] = _
+    @transient private var idx: MapState[Long, Long] = _
     override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
-      st = getHandle.getValueState[RowsState]("rows",
-        Encoders.product[RowsState], TTLConfig.NONE)
-
-    private def topN(m: Map[Long, Long]): Seq[(Long, Long)] =
-      m.toSeq.sortBy { case (id, sort) => (sort, id) }.take(n)
+      idx = getHandle.getMapState[Long, Long]("idx",
+        Encoders.scalaLong, Encoders.scalaLong, TTLConfig.NONE)
 
     override def handleInputRows(key: String, rows: Iterator[TopNChange],
         timerValues: TimerValues): Iterator[TopNChange] = {
       val out = scala.collection.mutable.ArrayBuffer.empty[TopNChange]
-      var m: Map[Long, Long] =
-        if (st.exists()) { val s = st.get(); s.ids.zip(s.sorts).toMap }
-        else Map.empty
+      val index = new TopNIndex[Long](n, Ordering.Long)
+      index.load(idx.iterator().map { case (id, s) => (id, s) })
       rows.foreach { c =>
-        val before = topN(m)
-        m = c.kind match {
-          case Changelog.Delete => m - c.id
-          case _ => m + (c.id -> c.sort) // +I/+U upsert
-        }
-        val after = topN(m)
-        val beforeM = before.toMap
-        val afterM = after.toMap
-        // leaves and changed-olds retract first (reference emit order)
-        before.foreach { case (id, sort) =>
-          if (!afterM.contains(id))
-            out += TopNChange(Changelog.Delete, key, id, sort)
-          else if (afterM(id) != sort)
-            out += TopNChange(Changelog.UpdateBefore, key, id, sort)
-        }
-        after.foreach { case (id, sort) =>
-          if (!beforeM.contains(id))
-            out += TopNChange(Changelog.Insert, key, id, sort)
-          else if (beforeM(id) != sort)
-            out += TopNChange(Changelog.UpdateAfter, key, id, sort)
+        val del = c.kind == Changelog.Delete
+        if (del) idx.removeKey(c.id) else idx.updateValue(c.id, c.sort)
+        index.apply(del, c.id, c.sort).foreach { v =>
+          (v.oldSort, v.newSort) match {
+            case (Some(os), None) =>
+              out += TopNChange(Changelog.Delete, key, v.id, os)
+            case (Some(os), Some(ns)) =>
+              out += TopNChange(Changelog.UpdateBefore, key, v.id, os)
+              out += TopNChange(Changelog.UpdateAfter, key, v.id, ns)
+            case (None, Some(ns)) =>
+              out += TopNChange(Changelog.Insert, key, v.id, ns)
+            case _ =>
+          }
         }
       }
-      st.update(RowsState(m.keys.toSeq, m.values.toSeq))
       out.iterator
     }
   }

@@ -38,8 +38,16 @@ import org.apache.spark.sql.types._
 object StreamingRank {
 
   private case class RankSpec(
-      partitionCols: Seq[String], orderCols: Seq[(String, Boolean)], // (col, asc)
+      partitionKeys: Seq[Expression], orderKeys: Seq[(Expression, Boolean)], // (expr, asc)
       n: Int, child: LogicalPlan)
+
+  /** Per-route resolved spec: every key is a concrete column (helper
+    * columns project non-Attribute expressions, the reference's rank
+    * rule materialization), dropped again from the operator output.
+    */
+  private case class ResolvedSpec(child: DataFrame,
+      partitionCols: Seq[String], orderCols: Seq[(String, Boolean)],
+      helpers: Seq[String], n: Int)
 
   /** Recognize Filter(row_number cmp literal) over Window(row_number) and
     * route to the streaming rank/dedup operator. `idCol` names the unique
@@ -53,15 +61,47 @@ object StreamingRank {
         "not a streaming rank pattern: expected FILTER on " +
           "ROW_NUMBER() OVER (PARTITION BY … ORDER BY …) compared to a literal"))
     val spark = df.sparkSession
-    val child = Bridge.ofRows(spark, spec.child)
+    val r = resolveKeys(Bridge.ofRows(spark, spec.child), spec)
 
-    val isTimeDedup = spec.n == 1 && spec.orderCols.size == 1 &&
-      child.schema(spec.orderCols.head._1).dataType.isInstanceOf[TimestampType]
+    val isTimeDedup = r.n == 1 && r.orderCols.size == 1 &&
+      r.child.schema(r.orderCols.head._1).dataType.isInstanceOf[TimestampType]
     val ttl = stateTtl.map(TTLConfig(_)).getOrElse(TTLConfig.NONE)
-    if (isTimeDedup) {
-      if (spec.orderCols.head._2) keepFirstRows(child, spec.partitionCols, ttl)
-      else keepLastRows(child, spec.partitionCols, ttl)
-    } else topN(child, spec, idCol, ttl)
+    val routed =
+      if (isTimeDedup) {
+        if (r.orderCols.head._2) keepFirstRows(r.child, r.partitionCols, ttl)
+        else keepLastRows(r.child, r.partitionCols, ttl)
+      } else topN(r.child, r, idCol, ttl)
+    // drop key-materialization columns: both our own helpers and the
+    // `_w0`-style projections Spark's ExtractWindowExpressions added for
+    // non-column partition/order expressions — neither is user-visible
+    val visible = df.schema.fieldNames.toSet
+    val extraneous = routed.schema.fieldNames
+      .filter(c => c != Kind && !visible.contains(c))
+    if (extraneous.isEmpty) routed else routed.drop(extraneous.toSeq: _*)
+  }
+
+  /** Project non-Attribute partition/order expressions into helper
+    * columns so the keyed processors see plain columns — what the
+    * reference's rank planner rule does by materializing the rank key
+    * expressions (FlinkLogicalRankRule). Helper columns are internal and
+    * dropped from the operator output.
+    */
+  private def resolveKeys(child0: DataFrame, spec: RankSpec): ResolvedSpec = {
+    var child = child0
+    val helpers = Seq.newBuilder[String]
+    def colFor(e: Expression, tag: String): String = e match {
+      case a: Attribute => a.name
+      case other =>
+        val nm = s"__rank_$tag"
+        child = child.withColumn(nm, Bridge.column(other))
+        helpers += nm
+        nm
+    }
+    val parts = spec.partitionKeys.zipWithIndex.map { case (e, i) => colFor(e, s"p$i") }
+    val orders = spec.orderKeys.zipWithIndex.map { case ((e, asc), i) =>
+      (colFor(e, s"o$i"), asc)
+    }
+    ResolvedSpec(child, parts, orders, helpers.result(), spec.n)
   }
 
   // ---------------------------------------------------------- recognition
@@ -98,7 +138,7 @@ object StreamingRank {
   }
 
   private def findRowNumberWindow(plan: LogicalPlan, rnId: ExprId)
-      : Option[(WindowNode, Seq[String], Seq[(String, Boolean)])] = plan match {
+      : Option[(WindowNode, Seq[Expression], Seq[(Expression, Boolean)])] = plan match {
     case w @ WindowNode(windowExprs, partitionSpec, orderSpec, _, _) =>
       val isOurRowNumber = windowExprs.exists {
         case a @ Alias(WindowExpression(_: RowNumber, _), _) => a.exprId == rnId
@@ -106,15 +146,12 @@ object StreamingRank {
       }
       if (!isOurRowNumber) None
       else {
-        val parts = partitionSpec.map {
-          case a: Attribute => a.name
-          case other => return None // non-column partition expr: bail out
-        }
+        // arbitrary expressions allowed; non-Attributes get projected to
+        // helper columns by resolveKeys
         val orders = orderSpec.map {
-          case SortOrder(a: Attribute, dir, _, _) => (a.name, dir == Ascending)
-          case _ => return None
+          case SortOrder(e, dir, _, _) => (e, dir == Ascending)
         }
-        Some((w, parts, orders))
+        Some((w, partitionSpec, orders))
       }
     case Project(exprs, child) if exprs.forall(_.isInstanceOf[Attribute]) =>
       findRowNumberWindow(child, rnId)
@@ -159,7 +196,7 @@ object StreamingRank {
         TimeMode.None(), OutputMode.Update())(Encoders.row(out))
   }
 
-  private def topN(child: DataFrame, spec: RankSpec, idCol: String,
+  private def topN(child: DataFrame, spec: ResolvedSpec, idCol: String,
       ttl: TTLConfig): DataFrame = {
     val schema = child.schema
     val out = outSchema(child)
@@ -172,35 +209,13 @@ object StreamingRank {
         s"changelog rank input needs a LongType '$idCol' column to correlate updates")
       -1
     }
-    val ord = rowOrdering(schema, spec.orderCols)
+    val orderIdxs = spec.orderCols.map { case (name, asc) =>
+      (schema.fieldIndex(name), asc)
+    }
     groupByPartitionKey(child, spec.partitionCols)
       .transformWithState(
-        new RowTopNProcessor(spec.n, schema, out, idIdx, ord, ttl),
+        new RowTopNProcessor(spec.n, schema, out, idIdx, orderIdxs, ttl),
         TimeMode.None(), OutputMode.Update())(Encoders.row(out))
-  }
-
-  /** Row ordering over the ORDER BY columns (nulls first on ASC, the
-    * Spark default), tie-broken by nothing — callers append the id.
-    */
-  private def rowOrdering(schema: StructType,
-      orderCols: Seq[(String, Boolean)]): Ordering[Row] = {
-    val cols = orderCols.map { case (name, asc) => (schema.fieldIndex(name), asc) }
-    (a: Row, b: Row) => {
-      var i = 0
-      var c = 0
-      while (c == 0 && i < cols.length) {
-        val (idx, asc) = cols(i)
-        val (x, y) = (a.get(idx), b.get(idx))
-        val cmp =
-          if (x == null && y == null) 0
-          else if (x == null) -1
-          else if (y == null) 1
-          else x.asInstanceOf[Comparable[Any]].compareTo(y)
-        c = if (asc) cmp else -cmp
-        i += 1
-      }
-      c
-    }
   }
 
   // ---------------------------------------------------------- processors
@@ -243,24 +258,59 @@ object StreamingRank {
     }
   }
 
-  /** Generic-row retractable top-n: state is the key's id→row map; each
-    * change re-ranks and emits the DIFF of the visible top-n
-    * (RetractableTopNFunction.java:56 semantics, rank cascades included).
+  /** Generic-row retractable top-n, reference state shape
+    * (RetractableTopNFunction.java:56): `rows` holds id → full row
+    * (point reads/writes only), `idx` holds id → sort-key projection and
+    * is mirrored into a [[TopNIndex]] sorted set once per micro-batch.
+    * Each change costs O(log m) index mutation + O(n) boundary walk and
+    * reads only the affected ids' payloads; the emitted changelog is the
+    * DIFF of the visible top-n, rank cascades included.
     */
   class RowTopNProcessor(n: Int, schema: StructType, out: StructType,
-      idIdx: Int, ord: Ordering[Row], ttl: TTLConfig = TTLConfig.NONE)
+      idIdx: Int, orderIdxs: Seq[(Int, Boolean)],
+      ttl: TTLConfig = TTLConfig.NONE)
       extends StatefulProcessor[String, Row, Row] {
     @transient private var rowsState: MapState[Long, Row] = _
+    @transient private var idxState: MapState[Long, Row] = _
     @transient private var nextId: ValueState[Long] = _
     private val kindIdx = schema.fieldNames.indexOf(Changelog.RowKindCol)
     private val dataIdxs =
       schema.fieldNames.indices.filter(i => i != kindIdx)
+    private val sortSchema =
+      StructType(orderIdxs.map { case (i, _) => schema.fields(i) })
 
     override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
       rowsState = getHandle.getMapState[Long, Row]("rows",
         Encoders.scalaLong, Encoders.row(schema), ttl)
+      idxState = getHandle.getMapState[Long, Row]("idx",
+        Encoders.scalaLong, Encoders.row(sortSchema), ttl)
       nextId = getHandle.getValueState[Long]("nextId",
         Encoders.scalaLong, ttl)
+    }
+
+    /** Sort-key projection of a full row (positions follow orderIdxs). */
+    private def sortKeyOf(r: Row): Row =
+      new org.apache.spark.sql.catalyst.expressions.GenericRow(
+        orderIdxs.map { case (i, _) => r.get(i) }.toArray[Any])
+
+    /** Ordering over sort-key projections (nulls first on ASC, the
+      * Spark default); ties broken by id inside TopNIndex.
+      */
+    private val sortOrd: Ordering[Row] = (a: Row, b: Row) => {
+      var i = 0
+      var c = 0
+      while (c == 0 && i < orderIdxs.length) {
+        val asc = orderIdxs(i)._2
+        val (x, y) = (a.get(i), b.get(i))
+        val cmp =
+          if (x == null && y == null) 0
+          else if (x == null) -1
+          else if (y == null) 1
+          else x.asInstanceOf[Comparable[Any]].compareTo(y)
+        c = if (asc) cmp else -cmp
+        i += 1
+      }
+      c
     }
 
     private def tag(kind: Byte, r: Row): Row =
@@ -270,15 +320,8 @@ object StreamingRank {
     override def handleInputRows(key: String, rows: Iterator[Row],
         timerValues: TimerValues): Iterator[Row] = {
       val outRows = scala.collection.mutable.ArrayBuffer.empty[Row]
-      // in-memory mirror of the key's row set; writes go to both
-      val m = scala.collection.mutable.LinkedHashMap.empty[Long, Row]
-      rowsState.iterator().foreach { case (id, r) => m(id) = r }
-      val fullOrd: Ordering[(Long, Row)] =
-        Ordering.fromLessThan { (a, b) =>
-          val c = ord.compare(a._2, b._2)
-          c < 0 || (c == 0 && a._1 < b._1) // deterministic tie-break by id
-        }
-      def top(): Seq[(Long, Row)] = m.toSeq.sorted(fullOrd).take(n)
+      val index = new TopNIndex[Row](n, sortOrd)
+      index.load(idxState.iterator().map { case (id, s) => (id, s) })
 
       rows.foreach { r =>
         val kind = if (kindIdx < 0) Changelog.Insert else r.getByte(kindIdx)
@@ -288,20 +331,41 @@ object StreamingRank {
             val v = if (nextId.exists()) nextId.get() else 0L
             nextId.update(v + 1L); v
           }
-        val before = top()
-        if (kind == Changelog.Delete) { m.remove(id); rowsState.removeKey(id) }
-        else { m(id) = r; rowsState.updateValue(id, r) }
-        val after = top()
-        val beforeM = before.toMap
-        val afterM = after.toMap
-        // leaves and changed-olds retract first (reference emit order)
-        before.foreach { case (bid, br) =>
-          if (!afterM.contains(bid)) outRows += tag(Changelog.Delete, br)
-          else if (afterM(bid) != br) outRows += tag(Changelog.UpdateBefore, br)
+        val del = kind == Changelog.Delete
+        // the changed id's previous payload — needed for its retract
+        // half; the only extra state read this record triggers
+        val oldRow =
+          if (index.sortOf(id).isDefined && rowsState.containsKey(id))
+            Option(rowsState.getValue(id))
+          else None
+        val wasVisible = index.isVisible(id)
+        if (del) { rowsState.removeKey(id); idxState.removeKey(id) }
+        else {
+          rowsState.updateValue(id, r)
+          idxState.updateValue(id, sortKeyOf(r))
         }
-        after.foreach { case (aid, ar) =>
-          if (!beforeM.contains(aid)) outRows += tag(Changelog.Insert, ar)
-          else if (beforeM(aid) != ar) outRows += tag(Changelog.UpdateAfter, ar)
+        val diffs = index.apply(del, id, sortKeyOf(r))
+        if (diffs.isEmpty) {
+          // sort key unchanged: a payload-only change on a visible id
+          // still emits the -U/+U pair (the downstream sees new values)
+          if (!del && wasVisible && oldRow.exists(_ != r)) {
+            outRows += tag(Changelog.UpdateBefore, oldRow.get)
+            outRows += tag(Changelog.UpdateAfter, r)
+          }
+        } else diffs.foreach { v =>
+          def payloadOf(vid: Long): Row =
+            if (vid == id) oldRow.getOrElse(r) else rowsState.getValue(vid)
+          (v.oldSort, v.newSort) match {
+            case (Some(_), None) =>
+              outRows += tag(Changelog.Delete, payloadOf(v.id))
+            case (Some(_), Some(_)) =>
+              outRows += tag(Changelog.UpdateBefore, oldRow.getOrElse(r))
+              outRows += tag(Changelog.UpdateAfter, r)
+            case (None, Some(_)) =>
+              outRows += tag(Changelog.Insert,
+                if (v.id == id) r else rowsState.getValue(v.id))
+            case _ =>
+          }
         }
       }
       outRows.iterator

@@ -117,6 +117,28 @@ class StreamingRankSpec extends SparkSuite {
       Row(Changelog.UpdateAfter, "a", t(30), "v2")))
   }
 
+  test("expression partition/order keys route via projected helper columns") {
+    // PARTITION BY upper(cat) ORDER BY sort * -1 — neither key is a plain
+    // column; helpers materialize them and are dropped from the output
+    val batches = Seq(
+      Seq(("A", "y", 2L, 20L), ("a", "x", 1L, 10L), ("b", "z", 3L, 5L)),
+      Seq(("a", "w", 4L, 30L))) // 30*-1=-30 ranks first in upper-cat A
+    val out = runRows(batches, df => {
+      val named = df.toDF("cat", "name", "id", "sort")
+      val w = Window.partitionBy(upper($"cat")).orderBy($"sort" * -1)
+      StreamingRank.rewrite(
+        named.withColumn("rn", row_number().over(w)).filter($"rn" <= 1).drop("rn"))
+    })
+    // key A: 20 > 10 so id 2 wins batch 1; key B: id 3
+    assert(out(0).toSet == Set(
+      Row(Changelog.Insert, "A", "y", 2L, 20L),
+      Row(Changelog.Insert, "b", "z", 3L, 5L)))
+    // id 4 (sort 30) dethrones id 2 in key A
+    assert(out(1).toSet == Set(
+      Row(Changelog.Delete, "A", "y", 2L, 20L),
+      Row(Changelog.Insert, "a", "w", 4L, 30L)))
+  }
+
   test("a non-rank filter is rejected with a clear error") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(String, Long)]
