@@ -146,6 +146,26 @@ object JoinQueries {
         .asOf(purchases, views, "user_id", "ts", Seq("v_id", "v_value"))
         .select($"p_id", $"r_v_id", $"r_v_value")
         .orderBy($"p_id")
+    }),
+
+    // The same as-of join through the reference's SQL idiom
+    // (`JOIN v FOR SYSTEM_TIME AS OF p.ts`, SqlSnapshot grammar /
+    // StreamExecTemporalJoin.java:77) — TemporalJoinSql parses the span,
+    // routes to AsOfJoin, and rewrites the alias qualifiers.
+    "q_join_asof_sql" -> ((s, dir) => {
+      import s.implicits._
+      val ev = t(s, dir, "events")
+      ev.filter($"event_type" === "purchase")
+        .select($"event_id".as("p_id"), $"user_id", $"ts")
+        .createOrReplaceTempView("asof_p")
+      ev.filter($"event_type" === "view")
+        .select($"event_id".as("v_id"), $"user_id", $"ts", $"value".as("v_value"))
+        .createOrReplaceTempView("asof_v")
+      graft.operators.TemporalJoinSql.sql(s,
+        """SELECT p.p_id, v.v_id AS r_v_id, v.v_value AS r_v_value
+          |FROM asof_p AS p JOIN asof_v FOR SYSTEM_TIME AS OF p.ts AS v
+          |ON p.user_id = v.user_id
+          |ORDER BY p_id""".stripMargin)
     })
   )
 
@@ -212,6 +232,14 @@ object JoinQueries {
         |ORDER BY c_custkey""".stripMargin,
 
     "q_join_asof" ->
+      """WITH e AS (SELECT event_id, user_id, make_timestamp(epoch_ns(ts) // 1000) AS ts, event_type, value FROM events),
+        |p AS (SELECT event_id AS p_id, user_id, ts FROM e WHERE event_type = 'purchase'),
+        |v AS (SELECT event_id AS v_id, user_id, ts, value AS v_value FROM e WHERE event_type = 'view')
+        |SELECT p.p_id, v.v_id AS r_v_id, v.v_value AS r_v_value
+        |FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND v.ts <= p.ts
+        |ORDER BY p_id""".stripMargin,
+
+    "q_join_asof_sql" ->
       """WITH e AS (SELECT event_id, user_id, make_timestamp(epoch_ns(ts) // 1000) AS ts, event_type, value FROM events),
         |p AS (SELECT event_id AS p_id, user_id, ts FROM e WHERE event_type = 'purchase'),
         |v AS (SELECT event_id AS v_id, user_id, ts, value AS v_value FROM e WHERE event_type = 'view')

@@ -1,0 +1,59 @@
+package graft.operators
+
+import org.apache.spark.sql.Row
+
+import graft.SparkSuite
+
+/** The FOR SYSTEM_TIME AS OF SQL front door: span parsing, alias
+  * qualifier rewriting, differing key/version-time column names, and
+  * loud errors on malformed statements.
+  */
+class TemporalJoinSqlSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def setup(): Unit = {
+    Seq((1L, "u1", 100L), (2L, "u1", 250L), (3L, "u2", 50L))
+      .toDF("p_id", "user_id", "ts").createOrReplaceTempView("probes")
+    Seq(("u1", 90L, 1.0), ("u1", 200L, 2.0), ("u2", 400L, 9.0))
+      .toDF("uid", "vts", "rate").createOrReplaceTempView("rates")
+  }
+
+  test("each probe joins the latest version at or before its time") {
+    setup()
+    val out = TemporalJoinSql.sql(spark,
+      """SELECT p.p_id, r.rate FROM probes AS p
+        |JOIN rates FOR SYSTEM_TIME AS OF p.ts AS r
+        |ON p.user_id = r.uid
+        |ORDER BY p.p_id""".stripMargin,
+      rightTimeCol = Some("vts"))
+    assert(out.collect().toSeq == Seq(
+      Row(1L, 1.0),        // ts 100: version 90 current
+      Row(2L, 2.0),        // ts 250: version 200 current
+      Row(3L, null)))      // ts 50: no u2 version yet — LEFT semantics
+  }
+
+  test("right-side columns surface through the r-alias namespace") {
+    setup()
+    val out = TemporalJoinSql.sql(spark,
+      """SELECT p.p_id, r.vts, r.rate FROM probes p
+        |JOIN rates FOR SYSTEM_TIME AS OF p.ts r
+        |ON r.uid = p.user_id
+        |WHERE r.rate IS NOT NULL ORDER BY p.p_id""".stripMargin,
+      rightTimeCol = Some("vts"))
+    assert(out.collect().toSeq == Seq(Row(1L, 90L, 1.0), Row(2L, 200L, 2.0)))
+  }
+
+  test("missing span and wrong alias fail loudly") {
+    setup()
+    val e1 = intercept[IllegalArgumentException] {
+      TemporalJoinSql.sql(spark, "SELECT * FROM probes JOIN rates ON 1 = 1")
+    }
+    assert(e1.getMessage.contains("FOR SYSTEM_TIME AS OF"))
+    val e2 = intercept[IllegalArgumentException] {
+      TemporalJoinSql.sql(spark,
+        """SELECT p.p_id FROM probes p JOIN rates FOR SYSTEM_TIME AS OF x.ts r
+          |ON p.user_id = r.uid""".stripMargin)
+    }
+    assert(e2.getMessage.contains("probe side"))
+  }
+}
