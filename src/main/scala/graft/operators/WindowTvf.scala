@@ -30,11 +30,62 @@ object WindowTvf {
   def sql(spark: SparkSession, query: String): DataFrame = {
     val call = findCall(query).getOrElse(throw new IllegalArgumentException(
       "no TUMBLE/HOP/CUMULATE/SESSION(TABLE …) call found in statement"))
-    val expanded = expand(spark, call)
-    val view = s"__tvf_${java.util.UUID.randomUUID().toString.replace("-", "")}"
-    expanded.createOrReplaceTempView(view)
-    try spark.sql(query.substring(0, call.from) + view + query.substring(call.to))
-    finally spark.catalog.dropTempView(view)
+    val (tableName, partCols) = parseTableArg(call)
+    val df = spark.table(tableName)
+    // Streaming SESSION cannot use the batch analytic annotation path
+    // (Spark rejects non-time windows on a stream); when the statement is
+    // a pure window aggregate, route to the built-in session_window
+    // group — the reference's stream-first TVF execution
+    // (StreamExecWindowTableFunction.java:73 merging into the window agg).
+    if (call.fn == "SESSION" && df.isStreaming)
+      sessionStreamingSql(spark, query, call, tableName)
+    else {
+      val expanded = expand(spark, call, df, partCols)
+      val view = s"__tvf_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+      expanded.createOrReplaceTempView(view)
+      try spark.sql(query.substring(0, call.from) + view + query.substring(call.to))
+      finally spark.catalog.dropTempView(view)
+    }
+  }
+
+  /** Rewrite a streaming `SESSION(TABLE …)` statement into a
+    * `session_window` aggregate: the TVF span becomes the raw table, the
+    * GROUP BY's window_start/window_end pair becomes the session_window
+    * call, and SELECT-list window columns read from its struct. Only the
+    * pure window-aggregate shape is supported on streams (as the
+    * reference merges the TVF into StreamExecWindowAggregate); anything
+    * else fails loudly.
+    */
+  private def sessionStreamingSql(spark: SparkSession, query: String,
+      call: Call, tableName: String): DataFrame = {
+    val tsCol = descriptorCol(call)
+    val gap = parseInterval(call.args(2))
+    require(!"""(?i)\bwindow_time\b""".r.findFirstIn(query).isDefined,
+      "streaming SESSION TVF: window_time is not supported (group on " +
+        "window_start/window_end)")
+    val spliced =
+      query.substring(0, call.from) + tableName + query.substring(call.to)
+    // the GROUP BY must carry both window bounds — the pure-window-agg shape
+    val GroupByRe = """(?is)(GROUP\s+BY\s+)([^;]*?)(\s*(?:ORDER\s+BY|HAVING|LIMIT|$).*)""".r
+    val m = GroupByRe.findFirstMatchIn(spliced).getOrElse(
+      throw new IllegalArgumentException(
+        "streaming SESSION TVF needs a GROUP BY over window_start, window_end"))
+    val items = m.group(2).split(",").map(_.trim).filter(_.nonEmpty)
+    require(items.exists(_.equalsIgnoreCase("window_start")) &&
+      items.exists(_.equalsIgnoreCase("window_end")),
+      "streaming SESSION TVF: GROUP BY must include window_start and window_end")
+    val kept = items.filterNot(i =>
+      i.equalsIgnoreCase("window_start") || i.equalsIgnoreCase("window_end"))
+    val groupItems =
+      (s"session_window($tsCol, '${gap.spark}')" +: kept).mkString(", ")
+    val regrouped =
+      spliced.substring(0, m.start) + m.group(1) + groupItems + m.group(3)
+    // SELECT-side window columns read the session_window struct
+    val withStart = """(?i)\bwindow_start\b""".r.replaceAllIn(regrouped,
+      "session_window.start AS window_start")
+    val rewritten = """(?i)\bwindow_end\b""".r.replaceAllIn(withStart,
+      "session_window.end AS window_end")
+    spark.sql(rewritten)
   }
 
   // ------------------------------------------------------------- parsing
@@ -96,19 +147,23 @@ object WindowTvf {
 
   // ----------------------------------------------------------- expansion
 
-  private def expand(spark: SparkSession, call: Call): DataFrame = {
-    val (tableName, partCols) = call.args.head match {
+  private def parseTableArg(call: Call): (String, Seq[String]) =
+    call.args.head match {
       case TableRe(name, parts) =>
         (name, Option(parts).toSeq.flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty))
       case other => throw new IllegalArgumentException(
         s"first TVF argument must be TABLE <name>, got: $other")
     }
-    val tsCol = call.args(1) match {
-      case DescriptorRe(c) => c
-      case other => throw new IllegalArgumentException(
-        s"second TVF argument must be DESCRIPTOR(<col>), got: $other")
-    }
-    val df = spark.table(tableName)
+
+  private def descriptorCol(call: Call): String = call.args(1) match {
+    case DescriptorRe(c) => c
+    case other => throw new IllegalArgumentException(
+      s"second TVF argument must be DESCRIPTOR(<col>), got: $other")
+  }
+
+  private def expand(spark: SparkSession, call: Call, df: DataFrame,
+      partCols: Seq[String]): DataFrame = {
+    val tsCol = descriptorCol(call)
     val ts = col(tsCol)
 
     call.fn match {

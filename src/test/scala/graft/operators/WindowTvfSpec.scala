@@ -101,6 +101,75 @@ class WindowTvfSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  /** Drive a TVF statement over a MemoryStream (update mode) and return
+    * the final sink rows keyed by the given extractor.
+    */
+  private def runStreamTvf[K](sqlText: String, view: String,
+      batches: Seq[Seq[(String, Timestamp, Long)]],
+      mode: String = "update"): Seq[org.apache.spark.sql.Row] = {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(String, Timestamp, Long)]
+    input.toDS().toDF("user_id", "ts", "v")
+      .withWatermark("ts", "0 seconds").createOrReplaceTempView(view)
+    val agg = WindowTvf.sql(spark, sqlText)
+    assert(agg.isStreaming)
+    val name = s"${view}_${System.nanoTime()}"
+    val q = agg.writeStream.format("memory").queryName(name)
+      .outputMode(mode).option("checkpointLocation", tmpDir("ckpt")).start()
+    try {
+      batches.foreach { b => input.addData(b); q.processAllAvailable() }
+      spark.table(name).collect().toSeq
+    } finally q.stop()
+  }
+
+  private val seedData = Seq(
+    ("u1", t(0), 1L), ("u1", t(30 * 60 * 1000), 2L),
+    ("u1", t(3 * H), 4L), ("u2", t(H), 8L))
+
+  test("HOP TVF composes with a streaming source") {
+    val out = runStreamTvf(
+      """SELECT window_start, SUM(v) AS s
+        |FROM TABLE(HOP(TABLE tvf_stream_hop, DESCRIPTOR(ts), INTERVAL '30' MINUTES, INTERVAL '1' HOUR))
+        |GROUP BY window_start""".stripMargin,
+      "tvf_stream_hop", Seq(seedData))
+      .map(r => (r.getTimestamp(0), r.getLong(1))).toMap
+    // row@0 → starts -30m, 0; row@30m → starts 0, 30m; row@3h → 2:30, 3
+    assert(out == Map(
+      t(-30 * 60 * 1000) -> 1L, t(0) -> 3L, t(30 * 60 * 1000) -> 10L,
+      t(H) -> 8L, t(5 * H / 2) -> 4L, t(3 * H) -> 4L))
+  }
+
+  test("CUMULATE TVF composes with a streaming source") {
+    val out = runStreamTvf(
+      """SELECT window_end, SUM(v) AS s
+        |FROM TABLE(CUMULATE(TABLE tvf_stream_cum, DESCRIPTOR(ts), INTERVAL '1' HOUR, INTERVAL '4' HOURS))
+        |GROUP BY window_end""".stripMargin,
+      "tvf_stream_cum", Seq(seedData))
+      .map(r => (r.getTimestamp(0), r.getLong(1))).toMap
+    // all rows share the 4h window from 0: slices at 1h..4h cover by ts
+    assert(out == Map(
+      t(H) -> 3L, t(2 * H) -> 11L, t(3 * H) -> 11L, t(4 * H) -> 15L))
+  }
+
+  test("SESSION TVF routes to session_window on a streaming source") {
+    val out = runStreamTvf(
+      """SELECT user_id, window_start, window_end, SUM(v) AS s
+        |FROM TABLE(SESSION(TABLE tvf_stream_sess PARTITION BY user_id, DESCRIPTOR(ts), INTERVAL '1' HOUR))
+        |GROUP BY user_id, window_start, window_end""".stripMargin,
+      "tvf_stream_sess",
+      // append mode (session windows reject update); a far-future flush
+      // row advances the watermark so the seed sessions finalize
+      Seq(seedData, Seq(("uF", t(100 * H), 0L))), mode = "append")
+      .map(r => (r.getString(0), r.getTimestamp(1), r.getTimestamp(2), r.getLong(3)))
+      .toSet
+    // matches the batch SESSION expansion on the same rows
+    assert(out == Set(
+      ("u1", t(0), t(30 * 60 * 1000 + H), 3L),
+      ("u1", t(3 * H), t(4 * H), 4L),
+      ("u2", t(H), t(2 * H), 8L)))
+  }
+
   test("malformed calls are rejected with clear errors") {
     seed()
     assert(intercept[IllegalArgumentException] {
