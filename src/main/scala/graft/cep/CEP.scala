@@ -55,32 +55,41 @@ object CEP {
     *
     * Returns (matches over the merged buffer, retained buffer — sorted).
     */
+  /** Linear merge of two sorted runs (stable: existing first on ties). */
+  private def mergeSorted[E](existingSorted: IndexedSeq[E], fresh: Seq[E],
+      tsFn: E => Long): Vector[E] = {
+    val b = Vector.newBuilder[E]; b.sizeHint(existingSorted.length + fresh.length)
+    var i = 0; var j = 0
+    while (i < existingSorted.length && j < fresh.length) {
+      if (tsFn(existingSorted(i)) <= tsFn(fresh(j))) { b += existingSorted(i); i += 1 }
+      else { b += fresh(j); j += 1 }
+    }
+    while (i < existingSorted.length) { b += existingSorted(i); i += 1 }
+    while (j < fresh.length) { b += fresh(j); j += 1 }
+    b.result()
+  }
+
+  /** Anchors at or after this index may still produce new matches with
+    * the fresh events; older anchors saw an identical window before.
+    */
+  private def scanFrontier[E](all: IndexedSeq[E], freshHeadTs: Long,
+      pattern: Pattern[E], tsFn: E => Long): Int = pattern.withinMs match {
+    case Some(w) =>
+      val frontier = freshHeadTs - w
+      all.indexWhere(e => tsFn(e) >= frontier) match {
+        case -1 => all.length
+        case i => i
+      }
+    case None => 0
+  }
+
   def step[E](existingSorted: IndexedSeq[E], freshUnsorted: Seq[E],
       pattern: Pattern[E], nfa: NFA[E], tsFn: E => Long,
       maxBufferPerKey: Option[Int]): (Seq[(Int, Int, Seq[(String, Seq[E])])], IndexedSeq[E]) = {
     if (freshUnsorted.isEmpty) return (Nil, existingSorted)
     val fresh = freshUnsorted.sortBy(tsFn)
-    // linear merge of two sorted runs (stable: existing first on ties)
-    val all = {
-      val b = Vector.newBuilder[E]; b.sizeHint(existingSorted.length + fresh.length)
-      var i = 0; var j = 0
-      while (i < existingSorted.length && j < fresh.length) {
-        if (tsFn(existingSorted(i)) <= tsFn(fresh(j))) { b += existingSorted(i); i += 1 }
-        else { b += fresh(j); j += 1 }
-      }
-      while (i < existingSorted.length) { b += existingSorted(i); i += 1 }
-      while (j < fresh.length) { b += fresh(j); j += 1 }
-      b.result()
-    }
-    val scanFrom = pattern.withinMs match {
-      case Some(w) =>
-        val frontier = tsFn(fresh.head) - w
-        all.indexWhere(e => tsFn(e) >= frontier) match {
-          case -1 => all.length
-          case i => i
-        }
-      case None => 0
-    }
+    val all = mergeSorted(existingSorted, fresh, tsFn)
+    val scanFrom = scanFrontier(all, tsFn(fresh.head), pattern, tsFn)
     val matches = nfa.findMatches(all, scanFrom)
     // trim everything up to the last match end (skip past last row);
     // expire events whose within-window closed behind the newest event
@@ -100,20 +109,108 @@ object CEP {
     (matches, retained.toIndexedSeq)
   }
 
+  /** Streaming state for overlapping skip strategies: the sorted buffer
+    * plus identities of already-emitted matches whose anchor is still
+    * inside the buffer (match hash → anchor ts, for eviction).
+    */
+  case class StepState[E](buffer: IndexedSeq[E], emitted: Map[Long, Long])
+  object StepState { def empty[E]: StepState[E] = StepState(Vector.empty, Map.empty) }
+
+  /** 64-bit identity of a complete match (stage names + consumed event
+    * hashes, order-sensitive) — the re-scan dedupe key for overlapping
+    * skip strategies.
+    */
+  def matchKey[E](m: Seq[(String, Seq[E])]): Long = {
+    import scala.util.hashing.MurmurHash3
+    val parts = m.map { case (n, evs) => (n, evs.map(_.##)) }
+    val h1 = MurmurHash3.orderedHash(parts)
+    val h2 = MurmurHash3.orderedHash(parts.reverse, 0x9747b28c)
+    (h1.toLong << 32) | (h2.toLong & 0xffffffffL)
+  }
+
+  /** [[step]] generalized to any after-match skip strategy — the
+    * reference honors every AfterMatchSkipStrategy in its CepOperator.
+    * Three buffer regimes:
+    *
+    *   - SKIP PAST LAST ROW: matches cannot overlap — trim the buffer
+    *     past each match (the [[step]] path, unchanged);
+    *   - SKIP TO FIRST/LAST: the scan is stateful (a jump decides which
+    *     anchors are ever visited), so the buffer trims to the LAST
+    *     match's jump position ([[NFA.findMatchesResume]]) — anchors
+    *     inside a jumped span stay skipped across micro-batches;
+    *   - NO SKIP / SKIP TO NEXT: every anchor is scanned independently —
+    *     the buffer is bounded only by the within-horizon (or cap), and
+    *     re-found matches are suppressed by identity against
+    *     `state.emitted`, whose entries evict with their anchors.
+    *
+    * Batch parity holds for patterns whose matches are stable once
+    * complete (no trailing growable quantifier) — the same
+    * emit-on-completion contract the SKIP PAST LAST ROW path always had.
+    */
+  def stepSkip[E](state: StepState[E], freshUnsorted: Seq[E],
+      pattern: Pattern[E], nfa: NFA[E], tsFn: E => Long,
+      maxBufferPerKey: Option[Int], skip: AfterMatchSkip)
+      : (Seq[(Int, Int, Seq[(String, Seq[E])])], StepState[E]) = {
+    if (freshUnsorted.isEmpty) return (Nil, state)
+    if (skip == AfterMatchSkip.SkipPastLastRow) {
+      val (ms, retained) =
+        step(state.buffer, freshUnsorted, pattern, nfa, tsFn, maxBufferPerKey)
+      return (ms, StepState(retained, Map.empty))
+    }
+    val fresh = freshUnsorted.sortBy(tsFn)
+    val all = mergeSorted(state.buffer, fresh, tsFn)
+    val scanFrom = scanFrontier(all, tsFn(fresh.head), pattern, tsFn)
+    val (matches, resume) = nfa.findMatchesResume(all, scanFrom, skip)
+    val jumpy = skip match {
+      case AfterMatchSkip.SkipToFirst(_) | AfterMatchSkip.SkipToLast(_) => true
+      case _ => false
+    }
+    // jump strategies never revisit an anchor, so nothing dedupes; the
+    // independent-anchor strategies rescan and need the identity filter
+    val newMs =
+      if (jumpy) matches
+      else matches.filterNot { case (_, _, m) => state.emitted.contains(matchKey(m)) }
+    val scanTrimmed = if (jumpy) all.drop(resume) else all
+    val withinBound = pattern.withinMs match {
+      case Some(w) if scanTrimmed.nonEmpty =>
+        val horizon = tsFn(all.last) - w
+        scanTrimmed.filter(e => tsFn(e) >= horizon)
+      case _ => scanTrimmed
+    }
+    val retained = maxBufferPerKey match {
+      case Some(cap) if withinBound.length > cap => withinBound.takeRight(cap)
+      case _ => withinBound
+    }
+    val emitted =
+      if (jumpy) Map.empty[Long, Long]
+      else {
+        val headTs = retained.headOption.map(tsFn).getOrElse(Long.MaxValue)
+        (state.emitted ++ newMs.map { case (s, _, m) =>
+          matchKey(m) -> tsFn(all(s))
+        }).filter { case (_, anchorTs) => anchorTs >= headTs }
+      }
+    (newMs, StepState(retained.toIndexedSeq, emitted))
+  }
+
   class CepProcessor[E](pattern: Pattern[E], tsFn: E => Long, eventEnc: Encoder[E],
-      maxBufferPerKey: Option[Int] = None)
+      maxBufferPerKey: Option[Int] = None,
+      skip: AfterMatchSkip = AfterMatchSkip.SkipPastLastRow)
       extends StatefulProcessor[String, E, CepMatch[E]] {
     @transient private var buf: ListState[E] = _
+    @transient private var emitted: MapState[Long, Long] = _
     private val nfa = new NFA[E](pattern, tsFn)
 
-    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
       buf = getHandle.getListState[E]("buffer", eventEnc, TTLConfig.NONE)
+      emitted = getHandle.getMapState[Long, Long]("emitted",
+        Encoders.scalaLong, Encoders.scalaLong, TTLConfig.NONE)
+    }
 
     override def handleInputRows(key: String, rows: Iterator[E],
         timerValues: TimerValues): Iterator[CepMatch[E]] = {
-      val existing = buf.get().toIndexedSeq // stored sorted
-      val (matches, retained) =
-        step(existing, rows.toSeq, pattern, nfa, tsFn, maxBufferPerKey)
+      val before = StepState(buf.get().toIndexedSeq, emitted.iterator().toMap)
+      val (matches, after) =
+        stepSkip(before, rows.toSeq, pattern, nfa, tsFn, maxBufferPerKey, skip)
       val out = matches.map { case (_, _, m) =>
         // first/last consumed event bound the match (optional stages may
         // be empty, so flatten rather than reading head/last stages)
@@ -121,7 +218,11 @@ object CEP {
         CepMatch(key, tsFn(evs.head), tsFn(evs.last), m)
       }
       buf.clear()
-      retained.foreach(buf.appendValue)
+      after.buffer.foreach(buf.appendValue)
+      (before.emitted.keySet -- after.emitted.keySet).foreach(emitted.removeKey)
+      after.emitted.foreach { case (h, ts) =>
+        if (before.emitted.get(h) != Some(ts)) emitted.updateValue(h, ts)
+      }
       out.iterator
     }
   }
@@ -134,14 +235,16 @@ object CEP {
     */
   def streaming[E: Encoder](events: Dataset[E], keyFn: E => String,
       tsFn: E => Long, pattern: Pattern[E],
-      maxBufferPerKey: Option[Int] = None)(
+      maxBufferPerKey: Option[Int] = None,
+      skip: AfterMatchSkip = AfterMatchSkip.SkipPastLastRow)(
       implicit outEnc: Encoder[CepMatch[E]]): Dataset[CepMatch[E]] = {
     require(pattern.withinMs.isDefined || maxBufferPerKey.isDefined,
       "streaming CEP needs a state bound: give the pattern `within` or pass maxBufferPerKey")
     implicit val strEnc: Encoder[String] = Encoders.STRING
     events.groupByKey(keyFn)
       .transformWithState(
-        new CepProcessor[E](pattern, tsFn, implicitly[Encoder[E]], maxBufferPerKey),
+        new CepProcessor[E](pattern, tsFn, implicitly[Encoder[E]],
+          maxBufferPerKey, skip),
         TimeMode.None(), OutputMode.Update())
   }
 }

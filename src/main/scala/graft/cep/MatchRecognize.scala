@@ -629,17 +629,18 @@ object MatchRecognize {
     * StreamExecMatch path. As in the reference, the primary ORDER BY
     * column must be the event-time attribute (a TIMESTAMP or epoch
     * numeric); rows buffer per key and matches emit incrementally via
-    * [[CEP.step]] (sorted-merge buffer, incremental scan, within-horizon
-    * eviction). The state bound rule is CEP.streaming's: the clause
-    * carries WITHIN or `maxBufferPerKey` caps the buffer. Only the
-    * default AFTER MATCH SKIP PAST LAST ROW is supported on streams
-    * (buffer trimming assumes non-overlapping matches).
+    * [[CEP.stepSkip]] (sorted-merge buffer, incremental scan,
+    * within-horizon eviction). The state bound rule is CEP.streaming's:
+    * the clause carries WITHIN or `maxBufferPerKey` caps the buffer.
+    * Every AFTER MATCH skip strategy streams (the reference's
+    * CepOperator honors all of AfterMatchSkipStrategy.java): PAST LAST
+    * ROW trims the buffer at each match; the overlapping strategies
+    * (NO SKIP / TO NEXT / TO FIRST/LAST) keep the buffer to the
+    * within-horizon and suppress re-found matches by identity.
     */
   def streaming(df: DataFrame, clause: String,
       maxBufferPerKey: Option[Int] = None): DataFrame = {
     val spec = parse(clause)
-    require(spec.skip == AfterMatchSkip.SkipPastLastRow,
-      "streaming MATCH_RECOGNIZE supports AFTER MATCH SKIP PAST LAST ROW only")
     require(!spec.allRows,
       "streaming MATCH_RECOGNIZE supports ONE ROW PER MATCH only (as the reference)")
     require(spec.defines.values.flatMap(navCols).isEmpty,
@@ -660,18 +661,20 @@ object MatchRecognize {
     df.groupByKey(r => partIdx.map(i => String.valueOf(r.get(i))).mkString(" "))
       .transformWithState(
         new MatchProcessor(pattern, tsFn, Encoders.row(schema),
-          maxBufferPerKey, partIdx, measureFns),
+          maxBufferPerKey, partIdx, measureFns, spec.skip),
         org.apache.spark.sql.streaming.TimeMode.None(),
         org.apache.spark.sql.streaming.OutputMode.Update())
   }
 
   private class MatchProcessor(pattern: Pattern[Row], tsFn: Row => Long,
       rowEnc: Encoder[Row], maxBufferPerKey: Option[Int],
-      partIdx: Seq[Int], measureFns: Seq[MeasureCtx => Any])
+      partIdx: Seq[Int], measureFns: Seq[MeasureCtx => Any],
+      skip: AfterMatchSkip)
       extends org.apache.spark.sql.streaming.StatefulProcessor[String, Row, Row] {
 
     @transient private var buf: org.apache.spark.sql.streaming.ListState[Row] = _
     @transient private var nMatches: org.apache.spark.sql.streaming.ValueState[Long] = _
+    @transient private var emitted: org.apache.spark.sql.streaming.MapState[Long, Long] = _
     private val nfa = new NFA[Row](pattern, tsFn)
 
     override def init(outputMode: org.apache.spark.sql.streaming.OutputMode,
@@ -680,15 +683,22 @@ object MatchRecognize {
         org.apache.spark.sql.streaming.TTLConfig.NONE)
       nMatches = getHandle.getValueState[Long]("nMatches",
         Encoders.scalaLong, org.apache.spark.sql.streaming.TTLConfig.NONE)
+      emitted = getHandle.getMapState[Long, Long]("emitted",
+        Encoders.scalaLong, Encoders.scalaLong,
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
     }
 
     override def handleInputRows(key: String, rows: Iterator[Row],
         timerValues: org.apache.spark.sql.streaming.TimerValues): Iterator[Row] = {
-      val existing = buf.get().toIndexedSeq
-      val (matches, retained) =
-        CEP.step(existing, rows.toSeq, pattern, nfa, tsFn, maxBufferPerKey)
+      val before = CEP.StepState(buf.get().toIndexedSeq, emitted.iterator().toMap)
+      val (matches, after) =
+        CEP.stepSkip(before, rows.toSeq, pattern, nfa, tsFn, maxBufferPerKey, skip)
       buf.clear()
-      retained.foreach(buf.appendValue)
+      after.buffer.foreach(buf.appendValue)
+      (before.emitted.keySet -- after.emitted.keySet).foreach(emitted.removeKey)
+      after.emitted.foreach { case (h, ts) =>
+        if (before.emitted.get(h) != Some(ts)) emitted.updateValue(h, ts)
+      }
       var matchNo = if (nMatches.exists()) nMatches.get() else 0L
       val out = matches.map { case (_, _, m) =>
         matchNo += 1

@@ -50,9 +50,21 @@ class NFA[E](pattern: Pattern[E], timestampOf: E => Long) extends Serializable {
     * the incremental-scan entry for streaming CEP (CEP.step).
     */
   def findMatches(events: IndexedSeq[E], from: Int = 0,
-      skip: AfterMatchSkip = AfterMatchSkip.SkipPastLastRow): Seq[(Int, Int, Match)] = {
+      skip: AfterMatchSkip = AfterMatchSkip.SkipPastLastRow): Seq[(Int, Int, Match)] =
+    findMatchesResume(events, from, skip)._1
+
+  /** [[findMatches]] plus the resume position: the anchor-scan position
+    * immediately after the LAST match's skip jump (0 when no match).
+    * Jump strategies make the scan stateful — an anchor inside a jumped
+    * span must never be visited — so a streaming caller trims its buffer
+    * to this position before the next incremental scan (CEP.stepSkip).
+    */
+  def findMatchesResume(events: IndexedSeq[E], from: Int = 0,
+      skip: AfterMatchSkip = AfterMatchSkip.SkipPastLastRow)
+      : (Seq[(Int, Int, Match)], Int) = {
     val out = scala.collection.mutable.ArrayBuffer.empty[(Int, Int, Match)]
     var start = from max 0
+    var lastJump = 0
     while (start < events.length) {
       val ms = matchesAt(events, start)
       if (ms.isEmpty) start += 1
@@ -73,9 +85,10 @@ class NFA[E](pattern: Pattern[E], timestampOf: E => Long) extends Serializable {
           case AfterMatchSkip.SkipToLast(v) =>
             stageIdx(firstIm, v, first = false).getOrElse(firstEnd) max (start + 1)
         }
+        lastJump = start
       }
     }
-    out.toSeq
+    (out.toSeq, lastJump)
   }
 
   private def stageIdx(im: IMatch, v: String, first: Boolean): Option[Int] =

@@ -68,6 +68,65 @@ class CepStepPropertySpec extends AnyFunSuite {
     })
   }
 
+  test("every skip strategy reproduces batch matches under any split") {
+    val strategies: Seq[AfterMatchSkip] = Seq(
+      AfterMatchSkip.SkipPastLastRow, AfterMatchSkip.NoSkip,
+      AfterMatchSkip.SkipToNext, AfterMatchSkip.SkipToFirst("a"),
+      AfterMatchSkip.SkipToLast("a"))
+    strategies.foreach { skip =>
+      check(Prop.forAll(genEvents.suchThat(_.nonEmpty)) { events =>
+        Prop.forAll(genSplits(events.length)) { cuts =>
+          val p = pat
+          val nfa = new NFA[E](p, _.ts)
+          val batchMatches = consumed(nfa.findMatches(events, 0, skip))
+
+          var st = CEP.StepState.empty[E]
+          val streamed = Seq.newBuilder[Seq[E]]
+          var prev = 0
+          (cuts :+ events.length).distinct.sorted.foreach { c =>
+            if (c > prev) {
+              val (ms, next) = CEP.stepSkip[E](
+                st, events.slice(prev, c), p, nfa, _.ts, None, skip)
+              streamed ++= consumed(ms)
+              st = next
+              prev = c
+            }
+          }
+          val got = streamed.result()
+          if (got == batchMatches) Prop.passed
+          else Prop.falsified :| s"skip=$skip got=$got batch=$batchMatches"
+        }
+      })
+    }
+  }
+
+  test("emitted-identity state evicts with its anchors (overlap strategies)") {
+    check(Prop.forAll(genEvents.suchThat(_.nonEmpty)) { events =>
+      Prop.forAll(genSplits(events.length)) { cuts =>
+        val p = pat
+        val nfa = new NFA[E](p, _.ts)
+        var st = CEP.StepState.empty[E]
+        var prev = 0
+        var ok = true
+        (cuts :+ events.length).distinct.sorted.foreach { c =>
+          if (c > prev) {
+            val (_, next) = CEP.stepSkip[E](
+              st, events.slice(prev, c), p, nfa, _.ts, None,
+              AfterMatchSkip.NoSkip)
+            st = next
+            prev = c
+            val headTs = st.buffer.headOption.map(_.ts).getOrElse(Long.MaxValue)
+            // every tracked identity's anchor is still inside the buffer,
+            // and the buffer itself respects the within horizon
+            ok = ok && st.emitted.values.forall(_ >= headTs) &&
+              st.buffer.forall(e => e.ts >= events(c - 1).ts - 6)
+          }
+        }
+        ok
+      }
+    })
+  }
+
   test("buffer stays bounded by the within horizon under any split") {
     check(Prop.forAll(genEvents.suchThat(_.nonEmpty)) { events =>
       Prop.forAll(genSplits(events.length)) { cuts =>

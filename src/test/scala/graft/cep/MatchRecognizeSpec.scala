@@ -201,6 +201,39 @@ class MatchRecognizeSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("streaming MATCH_RECOGNIZE honors SKIP TO NEXT ROW (overlaps, no re-emit)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(String, Long, String)]
+    val out = MatchRecognize.streaming(
+      input.toDS().toDF("k", "seq", "t"),
+      """PARTITION BY k
+        |ORDER BY seq
+        |MEASURES FIRST(A.seq) AS s, LAST(A.seq) AS e
+        |AFTER MATCH SKIP TO NEXT ROW
+        |PATTERN (A{2})
+        |DEFINE A AS t = 'a'""".stripMargin,
+      maxBufferPerKey = Some(100))
+    val name = s"mrskip_${System.nanoTime()}"
+    val q = out.writeStream.format("memory").queryName(name)
+      .outputMode("update").option("checkpointLocation", tmpDir("ckpt")).start()
+    try {
+      input.addData(Seq(("k", 1L, "a")))
+      q.processAllAvailable()
+      assert(spark.table(name).count() == 0)
+      input.addData(Seq(("k", 2L, "a")))
+      q.processAllAvailable()
+      assert(spark.table(name).as[(String, Long, Long)].collect().toSet ==
+        Set(("k", 1L, 2L)))
+      // overlapping second match emits; the first is NOT re-emitted even
+      // though its anchor is still in the buffer
+      input.addData(Seq(("k", 3L, "a")))
+      q.processAllAvailable()
+      assert(spark.table(name).as[(String, Long, Long)].collect().toSet ==
+        Set(("k", 1L, 2L), ("k", 2L, 3L)))
+    } finally q.stop()
+  }
+
   test("streaming MATCH_RECOGNIZE requires a state bound") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx = spark.sqlContext
