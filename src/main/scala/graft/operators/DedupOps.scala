@@ -179,29 +179,84 @@ object DedupOps {
     * as MinHash-LSH (salting/AQE at scale).
     */
   def simhashPairs(sig: DataFrame, maxHamming: Int = 3, bits: Int = 16,
-      bands: Int = 4, idCol: String = "doc_id", sigCol: String = "simhash"): DataFrame = {
+      bands: Int = 4, idCol: String = "doc_id", sigCol: String = "simhash",
+      saltTarget: Int = 0): DataFrame = {
     require(maxHamming <= bands - 1,
       s"banded screen is exact only for maxHamming <= bands-1 (${bands - 1})")
     require(bits % bands == 0, "bits must divide evenly into bands")
-    val chunkBits = bits / bands
-    val mask = (1L << chunkBits) - 1
-    val banded = sig.select(col(idCol), col(sigCol),
-        explode(array((0 until bands).map(b =>
-          struct(lit(b).as("band"),
-            shiftright(col(sigCol), b * chunkBits).bitwiseAND(mask).as("chunk"))): _*))
-          .as("bc"))
-      .select(col(idCol), col(sigCol), col("bc.band").as("band"), col("bc.chunk").as("chunk"))
-    val a = banded.select(col(idCol).as("id_a"), col(sigCol).as("sig_a"),
-      col("band"), col("chunk"))
-    val b = banded.select(col(idCol).as("id_b"), col(sigCol).as("sig_b"),
-      col("band"), col("chunk"))
-    a.join(b, Seq("band", "chunk"))
+    // Natural-text simhash chunks are heavily skewed — at sf0.1 the
+    // hottest of the 64 (band, chunk) buckets holds ~37% of the corpus
+    // (1844 of 5000 docs; median bucket 122), so one shuffle partition
+    // does ~bucket² ≈ 3.4M of the ~19M total pair comparisons: a
+    // straggler, and the source of run-to-run bench variance (which
+    // partition the hot bucket lands on). `saltTarget` > 0 enables
+    // size-aware salting: each bucket splits into ceil(|bucket|/target)
+    // salt groups — build side keyed by hash(id) % nsalt, probe side
+    // replicated per group — bounding per-join-key build rows at ~target
+    // regardless of the skew ratio (what AQE's skew-join split does at
+    // partition level, done here at key level so it also works where
+    // AQE is off or the join is a broadcast-immune self-join).
+    val banded = bandedChunks(sig, bits, bands, idCol, sigCol)
+    val joined =
+      if (saltTarget > 0) {
+        val (a, b) = saltedSides(banded, idCol, sigCol, saltTarget)
+        a.join(b, Seq("band", "chunk", "__salt"))
+      } else {
+        val a = banded.select(col(idCol).as("id_a"), col(sigCol).as("sig_a"),
+          col("band"), col("chunk"))
+        val b = banded.select(col(idCol).as("id_b"), col(sigCol).as("sig_b"),
+          col("band"), col("chunk"))
+        a.join(b, Seq("band", "chunk"))
+      }
+    joined
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"), col("sig_a"), col("sig_b"))
       .distinct() // a pair may share several chunks
       .select(col("id_a"), col("id_b"),
         bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).cast(LongType).as("hamming"))
       .filter(col("hamming") <= maxHamming)
+  }
+
+  /** One row per (doc, band) with the signature's chunk value — the
+    * banding key space of [[simhashPairs]].
+    */
+  private[graft] def bandedChunks(sig: DataFrame, bits: Int, bands: Int,
+      idCol: String, sigCol: String): DataFrame = {
+    val chunkBits = bits / bands
+    val mask = (1L << chunkBits) - 1
+    sig.select(col(idCol), col(sigCol),
+        explode(array((0 until bands).map(b =>
+          struct(lit(b).as("band"),
+            shiftright(col(sigCol), b * chunkBits).bitwiseAND(mask).as("chunk"))): _*))
+          .as("bc"))
+      .select(col(idCol), col(sigCol),
+        col("bc.band").as("band"), col("bc.chunk").as("chunk"))
+  }
+
+  /** Size-aware salted join sides over the banded chunks: build side
+    * (`id_a`) hashed into one of ceil(|bucket|/saltTarget) salt groups,
+    * probe side (`id_b`) replicated per group — every (a, b) bucket pair
+    * meets in exactly one (band, chunk, __salt) key. Exposed for the
+    * skew spec, which pins the build-side key bound.
+    */
+  private[graft] def saltedSides(banded: DataFrame, idCol: String,
+      sigCol: String, saltTarget: Int): (DataFrame, DataFrame) = {
+    // banded feeds the size agg AND both join sides — cache it so the
+    // md5-heavy simhash upstream runs once; released on consumption
+    CacheOnce.untilConsumed(banded)
+    val sizes = banded.groupBy(col("band"), col("chunk"))
+      .agg(count(lit(1)).as("__bn"))
+    val withN = banded.join(broadcast(sizes), Seq("band", "chunk"))
+      .withColumn("__nsalt",
+        ceil(col("__bn").cast(DoubleType) / saltTarget).cast(IntegerType))
+    val a = withN.select(col(idCol).as("id_a"), col(sigCol).as("sig_a"),
+      col("band"), col("chunk"),
+      pmod(xxhash64(col(idCol)), col("__nsalt").cast(LongType))
+        .cast(IntegerType).as("__salt"))
+    val b = withN.select(col(idCol).as("id_b"), col(sigCol).as("sig_b"),
+      col("band"), col("chunk"),
+      explode(sequence(lit(0), col("__nsalt") - 1)).as("__salt"))
+    (a, b)
   }
 
   /** SimHash signature (16-bit): per bit b, sum over words of

@@ -80,6 +80,43 @@ class DedupOpsSpec extends SparkSuite {
     assert(banded.contains((1L, 3L, 3L)) && !banded.exists(p => p._1 == 1L && p._2 == 4L))
   }
 
+  test("size-aware simhash salting: same pairs, no straggler partition") {
+    // 300 of 1200 docs share one signature — one (band, chunk) bucket
+    // holds 25% of the corpus, the natural-text skew shape at sf0.1
+    val rnd = new scala.util.Random(7)
+    val sigs = ((1 to 300).map(i => (i.toLong, 0x00AAL)) ++
+      (301 to 1200).map(i => (i.toLong, rnd.nextInt(0x10000).toLong)))
+      .toDF("doc_id", "simhash")
+
+    val plain = DedupOps.simhashPairs(sigs, maxHamming = 3)
+      .as[(Long, Long, Long)].collect().toSet
+    val salted = DedupOps.simhashPairs(sigs, maxHamming = 3, saltTarget = 64)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(salted == plain)
+
+    def partitionLoads(df: org.apache.spark.sql.DataFrame,
+        keys: Seq[String]): Seq[Long] =
+      df.repartition(32, keys.map(col): _*)
+        .groupBy(spark_partition_id().as("pid")).count()
+        .as[(Int, Long)].collect().toSeq.map(_._2)
+    def maxOverMedian(loads: Seq[Long]): Double = {
+      val sorted = loads.sorted
+      sorted.last.toDouble / math.max(1L, sorted(sorted.size / 2)).toDouble
+    }
+
+    val banded = DedupOps.bandedChunks(sigs, 16, 4, "doc_id", "simhash")
+    // unsalted layout: the hot bucket's 300×4 rows land on single
+    // partitions — a straggler well beyond 4× the median
+    assert(maxOverMedian(partitionLoads(banded, Seq("band", "chunk"))) > 4.0)
+    // salted build side: every (band, chunk, salt) key holds ≤ ~target
+    // rows and the shuffle spreads within 4× of the median partition
+    val (a, _) = DedupOps.saltedSides(banded, "doc_id", "simhash", 64)
+    val keySizes = a.groupBy("band", "chunk", "__salt").count()
+      .as[(Int, Long, Int, Long)].collect().map(_._4)
+    assert(keySizes.max <= 2 * 64, s"salted key too large: ${keySizes.max}")
+    assert(maxOverMedian(partitionLoads(a, Seq("band", "chunk", "__salt"))) <= 4.0)
+  }
+
   test("dedup pipeline caches are released after the consuming action") {
     val df = (0 until 40).map(i =>
       (i.toLong, s"tok${i % 7} tok${(i + 1) % 7} tok${(i + 2) % 7} common words here"))
