@@ -22,12 +22,12 @@ object RetractableTopN {
   /** kind: Insert/UpdateAfter upserts (id, sort); Delete removes id. */
   case class TopNChange(kind: Byte, key: String, id: Long, sort: Long)
 
-  class RetractableTopNProcessor(n: Int)
+  class RetractableTopNProcessor(n: Int, ttl: TTLConfig = TTLConfig.NONE)
       extends StatefulProcessor[String, TopNChange, TopNChange] {
     @transient private var idx: MapState[Long, Long] = _
     override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
       idx = getHandle.getMapState[Long, Long]("idx",
-        Encoders.scalaLong, Encoders.scalaLong, TTLConfig.NONE)
+        Encoders.scalaLong, Encoders.scalaLong, ttl)
 
     override def handleInputRows(key: String, rows: Iterator[TopNChange],
         timerValues: TimerValues): Iterator[TopNChange] = {

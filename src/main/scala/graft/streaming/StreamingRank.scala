@@ -180,12 +180,19 @@ object StreamingRank {
     child.groupByKey(keyOf(idxs))(Encoders.STRING)
   }
 
+  /** State TTL needs the processing-time mode (Spark rejects a TTLConfig
+    * under TimeMode.None) — the analogue of the reference's
+    * `table.exec.state.ttl`, which is likewise processing-time based.
+    */
+  private def timeModeFor(ttl: TTLConfig): TimeMode =
+    if (ttl == TTLConfig.NONE) TimeMode.None() else TimeMode.ProcessingTime()
+
   /** rn = 1 ORDER BY ts ASC: first row per key wins — insert-only output. */
   private def keepFirstRows(child: DataFrame, partitionCols: Seq[String],
       ttl: TTLConfig): DataFrame =
     groupByPartitionKey(child, partitionCols)
       .transformWithState(new RowKeepFirstProcessor(child.schema, ttl),
-        TimeMode.None(), OutputMode.Update())(Encoders.row(child.schema))
+        timeModeFor(ttl), OutputMode.Update())(Encoders.row(child.schema))
 
   /** rn = 1 ORDER BY ts DESC: newest row wins — retract-stream output. */
   private def keepLastRows(child: DataFrame, partitionCols: Seq[String],
@@ -193,7 +200,7 @@ object StreamingRank {
     val out = outSchema(child)
     groupByPartitionKey(child, partitionCols)
       .transformWithState(new RowKeepLastProcessor(child.schema, out, ttl),
-        TimeMode.None(), OutputMode.Update())(Encoders.row(out))
+        timeModeFor(ttl), OutputMode.Update())(Encoders.row(out))
   }
 
   private def topN(child: DataFrame, spec: ResolvedSpec, idCol: String,
@@ -215,7 +222,7 @@ object StreamingRank {
     groupByPartitionKey(child, spec.partitionCols)
       .transformWithState(
         new RowTopNProcessor(spec.n, schema, out, idIdx, orderIdxs, ttl),
-        TimeMode.None(), OutputMode.Update())(Encoders.row(out))
+        timeModeFor(ttl), OutputMode.Update())(Encoders.row(out))
   }
 
   // ---------------------------------------------------------- processors

@@ -139,6 +139,44 @@ class StreamingRankSpec extends SparkSuite {
       Row(Changelog.Insert, "a", "w", 4L, 30L)))
   }
 
+  test("stateTtl evicts idle rank state (RowTopNProcessor)") {
+    // TTL runs on processing time: with TimeMode.ProcessingTime the query
+    // schedules micro-batches continuously, so poll the sink (ProcessOpsSpec
+    // pattern) instead of relying on processAllAvailable's latch
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(String, Long, Long)]
+    val named = input.toDS().toDF("key", "id", "sort")
+    val w = Window.partitionBy("key").orderBy("sort")
+    val out = StreamingRank.rewrite(
+      named.withColumn("rn", row_number().over(w)).filter($"rn" <= 1).drop("rn"),
+      stateTtl = Some(java.time.Duration.ofMillis(500)))
+    val name = s"rankttl_${System.nanoTime()}"
+    val q = out.writeStream.format("memory").queryName(name)
+      .outputMode("update")
+      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(100))
+      .option("checkpointLocation", tmpDir("ckpt")).start()
+    def await(cond: () => Boolean, deadlineMs: Long = 30000): Boolean = {
+      val until = System.currentTimeMillis() + deadlineMs
+      var ok = cond()
+      while (!ok && System.currentTimeMillis() < until) { Thread.sleep(100); ok = cond() }
+      ok
+    }
+    try {
+      input.addData(Seq(("k", 1L, 10L)))
+      assert(await(() => spark.table(name).count() == 1))
+      assert(spark.table(name).collect().head ==
+        Row(Changelog.Insert, "k", 1L, 10L))
+      Thread.sleep(1200) // well past the 500ms TTL
+      // id 2 sorts WORSE than id 1 — with live state it would rank 2 and
+      // emit nothing; after eviction it is the whole key's state and wins
+      input.addData(Seq(("k", 2L, 20L)))
+      assert(await(() => spark.table(name).count() == 2))
+      val rows = spark.table(name).collect().toSeq
+      assert(rows.last == Row(Changelog.Insert, "k", 2L, 20L),
+        s"expected fresh insert after TTL eviction, got $rows")
+    } finally q.stop()
+  }
+
   test("a non-rank filter is rejected with a clear error") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(String, Long)]
