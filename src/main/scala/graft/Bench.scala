@@ -13,14 +13,17 @@ object Bench {
     // warmup: JIT + codegen + parquet footer caches, so the first timed
     // query isn't charged for session startup
     try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+    val results = (SparkEntry.queries ++ SparkEntry.benchOnly).map {
+      case (name, fn) =>
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        name -> (System.nanoTime() - t0) / 1e9
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    // the headline total counts only the oracle-checked q_ queries; the
+    // b_ bench-only entries report per-query but don't shift the bar
+    val total = results.view.filterKeys(_.startsWith("q_")).values.sum
     val full =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
     // Stdout capture may truncate a long line; persist the full JSON to a

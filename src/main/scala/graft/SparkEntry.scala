@@ -34,6 +34,13 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     modules.iterator.map(_._1).reduce(_ ++ _)
 
+  /** Bench-only entries (b_ prefix): timed by Bench, never dumped by
+    * Verify — no oracle can exist for them (e.g. a different hash
+    * family changes LSH candidate sets by design).
+    */
+  def benchOnly: Map[String, (SparkSession, String) => DataFrame] =
+    PipelineQueries.benchOnly
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a rows-only check.
     */

@@ -19,6 +19,29 @@ object PipelineQueries {
 
   private val dupOffset = 1000000L
 
+  /** Bench-only queries (b_ prefix) — run by Bench, never by Verify.
+    * No oracle exists BY DESIGN: LSH candidate sets are
+    * hash-family-dependent, so swapping the hash family cannot be
+    * DuckDB-compared; the entry exists to measure, not to check.
+    */
+  val benchOnly: Map[String, QFn] = Map(
+    // The PRODUCTION minhash family (xxhash64, codegen'd — no md5, no
+    // string hex round-trip) through the identical LSH pipeline as
+    // q_dedup_lsh. The per-query delta to q_dedup_lsh in bench_out.json
+    // quantifies the md5 oracle tax a real deployment does not pay.
+    "b_dedup_lsh_fast" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val withDups = docs.unionAll(
+        docs.filter(col("doc_id") % 10 === 0)
+          .withColumn("doc_id", col("doc_id") + dupOffset))
+      val sig = DedupOps.minhashFast(withDups, k = 8)
+      graft.operators.CacheOnce.untilConsumed(sig)
+      val pairs = DedupOps.candidatePairs(DedupOps.lshBuckets(sig))
+      DedupOps.jaccardVerify(withDups, pairs)
+        .filter(col("jaccard") >= 0.8)
+        .orderBy(col("id_a"), col("id_b"))
+    }))
+
   val queries: Map[String, QFn] = Map(
     // Token/length stats per document (TextOps.tokenStats).
     "q_text_stats" -> ((s, dir) => {
