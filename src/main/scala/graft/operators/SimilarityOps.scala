@@ -223,6 +223,37 @@ object SimilarityOps {
       .filter(col("rank") <= k)
   }
 
+  /** Embedding-cosine near-duplicate pairs — the embedding modality of
+    * the dedup family (alongside exact / MinHash-LSH / SimHash):
+    * candidate pairs come from an RP-LSH bucket SELF-join (equal bucket,
+    * plus one sign-flip apart at `probeRadius = 1`), then exact cosine
+    * verification against `threshold`. Never an all-pairs product —
+    * expected scored fraction ≈ (bits + 1) / 2^bits of the corpus pairs;
+    * each qualifying pair meets in exactly one (probe, bucket) key, so
+    * no post-join dedup is needed. Same hot-bucket caveat as the other
+    * LSH screens: salting/AQE territory if a bucket is hot.
+    */
+  def embedNearDupPairs(corpus: DataFrame, threshold: Double,
+      dim: Int = 64, bits: Int = 6, probeRadius: Int = 1,
+      idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
+    require(probeRadius >= 0 && probeRadius <= 1, "probeRadius 0 or 1")
+    val c = corpus.select(col(idCol).as("id_b"), col(embCol).as("emb_b"),
+      rpLshBucket(col(embCol), dim, bits).as("bucket"))
+    val a = corpus.select(col(idCol).as("id_a"), col(embCol).as("emb_a"),
+      rpLshBucket(col(embCol), dim, bits).as("ab"))
+    val probeList =
+      if (probeRadius == 0) array(col("ab"))
+      else array(col("ab") +: (0 until bits).map(i =>
+        col("ab").bitwiseXOR(lit(1L << i))): _*)
+    val probes = a.select(col("id_a"), col("emb_a"),
+      explode(probeList).as("bucket"))
+    probes.join(c, "bucket")
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        cosine(col("emb_a"), col("emb_b")).as("cos"))
+      .filter(col("cos") >= threshold)
+  }
+
   /** {-1,+1} signs for pseudo-random hyperplane `b` over `dim` dims. */
   private[operators] def planeSigns(b: Int, dim: Int): Column =
     array((0 until dim).map { i =>

@@ -177,6 +177,21 @@ object PipelineQueries {
         .orderBy(col("q_id"), col("rank"))
     }),
 
+    // Embedding-cosine near-dup pairs (SimilarityOps.embedNearDupPairs):
+    // RP-LSH bucket self-join (one-flip multi-probe) + exact cosine
+    // verify. The synthetic corpus has no natural near-dups (max pair
+    // cosine ~0.51), so exact copies are injected as in the text dedup
+    // queries; threshold 0.4 also surfaces the strongest natural pairs.
+    "q_dedup_embed" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val withDups = emb.unionAll(
+        emb.filter(col("vec_id") % 10 === 0)
+          .withColumn("vec_id", col("vec_id") + dupOffset))
+      SimilarityOps.embedNearDupPairs(withDups, threshold = 0.4)
+        .withColumn("cos", round(col("cos"), 6))
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
     // Multimodal chunk sampling plumbing (MultimodalOps.sampleChunks).
     "q_mm_chunks" -> ((s, dir) => {
       MultimodalOps.sampleChunks(t(s, dir, "documents"))
@@ -440,6 +455,35 @@ object PipelineQueries {
         |  FROM scored)
         |SELECT q_id, c_id, round(cos, 6) AS cos, rank FROM r
         |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin
+    },
+
+    "q_dedup_embed" -> {
+      // reproduce the hyperplane signs exactly as q_sim_rplsh
+      val bitTerms = (0 until 6).map { b =>
+        s"""CASE WHEN list_sum(list_transform(generate_series(1, 64),
+           |  i -> e[i]::DOUBLE * (CASE WHEN ('0x' || substr(md5($b || ':' || (i-1)), 1, 1))::INT % 2 = 0
+           |                       THEN 1.0 ELSE -1.0 END))) >= 0
+           |  THEN ${1L << b} ELSE 0 END""".stripMargin
+      }.mkString(" + ")
+      val cosSql =
+        "list_dot_product(p.e, c.e) / (sqrt(list_dot_product(p.e, p.e)) * sqrt(list_dot_product(c.e, c.e)))"
+      s"""WITH src AS (
+        |  SELECT vec_id, embedding FROM embeddings
+        |  UNION ALL
+        |  SELECT vec_id + 1000000, embedding FROM embeddings WHERE vec_id % 10 = 0),
+        |b AS (
+        |  SELECT vec_id, e, CAST($bitTerms AS BIGINT) AS bucket
+        |  FROM (SELECT vec_id, embedding::DOUBLE[] AS e FROM src)),
+        |probe AS (
+        |  SELECT vec_id AS id_a, e, unnest([bucket, xor(bucket, 1), xor(bucket, 2),
+        |    xor(bucket, 4), xor(bucket, 8), xor(bucket, 16), xor(bucket, 32)]) AS pb
+        |  FROM b),
+        |scored AS (
+        |  SELECT p.id_a, c.vec_id AS id_b, $cosSql AS cos
+        |  FROM probe p JOIN b c ON c.bucket = p.pb
+        |  WHERE p.id_a < c.vec_id)
+        |SELECT id_a, id_b, round(cos, 6) AS cos FROM scored
+        |WHERE cos >= 0.4 ORDER BY id_a, id_b""".stripMargin
     },
 
     "q_mm_chunks" ->

@@ -102,6 +102,38 @@ class SimilarityOpsSpec extends SparkSuite {
     assert(r1 >= 0.7, s"radius-1 recall $r1 < 0.7")
   }
 
+  test("embedding near-dup pairs: exact copies always found, recall vs brute") {
+    // exact copies share a bucket (hamming 0) — the screen can never
+    // miss them, whatever the hyperplanes do
+    val withDups = corpus.unionAll(
+      corpus.filter($"vec_id" % 10 === 0)
+        .withColumn("vec_id", $"vec_id" + 100000L))
+    val found = SimilarityOps
+      .embedNearDupPairs(withDups, threshold = 0.999, dim = Dim, bits = 6)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val injected = (0 until Cells * PerCluster by 10)
+      .map(i => (i.toLong, i + 100000L)).toSet
+    assert(injected.subsetOf(found), s"missed ${injected -- found}")
+
+    // near (not exact) pairs: radius-1 probing recovers most same-cluster
+    // neighbors above the threshold; every reported pair is truly above
+    val exact = {
+      val a = corpus.select($"vec_id".as("id_a"), $"embedding".as("ea"))
+      val b = corpus.select($"vec_id".as("id_b"), $"embedding".as("eb"))
+      a.crossJoin(b).filter($"id_a" < $"id_b")
+        .select($"id_a", $"id_b",
+          SimilarityOps.cosine($"ea", $"eb").as("cos"))
+        .filter($"cos" >= 0.97)
+        .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    }
+    val approx = SimilarityOps
+      .embedNearDupPairs(corpus, threshold = 0.97, dim = Dim, bits = 6)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(approx.subsetOf(exact), "screen reported a below-threshold pair")
+    val r = exact.intersect(approx).size.toDouble / math.max(1, exact.size)
+    assert(r >= 0.7, s"near-dup recall $r < 0.7 (|exact|=${exact.size})")
+  }
+
   test("trained centroids keep IVF recall on clustered data") {
     val queries = corpus.filter($"vec_id" < 16)
     val exact = SimilarityOps.bruteForceTopK(queries, corpus, k = 5)
