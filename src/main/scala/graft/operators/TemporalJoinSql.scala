@@ -28,9 +28,10 @@ import org.apache.spark.sql.functions._
   * with `rightTimeCol`.
   *
   * Match semantics are LEFT (unmatched probes keep NULLs), the AsOfJoin
-  * contract. Streaming inputs route to the watermark-driven
-  * [[graft.streaming.TemporalJoin]] operator via the DataStream API; the
-  * SQL path is batch.
+  * contract. Batch inputs route to [[AsOfJoin]]'s carry-forward plan;
+  * streaming inputs to the watermark-driven
+  * [[graft.streaming.TemporalJoin.asOfStream]] versioned-state operator
+  * (late rows dropped, versions GC'd at the watermark).
   */
 object TemporalJoinSql {
 
@@ -61,9 +62,8 @@ object TemporalJoinSql {
 
     val left = spark.table(lt)
     val right = spark.table(rt)
-    require(!left.isStreaming && !right.isStreaming,
-      "streaming temporal join: use graft.streaming.TemporalJoin " +
-        "(watermark-driven versioned state); the SQL front door is batch")
+    require(left.isStreaming == right.isStreaming,
+      "temporal join sides must both be batch or both be streaming")
     val rightTs = rightTimeCol.getOrElse {
       require(right.columns.contains(tsCol),
         s"right side $rt has no version-time column '$tsCol'; pass rightTimeCol")
@@ -71,14 +71,20 @@ object TemporalJoinSql {
     }
 
     // align key/ts names across sides through internal columns so the
-    // carry-forward core sees one name each; dropped from the view
+    // join cores see one name each; dropped from the view
     val left2 = left
       .withColumn("__tj_k", col(leftKey)).withColumn("__tj_t", col(tsCol))
     val right2 = right
       .withColumn("__tj_k", col(rightKey)).withColumn("__tj_t", col(rightTs))
-    val joined = AsOfJoin
-      .asOf(left2, right2, "__tj_k", "__tj_t", right.columns.toSeq)
-      .drop("__tj_k", "__tj_t")
+    // batch routes to the union + carry-forward plan; streaming to the
+    // watermark-driven versioned-state operator (StreamExecTemporalJoin)
+    val joined =
+      (if (left.isStreaming)
+        graft.streaming.TemporalJoin.asOfStream(
+          left2, right2, "__tj_k", "__tj_t", right.columns.toSeq)
+      else
+        AsOfJoin.asOf(left2, right2, "__tj_k", "__tj_t", right.columns.toSeq))
+        .drop("__tj_k", "__tj_t")
 
     val view = s"__tj_${java.util.UUID.randomUUID().toString.replace("-", "")}"
     joined.createOrReplaceTempView(view)

@@ -1,7 +1,8 @@
 package graft.streaming
 
-import org.apache.spark.sql.Encoders
+import org.apache.spark.sql.{DataFrame, Encoders, Row}
 import org.apache.spark.sql.streaming._
+import org.apache.spark.sql.types.{StructField, StructType}
 
 /** Streaming as-of/temporal join — semantics of
   * flink-table-runtime/.../operators/join/temporal/TemporalRowTimeJoinOperator.java:78:
@@ -38,28 +39,44 @@ object TemporalJoin {
 
   case class ProbeBuf(ts: Long, probeId: Long)
 
+  /** Generic resolve+GC core over arbitrary probe/version payloads:
+    * probes with ts ≤ wm resolve (stable ts order — presort for tie
+    * rules) against the latest version at or before their timestamp;
+    * versions superseded at or below wm evict. Returns
+    * (resolved (ts, probe, matched version), retained probes, version
+    * timestamps to remove).
+    */
+  def advanceGeneric[P, V](probes: Seq[(Long, P)], versions: Seq[(Long, V)],
+      wm: Long): (Seq[(Long, P, Option[(Long, V)])], Seq[(Long, P)], Seq[Long]) = {
+    val sortedV = versions.sortBy(_._1).toIndexedSeq
+    val (due, remaining) = probes.partition(_._1 <= wm)
+    val out = due.sortBy(_._1).map { case (ts, p) =>
+      // latest version at or before the probe timestamp
+      var lo = -1
+      var i = 0
+      while (i < sortedV.length && sortedV(i)._1 <= ts) { lo = i; i += 1 }
+      (ts, p, if (lo >= 0) Some(sortedV(lo)) else None)
+    }
+    // keep the latest version ≤ wm (still current) and everything after it
+    val current = sortedV.lastIndexWhere(_._1 <= wm)
+    val evict = if (current <= 0) Nil else sortedV.take(current).map(_._1)
+    (out, remaining, evict)
+  }
+
   /** Resolve all probes with ts ≤ wm against the version history, in
     * (ts, probeId) order, then GC versions superseded at or below wm.
     * Returns (matches, retained probes, version timestamps to remove).
     */
   def advance(key: String, probes: Seq[ProbeBuf], versions: Seq[(Long, Long)],
       wm: Long): (Seq[AsOfMatch], Seq[ProbeBuf], Seq[Long]) = {
-    val sortedV = versions.sortBy(_._1).toIndexedSeq
-    val (due, remaining) = probes.partition(_.ts <= wm)
-    val out = due.sortBy(p => (p.ts, p.probeId)).map { p =>
-      // latest version at or before the probe timestamp
-      var lo = -1
-      var i = 0
-      while (i < sortedV.length && sortedV(i)._1 <= p.ts) { lo = i; i += 1 }
-      if (lo >= 0) {
-        val (vts, v) = sortedV(lo)
-        AsOfMatch(key, p.probeId, p.ts, vts, v, matched = true)
-      } else AsOfMatch(key, p.probeId, p.ts, -1L, -1L, matched = false)
+    val (out, remaining, evict) = advanceGeneric(
+      probes.sortBy(p => (p.ts, p.probeId)).map(p => (p.ts, p.probeId)),
+      versions, wm)
+    val matches = out.map {
+      case (ts, pid, Some((vts, v))) => AsOfMatch(key, pid, ts, vts, v, matched = true)
+      case (ts, pid, None) => AsOfMatch(key, pid, ts, -1L, -1L, matched = false)
     }
-    // keep the latest version ≤ wm (still current) and everything after it
-    val current = sortedV.lastIndexWhere(_._1 <= wm)
-    val evict = if (current <= 0) Nil else sortedV.take(current).map(_._1)
-    (out, remaining, evict)
+    (matches, remaining.map { case (ts, pid) => ProbeBuf(ts, pid) }, evict)
   }
 
   class TemporalJoinProcessor
@@ -99,6 +116,118 @@ object TemporalJoin {
       }
       evict.foreach(versions.removeKey)
       out.iterator
+    }
+  }
+
+  // ------------------------------------------------ DataFrame-level form
+
+  /** DataFrame-level streaming as-of join — the generic (any payload)
+    * form the SQL front door routes to: each left probe row joins the
+    * right version current at its event time, with the same
+    * watermark-driven buffering, exactly-once resolution and version GC
+    * as the typed processor. Output = every left column + `r_<col>` for
+    * each right payload column (NULLs when no version existed — LEFT
+    * semantics, the batch AsOfJoin contract). Late rows on either side
+    * (at or behind the watermark on arrival) are dropped.
+    */
+  def asOfStream(probeSide: DataFrame, versionSide: DataFrame, keyCol: String,
+      tsCol: String, rightCols: Seq[String],
+      watermarkDelay: String = "0 seconds"): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit, struct}
+    val leftSchema = probeSide.schema
+    val rightStruct = StructType(rightCols.map(c => versionSide.schema(c)))
+    val taggedLeft = probeSide
+      .select(col(keyCol).cast("string").as("__tj_key"),
+        col(tsCol).cast("timestamp").as("__tj_ts"), lit(true).as("__tj_probe"),
+        struct(leftSchema.fieldNames.map(col).toSeq: _*).as("__tj_l"))
+    val taggedRight = versionSide
+      .select(col(keyCol).cast("string").as("__tj_key"),
+        col(tsCol).cast("timestamp").as("__tj_ts"), lit(false).as("__tj_probe"),
+        struct(rightCols.map(col): _*).as("__tj_r"))
+    val unioned = taggedLeft
+      .unionByName(taggedRight, allowMissingColumns = true)
+      .withWatermark("__tj_ts", watermarkDelay)
+    val outSchema = StructType(leftSchema.fields ++
+      rightStruct.fields.map(f => f.copy(name = s"r_${f.name}", nullable = true)))
+    implicit val outEnc: org.apache.spark.sql.Encoder[Row] = Encoders.row(outSchema)
+    implicit val keyEnc: org.apache.spark.sql.Encoder[String] = Encoders.STRING
+    unioned
+      .groupByKey((r: Row) => r.getString(r.fieldIndex("__tj_key")))
+      .transformWithState(
+        new RowTemporalJoinProcessor(unioned.schema, leftSchema, rightStruct),
+        TimeMode.EventTime(), OutputMode.Append())
+  }
+
+  /** Row-payload twin of [[TemporalJoinProcessor]]: probes buffer as
+    * (ts, seq, leftRow) — `seq` preserves arrival order on equal
+    * timestamps — versions as ts → payload struct; the watermark timer
+    * resolves and GCs through [[advanceGeneric]].
+    */
+  class RowTemporalJoinProcessor(unionSchema: StructType,
+      leftSchema: StructType, rightStruct: StructType)
+      extends StatefulProcessor[String, Row, Row] {
+    private val probeSchema = StructType(Seq(
+      StructField("ts", org.apache.spark.sql.types.LongType),
+      StructField("seq", org.apache.spark.sql.types.LongType),
+      StructField("p", leftSchema)))
+    @transient private var probes: ListState[Row] = _
+    @transient private var versions: MapState[Long, Row] = _
+    @transient private var seq: ValueState[Long] = _
+    private val tsIdx = unionSchema.fieldIndex("__tj_ts")
+    private val probeIdx = unionSchema.fieldIndex("__tj_probe")
+    private val lIdx = unionSchema.fieldIndex("__tj_l")
+    private val rIdx = unionSchema.fieldIndex("__tj_r")
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      probes = getHandle.getListState[Row]("probes",
+        Encoders.row(probeSchema), TTLConfig.NONE)
+      versions = getHandle.getMapState[Long, Row]("versions",
+        Encoders.scalaLong, Encoders.row(rightStruct), TTLConfig.NONE)
+      seq = getHandle.getValueState[Long]("seq", Encoders.scalaLong, TTLConfig.NONE)
+    }
+
+    override def handleInputRows(key: String, rows: Iterator[Row],
+        timerValues: TimerValues): Iterator[Row] = {
+      val wm = timerValues.getCurrentWatermarkInMs()
+      rows.foreach { e =>
+        val ts = e.getTimestamp(tsIdx).getTime
+        if (ts > wm) { // late rows on either side are dropped
+          if (e.getBoolean(probeIdx)) {
+            val n = if (seq.exists()) seq.get() else 0L
+            seq.update(n + 1L)
+            probes.appendValue(new org.apache.spark.sql.catalyst.expressions.GenericRow(
+              Array[Any](ts, n, e.getStruct(lIdx))))
+          } else versions.updateValue(ts, e.getStruct(rIdx))
+          getHandle.registerTimer(ts)
+        }
+      }
+      Iterator.empty
+    }
+
+    override def handleExpiredTimer(key: String, timerValues: TimerValues,
+        expiredTimerInfo: ExpiredTimerInfo): Iterator[Row] = {
+      val wm = timerValues.getCurrentWatermarkInMs()
+      val buffered = probes.get().toSeq
+        .map(r => (r.getLong(0), (r.getLong(1), r.getStruct(2))))
+        .sortBy { case (ts, (n, _)) => (ts, n) }
+      val (out, remaining, evict) =
+        advanceGeneric(buffered, versions.iterator().toSeq, wm)
+      if (out.nonEmpty) {
+        probes.clear()
+        remaining.foreach { case (ts, (n, p)) =>
+          probes.appendValue(new org.apache.spark.sql.catalyst.expressions.GenericRow(
+            Array[Any](ts, n, p)))
+        }
+      }
+      evict.foreach(versions.removeKey)
+      out.iterator.map { case (_, (_, p), matched) =>
+        val rVals = matched match {
+          case Some((_, v)) => v.toSeq
+          case None => Seq.fill[Any](rightStruct.length)(null)
+        }
+        new org.apache.spark.sql.catalyst.expressions.GenericRow(
+          (p.toSeq ++ rVals).toArray[Any])
+      }
     }
   }
 }

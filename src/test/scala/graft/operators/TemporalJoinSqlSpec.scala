@@ -43,6 +43,51 @@ class TemporalJoinSqlSpec extends SparkSuite {
     assert(out.collect().toSeq == Seq(Row(1L, 90L, 1.0), Row(2L, 200L, 2.0)))
   }
 
+  test("streaming inputs route through the watermark-driven operator") {
+    import java.sql.Timestamp
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    def ts(s: Long) = new Timestamp(s * 1000)
+    val probes = MemoryStream[(Long, String, Timestamp)]
+    val rates = MemoryStream[(String, Timestamp, Double)]
+    probes.toDS().toDF("p_id", "user_id", "ts")
+      .createOrReplaceTempView("s_probes")
+    rates.toDS().toDF("uid", "vts", "rate")
+      .createOrReplaceTempView("s_rates")
+    val out = TemporalJoinSql.sql(spark,
+      """SELECT p.p_id, r.rate FROM s_probes AS p
+        |JOIN s_rates FOR SYSTEM_TIME AS OF p.ts AS r
+        |ON p.user_id = r.uid""".stripMargin,
+      rightTimeCol = Some("vts"))
+    assert(out.isStreaming)
+    // the union shares ONE watermark: enqueue the first window on both
+    // sides BEFORE start so neither side's batch advances it past the
+    // other's pending rows (the same reason the typed spec uses a single
+    // envelope stream)
+    probes.addData(Seq((1L, "u1", ts(100)), (2L, "u1", ts(250))))
+    rates.addData(Seq(("u1", ts(90), 1.0), ("u1", ts(200), 2.0)))
+    val name = s"tjsql_${System.nanoTime()}"
+    val q = out.writeStream.format("memory").queryName(name)
+      .outputMode("append").option("checkpointLocation", tmpDir("ckpt")).start()
+    try {
+      q.processAllAvailable()
+      // a far-future version advances the watermark past both probes,
+      // releasing them against versions 90 and 200
+      rates.addData(Seq(("u1", ts(9999), 9.0)))
+      q.processAllAvailable()
+      // buffer the probe while the watermark is still behind it...
+      probes.addData(Seq((3L, "u1", ts(10500))))
+      q.processAllAvailable()
+      // ...then advance past it: resolves against the 9999s version
+      rates.addData(Seq(("u1", ts(99999), 0.0)))
+      q.processAllAvailable()
+      val rows = spark.table(name).collect()
+        .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      assert(rows == Map(1L -> 1.0, 2L -> 2.0, 3L -> 9.0),
+        s"got $rows")
+    } finally q.stop()
+  }
+
   test("missing span and wrong alias fail loudly") {
     setup()
     val e1 = intercept[IllegalArgumentException] {
