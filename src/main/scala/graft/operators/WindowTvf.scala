@@ -32,14 +32,23 @@ object WindowTvf {
       "no TUMBLE/HOP/CUMULATE/SESSION(TABLE …) call found in statement"))
     val (tableName, partCols) = parseTableArg(call)
     val df = spark.table(tableName)
-    // Streaming SESSION cannot use the batch analytic annotation path
-    // (Spark rejects non-time windows on a stream); when the statement is
-    // a pure window aggregate, route to the built-in session_window
-    // group — the reference's stream-first TVF execution
-    // (StreamExecWindowTableFunction.java:73 merging into the window agg).
-    if (call.fn == "SESSION" && df.isStreaming)
-      sessionStreamingSql(spark, query, call, tableName)
-    else {
+    // SESSION statements in the pure window-aggregate shape route to the
+    // built-in session_window group — the reference's TVF execution
+    // merges exactly so (StreamExecWindowTableFunction.java:73 into the
+    // window agg). On a stream this is the only legal plan (Spark
+    // rejects the analytic annotation path); on batch it HALVES the
+    // shuffle count vs the two analytic passes (one session agg instead
+    // of lag + running-sum windows), so it is the preferred route there
+    // too. Statements that really need per-row annotation (window_time,
+    // no window GROUP BY) fall back to the analytic expansion.
+    val sessionRouted =
+      if (call.fn == "SESSION") sessionWindowSql(spark, query, call, tableName)
+      else None
+    sessionRouted.getOrElse {
+      require(!df.isStreaming || call.fn != "SESSION",
+        "streaming SESSION TVF supports only the pure window-aggregate " +
+          "shape: GROUP BY must include window_start and window_end, and " +
+          "window_time is unavailable")
       val expanded = expand(spark, call, df, partCols)
       val view = s"__tvf_${java.util.UUID.randomUUID().toString.replace("-", "")}"
       expanded.createOrReplaceTempView(view)
@@ -48,44 +57,53 @@ object WindowTvf {
     }
   }
 
-  /** Rewrite a streaming `SESSION(TABLE …)` statement into a
+  /** Rewrite a pure-window-aggregate `SESSION(TABLE …)` statement into a
     * `session_window` aggregate: the TVF span becomes the raw table, the
     * GROUP BY's window_start/window_end pair becomes the session_window
-    * call, and SELECT-list window columns read from its struct. Only the
-    * pure window-aggregate shape is supported on streams (as the
-    * reference merges the TVF into StreamExecWindowAggregate); anything
-    * else fails loudly.
+    * call, and SELECT-list window columns read from its struct (keeping
+    * user aliases; bare references get aliased back to their TVF names
+    * so ORDER BY output-name references keep resolving). Returns None
+    * when the statement is not that shape (references window_time, or
+    * lacks the window GROUP BY).
     */
-  private def sessionStreamingSql(spark: SparkSession, query: String,
-      call: Call, tableName: String): DataFrame = {
+  private def sessionWindowSql(spark: SparkSession, query: String,
+      call: Call, tableName: String): Option[DataFrame] = {
+    if ("""(?i)\bwindow_time\b""".r.findFirstIn(query).isDefined) return None
     val tsCol = descriptorCol(call)
     val gap = parseInterval(call.args(2))
-    require(!"""(?i)\bwindow_time\b""".r.findFirstIn(query).isDefined,
-      "streaming SESSION TVF: window_time is not supported (group on " +
-        "window_start/window_end)")
     val spliced =
       query.substring(0, call.from) + tableName + query.substring(call.to)
     // the GROUP BY must carry both window bounds — the pure-window-agg shape
     val GroupByRe = """(?is)(GROUP\s+BY\s+)([^;]*?)(\s*(?:ORDER\s+BY|HAVING|LIMIT|$).*)""".r
-    val m = GroupByRe.findFirstMatchIn(spliced).getOrElse(
-      throw new IllegalArgumentException(
-        "streaming SESSION TVF needs a GROUP BY over window_start, window_end"))
+    val m = GroupByRe.findFirstMatchIn(spliced).getOrElse(return None)
     val items = m.group(2).split(",").map(_.trim).filter(_.nonEmpty)
-    require(items.exists(_.equalsIgnoreCase("window_start")) &&
-      items.exists(_.equalsIgnoreCase("window_end")),
-      "streaming SESSION TVF: GROUP BY must include window_start and window_end")
+    if (!items.exists(_.equalsIgnoreCase("window_start")) ||
+      !items.exists(_.equalsIgnoreCase("window_end"))) return None
     val kept = items.filterNot(i =>
       i.equalsIgnoreCase("window_start") || i.equalsIgnoreCase("window_end"))
     val groupItems =
       (s"session_window($tsCol, '${gap.spark}')" +: kept).mkString(", ")
     val regrouped =
       spliced.substring(0, m.start) + m.group(1) + groupItems + m.group(3)
-    // SELECT-side window columns read the session_window struct
-    val withStart = """(?i)\bwindow_start\b""".r.replaceAllIn(regrouped,
-      "session_window.start AS window_start")
-    val rewritten = """(?i)\bwindow_end\b""".r.replaceAllIn(withStart,
-      "session_window.end AS window_end")
-    spark.sql(rewritten)
+    // rewrite window-column references in the SELECT…FROM segment only:
+    // ORDER BY/HAVING resolve against the output aliases instead
+    val fromIdx = """(?i)\bFROM\b""".r.findFirstMatchIn(regrouped)
+      .map(_.start).getOrElse(return None)
+    val (selectSeg, rest) = regrouped.splitAt(fromIdx)
+    def rewriteCol(seg: String, name: String, field: String): String = {
+      // `window_start AS x` keeps the user alias; bare `window_start`
+      // gets `AS window_start` so downstream references still resolve
+      val aliased = (s"""(?i)\\b$name\\b(\\s+AS\\s+)""").r
+        .replaceAllIn(seg, mm =>
+          java.util.regex.Matcher.quoteReplacement(s"session_window.$field") + mm.group(1))
+      (s"""(?i)\\b$name\\b""").r.replaceAllIn(aliased,
+        java.util.regex.Matcher.quoteReplacement(
+          s"session_window.$field AS $name"))
+    }
+    val rewritten =
+      rewriteCol(rewriteCol(selectSeg, "window_start", "start"),
+        "window_end", "end") + rest
+    Some(spark.sql(rewritten))
   }
 
   // ------------------------------------------------------------- parsing

@@ -170,6 +170,38 @@ class WindowTvfSpec extends SparkSuite {
       ("u2", t(H), t(2 * H), 8L)))
   }
 
+  test("batch SESSION without a window GROUP BY falls back to row annotation") {
+    seed()
+    // annotation shape (no GROUP BY): every row carries its session's
+    // bounds — must take the analytic path, not the session_window route
+    val out = WindowTvf.sql(spark,
+      """SELECT user_id, v, window_start, window_end
+        |FROM TABLE(SESSION(TABLE tvf_events PARTITION BY user_id, DESCRIPTOR(ts), INTERVAL '1' HOUR))
+        |ORDER BY user_id, v""".stripMargin)
+      .as[(String, Long, Timestamp, Timestamp)].collect().toSeq
+    assert(out == Seq(
+      ("u1", 1L, t(0), t(30 * 60 * 1000 + H)),
+      ("u1", 2L, t(0), t(30 * 60 * 1000 + H)),
+      ("u1", 4L, t(3 * H), t(4 * H)),
+      ("u2", 8L, t(H), t(2 * H))))
+  }
+
+  test("batch SESSION in window-agg shape routes to one session_window agg") {
+    seed()
+    val df = WindowTvf.sql(spark,
+      """SELECT window_start AS s, window_end AS e, user_id, COUNT(*) AS n
+        |FROM TABLE(SESSION(TABLE tvf_events PARTITION BY user_id, DESCRIPTOR(ts), INTERVAL '1' HOUR))
+        |GROUP BY window_start, window_end, user_id""".stripMargin)
+    val plan = df.queryExecution.executedPlan.toString
+    // the session_window route costs one session aggregate — the
+    // analytic path would show two Window (lag + running-sum) operators
+    assert(plan.contains("session_window") || plan.contains("SessionWindow"),
+      s"expected session_window aggregate in plan:\n$plan")
+    assert(!plan.contains("RunningWindowFunction") &&
+      "(?i)\\bWindow\\b".r.findAllIn(plan).size <= 1,
+      s"analytic window operators leaked into the routed plan:\n$plan")
+  }
+
   test("malformed calls are rejected with clear errors") {
     seed()
     assert(intercept[IllegalArgumentException] {
