@@ -145,4 +145,33 @@ class PlanQualitySpec extends SparkSuite {
     assert(plan.contains("*("), s"split_index fell out of codegen: $plan")
     assert(df.count() > 0)
   }
+
+  test("embedding near-dup plan: bucket equi-join, pushdown, no cartesian") {
+    val plan = planString(
+      graft.queries.PipelineQueries.queries("q_dedup_embed")(spark, sf))
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"all-pairs product leaked into the near-dup screen: $plan")
+    // candidates come from an equi-join keyed on the LSH bucket
+    assert(plan.contains("bucket"), s"no bucket join key in: $plan")
+    assert(plan.contains("PushedFilters: [IsNotNull(vec_id)]"),
+      s"scan pushdown missing: $plan")
+  }
+
+  test("FOR SYSTEM_TIME AS OF plan: one key shuffle, one window pass") {
+    graft.Tables.registerAll(spark, sf)
+    val plan = planString(
+      graft.queries.JoinQueries.queries("q_join_asof_sql")(spark, sf))
+    // the carry-forward shape: exactly one hash exchange on the join key
+    // (the trailing range exchange is the user's ORDER BY) and a single
+    // window operator — not the join+filter+rank O(left x right) plan
+    assert("hashpartitioning".r.findAllIn(plan).size == 1,
+      s"expected one key shuffle in: $plan")
+    assert("(?m)^\\s*(?:\\+|:)- Window ".r.findAllIn(plan).size == 1,
+      s"expected one window pass in: $plan")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("CartesianProduct"),
+      s"unexpected join operator in the carry-forward plan: $plan")
+    assert(plan.contains("PushedFilters: [IsNotNull(event_type), EqualTo(event_type,purchase)]"),
+      s"probe-side pushdown missing: $plan")
+  }
 }
