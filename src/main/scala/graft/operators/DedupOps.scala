@@ -57,23 +57,31 @@ object DedupOps {
 
   /** MinHash signature: k universal hash functions of one base word hash,
     * min over the document's shingles.
-    * One explode + one partial-min groupBy; signature row = k longs.
+    *
+    * A PURE PROJECTION — the signature is a per-document fold, so no
+    * explode and no shuffle at all (the round-7 form shuffled one row
+    * per doc through a groupBy): base-hash each distinct shingle once
+    * (`array_distinct` first — min is duplicate-insensitive — keeps the
+    * md5 count at one per distinct shingle), then take `array_min` of
+    * each seed's affine family over the hashed array. Documents shorter
+    * than the shingle width drop from the output, as the groupBy form
+    * (and the SQL oracle's GROUP BY) did.
     */
   def minhash(docs: DataFrame, k: Int = 8, shingleN: Int = 3,
-      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
-    // min is duplicate-insensitive: array_distinct before the explode cuts
-    // the md5-per-shingle cost on repetitive documents without changing
-    // any signature (the oracle dedups identically)
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame =
+    minhashWith(docs, k, shingleN, textCol, idCol,
+      sh => wordHash(sh) % HashP)
+
+  private def minhashWith(docs: DataFrame, k: Int, shingleN: Int,
+      textCol: String, idCol: String, baseHash: Column => Column): DataFrame =
     docs
       .select(col(idCol),
-        explode(array_distinct(shingles(col(textCol), shingleN))).as("sh"))
-      .select(col(idCol), (wordHash(col("sh")) % HashP).as("h"))
-      .groupBy(col(idCol))
-      .agg(
-        min((col("h") * hashA(0) + hashB(0)) % HashP).as("mh0"),
-        (1 until k).map(i =>
-          min((col("h") * hashA(i) + hashB(i)) % HashP).as(s"mh$i")): _*)
-  }
+        transform(array_distinct(shingles(col(textCol), shingleN)),
+          sh => baseHash(sh)).as("hs"))
+      .filter(size(col("hs")) > 0)
+      .select(col(idCol) +: (0 until k).map(i =>
+        array_min(transform(col("hs"),
+          h => (h * hashA(i) + hashB(i)) % HashP)).as(s"mh$i")): _*)
 
   /** SQL-oracle twin of the minhash aggregate for seed `i` over a base-hash
     * column `h` (DuckDB syntax).
@@ -90,17 +98,9 @@ object DedupOps {
     * variant only where no cross-engine compare happens.
     */
   def minhashFast(docs: DataFrame, k: Int = 8, shingleN: Int = 3,
-      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
-    docs
-      .select(col(idCol),
-        explode(array_distinct(shingles(col(textCol), shingleN))).as("sh"))
-      .select(col(idCol), pmod(xxhash64(col("sh")), lit(HashP)).as("h"))
-      .groupBy(col(idCol))
-      .agg(
-        min((col("h") * hashA(0) + hashB(0)) % HashP).as("mh0"),
-        (1 until k).map(i =>
-          min((col("h") * hashA(i) + hashB(i)) % HashP).as(s"mh$i")): _*)
-  }
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame =
+    minhashWith(docs, k, shingleN, textCol, idCol,
+      sh => pmod(xxhash64(sh), lit(HashP)))
 
   /** LSH banding over a minhash signature: `bands` bands of `rowsPerBand`
     * consecutive minhashes, each hashed to a bucket id. Output: one row per
