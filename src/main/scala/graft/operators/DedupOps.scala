@@ -11,14 +11,15 @@ import org.apache.spark.sql.types._
   * Scale design (the part that matters at 100 TB):
   *   - exact dedup = one hash shuffle on the content key, map-side partial
   *     min — identical to the reference's `dropDuplicates`-style plans;
-  *   - MinHash signatures are computed with a single explode + groupBy
-  *     (partial min aggregation per hash seed), so the shuffle carries one
-  *     row of k longs per document, never the shingle stream;
+  *   - MinHash signatures are a pure per-row projection (array fold over
+  *     the distinct shingles) — zero shuffle, scan-dominated;
   *   - LSH banding turns all-pairs O(n²) comparison into an equi-join on
   *     (band, bucket) — the only quadratic blow-up left is within a
   *     bucket, which salting/AQE handles if a bucket is hot;
-  *   - Jaccard verification joins only the LSH candidate pairs back to the
-  *     shingle sets.
+  *   - Jaccard verification joins only the LSH candidate pairs to their
+  *     two distinct-shingle ARRAYS and scores with `array_intersect` —
+  *     O(|A|+|B|) per pair in one codegen'd projection, no shingle
+  *     explode, no per-pair groupBy.
   */
 object DedupOps {
   import TextOps.{tokens, wordHash}
@@ -131,11 +132,22 @@ object DedupOps {
   /** Exact n-gram Jaccard for given pairs: |A ∩ B| / |A ∪ B| over distinct
     * shingles. Join-based — only the candidate pairs are scored.
     *
+    * Each candidate doc's distinct shingles stay packed in ONE array
+    * column; the pair joins carry that array once per side and the score
+    * is `size(array_intersect(a, b))` — a hash-set probe, O(|A|+|B|) per
+    * pair inside whole-stage codegen. The previous explode-based form
+    * shuffled every candidate doc's shingle STREAM twice and ran a
+    * per-pair groupBy; this shuffles the same bytes minus the per-row
+    * overhead and drops both the explode and the count aggregation.
+    * Docs with an empty shingle set (shorter than the shingle width)
+    * cannot be candidates — the minhash projection drops them — so the
+    * inner joins are lossless.
+    *
     * The candidate pairs (reused by three consumers) and the
     * candidate-restricted shingle sets are cached for the consuming
     * action ([[CacheOnce]] releases them when it completes): without the
     * cache the whole upstream minhash pipeline re-executes once per
-    * consumer, and the shingle explode runs over the full corpus instead
+    * consumer, and the shingling runs over the full corpus instead
     * of only the candidate docs — the difference between O(candidates)
     * and O(corpus) verification cost at scale.
     */
@@ -144,28 +156,24 @@ object DedupOps {
     val pairs = pairs0
     val candIds = pairs.select(col("id_a").as("jid"))
       .unionAll(pairs.select(col("id_b").as("jid"))).distinct()
-    // Semi-join the corpus down to candidate docs BEFORE shingling: a join
-    // cannot be pushed below explode by Catalyst, so filtering first is the
-    // difference between O(candidates) and O(corpus) shingle cost.
+    // Semi-join the corpus down to candidate docs BEFORE shingling:
+    // filtering first is the difference between O(candidates) and
+    // O(corpus) shingle cost.
     val candDocs = docs.join(candIds, col(idCol) === col("jid"), "left_semi")
-    val sh = candDocs.select(col(idCol).as("jid"),
-      explode(array_distinct(shingles(col(textCol), shingleN))).as("sh"))
-    CacheOnce.untilConsumed(pairs, sh)
-    val sizes = sh.groupBy(col("jid")).agg(count(lit(1)).as("n_sh"))
-    val inter = pairs
-      .join(sh.select(col("jid").as("id_a"), col("sh")), "id_a")
-      .join(sh.select(col("jid").as("id_b"), col("sh").as("sh_b")), "id_b")
-      .filter(col("sh") === col("sh_b"))
-      .groupBy(col("id_a"), col("id_b"))
-      .agg(count(lit(1)).as("n_inter"))
+    val shSets = candDocs.select(col(idCol).as("jid"),
+      array_distinct(shingles(col(textCol), shingleN)).as("shs"))
+    CacheOnce.untilConsumed(pairs, shSets)
     pairs
-      .join(inter, Seq("id_a", "id_b"), "left")
-      .join(sizes.select(col("jid").as("id_a"), col("n_sh").as("n_a")), "id_a")
-      .join(sizes.select(col("jid").as("id_b"), col("n_sh").as("n_b")), "id_b")
+      .join(shSets.select(col("jid").as("id_a"), col("shs").as("shs_a")), "id_a")
+      .join(shSets.select(col("jid").as("id_b"), col("shs").as("shs_b")), "id_b")
       .select(col("id_a"), col("id_b"),
-        (coalesce(col("n_inter"), lit(0L)).cast(DoubleType) /
-          (col("n_a") + col("n_b") - coalesce(col("n_inter"), lit(0L)))
-            .cast(DoubleType)).as("jaccard"))
+        size(array_intersect(col("shs_a"), col("shs_b"))).cast(LongType).as("n_inter"),
+        size(col("shs_a")).cast(LongType).as("n_a"),
+        size(col("shs_b")).cast(LongType).as("n_b"))
+      .select(col("id_a"), col("id_b"),
+        (col("n_inter").cast(DoubleType) /
+          (col("n_a") + col("n_b") - col("n_inter")).cast(DoubleType))
+          .as("jaccard"))
   }
 
   /** SimHash near-dup candidate pairs via banded equi-join — the scale

@@ -21,11 +21,12 @@ import org.apache.spark.sql.types._
   */
 object SimilarityOps {
 
-  /** Left-to-right double-precision dot product of two float arrays. */
-  def dot(a: Column, b: Column): Column =
-    aggregate(
-      zip_with(a, b, (x, y) => x.cast(DoubleType) * y.cast(DoubleType)),
-      lit(0.0), (acc, x) => acc + x)
+  /** Left-to-right double-precision dot product of two numeric arrays —
+    * the native [[graft.functions.DotProduct]] expression (fused codegen
+    * loop, bit-identical to the `aggregate(zip_with(...))` fold it
+    * replaced).
+    */
+  def dot(a: Column, b: Column): Column = graft.functions.DotProduct(a, b)
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
@@ -35,12 +36,17 @@ object SimilarityOps {
     * corpus vectors (self excluded), ties broken by corpus id.
     */
   def bruteForceTopK(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
-    val q = queries.select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
-    val c = corpus.select(col("vec_id").as("c_id"), col("embedding").as("c_emb"))
+    // norms hoisted per ROW (computed once, carried through the join)
+    // instead of per scored pair — same sqrt of the same fold, so the
+    // cosine is bit-identical; per-pair work drops to one dot product
+    val q = queries.select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+      norm(col("embedding")).as("q_n"))
+    val c = corpus.select(col("vec_id").as("c_id"), col("embedding").as("c_emb"),
+      norm(col("embedding")).as("c_n"))
     val scored = q.crossJoin(c)
       .filter(col("q_id") =!= col("c_id"))
       .select(col("q_id"), col("c_id"),
-        cosine(col("q_emb"), col("c_emb")).as("cos"))
+        (dot(col("q_emb"), col("c_emb")) / (col("q_n") * col("c_n"))).as("cos"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("q_id")).orderBy(col("cos").desc, col("c_id"))
     scored
@@ -54,13 +60,13 @@ object SimilarityOps {
     */
   def bucketedTopK(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
     val q = queries.select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
-      col("label").as("cell"))
+      norm(col("embedding")).as("q_n"), col("label").as("cell"))
     val c = corpus.select(col("vec_id").as("c_id"), col("embedding").as("c_emb"),
-      col("label").as("cell"))
+      norm(col("embedding")).as("c_n"), col("label").as("cell"))
     val scored = q.join(c, "cell")
       .filter(col("q_id") =!= col("c_id"))
       .select(col("q_id"), col("c_id"),
-        cosine(col("q_emb"), col("c_emb")).as("cos"))
+        (dot(col("q_emb"), col("c_emb")) / (col("q_n") * col("c_n"))).as("cos"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("q_id")).orderBy(col("cos").desc, col("c_id"))
     scored
@@ -137,6 +143,7 @@ object SimilarityOps {
     val assigned = corpus
       .crossJoin(broadcast(centroidArray(centroids)))
       .select(col(idCol).as("c_id"), col(embCol).as("c_emb"),
+        norm(col(embCol)).as("c_n"),
         nearestCell(col("cents"), col(embCol)).as("cell"))
     // query side is small: rank all cells per query, keep nProbe
     val wq = org.apache.spark.sql.expressions.Window
@@ -148,11 +155,12 @@ object SimilarityOps {
         cosine(col("q_emb"), col("s_emb")).as("scos"))
       .withColumn("rn", row_number().over(wq))
       .filter(col("rn") <= nProbe)
-      .select(col("q_id"), col("q_emb"), col("seed_id").as("cell"))
+      .select(col("q_id"), col("q_emb"), norm(col("q_emb")).as("q_n"),
+        col("seed_id").as("cell"))
     val scored = probes.join(assigned, "cell")
       .filter(col("q_id") =!= col("c_id"))
       .select(col("q_id"), col("c_id"),
-        cosine(col("q_emb"), col("c_emb")).as("cos"))
+        (dot(col("q_emb"), col("c_emb")) / (col("q_n") * col("c_n"))).as("cos"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("q_id")).orderBy(col("cos").desc, col("c_id"))
     scored
@@ -182,10 +190,9 @@ object SimilarityOps {
     */
   def rpLshBucket(emb: Column, dim: Int, bits: Int): Column =
     (0 until bits).map { b =>
-      // plane component p_i in {-1, +1} from a deterministic hash
-      val proj = aggregate(
-        zip_with(emb, planeSigns(b, dim), (x, p) => x.cast(DoubleType) * p),
-        lit(0.0), (acc, x) => acc + x)
+      // plane component p_i in {-1, +1} from a deterministic hash;
+      // the projection is a dot product against the sign vector
+      val proj = dot(emb, planeSigns(b, dim))
       when(proj >= 0, lit(1L << b)).otherwise(lit(0L))
     }.reduce(_ + _)
 
@@ -202,19 +209,21 @@ object SimilarityOps {
       idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
     require(probeRadius >= 0 && probeRadius <= 1, "probeRadius 0 or 1")
     val c = corpus.select(col(idCol).as("c_id"), col(embCol).as("c_emb"),
+      norm(col(embCol)).as("c_n"),
       rpLshBucket(col(embCol), dim, bits).as("bucket"))
     val qb = queries.select(col(idCol).as("q_id"), col(embCol).as("q_emb"),
+      norm(col(embCol)).as("q_n"),
       rpLshBucket(col(embCol), dim, bits).as("qb"))
     val probeList =
       if (probeRadius == 0) array(col("qb"))
       else array(col("qb") +: (0 until bits).map(i =>
         col("qb").bitwiseXOR(lit(1L << i))): _*)
-    val probes = qb.select(col("q_id"), col("q_emb"),
+    val probes = qb.select(col("q_id"), col("q_emb"), col("q_n"),
       explode(probeList).as("bucket"))
     val scored = probes.join(c, "bucket")
       .filter(col("q_id") =!= col("c_id"))
       .select(col("q_id"), col("c_id"),
-        cosine(col("q_emb"), col("c_emb")).as("cos"))
+        (dot(col("q_emb"), col("c_emb")) / (col("q_n") * col("c_n"))).as("cos"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("q_id")).orderBy(col("cos").desc, col("c_id"))
     scored
@@ -238,19 +247,21 @@ object SimilarityOps {
       idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
     require(probeRadius >= 0 && probeRadius <= 1, "probeRadius 0 or 1")
     val c = corpus.select(col(idCol).as("id_b"), col(embCol).as("emb_b"),
+      norm(col(embCol)).as("n_b"),
       rpLshBucket(col(embCol), dim, bits).as("bucket"))
     val a = corpus.select(col(idCol).as("id_a"), col(embCol).as("emb_a"),
+      norm(col(embCol)).as("n_a"),
       rpLshBucket(col(embCol), dim, bits).as("ab"))
     val probeList =
       if (probeRadius == 0) array(col("ab"))
       else array(col("ab") +: (0 until bits).map(i =>
         col("ab").bitwiseXOR(lit(1L << i))): _*)
-    val probes = a.select(col("id_a"), col("emb_a"),
+    val probes = a.select(col("id_a"), col("emb_a"), col("n_a"),
       explode(probeList).as("bucket"))
     probes.join(c, "bucket")
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
-        cosine(col("emb_a"), col("emb_b")).as("cos"))
+        (dot(col("emb_a"), col("emb_b")) / (col("n_a") * col("n_b"))).as("cos"))
       .filter(col("cos") >= threshold)
   }
 
