@@ -37,14 +37,20 @@ object DedupOps {
     * produce an empty shingle set — guarded explicitly because
     * `sequence(1, 0)` infers a NEGATIVE step and would yield [1, 0]
     * (then element_at(w, 0) errors), not an empty array.
+    *
+    * The token array is bound to a LAMBDA VARIABLE (via a one-element
+    * `transform`) before the per-position lambda references it: Catalyst
+    * does no common-subexpression elimination across lambda boundaries,
+    * so referencing `split(...)` directly inside the inner lambda
+    * re-runs the split for every element_at — n re-splits of the whole
+    * document per shingle position, ~8× slower measured at sf0.1.
     */
-  def shingles(textCol: Column, n: Int = 3): Column = {
-    val w = tokens(textCol)
-    when(size(w) < n, array().cast("array<string>"))
-      .otherwise(transform(
-        sequence(lit(1), size(w) - (n - 1)),
-        i => concat_ws(" ", (0 until n).map(j => element_at(w, i + j)): _*)))
-  }
+  def shingles(textCol: Column, n: Int = 3): Column =
+    element_at(transform(array(tokens(textCol)), w =>
+      when(size(w) < n, array().cast("array<string>"))
+        .otherwise(transform(
+          sequence(lit(1), size(w) - (n - 1)),
+          i => concat_ws(" ", (0 until n).map(j => element_at(w, i + j)): _*)))), 1)
 
   /** Universal-hash family over the Mersenne prime 2^31-1: one md5 per
     * shingle, then h_i = (a_i * h + b_i) mod p in pure integer arithmetic
@@ -192,6 +198,16 @@ object DedupOps {
     require(maxHamming <= bands - 1,
       s"banded screen is exact only for maxHamming <= bands-1 (${bands - 1})")
     require(bits % bands == 0, "bits must divide evenly into bands")
+    // Small signature spaces route to the hamming-ball join: its work is
+    // bounded by |distinct sigs| * |ball|, independent of corpus size and
+    // skew — strictly dominating the banded screen when the ball fits.
+    // An explicit saltTarget is an explicit request for the banded+salted
+    // shape (the general path for wide signatures), so it opts out.
+    val ballSize = (0 to maxHamming).map(k =>
+      BigInt((0 until k).map(i => bits - i).product) /
+        BigInt((1 to k.max(1)).product)).sum
+    if (saltTarget == 0 && bits <= 24 && ballSize <= 4096)
+      return hammingBallPairs(sig, maxHamming, bits, idCol, sigCol)
     // Natural-text simhash chunks are heavily skewed — at sf0.1 the
     // hottest of the 64 (band, chunk) buckets holds ~37% of the corpus
     // (1844 of 5000 docs; median bucket 122), so one shuffle partition
@@ -216,13 +232,61 @@ object DedupOps {
           col("band"), col("chunk"))
         a.join(b, Seq("band", "chunk"))
       }
+    // hamming is computed and filtered BEFORE the pair dedup: bit_count
+    // is a map-side O(1) op, so qualifying pairs — a tiny fraction of
+    // the bucket-join output — are all the distinct() has to shuffle.
+    // (distinct-then-filter would shuffle every bucket-co-resident pair.)
     joined
       .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), col("sig_a"), col("sig_b"))
-      .distinct() // a pair may share several chunks
       .select(col("id_a"), col("id_b"),
         bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).cast(LongType).as("hamming"))
       .filter(col("hamming") <= maxHamming)
+      .distinct() // a pair may share several chunks
+  }
+
+  /** Exact hamming-≤-`maxHamming` pairs via a ball join over DISTINCT
+    * signature values — the scale path for small signature spaces:
+    *
+    *   1. group docs by exact signature → at most 2^bits rows of
+    *      (sig, ids[]), REGARDLESS of corpus size;
+    *   2. explode each distinct signature by every XOR mask of popcount
+    *      ≤ maxHamming (the "ball", C(bits,0..maxHamming) masks — 697
+    *      for 16/3) → probe key sig XOR mask;
+    *   3. equi-join probe keys against the distinct signatures — the
+    *      sig-level join is bounded by |ball| · 2^bits rows at ANY data
+    *      scale; per-key groups are single distinct-sig rows, so there
+    *      is no hot-bucket skew by construction;
+    *   4. expand the two id lists; each unordered doc pair survives the
+    *      `id_a < id_b` filter in exactly ONE join direction (and the
+    *      sig-level pair meets via exactly one mask = the XOR), so the
+    *      result needs NO distinct().
+    *
+    * Work scales with |distinct sigs| · |ball| + |output pairs|, not
+    * with corpus² within buckets like the banded screen — and a corpus
+    * 100× larger still joins at most 2^bits · |ball| sig-level rows;
+    * only the (output-sized) id expansion grows. The banded screen in
+    * [[simhashPairs]] remains the general path for wide signatures
+    * where the ball explodes combinatorially.
+    */
+  def hammingBallPairs(sig: DataFrame, maxHamming: Int = 3, bits: Int = 16,
+      idCol: String = "doc_id", sigCol: String = "simhash"): DataFrame = {
+    val masks: Seq[Long] = (0 until (1 << bits)).view
+      .filter(m => Integer.bitCount(m) <= maxHamming).map(_.toLong).toSeq
+    val ds = sig.groupBy(col(sigCol)).agg(collect_list(col(idCol)).as("ids"))
+    val probes = ds.select(col(sigCol).as("sig_a"), col("ids").as("ids_a"),
+        explode(array(masks.map(lit): _*)).as("__m"))
+      .select(col("sig_a"), col("ids_a"),
+        col("sig_a").bitwiseXOR(col("__m")).as("sig_b"))
+    probes
+      .join(ds.select(col(sigCol).as("sig_b"), col("ids").as("ids_b")), "sig_b")
+      .select(col("sig_a"), col("sig_b"), explode(col("ids_a")).as("id_a"),
+        col("ids_b"))
+      .select(col("sig_a"), col("sig_b"), col("id_a"),
+        explode(col("ids_b")).as("id_b"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).cast(LongType)
+          .as("hamming"))
   }
 
   /** One row per (doc, band) with the signature's chunk value — the

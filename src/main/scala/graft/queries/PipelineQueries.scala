@@ -112,11 +112,11 @@ object PipelineQueries {
     "q_dedup_simhash_pairs" -> ((s, dir) => {
       import s.implicits._
       val sig = DedupOps.simhash(t(s, dir, "documents"))
-      // size-aware salting: the hottest (band, chunk) bucket holds ~37%
-      // of the corpus (simhash chunks of natural text are skewed);
-      // salting bounds per-join-key build rows at ~256 so no shuffle
-      // partition straggles (the r6→r7 bench variance source)
-      DedupOps.simhashPairs(sig, maxHamming = 3, saltTarget = 256)
+      // routes to the hamming-ball join (16-bit space): sig-level work
+      // bounded by |distinct sigs| * 697 masks at any corpus size, and
+      // skew-free by construction — the banded+salted screen remains the
+      // wide-signature path (DedupOps.simhashPairs saltTarget > 0)
+      DedupOps.simhashPairs(sig, maxHamming = 3)
         .orderBy($"id_a", $"id_b")
     }),
 

@@ -112,15 +112,26 @@ class PlanQualitySpec extends SparkSuite {
     assert(!plan.contains("CartesianProduct"), s"cartesian over corpus: $plan")
   }
 
-  test("banded simhash pair screen plan: equi-join, no cartesian product") {
+  test("simhash pair screen plans: equi-joins, no cartesian product") {
     val docs = Tables.load(spark, sf, "documents")
-    val df = graft.operators.DedupOps.simhashPairs(
+    // default dispatch: hamming-ball join on the full signature value
+    val ball = graft.operators.DedupOps.simhashPairs(
       graft.operators.DedupOps.simhash(docs), maxHamming = 3)
-    df.collect()
-    val plan = df.queryExecution.executedPlan.toString()
+    ball.collect()
+    val ballPlan = ball.queryExecution.executedPlan.toString()
+    assert(!ballPlan.contains("CartesianProduct") &&
+      !ballPlan.contains("BroadcastNestedLoopJoin"),
+      s"ball screen is not an equi-join: $ballPlan")
+    assert(ballPlan.contains("sig_b"), s"missing sig-level join key: $ballPlan")
+
+    // saltTarget > 0 forces the banded screen (wide-signature path):
+    // a hash-partitioned join on (band, chunk, salt)
+    val banded = graft.operators.DedupOps.simhashPairs(
+      graft.operators.DedupOps.simhash(docs), maxHamming = 3, saltTarget = 256)
+    banded.collect()
+    val plan = banded.queryExecution.executedPlan.toString()
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
-      s"pair screen is not an equi-join: $plan")
-    // candidates come from a hash-partitioned join on (band, chunk)
+      s"banded screen is not an equi-join: $plan")
     assert(plan.contains("band") && plan.contains("chunk"), s"missing band/chunk join: $plan")
   }
 

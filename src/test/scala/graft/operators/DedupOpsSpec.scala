@@ -60,7 +60,7 @@ class DedupOpsSpec extends SparkSuite {
     assert(verified.exists { case (a, b, j) => a == 1L && b == 2L && j == 1.0 })
   }
 
-  test("banded simhash pairs equal the all-pairs screen (pigeonhole exactness)") {
+  test("ball and banded simhash pairs both equal the all-pairs screen") {
     // synthetic signatures with controlled hamming distances
     val sigs = Seq(
       (1L, 0x0000L), (2L, 0x0001L),          // hamming 1
@@ -68,7 +68,12 @@ class DedupOpsSpec extends SparkSuite {
       (4L, 0x000FL),                          // hamming 4 from id=1 (excluded)
       (5L, 0xF0F0L), (6L, 0xF0F1L),           // hamming 1
       (7L, 0xFFFFL)).toDF("doc_id", "simhash")
-    val banded = DedupOps.simhashPairs(sigs, maxHamming = 3)
+    // default dispatch = hamming-ball join for the 16-bit space
+    val ball = DedupOps.simhashPairs(sigs, maxHamming = 3)
+      .select("id_a", "id_b", "hamming")
+      .as[(Long, Long, Long)].collect().toSet
+    // saltTarget > 0 forces the banded screen (pigeonhole exactness)
+    val banded = DedupOps.simhashPairs(sigs, maxHamming = 3, saltTarget = 1000)
       .select("id_a", "id_b", "hamming")
       .as[(Long, Long, Long)].collect().toSet
     val brute = sigs.as[(Long, Long)].collect().toSeq.combinations(2).flatMap {
@@ -76,8 +81,14 @@ class DedupOpsSpec extends SparkSuite {
         val h = java.lang.Long.bitCount(sa ^ sb).toLong
         if (h <= 3) Some((a min b, a max b, h)) else None
     }.toSet
+    assert(ball == brute)
     assert(banded == brute)
-    assert(banded.contains((1L, 3L, 3L)) && !banded.exists(p => p._1 == 1L && p._2 == 4L))
+    assert(ball.contains((1L, 3L, 3L)) && !ball.exists(p => p._1 == 1L && p._2 == 4L))
+    // the ball join needs no distinct(): each pair meets via exactly one
+    // XOR mask and survives id_a < id_b in exactly one direction
+    val ballRows = DedupOps.hammingBallPairs(sigs, maxHamming = 3)
+      .as[(Long, Long, Long)].collect()
+    assert(ballRows.length == ballRows.toSet.size)
   }
 
   test("size-aware simhash salting: same pairs, no straggler partition") {
