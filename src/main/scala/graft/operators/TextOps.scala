@@ -94,6 +94,29 @@ object TextOps {
     docs.select(outCols: _*)
   }
 
+  /** GPT-2-style pre-tokenizer pattern: contraction suffixes, space-glued
+    * letter runs, digit runs, punctuation runs, residual whitespace. Only
+    * constructs with identical semantics in Java regex (Spark) and RE2
+    * (DuckDB) — alternation, literal classes, `+`/`?` — so both engines
+    * tokenize identically.
+    */
+  val bpePattern: String = "'[a-z]+| ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9 ']+| +"
+
+  /** BPE-ish token accounting: pre-tokenizer token count plus a
+    * deterministic subword estimate (ceil(len/4) per pre-token — the
+    * classic ~4-chars-per-BPE-token budget rule). A pure projection —
+    * the regex runs once per row, no shuffle at any scale.
+    */
+  def bpeTokenStats(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val toks = regexp_extract_all(col(textCol), lit(bpePattern), lit(0))
+    docs.select(
+      col("doc_id"),
+      size(toks).cast(LongType).as("n_bpe_tokens"),
+      aggregate(
+        transform(toks, t => ceil(length(trim(t)).cast(DoubleType) / 4.0)),
+        lit(0L), (acc, x) => acc + x).as("n_subword_est"))
+  }
+
   /** Order-sensitive rolling-hash fingerprint: fold words left-to-right as
     * acc = (acc * 31 + wordHash(w)) mod (2^31 - 1). Stays below 2^63 so
     * both engines compute it with plain BIGINT arithmetic.

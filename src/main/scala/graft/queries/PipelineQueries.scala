@@ -63,6 +63,11 @@ object PipelineQueries {
       TextOps.fingerprint(t(s, dir, "documents")).orderBy(col("doc_id"))
     }),
 
+    // BPE-ish token accounting (TextOps.bpeTokenStats).
+    "q_text_bpe" -> ((s, dir) => {
+      TextOps.bpeTokenStats(t(s, dir, "documents")).orderBy(col("doc_id"))
+    }),
+
     // Exact dedup over a corpus with injected duplicates (DedupOps.exactDedup).
     "q_dedup_exact" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
@@ -274,6 +279,17 @@ object PipelineQueries {
         |    list_prepend(0::BIGINT, list_transform(w, x -> ${TextOps.wordHashSql("x")})),
         |    (acc, h) -> (acc * 31 + h) % 2147483647) AS fingerprint
         |FROM ($docsW) ORDER BY doc_id""".stripMargin,
+
+    "q_text_bpe" ->
+      s"""SELECT doc_id,
+        |  CAST(len(toks) AS BIGINT) AS n_bpe_tokens,
+        |  CAST(list_sum(list_transform(toks,
+        |    x -> CAST(ceil(length(trim(x)) / 4.0) AS BIGINT))) AS BIGINT)
+        |    AS n_subword_est
+        |FROM (SELECT doc_id,
+        |  regexp_extract_all(text, '${TextOps.bpePattern.replace("'", "''")}') AS toks
+        |  FROM documents)
+        |ORDER BY doc_id""".stripMargin,
 
     "q_dedup_exact" ->
       s"""SELECT MIN(doc_id) AS doc_id, COUNT(*) AS n_copies
