@@ -146,8 +146,10 @@ object DedupOps {
     * per-pair groupBy; this shuffles the same bytes minus the per-row
     * overhead and drops both the explode and the count aggregation.
     * Docs with an empty shingle set (shorter than the shingle width)
-    * cannot be candidates — the minhash projection drops them — so the
-    * inner joins are lossless.
+    * are filtered out, so pairs involving them DROP from the output —
+    * Jaccard is undefined for an empty set. (Minhash-sourced pairs never
+    * contain such docs, but pair sources that don't shingle — e.g. the
+    * simhash screens — can.)
     *
     * The candidate pairs (reused by three consumers) and the
     * candidate-restricted shingle sets are cached for the consuming
@@ -167,7 +169,8 @@ object DedupOps {
     // O(corpus) shingle cost.
     val candDocs = docs.join(candIds, col(idCol) === col("jid"), "left_semi")
     val shSets = candDocs.select(col(idCol).as("jid"),
-      array_distinct(shingles(col(textCol), shingleN)).as("shs"))
+        array_distinct(shingles(col(textCol), shingleN)).as("shs"))
+      .filter(size(col("shs")) > 0)
     CacheOnce.untilConsumed(pairs, shSets)
     pairs
       .join(shSets.select(col("jid").as("id_a"), col("shs").as("shs_a")), "id_a")
@@ -204,8 +207,8 @@ object DedupOps {
     // An explicit saltTarget is an explicit request for the banded+salted
     // shape (the general path for wide signatures), so it opts out.
     val ballSize = (0 to maxHamming).map(k =>
-      BigInt((0 until k).map(i => bits - i).product) /
-        BigInt((1 to k.max(1)).product)).sum
+      (0 until k).map(i => BigInt(bits - i)).product /
+        (1 to k.max(1)).map(BigInt(_)).product).sum
     if (saltTarget == 0 && bits <= 24 && ballSize <= 4096)
       return hammingBallPairs(sig, maxHamming, bits, idCol, sigCol)
     // Natural-text simhash chunks are heavily skewed — at sf0.1 the
@@ -270,6 +273,9 @@ object DedupOps {
     */
   def hammingBallPairs(sig: DataFrame, maxHamming: Int = 3, bits: Int = 16,
       idCol: String = "doc_id", sigCol: String = "simhash"): DataFrame = {
+    require(bits >= 1 && bits <= 30,
+      s"hamming-ball enumeration needs 1 <= bits <= 30 (got $bits); " +
+        "use the banded screen (simhashPairs saltTarget > 0) for wide signatures")
     val masks: Seq[Long] = (0 until (1 << bits)).view
       .filter(m => Integer.bitCount(m) <= maxHamming).map(_.toLong).toSeq
     val ds = sig.groupBy(col(sigCol)).agg(collect_list(col(idCol)).as("ids"))

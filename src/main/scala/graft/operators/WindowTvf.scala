@@ -71,6 +71,7 @@ object WindowTvf {
     if ("""(?i)\bwindow_time\b""".r.findFirstIn(query).isDefined) return None
     val tsCol = descriptorCol(call)
     val gap = parseInterval(call.args(2))
+    val partCols = parseTableArg(call)._2
     val spliced =
       query.substring(0, call.from) + tableName + query.substring(call.to)
     // the GROUP BY must carry both window bounds — the pure-window-agg shape
@@ -81,24 +82,45 @@ object WindowTvf {
       !items.exists(_.equalsIgnoreCase("window_end"))) return None
     val kept = items.filterNot(i =>
       i.equalsIgnoreCase("window_start") || i.equalsIgnoreCase("window_end"))
+    // session_window sessionizes per GROUP BY key set; the TVF contract
+    // sessionizes per PARTITION BY. The rewrite is only sound when the
+    // two key sets coincide — otherwise fall back to the analytic
+    // expansion (batch) or its clear streaming error.
+    def base(s: String) = s.split('.').last.toLowerCase
+    if (kept.map(base).toSet != partCols.map(base).toSet) return None
     val groupItems =
       (s"session_window($tsCol, '${gap.spark}')" +: kept).mkString(", ")
     val regrouped =
       spliced.substring(0, m.start) + m.group(1) + groupItems + m.group(3)
     // rewrite window-column references in the SELECT…FROM segment only:
-    // ORDER BY/HAVING resolve against the output aliases instead
-    val fromIdx = """(?i)\bFROM\b""".r.findFirstMatchIn(regrouped)
+    // ORDER BY/HAVING resolve against the output aliases instead. The
+    // split point is the FROM introducing the spliced table — the LAST
+    // `FROM` before the TVF position, not the first in the statement
+    // (EXTRACT/SUBSTRING/TRIM can put a FROM inside the select list).
+    val fromIdx = """(?i)\bFROM\b""".r.findAllMatchIn(regrouped)
+      .takeWhile(_.start < call.from).toSeq.lastOption
       .map(_.start).getOrElse(return None)
     val (selectSeg, rest) = regrouped.splitAt(fromIdx)
     def rewriteCol(seg: String, name: String, field: String): String = {
-      // `window_start AS x` keeps the user alias; bare `window_start`
-      // gets `AS window_start` so downstream references still resolve
-      val aliased = (s"""(?i)\\b$name\\b(\\s+AS\\s+)""").r
-        .replaceAllIn(seg, mm =>
-          java.util.regex.Matcher.quoteReplacement(s"session_window.$field") + mm.group(1))
-      (s"""(?i)\\b$name\\b""").r.replaceAllIn(aliased,
-        java.util.regex.Matcher.quoteReplacement(
-          s"session_window.$field AS $name"))
+      // every reference becomes session_window.<field>; an output alias
+      // (`AS <name>`) is appended only for BARE top-level select items —
+      // `window_start AS x` keeps the user alias, and references nested
+      // in a call (EXTRACT(HOUR FROM window_end)) must not grow an AS
+      val re = s"""(?i)\\b$name\\b""".r
+      val out = new StringBuilder
+      var last = 0
+      for (mm <- re.findAllMatchIn(seg)) {
+        out ++= seg.substring(last, mm.start)
+        val before = seg.substring(0, mm.start)
+        val depth = before.count(_ == '(') - before.count(_ == ')')
+        val hasAlias =
+          """(?is)^\s+AS\s""".r.findFirstIn(seg.substring(mm.end)).isDefined
+        out ++= s"session_window.$field"
+        if (depth == 0 && !hasAlias) out ++= s" AS $name"
+        last = mm.end
+      }
+      out ++= seg.substring(last)
+      out.toString
     }
     val rewritten =
       rewriteCol(rewriteCol(selectSeg, "window_start", "start"),

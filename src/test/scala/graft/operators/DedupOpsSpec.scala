@@ -91,6 +91,30 @@ class DedupOpsSpec extends SparkSuite {
     assert(ballRows.length == ballRows.toSet.size)
   }
 
+  test("jaccardVerify drops pairs involving docs shorter than the shingle width") {
+    // simhash-style pair sources can emit short docs (they hash words,
+    // not shingles); Jaccard over an empty shingle set is undefined, so
+    // such pairs drop rather than surfacing 0.0 or NULL
+    val docs = Seq(
+      (1L, "a b c d e"), (2L, "a b c d e"),
+      (3L, "too short"),                     // < 3 words: empty shingle set
+      (4L, "x y")).toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L), (1L, 3L), (3L, 4L)).toDF("id_a", "id_b")
+    val out = DedupOps.jaccardVerify(docs, pairs)
+      .as[(Long, Long, Double)].collect()
+      .map { case (a, b, j) => (a, b) -> j }.toMap
+    assert(out.keySet == Set((1L, 2L)))
+    assert(out((1L, 2L)) == 1.0)
+  }
+
+  test("hammingBallPairs rejects signature widths its mask enumeration cannot cover") {
+    val sigs = Seq((1L, 0L)).toDF("doc_id", "simhash")
+    val e = intercept[IllegalArgumentException] {
+      DedupOps.hammingBallPairs(sigs, maxHamming = 3, bits = 32)
+    }
+    assert(e.getMessage.contains("bits <= 30"))
+  }
+
   test("size-aware simhash salting: same pairs, no straggler partition") {
     // 300 of 1200 docs share one signature — one (band, chunk) bucket
     // holds 25% of the corpus, the natural-text skew shape at sf0.1

@@ -88,6 +88,18 @@ class TemporalJoinSqlSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("alias-like sequences inside string literals are not rewritten") {
+    setup()
+    val out = TemporalJoinSql.sql(spark,
+      """SELECT p.p_id, 'p.note' AS tag, r.rate FROM probes AS p
+        |JOIN rates FOR SYSTEM_TIME AS OF p.ts AS r
+        |ON p.user_id = r.uid
+        |WHERE r.rate IS NOT NULL ORDER BY p.p_id""".stripMargin,
+      rightTimeCol = Some("vts"))
+    assert(out.collect().toSeq == Seq(
+      Row(1L, "p.note", 1.0), Row(2L, "p.note", 2.0)))
+  }
+
   test("missing span and wrong alias fail loudly") {
     setup()
     val e1 = intercept[IllegalArgumentException] {

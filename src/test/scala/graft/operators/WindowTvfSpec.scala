@@ -202,6 +202,37 @@ class WindowTvfSpec extends SparkSuite {
       s"analytic window operators leaked into the routed plan:\n$plan")
   }
 
+  test("SESSION with GROUP BY keys != PARTITION BY falls back to the analytic path") {
+    seed()
+    // GROUP BY omits user_id: sessions must still be computed PER USER
+    // (the TVF contract) and only then aggregated globally per window —
+    // a global session_window would merge u1's 0:00/0:30 rows with u2's
+    // 1:00 row into one session
+    val out = WindowTvf.sql(spark,
+      """SELECT window_start, window_end, SUM(v) AS s
+        |FROM TABLE(SESSION(TABLE tvf_events PARTITION BY user_id, DESCRIPTOR(ts), INTERVAL '1' HOUR))
+        |GROUP BY window_start, window_end ORDER BY window_start""".stripMargin)
+      .as[(Timestamp, Timestamp, Long)].collect().toSeq
+    // per-user sessions: u1 [0, 1.5h) sum 3, u2 [1h, 2h) sum 8, u1 [3h, 4h) sum 4
+    assert(out == Seq(
+      (t(0), t(30 * 60 * 1000 + H), 3L),
+      (t(H), t(2 * H), 8L),
+      (t(3 * H), t(4 * H), 4L)))
+  }
+
+  test("select-list FROM (EXTRACT) does not break the session_window rewrite") {
+    seed()
+    val out = WindowTvf.sql(spark,
+      """SELECT window_start, EXTRACT(HOUR FROM window_end) AS h, user_id, SUM(v) AS s
+        |FROM TABLE(SESSION(TABLE tvf_events PARTITION BY user_id, DESCRIPTOR(ts), INTERVAL '1' HOUR))
+        |GROUP BY window_start, window_end, user_id ORDER BY window_start, user_id""".stripMargin)
+      .as[(Timestamp, Long, String, Long)].collect().toSeq
+    assert(out == Seq(
+      (t(0), 1L, "u1", 3L),     // session ends 1:30 -> hour 1
+      (t(H), 2L, "u2", 8L),
+      (t(3 * H), 4L, "u1", 4L)))
+  }
+
   test("malformed calls are rejected with clear errors") {
     seed()
     assert(intercept[IllegalArgumentException] {
