@@ -135,6 +135,31 @@ class PlanQualitySpec extends SparkSuite {
     assert(plan.contains("band") && plan.contains("chunk"), s"missing band/chunk join: $plan")
   }
 
+  test("minhash signature plan: pure projection, zero shuffle, no explode") {
+    val docs = Tables.load(spark, sf, "documents")
+    val df = graft.operators.DedupOps.minhash(docs, k = 8)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString()
+    assert(!plan.contains("Exchange"), s"minhash shuffles: $plan")
+    assert(!plan.contains("Generate"), s"minhash explodes: $plan")
+  }
+
+  test("LSH verify pipeline plan: no explode anywhere (packed-array jaccard)") {
+    import graft.operators.{DedupOps, CacheOnce}
+    val docs = Tables.load(spark, sf, "documents")
+    val sig = DedupOps.minhash(docs, k = 8)
+    CacheOnce.untilConsumed(sig)
+    val pairs = DedupOps.candidatePairs(DedupOps.lshBuckets(sig))
+    val df = DedupOps.jaccardVerify(docs, pairs).filter($"jaccard" >= 0.8)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString()
+    // signature = projection fold; banding = union of projections;
+    // verify = array_intersect over packed shingle arrays — nothing in
+    // the pipeline needs a Generate (explode) node any more
+    assert(!plan.contains("Generate"), s"unexpected explode in: $plan")
+    assert(!plan.contains("CartesianProduct"), s"cartesian in: $plan")
+  }
+
   test("JSON constructors stay inside whole-stage codegen") {
     import graft.functions.JsonConstructors._
     val df = Tables.load(spark, sf, "nation")
