@@ -91,6 +91,28 @@ class DedupOpsSpec extends SparkSuite {
     assert(ballRows.length == ballRows.toSet.size)
   }
 
+  test("hamming-ball pairs match brute force on randomized clustered signatures") {
+    // clustered draw (many duplicate/near-duplicate sigs) to exercise the
+    // distinct-sig grouping, id-list expansion, and single-direction dedup
+    val rnd = new scala.util.Random(11)
+    val centers = Seq.fill(12)(rnd.nextInt(0x10000).toLong)
+    val sigs = (1 to 400).map { i =>
+      val c = centers(rnd.nextInt(centers.size))
+      val flips = rnd.nextInt(4) // 0..3 bit flips off a center
+      val sig = (0 until flips).foldLeft(c)((s, _) => s ^ (1L << rnd.nextInt(16)))
+      (i.toLong, sig)
+    }
+    val df = sigs.toDF("doc_id", "simhash")
+    val ball = DedupOps.hammingBallPairs(df, maxHamming = 3)
+      .as[(Long, Long, Long)].collect()
+    val brute = sigs.combinations(2).flatMap { case Seq((a, sa), (b, sb)) =>
+      val h = java.lang.Long.bitCount(sa ^ sb).toLong
+      if (h <= 3) Some((a min b, a max b, h)) else None
+    }.toSet
+    assert(ball.toSet == brute)
+    assert(ball.length == brute.size, "ball join emitted duplicate pairs")
+  }
+
   test("jaccardVerify drops pairs involving docs shorter than the shingle width") {
     // simhash-style pair sources can emit short docs (they hash words,
     // not shingles); Jaccard over an empty shingle set is undefined, so
