@@ -250,8 +250,8 @@ object DedupOps {
   /** Exact hamming-≤-`maxHamming` pairs via a ball join over DISTINCT
     * signature values — the scale path for small signature spaces:
     *
-    *   1. group docs by exact signature → at most 2^bits rows of
-    *      (sig, ids[]), REGARDLESS of corpus size;
+    *   1. take the DISTINCT signature values → at most 2^bits rows,
+    *      REGARDLESS of corpus size;
     *   2. explode each distinct signature by every XOR mask of popcount
     *      ≤ maxHamming (the "ball", C(bits,0..maxHamming) masks — 697
     *      for 16/3) → probe key sig XOR mask;
@@ -259,17 +259,27 @@ object DedupOps {
     *      sig-level join is bounded by |ball| · 2^bits rows at ANY data
     *      scale; per-key groups are single distinct-sig rows, so there
     *      is no hot-bucket skew by construction;
-    *   4. expand the two id lists; each unordered doc pair survives the
-    *      `id_a < id_b` filter in exactly ONE join direction (and the
-    *      sig-level pair meets via exactly one mask = the XOR), so the
-    *      result needs NO distinct().
+    *   4. join the qualifying (sig_a, sig_b) pairs back to the per-doc
+    *      relation on each side — ordinary shuffled equi-joins, never a
+    *      packed id array (a collect_list of a mega-duplicate cluster
+    *      would be a single-row memory bomb). Each unordered doc pair
+    *      survives the `id_a < id_b` filter in exactly ONE join
+    *      direction (and the sig-level pair meets via exactly one mask
+    *      = the XOR), so the result needs NO distinct().
     *
     * Work scales with |distinct sigs| · |ball| + |output pairs|, not
     * with corpus² within buckets like the banded screen — and a corpus
     * 100× larger still joins at most 2^bits · |ball| sig-level rows;
-    * only the (output-sized) id expansion grows. The banded screen in
+    * only the (output-sized) id expansion grows. (A cluster of n
+    * identical signatures still inherently yields n² output pairs —
+    * run [[exactDedup]] first, as the pipeline queries do, so exact
+    * duplicates never reach the near-dup screen.) The banded screen in
     * [[simhashPairs]] remains the general path for wide signatures
     * where the ball explodes combinatorially.
+    *
+    * Signatures outside [0, 2^bits) would be SILENTLY unreachable by the
+    * low-bit masks (the banded screen would still have paired them), so
+    * they fail loudly instead.
     */
   def hammingBallPairs(sig: DataFrame, maxHamming: Int = 3, bits: Int = 16,
       idCol: String = "doc_id", sigCol: String = "simhash"): DataFrame = {
@@ -278,17 +288,22 @@ object DedupOps {
         "use the banded screen (simhashPairs saltTarget > 0) for wide signatures")
     val masks: Seq[Long] = (0 until (1 << bits)).view
       .filter(m => Integer.bitCount(m) <= maxHamming).map(_.toLong).toSeq
-    val ds = sig.groupBy(col(sigCol)).agg(collect_list(col(idCol)).as("ids"))
-    val probes = ds.select(col(sigCol).as("sig_a"), col("ids").as("ids_a"),
-        explode(array(masks.map(lit): _*)).as("__m"))
-      .select(col("sig_a"), col("ids_a"),
-        col("sig_a").bitwiseXOR(col("__m")).as("sig_b"))
-    probes
-      .join(ds.select(col(sigCol).as("sig_b"), col("ids").as("ids_b")), "sig_b")
-      .select(col("sig_a"), col("sig_b"), explode(col("ids_a")).as("id_a"),
-        col("ids_b"))
-      .select(col("sig_a"), col("sig_b"), col("id_a"),
-        explode(col("ids_b")).as("id_b"))
+    val bound = 1L << bits
+    val docs = sig.select(col(idCol),
+      when(col(sigCol) < 0 || col(sigCol) >= bound,
+        raise_error(concat(
+          lit(s"hammingBallPairs: signature outside [0, 2^$bits): "),
+          col(sigCol).cast(StringType))).cast(LongType))
+        .otherwise(col(sigCol)).as(sigCol))
+    CacheOnce.untilConsumed(docs)
+    val ds = docs.select(col(sigCol).as("sig_a")).distinct()
+    val sigPairs = ds
+      .select(col("sig_a"), explode(array(masks.map(lit): _*)).as("__m"))
+      .select(col("sig_a"), col("sig_a").bitwiseXOR(col("__m")).as("sig_b"))
+      .join(ds.select(col("sig_a").as("sig_b")), "sig_b")
+    sigPairs
+      .join(docs.select(col(idCol).as("id_b"), col(sigCol).as("sig_b")), "sig_b")
+      .join(docs.select(col(idCol).as("id_a"), col(sigCol).as("sig_a")), "sig_a")
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
         bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).cast(LongType)

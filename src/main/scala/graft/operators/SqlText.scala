@@ -1,0 +1,67 @@
+package graft.operators
+
+/** Quote-aware helpers for the SQL front doors' textual rewrites
+  * ([[TemporalJoinSql]], [[WindowTvf]]): a rewrite must never touch the
+  * inside of a string literal or quoted identifier, and positional
+  * heuristics (paren depth) must not count characters inside them.
+  *
+  * Quoting rules covered: single-quote strings, double-quote strings/
+  * identifiers, backtick identifiers; doubled closing quotes ('') and —
+  * for the non-backtick forms — backslash escapes (Spark's default
+  * parser accepts \' inside a single-quoted literal).
+  */
+private[operators] object SqlText {
+
+  /** [start, end) spans of quoted regions, quotes included. An unclosed
+    * quote spans to the end of the string.
+    */
+  def quotedSpans(s: String): Seq[(Int, Int)] = {
+    val spans = Seq.newBuilder[(Int, Int)]
+    var i = 0
+    while (i < s.length) {
+      val ch = s.charAt(i)
+      if (ch == '\'' || ch == '"' || ch == '`') {
+        var j = i + 1
+        var closed = false
+        while (j < s.length && !closed) {
+          val c = s.charAt(j)
+          if (c == '\\' && ch != '`' && j + 1 < s.length) j += 2
+          else if (c == ch) {
+            if (j + 1 < s.length && s.charAt(j + 1) == ch) j += 2
+            else { closed = true; j += 1 }
+          } else j += 1
+        }
+        spans += ((i, j))
+        i = j
+      } else i += 1
+    }
+    spans.result()
+  }
+
+  /** Same-length copy of `s` with every quoted span blanked to spaces —
+    * run regexes/position scans on the mask, apply edits to the original
+    * (positions line up 1:1).
+    */
+  def maskQuoted(s: String): String = {
+    val out = s.toCharArray
+    quotedSpans(s).foreach { case (a, b) =>
+      var i = a; while (i < b) { out(i) = ' '; i += 1 }
+    }
+    new String(out)
+  }
+
+  /** Apply `f` to the segments of `s` outside quoted spans; quoted spans
+    * pass through verbatim.
+    */
+  def rewriteOutsideQuotes(s: String)(f: String => String): String = {
+    val out = new StringBuilder
+    var last = 0
+    quotedSpans(s).foreach { case (a, b) =>
+      out ++= f(s.substring(last, a))
+      out ++= s.substring(a, b)
+      last = b
+    }
+    out ++= f(s.substring(last))
+    out.toString
+  }
+}

@@ -94,7 +94,7 @@ object TemporalJoinSql {
     // the r_ namespace, left alias qualifiers drop. Applied only OUTSIDE
     // quoted segments — an `alias.word` sequence inside a string literal
     // ('p.note') or backtick identifier is content, not a reference.
-    val dequalified = rewriteOutsideQuotes(spliced) { seg =>
+    val dequalified = SqlText.rewriteOutsideQuotes(spliced) { seg =>
       val rewritten = s"""(?i)\\b$ra\\.(\\w+)""".r
         .replaceAllIn(seg, mm => s"r_${mm.group(1)}")
       s"""(?i)\\b$la\\.(\\w+)""".r
@@ -102,35 +102,5 @@ object TemporalJoinSql {
     }
     try spark.sql(dequalified)
     finally spark.catalog.dropTempView(view)
-  }
-
-  /** Apply `f` to the segments of `s` outside single-/double-/backtick-
-    * quoted spans (doubled closing quotes inside a span are the usual SQL
-    * escape and stay inside it); quoted spans pass through verbatim.
-    */
-  private def rewriteOutsideQuotes(s: String)(f: String => String): String = {
-    val out = new StringBuilder
-    val n = s.length
-    var i = 0
-    var start = 0
-    while (i < n) {
-      val ch = s.charAt(i)
-      if (ch == '\'' || ch == '"' || ch == '`') {
-        out ++= f(s.substring(start, i))
-        var j = i + 1
-        var closed = false
-        while (j < n && !closed) {
-          if (s.charAt(j) == ch) {
-            if (j + 1 < n && s.charAt(j + 1) == ch) j += 2 // escaped quote
-            else { closed = true; j += 1 }
-          } else j += 1
-        }
-        out ++= s.substring(i, j)
-        i = j
-        start = i
-      } else i += 1
-    }
-    out ++= f(s.substring(start, n))
-    out.toString
   }
 }

@@ -42,7 +42,8 @@ object WindowTvf {
     // too. Statements that really need per-row annotation (window_time,
     // no window GROUP BY) fall back to the analytic expansion.
     val sessionRouted =
-      if (call.fn == "SESSION") sessionWindowSql(spark, query, call, tableName)
+      if (call.fn == "SESSION")
+        sessionWindowSql(spark, query, call, tableName, partCols)
       else None
     sessionRouted.getOrElse {
       require(!df.isStreaming || call.fn != "SESSION",
@@ -67,17 +68,22 @@ object WindowTvf {
     * lacks the window GROUP BY).
     */
   private def sessionWindowSql(spark: SparkSession, query: String,
-      call: Call, tableName: String): Option[DataFrame] = {
-    if ("""(?i)\bwindow_time\b""".r.findFirstIn(query).isDefined) return None
+      call: Call, tableName: String, partCols: Seq[String]): Option[DataFrame] = {
+    if ("""(?i)\bwindow_time\b""".r
+      .findFirstIn(SqlText.maskQuoted(query)).isDefined) return None
     val tsCol = descriptorCol(call)
     val gap = parseInterval(call.args(2))
-    val partCols = parseTableArg(call)._2
     val spliced =
       query.substring(0, call.from) + tableName + query.substring(call.to)
-    // the GROUP BY must carry both window bounds — the pure-window-agg shape
+    // the GROUP BY must carry both window bounds — the pure-window-agg
+    // shape. Keyword/item matching runs on the quote-MASKED text (a
+    // literal containing 'GROUP BY' or 'FROM' must not confuse the
+    // rewrite); substrings are taken from the original by position.
+    val maskedSpliced = SqlText.maskQuoted(spliced)
     val GroupByRe = """(?is)(GROUP\s+BY\s+)([^;]*?)(\s*(?:ORDER\s+BY|HAVING|LIMIT|$).*)""".r
-    val m = GroupByRe.findFirstMatchIn(spliced).getOrElse(return None)
-    val items = m.group(2).split(",").map(_.trim).filter(_.nonEmpty)
+    val m = GroupByRe.findFirstMatchIn(maskedSpliced).getOrElse(return None)
+    val items = spliced.substring(m.start(2), m.end(2))
+      .split(",").map(_.trim).filter(_.nonEmpty)
     if (!items.exists(_.equalsIgnoreCase("window_start")) ||
       !items.exists(_.equalsIgnoreCase("window_end"))) return None
     val kept = items.filterNot(i =>
@@ -91,13 +97,14 @@ object WindowTvf {
     val groupItems =
       (s"session_window($tsCol, '${gap.spark}')" +: kept).mkString(", ")
     val regrouped =
-      spliced.substring(0, m.start) + m.group(1) + groupItems + m.group(3)
+      spliced.substring(0, m.end(1)) + groupItems + spliced.substring(m.start(3))
     // rewrite window-column references in the SELECT…FROM segment only:
     // ORDER BY/HAVING resolve against the output aliases instead. The
     // split point is the FROM introducing the spliced table — the LAST
     // `FROM` before the TVF position, not the first in the statement
     // (EXTRACT/SUBSTRING/TRIM can put a FROM inside the select list).
-    val fromIdx = """(?i)\bFROM\b""".r.findAllMatchIn(regrouped)
+    val fromIdx = """(?i)\bFROM\b""".r
+      .findAllMatchIn(SqlText.maskQuoted(regrouped))
       .takeWhile(_.start < call.from).toSeq.lastOption
       .map(_.start).getOrElse(return None)
     val (selectSeg, rest) = regrouped.splitAt(fromIdx)
@@ -105,16 +112,20 @@ object WindowTvf {
       // every reference becomes session_window.<field>; an output alias
       // (`AS <name>`) is appended only for BARE top-level select items —
       // `window_start AS x` keeps the user alias, and references nested
-      // in a call (EXTRACT(HOUR FROM window_end)) must not grow an AS
+      // in a call (EXTRACT(HOUR FROM window_end)) must not grow an AS.
+      // Matching and the depth/alias checks run on the quote-MASKED text
+      // so literals neither get rewritten nor skew the paren depth; the
+      // rewritten output is assembled from the original.
+      val masked = SqlText.maskQuoted(seg)
       val re = s"""(?i)\\b$name\\b""".r
       val out = new StringBuilder
       var last = 0
-      for (mm <- re.findAllMatchIn(seg)) {
+      for (mm <- re.findAllMatchIn(masked)) {
         out ++= seg.substring(last, mm.start)
-        val before = seg.substring(0, mm.start)
+        val before = masked.substring(0, mm.start)
         val depth = before.count(_ == '(') - before.count(_ == ')')
         val hasAlias =
-          """(?is)^\s+AS\s""".r.findFirstIn(seg.substring(mm.end)).isDefined
+          """(?is)^\s+AS\s""".r.findFirstIn(masked.substring(mm.end)).isDefined
         out ++= s"session_window.$field"
         if (depth == 0 && !hasAlias) out ++= s" AS $name"
         last = mm.end

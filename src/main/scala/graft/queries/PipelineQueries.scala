@@ -283,8 +283,8 @@ object PipelineQueries {
     "q_text_bpe" ->
       s"""SELECT doc_id,
         |  CAST(len(toks) AS BIGINT) AS n_bpe_tokens,
-        |  CAST(list_sum(list_transform(toks,
-        |    x -> CAST(ceil(length(trim(x)) / 4.0) AS BIGINT))) AS BIGINT)
+        |  CAST(coalesce(list_sum(list_transform(toks,
+        |    x -> CAST(ceil(length(trim(x)) / 4.0) AS BIGINT))), 0) AS BIGINT)
         |    AS n_subword_est
         |FROM (SELECT doc_id,
         |  regexp_extract_all(text, '${TextOps.bpePattern.replace("'", "''")}') AS toks

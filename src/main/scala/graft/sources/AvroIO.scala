@@ -134,6 +134,9 @@ object AvroIO {
   private def fromAvro(v: Any, dt: DataType): Any = (v, dt) match {
     case (null, _) => null
     case (s: CharSequence, StringType) => s.toString
+    // write widens short/byte to Avro INT — narrow back on read
+    case (i: java.lang.Integer, ShortType) => i.shortValue()
+    case (i: java.lang.Integer, ByteType) => i.byteValue()
     case (l: java.lang.Long, TimestampType) =>
       val t = new java.sql.Timestamp(Math.floorDiv(l, 1000000L) * 1000L)
       t.setNanos((Math.floorMod(l, 1000000L) * 1000L).toInt)

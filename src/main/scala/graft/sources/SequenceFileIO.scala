@@ -28,11 +28,23 @@ import org.apache.spark.sql.types.StructType
   */
 object SequenceFileIO {
 
-  /** Write `df` as a SequenceFile of (keyCol: LongWritable, row-JSON: Text). */
+  // default to_json truncates timestamps to millis; micros keeps the
+  // round-trip lossless for TIMESTAMP columns (this repo's tables carry
+  // micros derived from nanos)
+  private val jsonOpts = Map("timestampFormat" -> "yyyy-MM-dd HH:mm:ss.SSSSSS")
+
+  /** Write `df` as a SequenceFile of (keyCol: LongWritable, row-JSON: Text).
+    * The key column must be non-null (a Writable key has no null form).
+    */
   def write(df: DataFrame, path: String, keyCol: String): Unit =
-    df.select(col(keyCol).cast("long"), to_json(struct(df.columns.map(col): _*)))
+    df.select(col(keyCol).cast("long"),
+        to_json(struct(df.columns.map(col): _*), jsonOpts))
       .rdd
-      .map(r => (new LongWritable(r.getLong(0)), new Text(r.getString(1))))
+      .map { r =>
+        require(!r.isNullAt(0),
+          s"SequenceFileIO.write: key column '$keyCol' is NULL for row ${r.getString(1)}")
+        (new LongWritable(r.getLong(0)), new Text(r.getString(1)))
+      }
       .saveAsSequenceFile(path)
 
   /** Read a SequenceFile written by [[write]] back into a DataFrame with
@@ -45,7 +57,8 @@ object SequenceFileIO {
       .sequenceFile[Long, String](path)
       .map(_._2)
       .toDS()
-    values.select(from_json(col("value"), schema).as("r")).select(col("r.*"))
+    values.select(from_json(col("value"), schema, jsonOpts).as("r"))
+      .select(col("r.*"))
   }
 
   /** Read only the keys — a pushdown-style fast path for key scans (no

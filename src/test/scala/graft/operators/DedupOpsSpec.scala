@@ -137,6 +137,18 @@ class DedupOpsSpec extends SparkSuite {
     assert(e.getMessage.contains("bits <= 30"))
   }
 
+  test("hammingBallPairs fails loudly on signatures outside the declared width") {
+    // a 17-bit signature under bits=16 would be unreachable by every
+    // low-bit mask — silently missing pairs the banded screen finds —
+    // so the guard raises instead
+    val sigs = Seq((1L, 0x1FFFFL), (2L, 0x0FFFFL)).toDF("doc_id", "simhash")
+    val e = intercept[Exception] {
+      DedupOps.hammingBallPairs(sigs, maxHamming = 3, bits = 16).collect()
+    }
+    assert(e.getMessage.contains("signature outside") ||
+      Option(e.getCause).exists(_.getMessage.contains("signature outside")))
+  }
+
   test("size-aware simhash salting: same pairs, no straggler partition") {
     // 300 of 1200 docs share one signature — one (band, chunk) bucket
     // holds 25% of the corpus, the natural-text skew shape at sf0.1

@@ -100,6 +100,20 @@ class TemporalJoinSqlSpec extends SparkSuite {
       Row(1L, "p.note", 1.0), Row(2L, "p.note", 2.0)))
   }
 
+  test("backslash-escaped quotes inside literals do not leak the rewrite") {
+    setup()
+    // Spark's default parser accepts \' inside a single-quoted literal;
+    // the quote scanner must not close the span there and rewrite the tail
+    val out = TemporalJoinSql.sql(spark,
+      """SELECT p.p_id, 'can\'t match p.rate' AS tag, r.rate FROM probes AS p
+        |JOIN rates FOR SYSTEM_TIME AS OF p.ts AS r
+        |ON p.user_id = r.uid
+        |WHERE r.rate IS NOT NULL ORDER BY p.p_id""".stripMargin,
+      rightTimeCol = Some("vts"))
+    assert(out.collect().toSeq == Seq(
+      Row(1L, "can't match p.rate", 1.0), Row(2L, "can't match p.rate", 2.0)))
+  }
+
   test("missing span and wrong alias fail loudly") {
     setup()
     val e1 = intercept[IllegalArgumentException] {

@@ -233,6 +233,20 @@ class WindowTvfSpec extends SparkSuite {
       (t(3 * H), 4L, "u1", 4L)))
   }
 
+  test("string literals in the session_window rewrite survive untouched") {
+    seed()
+    val out = WindowTvf.sql(spark,
+      """SELECT window_start, 'window_start (label' AS lbl, user_id, SUM(v) AS s
+        |FROM TABLE(SESSION(TABLE tvf_events PARTITION BY user_id, DESCRIPTOR(ts), INTERVAL '1' HOUR))
+        |GROUP BY window_start, window_end, user_id ORDER BY window_start, user_id""".stripMargin)
+      .as[(Timestamp, String, String, Long)].collect().toSeq
+    // the literal (with its unbalanced paren) is preserved verbatim and
+    // does not break the bare window_start's output alias
+    assert(out.map(_._2).forall(_ == "window_start (label"))
+    assert(out.map(r => (r._1, r._3, r._4)) == Seq(
+      (t(0), "u1", 3L), (t(H), "u2", 8L), (t(3 * H), "u1", 4L)))
+  }
+
   test("malformed calls are rejected with clear errors") {
     seed()
     assert(intercept[IllegalArgumentException] {

@@ -37,6 +37,26 @@ class SequenceFileIOSpec extends SparkSuite {
     assert(keys == nation.select($"n_nationkey").as[Long].collect().toSet)
   }
 
+  test("timestamps keep microsecond precision through the JSON value") {
+    val df = Seq(
+      (1L, java.sql.Timestamp.valueOf("2026-01-02 03:04:05.123456")))
+      .toDF("id", "ts")
+    val dir = Files.createTempDirectory("seqfile").toString + "/ts"
+    SequenceFileIO.write(df, dir, keyCol = "id")
+    val back = SequenceFileIO.read(spark, dir, df.schema).collect().head
+    assert(back.getTimestamp(1) ==
+      java.sql.Timestamp.valueOf("2026-01-02 03:04:05.123456"))
+  }
+
+  test("null key column fails with a clear error") {
+    val df = Seq((Some(1L), "a"), (None, "b")).toDF("id", "s")
+    val dir = Files.createTempDirectory("seqfile").toString + "/nullkey"
+    val e = intercept[Exception] { SequenceFileIO.write(df, dir, keyCol = "id") }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => x.getMessage +: msgs(x.getCause))
+    assert(msgs(e).exists(m => m != null && m.contains("key column 'id' is NULL")))
+  }
+
   test("nulls and nested values survive the JSON value round-trip") {
     val df = Seq(
       (1L, Some("a"), Seq(1, 2)),
