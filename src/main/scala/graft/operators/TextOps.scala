@@ -19,10 +19,12 @@ object TextOps {
   def tokens(textCol: Column): Column = split(textCol, " ")
 
   /** 64-bit-ish (60-bit, always positive) deterministic word hash that both
-    * the engine and SQL oracles can compute: first 15 hex digits of md5.
+    * the engine and SQL oracles can compute: first 15 hex digits of md5 —
+    * evaluated natively ([[graft.functions.Md5Prefix60]] reads the digest
+    * bytes directly; value-identical to the composed
+    * `conv(substring(md5(c), 1, 15), 16, 10)` form the oracles mirror).
     */
-  def wordHash(c: Column): Column =
-    conv(substring(md5(c), 1, 15), 16, 10).cast(LongType)
+  def wordHash(c: Column): Column = graft.functions.Md5Prefix60(c)
 
   /** SQL-oracle twin of [[wordHash]] (DuckDB syntax). */
   def wordHashSql(e: String): String =
