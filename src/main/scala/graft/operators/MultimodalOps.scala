@@ -70,6 +70,31 @@ object MultimodalOps {
     Array(n.toDouble, sum.toDouble / n, min.toDouble, max.toDouble)
   }
 
+  case class MediaResample(media_id: Long, sample: Array[Long])
+
+  /** Resize/resample plumbing — the fixed-output-dimension analogue of an
+    * image resize (nearest-neighbor): the payload's n bytes downsample to
+    * `target` values at source index floor(i·n/target). Same typed
+    * `mapPartitions` batch shape as [[decodeFeatures]] (codec init per
+    * partition, streamed rows); a real image library replaces the byte
+    * indexing with pixel interpolation, the plumbing stays.
+    */
+  def resample(media: Dataset[MediaRow], target: Int = 16): Dataset[MediaResample] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { rows =>
+      // [codec init would happen here, once per partition]
+      rows.map { r =>
+        val n = r.payload.length
+        val s = Array.tabulate(target) { i =>
+          if (n == 0) -1L
+          else (r.payload((i.toLong * n / target).toInt) & 0xff).toLong
+        }
+        MediaResample(r.media_id, s)
+      }
+    }
+  }
+
   /** Frame/chunk sampling plumbing: split a payload into fixed-size chunks
     * (≈ video frame extraction / audio windowing), one output row per
     * chunk, chunk id + a deterministic chunk digest. Pure Catalyst —

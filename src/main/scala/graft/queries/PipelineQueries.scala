@@ -213,6 +213,14 @@ object PipelineQueries {
           col("checksum"),
           element_at(col("feature"), 2).as("mean_byte"))
         .orderBy(col("media_id"))
+    }),
+
+    // Multimodal resize/resample (MultimodalOps.resample): fixed-dim
+    // nearest-neighbor downsample of the payload bytes.
+    "q_mm_resize" -> ((s, dir) => {
+      MultimodalOps.resample(MultimodalOps.asMedia(t(s, dir, "documents")))
+        .toDF()
+        .orderBy(col("media_id"))
     })
   )
 
@@ -520,6 +528,17 @@ object PipelineQueries {
         |  CAST(list_sum(list_transform(generate_series(1, length(text)),
         |    i -> ascii(substr(text, i, 1))::BIGINT)) AS DOUBLE)
         |    / CAST(octet_length(encode(text)) AS DOUBLE) AS mean_byte
+        |FROM documents ORDER BY media_id""".stripMargin,
+
+    // pure-ASCII corpus: byte i == character i+1, so the byte resample
+    // mirrors as ascii(substr(...)) at floor(i*n/16)
+    "q_mm_resize" ->
+      """SELECT doc_id AS media_id,
+        |  list_transform(generate_series(0, 15), i ->
+        |    CASE WHEN length(text) = 0 THEN CAST(-1 AS BIGINT)
+        |    ELSE CAST(ascii(substr(text,
+        |      1 + CAST(floor(i * length(text) / 16.0) AS INT), 1)) AS BIGINT)
+        |    END) AS sample
         |FROM documents ORDER BY media_id""".stripMargin
   )
 }
