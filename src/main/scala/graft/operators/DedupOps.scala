@@ -286,8 +286,13 @@ object DedupOps {
     require(bits >= 1 && bits <= 30,
       s"hamming-ball enumeration needs 1 <= bits <= 30 (got $bits); " +
         "use the banded screen (simhashPairs saltTarget > 0) for wide signatures")
-    val masks: Seq[Long] = (0 until (1 << bits)).view
-      .filter(m => Integer.bitCount(m) <= maxHamming).map(_.toLong).toSeq
+    // enumerate the C(bits, 0..maxHamming) masks directly (choosing bit
+    // positions), not by scanning all 2^bits values — at bits = 30 the
+    // scan would walk ~1B ints on the driver to keep a few thousand
+    def combos(k: Int, from: Int): Seq[Long] =
+      if (k == 0) Seq(0L)
+      else (from until bits).flatMap(b => combos(k - 1, b + 1).map(_ | (1L << b)))
+    val masks: Seq[Long] = (0 to maxHamming).flatMap(k => combos(k, 0))
     val bound = 1L << bits
     val docs = sig.select(col(idCol),
       when(col(sigCol) < 0 || col(sigCol) >= bound,

@@ -110,11 +110,14 @@ object WindowTvf {
     val (selectSeg, rest) = regrouped.splitAt(fromIdx)
     def rewriteCol(seg: String, name: String, field: String): String = {
       // every reference becomes session_window.<field>; an output alias
-      // (`AS <name>`) is appended only for BARE top-level select items —
-      // `window_start AS x` keeps the user alias, and references nested
-      // in a call (EXTRACT(HOUR FROM window_end)) must not grow an AS.
-      // Matching and the depth/alias checks run on the quote-MASKED text
-      // so literals neither get rewritten nor skew the paren depth; the
+      // (`AS <name>`) is appended only when the reference IS the entire
+      // top-level select item (bounded by SELECT/DISTINCT/comma on the
+      // left and comma/end-of-list on the right) — `window_start AS x`
+      // keeps the user alias, references nested in a call or expression
+      // (EXTRACT(HOUR FROM window_end), window_end - window_start AS d,
+      // CASE WHEN window_start ... END x) must not grow an AS.
+      // Matching and the boundary checks run on the quote-MASKED text so
+      // literals neither get rewritten nor skew the paren depth; the
       // rewritten output is assembled from the original.
       val masked = SqlText.maskQuoted(seg)
       val re = s"""(?i)\\b$name\\b""".r
@@ -124,10 +127,13 @@ object WindowTvf {
         out ++= seg.substring(last, mm.start)
         val before = masked.substring(0, mm.start)
         val depth = before.count(_ == '(') - before.count(_ == ')')
-        val hasAlias =
-          """(?is)^\s+AS\s""".r.findFirstIn(masked.substring(mm.end)).isDefined
+        val left = before.trim.toUpperCase
+        val leftBoundary = left.endsWith(",") ||
+          left.endsWith("SELECT") || left.endsWith("DISTINCT")
+        val right = masked.substring(mm.end).trim
+        val rightBoundary = right.isEmpty || right.startsWith(",")
         out ++= s"session_window.$field"
-        if (depth == 0 && !hasAlias) out ++= s" AS $name"
+        if (depth == 0 && leftBoundary && rightBoundary) out ++= s" AS $name"
         last = mm.end
       }
       out ++= seg.substring(last)

@@ -28,10 +28,12 @@ import org.apache.spark.sql.types.StructType
   */
 object SequenceFileIO {
 
-  // default to_json truncates timestamps to millis; micros keeps the
-  // round-trip lossless for TIMESTAMP columns (this repo's tables carry
-  // micros derived from nanos)
-  private val jsonOpts = Map("timestampFormat" -> "yyyy-MM-dd HH:mm:ss.SSSSSS")
+  // default to_json truncates timestamps to millis; this format keeps
+  // micros (the repo's tables carry micros derived from nanos) AND the
+  // zone offset, so files round-trip across sessions with different
+  // spark.sql.session.timeZone settings
+  private val jsonOpts =
+    Map("timestampFormat" -> "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX")
 
   /** Write `df` as a SequenceFile of (keyCol: LongWritable, row-JSON: Text).
     * The key column must be non-null (a Writable key has no null form).

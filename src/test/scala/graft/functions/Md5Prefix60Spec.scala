@@ -25,6 +25,13 @@ class Md5Prefix60Spec extends SparkSuite {
     assert(out.forall(_._1 >= 0))
   }
 
+  test("non-string input fails at analysis, not mid-job") {
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.range(3).select(Md5Prefix60($"id").as("h")).collect()
+    }
+    assert(e.getMessage.contains("graft_md5_prefix60"))
+  }
+
   test("null input yields null and codegen stays whole-stage") {
     val df = spark.range(4)
       .select(when($"id" % 2 === 0, concat(lit("w"), $"id")).as("s"))

@@ -247,6 +247,22 @@ class WindowTvfSpec extends SparkSuite {
       (t(0), "u1", 3L), (t(H), "u2", 8L), (t(3 * H), "u1", 4L)))
   }
 
+  test("window-column expressions in the select list survive the session_window rewrite") {
+    seed()
+    // window_end - window_start is NOT a bare item: the rewrite must not
+    // inject an output alias mid-expression (parse error); the bare-alias
+    // form `window_start ws` must keep the user alias too
+    val out = WindowTvf.sql(spark,
+      """SELECT window_start ws, window_end - window_start AS dur, user_id, SUM(v) AS s
+        |FROM TABLE(SESSION(TABLE tvf_events PARTITION BY user_id, DESCRIPTOR(ts), INTERVAL '1' HOUR))
+        |GROUP BY window_start, window_end, user_id ORDER BY ws, user_id""".stripMargin)
+    val rows = out.collect().toSeq
+    assert(out.columns.toSeq == Seq("ws", "dur", "user_id", "s"))
+    assert(rows.map(r => (r.getAs[Timestamp]("ws"), r.getAs[String]("user_id"),
+      r.getAs[Long]("s"))) == Seq(
+      (t(0), "u1", 3L), (t(H), "u2", 8L), (t(3 * H), "u1", 4L)))
+  }
+
   test("malformed calls are rejected with clear errors") {
     seed()
     assert(intercept[IllegalArgumentException] {
