@@ -594,7 +594,7 @@ object MatchRecognize {
     implicit val outEnc = Encoders.row(outSchema)
     implicit val keyEnc = Encoders.STRING
 
-    df.groupByKey(r => partIdx.map(i => String.valueOf(r.get(i))).mkString(" "))
+    df.groupByKey(r => partIdx.map(i => String.valueOf(r.get(i))).mkString("\u0000"))
       .flatMapGroups { (_, it) =>
         val sorted = it.toIndexedSeq.sortBy(sortKey)(SeqAnyOrdering)
         var matchNo = 0L
@@ -658,7 +658,7 @@ object MatchRecognize {
           StructField(alias, measureType(e, schema), nullable = true) })
     implicit val outEnc: Encoder[Row] = Encoders.row(outSchema)
     implicit val keyEnc: Encoder[String] = Encoders.STRING
-    df.groupByKey(r => partIdx.map(i => String.valueOf(r.get(i))).mkString(" "))
+    df.groupByKey(r => partIdx.map(i => String.valueOf(r.get(i))).mkString("\u0000"))
       .transformWithState(
         new MatchProcessor(pattern, tsFn, Encoders.row(schema),
           maxBufferPerKey, partIdx, measureFns, spec.skip),

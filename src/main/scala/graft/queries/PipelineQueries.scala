@@ -216,11 +216,16 @@ object PipelineQueries {
     }),
 
     // Multimodal resize/resample (MultimodalOps.resample): fixed-dim
-    // nearest-neighbor downsample of the payload bytes.
+    // nearest-neighbor downsample of the payload bytes. The 16-sample
+    // array is exploded to one (media_id, sample_idx, sample_val) row per
+    // position so the result carries only scalar columns.
     "q_mm_resize" -> ((s, dir) => {
       MultimodalOps.resample(MultimodalOps.asMedia(t(s, dir, "documents")))
         .toDF()
-        .orderBy(col("media_id"))
+        .select(col("media_id"),
+          posexplode(col("sample")).as(Seq("sample_idx", "sample_val")))
+        .withColumn("sample_idx", col("sample_idx").cast(LongType))
+        .orderBy(col("media_id"), col("sample_idx"))
     })
   )
 
@@ -531,14 +536,15 @@ object PipelineQueries {
         |FROM documents ORDER BY media_id""".stripMargin,
 
     // pure-ASCII corpus: byte i == character i+1, so the byte resample
-    // mirrors as ascii(substr(...)) at floor(i*n/16)
+    // mirrors as ascii(substr(...)) at floor(i*n/16); one row per sample
+    // position keeps the result scalar-typed
     "q_mm_resize" ->
-      """SELECT doc_id AS media_id,
-        |  list_transform(generate_series(0, 15), i ->
-        |    CASE WHEN length(text) = 0 THEN CAST(-1 AS BIGINT)
-        |    ELSE CAST(ascii(substr(text,
-        |      1 + CAST(floor(i * length(text) / 16.0) AS INT), 1)) AS BIGINT)
-        |    END) AS sample
-        |FROM documents ORDER BY media_id""".stripMargin
+      """SELECT doc_id AS media_id, CAST(i AS BIGINT) AS sample_idx,
+        |  CASE WHEN length(text) = 0 THEN CAST(-1 AS BIGINT)
+        |  ELSE CAST(ascii(substr(text,
+        |    1 + CAST(floor(i * length(text) / 16.0) AS INT), 1)) AS BIGINT)
+        |  END AS sample_val
+        |FROM documents, UNNEST(generate_series(0, 15)) AS u(i)
+        |ORDER BY media_id, sample_idx""".stripMargin
   )
 }
