@@ -31,20 +31,30 @@ object AsOfJoin {
     * @param rightCols  right-side payload columns to carry
     */
   def asOf(left: DataFrame, right: DataFrame, keyCol: String, tsCol: String,
-      rightCols: Seq[String]): DataFrame = {
+      rightCols: Seq[String]): DataFrame =
+    asOf(left, right, Seq(keyCol), tsCol, rightCols)
+
+  /** Composite-key form — the reference's join spec allows a conjunction
+    * of equi-conditions (StreamExecTemporalJoin.java:77, extracted by
+    * EventTimeTemporalJoinRewriteRule.java); all key columns together
+    * form the partition of the carry-forward window.
+    */
+  def asOf(left: DataFrame, right: DataFrame, keyCols: Seq[String],
+      tsCol: String, rightCols: Seq[String]): DataFrame = {
+    require(keyCols.nonEmpty, "asOf needs at least one key column")
     val leftCols = left.columns.toSeq
     val payload = struct(rightCols.map(col): _*)
 
     val taggedLeft = left.withColumn("__side", lit(1))
     val taggedRight = right
-      .select((Seq(col(keyCol), col(tsCol)) :+ payload.as("__payload")): _*)
+      .select((keyCols.map(col) :+ col(tsCol) :+ payload.as("__payload")): _*)
       .withColumn("__side", lit(0))
 
     // missing columns (payload on the left, left attrs on the right)
     // union as NULLs
     val unioned = taggedLeft.unionByName(taggedRight, allowMissingColumns = true)
 
-    val w = Window.partitionBy(col(keyCol))
+    val w = Window.partitionBy(keyCols.map(col): _*)
       .orderBy(col(tsCol), col("__side"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 

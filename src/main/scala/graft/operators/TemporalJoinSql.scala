@@ -11,7 +11,7 @@ import org.apache.spark.sql.functions._
   * so — like [[WindowTvf]] — the statement is rewritten: the
   *
   *   `FROM <left> AS l JOIN <right> FOR SYSTEM_TIME AS OF l.<ts> AS r
-  *    ON l.<k> = r.<k>`
+  *    ON l.<k1> = r.<k1> [AND l.<k2> = r.<k2> …] [AND <residual> …]`
   *
   * span is parsed, the as-of join is computed via [[AsOfJoin]] (the
   * union + carry-forward plan: one shuffle on the key, no per-key
@@ -21,6 +21,14 @@ import org.apache.spark.sql.functions._
   * `r_<col>` (so `r.x` rewrites to `r_x`), matching the AsOfJoin output
   * contract.
   *
+  * ON clause: a top-level conjunction, as the reference's join spec
+  * (extracted in EventTimeTemporalJoinRewriteRule.java). Terms of the
+  * shape `a.x = b.y` between the two aliases are equi-conditions and
+  * become the (composite) join key; any other term is a residual
+  * predicate, evaluated against the matched row — the reference's
+  * joinCondition contract — so a probe whose matched version fails the
+  * residual is dropped.
+  *
   * Version-time column: the right side's event-time attribute. As in the
   * reference (where it comes from the right table's WATERMARK
   * declaration), it is not part of the join syntax — it defaults to the
@@ -29,41 +37,115 @@ import org.apache.spark.sql.functions._
   *
   * Match semantics are LEFT (unmatched probes keep NULLs), the AsOfJoin
   * contract. Batch inputs route to [[AsOfJoin]]'s carry-forward plan;
-  * streaming inputs to the watermark-driven
+  * two streaming inputs to the watermark-driven
   * [[graft.streaming.TemporalJoin.asOfStream]] versioned-state operator
-  * (late rows dropped, versions GC'd at the watermark).
+  * (late rows dropped, versions GC'd at the watermark); a streaming
+  * probe against a BOUNDED right side — the reference's canonical
+  * versioned-dim-table shape (TemporalRowTimeJoinOperator.java:78) — to
+  * [[graft.streaming.TemporalJoin.asOfStreamStatic]], which loads the
+  * dim's version history into keyed state at query start.
   */
 object TemporalJoinSql {
 
   private val JoinRe = (
     """(?is)FROM\s+(\w+)(?:\s+AS)?\s+(\w+)\s+""" +
     """JOIN\s+(\w+)\s+FOR\s+SYSTEM_TIME\s+AS\s+OF\s+(\w+)\.(\w+)(?:\s+AS)?\s+(\w+)\s+""" +
-    """ON\s+(\w+)\.(\w+)\s*=\s*(\w+)\.(\w+)""").r
+    """ON\s+""").r
+
+  private val EquiRe = """(?is)^(\w+)\.(\w+)\s*=\s*(\w+)\.(\w+)$""".r
+
+  /** Keywords that terminate the ON conjunction at top level. */
+  private val ClauseEnd =
+    Seq("WHERE", "GROUP", "ORDER", "HAVING", "LIMIT", "UNION",
+      "EXCEPT", "INTERSECT", "WINDOW", "QUALIFY", "JOIN", "LEFT", "RIGHT",
+      "FULL", "INNER", "CROSS")
+
+  /** Scan the masked text from `from` for the ON conjunction: top-level
+    * ` AND `-separated terms, ending at the first top-level clause
+    * keyword, `)`, `;`, or end of statement. Returns (term spans, end).
+    */
+  private def scanConjunction(masked: String, from: Int): (Seq[(Int, Int)], Int) = {
+    val terms = Seq.newBuilder[(Int, Int)]
+    var depth = 0
+    var i = from
+    var termStart = from
+    var end = masked.length
+    var done = false
+    def word(at: Int): String = {
+      var j = at
+      while (j < masked.length && (masked.charAt(j).isLetterOrDigit ||
+        masked.charAt(j) == '_')) j += 1
+      masked.substring(at, j).toUpperCase
+    }
+    while (i < masked.length && !done) {
+      val ch = masked.charAt(i)
+      if (ch == '(') { depth += 1; i += 1 }
+      else if (ch == ')') {
+        if (depth == 0) { end = i; done = true } else { depth -= 1; i += 1 }
+      } else if (ch == ';' && depth == 0) { end = i; done = true }
+      else if (depth == 0 && (ch.isLetter || ch == '_') &&
+        (i == from || !masked.charAt(i - 1).isLetterOrDigit &&
+          masked.charAt(i - 1) != '_')) {
+        val w = word(i)
+        if (w == "AND") { terms += ((termStart, i)); i += 3; termStart = i }
+        else if (ClauseEnd.contains(w)) { end = i; done = true }
+        else i += 1
+      } else i += 1
+    }
+    if (!done) end = masked.length
+    terms += ((termStart, end))
+    (terms.result(), end)
+  }
 
   /** Execute a SQL statement containing the FOR SYSTEM_TIME AS OF join. */
   def sql(spark: SparkSession, query: String,
       rightTimeCol: Option[String] = None): DataFrame = {
-    val m = JoinRe.findFirstMatchIn(query).getOrElse(
+    // match on the quote-masked text so a span inside a string literal is
+    // never taken for the join idiom; positions line up with `query`
+    val masked = SqlText.maskQuoted(query)
+    val m = JoinRe.findFirstMatchIn(masked).getOrElse(
       throw new IllegalArgumentException(
         "no `FROM l [AS] a JOIN r FOR SYSTEM_TIME AS OF a.ts [AS] b ON …` " +
           "span found in statement"))
+    // the textual splice replaces the span with `FROM <view>` at ITS
+    // nesting level only — a span inside a derived-table subquery would
+    // splice at the wrong level, so reject it loudly
+    val before = masked.substring(0, m.start)
+    require(before.count(_ == '(') == before.count(_ == ')'),
+      "FOR SYSTEM_TIME AS OF inside a subquery is not supported: run the " +
+        "temporal join as the outer statement (or register the subquery " +
+        "as a view first)")
     val (lt, la, rt) = (m.group(1), m.group(2), m.group(3))
     val (asAlias, tsCol, ra) = (m.group(4), m.group(5), m.group(6))
     require(asAlias == la,
       s"FOR SYSTEM_TIME AS OF must reference the probe side: $asAlias.$tsCol")
     require(la != ra, s"join aliases must differ, got $la twice")
-    def keyOf(a: String, c: String, b: String, d: String): (String, String) =
-      if (a == la && b == ra) (c, d)
-      else if (a == ra && b == la) (d, c)
-      else throw new IllegalArgumentException(
-        s"ON must equate the two join aliases, got $a.$c = $b.$d")
-    val (leftKey, rightKey) =
-      keyOf(m.group(7), m.group(8), m.group(9), m.group(10))
+
+    val (termSpans, onEnd) = scanConjunction(masked, m.end)
+    val keys = Seq.newBuilder[(String, String)]
+    val residuals = Seq.newBuilder[String]
+    termSpans.foreach { case (a, b) =>
+      val term = query.substring(a, b).trim
+      term match {
+        case EquiRe(qa, ca, qb, cb) if qa.equalsIgnoreCase(la) && qb.equalsIgnoreCase(ra) =>
+          keys += ((ca, cb))
+        case EquiRe(qa, ca, qb, cb) if qa.equalsIgnoreCase(ra) && qb.equalsIgnoreCase(la) =>
+          keys += ((cb, ca))
+        case "" => throw new IllegalArgumentException(
+          "empty term in temporal-join ON conjunction")
+        case _ => residuals += term
+      }
+    }
+    val keyPairs = keys.result()
+    require(keyPairs.nonEmpty,
+      "temporal-join ON needs at least one equi-condition between the " +
+        s"two aliases ($la, $ra)")
 
     val left = spark.table(lt)
     val right = spark.table(rt)
-    require(left.isStreaming == right.isStreaming,
-      "temporal join sides must both be batch or both be streaming")
+    require(left.isStreaming || !right.isStreaming,
+      "temporal join with a streaming BUILD side needs a streaming probe " +
+        "side too (a batch probe cannot wait on stream versions)")
     val rightTs = rightTimeCol.getOrElse {
       require(right.columns.contains(tsCol),
         s"right side $rt has no version-time column '$tsCol'; pass rightTimeCol")
@@ -72,34 +154,49 @@ object TemporalJoinSql {
 
     // align key/ts names across sides through internal columns so the
     // join cores see one name each; dropped from the view
-    val left2 = left
-      .withColumn("__tj_k", col(leftKey)).withColumn("__tj_t", col(tsCol))
-    val right2 = right
-      .withColumn("__tj_k", col(rightKey)).withColumn("__tj_t", col(rightTs))
-    // batch routes to the union + carry-forward plan; streaming to the
-    // watermark-driven versioned-state operator (StreamExecTemporalJoin)
+    val keyNames = keyPairs.indices.map(i => s"__tj_k$i")
+    val left2 = keyPairs.zip(keyNames).foldLeft(left) {
+      case (df, ((lk, _), n)) => df.withColumn(n, col(lk))
+    }.withColumn("__tj_t", col(tsCol))
+    val right2 = keyPairs.zip(keyNames).foldLeft(right) {
+      case (df, ((_, rk), n)) => df.withColumn(n, col(rk))
+    }.withColumn("__tj_t", col(rightTs))
+    // batch routes to the union + carry-forward plan; stream-vs-stream to
+    // the watermark-driven versioned-state operator
+    // (StreamExecTemporalJoin); stream-vs-bounded to the initial-state
+    // load of the dim's version history
     val joined =
-      (if (left.isStreaming)
+      (if (left.isStreaming && right.isStreaming)
         graft.streaming.TemporalJoin.asOfStream(
-          left2, right2, "__tj_k", "__tj_t", right.columns.toSeq)
+          left2, right2, keyNames, "__tj_t", right.columns.toSeq, "0 seconds")
+      else if (left.isStreaming)
+        graft.streaming.TemporalJoin.asOfStreamStatic(
+          left2, right2, keyNames, "__tj_t", right.columns.toSeq)
       else
-        AsOfJoin.asOf(left2, right2, "__tj_k", "__tj_t", right.columns.toSeq))
-        .drop("__tj_k", "__tj_t")
+        AsOfJoin.asOf(left2, right2, keyNames, "__tj_t", right.columns.toSeq))
+        .drop(keyNames :+ "__tj_t": _*)
 
-    val view = s"__tj_${java.util.UUID.randomUUID().toString.replace("-", "")}"
-    joined.createOrReplaceTempView(view)
-    val spliced =
-      query.substring(0, m.start) + s"FROM $view" + query.substring(m.end)
-    // qualifier rewrite over the remaining statement: right alias maps to
-    // the r_ namespace, left alias qualifiers drop. Applied only OUTSIDE
-    // quoted segments — an `alias.word` sequence inside a string literal
-    // ('p.note') or backtick identifier is content, not a reference.
-    val dequalified = SqlText.rewriteOutsideQuotes(spliced) { seg =>
+    // residual predicates evaluate against the matched row in the r_
+    // namespace (reference joinCondition semantics)
+    val dequalify: String => String = seg => {
       val rewritten = s"""(?i)\\b$ra\\.(\\w+)""".r
         .replaceAllIn(seg, mm => s"r_${mm.group(1)}")
       s"""(?i)\\b$la\\.(\\w+)""".r
         .replaceAllIn(rewritten, mm => mm.group(1))
     }
+    val filtered = residuals.result().foldLeft(joined) {
+      (df, pred) => df.where(expr(dequalify(pred)))
+    }
+
+    val view = s"__tj_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    filtered.createOrReplaceTempView(view)
+    val spliced =
+      query.substring(0, m.start) + s"FROM $view " + query.substring(onEnd)
+    // qualifier rewrite over the remaining statement: right alias maps to
+    // the r_ namespace, left alias qualifiers drop. Applied only OUTSIDE
+    // quoted segments — an `alias.word` sequence inside a string literal
+    // ('p.note') or backtick identifier is content, not a reference.
+    val dequalified = SqlText.rewriteOutsideQuotes(spliced)(dequalify)
     try spark.sql(dequalified)
     finally spark.catalog.dropTempView(view)
   }

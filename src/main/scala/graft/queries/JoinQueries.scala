@@ -166,6 +166,30 @@ object JoinQueries {
           |FROM asof_p AS p JOIN asof_v FOR SYSTEM_TIME AS OF p.ts AS v
           |ON p.user_id = v.user_id
           |ORDER BY p_id""".stripMargin)
+    }),
+
+    // Composite-key temporal join — the reference's join spec accepts a
+    // conjunction of equi-conditions (StreamExecTemporalJoin.java:77 /
+    // EventTimeTemporalJoinRewriteRule.java): each purchase joins the
+    // latest same-DAY view of the same user. Exercises the
+    // multi-predicate ON parse and the multi-column carry-forward
+    // partition in AsOfJoin.
+    "q_join_asof_multi" -> ((s, dir) => {
+      import s.implicits._
+      val ev = t(s, dir, "events")
+      ev.filter($"event_type" === "purchase")
+        .select($"event_id".as("p_id"), $"user_id",
+          to_date($"ts").as("day"), $"ts")
+        .createOrReplaceTempView("asofm_p")
+      ev.filter($"event_type" === "view")
+        .select($"event_id".as("v_id"), $"user_id",
+          to_date($"ts").as("day"), $"ts", $"value".as("v_value"))
+        .createOrReplaceTempView("asofm_v")
+      graft.operators.TemporalJoinSql.sql(s,
+        """SELECT p.p_id, v.v_id AS r_v_id, v.v_value AS r_v_value
+          |FROM asofm_p AS p JOIN asofm_v FOR SYSTEM_TIME AS OF p.ts AS v
+          |ON p.user_id = v.user_id AND p.day = v.day
+          |ORDER BY p_id""".stripMargin)
     })
   )
 
@@ -245,6 +269,14 @@ object JoinQueries {
         |v AS (SELECT event_id AS v_id, user_id, ts, value AS v_value FROM e WHERE event_type = 'view')
         |SELECT p.p_id, v.v_id AS r_v_id, v.v_value AS r_v_value
         |FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND v.ts <= p.ts
+        |ORDER BY p_id""".stripMargin,
+
+    "q_join_asof_multi" ->
+      """WITH e AS (SELECT event_id, user_id, make_timestamp(epoch_ns(ts) // 1000) AS ts, event_type, value FROM events),
+        |p AS (SELECT event_id AS p_id, user_id, CAST(ts AS DATE) AS day, ts FROM e WHERE event_type = 'purchase'),
+        |v AS (SELECT event_id AS v_id, user_id, CAST(ts AS DATE) AS day, ts, value AS v_value FROM e WHERE event_type = 'view')
+        |SELECT p.p_id, v.v_id AS r_v_id, v.v_value AS r_v_value
+        |FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND p.day = v.day AND v.ts <= p.ts
         |ORDER BY p_id""".stripMargin
   )
 }

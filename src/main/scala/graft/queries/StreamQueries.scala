@@ -1,0 +1,193 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders, SparkSession}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.queries.Q._
+import graft.streaming.{Changelog, RetractableTopN, StreamingRank}
+
+/** Streaming oracle parity — driver-visible proof that the stateful
+  * streaming operators produce the SAME table a batch query does, through
+  * the DuckDB oracle rather than ScalaTest alone.
+  *
+  * Each query REPLAYS a testdata table through a MemoryStream in several
+  * micro-batches, runs the streaming operator under test, accumulates its
+  * emitted changelog in a memory sink, and folds that changelog to the
+  * end-state table (an order-insensitive multiset reduction: +I/+U count
+  * +1, -U/-D count −1; rows with net count 1 survive — equivalent to
+  * [[Changelog.materialize]] but needing no emission sequence). The batch
+  * oracle never sees the stream: if the operator's incremental state
+  * machine is wrong, the fold diverges from the oracle and the row goes
+  * red.
+  *
+  * The driver-side collect feeds the REPLAY HARNESS only (bounded
+  * testdata → MemoryStream, the same shape every streaming spec uses);
+  * the operator under test runs distributed, keyed state and all. A
+  * production job would swap the MemoryStream for a Kafka/file source and
+  * drop the fold — the sink IS the changelog consumer there.
+  */
+object StreamQueries {
+
+  /** transformWithState needs the RocksDB state store; session-level so a
+    * plain Verify/Bench session picks it up at query start.
+    */
+  private def useRocksDb(s: SparkSession): Unit =
+    s.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+
+  /** Split into `n` consecutive chunks (micro-batch boundaries). Each
+    * chunk becomes ONE MemoryStream block = one input partition, so
+    * per-key arrival order inside a batch follows the chunk's row order.
+    */
+  private def chunks[T](xs: Seq[T], n: Int): Seq[Seq[T]] = {
+    val size = math.max(1, math.ceil(xs.length.toDouble / n).toInt)
+    xs.grouped(size).toSeq
+  }
+
+  /** Run a streaming Dataset to completion over pre-chunked input,
+    * forcing one micro-batch per chunk, and return the accumulated
+    * update-mode sink table.
+    */
+  private def runToEnd[T](s: SparkSession, input: MemoryStream[T],
+      out: DataFrame, batches: Seq[Seq[T]]): DataFrame = {
+    val name = s"qstream_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    val ckpt = java.nio.file.Files.createTempDirectory("qstream_ckpt").toString
+    val q = out.writeStream.format("memory").queryName(name)
+      .outputMode(if (out.isStreaming) "update" else "update")
+      .option("checkpointLocation", ckpt).start()
+    try batches.foreach { b => input.addData(b); q.processAllAvailable() }
+    finally q.stop()
+    s.table(name)
+  }
+
+  /** Order-insensitive changelog fold to the end state: net count per
+    * full row value must be exactly +1 (present) or 0 (retracted away).
+    */
+  private def foldChangelog(changes: DataFrame, kindCol: String): DataFrame = {
+    val valueCols = changes.columns.filterNot(_ == kindCol).toSeq
+    changes
+      .withColumn("__sign",
+        when(col(kindCol) === Changelog.Insert ||
+          col(kindCol) === Changelog.UpdateAfter, 1).otherwise(-1))
+      .groupBy(valueCols.map(col): _*)
+      .agg(sum(col("__sign")).as("__net"))
+      .filter(col("__net") === 1)
+      .drop("__net")
+  }
+
+  case class Ev(event_id: Long, user_id: Long, ts: java.sql.Timestamp,
+      event_type: String, value: Double)
+
+  /** events rows sorted by (ts, event_id) — replay in event-time order,
+    * the shape a rowtime source delivers within the watermark.
+    */
+  private def sortedEvents(s: SparkSession, dir: String): Seq[Ev] = {
+    import s.implicits._
+    t(s, dir, "events")
+      .select($"event_id", $"user_id", $"ts".cast("timestamp").as("ts"),
+        $"event_type", $"value")
+      .as[Ev].collect().toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+  }
+
+  val queries: Map[String, QFn] = Map(
+
+    // Streaming tumbling-window aggregate: the same GROUP BY
+    // window(ts, 1h), event_type plan as q_window_tumble, executed
+    // incrementally over 4 micro-batches with streaming agg state; the
+    // complete-mode sink's final table must equal the batch result.
+    "q_stream_tumble" -> ((s, dir) => {
+      import s.implicits._
+      implicit val sqlCtx = s.sqlContext
+      val rows = sortedEvents(s, dir)
+      val input = MemoryStream[Ev]
+      val agg = input.toDS()
+        .groupBy(window($"ts", "1 hour"), $"event_type")
+        .agg(count(lit(1)).as("n"), dsum($"value").as("sum_value"))
+        .select($"window.start".cast("timestamp_ntz").as("window_start"),
+          $"window.end".cast("timestamp_ntz").as("window_end"),
+          $"event_type", $"n", $"sum_value")
+      val name = s"qstream_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+      val ckpt = java.nio.file.Files.createTempDirectory("qstream_ckpt").toString
+      val q = agg.writeStream.format("memory").queryName(name)
+        .outputMode("complete").option("checkpointLocation", ckpt).start()
+      try chunks(rows, 4).foreach { b => input.addData(b); q.processAllAvailable() }
+      finally q.stop()
+      s.table(name).orderBy($"window_start", $"event_type")
+    }),
+
+    // Streaming keep-last dedup through the SQL rank-pattern recognition
+    // (rn = 1 ORDER BY ts DESC → StreamExecDeduplicate keep-last): the
+    // emitted +I/-U/+U retract stream folds to one final row per user.
+    "q_stream_dedup_last" -> ((s, dir) => {
+      import s.implicits._
+      implicit val sqlCtx = s.sqlContext
+      useRocksDb(s)
+      val rows = sortedEvents(s, dir)
+      val input = MemoryStream[Ev]
+      val ranked = input.toDS().toDF()
+        .withColumn("rn", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy($"user_id").orderBy($"ts".desc)))
+        .filter($"rn" === 1).drop("rn")
+      val changes = StreamingRank.rewrite(ranked)
+      val sink = runToEnd(s, input, changes, chunks(rows, 4))
+      foldChangelog(sink, Changelog.RowKindCol)
+        .select($"user_id", $"event_id".as("last_event_id"),
+          $"value".as("last_value"))
+        .orderBy($"user_id")
+    }),
+
+    // Streaming retractable top-n: inserts arrive over 3 batches, then a
+    // batch of DELETES (every event_id divisible by 7) — the reference's
+    // RetractableTopNFunction changelog contract. The emitted diff stream
+    // folds to the top-3 event_ids per type among surviving rows.
+    "q_stream_topn" -> ((s, dir) => {
+      import s.implicits._
+      implicit val sqlCtx = s.sqlContext
+      implicit val chEnc = Encoders.product[RetractableTopN.TopNChange]
+      useRocksDb(s)
+      val evs = t(s, dir, "events")
+        .select($"event_id", $"event_type").as[(Long, String)]
+        .collect().toSeq.sortBy(_._1)
+      val inserts = evs.map { case (id, tpe) =>
+        RetractableTopN.TopNChange(Changelog.Insert, tpe, id, id) }
+      val deletes = evs.collect { case (id, tpe) if id % 7 == 0 =>
+        RetractableTopN.TopNChange(Changelog.Delete, tpe, id, id) }
+      val input = MemoryStream[RetractableTopN.TopNChange]
+      val diffs = input.toDS().groupByKey(_.key)
+        .transformWithState(new RetractableTopN.RetractableTopNProcessor(3),
+          org.apache.spark.sql.streaming.TimeMode.None(),
+          org.apache.spark.sql.streaming.OutputMode.Update())
+      val sink = runToEnd(s, input, diffs.toDF(), chunks(inserts, 3) :+ deletes)
+      foldChangelog(sink, "kind")
+        .select($"key".as("event_type"), $"id")
+        .orderBy($"event_type", $"id")
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q_stream_tumble" ->
+      """WITH e AS (SELECT event_id, user_id, make_timestamp(epoch_ns(ts) // 1000) AS ts, event_type, value FROM events)
+        |SELECT time_bucket(INTERVAL 1 HOUR, ts) AS window_start,
+        |  time_bucket(INTERVAL 1 HOUR, ts) + INTERVAL 1 HOUR AS window_end,
+        |  event_type, COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+        |FROM e GROUP BY 1, 2, 3 ORDER BY window_start, event_type""".stripMargin,
+
+    "q_stream_dedup_last" ->
+      """WITH e AS (SELECT event_id, user_id, make_timestamp(epoch_ns(ts) // 1000) AS ts, event_type, value FROM events)
+        |SELECT user_id, event_id AS last_event_id, value AS last_value FROM (
+        |  SELECT user_id, event_id, value,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM e)
+        |WHERE rn = 1 ORDER BY user_id""".stripMargin,
+
+    "q_stream_topn" ->
+      """SELECT event_type, event_id AS id FROM (
+        |  SELECT event_type, event_id,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY event_id) AS rn
+        |  FROM events WHERE event_id % 7 <> 0)
+        |WHERE rn <= 3 ORDER BY event_type, id""".stripMargin
+  )
+}

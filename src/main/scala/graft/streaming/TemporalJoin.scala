@@ -132,16 +132,30 @@ object TemporalJoin {
     */
   def asOfStream(probeSide: DataFrame, versionSide: DataFrame, keyCol: String,
       tsCol: String, rightCols: Seq[String],
-      watermarkDelay: String = "0 seconds"): DataFrame = {
-    import org.apache.spark.sql.functions.{col, lit, struct}
+      watermarkDelay: String = "0 seconds"): DataFrame =
+    asOfStream(probeSide, versionSide, Seq(keyCol), tsCol, rightCols,
+      watermarkDelay)
+
+  /** Composite-key form: the grouping key is the JSON rendering of the
+    * key-column struct (field names disambiguate, so distinct value
+    * combinations map to distinct keys), mirroring the batch
+    * [[graft.operators.AsOfJoin]] multi-column partition.
+    */
+  def asOfStream(probeSide: DataFrame, versionSide: DataFrame,
+      keyCols: Seq[String], tsCol: String, rightCols: Seq[String],
+      watermarkDelay: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit, struct, to_json}
+    require(keyCols.nonEmpty, "asOfStream needs at least one key column")
+    def keyExpr = if (keyCols.lengthCompare(1) == 0) col(keyCols.head).cast("string")
+      else to_json(struct(keyCols.map(col): _*))
     val leftSchema = probeSide.schema
     val rightStruct = StructType(rightCols.map(c => versionSide.schema(c)))
     val taggedLeft = probeSide
-      .select(col(keyCol).cast("string").as("__tj_key"),
+      .select(keyExpr.as("__tj_key"),
         col(tsCol).cast("timestamp").as("__tj_ts"), lit(true).as("__tj_probe"),
         struct(leftSchema.fieldNames.map(col).toSeq: _*).as("__tj_l"))
     val taggedRight = versionSide
-      .select(col(keyCol).cast("string").as("__tj_key"),
+      .select(keyExpr.as("__tj_key"),
         col(tsCol).cast("timestamp").as("__tj_ts"), lit(false).as("__tj_probe"),
         struct(rightCols.map(col): _*).as("__tj_r"))
     val unioned = taggedLeft
@@ -158,14 +172,70 @@ object TemporalJoin {
         TimeMode.EventTime(), OutputMode.Append())
   }
 
+  /** Streaming probe against a BOUNDED versioned table — the reference's
+    * canonical dim-table temporal join (TemporalRowTimeJoinOperator.java:78
+    * with a bounded right input): the dim's full version history loads
+    * into keyed state when the query starts (transformWithState initial
+    * state — one shuffle of the dim on the key, state distributed across
+    * executors, no driver collect), then probes resolve against it
+    * watermark-driven exactly as in [[asOfStream]]. Version GC applies as
+    * the watermark passes superseded versions, so steady-state stays at
+    * one current version per key plus in-flight probes.
+    */
+  def asOfStreamStatic(probeSide: DataFrame, staticVersions: DataFrame,
+      keyCols: Seq[String], tsCol: String, rightCols: Seq[String],
+      watermarkDelay: String = "0 seconds"): DataFrame = {
+    import org.apache.spark.sql.functions.{col, collect_list, lit, struct, to_json}
+    require(probeSide.isStreaming, "probe side must be a streaming DataFrame")
+    require(!staticVersions.isStreaming, "version side must be bounded")
+    require(keyCols.nonEmpty, "asOfStreamStatic needs at least one key column")
+    def keyExpr(df: DataFrame) =
+      if (keyCols.lengthCompare(1) == 0) col(keyCols.head).cast("string")
+      else to_json(struct(keyCols.map(col): _*))
+    val leftSchema = probeSide.schema
+    val rightStruct = StructType(rightCols.map(c => staticVersions.schema(c)))
+    // probe rows carry a NULL __tj_r so the union schema matches the
+    // stream-stream operator's input shape
+    val taggedLeft = probeSide
+      .select(keyExpr(probeSide).as("__tj_key"),
+        col(tsCol).cast("timestamp").as("__tj_ts"), lit(true).as("__tj_probe"),
+        struct(leftSchema.fieldNames.map(col).toSeq: _*).as("__tj_l"),
+        lit(null).cast(rightStruct).as("__tj_r"))
+      .withWatermark("__tj_ts", watermarkDelay)
+    // one initial-state row per key: the key's version list
+    val versionsByKey = staticVersions
+      .select(keyExpr(staticVersions).as("__tj_key"),
+        struct(col(tsCol).cast("timestamp").as("ts"),
+          struct(rightCols.map(col): _*).as("v")).as("__tj_ver"))
+      .groupBy("__tj_key")
+      .agg(collect_list(col("__tj_ver")).as("versions"))
+    val outSchema = StructType(leftSchema.fields ++
+      rightStruct.fields.map(f => f.copy(name = s"r_${f.name}", nullable = true)))
+    val outEnc: org.apache.spark.sql.Encoder[Row] = Encoders.row(outSchema)
+    implicit val keyEnc: org.apache.spark.sql.Encoder[String] = Encoders.STRING
+    val initEnc: org.apache.spark.sql.Encoder[Row] =
+      Encoders.row(versionsByKey.schema)
+    val initState = versionsByKey.groupByKey((r: Row) => r.getString(0))
+    taggedLeft
+      .groupByKey((r: Row) => r.getString(r.fieldIndex("__tj_key")))
+      .transformWithState(
+        new RowTemporalJoinProcessor(taggedLeft.schema, leftSchema, rightStruct),
+        TimeMode.EventTime(), OutputMode.Append(), initState)(outEnc, initEnc)
+  }
+
   /** Row-payload twin of [[TemporalJoinProcessor]]: probes buffer as
     * (ts, seq, leftRow) — `seq` preserves arrival order on equal
     * timestamps — versions as ts → payload struct; the watermark timer
     * resolves and GCs through [[advanceGeneric]].
+    *
+    * Also usable with transformWithState INITIAL STATE
+    * ([[asOfStreamStatic]]): the initial-state row is a key's full
+    * version list from the bounded build side, loaded straight into the
+    * versions MapState before the first batch.
     */
   class RowTemporalJoinProcessor(unionSchema: StructType,
       leftSchema: StructType, rightStruct: StructType)
-      extends StatefulProcessor[String, Row, Row] {
+      extends StatefulProcessorWithInitialState[String, Row, Row, Row] {
     private val probeSchema = StructType(Seq(
       StructField("ts", org.apache.spark.sql.types.LongType),
       StructField("seq", org.apache.spark.sql.types.LongType),
@@ -184,6 +254,16 @@ object TemporalJoin {
       versions = getHandle.getMapState[Long, Row]("versions",
         Encoders.scalaLong, Encoders.row(rightStruct), TTLConfig.NONE)
       seq = getHandle.getValueState[Long]("seq", Encoders.scalaLong, TTLConfig.NONE)
+    }
+
+    /** Initial-state row: (key, versions: array<struct<ts, v>>) — the
+      * bounded build side's history for this key.
+      */
+    override def handleInitialState(key: String, initialState: Row,
+        timerValues: TimerValues): Unit = {
+      initialState.getSeq[Row](initialState.fieldIndex("versions")).foreach { ver =>
+        versions.updateValue(ver.getTimestamp(0).getTime, ver.getStruct(1))
+      }
     }
 
     override def handleInputRows(key: String, rows: Iterator[Row],
