@@ -1,0 +1,59 @@
+package graft
+
+import org.apache.spark.sql.{AnalysisException, DataFrame, SparkSession}
+
+import graft.operators.{MatchRecognizeSql, TemporalJoinSql, WindowTvf}
+
+/** The single SQL entry point — the engine's analogue of the reference's
+  * one parser front door (flink-sql-parser ParserImpl.java:91, which
+  * accepts MATCH_RECOGNIZE, window TVFs, and FOR SYSTEM_TIME AS OF in one
+  * grammar). A statement may use any combination of the three extended
+  * constructs; each is rewritten in turn (MATCH_RECOGNIZE, then window
+  * TVF calls, then temporal-join spans — re-checked in that order until
+  * none remain), and the residual plain-Spark statement executes once. A
+  * statement using none of them falls straight through to `spark.sql`.
+  *
+  * The construct-specific entries ([[graft.cep.MatchRecognize]],
+  * [[graft.operators.WindowTvf.sql]], [[graft.operators.TemporalJoinSql.sql]])
+  * stay available for single-construct use; this is the one a user who
+  * just has SQL text should call.
+  */
+object GraftSql {
+
+  def sql(spark: SparkSession, query: String): DataFrame =
+    run(spark, query, forceExpand = false)
+
+  private def run(spark: SparkSession, query: String,
+      forceExpand: Boolean): DataFrame = {
+    var text = query
+    val views = scala.collection.mutable.Buffer.empty[String]
+    var batchSessionRoute = false
+    var progressed = true
+    while (progressed) {
+      MatchRecognizeSql.step(spark, text) match {
+        case Some((t, vs)) => text = t; views ++= vs
+        case None => WindowTvf.step(spark, text, forceExpand) match {
+          case Some(s) =>
+            text = s.text; views ++= s.views
+            batchSessionRoute |= s.batchSessionRoute
+          case None => TemporalJoinSql.step(spark, text) match {
+            case Some((t, vs)) => text = t; views ++= vs
+            case None => progressed = false
+          }
+        }
+      }
+    }
+    try spark.sql(text)
+    catch {
+      // a batch SESSION TVF that took the session_window route can lose
+      // an output-name reference (window_start only inside SELECT
+      // expressions leaves no alias for ORDER BY/HAVING) — re-run the
+      // whole chain with the analytic expansion instead
+      case e: AnalysisException if batchSessionRoute && !forceExpand =>
+        views.foreach(spark.catalog.dropTempView)
+        views.clear()
+        run(spark, query, forceExpand = true)
+    }
+    finally views.foreach(spark.catalog.dropTempView)
+  }
+}

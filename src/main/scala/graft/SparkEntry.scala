@@ -23,7 +23,8 @@ object SparkEntry {
       (LateralQueries.queries, LateralQueries.oracles),
       (PipelineQueries.queries, PipelineQueries.oracles),
       (CepQueries.queries, CepQueries.oracles),
-      (SqlQueries.queries, SqlQueries.oracles)
+      (SqlQueries.queries, SqlQueries.oracles),
+      (StreamQueries.queries, StreamQueries.oracles)
     )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

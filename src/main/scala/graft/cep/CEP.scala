@@ -116,13 +116,33 @@ object CEP {
   case class StepState[E](buffer: IndexedSeq[E], emitted: Map[Long, Long])
   object StepState { def empty[E]: StepState[E] = StepState(Vector.empty, Map.empty) }
 
-  /** 64-bit identity of a complete match (stage names + consumed event
-    * hashes, order-sensitive) — the re-scan dedupe key for overlapping
-    * skip strategies.
+  /** 64-bit identity of a complete match — the re-scan dedupe key for
+    * overlapping skip strategies. Built from STABLE content only: stage
+    * names plus each consumed event's (timestamp, offset-from-anchor in
+    * the sorted buffer). Event hashCodes would not survive a state
+    * round-trip for types without value-based hashing (bean-encoded
+    * classes, arrays in case classes) and can collide across distinct
+    * events; timestamps re-derive identically from deserialized state,
+    * and the anchor-relative offset (deterministic: first value-equal
+    * occurrence scanning forward) disambiguates timestamp ties. Offsets
+    * are stable across micro-batches because the buffer is sorted and
+    * evicts only from the front.
     */
-  def matchKey[E](m: Seq[(String, Seq[E])]): Long = {
+  def matchKey[E](all: IndexedSeq[E], start: Int, m: Seq[(String, Seq[E])],
+      tsFn: E => Long): Long = {
     import scala.util.hashing.MurmurHash3
-    val parts = m.map { case (n, evs) => (n, evs.map(_.##)) }
+    var idx = start
+    val parts = m.map { case (n, evs) =>
+      (n, evs.map { e =>
+        // stages consume in strict buffer order; find this event's
+        // position, then move past it so value-equal consecutive events
+        // still get distinct offsets
+        while (idx < all.length && all(idx) != e) idx += 1
+        val off = idx - start
+        idx += 1
+        (tsFn(e), off)
+      })
+    }
     val h1 = MurmurHash3.orderedHash(parts)
     val h2 = MurmurHash3.orderedHash(parts.reverse, 0x9747b28c)
     (h1.toLong << 32) | (h2.toLong & 0xffffffffL)
@@ -169,7 +189,8 @@ object CEP {
     // independent-anchor strategies rescan and need the identity filter
     val newMs =
       if (jumpy) matches
-      else matches.filterNot { case (_, _, m) => state.emitted.contains(matchKey(m)) }
+      else matches.filterNot { case (s, _, m) =>
+        state.emitted.contains(matchKey(all, s, m, tsFn)) }
     val scanTrimmed = if (jumpy) all.drop(resume) else all
     val withinBound = pattern.withinMs match {
       case Some(w) if scanTrimmed.nonEmpty =>
@@ -186,7 +207,7 @@ object CEP {
       else {
         val headTs = retained.headOption.map(tsFn).getOrElse(Long.MaxValue)
         (state.emitted ++ newMs.map { case (s, _, m) =>
-          matchKey(m) -> tsFn(all(s))
+          matchKey(all, s, m, tsFn) -> tsFn(all(s))
         }).filter { case (_, anchorTs) => anchorTs >= headTs }
       }
     (newMs, StepState(retained.toIndexedSeq, emitted))

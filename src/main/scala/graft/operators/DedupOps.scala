@@ -204,12 +204,16 @@ object DedupOps {
     // Small signature spaces route to the hamming-ball join: its work is
     // bounded by |distinct sigs| * |ball|, independent of corpus size and
     // skew — strictly dominating the banded screen when the ball fits.
-    // An explicit saltTarget is an explicit request for the banded+salted
-    // shape (the general path for wide signatures), so it opts out.
+    // The AUTOMATIC route stops at 16-bit signatures (≤ 65k distinct
+    // sigs × ball ≈ tens of millions of join rows, cheap anywhere);
+    // at 24 bits the same product can reach tens of BILLIONS, so wider
+    // spaces stay on the banded path unless the caller opts in by
+    // calling hammingBallPairs directly. An explicit saltTarget is an
+    // explicit request for the banded+salted shape, so it opts out too.
     val ballSize = (0 to maxHamming).map(k =>
       (0 until k).map(i => BigInt(bits - i)).product /
         (1 to k.max(1)).map(BigInt(_)).product).sum
-    if (saltTarget == 0 && bits <= 24 && ballSize <= 4096)
+    if (saltTarget == 0 && bits <= 16 && ballSize <= 4096)
       return hammingBallPairs(sig, maxHamming, bits, idCol, sigCol)
     // Natural-text simhash chunks are heavily skewed — at sf0.1 the
     // hottest of the 64 (band, chunk) buckets holds ~37% of the corpus

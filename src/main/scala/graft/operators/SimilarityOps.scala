@@ -239,12 +239,17 @@ object SimilarityOps {
     * verification against `threshold`. Never an all-pairs product —
     * expected scored fraction ≈ (bits + 1) / 2^bits of the corpus pairs;
     * each qualifying pair meets in exactly one (probe, bucket) key, so
-    * no post-join dedup is needed. Same hot-bucket caveat as the other
-    * LSH screens: salting/AQE territory if a bucket is hot.
+    * no post-join dedup is needed. Hot-bucket exposure (a dense embedding
+    * cluster landing in one bucket) is bounded by `saltTarget` > 0:
+    * size-aware salting splits each bucket's BUILD side into
+    * ceil(|bucket|/saltTarget) groups and replicates probe rows per
+    * group — per-join-key build rows stay ~saltTarget regardless of the
+    * skew ratio, the same key-level guard [[DedupOps.simhashPairs]] uses.
     */
   def embedNearDupPairs(corpus: DataFrame, threshold: Double,
       dim: Int = 64, bits: Int = 6, probeRadius: Int = 1,
-      idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
+      idCol: String = "vec_id", embCol: String = "embedding",
+      saltTarget: Int = 0): DataFrame = {
     require(probeRadius >= 0 && probeRadius <= 1, "probeRadius 0 or 1")
     val c = corpus.select(col(idCol).as("id_b"), col(embCol).as("emb_b"),
       norm(col(embCol)).as("n_b"),
@@ -258,11 +263,36 @@ object SimilarityOps {
         col("ab").bitwiseXOR(lit(1L << i))): _*)
     val probes = a.select(col("id_a"), col("emb_a"), col("n_a"),
       explode(probeList).as("bucket"))
-    probes.join(c, "bucket")
+    val joined =
+      if (saltTarget > 0) {
+        val (ps, cs) = saltedBucketSides(probes, c, saltTarget)
+        ps.join(cs, Seq("bucket", "__salt"))
+      } else probes.join(c, "bucket")
+    joined
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
         (dot(col("emb_a"), col("emb_b")) / (col("n_a") * col("n_b"))).as("cos"))
       .filter(col("cos") >= threshold)
+  }
+
+  /** Size-aware salted sides over the RP-LSH bucket join: build rows
+    * (`id_b`) hash into one of ceil(|bucket|/saltTarget) salt groups,
+    * probe rows replicate across them — every (probe, build) pair still
+    * meets exactly once, now under (bucket, __salt). The bucket-size agg
+    * is 2^bits rows at most: broadcast. Exposed for the skew spec.
+    */
+  private[graft] def saltedBucketSides(probes: DataFrame, c: DataFrame,
+      saltTarget: Int): (DataFrame, DataFrame) = {
+    val sizes = c.groupBy(col("bucket")).agg(count(lit(1)).as("__bn"))
+    def nsalt = ceil(col("__bn").cast("double") / saltTarget).cast("int")
+    val cs = c.join(broadcast(sizes), Seq("bucket"))
+      .withColumn("__salt",
+        pmod(xxhash64(col("id_b")), nsalt.cast("long")).cast("int"))
+      .drop("__bn")
+    val ps = probes.join(broadcast(sizes), Seq("bucket"))
+      .withColumn("__salt", explode(sequence(lit(0), nsalt - 1)))
+      .drop("__bn")
+    (ps, cs)
   }
 
   /** {-1,+1} signs for pseudo-random hyperplane `b` over `dim` dims. */

@@ -8,19 +8,33 @@ package graft.operators
   * Quoting rules covered: single-quote strings, double-quote strings/
   * identifiers, backtick identifiers; doubled closing quotes ('') and —
   * for the non-backtick forms — backslash escapes (Spark's default
-  * parser accepts \' inside a single-quoted literal).
+  * parser accepts \' inside a single-quoted literal). SQL comments
+  * (`--` to end of line, bracketed `/* … */`) are masked the same way:
+  * an apostrophe inside `-- don't` must not open a bogus quote span
+  * that swallows the rest of the statement.
   */
 private[operators] object SqlText {
 
-  /** [start, end) spans of quoted regions, quotes included. An unclosed
-    * quote spans to the end of the string.
+  /** [start, end) spans of quoted regions and comments, delimiters
+    * included. An unclosed quote or block comment spans to the end of
+    * the string.
     */
   def quotedSpans(s: String): Seq[(Int, Int)] = {
     val spans = Seq.newBuilder[(Int, Int)]
     var i = 0
     while (i < s.length) {
       val ch = s.charAt(i)
-      if (ch == '\'' || ch == '"' || ch == '`') {
+      if (ch == '-' && i + 1 < s.length && s.charAt(i + 1) == '-') {
+        var j = i + 2
+        while (j < s.length && s.charAt(j) != '\n') j += 1
+        spans += ((i, j)) // the newline itself stays outside the span
+        i = j
+      } else if (ch == '/' && i + 1 < s.length && s.charAt(i + 1) == '*') {
+        val close = s.indexOf("*/", i + 2)
+        val j = if (close < 0) s.length else close + 2
+        spans += ((i, j))
+        i = j
+      } else if (ch == '\'' || ch == '"' || ch == '`') {
         var j = i + 1
         var closed = false
         while (j < s.length && !closed) {

@@ -97,16 +97,35 @@ object TemporalJoinSql {
     (terms.result(), end)
   }
 
-  /** Execute a SQL statement containing the FOR SYSTEM_TIME AS OF join. */
-  def sql(spark: SparkSession, query: String,
-      rightTimeCol: Option[String] = None): DataFrame = {
+  /** Rewrite the statement's first FOR SYSTEM_TIME span WITHOUT
+    * executing (the chaining unit [[graft.GraftSql]] composes): computes
+    * the as-of join, registers it as a temp view, and returns the
+    * spliced + dequalified text plus the view name for the caller to
+    * drop after execution. None when the statement has no span.
+    */
+  private[graft] def step(spark: SparkSession, query: String,
+      rightTimeCol: Option[String] = None): Option[(String, Seq[String])] = {
     // match on the quote-masked text so a span inside a string literal is
     // never taken for the join idiom; positions line up with `query`
     val masked = SqlText.maskQuoted(query)
-    val m = JoinRe.findFirstMatchIn(masked).getOrElse(
+    JoinRe.findFirstMatchIn(masked).map(m =>
+      rewriteSpan(spark, query, masked, m, rightTimeCol))
+  }
+
+  /** Execute a SQL statement containing the FOR SYSTEM_TIME AS OF join. */
+  def sql(spark: SparkSession, query: String,
+      rightTimeCol: Option[String] = None): DataFrame = {
+    val (text, views) = step(spark, query, rightTimeCol).getOrElse(
       throw new IllegalArgumentException(
         "no `FROM l [AS] a JOIN r FOR SYSTEM_TIME AS OF a.ts [AS] b ON …` " +
           "span found in statement"))
+    try spark.sql(text)
+    finally views.foreach(spark.catalog.dropTempView)
+  }
+
+  private def rewriteSpan(spark: SparkSession, query: String, masked: String,
+      m: scala.util.matching.Regex.Match,
+      rightTimeCol: Option[String]): (String, Seq[String]) = {
     // the textual splice replaces the span with `FROM <view>` at ITS
     // nesting level only — a span inside a derived-table subquery would
     // splice at the wrong level, so reject it loudly
@@ -196,8 +215,6 @@ object TemporalJoinSql {
     // the r_ namespace, left alias qualifiers drop. Applied only OUTSIDE
     // quoted segments — an `alias.word` sequence inside a string literal
     // ('p.note') or backtick identifier is content, not a reference.
-    val dequalified = SqlText.rewriteOutsideQuotes(spliced)(dequalify)
-    try spark.sql(dequalified)
-    finally spark.catalog.dropTempView(view)
+    (SqlText.rewriteOutsideQuotes(spliced)(dequalify), Seq(view))
   }
 }

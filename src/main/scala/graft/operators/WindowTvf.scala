@@ -26,36 +26,72 @@ import org.apache.spark.sql.functions._
   */
 object WindowTvf {
 
-  /** Execute a SQL statement whose FROM references a window TVF. */
-  def sql(spark: SparkSession, query: String): DataFrame = {
-    val call = findCall(query).getOrElse(throw new IllegalArgumentException(
-      "no TUMBLE/HOP/CUMULATE/SESSION(TABLE …) call found in statement"))
-    val (tableName, partCols) = parseTableArg(call)
-    val df = spark.table(tableName)
-    // SESSION statements in the pure window-aggregate shape route to the
-    // built-in session_window group — the reference's TVF execution
-    // merges exactly so (StreamExecWindowTableFunction.java:73 into the
-    // window agg). On a stream this is the only legal plan (Spark
-    // rejects the analytic annotation path); on batch it HALVES the
-    // shuffle count vs the two analytic passes (one session agg instead
-    // of lag + running-sum windows), so it is the preferred route there
-    // too. Statements that really need per-row annotation (window_time,
-    // no window GROUP BY) fall back to the analytic expansion.
-    val sessionRouted =
-      if (call.fn == "SESSION")
-        sessionWindowSql(spark, query, call, tableName, partCols)
-      else None
-    sessionRouted.getOrElse {
-      require(!df.isStreaming || call.fn != "SESSION",
-        "streaming SESSION TVF supports only the pure window-aggregate " +
-          "shape: GROUP BY must include window_start and window_end, and " +
-          "window_time is unavailable")
-      val expanded = expand(spark, call, df, partCols)
-      val view = s"__tvf_${java.util.UUID.randomUUID().toString.replace("-", "")}"
-      expanded.createOrReplaceTempView(view)
-      try spark.sql(query.substring(0, call.from) + view + query.substring(call.to))
-      finally spark.catalog.dropTempView(view)
+  /** One textual rewrite: text after the step, temp views it registered
+    * (caller drops them after execution), and whether the step took the
+    * batch session_window route (execution-fallback eligible).
+    */
+  private[graft] case class Step(text: String, views: Seq[String],
+      batchSessionRoute: Boolean)
+
+  /** Rewrite the statement's first TVF call to plain SQL WITHOUT
+    * executing — the chaining unit [[graft.GraftSql]] composes. Returns
+    * None when the statement has no TVF call. `forceExpand` skips the
+    * session_window route (the execution-level fallback when that
+    * rewrite loses an ORDER BY/HAVING output-name reference).
+    */
+  private[graft] def step(spark: SparkSession, query: String,
+      forceExpand: Boolean = false): Option[Step] =
+    findCall(query).map { call =>
+      val (tableName, partCols) = parseTableArg(call)
+      val df = spark.table(tableName)
+      // SESSION statements in the pure window-aggregate shape route to the
+      // built-in session_window group — the reference's TVF execution
+      // merges exactly so (StreamExecWindowTableFunction.java:73 into the
+      // window agg). On a stream this is the only legal plan (Spark
+      // rejects the analytic annotation path); on batch it HALVES the
+      // shuffle count vs the two analytic passes (one session agg instead
+      // of lag + running-sum windows), so it is the preferred route there
+      // too. Statements that really need per-row annotation (window_time,
+      // no window GROUP BY) fall back to the analytic expansion.
+      val sessionRouted =
+        if (call.fn == "SESSION" && !forceExpand)
+          sessionWindowText(spark, query, call, tableName, partCols)
+            .map(Step(_, Nil, batchSessionRoute = !df.isStreaming))
+        else None
+      sessionRouted.getOrElse {
+        require(!df.isStreaming || call.fn != "SESSION",
+          "streaming SESSION TVF supports only the pure window-aggregate " +
+            "shape: GROUP BY must include window_start and window_end, and " +
+            "window_time is unavailable")
+        val expanded = expand(spark, call, df, partCols)
+        val view = s"__tvf_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+        expanded.createOrReplaceTempView(view)
+        Step(query.substring(0, call.from) + view + query.substring(call.to),
+          Seq(view), batchSessionRoute = false)
+      }
     }
+
+  /** Execute a SQL statement whose FROM references a window TVF. */
+  def sql(spark: SparkSession, query: String): DataFrame =
+    sqlImpl(spark, query, forceExpand = false)
+
+  private def sqlImpl(spark: SparkSession, query: String,
+      forceExpand: Boolean): DataFrame = {
+    val s = step(spark, query, forceExpand).getOrElse(
+      throw new IllegalArgumentException(
+        "no TUMBLE/HOP/CUMULATE/SESSION(TABLE …) call found in statement"))
+    try spark.sql(s.text)
+    catch {
+      // the session_window rewrite can lose an output-name reference
+      // (window_start appearing only inside SELECT expressions leaves no
+      // alias for ORDER BY/HAVING to resolve against) — on batch, fall
+      // back to the analytic expansion, which always aliases; streaming
+      // keeps the loud error (the expansion is stream-illegal)
+      case e: org.apache.spark.sql.AnalysisException
+          if s.batchSessionRoute && !forceExpand =>
+        sqlImpl(spark, query, forceExpand = true)
+    }
+    finally s.views.foreach(spark.catalog.dropTempView)
   }
 
   /** Rewrite a pure-window-aggregate `SESSION(TABLE …)` statement into a
@@ -67,8 +103,8 @@ object WindowTvf {
     * when the statement is not that shape (references window_time, or
     * lacks the window GROUP BY).
     */
-  private def sessionWindowSql(spark: SparkSession, query: String,
-      call: Call, tableName: String, partCols: Seq[String]): Option[DataFrame] = {
+  private def sessionWindowText(spark: SparkSession, query: String,
+      call: Call, tableName: String, partCols: Seq[String]): Option[String] = {
     if ("""(?i)\bwindow_time\b""".r
       .findFirstIn(SqlText.maskQuoted(query)).isDefined) return None
     val tsCol = descriptorCol(call)
@@ -142,7 +178,7 @@ object WindowTvf {
     val rewritten =
       rewriteCol(rewriteCol(selectSeg, "window_start", "start"),
         "window_end", "end") + rest
-    Some(spark.sql(rewritten))
+    Some(rewritten)
   }
 
   // ------------------------------------------------------------- parsing

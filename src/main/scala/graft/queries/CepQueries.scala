@@ -25,11 +25,15 @@ object CepQueries {
     // technique the reference's MatchRecognizeITCase uses.
     "q_cep_next" -> ((s, dir) => {
       import s.implicits._
-      val ev = t(s, dir, "events")
+      t(s, dir, "events")
         .select($"user_id", unix_micros(col("ts").cast(TimestampType)).as("ts"),
           $"event_type", $"event_id")
-      MatchRecognize(ev,
-        """MATCH_RECOGNIZE (
+        .createOrReplaceTempView("cep_ev")
+      // full-statement form through the unified front door (GraftSql →
+      // MatchRecognizeSql → the batch NFA), the reference's one-parser
+      // surface
+      graft.GraftSql.sql(s,
+        """SELECT * FROM cep_ev MATCH_RECOGNIZE (
           |  PARTITION BY user_id
           |  ORDER BY ts, event_id
           |  MEASURES A.event_id AS purchase_id, B.event_id AS error_id
@@ -38,8 +42,7 @@ object CepQueries {
           |  PATTERN (A B)
           |  DEFINE A AS A.event_type = 'purchase',
           |         B AS B.event_type = 'error'
-          |)""".stripMargin)
-        .orderBy($"user_id", $"purchase_id")
+          |) ORDER BY user_id, purchase_id""".stripMargin)
     }),
 
     // Greedy consecutive run: one-or-more clicks (SQL quantifier
@@ -48,11 +51,12 @@ object CepQueries {
     // with an islands computation.
     "q_cep_run" -> ((s, dir) => {
       import s.implicits._
-      val ev = t(s, dir, "events")
+      t(s, dir, "events")
         .select($"user_id", unix_micros(col("ts").cast(TimestampType)).as("ts"),
           $"event_type", $"event_id")
-      MatchRecognize(ev,
-        """MATCH_RECOGNIZE (
+        .createOrReplaceTempView("cep_ev_run")
+      graft.GraftSql.sql(s,
+        """SELECT * FROM cep_ev_run MATCH_RECOGNIZE (
           |  PARTITION BY user_id
           |  ORDER BY ts, event_id
           |  MEASURES B.event_id AS purchase_id, COUNT(A.*) AS n_clicks
@@ -61,8 +65,7 @@ object CepQueries {
           |  PATTERN (A+ B)
           |  DEFINE A AS A.event_type = 'click',
           |         B AS B.event_type = 'purchase'
-          |)""".stripMargin)
-        .orderBy($"user_id", $"purchase_id")
+          |) ORDER BY user_id, purchase_id""".stripMargin)
     }),
 
     // PREV navigation through the SQL front door: maximal runs of
@@ -71,11 +74,12 @@ object CepQueries {
     // runs with a lag + gaps-and-islands computation.
     "q_cep_prev" -> ((s, dir) => {
       import s.implicits._
-      val ev = t(s, dir, "events")
+      t(s, dir, "events")
         .select($"user_id", unix_micros(col("ts").cast(TimestampType)).as("ts"),
           $"event_type", $"event_id")
-      MatchRecognize(ev,
-        """MATCH_RECOGNIZE (
+        .createOrReplaceTempView("cep_ev_prev")
+      graft.GraftSql.sql(s,
+        """SELECT * FROM cep_ev_prev MATCH_RECOGNIZE (
           |  PARTITION BY user_id
           |  ORDER BY ts, event_id
           |  MEASURES FIRST(D.event_id) AS start_id, LAST(D.event_id) AS end_id,
@@ -84,8 +88,7 @@ object CepQueries {
           |  AFTER MATCH SKIP PAST LAST ROW
           |  PATTERN (D+)
           |  DEFINE D AS event_id < PREV(event_id)
-          |)""".stripMargin)
-        .orderBy($"user_id", $"start_id")
+          |) ORDER BY user_id, start_id""".stripMargin)
     }),
 
     // within-window variant: purchase strictly followed by an error no

@@ -161,7 +161,7 @@ object JoinQueries {
       ev.filter($"event_type" === "view")
         .select($"event_id".as("v_id"), $"user_id", $"ts", $"value".as("v_value"))
         .createOrReplaceTempView("asof_v")
-      graft.operators.TemporalJoinSql.sql(s,
+      graft.GraftSql.sql(s,
         """SELECT p.p_id, v.v_id AS r_v_id, v.v_value AS r_v_value
           |FROM asof_p AS p JOIN asof_v FOR SYSTEM_TIME AS OF p.ts AS v
           |ON p.user_id = v.user_id
@@ -185,7 +185,7 @@ object JoinQueries {
         .select($"event_id".as("v_id"), $"user_id",
           to_date($"ts").as("day"), $"ts", $"value".as("v_value"))
         .createOrReplaceTempView("asofm_v")
-      graft.operators.TemporalJoinSql.sql(s,
+      graft.GraftSql.sql(s,
         """SELECT p.p_id, v.v_id AS r_v_id, v.v_value AS r_v_value
           |FROM asofm_p AS p JOIN asofm_v FOR SYSTEM_TIME AS OF p.ts AS v
           |ON p.user_id = v.user_id AND p.day = v.day

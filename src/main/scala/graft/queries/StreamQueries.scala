@@ -5,7 +5,7 @@ import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 
 import graft.queries.Q._
-import graft.streaming.{Changelog, RetractableTopN, StreamingRank}
+import graft.streaming.{Changelog, RetractableTopN, StreamingRank, TemporalJoin}
 
 /** Streaming oracle parity — driver-visible proof that the stateful
   * streaming operators produce the SAME table a batch query does, through
@@ -163,6 +163,45 @@ object StreamQueries {
       foldChangelog(sink, "kind")
         .select($"key".as("event_type"), $"id")
         .orderBy($"event_type", $"id")
+    }),
+
+    // Streaming mixed-mode temporal join: purchase probes replay as a
+    // stream against the BOUNDED views dim loaded into keyed state at
+    // query start (TemporalJoin.asOfStreamStatic — the reference's
+    // versioned-dim-table shape). Probes resolve watermark-driven; two
+    // far-future sentinel probes push the watermark past every real one
+    // so the append sink carries the complete result, which must equal
+    // the batch ASOF oracle (same SQL as q_join_asof).
+    "q_stream_asof" -> ((s, dir) => {
+      import s.implicits._
+      implicit val sqlCtx = s.sqlContext
+      useRocksDb(s)
+      val ev = t(s, dir, "events")
+      val probes = ev.filter($"event_type" === "purchase")
+        .select($"event_id".as("p_id"), $"user_id",
+          $"ts".cast("timestamp").as("ts"))
+        .as[(Long, Long, java.sql.Timestamp)]
+        .collect().toSeq.sortBy(p => (p._3.getTime, p._1))
+      val dim = ev.filter($"event_type" === "view")
+        .select($"event_id".as("v_id"), $"user_id",
+          $"ts".cast("timestamp").as("ts"), $"value".as("v_value"))
+      val maxTs = probes.map(_._3.getTime).max
+      def sentinel(off: Long) =
+        Seq((-1L, -1L, new java.sql.Timestamp(maxTs + off)))
+      val input = MemoryStream[(Long, Long, java.sql.Timestamp)]
+      // 1h watermark delay: probes replay in ascending (ts, id) order, so
+      // the lagging watermark never drops one as late even when a chunk
+      // boundary splits equal timestamps; the sentinels at max+1h/+2h
+      // still push it past every real probe at the end
+      val joined = TemporalJoin.asOfStreamStatic(
+        input.toDS().toDF("p_id", "user_id", "ts"),
+        dim, Seq("user_id"), "ts", Seq("v_id", "v_value"),
+        watermarkDelay = "1 hour")
+      val sink = runToEnd(s, input, joined,
+        chunks(probes, 3) ++ Seq(sentinel(3600000L), sentinel(7200000L)))
+      sink.filter($"p_id" >= 0)
+        .select($"p_id", $"r_v_id", $"r_v_value")
+        .orderBy($"p_id")
     })
   )
 
@@ -188,6 +227,14 @@ object StreamQueries {
         |  SELECT event_type, event_id,
         |    row_number() OVER (PARTITION BY event_type ORDER BY event_id) AS rn
         |  FROM events WHERE event_id % 7 <> 0)
-        |WHERE rn <= 3 ORDER BY event_type, id""".stripMargin
+        |WHERE rn <= 3 ORDER BY event_type, id""".stripMargin,
+
+    "q_stream_asof" ->
+      """WITH e AS (SELECT event_id, user_id, make_timestamp(epoch_ns(ts) // 1000) AS ts, event_type, value FROM events),
+        |p AS (SELECT event_id AS p_id, user_id, ts FROM e WHERE event_type = 'purchase'),
+        |v AS (SELECT event_id AS v_id, user_id, ts, value AS v_value FROM e WHERE event_type = 'view')
+        |SELECT p.p_id, v.v_id AS r_v_id, v.v_value AS r_v_value
+        |FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND v.ts <= p.ts
+        |ORDER BY p_id""".stripMargin
   )
 }

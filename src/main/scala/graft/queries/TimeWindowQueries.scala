@@ -129,7 +129,7 @@ object TimeWindowQueries {
     // oracles are shared with the DataFrame forms above.
     "q_tvf_tumble" -> ((s, dir) => {
       graft.Tables.registerAll(s, dir)
-      graft.operators.WindowTvf.sql(s,
+      graft.GraftSql.sql(s,
         """SELECT window_start, window_end, event_type, COUNT(*) AS n,
           |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
           |FROM TABLE(TUMBLE(TABLE events, DESCRIPTOR(ts), INTERVAL '1' HOUR))
@@ -139,7 +139,7 @@ object TimeWindowQueries {
 
     "q_tvf_hop" -> ((s, dir) => {
       graft.Tables.registerAll(s, dir)
-      graft.operators.WindowTvf.sql(s,
+      graft.GraftSql.sql(s,
         """SELECT window_start, window_end, event_type, COUNT(*) AS n,
           |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
           |FROM TABLE(HOP(TABLE events, DESCRIPTOR(ts), INTERVAL '30' MINUTES, INTERVAL '1' HOUR))
@@ -149,7 +149,7 @@ object TimeWindowQueries {
 
     "q_tvf_cumulate" -> ((s, dir) => {
       graft.Tables.registerAll(s, dir)
-      graft.operators.WindowTvf.sql(s,
+      graft.GraftSql.sql(s,
         """SELECT window_start, window_end, event_type, COUNT(*) AS n,
           |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
           |FROM TABLE(CUMULATE(TABLE events, DESCRIPTOR(ts), INTERVAL '1' HOUR, INTERVAL '4' HOURS))
@@ -159,7 +159,7 @@ object TimeWindowQueries {
 
     "q_tvf_session" -> ((s, dir) => {
       graft.Tables.registerAll(s, dir)
-      graft.operators.WindowTvf.sql(s,
+      graft.GraftSql.sql(s,
         """SELECT window_start AS session_start, window_end AS session_end,
           |  user_id, COUNT(*) AS n,
           |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value

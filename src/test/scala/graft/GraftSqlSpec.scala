@@ -1,0 +1,90 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.Row
+
+/** The unified SQL front door: construct detection, chaining of multiple
+  * rewrites in one statement, plain-SQL fallthrough, and the batch
+  * SESSION execution fallback.
+  */
+class GraftSqlSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def ts(h: Long): Timestamp = new Timestamp(h * 3600 * 1000)
+
+  test("plain statements fall straight through to spark.sql") {
+    Seq((1, "a"), (2, "b")).toDF("id", "s").createOrReplaceTempView("gs_plain")
+    assert(GraftSql.sql(spark, "SELECT COUNT(*) AS n FROM gs_plain")
+      .collect().toSeq == Seq(Row(2L)))
+  }
+
+  test("window TVF and temporal join chain in one statement") {
+    Seq((1L, "u1", ts(1)), (2L, "u1", ts(5)), (3L, "u2", ts(2)))
+      .toDF("p_id", "user_id", "ts").createOrReplaceTempView("gs_probes")
+    Seq(("u1", ts(0), 1.0), ("u1", ts(4), 2.0), ("u2", ts(9), 9.0))
+      .toDF("uid", "ts", "rate").createOrReplaceTempView("gs_rates")
+    val out = GraftSql.sql(spark,
+      """SELECT p.p_id, p.window_start, r.rate
+        |FROM TABLE(TUMBLE(TABLE gs_probes, DESCRIPTOR(ts), INTERVAL '1' HOUR)) AS p
+        |JOIN gs_rates FOR SYSTEM_TIME AS OF p.ts AS r
+        |ON p.user_id = r.uid
+        |ORDER BY p.p_id""".stripMargin)
+    assert(out.collect().toSeq == Seq(
+      Row(1L, ts(1), 1.0),   // window [1h,2h), rate as of 1h = 1.0
+      Row(2L, ts(5), 2.0),   // window [5h,6h), rate as of 5h = 2.0
+      Row(3L, ts(2), null))) // u2 has no version at 2h — LEFT semantics
+  }
+
+  test("MATCH_RECOGNIZE routes through the front door, alias dequalified") {
+    Seq((1L, 1L, "purchase", 10L), (1L, 2L, "error", 11L),
+      (2L, 1L, "purchase", 20L), (2L, 2L, "view", 21L))
+      .toDF("user_id", "seq", "event_type", "event_id")
+      .createOrReplaceTempView("gs_mr")
+    val out = GraftSql.sql(spark,
+      """SELECT m.user_id, m.purchase_id FROM gs_mr MATCH_RECOGNIZE (
+        |  PARTITION BY user_id
+        |  ORDER BY seq
+        |  MEASURES A.event_id AS purchase_id, B.event_id AS error_id
+        |  ONE ROW PER MATCH
+        |  AFTER MATCH SKIP PAST LAST ROW
+        |  PATTERN (A B)
+        |  DEFINE A AS A.event_type = 'purchase',
+        |         B AS B.event_type = 'error'
+        |) AS m WHERE m.user_id = 1 ORDER BY m.user_id""".stripMargin)
+    assert(out.collect().toSeq == Seq(Row(1L, 10L)))
+  }
+
+  test("batch SESSION statement falls back to the analytic expansion " +
+    "when the session_window rewrite loses an output name") {
+    Seq(("u1", ts(1)), ("u1", ts(2)), ("u1", ts(10)), ("u2", ts(3)))
+      .toDF("uid", "ts").createOrReplaceTempView("gs_sess")
+    // window_start/window_end appear ONLY inside an expression, so the
+    // session_window rewrite appends no output alias and ORDER BY
+    // window_start cannot resolve → AnalysisException → analytic
+    // expansion (batch only)
+    val out = GraftSql.sql(spark,
+      """SELECT uid, window_end - window_start AS dur, COUNT(*) AS n
+        |FROM TABLE(SESSION(TABLE gs_sess PARTITION BY uid,
+        |  DESCRIPTOR(ts), INTERVAL '1' HOUR))
+        |GROUP BY uid, window_start, window_end
+        |ORDER BY uid, window_start""".stripMargin)
+    val rows = out.collect().toSeq
+    assert(rows.map(r => (r.getString(0), r.getLong(2))) ==
+      Seq(("u1", 2L), ("u1", 1L), ("u2", 1L)))
+    // session [1h, 2h+gap): dur = 2 hours; singleton sessions: dur = gap
+    assert(rows.head.get(1).toString == "PT2H")
+  }
+
+  test("the same fallback works through WindowTvf.sql directly") {
+    Seq(("u1", ts(1)), ("u1", ts(2)))
+      .toDF("uid", "ts").createOrReplaceTempView("gs_sess2")
+    val out = graft.operators.WindowTvf.sql(spark,
+      """SELECT uid, window_end - window_start AS dur
+        |FROM TABLE(SESSION(TABLE gs_sess2 PARTITION BY uid,
+        |  DESCRIPTOR(ts), INTERVAL '1' HOUR))
+        |GROUP BY uid, window_start, window_end
+        |ORDER BY window_start""".stripMargin)
+    assert(out.collect().length == 1)
+  }
+}

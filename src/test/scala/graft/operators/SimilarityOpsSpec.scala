@@ -134,6 +134,42 @@ class SimilarityOpsSpec extends SparkSuite {
     assert(r >= 0.7, s"near-dup recall $r < 0.7 (|exact|=${exact.size})")
   }
 
+  test("salted near-dup pairs equal unsalted; hot bucket spreads") {
+    // a dense cluster: 300 of 400 vectors are tiny perturbations of ONE
+    // center, so one RP-LSH bucket holds ~75% of the corpus — the
+    // hot-bucket shape a dense embedding cluster produces
+    val rng = new scala.util.Random(11)
+    val hot = Array.fill(Dim)(rng.nextGaussian())
+    val dense = (0 until 400).map { i =>
+      val r = new scala.util.Random(2000 + i)
+      val v =
+        if (i < 300) hot.map(x => (x + 0.01 * r.nextGaussian()).toFloat)
+        else Array.fill(Dim)(r.nextGaussian().toFloat)
+      (i.toLong, v)
+    }.toDF("vec_id", "embedding")
+
+    def toPairs(df: DataFrame) =
+      df.select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val plain = toPairs(SimilarityOps.embedNearDupPairs(
+      dense, threshold = 0.999, dim = Dim, bits = 6))
+    val salted = toPairs(SimilarityOps.embedNearDupPairs(
+      dense, threshold = 0.999, dim = Dim, bits = 6, saltTarget = 32))
+    assert(salted == plain)
+    assert(plain.size > 1000, s"dense cluster should near-dup: ${plain.size}")
+
+    // the salted build side bounds per-join-key rows at ~saltTarget
+    // (hash spread can overshoot a small factor, never the skew ratio)
+    val c = dense.select($"vec_id".as("id_b"), $"embedding".as("emb_b"),
+      SimilarityOps.norm($"embedding").as("n_b"),
+      SimilarityOps.rpLshBucket($"embedding", Dim, 6).as("bucket"))
+    val probes = c.select($"id_b".as("id_a"), $"emb_b".as("emb_a"),
+      $"n_b".as("n_a"), $"bucket")
+    val (_, cs) = SimilarityOps.saltedBucketSides(probes, c, saltTarget = 32)
+    val keySizes = cs.groupBy("bucket", "__salt").count()
+      .select("count").as[Long].collect()
+    assert(keySizes.max <= 2 * 32, s"salted key too large: ${keySizes.max}")
+  }
+
   test("trained centroids keep IVF recall on clustered data") {
     val queries = corpus.filter($"vec_id" < 16)
     val exact = SimilarityOps.bruteForceTopK(queries, corpus, k = 5)
