@@ -210,4 +210,22 @@ class PlanQualitySpec extends SparkSuite {
     assert(plan.contains("PushedFilters: [IsNotNull(event_type), EqualTo(event_type,purchase)]"),
       s"probe-side pushdown missing: $plan")
   }
+
+  test("composite-key temporal join keeps the carry-forward shape") {
+    graft.Tables.registerAll(spark, sf)
+    val plan = planString(
+      graft.queries.JoinQueries.queries("q_join_asof_multi")(spark, sf))
+    // a second key column must NOT change the plan class: still exactly
+    // one hash exchange (now on both key columns together) and a single
+    // window pass — not a join blow-up
+    assert("hashpartitioning".r.findAllIn(plan).size == 1,
+      s"expected one key shuffle in: $plan")
+    assert("(?m)^\\s*(?:\\+|:)- Window ".r.findAllIn(plan).size == 1,
+      s"expected one window pass in: $plan")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("CartesianProduct"),
+      s"unexpected join operator in the carry-forward plan: $plan")
+    // both internal key columns partition the window
+    assert(plan.contains("__tj_k0") && plan.contains("__tj_k1"),
+      s"composite key columns missing from: $plan")
+  }
 }

@@ -37,6 +37,26 @@ class CepStepPropertySpec extends AnyFunSuite {
   private def consumed(ms: Seq[(Int, Int, Seq[(String, Seq[E])])]): Seq[Seq[E]] =
     ms.map(_._3.flatMap(_._2))
 
+  test("match identity is value-based: fresh instances, arrays included") {
+    // the dedupe key must survive a state round-trip, where events
+    // deserialize to NEW instances — and must not depend on hashCode,
+    // which is reference-based for arrays
+    case class AE(ts: Long, payload: Array[Byte])
+    def mk(): IndexedSeq[AE] =
+      (0L to 3L).map(i => AE(i, Array(i.toByte, (i + 1).toByte)))
+    val all1 = mk()
+    val all2 = mk() // distinct instances, equal content
+    val m1 = Seq(("a", Seq(all1(1))), ("b", Seq(all1(2), all1(3))))
+    val m2 = Seq(("a", Seq(all2(1))), ("b", Seq(all2(2), all2(3))))
+    assert(CEP.matchKey(all1, 1, m1, (_: AE).ts) ==
+      CEP.matchKey(all2, 1, m2, (_: AE).ts))
+    // a different consumed-event set at the same timestamps but a
+    // different anchor offset gets a different key
+    val m3 = Seq(("a", Seq(all1(0))), ("b", Seq(all1(2), all1(3))))
+    assert(CEP.matchKey(all1, 0, m3, (_: AE).ts) !=
+      CEP.matchKey(all1, 1, m1, (_: AE).ts))
+  }
+
   test("any micro-batch split of an in-order stream reproduces batch matches") {
     check(Prop.forAll(genEvents.suchThat(_.nonEmpty)) { events =>
       Prop.forAll(genSplits(events.length)) { cuts =>
