@@ -28,20 +28,28 @@ object GraftSql {
     var text = query
     val views = scala.collection.mutable.Buffer.empty[String]
     var batchSessionRoute = false
-    var progressed = true
-    while (progressed) {
-      MatchRecognizeSql.step(spark, text) match {
-        case Some((t, vs)) => text = t; views ++= vs
-        case None => WindowTvf.step(spark, text, forceExpand) match {
-          case Some(s) =>
-            text = s.text; views ++= s.views
-            batchSessionRoute |= s.batchSessionRoute
-          case None => TemporalJoinSql.step(spark, text) match {
-            case Some((t, vs)) => text = t; views ++= vs
-            case None => progressed = false
+    // a rewriter throwing mid-chain (e.g. a loud streaming-support error)
+    // must not leak the views earlier steps registered
+    try {
+      var progressed = true
+      while (progressed) {
+        MatchRecognizeSql.step(spark, text) match {
+          case Some((t, vs)) => text = t; views ++= vs
+          case None => WindowTvf.step(spark, text, forceExpand) match {
+            case Some(s) =>
+              text = s.text; views ++= s.views
+              batchSessionRoute |= s.batchSessionRoute
+            case None => TemporalJoinSql.step(spark, text) match {
+              case Some((t, vs)) => text = t; views ++= vs
+              case None => progressed = false
+            }
           }
         }
       }
+    } catch {
+      case e: Throwable =>
+        views.foreach(spark.catalog.dropTempView)
+        throw e
     }
     try spark.sql(text)
     catch {

@@ -52,7 +52,11 @@ private[graft] object MatchRecognizeSql {
         case Some(am) => (Some(am.group(1)), i + am.end)
         case None => (None, i)
       }
-      val mrStart = masked.toUpperCase.indexOf("MATCH_RECOGNIZE", m.start)
+      // locate the keyword inside the matched head case-insensitively
+      // (no toUpperCase over the whole text: locale-dependent case
+      // mapping could change string length and shift positions)
+      val mrStart = m.start + """(?i)MATCH_RECOGNIZE""".r
+        .findFirstMatchIn(masked.substring(m.start, m.end)).get.start
       val clause = query.substring(mrStart, i)
       val df = spark.table(tableName)
       val out =
@@ -64,7 +68,11 @@ private[graft] object MatchRecognizeSql {
         query.substring(0, m.start) + s"FROM $view" + query.substring(spanEnd)
       val dequalified = alias match {
         case Some(a) => SqlText.rewriteOutsideQuotes(spliced) { seg =>
-          s"""(?i)\\b$a\\.(\\w+)""".r.replaceAllIn(seg, mm => mm.group(1))
+          // alias.col → col; alias.* → * (the splice removed the AS
+          // alias, so a qualified star would not resolve)
+          s"""(?i)\\b$a\\.(\\*|\\w+)""".r
+            .replaceAllIn(seg, mm => java.util.regex.Matcher
+              .quoteReplacement(mm.group(1)))
         }
         case None => spliced
       }

@@ -33,7 +33,11 @@ import org.apache.spark.sql.functions._
   * reference (where it comes from the right table's WATERMARK
   * declaration), it is not part of the join syntax — it defaults to the
   * right column named like the probe-time column and can be overridden
-  * with `rightTimeCol`.
+  * with `rightTimeCol` or, for text-only callers ([[graft.GraftSql]]),
+  * the session conf `spark.graft.temporalJoin.rightTimeCol`. Streaming
+  * routes read `spark.graft.temporalJoin.watermarkDelay` (default
+  * `0 seconds`) — the WATERMARK ... INTERVAL bound of the reference;
+  * out-of-order streams need it set or late rows drop.
   *
   * Match semantics are LEFT (unmatched probes keep NULLs), the AsOfJoin
   * contract. Batch inputs route to [[AsOfJoin]]'s carry-forward plan;
@@ -63,10 +67,19 @@ object TemporalJoinSql {
   /** Scan the masked text from `from` for the ON conjunction: top-level
     * ` AND `-separated terms, ending at the first top-level clause
     * keyword, `)`, `;`, or end of statement. Returns (term spans, end).
+    *
+    * Not every top-level AND is a conjunction separator: the AND of
+    * `BETWEEN a AND b` closes the pending BETWEEN, and ANDs inside a
+    * `CASE … END` belong to the CASE — both stay inside their term. A
+    * top-level OR makes the clause non-conjunctive (SQL precedence would
+    * regroup the AND-split terms), which the join-spec extraction cannot
+    * express — rejected loudly rather than silently mis-joined.
     */
   private def scanConjunction(masked: String, from: Int): (Seq[(Int, Int)], Int) = {
     val terms = Seq.newBuilder[(Int, Int)]
     var depth = 0
+    var betweens = 0 // pending BETWEEN … AND at top level
+    var caseDepth = 0 // CASE … END nesting at top level
     var i = from
     var termStart = from
     var end = masked.length
@@ -77,18 +90,32 @@ object TemporalJoinSql {
         masked.charAt(j) == '_')) j += 1
       masked.substring(at, j).toUpperCase
     }
+    // a keyword must stand alone: not preceded by an identifier char OR a
+    // '.' qualifier (p.left is a column reference, not a LEFT clause)
+    def boundary(at: Int): Boolean = at == from || {
+      val p = masked.charAt(at - 1)
+      !p.isLetterOrDigit && p != '_' && p != '.'
+    }
     while (i < masked.length && !done) {
       val ch = masked.charAt(i)
       if (ch == '(') { depth += 1; i += 1 }
       else if (ch == ')') {
         if (depth == 0) { end = i; done = true } else { depth -= 1; i += 1 }
       } else if (ch == ';' && depth == 0) { end = i; done = true }
-      else if (depth == 0 && (ch.isLetter || ch == '_') &&
-        (i == from || !masked.charAt(i - 1).isLetterOrDigit &&
-          masked.charAt(i - 1) != '_')) {
+      else if (depth == 0 && (ch.isLetter || ch == '_') && boundary(i)) {
         val w = word(i)
-        if (w == "AND") { terms += ((termStart, i)); i += 3; termStart = i }
-        else if (ClauseEnd.contains(w)) { end = i; done = true }
+        if (w == "AND") {
+          if (betweens > 0) { betweens -= 1; i += 3 }
+          else if (caseDepth > 0) i += 3
+          else { terms += ((termStart, i)); i += 3; termStart = i }
+        }
+        else if (w == "OR" && caseDepth == 0) throw new IllegalArgumentException(
+          "temporal-join ON must be a conjunction (top-level OR found); " +
+            "wrap the disjunction in parentheses if it is one predicate")
+        else if (w == "BETWEEN") { betweens += 1; i += w.length }
+        else if (w == "CASE") { caseDepth += 1; i += w.length }
+        else if (w == "END" && caseDepth > 0) { caseDepth -= 1; i += w.length }
+        else if (caseDepth == 0 && ClauseEnd.contains(w)) { end = i; done = true }
         else i += 1
       } else i += 1
     }
@@ -165,11 +192,22 @@ object TemporalJoinSql {
     require(left.isStreaming || !right.isStreaming,
       "temporal join with a streaming BUILD side needs a streaming probe " +
         "side too (a batch probe cannot wait on stream versions)")
-    val rightTs = rightTimeCol.getOrElse {
-      require(right.columns.contains(tsCol),
-        s"right side $rt has no version-time column '$tsCol'; pass rightTimeCol")
-      tsCol
-    }
+    // version-time and watermark-delay hooks for callers that enter
+    // through plain SQL text (GraftSql) and cannot pass parameters: the
+    // session confs mirror the reference's per-table WATERMARK
+    // declaration and table.exec.* options
+    val rightTs = rightTimeCol
+      .orElse(spark.conf.getOption("spark.graft.temporalJoin.rightTimeCol")
+        .filter(_.nonEmpty))
+      .getOrElse {
+        require(right.columns.contains(tsCol),
+          s"right side $rt has no version-time column '$tsCol'; pass " +
+            "rightTimeCol or set spark.graft.temporalJoin.rightTimeCol")
+        tsCol
+      }
+    val wmDelay = spark.conf
+      .getOption("spark.graft.temporalJoin.watermarkDelay")
+      .filter(_.nonEmpty).getOrElse("0 seconds")
 
     // align key/ts names across sides through internal columns so the
     // join cores see one name each; dropped from the view
@@ -187,10 +225,10 @@ object TemporalJoinSql {
     val joined =
       (if (left.isStreaming && right.isStreaming)
         graft.streaming.TemporalJoin.asOfStream(
-          left2, right2, keyNames, "__tj_t", right.columns.toSeq, "0 seconds")
+          left2, right2, keyNames, "__tj_t", right.columns.toSeq, wmDelay)
       else if (left.isStreaming)
         graft.streaming.TemporalJoin.asOfStreamStatic(
-          left2, right2, keyNames, "__tj_t", right.columns.toSeq)
+          left2, right2, keyNames, "__tj_t", right.columns.toSeq, wmDelay)
       else
         AsOfJoin.asOf(left2, right2, keyNames, "__tj_t", right.columns.toSeq))
         .drop(keyNames :+ "__tj_t": _*)
@@ -203,8 +241,11 @@ object TemporalJoinSql {
       s"""(?i)\\b$la\\.(\\w+)""".r
         .replaceAllIn(rewritten, mm => mm.group(1))
     }
+    // residual terms dequalify OUTSIDE quoted segments only, like the
+    // statement-level rewrite — 'r.secret' in a literal is content
     val filtered = residuals.result().foldLeft(joined) {
-      (df, pred) => df.where(expr(dequalify(pred)))
+      (df, pred) =>
+        df.where(expr(SqlText.rewriteOutsideQuotes(pred)(dequalify)))
     }
 
     val view = s"__tj_${java.util.UUID.randomUUID().toString.replace("-", "")}"

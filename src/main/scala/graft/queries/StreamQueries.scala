@@ -46,18 +46,29 @@ object StreamQueries {
   }
 
   /** Run a streaming Dataset to completion over pre-chunked input,
-    * forcing one micro-batch per chunk, and return the accumulated
-    * update-mode sink table.
+    * forcing one micro-batch per chunk, and return the sink table
+    * (update mode accumulates the changelog; complete mode holds the
+    * final state). The per-run checkpoint directory is deleted after the
+    * query stops — repeated verify/bench runs must not leak state-store
+    * files into the temp dir.
     */
   private def runToEnd[T](s: SparkSession, input: MemoryStream[T],
-      out: DataFrame, batches: Seq[Seq[T]]): DataFrame = {
+      out: DataFrame, batches: Seq[Seq[T]],
+      mode: String = "update"): DataFrame = {
     val name = s"qstream_${java.util.UUID.randomUUID().toString.replace("-", "")}"
-    val ckpt = java.nio.file.Files.createTempDirectory("qstream_ckpt").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("qstream_ckpt")
     val q = out.writeStream.format("memory").queryName(name)
-      .outputMode(if (out.isStreaming) "update" else "update")
-      .option("checkpointLocation", ckpt).start()
+      .outputMode(mode)
+      .option("checkpointLocation", ckpt.toString).start()
     try batches.foreach { b => input.addData(b); q.processAllAvailable() }
-    finally q.stop()
+    finally {
+      q.stop()
+      try {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(ckpt).iterator().asScala.toSeq
+          .sortBy(-_.getNameCount).foreach(java.nio.file.Files.deleteIfExists(_))
+      } catch { case _: java.io.IOException => () } // best-effort cleanup
+    }
     s.table(name)
   }
 
@@ -107,13 +118,8 @@ object StreamQueries {
         .select($"window.start".cast("timestamp_ntz").as("window_start"),
           $"window.end".cast("timestamp_ntz").as("window_end"),
           $"event_type", $"n", $"sum_value")
-      val name = s"qstream_${java.util.UUID.randomUUID().toString.replace("-", "")}"
-      val ckpt = java.nio.file.Files.createTempDirectory("qstream_ckpt").toString
-      val q = agg.writeStream.format("memory").queryName(name)
-        .outputMode("complete").option("checkpointLocation", ckpt).start()
-      try chunks(rows, 4).foreach { b => input.addData(b); q.processAllAvailable() }
-      finally q.stop()
-      s.table(name).orderBy($"window_start", $"event_type")
+      runToEnd(s, input, agg, chunks(rows, 4), mode = "complete")
+        .orderBy($"window_start", $"event_type")
     }),
 
     // Streaming keep-last dedup through the SQL rank-pattern recognition

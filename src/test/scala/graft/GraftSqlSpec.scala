@@ -55,6 +55,25 @@ class GraftSqlSpec extends SparkSuite {
     assert(out.collect().toSeq == Seq(Row(1L, 10L)))
   }
 
+  test("alias.* after MATCH_RECOGNIZE rewrites to a bare star") {
+    Seq((1L, 1L, "purchase", 10L), (1L, 2L, "error", 11L))
+      .toDF("user_id", "seq", "event_type", "event_id")
+      .createOrReplaceTempView("gs_mr_star")
+    val out = GraftSql.sql(spark,
+      """SELECT m.* FROM gs_mr_star MATCH_RECOGNIZE (
+        |  PARTITION BY user_id
+        |  ORDER BY seq
+        |  MEASURES A.event_id AS purchase_id
+        |  ONE ROW PER MATCH
+        |  AFTER MATCH SKIP PAST LAST ROW
+        |  PATTERN (A B)
+        |  DEFINE A AS A.event_type = 'purchase',
+        |         B AS B.event_type = 'error'
+        |) AS m""".stripMargin)
+    assert(out.columns.toSeq == Seq("user_id", "purchase_id"))
+    assert(out.collect().toSeq == Seq(Row(1L, 10L)))
+  }
+
   test("batch SESSION statement falls back to the analytic expansion " +
     "when the session_window rewrite loses an output name") {
     Seq(("u1", ts(1)), ("u1", ts(2)), ("u1", ts(10)), ("u2", ts(3)))

@@ -144,6 +144,95 @@ class TemporalJoinSqlSpec extends SparkSuite {
     assert(out.collect().toSeq == Seq(Row(2L, 2.0)))
   }
 
+  test("BETWEEN and CASE ANDs stay inside their ON term") {
+    setup()
+    val out = TemporalJoinSql.sql(spark,
+      """SELECT p.p_id, r.rate FROM probes AS p
+        |JOIN rates FOR SYSTEM_TIME AS OF p.ts AS r
+        |ON p.user_id = r.uid AND r.rate BETWEEN 1.5 AND 3.0
+        |  AND CASE WHEN r.rate > 0 AND r.rate < 100 THEN true ELSE false END
+        |ORDER BY p.p_id""".stripMargin,
+      rightTimeCol = Some("vts"))
+    assert(out.collect().toSeq == Seq(Row(2L, 2.0)))
+  }
+
+  test("top-level OR in the ON clause is rejected loudly") {
+    setup()
+    val e = intercept[IllegalArgumentException] {
+      TemporalJoinSql.sql(spark,
+        """SELECT p.p_id FROM probes AS p
+          |JOIN rates FOR SYSTEM_TIME AS OF p.ts AS r
+          |ON p.user_id = r.uid OR r.rate > 1""".stripMargin,
+        rightTimeCol = Some("vts"))
+    }
+    assert(e.getMessage.contains("conjunction"))
+  }
+
+  test("a residual's string literal is not dequalified") {
+    setup()
+    val out = TemporalJoinSql.sql(spark,
+      """SELECT p.p_id, r.rate FROM probes AS p
+        |JOIN rates FOR SYSTEM_TIME AS OF p.ts AS r
+        |ON p.user_id = r.uid AND CONCAT('r.', 'uid') = 'r.uid'
+        |  AND r.rate IS NOT NULL
+        |ORDER BY p.p_id""".stripMargin,
+      rightTimeCol = Some("vts"))
+    assert(out.collect().toSeq == Seq(Row(1L, 1.0), Row(2L, 2.0)))
+  }
+
+  test("a keyword-named column after the alias dot does not end the scan") {
+    Seq((1L, "u1", "w1", 100L), (2L, "u1", "w2", 100L))
+      .toDF("p_id", "user_id", "window", "ts").createOrReplaceTempView("probes_kw")
+    Seq(("u1", "w1", 90L, 1.0), ("u1", "w2", 95L, 2.0))
+      .toDF("uid", "window", "vts", "rate").createOrReplaceTempView("rates_kw")
+    val out = TemporalJoinSql.sql(spark,
+      """SELECT p.p_id, r.rate FROM probes_kw AS p
+        |JOIN rates_kw FOR SYSTEM_TIME AS OF p.ts AS r
+        |ON p.user_id = r.uid AND p.window = r.window
+        |ORDER BY p.p_id""".stripMargin,
+      rightTimeCol = Some("vts"))
+    assert(out.collect().toSeq == Seq(Row(1L, 1.0), Row(2L, 2.0)))
+  }
+
+  test("the watermark-delay session conf reaches the streaming operator") {
+    import java.sql.Timestamp
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    def ts(s: Long) = new Timestamp(s * 1000)
+    val probes = MemoryStream[(Long, String, Timestamp)]
+    probes.toDS().toDF("p_id", "user_id", "ts")
+      .createOrReplaceTempView("wm_probes")
+    Seq(("u1", ts(90), 1.0))
+      .toDF("uid", "vts", "rate").createOrReplaceTempView("wm_rates")
+    spark.conf.set("spark.graft.temporalJoin.watermarkDelay", "1 hour")
+    try {
+      val out = TemporalJoinSql.sql(spark,
+        """SELECT p.p_id, r.rate FROM wm_probes AS p
+          |JOIN wm_rates FOR SYSTEM_TIME AS OF p.ts AS r
+          |ON p.user_id = r.uid""".stripMargin,
+        rightTimeCol = Some("vts"))
+      val name = s"tjwm_${System.nanoTime()}"
+      val q = out.writeStream.format("memory").queryName(name)
+        .outputMode("append").option("checkpointLocation", tmpDir("ckpt")).start()
+      try {
+        probes.addData(Seq((1L, "u1", ts(1000))))
+        q.processAllAvailable()
+        // ts 500 is BEHIND batch 1's max (1000) — with the 1h delay the
+        // watermark is still 1000-3600 < 0, so the probe is NOT late
+        probes.addData(Seq((2L, "u1", ts(500))))
+        q.processAllAvailable()
+        probes.addData(Seq((99L, "u1", ts(99999))))
+        q.processAllAvailable()
+        probes.addData(Seq((98L, "u1", ts(999999))))
+        q.processAllAvailable()
+        val rows = spark.table(name).collect()
+          .map(r => (r.getLong(0), r.getDouble(1))).toMap
+        assert(rows.contains(2L), s"out-of-order probe dropped: $rows")
+        assert(rows(1L) == 1.0 && rows(2L) == 1.0, s"got $rows")
+      } finally q.stop()
+    } finally spark.conf.unset("spark.graft.temporalJoin.watermarkDelay")
+  }
+
   test("span inside a derived-table subquery is rejected loudly") {
     setup()
     val e = intercept[IllegalArgumentException] {
