@@ -47,22 +47,18 @@ object WindowTvf {
       // SESSION statements in the pure window-aggregate shape route to the
       // built-in session_window group — the reference's TVF execution
       // merges exactly so (StreamExecWindowTableFunction.java:73 into the
-      // window agg). On a stream this is the only legal plan (Spark
-      // rejects the analytic annotation path); on batch it HALVES the
-      // shuffle count vs the two analytic passes (one session agg instead
-      // of lag + running-sum windows), so it is the preferred route there
-      // too. Statements that really need per-row annotation (window_time,
-      // no window GROUP BY) fall back to the analytic expansion.
+      // window agg); on batch it HALVES the shuffle count vs the two
+      // analytic passes (one session agg instead of lag + running-sum
+      // windows). Statements that really need per-row annotation
+      // (window_time, no window GROUP BY) fall back to the analytic
+      // expansion on batch, and on a stream to the session-closing
+      // transformWithState annotator (SessionWindows.annotate).
       val sessionRouted =
         if (call.fn == "SESSION" && !forceExpand)
           sessionWindowText(spark, query, call, tableName, partCols)
             .map(Step(_, Nil, batchSessionRoute = !df.isStreaming))
         else None
       sessionRouted.getOrElse {
-        require(!df.isStreaming || call.fn != "SESSION",
-          "streaming SESSION TVF supports only the pure window-aggregate " +
-            "shape: GROUP BY must include window_start and window_end, and " +
-            "window_time is unavailable")
         val expanded = expand(spark, call, df, partCols)
         val view = s"__tvf_${java.util.UUID.randomUUID().toString.replace("-", "")}"
         expanded.createOrReplaceTempView(view)
@@ -127,7 +123,7 @@ object WindowTvf {
     // session_window sessionizes per GROUP BY key set; the TVF contract
     // sessionizes per PARTITION BY. The rewrite is only sound when the
     // two key sets coincide — otherwise fall back to the analytic
-    // expansion (batch) or its clear streaming error.
+    // expansion (batch) or the streaming per-row annotator.
     def base(s: String) = s.split('.').last.toLowerCase
     if (kept.map(base).toSet != partCols.map(base).toSet) return None
     val groupItems =
@@ -297,6 +293,13 @@ object WindowTvf {
         require(partCols.nonEmpty,
           "SESSION TVF requires TABLE <t> PARTITION BY <keys>")
         val gap = parseInterval(call.args(2))
+        // streaming non-aggregate shape: per-row annotation via the
+        // session-closing transformWithState operator (append-only once
+        // a session can no longer grow) — the analytic lag/running-sum
+        // expansion below is stream-illegal
+        if (df.isStreaming)
+          return graft.streaming.SessionWindows.annotate(
+            df, partCols, tsCol, gap.spark)
         // lag/running-sum sessionization (the batch form of the
         // reference's MergingWindowSet): a row starts a new session when
         // it is more than `gap` after the previous row of its key

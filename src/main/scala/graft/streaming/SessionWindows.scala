@@ -1,0 +1,173 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Encoders, Row}
+import org.apache.spark.sql.streaming._
+import org.apache.spark.sql.types._
+
+/** Streaming per-row session-window annotation — the reference's SESSION
+  * window TVF in its non-aggregate shape (StreamExecWindowTableFunction
+  * .java:73 over SessionWindowAssigner / the MergingWindowSet model):
+  * each row gains `window_start` / `window_end` / `window_time` for the
+  * session it belongs to, and the annotated rows emit append-only once
+  * the session CLOSES (no row can extend it any more).
+  *
+  * Spark's built-in `session_window` only exists as a grouping
+  * expression (aggregate shape); this operator supplies the per-row
+  * form: rows buffer in keyed ListState, every row arms an event-time
+  * timer at `ts + gap`, and when the watermark passes the last row of a
+  * gap-separated run the run is a closed session — emitted sorted, with
+  * start = min ts, end = max ts + gap, time = end − 1 ms (the TVF
+  * contract). A row at or behind the watermark on arrival is dropped as
+  * late; a row beyond the watermark can only extend a session the
+  * watermark has not yet closed, so emission is exactly-once and final.
+  *
+  * Scale shape: one shuffle on the partition keys; state per key is the
+  * open tail of its session history (closed sessions leave the buffer),
+  * bounded by watermark lag + gap, the reference's session-state bound.
+  */
+object SessionWindows {
+
+  /** @param df        streaming input
+    * @param partCols  session partition keys (PARTITION BY of the TVF)
+    * @param tsCol     event-time column (must carry the watermark)
+    * @param gap       inactivity gap, a Spark interval string ("1 hour")
+    */
+  def annotate(df: DataFrame, partCols: Seq[String], tsCol: String,
+      gap: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, struct, to_json}
+    require(df.isStreaming, "annotate is the streaming form; batch " +
+      "statements take WindowTvf's analytic expansion")
+    require(partCols.nonEmpty, "SESSION needs PARTITION BY keys")
+    val gapMs = org.apache.spark.sql.catalyst.util.IntervalUtils
+      .stringToInterval(org.apache.spark.unsafe.types.UTF8String.fromString(gap))
+    require(gapMs.months == 0, "session gap must be a fixed-length interval")
+    val gapMillis = gapMs.days * 86400000L + gapMs.microseconds / 1000L
+    require(gapMillis > 0, s"session gap must be positive, got $gap")
+
+    val keyExpr =
+      if (partCols.lengthCompare(1) == 0) col(partCols.head).cast("string")
+      else to_json(struct(partCols.map(col): _*))
+    val inSchema = df.schema
+    // no derived time column: casting tsCol would CLONE its event-time
+    // watermark metadata and Spark rejects streams with two event-time
+    // columns — the processor reads the original column instead
+    val tagged = df.withColumn("__sw_key", keyExpr)
+    val outSchema = StructType(inSchema.fields ++ Seq(
+      StructField("window_start", TimestampType),
+      StructField("window_end", TimestampType),
+      StructField("window_time", TimestampType)))
+    implicit val outEnc: org.apache.spark.sql.Encoder[Row] = Encoders.row(outSchema)
+    implicit val keyEnc: org.apache.spark.sql.Encoder[String] = Encoders.STRING
+    val annotated = tagged
+      .groupByKey((r: Row) => r.getString(r.fieldIndex("__sw_key")))
+      .transformWithState(
+        new SessionAnnotateProcessor(tagged.schema, inSchema, tsCol, gapMillis),
+        TimeMode.EventTime(), OutputMode.Append())
+    // window columns follow the event-time column's type (a TIMESTAMP_NTZ
+    // input annotates with NTZ bounds, as the batch expansion does)
+    val tsType = inSchema(tsCol).dataType
+    if (tsType == TimestampType) annotated
+    else Seq("window_start", "window_end", "window_time")
+      .foldLeft(annotated: DataFrame)((d, c) =>
+        d.withColumn(c, org.apache.spark.sql.functions.col(c).cast(tsType)))
+  }
+
+  /** Pure close/retain core, unit-testable without a streaming query:
+    * gap-split the (sorted) buffered timestamps into runs; a run whose
+    * last element + gap ≤ wm is a CLOSED session. Returns (closed runs
+    * as (start, end) index ranges into the sorted order, retained from).
+    */
+  def closedSessions(sortedTs: IndexedSeq[Long], gapMillis: Long,
+      wm: Long): (Seq[(Int, Int)], Int) = {
+    if (sortedTs.isEmpty) return (Nil, 0)
+    val runs = Seq.newBuilder[(Int, Int)]
+    var runStart = 0
+    var i = 1
+    while (i <= sortedTs.length) {
+      val runEnds = i == sortedTs.length ||
+        sortedTs(i) - sortedTs(i - 1) > gapMillis
+      if (runEnds) {
+        if (sortedTs(i - 1) + gapMillis <= wm) runs += ((runStart, i))
+        else return (runs.result(), runStart) // later runs close even later
+        runStart = i
+      }
+      i += 1
+    }
+    (runs.result(), sortedTs.length)
+  }
+
+  class SessionAnnotateProcessor(taggedSchema: StructType,
+      inSchema: StructType, tsCol: String, gapMillis: Long)
+      extends StatefulProcessor[String, Row, Row] {
+    private val bufSchema = StructType(Seq(
+      StructField("ts", LongType),
+      StructField("p", inSchema)))
+    @transient private var buf: ListState[Row] = _
+    private val tsIdx = taggedSchema.fieldIndex(tsCol)
+    private val inIdxs = inSchema.fieldNames.map(taggedSchema.fieldIndex)
+
+    /** Event time in epoch millis from either timestamp flavor (NTZ
+      * values read as UTC wall clock, matching the watermark's view).
+      */
+    private def tsMillis(r: Row): Long = r.get(tsIdx) match {
+      case t: java.sql.Timestamp => t.getTime
+      case d: java.time.LocalDateTime =>
+        d.toInstant(java.time.ZoneOffset.UTC).toEpochMilli
+      case i: java.time.Instant => i.toEpochMilli
+      case other => throw new IllegalArgumentException(
+        s"$tsCol is not an event-time column (got $other)")
+    }
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      buf = getHandle.getListState[Row]("buf",
+        Encoders.row(bufSchema), TTLConfig.NONE)
+
+    override def handleInputRows(key: String, rows: Iterator[Row],
+        timerValues: TimerValues): Iterator[Row] = {
+      val wm = timerValues.getCurrentWatermarkInMs()
+      rows.foreach { r =>
+        val ts = tsMillis(r)
+        if (ts > wm) { // at-or-behind the watermark = late, dropped
+          buf.appendValue(new org.apache.spark.sql.catalyst.expressions.GenericRow(
+            Array[Any](ts, new org.apache.spark.sql.catalyst.expressions.GenericRow(
+              inIdxs.map(r.get(_)).toArray[Any]))))
+          getHandle.registerTimer(ts + gapMillis)
+        }
+      }
+      Iterator.empty
+    }
+
+    override def handleExpiredTimer(key: String, timerValues: TimerValues,
+        expiredTimerInfo: ExpiredTimerInfo): Iterator[Row] = {
+      val wm = timerValues.getCurrentWatermarkInMs()
+      // one timer per row means several can expire in a batch; after the
+      // first drained the closed sessions, later ones see the retained
+      // tail (usually empty or still-open) and exit on the cheap path
+      val buffered = buf.get().toIndexedSeq
+        .map(r => (r.getLong(0), r.getStruct(1)))
+        .sortBy(_._1)
+      if (buffered.isEmpty) return Iterator.empty
+      val (closed, retainedFrom) =
+        SessionWindows.closedSessions(buffered.map(_._1), gapMillis, wm)
+      if (closed.nonEmpty) {
+        buf.clear()
+        buffered.drop(retainedFrom).foreach { case (ts, p) =>
+          buf.appendValue(new org.apache.spark.sql.catalyst.expressions.GenericRow(
+            Array[Any](ts, p)))
+        }
+      }
+      closed.iterator.flatMap { case (a, b) =>
+        val start = buffered(a)._1
+        val end = buffered(b - 1)._1 + gapMillis
+        (a until b).iterator.map { i =>
+          val (_, p) = buffered(i)
+          new org.apache.spark.sql.catalyst.expressions.GenericRow(
+            (p.toSeq ++ Seq(
+              new java.sql.Timestamp(start),
+              new java.sql.Timestamp(end),
+              new java.sql.Timestamp(end - 1L))).toArray[Any])
+        }
+      }
+    }
+  }
+}
