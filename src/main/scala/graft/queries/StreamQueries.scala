@@ -5,7 +5,7 @@ import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 
 import graft.queries.Q._
-import graft.streaming.{Changelog, RetractableTopN, StreamingRank, TemporalJoin}
+import graft.streaming.{Changelog, RetractableTopN, SessionWindows, StreamingRank, TemporalJoin}
 
 /** Streaming oracle parity — driver-visible proof that the stateful
   * streaming operators produce the SAME table a batch query does, through
@@ -208,6 +208,36 @@ object StreamQueries {
       sink.filter($"p_id" >= 0)
         .select($"p_id", $"r_v_id", $"r_v_value")
         .orderBy($"p_id")
+    }),
+
+    // Streaming per-row SESSION annotation (SessionWindows.annotate —
+    // the TVF's non-aggregate shape): events replay in event-time order,
+    // sessions close as the watermark passes last+gap, and every emitted
+    // row carries its session's bounds; two far-future sentinels flush
+    // the open tails. Must equal the batch gaps-and-islands oracle.
+    "q_stream_session" -> ((s, dir) => {
+      import s.implicits._
+      implicit val sqlCtx = s.sqlContext
+      useRocksDb(s)
+      val rows = sortedEvents(s, dir)
+      val maxTs = rows.map(_.ts.getTime).max
+      def sentinel(off: Long) = Seq(Ev(-1L, -1L,
+        new java.sql.Timestamp(maxTs + off), "flush", 0.0))
+      val input = MemoryStream[Ev]
+      // 1h watermark delay: the ascending replay never falls behind the
+      // lagging watermark even when a chunk boundary splits equal
+      // millisecond timestamps; the +3h/+6h sentinels still close every
+      // real session at the end (wm reaches max+2h > last+gap)
+      val annotated = SessionWindows.annotate(
+        input.toDS().toDF().withWatermark("ts", "1 hour"),
+        Seq("user_id"), "ts", "1 hour")
+      val sink = runToEnd(s, input, annotated,
+        chunks(rows, 4) ++ Seq(sentinel(3 * 3600000L), sentinel(6 * 3600000L)))
+      sink.filter($"user_id" >= 0)
+        .select($"user_id", $"event_id",
+          $"window_start".cast("timestamp_ntz").as("window_start"),
+          $"window_end".cast("timestamp_ntz").as("window_end"))
+        .orderBy($"user_id", $"event_id")
     })
   )
 
@@ -241,6 +271,18 @@ object StreamQueries {
         |v AS (SELECT event_id AS v_id, user_id, ts, value AS v_value FROM e WHERE event_type = 'view')
         |SELECT p.p_id, v.v_id AS r_v_id, v.v_value AS r_v_value
         |FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND v.ts <= p.ts
-        |ORDER BY p_id""".stripMargin
+        |ORDER BY p_id""".stripMargin,
+
+    "q_stream_session" ->
+      """WITH e AS (SELECT event_id, user_id, make_timestamp(epoch_ns(ts) // 1000) AS ts FROM events),
+        |m AS (SELECT user_id, event_id, ts,
+        |  CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) <= INTERVAL 1 HOUR
+        |    THEN 0 ELSE 1 END AS new_s FROM e),
+        |s AS (SELECT user_id, event_id, ts,
+        |  SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS sid FROM m)
+        |SELECT user_id, event_id,
+        |  MIN(ts) OVER (PARTITION BY user_id, sid) AS window_start,
+        |  MAX(ts) OVER (PARTITION BY user_id, sid) + INTERVAL 1 HOUR AS window_end
+        |FROM s ORDER BY user_id, event_id""".stripMargin
   )
 }

@@ -38,11 +38,14 @@ object SessionWindows {
     require(df.isStreaming, "annotate is the streaming form; batch " +
       "statements take WindowTvf's analytic expansion")
     require(partCols.nonEmpty, "SESSION needs PARTITION BY keys")
-    val gapMs = org.apache.spark.sql.catalyst.util.IntervalUtils
+    val gapIv = org.apache.spark.sql.catalyst.util.IntervalUtils
       .stringToInterval(org.apache.spark.unsafe.types.UTF8String.fromString(gap))
-    require(gapMs.months == 0, "session gap must be a fixed-length interval")
-    val gapMillis = gapMs.days * 86400000L + gapMs.microseconds / 1000L
-    require(gapMillis > 0, s"session gap must be positive, got $gap")
+    require(gapIv.months == 0, "session gap must be a fixed-length interval")
+    // the operator works in MICROSECONDS end to end — timestamp columns
+    // carry micros, and the gap merge must not truncate them (a pair
+    // 1ms-resolution-equal but micros-apart would merge wrongly)
+    val gapMicros = gapIv.days * 86400000000L + gapIv.microseconds
+    require(gapMicros > 0, s"session gap must be positive, got $gap")
 
     val keyExpr =
       if (partCols.lengthCompare(1) == 0) col(partCols.head).cast("string")
@@ -61,7 +64,7 @@ object SessionWindows {
     val annotated = tagged
       .groupByKey((r: Row) => r.getString(r.fieldIndex("__sw_key")))
       .transformWithState(
-        new SessionAnnotateProcessor(tagged.schema, inSchema, tsCol, gapMillis),
+        new SessionAnnotateProcessor(tagged.schema, inSchema, tsCol, gapMicros),
         TimeMode.EventTime(), OutputMode.Append())
     // window columns follow the event-time column's type (a TIMESTAMP_NTZ
     // input annotates with NTZ bounds, as the batch expansion does)
@@ -76,8 +79,9 @@ object SessionWindows {
     * gap-split the (sorted) buffered timestamps into runs; a run whose
     * last element + gap ≤ wm is a CLOSED session. Returns (closed runs
     * as (start, end) index ranges into the sorted order, retained from).
+    * Unit-agnostic — the processor calls it in microseconds.
     */
-  def closedSessions(sortedTs: IndexedSeq[Long], gapMillis: Long,
+  def closedSessions(sortedTs: IndexedSeq[Long], gapUnits: Long,
       wm: Long): (Seq[(Int, Int)], Int) = {
     if (sortedTs.isEmpty) return (Nil, 0)
     val runs = Seq.newBuilder[(Int, Int)]
@@ -85,9 +89,9 @@ object SessionWindows {
     var i = 1
     while (i <= sortedTs.length) {
       val runEnds = i == sortedTs.length ||
-        sortedTs(i) - sortedTs(i - 1) > gapMillis
+        sortedTs(i) - sortedTs(i - 1) > gapUnits
       if (runEnds) {
-        if (sortedTs(i - 1) + gapMillis <= wm) runs += ((runStart, i))
+        if (sortedTs(i - 1) + gapUnits <= wm) runs += ((runStart, i))
         else return (runs.result(), runStart) // later runs close even later
         runStart = i
       }
@@ -97,7 +101,7 @@ object SessionWindows {
   }
 
   class SessionAnnotateProcessor(taggedSchema: StructType,
-      inSchema: StructType, tsCol: String, gapMillis: Long)
+      inSchema: StructType, tsCol: String, gapMicros: Long)
       extends StatefulProcessor[String, Row, Row] {
     private val bufSchema = StructType(Seq(
       StructField("ts", LongType),
@@ -106,16 +110,27 @@ object SessionWindows {
     private val tsIdx = taggedSchema.fieldIndex(tsCol)
     private val inIdxs = inSchema.fieldNames.map(taggedSchema.fieldIndex)
 
-    /** Event time in epoch millis from either timestamp flavor (NTZ
-      * values read as UTC wall clock, matching the watermark's view).
+    /** Event time in epoch MICROS from either timestamp flavor (NTZ
+      * values read as UTC wall clock, matching the watermark's view) —
+      * full column precision, so gap merges and emitted bounds never
+      * truncate.
       */
-    private def tsMillis(r: Row): Long = r.get(tsIdx) match {
-      case t: java.sql.Timestamp => t.getTime
+    private def tsMicros(r: Row): Long = r.get(tsIdx) match {
+      case t: java.sql.Timestamp =>
+        Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
       case d: java.time.LocalDateTime =>
-        d.toInstant(java.time.ZoneOffset.UTC).toEpochMilli
-      case i: java.time.Instant => i.toEpochMilli
+        val i = d.toInstant(java.time.ZoneOffset.UTC)
+        i.getEpochSecond * 1000000L + i.getNano / 1000L
+      case i: java.time.Instant =>
+        i.getEpochSecond * 1000000L + i.getNano / 1000L
       case other => throw new IllegalArgumentException(
         s"$tsCol is not an event-time column (got $other)")
+    }
+
+    private def toTs(us: Long): java.sql.Timestamp = {
+      val t = new java.sql.Timestamp(Math.floorDiv(us, 1000L))
+      t.setNanos((Math.floorMod(us, 1000000L) * 1000L).toInt)
+      t
     }
 
     override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
@@ -124,14 +139,18 @@ object SessionWindows {
 
     override def handleInputRows(key: String, rows: Iterator[Row],
         timerValues: TimerValues): Iterator[Row] = {
-      val wm = timerValues.getCurrentWatermarkInMs()
+      // the watermark API is millis; compare conservatively in micros
+      // (a row inside the watermark's open millisecond still buffers)
+      val wmUs = timerValues.getCurrentWatermarkInMs() * 1000L
       rows.foreach { r =>
-        val ts = tsMillis(r)
-        if (ts > wm) { // at-or-behind the watermark = late, dropped
+        val ts = tsMicros(r)
+        if (ts > wmUs) { // at-or-behind the watermark = late, dropped
           buf.appendValue(new org.apache.spark.sql.catalyst.expressions.GenericRow(
             Array[Any](ts, new org.apache.spark.sql.catalyst.expressions.GenericRow(
               inIdxs.map(r.get(_)).toArray[Any]))))
-          getHandle.registerTimer(ts + gapMillis)
+          // timers are millis: round UP so the timer fires strictly
+          // after the close instant
+          getHandle.registerTimer(Math.floorDiv(ts + gapMicros, 1000L) + 1L)
         }
       }
       Iterator.empty
@@ -139,7 +158,7 @@ object SessionWindows {
 
     override def handleExpiredTimer(key: String, timerValues: TimerValues,
         expiredTimerInfo: ExpiredTimerInfo): Iterator[Row] = {
-      val wm = timerValues.getCurrentWatermarkInMs()
+      val wmUs = timerValues.getCurrentWatermarkInMs() * 1000L
       // one timer per row means several can expire in a batch; after the
       // first drained the closed sessions, later ones see the retained
       // tail (usually empty or still-open) and exit on the cheap path
@@ -148,7 +167,7 @@ object SessionWindows {
         .sortBy(_._1)
       if (buffered.isEmpty) return Iterator.empty
       val (closed, retainedFrom) =
-        SessionWindows.closedSessions(buffered.map(_._1), gapMillis, wm)
+        SessionWindows.closedSessions(buffered.map(_._1), gapMicros, wmUs)
       if (closed.nonEmpty) {
         buf.clear()
         buffered.drop(retainedFrom).foreach { case (ts, p) =>
@@ -158,14 +177,12 @@ object SessionWindows {
       }
       closed.iterator.flatMap { case (a, b) =>
         val start = buffered(a)._1
-        val end = buffered(b - 1)._1 + gapMillis
+        val end = buffered(b - 1)._1 + gapMicros
         (a until b).iterator.map { i =>
           val (_, p) = buffered(i)
           new org.apache.spark.sql.catalyst.expressions.GenericRow(
-            (p.toSeq ++ Seq(
-              new java.sql.Timestamp(start),
-              new java.sql.Timestamp(end),
-              new java.sql.Timestamp(end - 1L))).toArray[Any])
+            (p.toSeq ++ Seq(toTs(start), toTs(end),
+              toTs(end - 1000L))).toArray[Any])
         }
       }
     }
