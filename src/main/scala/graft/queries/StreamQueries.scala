@@ -197,14 +197,15 @@ object StreamQueries {
       val input = MemoryStream[(Long, Long, java.sql.Timestamp)]
       // 1h watermark delay: probes replay in ascending (ts, id) order, so
       // the lagging watermark never drops one as late even when a chunk
-      // boundary splits equal timestamps; the sentinels at max+1h/+2h
-      // still push it past every real probe at the end
+      // boundary splits equal timestamps; ONE sentinel at max+2h pushes
+      // the watermark to max+1h > every real probe at the end (each
+      // sentinel batch costs two micro-batches — data + timer-fire)
       val joined = TemporalJoin.asOfStreamStatic(
         input.toDS().toDF("p_id", "user_id", "ts"),
         dim, Seq("user_id"), "ts", Seq("v_id", "v_value"),
         watermarkDelay = "1 hour")
       val sink = runToEnd(s, input, joined,
-        chunks(probes, 3) ++ Seq(sentinel(3600000L), sentinel(7200000L)))
+        chunks(probes, 3) :+ sentinel(7200000L))
       sink.filter($"p_id" >= 0)
         .select($"p_id", $"r_v_id", $"r_v_value")
         .orderBy($"p_id")
@@ -226,13 +227,14 @@ object StreamQueries {
       val input = MemoryStream[Ev]
       // 1h watermark delay: the ascending replay never falls behind the
       // lagging watermark even when a chunk boundary splits equal
-      // millisecond timestamps; the +3h/+6h sentinels still close every
-      // real session at the end (wm reaches max+2h > last+gap)
+      // millisecond timestamps; ONE +3h sentinel closes every real
+      // session at the end (wm reaches max+2h ≥ last+gap = max+1h, and
+      // the timers fire in the sentinel batch's trailing no-data batch)
       val annotated = SessionWindows.annotate(
         input.toDS().toDF().withWatermark("ts", "1 hour"),
         Seq("user_id"), "ts", "1 hour")
       val sink = runToEnd(s, input, annotated,
-        chunks(rows, 4) ++ Seq(sentinel(3 * 3600000L), sentinel(6 * 3600000L)))
+        chunks(rows, 4) :+ sentinel(3 * 3600000L))
       sink.filter($"user_id" >= 0)
         .select($"user_id", $"event_id",
           $"window_start".cast("timestamp_ntz").as("window_start"),

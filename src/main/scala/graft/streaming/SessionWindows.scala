@@ -13,10 +13,15 @@ import org.apache.spark.sql.types._
   *
   * Spark's built-in `session_window` only exists as a grouping
   * expression (aggregate shape); this operator supplies the per-row
-  * form: rows buffer in keyed ListState, every row arms an event-time
-  * timer at `ts + gap`, and when the watermark passes the last row of a
-  * gap-separated run the run is a closed session — emitted sorted, with
-  * start = min ts, end = max ts + gap, time = end − 1 ms (the TVF
+  * form with the reference's MergingWindowSet state layout
+  * (MergingWindowSet.java:48): rows buffer in keyed ListState, and a
+  * COMPACT RUN INDEX (ValueState of gap-separated [min,max] spans)
+  * mirrors the open sessions. Each arriving batch merges its timestamps
+  * into the index in one linear pass and re-arms ONE event-time timer
+  * per open run at `max + gap` (superseded timers deleted) — not a
+  * timer per row. When a run's timer fires the run is a closed
+  * session: only then is the row buffer read, its rows emitted sorted
+  * with start = min ts, end = max ts + gap, time = end − 1 ms (the TVF
   * contract). A row at or behind the watermark on arrival is dropped as
   * late; a row beyond the watermark can only extend a session the
   * watermark has not yet closed, so emission is exactly-once and final.
@@ -24,6 +29,8 @@ import org.apache.spark.sql.types._
   * Scale shape: one shuffle on the partition keys; state per key is the
   * open tail of its session history (closed sessions leave the buffer),
   * bounded by watermark lag + gap, the reference's session-state bound.
+  * Per-row work is O(open runs) index arithmetic — the buffer is touched
+  * once per closing session, not once per timer.
   */
 object SessionWindows {
 
@@ -100,13 +107,42 @@ object SessionWindows {
     (runs.result(), sortedTs.length)
   }
 
+  /** Merge sorted fresh timestamps into a sorted, disjoint,
+    * gap-separated run set — the MergingWindowSet merge step. Runs are
+    * (minTs, maxTs) spans; two spans merge when they are within
+    * `gapUnits` of each other. O(|runs| + |fresh|), unit-agnostic.
+    */
+  def mergeRuns(runs: IndexedSeq[(Long, Long)], freshSorted: IndexedSeq[Long],
+      gapUnits: Long): IndexedSeq[(Long, Long)] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    def push(lo: Long, hi: Long): Unit = {
+      if (out.nonEmpty && lo - out.last._2 <= gapUnits) {
+        val (plo, phi) = out.last
+        out(out.length - 1) = (plo, math.max(phi, hi))
+      } else out += ((lo, hi))
+    }
+    var i = 0
+    var j = 0
+    while (i < runs.length || j < freshSorted.length) {
+      if (j >= freshSorted.length ||
+          (i < runs.length && runs(i)._1 <= freshSorted(j))) {
+        push(runs(i)._1, runs(i)._2); i += 1
+      } else { push(freshSorted(j), freshSorted(j)); j += 1 }
+    }
+    out.toIndexedSeq
+  }
+
   class SessionAnnotateProcessor(taggedSchema: StructType,
       inSchema: StructType, tsCol: String, gapMicros: Long)
       extends StatefulProcessor[String, Row, Row] {
     private val bufSchema = StructType(Seq(
       StructField("ts", LongType),
       StructField("p", inSchema)))
+    private val runSchema = StructType(Seq(
+      StructField("mins", ArrayType(LongType, containsNull = false)),
+      StructField("maxs", ArrayType(LongType, containsNull = false))))
     @transient private var buf: ListState[Row] = _
+    @transient private var runs: ValueState[Row] = _
     private val tsIdx = taggedSchema.fieldIndex(tsCol)
     private val inIdxs = inSchema.fieldNames.map(taggedSchema.fieldIndex)
 
@@ -133,25 +169,64 @@ object SessionWindows {
       t
     }
 
-    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
       buf = getHandle.getListState[Row]("buf",
         Encoders.row(bufSchema), TTLConfig.NONE)
+      runs = getHandle.getValueState[Row]("runs",
+        Encoders.row(runSchema), TTLConfig.NONE)
+    }
+
+    private def loadRuns(): IndexedSeq[(Long, Long)] = {
+      val r = runs.get()
+      if (r == null) IndexedSeq.empty
+      else {
+        val mins = r.getSeq[Long](0)
+        val maxs = r.getSeq[Long](1)
+        mins.indices.map(i => (mins(i), maxs(i)))
+      }
+    }
+
+    private def saveRuns(rs: IndexedSeq[(Long, Long)]): Unit =
+      if (rs.isEmpty) runs.clear()
+      else runs.update(new org.apache.spark.sql.catalyst.expressions.GenericRow(
+        Array[Any](rs.map(_._1), rs.map(_._2))))
+
+    /** Timers are millis: round UP so the timer fires strictly after
+      * the run's close instant `maxUs + gap`.
+      */
+    private def timerMs(maxUs: Long): Long =
+      Math.floorDiv(maxUs + gapMicros, 1000L) + 1L
 
     override def handleInputRows(key: String, rows: Iterator[Row],
         timerValues: TimerValues): Iterator[Row] = {
       // the watermark API is millis; compare conservatively in micros
       // (a row inside the watermark's open millisecond still buffers)
       val wmUs = timerValues.getCurrentWatermarkInMs() * 1000L
+      val fresh = scala.collection.mutable.ArrayBuffer.empty[Long]
+      val newRows = scala.collection.mutable.ArrayBuffer.empty[Row]
       rows.foreach { r =>
         val ts = tsMicros(r)
         if (ts > wmUs) { // at-or-behind the watermark = late, dropped
-          buf.appendValue(new org.apache.spark.sql.catalyst.expressions.GenericRow(
+          newRows += new org.apache.spark.sql.catalyst.expressions.GenericRow(
             Array[Any](ts, new org.apache.spark.sql.catalyst.expressions.GenericRow(
-              inIdxs.map(r.get(_)).toArray[Any]))))
-          // timers are millis: round UP so the timer fires strictly
-          // after the close instant
-          getHandle.registerTimer(Math.floorDiv(ts + gapMicros, 1000L) + 1L)
+              inIdxs.map(r.get(_)).toArray[Any])))
+          fresh += ts
         }
+      }
+      if (fresh.nonEmpty) {
+        // one state call for the whole batch, not a merge per row
+        buf.appendList(newRows.toArray)
+        val before = loadRuns()
+        val after =
+          SessionWindows.mergeRuns(before, fresh.sortInPlace().toIndexedSeq,
+            gapMicros)
+        // one timer per OPEN RUN: re-arm only the runs whose close
+        // instant moved, delete the spans they superseded
+        val oldTimers = before.iterator.map(r => timerMs(r._2)).toSet
+        val newTimers = after.iterator.map(r => timerMs(r._2)).toSet
+        (oldTimers diff newTimers).foreach(getHandle.deleteTimer)
+        (newTimers diff oldTimers).foreach(getHandle.registerTimer)
+        saveRuns(after)
       }
       Iterator.empty
     }
@@ -159,31 +234,36 @@ object SessionWindows {
     override def handleExpiredTimer(key: String, timerValues: TimerValues,
         expiredTimerInfo: ExpiredTimerInfo): Iterator[Row] = {
       val wmUs = timerValues.getCurrentWatermarkInMs() * 1000L
-      // one timer per row means several can expire in a batch; after the
-      // first drained the closed sessions, later ones see the retained
-      // tail (usually empty or still-open) and exit on the cheap path
+      // the run index answers "did anything close?" without touching
+      // the row buffer — a superseded timer exits on this cheap path
+      val rs = loadRuns()
+      var nClosed = 0
+      while (nClosed < rs.length && rs(nClosed)._2 + gapMicros <= wmUs)
+        nClosed += 1
+      if (nClosed == 0) return Iterator.empty
+      val boundary = rs(nClosed - 1)._2
       val buffered = buf.get().toIndexedSeq
         .map(r => (r.getLong(0), r.getStruct(1)))
-        .sortBy(_._1)
-      if (buffered.isEmpty) return Iterator.empty
-      val (closed, retainedFrom) =
-        SessionWindows.closedSessions(buffered.map(_._1), gapMicros, wmUs)
-      if (closed.nonEmpty) {
-        buf.clear()
-        buffered.drop(retainedFrom).foreach { case (ts, p) =>
-          buf.appendValue(new org.apache.spark.sql.catalyst.expressions.GenericRow(
-            Array[Any](ts, p)))
-        }
-      }
-      closed.iterator.flatMap { case (a, b) =>
-        val start = buffered(a)._1
-        val end = buffered(b - 1)._1 + gapMicros
-        (a until b).iterator.map { i =>
-          val (_, p) = buffered(i)
-          new org.apache.spark.sql.catalyst.expressions.GenericRow(
-            (p.toSeq ++ Seq(toTs(start), toTs(end),
+      val (closedRows, retained) = buffered.partition(_._1 <= boundary)
+      buf.clear()
+      if (retained.nonEmpty) buf.appendList(retained.map { case (ts, p) =>
+        new org.apache.spark.sql.catalyst.expressions.GenericRow(
+          Array[Any](ts, p)): Row
+      }.toArray)
+      saveRuns(rs.drop(nClosed))
+      val sorted = closedRows.sortBy(_._1)
+      var idx = 0
+      rs.take(nClosed).iterator.flatMap { case (lo, hi) =>
+        val end = hi + gapMicros
+        val out = scala.collection.mutable.ArrayBuffer.empty[Row]
+        while (idx < sorted.length && sorted(idx)._1 <= hi) {
+          val (_, p) = sorted(idx)
+          out += new org.apache.spark.sql.catalyst.expressions.GenericRow(
+            (p.toSeq ++ Seq(toTs(lo), toTs(end),
               toTs(end - 1000L))).toArray[Any])
+          idx += 1
         }
+        out.iterator
       }
     }
   }

@@ -35,6 +35,40 @@ class SessionWindowsSpec extends SparkSuite {
     assert(SessionWindows.closedSessions(IndexedSeq.empty, 20L, 0L) == (Nil, 0))
   }
 
+  test("mergeRuns: fresh timestamps extend, bridge, and open runs") {
+    val rs = IndexedSeq((0L, 10L), (100L, 120L))
+    // inside an existing run: no change
+    assert(SessionWindows.mergeRuns(rs, IndexedSeq(5L), 20L) == rs)
+    // extends the first run forward (10 → 25)
+    assert(SessionWindows.mergeRuns(rs, IndexedSeq(25L), 20L) ==
+      IndexedSeq((0L, 25L), (100L, 120L)))
+    // extends the second run backward (100 → 85)
+    assert(SessionWindows.mergeRuns(rs, IndexedSeq(85L), 20L) ==
+      IndexedSeq((0L, 10L), (85L, 120L)))
+    // bridges the two runs into one (every step ≤ gap)
+    assert(SessionWindows.mergeRuns(rs, IndexedSeq(30L, 50L, 70L, 90L), 20L) ==
+      IndexedSeq((0L, 120L)))
+    // out of reach of both: opens a third run
+    assert(SessionWindows.mergeRuns(rs, IndexedSeq(200L), 20L) ==
+      IndexedSeq((0L, 10L), (100L, 120L), (200L, 200L)))
+    // empty starting set
+    assert(SessionWindows.mergeRuns(IndexedSeq.empty, IndexedSeq(1L, 5L, 50L), 20L) ==
+      IndexedSeq((1L, 5L), (50L, 50L)))
+    // model check vs closedSessions' gap-split over the union
+    val r = new scala.util.Random(7)
+    for (_ <- 1 to 200) {
+      val base = IndexedSeq.fill(r.nextInt(30))(r.nextLong(1000L)).sorted.distinct
+      val fresh = IndexedSeq.fill(r.nextInt(10))(r.nextLong(1000L)).sorted
+      val gap = 1L + r.nextInt(100)
+      val runs0 = SessionWindows.mergeRuns(IndexedSeq.empty, base, gap)
+      val got = SessionWindows.mergeRuns(runs0, fresh, gap)
+      val all = (base ++ fresh).sorted.distinct
+      val want = SessionWindows.closedSessions(all, gap, Long.MaxValue)._1
+        .map { case (a, b) => (all(a), all(b - 1)) }
+      assert(got == want, s"base=$base fresh=$fresh gap=$gap")
+    }
+  }
+
   private def runAnnotate(batches: Seq[Seq[(String, Timestamp, Long)]],
       delay: String): Seq[(String, Long, Timestamp, Timestamp, Timestamp)] = {
     implicit val sqlCtx = spark.sqlContext
