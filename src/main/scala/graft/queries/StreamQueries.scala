@@ -5,7 +5,8 @@ import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 
 import graft.queries.Q._
-import graft.streaming.{Changelog, RetractableTopN, SessionWindows, StreamingRank, TemporalJoin}
+import graft.cep.{CEP, Pattern}
+import graft.streaming.{Changelog, OuterJoin, RetractableTopN, SessionWindows, StatefulOps, StreamingRank, TemporalJoin}
 
 /** Streaming oracle parity — driver-visible proof that the stateful
   * streaming operators produce the SAME table a batch query does, through
@@ -57,9 +58,19 @@ object StreamQueries {
       mode: String = "update"): DataFrame = {
     val name = s"qstream_${java.util.UUID.randomUUID().toString.replace("-", "")}"
     val ckpt = java.nio.file.Files.createTempDirectory("qstream_ckpt")
-    val q = out.writeStream.format("memory").queryName(name)
-      .outputMode(mode)
-      .option("checkpointLocation", ckpt.toString).start()
+    // The replay's state fits a handful of partitions; a wide session
+    // default (32 on the bench box) only multiplies per-micro-batch task
+    // and state-store open/close overhead. The partition count binds at
+    // query start, so the override applies to this stream only and the
+    // session default is restored for the batch queries that follow.
+    val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions",
+      math.min(prevShuffle.toInt, 8).toString)
+    val q =
+      try out.writeStream.format("memory").queryName(name)
+        .outputMode(mode)
+        .option("checkpointLocation", ckpt.toString).start()
+      finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
     try batches.foreach { b => input.addData(b); q.processAllAvailable() }
     finally {
       q.stop()
@@ -240,6 +251,140 @@ object StreamQueries {
           $"window_start".cast("timestamp_ntz").as("window_start"),
           $"window_end".cast("timestamp_ntz").as("window_end"))
         .orderBy($"user_id", $"event_id")
+    }),
+
+    // Streaming hopping-window aggregate: the same GROUP BY
+    // window(ts, 1h, 30m), event_type plan as q_window_hop (every row in
+    // two overlapping windows), executed incrementally over 4 micro-
+    // batches; the complete-mode sink's final table must equal the batch
+    // result.
+    "q_stream_hop" -> ((s, dir) => {
+      import s.implicits._
+      implicit val sqlCtx = s.sqlContext
+      val rows = sortedEvents(s, dir)
+      val input = MemoryStream[Ev]
+      val agg = input.toDS()
+        .groupBy(window($"ts", "1 hour", "30 minutes"), $"event_type")
+        .agg(count(lit(1)).as("n"), dsum($"value").as("sum_value"))
+        .select($"window.start".cast("timestamp_ntz").as("window_start"),
+          $"window.end".cast("timestamp_ntz").as("window_end"),
+          $"event_type", $"n", $"sum_value")
+      runToEnd(s, input, agg, chunks(rows, 4), mode = "complete")
+        .orderBy($"window_start", $"event_type")
+    }),
+
+    // Streaming interval join (IntervalJoinOperator parity): purchases
+    // and errors split out of ONE replayed stream (streaming self-join),
+    // matched per user when the error lands within the hour BEFORE the
+    // purchase. Inner interval joins emit eagerly on match, so the
+    // append sink carries the complete result — same SQL oracle as
+    // q_join_interval. Watermarks bound the join state on both sides.
+    "q_stream_interval" -> ((s, dir) => {
+      import s.implicits._
+      implicit val sqlCtx = s.sqlContext
+      val rows = sortedEvents(s, dir)
+      val input = MemoryStream[Ev]
+      val ev = input.toDS().withWatermark("ts", "1 hour")
+      val purchases = ev.filter($"event_type" === "purchase")
+        .select($"event_id".as("p_id"), $"user_id".as("p_user"), $"ts".as("p_ts"))
+      val errors = ev.filter($"event_type" === "error")
+        .select($"event_id".as("e_id"), $"user_id".as("e_user"), $"ts".as("e_ts"))
+      val joined = purchases.join(errors,
+          $"p_user" === $"e_user" &&
+          $"e_ts" >= $"p_ts" - expr("INTERVAL 1 HOUR") &&
+          $"e_ts" <= $"p_ts")
+        .select($"p_id", $"e_id")
+      runToEnd(s, input, joined, chunks(rows, 4), mode = "append")
+        .orderBy($"p_id", $"e_id")
+    }),
+
+    // Streaming retract group aggregation (GroupAggFunction parity):
+    // per-type SUM/COUNT over an insert replay followed by a batch of
+    // DELETES (every event_id divisible by 5). The emitted -U/+U
+    // changelog folds to the aggregate over surviving rows only — the
+    // retraction arithmetic is what's under the oracle gate.
+    "q_stream_groupagg" -> ((s, dir) => {
+      import s.implicits._
+      implicit val sqlCtx = s.sqlContext
+      implicit val chEnc = Encoders.product[StatefulOps.Change[String, Long]]
+      useRocksDb(s)
+      val evs = t(s, dir, "events")
+        .select($"event_id", $"event_type").as[(Long, String)]
+        .collect().toSeq.sortBy(_._1)
+      val inserts = evs.map { case (id, tpe) =>
+        StatefulOps.Change(Changelog.Insert, tpe, id) }
+      val deletes = evs.collect { case (id, tpe) if id % 5 == 0 =>
+        StatefulOps.Change(Changelog.Delete, tpe, id) }
+      val input = MemoryStream[StatefulOps.Change[String, Long]]
+      val changes = input.toDS().groupByKey(_.key)
+        .transformWithState(new StatefulOps.RetractSumProcessor[String, Long](),
+          org.apache.spark.sql.streaming.TimeMode.None(),
+          org.apache.spark.sql.streaming.OutputMode.Update())
+      val sink = runToEnd(s, input, changes.toDF(), chunks(inserts, 3) :+ deletes)
+      foldChangelog(
+        sink.select($"kind", $"value.key".as("event_type"),
+          $"value.sum".as("sum_id"), $"value.count".as("n")), "kind")
+        .orderBy($"event_type")
+    }),
+
+    // Streaming two-sided FULL OUTER join with retractions
+    // (StreamingJoinOperator parity): purchases (left) and views (right)
+    // replay as inserts, then every view with v_id divisible by 3
+    // RETRACTS. The processor's null-pad / retract-pad-on-first-match /
+    // re-pad-on-last-retraction protocol folds to exactly the batch
+    // FULL OUTER JOIN over surviving rows.
+    "q_stream_outer" -> ((s, dir) => {
+      import s.implicits._
+      implicit val sqlCtx = s.sqlContext
+      useRocksDb(s)
+      val ev = t(s, dir, "events")
+        .select($"event_id", $"user_id", $"event_type", $"value")
+        .as[(Long, Long, String, Double)].collect().toSeq
+      def tagged(tpe: String, isLeft: Boolean, kind: Byte, keep: Long => Boolean) =
+        ev.collect { case (id, u, et, v) if et == tpe && keep(id) =>
+          (u, kind, isLeft, id, v) }.sortBy(_._4)
+      val inserts = (tagged("purchase", isLeft = true, Changelog.Insert, _ => true) ++
+        tagged("view", isLeft = false, Changelog.Insert, _ => true)).sortBy(_._4)
+      val deletes = tagged("view", isLeft = false, Changelog.Delete, _ % 3 == 0)
+      val input = MemoryStream[(Long, Byte, Boolean, Long, Double)]
+      val ds = input.toDS()
+      val left = ds.filter(_._3).map(r => (r._1, r._2, (r._4, r._5)))
+      val right = ds.filter(!_._3).map(r => (r._1, r._2, (r._4, r._5)))
+      val out = OuterJoin.outerJoin[Long, (Long, Double), (Long, Double)](
+        left, right, OuterJoin.FullOuter)
+      val sink = runToEnd(s, input, out.toDF(), chunks(inserts, 3) :+ deletes)
+      foldChangelog(
+        sink.select($"kind", $"key".as("user_id"),
+          $"left._1".as("p_id"), $"left._2".as("p_value"),
+          $"right._1".as("v_id"), $"right._2".as("v_value")), "kind")
+        .orderBy($"user_id", $"p_id", $"v_id")
+    }),
+
+    // Streaming CEP (CepOperator parity): the q_cep_next strict-adjacency
+    // purchase→error pattern over a 4-batch replay through the
+    // incremental NFA (CEP.streaming → stepSkip). Matches append exactly
+    // once regardless of where micro-batch boundaries fall; the sink must
+    // equal the batch MATCH_RECOGNIZE oracle.
+    "q_stream_cep" -> ((s, dir) => {
+      import s.implicits._
+      implicit val sqlCtx = s.sqlContext
+      useRocksDb(s)
+      val rows = sortedEvents(s, dir)
+      val evs = rows.map(e => CepQueries.E(e.user_id,
+        e.ts.getTime * 1000L + (e.ts.getNanos / 1000) % 1000L,
+        e.event_type, e.event_id))
+      val pat = Pattern.begin[CepQueries.E]("A")(_.event_type == "purchase")
+        .next("B")(_.event_type == "error")
+      val input = MemoryStream[CepQueries.E]
+      val matches = CEP.streaming[CepQueries.E](input.toDS(),
+          e => e.user_id.toString, _.ts, pat,
+          maxBufferPerKey = Some(1 << 20))
+        .map { m =>
+          val st = m.stages.toMap
+          (st("A").head.user_id, st("A").head.event_id, st("B").head.event_id)
+        }.toDF("user_id", "purchase_id", "error_id")
+      runToEnd(s, input, matches, chunks(evs, 4))
+        .orderBy($"user_id", $"purchase_id")
     })
   )
 
@@ -274,6 +419,48 @@ object StreamQueries {
         |SELECT p.p_id, v.v_id AS r_v_id, v.v_value AS r_v_value
         |FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND v.ts <= p.ts
         |ORDER BY p_id""".stripMargin,
+
+    "q_stream_hop" ->
+      """WITH e AS (SELECT make_timestamp(epoch_ns(ts) // 1000) AS ts, event_type, value FROM events)
+        |SELECT ws AS window_start, ws + INTERVAL 1 HOUR AS window_end,
+        |  event_type, COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+        |FROM e, UNNEST([time_bucket(INTERVAL 30 MINUTE, ts),
+        |                time_bucket(INTERVAL 30 MINUTE, ts) - INTERVAL 30 MINUTE]) AS u(ws)
+        |GROUP BY 1, 2, 3 ORDER BY window_start, event_type""".stripMargin,
+
+    "q_stream_interval" ->
+      """SELECT p.event_id AS p_id, e.event_id AS e_id
+        |FROM (SELECT event_id, user_id, make_timestamp(epoch_ns(ts) // 1000) AS ts FROM events WHERE event_type = 'purchase') p
+        |JOIN (SELECT event_id, user_id, make_timestamp(epoch_ns(ts) // 1000) AS ts FROM events WHERE event_type = 'error') e
+        |ON p.user_id = e.user_id
+        | AND e.ts >= p.ts - INTERVAL 1 HOUR
+        | AND e.ts <= p.ts
+        |ORDER BY p_id, e_id""".stripMargin,
+
+    "q_stream_groupagg" ->
+      """SELECT event_type, CAST(SUM(event_id) AS BIGINT) AS sum_id, COUNT(*) AS n
+        |FROM events WHERE event_id % 5 <> 0
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q_stream_outer" ->
+      """WITH p AS (SELECT user_id, event_id AS p_id, value AS p_value FROM events WHERE event_type = 'purchase'),
+        |v AS (SELECT user_id, event_id AS v_id, value AS v_value FROM events WHERE event_type = 'view' AND event_id % 3 <> 0)
+        |SELECT COALESCE(p.user_id, v.user_id) AS user_id, p.p_id, p.p_value, v.v_id, v.v_value
+        |FROM p FULL OUTER JOIN v ON p.user_id = v.user_id
+        |ORDER BY user_id, p_id, v_id""".stripMargin,
+
+    "q_stream_cep" ->
+      """WITH o AS (
+        |  SELECT user_id, event_type, event_id,
+        |    lead(event_type) OVER w AS next_type,
+        |    lead(event_id) OVER w AS next_id
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id
+        |               ORDER BY make_timestamp(epoch_ns(ts) // 1000), event_id))
+        |SELECT user_id, event_id AS purchase_id, next_id AS error_id
+        |FROM o WHERE event_type = 'purchase' AND next_type = 'error'
+        |ORDER BY user_id, purchase_id""".stripMargin,
 
     "q_stream_session" ->
       """WITH e AS (SELECT event_id, user_id, make_timestamp(epoch_ns(ts) // 1000) AS ts FROM events),
