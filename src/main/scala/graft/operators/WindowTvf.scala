@@ -81,8 +81,10 @@ object WindowTvf {
       // the session_window rewrite can lose an output-name reference
       // (window_start appearing only inside SELECT expressions leaves no
       // alias for ORDER BY/HAVING to resolve against) — on batch, fall
-      // back to the analytic expansion, which always aliases; streaming
-      // keeps the loud error (the expansion is stream-illegal)
+      // back to the analytic expansion, which always aliases. Streaming
+      // pure-agg SESSION statements keep the loud error: their expansion
+      // would need the SessionWindows.annotate route plus a re-aggregate,
+      // which the step() dispatch deliberately does not compose
       case e: org.apache.spark.sql.AnalysisException
           if s.batchSessionRoute && !forceExpand =>
         sqlImpl(spark, query, forceExpand = true)

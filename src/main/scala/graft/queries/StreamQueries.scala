@@ -101,15 +101,23 @@ object StreamQueries {
   case class Ev(event_id: Long, user_id: Long, ts: java.sql.Timestamp,
       event_type: String, value: Double)
 
-  /** events rows sorted by (ts, event_id) — replay in event-time order,
-    * the shape a rowtime source delivers within the watermark.
+  /** Epoch MICROS of a micros-precision timestamp (getTime carries the
+    * millis; getNanos the sub-second — only its sub-milli part is new).
+    */
+  private def micros(t: java.sql.Timestamp): Long =
+    t.getTime * 1000L + (t.getNanos / 1000L) % 1000L
+
+  /** events rows sorted by (micro-ts, event_id) — replay in full-precision
+    * event-time order, the shape a rowtime source delivers within the
+    * watermark (and the exact ORDER BY every oracle uses; a millisecond
+    * sort could diverge on same-ms rows whose ids cross micros order).
     */
   private def sortedEvents(s: SparkSession, dir: String): Seq[Ev] = {
     import s.implicits._
     t(s, dir, "events")
       .select($"event_id", $"user_id", $"ts".cast("timestamp").as("ts"),
         $"event_type", $"value")
-      .as[Ev].collect().toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+      .as[Ev].collect().toSeq.sortBy(e => (micros(e.ts), e.event_id))
   }
 
   val queries: Map[String, QFn] = Map(
@@ -370,9 +378,8 @@ object StreamQueries {
       implicit val sqlCtx = s.sqlContext
       useRocksDb(s)
       val rows = sortedEvents(s, dir)
-      val evs = rows.map(e => CepQueries.E(e.user_id,
-        e.ts.getTime * 1000L + (e.ts.getNanos / 1000) % 1000L,
-        e.event_type, e.event_id))
+      val evs = rows.map(e =>
+        CepQueries.E(e.user_id, micros(e.ts), e.event_type, e.event_id))
       val pat = Pattern.begin[CepQueries.E]("A")(_.event_type == "purchase")
         .next("B")(_.event_type == "error")
       val input = MemoryStream[CepQueries.E]

@@ -61,6 +61,13 @@ object SessionWindows {
     // no derived time column: casting tsCol would CLONE its event-time
     // watermark metadata and Spark rejects streams with two event-time
     // columns — the processor reads the original column instead
+    // the event-time column must be TIMESTAMP: Spark's watermark (which
+    // annotate requires) rejects TIMESTAMP_NTZ event time outright
+    // (EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE), so an NTZ branch here would
+    // be unreachable — fail loudly at the operator boundary instead
+    require(inSchema(tsCol).dataType == TimestampType,
+      s"$tsCol must be TIMESTAMP (streaming event time cannot be " +
+        s"${inSchema(tsCol).dataType.simpleString}; cast before annotate)")
     val tagged = df.withColumn("__sw_key", keyExpr)
     val outSchema = StructType(inSchema.fields ++ Seq(
       StructField("window_start", TimestampType),
@@ -68,18 +75,11 @@ object SessionWindows {
       StructField("window_time", TimestampType)))
     implicit val outEnc: org.apache.spark.sql.Encoder[Row] = Encoders.row(outSchema)
     implicit val keyEnc: org.apache.spark.sql.Encoder[String] = Encoders.STRING
-    val annotated = tagged
+    tagged
       .groupByKey((r: Row) => r.getString(r.fieldIndex("__sw_key")))
       .transformWithState(
         new SessionAnnotateProcessor(tagged.schema, inSchema, tsCol, gapMicros),
         TimeMode.EventTime(), OutputMode.Append())
-    // window columns follow the event-time column's type (a TIMESTAMP_NTZ
-    // input annotates with NTZ bounds, as the batch expansion does)
-    val tsType = inSchema(tsCol).dataType
-    if (tsType == TimestampType) annotated
-    else Seq("window_start", "window_end", "window_time")
-      .foldLeft(annotated: DataFrame)((d, c) =>
-        d.withColumn(c, org.apache.spark.sql.functions.col(c).cast(tsType)))
   }
 
   /** Pure close/retain core, unit-testable without a streaming query:
@@ -146,10 +146,9 @@ object SessionWindows {
     private val tsIdx = taggedSchema.fieldIndex(tsCol)
     private val inIdxs = inSchema.fieldNames.map(taggedSchema.fieldIndex)
 
-    /** Event time in epoch MICROS from either timestamp flavor (NTZ
-      * values read as UTC wall clock, matching the watermark's view) —
-      * full column precision, so gap merges and emitted bounds never
-      * truncate.
+    /** Event time in epoch MICROS — full column precision, so gap
+      * merges and emitted bounds never truncate. (The annotate boundary
+      * guarantees TimestampType; the other cases are defensive.)
       */
     private def tsMicros(r: Row): Long = r.get(tsIdx) match {
       case t: java.sql.Timestamp =>

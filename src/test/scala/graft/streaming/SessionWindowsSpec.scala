@@ -133,6 +133,21 @@ class SessionWindowsSpec extends SparkSuite {
       s"got $out")
   }
 
+  test("non-TIMESTAMP event time fails loudly at the operator boundary") {
+    // Spark's watermark rejects TIMESTAMP_NTZ event time
+    // (EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE), so annotate cannot support
+    // it — the guard must name the problem instead of silently casting
+    // bounds through the session zone
+    import java.time.LocalDateTime
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(String, LocalDateTime, Long)]
+    val df = input.toDS().toDF("user_id", "ts", "v")
+    val e = intercept[IllegalArgumentException] {
+      SessionWindows.annotate(df, Seq("user_id"), "ts", "1 hour")
+    }
+    assert(e.getMessage.contains("must be TIMESTAMP"), e.getMessage)
+  }
+
   test("the WindowTvf streaming route annotates the non-aggregate shape") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(String, Timestamp, Long)]
