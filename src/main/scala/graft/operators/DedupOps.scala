@@ -378,4 +378,98 @@ object DedupOps {
     }.reduce(_ + _)
     hashed.select(col(idCol), sig.as("simhash"))
   }
+
+  /** Connected-component resolution over a near-dup pair graph — the
+    * last stage of a dedup pipeline: every document in a component gets
+    * the component's MINIMUM id as its `cluster_id` (the survivor), so
+    * `filter($"doc_id" =!= $"cluster_id")` is the delete set.
+    *
+    * Algorithm: alternating Large-Star / Small-Star (Kiveris et al.,
+    * "Connected Components in MapReduce and Beyond", ACM SoCC 2014).
+    * Each round is a bounded number of hash shuffles (a per-node min and
+    * a join back, per star step) and the edge set converges to
+    * per-component stars in O(log n) rounds on ANY topology — plain
+    * min-label propagation needs O(diameter) rounds, which a chained
+    * near-dup corpus (doc A ~ B ~ C ~ …) turns into thousands of jobs.
+    * Rounds materialize via persist+count so the driver-side convergence
+    * check never recomputes lineage; the loop is driver CONTROL ONLY —
+    * edges never leave the executors.
+    *
+    * Only nodes present in `pairs` appear in the output; isolated
+    * documents are their own cluster by definition and need no shuffle —
+    * union them in with `cluster_id = doc_id` if a total mapping is
+    * needed.
+    */
+  def dupClusters(pairs: DataFrame, idA: String = "id_a",
+      idB: String = "id_b", maxRounds: Int = 40): DataFrame = {
+    // canonical directed edges hi → lo (dedup'd, self-loops dropped)
+    val canon = pairs
+      .select(greatest(col(idA), col(idB)).cast(LongType).as("hi"),
+        least(col(idA), col(idB)).cast(LongType).as("lo"))
+      .filter(col("hi") =!= col("lo"))
+      .distinct()
+
+    // Large-Star: per node u, every LARGER neighbor re-points at
+    // m(u) = min(N(u) ∪ {u}); keeps components intact, halves long paths.
+    def largeStar(e: DataFrame): DataFrame = {
+      val sym = e.select(col("hi").as("u"), col("lo").as("v"))
+        .union(e.select(col("lo").as("u"), col("hi").as("v")))
+      val m = sym.groupBy("u").agg(min(col("v")).as("mv"))
+        .select(col("u"), least(col("mv"), col("u")).as("m"))
+      sym.join(m, "u").filter(col("v") > col("u")) // m ≤ u < v: hi→lo safe
+        .select(col("v").as("hi"), col("m").as("lo")).distinct()
+    }
+
+    // Small-Star: per node u, all smaller neighbors (plus u itself)
+    // re-point at the smallest of them — components collapse toward
+    // their minimum.
+    def smallStar(e: DataFrame): DataFrame = {
+      val m = e.groupBy("hi").agg(min(col("lo")).as("m"))
+      e.join(m, "hi").filter(col("lo") =!= col("m"))
+        .select(col("lo").as("hi"), col("m").as("lo"))
+        .union(m.select(col("hi"), col("m").as("lo")))
+        .distinct()
+    }
+
+    // Every round MUST cut lineage, not just cache: each star step
+    // references its input several times (symmetrize union, min join),
+    // so the logical plan would grow exponentially with rounds and OOM
+    // the driver around round ~6. localCheckpoint materializes to
+    // executor block storage (MEMORY_AND_DISK) and truncates the plan.
+    // Superseded rounds release EXPLICITLY — at corpus scale each
+    // checkpoint is the full edge set, and waiting for the
+    // ContextCleaner would hold O(rounds) copies; live storage here is
+    // never more than three edge sets. The final round's checkpoint
+    // backs the returned DataFrame and is reaped when the caller drops
+    // it.
+    def releaseCheckpoint(df: DataFrame): Unit =
+      df.queryExecution.analyzed.collectFirst {
+        case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
+      }.foreach(_.unpersist(blocking = false))
+
+    var edges = canon.localCheckpoint(true)
+    var nEdges = edges.count()
+    var round = 0
+    var converged = nEdges == 0L
+    while (!converged && round < maxRounds) {
+      val ls = largeStar(edges).localCheckpoint(true)
+      val next = smallStar(ls).localCheckpoint(true)
+      val nNext = next.count()
+      // equal-size + empty one-way difference ⇒ equal sets (both distinct)
+      converged = nNext == nEdges && next.except(edges).isEmpty
+      releaseCheckpoint(ls)
+      releaseCheckpoint(edges) // superseded (equal content if converged)
+      edges = next
+      nEdges = nNext
+      round += 1
+    }
+    if (!converged)
+      throw new IllegalStateException(
+        s"dupClusters did not converge in $maxRounds rounds ($nEdges edges)")
+    // fixpoint = per-component stars: every hi points at its component
+    // min, and the lo side is exactly the root set
+    edges.select(col("hi").as("doc_id"), col("lo").as("cluster_id"))
+      .union(edges.select(col("lo").as("doc_id"), col("lo").as("cluster_id"))
+        .distinct())
+  }
 }

@@ -130,4 +130,45 @@ object TextOps {
       aggregate(w, lit(0L),
         (acc, x) => (acc * 31L + wordHash(x)) % 2147483647L).as("fingerprint"))
   }
+
+  /** Greedy sequence packing for training-shard assembly: documents
+    * pack in id order into fixed token-budget bins, independently per
+    * pack GROUP. The group is the distribution unit — groups pack in
+    * parallel (one shuffle on the group key), documents within a group
+    * sequentially in id order — the deterministic, machine-count-
+    * independent policy reproducible training shards need. A document
+    * larger than the budget gets a bin of its own (never split).
+    *
+    * Scale shape: groups bound both parallelism and per-task memory
+    * (a group's (id, n_tokens) pairs — NOT its text — are held and
+    * sorted in one task), so the caller sizes groups like file splits;
+    * packing 100 TB means millions of groups, each a few thousand docs.
+    *
+    * Output: (doc_id, grp, bin, n_tokens), bins numbered from 0 per
+    * group.
+    */
+  def packSequences(docs: DataFrame, budget: Long, groupExpr: Column,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    require(budget > 0, s"token budget must be positive, got $budget")
+    val s = docs.sparkSession
+    import s.implicits._
+    docs.select(groupExpr.cast(LongType).as("grp"),
+        col(idCol).cast(LongType).as("doc_id"),
+        size(tokens(col(textCol))).cast(LongType).as("n_tokens"))
+      .as[(Long, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroups { (grp, it) =>
+        val sorted = it.toIndexedSeq.sortBy(_._2)
+        var bin = 0L
+        var used = 0L
+        var first = true
+        sorted.iterator.map { case (_, id, tok) =>
+          if (first) { used = tok; first = false }
+          else if (used + tok > budget) { bin += 1; used = tok }
+          else used += tok
+          (id, grp, bin, tok)
+        }
+      }
+      .toDF("doc_id", "grp", "bin", "n_tokens")
+  }
 }

@@ -68,6 +68,15 @@ object PipelineQueries {
       TextOps.bpeTokenStats(t(s, dir, "documents")).orderBy(col("doc_id"))
     }),
 
+    // Greedy sequence packing (TextOps.packSequences): 256-token bins,
+    // pack groups of 50 docs (the parallel unit); the oracle replays the
+    // same sequential policy with a recursive CTE per group.
+    "q_text_pack" -> ((s, dir) => {
+      TextOps.packSequences(t(s, dir, "documents"), budget = 256L,
+        groupExpr = expr("doc_id DIV 50"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Exact dedup over a corpus with injected duplicates (DedupOps.exactDedup).
     "q_dedup_exact" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
@@ -197,6 +206,26 @@ object PipelineQueries {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    // Near-dup cluster resolution (DedupOps.dupClusters): connected
+    // components over a pair graph via alternating Large-Star/Small-Star
+    // (log-round convergence — safe for chained near-dups at corpus
+    // scale). The edge list is a deterministic mixed topology off the
+    // documents table — decade 4-chains, century stars, and doubling
+    // cross-links — so multi-hop closure is actually exercised; the
+    // oracle is a DuckDB recursive transitive-closure CTE.
+    "q_dedup_cluster" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id"))
+      val chain = d.filter(col("doc_id") % 10 < 3)
+        .select(col("doc_id").as("id_a"), (col("doc_id") + 1).as("id_b"))
+      val star = d.filter(col("doc_id") % 100 >= 95)
+        .select(col("doc_id").as("id_a"),
+          (col("doc_id") - col("doc_id") % 100).as("id_b"))
+      val cross = d.filter(col("doc_id") < 50 && col("doc_id") % 7 === 0)
+        .select(col("doc_id").as("id_a"), (col("doc_id") * 2).as("id_b"))
+      DedupOps.dupClusters(chain.union(star).union(cross))
+        .orderBy(col("doc_id"))
+    }),
+
     // Multimodal chunk sampling plumbing (MultimodalOps.sampleChunks).
     "q_mm_chunks" -> ((s, dir) => {
       MultimodalOps.sampleChunks(t(s, dir, "documents"))
@@ -292,6 +321,27 @@ object PipelineQueries {
         |    list_prepend(0::BIGINT, list_transform(w, x -> ${TextOps.wordHashSql("x")})),
         |    (acc, h) -> (acc * 31 + h) % 2147483647) AS fingerprint
         |FROM ($docsW) ORDER BY doc_id""".stripMargin,
+
+    "q_text_pack" ->
+      """WITH RECURSIVE base AS (
+        |  SELECT doc_id, doc_id // 50 AS grp,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |ordered AS (
+        |  SELECT *, row_number() OVER (PARTITION BY grp ORDER BY doc_id) AS rn
+        |  FROM base),
+        |pack AS (
+        |  SELECT grp, rn, doc_id, n_tokens,
+        |    CAST(0 AS BIGINT) AS bin, n_tokens AS used
+        |  FROM ordered WHERE rn = 1
+        |  UNION ALL
+        |  SELECT o.grp, o.rn, o.doc_id, o.n_tokens,
+        |    CASE WHEN p.used + o.n_tokens > 256 THEN p.bin + 1 ELSE p.bin END,
+        |    CASE WHEN p.used + o.n_tokens > 256 THEN o.n_tokens
+        |         ELSE p.used + o.n_tokens END
+        |  FROM pack p JOIN ordered o ON o.grp = p.grp AND o.rn = p.rn + 1)
+        |SELECT doc_id, CAST(grp AS BIGINT) AS grp, bin, n_tokens
+        |FROM pack ORDER BY doc_id""".stripMargin,
 
     "q_text_bpe" ->
       s"""SELECT doc_id,
@@ -485,6 +535,26 @@ object PipelineQueries {
         |SELECT q_id, c_id, round(cos, 6) AS cos, rank FROM r
         |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin
     },
+
+    "q_dedup_cluster" ->
+      """WITH RECURSIVE d AS (SELECT doc_id FROM documents),
+        |edges AS (
+        |  SELECT doc_id AS a, doc_id + 1 AS b FROM d WHERE doc_id % 10 < 3
+        |  UNION ALL
+        |  SELECT doc_id, doc_id - doc_id % 100 FROM d WHERE doc_id % 100 >= 95
+        |  UNION ALL
+        |  SELECT doc_id, doc_id * 2 FROM d WHERE doc_id < 50 AND doc_id % 7 = 0),
+        |sym AS (
+        |  SELECT a, b FROM edges WHERE a <> b
+        |  UNION
+        |  SELECT b, a FROM edges WHERE a <> b),
+        |nodes AS (SELECT DISTINCT a AS n FROM sym),
+        |walk(n, r) AS (
+        |  SELECT n, n FROM nodes
+        |  UNION
+        |  SELECT w.n, s.b FROM walk w JOIN sym s ON w.r = s.a)
+        |SELECT n AS doc_id, CAST(MIN(r) AS BIGINT) AS cluster_id
+        |FROM walk GROUP BY n ORDER BY doc_id""".stripMargin,
 
     "q_dedup_embed" -> {
       // reproduce the hyperplane signs exactly as q_sim_rplsh

@@ -186,7 +186,63 @@ class DedupOpsSpec extends SparkSuite {
     assert(maxOverMedian(partitionLoads(a, Seq("band", "chunk", "__salt"))) <= 4.0)
   }
 
+  test("dupClusters matches a union-find model on random graphs") {
+    val rnd = new scala.util.Random(42)
+    for (trial <- 0 until 12) {
+      val n = 5 + rnd.nextInt(40)
+      val edges = Seq.fill(rnd.nextInt(60))(
+        (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }
+      if (edges.nonEmpty) {
+        // union-find oracle
+        val parent = Array.tabulate(n)(identity)
+        def find(x: Int): Int = {
+          var r = x; while (parent(r) != r) r = parent(r)
+          var c = x
+          while (parent(c) != r) { val nx = parent(c); parent(c) = r; c = nx }
+          r
+        }
+        edges.foreach { case (a, b) =>
+          val (ra, rb) = (find(a.toInt), find(b.toInt))
+          if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+        }
+        val touched = edges.flatMap(e => Seq(e._1, e._2)).distinct
+        val want = touched.map(v => v -> find(v.toInt).toLong).toMap
+        val got = DedupOps.dupClusters(edges.toDF("id_a", "id_b"))
+          .as[(Long, Long)].collect().toMap
+        assert(got == want, s"trial $trial: got $got want $want edges $edges")
+      }
+    }
+  }
+
+  test("dupClusters collapses a long chain (the O(diameter) killer)") {
+    // 0-1-2-…-63: min-label propagation would need 63 rounds; the
+    // star rounds' maxRounds=40 bound only holds if convergence is
+    // logarithmic, so completing at all pins the algorithm class
+    val chain = (0L until 63L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val out = DedupOps.dupClusters(chain).as[(Long, Long)].collect()
+    assert(out.length == 64 && out.forall(_._2 == 0L), s"got ${out.toSeq}")
+  }
+
+  test("dupClusters on an empty pair set returns no rows") {
+    val empty = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
+    assert(DedupOps.dupClusters(empty).count() == 0L)
+  }
+
+  test("dupClusters releases superseded round checkpoints") {
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val chain = (0L until 63L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    DedupOps.dupClusters(chain).count()
+    // ~6 star rounds = ~13 checkpoints without the explicit release;
+    // only the final round's (backing the returned DataFrame) may stay
+    val after = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(after.size <= 1, s"leaked ${after.size} round checkpoints")
+  }
+
   test("dedup pipeline caches are released after the consuming action") {
+    // other tests' localCheckpoints (released only on driver GC) are out
+    // of scope — assert no NEW leak beyond the baseline
+    val baseline = spark.sparkContext.getPersistentRDDs.keySet
     val df = (0 until 40).map(i =>
       (i.toLong, s"tok${i % 7} tok${(i + 1) % 7} tok${(i + 2) % 7} common words here"))
       .toDF("doc_id", "text")
@@ -196,7 +252,8 @@ class DedupOpsSpec extends SparkSuite {
     assert(n >= 0)
     // CacheOnce releases asynchronously on the listener bus — poll
     val deadline = System.nanoTime() + 15e9.toLong
-    def leaked = spark.sparkContext.getPersistentRDDs
+    def leaked =
+      spark.sparkContext.getPersistentRDDs.filterNot(kv => baseline(kv._1))
     while (leaked.nonEmpty && System.nanoTime() < deadline) Thread.sleep(100)
     assert(leaked.isEmpty, s"persisted RDDs leaked: ${leaked.values.map(_.name)}")
   }

@@ -36,4 +36,22 @@ class TextOpsSpec extends SparkSuite {
       .collect().map(r => (r._2, r._3)).head
     assert(n == 2L && est == 3L)
   }
+
+  test("packSequences: greedy bins per group, oversize doc gets own bin") {
+    import org.apache.spark.sql.functions.expr
+    val docs = Seq(
+      (0L, "a b c"),       // 3 tokens → bin 0 (used 3)
+      (1L, "d e"),         // 2 → bin 0 (used 5)
+      (2L, "f g h i"),     // 4 > remaining 1 → bin 1 (used 4)
+      (3L, "s t u v w x y"), // 7 > budget alone → bin 2, never split
+      (4L, "y z"),         // 2 → bin 3 (bin 2's 7 busts any addition)
+      (100L, "p q r")      // different group → its own bin 0
+    ).toDF("doc_id", "text")
+    val out = TextOps.packSequences(docs, budget = 6L,
+        groupExpr = expr("doc_id DIV 100"))
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(out == Set(
+      (0L, 0L, 0L, 3L), (1L, 0L, 0L, 2L), (2L, 0L, 1L, 4L),
+      (3L, 0L, 2L, 7L), (4L, 0L, 3L, 2L), (100L, 1L, 0L, 3L)), s"got $out")
+  }
 }
