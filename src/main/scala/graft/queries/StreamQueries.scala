@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.queries.Q._
 import graft.cep.{CEP, Pattern}
-import graft.streaming.{Changelog, OuterJoin, RetractableTopN, SessionWindows, StatefulOps, StreamingRank, TemporalJoin}
+import graft.streaming.{Changelog, OuterJoin, ProcessOps, RetractableTopN, SessionWindows, StatefulOps, StreamingRank, TemporalJoin}
 
 /** Streaming oracle parity — driver-visible proof that the stateful
   * streaming operators produce the SAME table a batch query does, through
@@ -368,6 +368,38 @@ object StreamQueries {
         .orderBy($"user_id", $"p_id", $"v_id")
     }),
 
+    // Streaming unbounded-preceding OVER aggregation (the reference's
+    // RowTimeRowsUnboundedPrecedingFunction): purchase/error events
+    // replay with event-time timers — each row's running SUM/COUNT per
+    // type emits only when the watermark passes its timestamp, so
+    // emission is in event-time order and late rows drop. Append-only
+    // output; one far-future sentinel flushes the tail. Must equal the
+    // batch ROWS UNBOUNDED PRECEDING window oracle.
+    "q_stream_over" -> ((s, dir) => {
+      import s.implicits._
+      implicit val sqlCtx = s.sqlContext
+      useRocksDb(s)
+      val rows = sortedEvents(s, dir)
+        .filter(e => e.event_type == "purchase" || e.event_type == "error")
+      val maxTs = rows.map(_.ts.getTime).max
+      val input = MemoryStream[ProcessOps.TimedIn]
+      val timed = rows.map(e =>
+        ProcessOps.TimedIn(e.event_type, e.ts, e.event_id))
+      val sentinel = Seq(ProcessOps.TimedIn("__flush",
+        new java.sql.Timestamp(maxTs + 3 * 3600000L), 0L))
+      val out = input.toDS().withWatermark("eventTime", "1 hour")
+        .groupByKey(_.key)
+        .transformWithState(
+          new ProcessOps.UnboundedPrecedingOverProcessor(rangeMode = false),
+          org.apache.spark.sql.streaming.TimeMode.EventTime(),
+          org.apache.spark.sql.streaming.OutputMode.Append())
+      val sink = runToEnd(s, input, out.toDF(), chunks(timed, 4) :+ sentinel)
+      sink.filter($"key" =!= "__flush")
+        .select($"key".as("event_type"), $"v".as("event_id"),
+          $"movingSum".as("moving_sum"), $"n")
+        .orderBy($"event_type", $"event_id")
+    }),
+
     // Streaming CEP (CepOperator parity): the q_cep_next strict-adjacency
     // purchase→error pattern over a 4-batch replay through the
     // incremental NFA (CEP.streaming → stepSkip). Matches append exactly
@@ -456,6 +488,17 @@ object StreamQueries {
         |SELECT COALESCE(p.user_id, v.user_id) AS user_id, p.p_id, p.p_value, v.v_id, v.v_value
         |FROM p FULL OUTER JOIN v ON p.user_id = v.user_id
         |ORDER BY user_id, p_id, v_id""".stripMargin,
+
+    "q_stream_over" ->
+      """WITH e AS (SELECT event_id, event_type, make_timestamp(epoch_ns(ts) // 1000) AS ts
+        |           FROM events WHERE event_type IN ('purchase', 'error'))
+        |SELECT event_type, event_id,
+        |  CAST(SUM(event_id) OVER w AS BIGINT) AS moving_sum,
+        |  ROW_NUMBER() OVER w AS n
+        |FROM e
+        |WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id
+        |             ROWS UNBOUNDED PRECEDING)
+        |ORDER BY event_type, event_id""".stripMargin,
 
     "q_stream_cep" ->
       """WITH o AS (
