@@ -26,9 +26,10 @@ object Bench {
     val total = results.view.filterKeys(_.startsWith("q_")).values.sum
     val full =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
-    // Stdout capture may truncate a long line; persist the full JSON to a
-    // file and print it first, then a short self-contained summary line
-    // LAST so a tail-capture always sees one complete JSON object.
+    // Persist the full JSON to a file for ad-hoc inspection, but print
+    // EXACTLY ONE JSON line: the driver parses stdout for a single
+    // {"metric",...,"queries":{...}} object, and a second summary line made
+    // round 9's BENCH record unparseable.
     val outPath = sys.props.getOrElse("graft.bench.out",
       java.nio.file.Paths.get(sys.props.getOrElse("user.dir", "."),
         "bench_out.json").toString)
@@ -39,7 +40,6 @@ object Bench {
       System.err.println(s"[bench] could not write $outPath: ${e.getMessage}")
     }
     println(full)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","queries_file":"$outPath"}""")
     spark.stop()
   }
 }

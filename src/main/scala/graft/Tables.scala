@@ -15,21 +15,30 @@ object Tables {
     "orders", "lineitem", "events", "documents", "embeddings")
 
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
-    // events.ts is parquet TIMESTAMP(NANOS) which Spark's TimestampType
-    // (microseconds) cannot represent; read the raw int64 and truncate to
-    // micros. DuckDB oracle side mirrors this with
-    // make_timestamp(epoch_ns(ts) // 1000).
+    // events.ts has shipped in two parquet encodings across testdata
+    // generations: TIMESTAMP(NANOS) (which Spark's microsecond TimestampType
+    // cannot represent — read as raw int64 and truncate), and plain
+    // TIMESTAMP(MICROS, isAdjustedToUTC=false) (which Spark reads as
+    // TIMESTAMP_NTZ directly). Detect from the scanned schema so either
+    // generation loads; DuckDB's oracle-side make_timestamp(epoch_ns(ts)//1000)
+    // is an identity under both.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = spark.read.parquet(s"$sfDir/$name.parquet")
     if (name == "events") {
       import org.apache.spark.sql.functions._
-      // timestamp_ntz so parquet output carries isAdjustedToUTC=false, the
-      // same representation DuckDB's make_timestamp(epoch_ns(ts)//1000) has.
-      // integer DIV, not `/`: epoch-nanos exceed double's 53-bit mantissa,
-      // so floating division is off by up to ±1µs.
-      raw.withColumn(
-        "ts",
-        timestamp_micros(expr("ts DIV 1000L")).cast("timestamp_ntz"))
+      import org.apache.spark.sql.types.LongType
+      raw.schema("ts").dataType match {
+        case LongType =>
+          // integer DIV, not `/`: epoch-nanos exceed double's 53-bit
+          // mantissa, so floating division is off by up to ±1µs.
+          raw.withColumn(
+            "ts",
+            timestamp_micros(expr("ts DIV 1000L")).cast("timestamp_ntz"))
+        case _ =>
+          // already a timestamp; normalize to timestamp_ntz so downstream
+          // window/CEP logic and parquet output see one representation.
+          raw.withColumn("ts", col("ts").cast("timestamp_ntz"))
+      }
     } else raw
   }
 

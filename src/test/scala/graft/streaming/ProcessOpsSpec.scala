@@ -100,8 +100,11 @@ class ProcessOpsSpec extends SparkSuite {
   test("state TTL: counts reset after expiry") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(String, Long)]
+    // ttl must comfortably exceed worst-case micro-batch scheduling delay
+    // under a fully loaded test machine, or the second add lands after the
+    // first write expired and the count resets early (flaky under sbt test).
     val out = input.toDS().groupByKey(_._1)
-      .transformWithState(new TtlCountProcessor(ttlMs = 3000),
+      .transformWithState(new TtlCountProcessor(ttlMs = 8000),
         TimeMode.ProcessingTime(), OutputMode.Update())
     val name = s"ttl_${System.nanoTime()}"
     val q = out.writeStream.format("memory").queryName(name)
@@ -113,7 +116,7 @@ class ProcessOpsSpec extends SparkSuite {
       assert(awaitSink(name)(() => spark.table(name).count() >= 1))
       input.addData(Seq(("a", 1L)))
       assert(awaitSink(name)(() => spark.table(name).count() >= 2))
-      Thread.sleep(3500) // exceed TTL
+      Thread.sleep(8800) // exceed TTL
       input.addData(Seq(("a", 1L)))
       assert(awaitSink(name)(() => spark.table(name).count() >= 3))
       val counts = spark.table(name).as[(String, Long)].collect().map(_._2).toSeq
