@@ -30,7 +30,8 @@ import org.apache.spark.sql.streaming._
   * MapState[payload → count] PER SIDE, so a duplicate row increments a
   * counter instead of appending to a list, point lookups are O(1) (no
   * Seq.contains scans), and a retraction decrements/removes in O(1).
-  * "Side empty" / "side will empty" checks read at most two map entries.
+  * "Side empty" / "side will empty" checks read per-side distinct-entry
+  * counters held in chunk-local variables (one state read/write per chunk).
   * Optional TTL (InputRecordStateTtl in the reference planner,
   * table.exec.state.ttl) bounds state for keys that stop receiving input.
   */
@@ -69,11 +70,21 @@ object OuterJoin {
 
     @transient private var leftSt: MapState[L, Long] = _
     @transient private var rightSt: MapState[R, Long] = _
+    // distinct-entry count per side: the empty / first-row / will-empty
+    // checks become chunk-local reads instead of a state-store iterator
+    // creation per input row (3 per row — the dominant fixed per-record
+    // cost at volume). With TTL configured, entries expire behind a
+    // counter's back, so the iterator-probe path stays authoritative there.
+    @transient private var leftN: ValueState[Long] = _
+    @transient private var rightN: ValueState[Long] = _
+    private val exactCounts = stateTtl.isEmpty
 
     override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
       val ttl = stateTtl.map(TTLConfig(_)).getOrElse(TTLConfig.NONE)
       leftSt = getHandle.getMapState[L, Long]("left", lEnc, Encoders.scalaLong, ttl)
       rightSt = getHandle.getMapState[R, Long]("right", rEnc, Encoders.scalaLong, ttl)
+      leftN = getHandle.getValueState[Long]("leftN", Encoders.scalaLong, TTLConfig.NONE)
+      rightN = getHandle.getValueState[Long]("rightN", Encoders.scalaLong, TTLConfig.NONE)
     }
 
     override def handleInputRows(key: K, rows: Iterator[JoinInput[K, L, R]],
@@ -84,14 +95,21 @@ object OuterJoin {
         var i = 0L; while (i < n) { out += o; i += 1 }
       }
 
+      // chunk-local counters: read once per chunk, write back once
+      var nLeft = if (exactCounts && leftN.exists()) leftN.get() else 0L
+      var nRight = if (exactCounts && rightN.exists()) rightN.get() else 0L
+
       rows.foreach { in =>
         if (in.isLeft) process[L, R](key, in.left.get, in.isAdd, leftSt, rightSt,
           joinType.leftOuter, joinType.rightOuter,
-          (k, l, r) => JoinOutput(0: Byte, k, l, r), out, emitN)
+          (k, l, r) => JoinOutput(0: Byte, k, l, r), out, emitN,
+          () => nLeft, d => nLeft += d, () => nRight)
         else process[R, L](key, in.right.get, in.isAdd, rightSt, leftSt,
           joinType.rightOuter, joinType.leftOuter,
-          (k, r, l) => JoinOutput(0: Byte, k, l, r), out, emitN)
+          (k, r, l) => JoinOutput(0: Byte, k, l, r), out, emitN,
+          () => nRight, d => nRight += d, () => nLeft)
       }
+      if (exactCounts) { leftN.update(nLeft); rightN.update(nRight) }
       out.iterator
     }
 
@@ -104,14 +122,17 @@ object OuterJoin {
         thisOuter: Boolean, otherOuter: Boolean,
         mk: (K, Option[A], Option[B]) => JoinOutput[K, L, R],
         out: scala.collection.mutable.ArrayBuffer[JoinOutput[K, L, R]],
-        emitN: Long => JoinOutput[K, L, R] => Unit): Unit = {
+        emitN: Long => JoinOutput[K, L, R] => Unit,
+        sameN: () => Long, bumpSame: Long => Unit, otherN: () => Long): Unit = {
 
       def withKind(kind: Byte)(o: JoinOutput[K, L, R]) = o.copy(kind = kind)
 
       if (isAdd) {
         // O(1): does the other side have any row / is this the first row here?
-        val otherEmpty = !other.iterator().hasNext
-        val firstOnThisSide = !same.iterator().hasNext
+        val otherEmpty =
+          if (exactCounts) otherN() == 0L else !other.iterator().hasNext
+        val firstOnThisSide =
+          if (exactCounts) sameN() == 0L else !same.iterator().hasNext
         if (otherEmpty) {
           if (thisOuter) out += withKind(Changelog.Insert)(mk(key, Some(p), None))
         } else {
@@ -124,17 +145,24 @@ object OuterJoin {
           }
         }
         val prev = if (same.containsKey(p)) same.getValue(p) else 0L
+        if (prev == 0L) bumpSame(1L)
         same.updateValue(p, prev + 1L)
       } else if (!same.containsKey(p)) {
         // retraction for a row never inserted: drop it (the same
         // no-accumulator-for-first-retraction rule as GroupAggFunction)
       } else {
+        val cnt = same.getValue(p)
         // O(1): after removing one instance of p, is this side empty?
         // (true iff the side's only entry is (p, 1))
-        val it = same.iterator()
-        val first = it.next()
-        val willBeEmpty = !it.hasNext && first._1 == p && first._2 == 1L
-        val otherEmpty = !other.iterator().hasNext
+        val willBeEmpty =
+          if (exactCounts) sameN() == 1L && cnt == 1L
+          else {
+            val it = same.iterator()
+            val first = it.next()
+            !it.hasNext && first._1 == p && first._2 == 1L
+          }
+        val otherEmpty =
+          if (exactCounts) otherN() == 0L else !other.iterator().hasNext
         if (otherEmpty) {
           if (thisOuter) out += withKind(Changelog.Delete)(mk(key, Some(p), None))
         } else {
@@ -145,8 +173,8 @@ object OuterJoin {
               emitN(cnt)(withKind(Changelog.Insert)(mk(key, None, Some(o))))
           }
         }
-        val cnt = same.getValue(p)
-        if (cnt <= 1L) same.removeKey(p) else same.updateValue(p, cnt - 1L)
+        if (cnt <= 1L) { same.removeKey(p); bumpSame(-1L) }
+        else same.updateValue(p, cnt - 1L)
       }
     }
   }

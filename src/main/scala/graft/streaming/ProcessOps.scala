@@ -105,13 +105,21 @@ object ProcessOps {
     * AbstractRowTimeUnboundedPrecedingOver.java:51 (and the ROWS/RANGE
     * split of RowTimeRowsUnboundedPrecedingFunction /
     * RowTimeRangeUnboundedPrecedingFunction): out-of-order rows are
-    * buffered in MapState[ts → rows] with one event-time timer per
-    * distinct timestamp; when the watermark passes a timestamp the
-    * buffered rows are emitted in event-time order, each carrying the
-    * running aggregate from the start of the partition. The accumulator
-    * (ValueState) persists forever — that is what "unbounded preceding"
-    * means — while the row buffer is bounded by watermark lag and is
-    * drained on every emission (the reference's cleanupTimestamp logic).
+    * buffered in MapState[ts → rows]; when the watermark passes a
+    * timestamp the buffered rows are emitted in event-time order, each
+    * carrying the running aggregate from the start of the partition. The
+    * accumulator (ValueState) persists forever — that is what "unbounded
+    * preceding" means — while the row buffer is bounded by watermark lag
+    * and is drained on every emission (the reference's cleanupTimestamp
+    * logic).
+    *
+    * Timers are COALESCED: one live timer per key at the smallest
+    * unprocessed timestamp, re-armed after each drain. A timer per
+    * distinct timestamp (the naive translation of the reference, whose
+    * timer service dedupes and fires each exactly once) makes every
+    * watermark advance call handleExpiredTimer once per buffered
+    * timestamp, each call scanning the whole remaining buffer — O(T²)
+    * state-store reads per key per batch.
     *
     * `rangeMode = false` → ROWS semantics (each row its own incremental
     * sum, insertion order within a timestamp); `rangeMode = true` → RANGE
@@ -133,32 +141,47 @@ object ProcessOps {
     @transient private var buf: MapState[Long, TsRows] = _
     @transient private var acc: ValueState[Long] = _ // running sum
     @transient private var cnt: ValueState[Long] = _ // running count
+    @transient private var ptimer: ValueState[Long] = _ // smallest live timer
 
     override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
       buf = getHandle.getMapState[Long, TsRows]("buffer",
         Encoders.scalaLong, Encoders.product[TsRows], TTLConfig.NONE)
       acc = getHandle.getValueState[Long]("acc", Encoders.scalaLong, TTLConfig.NONE)
       cnt = getHandle.getValueState[Long]("cnt", Encoders.scalaLong, TTLConfig.NONE)
+      ptimer = getHandle.getValueState[Long]("ptimer",
+        Encoders.scalaLong, TTLConfig.NONE)
+    }
+
+    /** Arm a timer at `ts` unless one at or below it is already live.
+      * Invariant: whenever the buffer is non-empty, a live timer exists
+      * at or below the smallest buffered timestamp.
+      */
+    private def arm(ts: Long): Unit = {
+      val cur = if (ptimer.exists()) ptimer.get() else Long.MaxValue
+      if (ts < cur) { getHandle.registerTimer(ts); ptimer.update(ts) }
     }
 
     override def handleInputRows(key: String, rows: Iterator[TimedIn],
         timerValues: TimerValues): Iterator[OverOut] = {
       val wm = timerValues.getCurrentWatermarkInMs()
+      var minNew = Long.MaxValue
       rows.foreach { r =>
         val ts = r.eventTime.getTime
         if (ts > wm) { // not yet late: buffer + schedule emission
           val cur = if (buf.containsKey(ts)) buf.getValue(ts).vs else Seq.empty
           buf.updateValue(ts, TsRows(cur :+ r.v))
-          getHandle.registerTimer(ts)
+          if (ts < minNew) minNew = ts
         } // else: late row, dropped (reference numLateRecordsDropped)
       }
+      if (minNew != Long.MaxValue) arm(minNew)
       Iterator.empty
     }
 
     override def handleExpiredTimer(key: String, timerValues: TimerValues,
         expiredTimerInfo: ExpiredTimerInfo): Iterator[OverOut] = {
       val wm = timerValues.getCurrentWatermarkInMs()
-      val due = buf.iterator().map(_._1).filter(_ <= wm).toArray.sorted
+      val all = buf.iterator().map(_._1).toArray.sorted
+      val due = all.takeWhile(_ <= wm)
       var a = if (acc.exists()) acc.get() else 0L
       var n = if (cnt.exists()) cnt.get() else 0L
       val out = scala.collection.mutable.ArrayBuffer.empty[OverOut]
@@ -175,6 +198,9 @@ object ProcessOps {
       }
       acc.update(a)
       cnt.update(n)
+      // re-arm for the earliest still-buffered timestamp (all > wm here)
+      ptimer.clear()
+      if (due.length < all.length) arm(all(due.length))
       out.iterator
     }
   }

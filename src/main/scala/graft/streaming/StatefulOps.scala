@@ -86,32 +86,42 @@ object StatefulOps {
     override def handleInputRows(key: K, rows: Iterator[Change[K, N]],
         timerValues: TimerValues): Iterator[Change[K, AggResult[K, N]]] = {
       val out = scala.collection.mutable.ArrayBuffer.empty[Change[K, AggResult[K, N]]]
+      // one state read per chunk, one write at the end — the per-row
+      // changelog protocol runs on the local accumulator (per-row
+      // ValueState round-trips double the state-store traffic for no
+      // observable difference; the reference's accumulator lives in
+      // heap state within a checkpoint interval the same way)
+      var cur: Option[AggResult[K, N]] = if (acc.exists()) Some(acc.get()) else None
+      val had = cur.isDefined
       rows.foreach { c =>
-        val prev = if (acc.exists()) Some(acc.get()) else None
         val add = Changelog.isAdd(c.kind)
         val signed = if (add) c.value else num.negate(c.value)
-        val next = prev match {
+        val next = cur match {
           case Some(p) => AggResult(key,
             num.plus(p.sum, signed),
             p.count + (if (add) 1 else -1))
           case None => AggResult(key, signed, if (add) 1L else -1L)
         }
-        prev match {
+        cur match {
           // GroupAggFunction.java:131 — a retraction arriving for an
           // absent group must not create an accumulator; drop it.
           case None if !add => ()
           case None =>
             out += Change(Changelog.Insert, key, next)
-            acc.update(next)
+            cur = Some(next)
           case Some(p) if next.count <= 0 =>
             // RecordCounter: group emptied — emit delete, clear state.
             out += Change(Changelog.Delete, key, p)
-            acc.clear()
+            cur = None
           case Some(p) =>
             out += Change(Changelog.UpdateBefore, key, p)
             out += Change(Changelog.UpdateAfter, key, next)
-            acc.update(next)
+            cur = Some(next)
         }
+      }
+      cur match {
+        case Some(v) => acc.update(v)
+        case None => if (had) acc.clear()
       }
       out.iterator
     }

@@ -79,29 +79,47 @@ object TemporalJoin {
     (matches, remaining.map { case (ts, pid) => ProbeBuf(ts, pid) }, evict)
   }
 
+  /** Timers are COALESCED, as in the other event-time processors: one
+    * live timer per key at the smallest buffered timestamp, re-armed
+    * after each drain. A timer per row (the naive reading of the
+    * reference, whose timer service dedupes) makes every watermark
+    * advance invoke handleExpiredTimer once per buffered timestamp, each
+    * invocation reading the key's full probe list and version map —
+    * quadratic state-store traffic per key per batch.
+    */
   class TemporalJoinProcessor
       extends StatefulProcessor[String, TemporalEvent, AsOfMatch] {
     @transient private var probes: ListState[ProbeBuf] = _
     @transient private var versions: MapState[Long, Long] = _
+    @transient private var ptimer: ValueState[Long] = _
 
     override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
       probes = getHandle.getListState[ProbeBuf]("probes",
         Encoders.product[ProbeBuf], TTLConfig.NONE)
       versions = getHandle.getMapState[Long, Long]("versions",
         Encoders.scalaLong, Encoders.scalaLong, TTLConfig.NONE)
+      ptimer = getHandle.getValueState[Long]("ptimer",
+        Encoders.scalaLong, TTLConfig.NONE)
+    }
+
+    private def arm(ts: Long): Unit = {
+      val cur = if (ptimer.exists()) ptimer.get() else Long.MaxValue
+      if (ts < cur) { getHandle.registerTimer(ts); ptimer.update(ts) }
     }
 
     override def handleInputRows(key: String, rows: Iterator[TemporalEvent],
         timerValues: TimerValues): Iterator[AsOfMatch] = {
       val wm = timerValues.getCurrentWatermarkInMs()
+      var minNew = Long.MaxValue
       rows.foreach { e =>
         val ts = e.eventTime.getTime
         if (ts > wm) { // late rows on either side are dropped
           if (e.isProbe) probes.appendValue(ProbeBuf(ts, e.probeId))
           else versions.updateValue(ts, e.value)
-          getHandle.registerTimer(ts)
+          if (ts < minNew) minNew = ts
         }
       }
+      if (minNew != Long.MaxValue) arm(minNew)
       Iterator.empty
     }
 
@@ -115,6 +133,8 @@ object TemporalJoin {
         remaining.foreach(probes.appendValue)
       }
       evict.foreach(versions.removeKey)
+      ptimer.clear()
+      if (remaining.nonEmpty) arm(remaining.map(_.ts).min)
       out.iterator
     }
   }
@@ -243,6 +263,7 @@ object TemporalJoin {
     @transient private var probes: ListState[Row] = _
     @transient private var versions: MapState[Long, Row] = _
     @transient private var seq: ValueState[Long] = _
+    @transient private var ptimer: ValueState[Long] = _ // smallest live timer
     private val tsIdx = unionSchema.fieldIndex("__tj_ts")
     private val probeIdx = unionSchema.fieldIndex("__tj_probe")
     private val lIdx = unionSchema.fieldIndex("__tj_l")
@@ -254,6 +275,16 @@ object TemporalJoin {
       versions = getHandle.getMapState[Long, Row]("versions",
         Encoders.scalaLong, Encoders.row(rightStruct), TTLConfig.NONE)
       seq = getHandle.getValueState[Long]("seq", Encoders.scalaLong, TTLConfig.NONE)
+      ptimer = getHandle.getValueState[Long]("ptimer",
+        Encoders.scalaLong, TTLConfig.NONE)
+    }
+
+    /** Coalesced timer (see [[TemporalJoinProcessor]]): one live timer
+      * per key at the smallest buffered timestamp.
+      */
+    private def arm(ts: Long): Unit = {
+      val cur = if (ptimer.exists()) ptimer.get() else Long.MaxValue
+      if (ts < cur) { getHandle.registerTimer(ts); ptimer.update(ts) }
     }
 
     /** Initial-state row: (key, versions: array<struct<ts, v>>) — the
@@ -269,18 +300,22 @@ object TemporalJoin {
     override def handleInputRows(key: String, rows: Iterator[Row],
         timerValues: TimerValues): Iterator[Row] = {
       val wm = timerValues.getCurrentWatermarkInMs()
+      var minNew = Long.MaxValue
+      var n = if (seq.exists()) seq.get() else 0L
+      val n0 = n
       rows.foreach { e =>
         val ts = e.getTimestamp(tsIdx).getTime
         if (ts > wm) { // late rows on either side are dropped
           if (e.getBoolean(probeIdx)) {
-            val n = if (seq.exists()) seq.get() else 0L
-            seq.update(n + 1L)
             probes.appendValue(new org.apache.spark.sql.catalyst.expressions.GenericRow(
               Array[Any](ts, n, e.getStruct(lIdx))))
+            n += 1L
           } else versions.updateValue(ts, e.getStruct(rIdx))
-          getHandle.registerTimer(ts)
+          if (ts < minNew) minNew = ts
         }
       }
+      if (n != n0) seq.update(n)
+      if (minNew != Long.MaxValue) arm(minNew)
       Iterator.empty
     }
 
@@ -300,6 +335,8 @@ object TemporalJoin {
         }
       }
       evict.foreach(versions.removeKey)
+      ptimer.clear()
+      if (remaining.nonEmpty) arm(remaining.map(_._1).min)
       out.iterator.map { case (_, (_, p), matched) =>
         val rVals = matched match {
           case Some((_, v)) => v.toSeq
