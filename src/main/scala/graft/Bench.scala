@@ -13,7 +13,11 @@ object Bench {
     // warmup: JIT + codegen + parquet footer caches, so the first timed
     // query isn't charged for session startup
     try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
-    val results = (SparkEntry.queries ++ SparkEntry.benchOnly).map {
+    // dev-only subset filter (comma-separated names); driver never sets it
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    val selected = (SparkEntry.queries ++ SparkEntry.benchOnly)
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+    val results = selected.map {
       case (name, fn) =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

@@ -391,9 +391,9 @@ object DedupOps {
     * per-component stars in O(log n) rounds on ANY topology — plain
     * min-label propagation needs O(diameter) rounds, which a chained
     * near-dup corpus (doc A ~ B ~ C ~ …) turns into thousands of jobs.
-    * Rounds materialize via persist+count so the driver-side convergence
-    * check never recomputes lineage; the loop is driver CONTROL ONLY —
-    * edges never leave the executors.
+    * Each round materializes once (localCheckpoint) and pays one extra
+    * aggregation job for the convergence signature; the loop is driver
+    * CONTROL ONLY — edges never leave the executors.
     *
     * Only nodes present in `pairs` appear in the output; isolated
     * documents are their own cluster by definition and need no shuffle —
@@ -447,25 +447,38 @@ object DedupOps {
         case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
       }.foreach(_.unpersist(blocking = false))
 
+    // Fixpoint test on a round's OWN output — no compare-to-previous, so
+    // no extra detection round and no exact-set except() job. Every edge
+    // the star steps emit points bigger→smaller, so the edge set is the
+    // final star forest (root = component min) exactly when (a) each hi
+    // has a single outgoing edge and (b) no node is both a hi and a lo:
+    // then each component is one star whose root, being smaller than
+    // every leaf, is the component minimum, and one more round is the
+    // identity. One shuffle job, linear in |edges|.
+    def isStarForest(e: DataFrame): Boolean =
+      e.select(col("hi").as("n"), lit(1).as("h"), lit(0).as("l"))
+        .union(e.select(col("lo").as("n"), lit(0).as("h"), lit(1).as("l")))
+        .groupBy("n")
+        .agg(sum(col("h")).as("outDeg"), max(col("h")).as("isHi"),
+          max(col("l")).as("isLo"))
+        .filter(col("outDeg") > 1 || (col("isHi") === 1 && col("isLo") === 1))
+        .isEmpty
+
     var edges = canon.localCheckpoint(true)
-    var nEdges = edges.count()
     var round = 0
-    var converged = nEdges == 0L
+    var converged = isStarForest(edges)
     while (!converged && round < maxRounds) {
-      val ls = largeStar(edges).localCheckpoint(true)
-      val next = smallStar(ls).localCheckpoint(true)
-      val nNext = next.count()
-      // equal-size + empty one-way difference ⇒ equal sets (both distinct)
-      converged = nNext == nEdges && next.except(edges).isEmpty
-      releaseCheckpoint(ls)
-      releaseCheckpoint(edges) // superseded (equal content if converged)
+      // both star steps in ONE plan / one materialization: edges is a
+      // checkpointed leaf, and ReuseExchange shares the repeated scans
+      val next = smallStar(largeStar(edges)).localCheckpoint(true)
+      converged = isStarForest(next)
+      releaseCheckpoint(edges)
       edges = next
-      nEdges = nNext
       round += 1
     }
     if (!converged)
       throw new IllegalStateException(
-        s"dupClusters did not converge in $maxRounds rounds ($nEdges edges)")
+        s"dupClusters did not converge in $maxRounds rounds")
     // fixpoint = per-component stars: every hi points at its component
     // min, and the lo side is exactly the root set
     edges.select(col("hi").as("doc_id"), col("lo").as("cluster_id"))

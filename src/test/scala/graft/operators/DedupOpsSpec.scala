@@ -224,6 +224,20 @@ class DedupOpsSpec extends SparkSuite {
     assert(out.length == 64 && out.forall(_._2 == 0L), s"got ${out.toSeq}")
   }
 
+  test("dupClusters converges in zero star rounds on a star-forest input") {
+    // two min-rooted stars: the fixpoint test on the canonical edge set
+    // fires before any star round, so exactly ONE checkpoint (the canon
+    // set backing the result) may exist afterwards
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val stars = Seq((1L, 0L), (2L, 0L), (3L, 0L), (11L, 10L), (12L, 10L))
+      .toDF("id_a", "id_b")
+    val out = DedupOps.dupClusters(stars).as[(Long, Long)].collect().toSet
+    assert(out == Set((0L, 0L), (1L, 0L), (2L, 0L), (3L, 0L),
+      (10L, 10L), (11L, 10L), (12L, 10L)))
+    val after = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(after.size <= 1, s"ran star rounds on a converged input: ${after.size} checkpoints")
+  }
+
   test("dupClusters on an empty pair set returns no rows") {
     val empty = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
     assert(DedupOps.dupClusters(empty).count() == 0L)
