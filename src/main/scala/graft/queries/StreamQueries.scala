@@ -30,12 +30,10 @@ import graft.streaming.{Changelog, OuterJoin, ProcessOps, RetractableTopN, Sessi
   */
 object StreamQueries {
 
-  /** transformWithState needs the RocksDB state store; session-level so a
-    * plain Verify/Bench session picks it up at query start.
-    */
-  private def useRocksDb(s: SparkSession): Unit =
-    s.conf.set("spark.sql.streaming.stateStore.providerClass",
-      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+  private val RocksProvider =
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+  private val HdfsProvider =
+    "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider"
 
   /** Split into `n` consecutive chunks (micro-batch boundaries). Each
     * chunk becomes ONE MemoryStream block = one input partition, so
@@ -55,7 +53,7 @@ object StreamQueries {
     */
   private def runToEnd[T](s: SparkSession, input: MemoryStream[T],
       out: DataFrame, batches: Seq[Seq[T]],
-      mode: String = "update"): DataFrame = {
+      mode: String = "update", rocks: Boolean = false): DataFrame = {
     val name = s"qstream_${java.util.UUID.randomUUID().toString.replace("-", "")}"
     val ckpt = java.nio.file.Files.createTempDirectory("qstream_ckpt")
     // The replay's state fits a handful of partitions; a wide session
@@ -63,14 +61,34 @@ object StreamQueries {
     // and state-store open/close overhead. The partition count binds at
     // query start, so the override applies to this stream only and the
     // session default is restored for the batch queries that follow.
+    // State-store provider is pinned PER QUERY for the same reason:
+    // transformWithState requires RocksDB, but every other operator runs
+    // on the in-memory HDFSBacked store, which commits far cheaper at
+    // replay state sizes — and a leaked session-level RocksDB setting
+    // must not tax the queries that don't need it.
     val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
+    val prevProvider =
+      s.conf.getOption("spark.sql.streaming.stateStore.providerClass")
     s.conf.set("spark.sql.shuffle.partitions",
       math.min(prevShuffle.toInt, 8).toString)
+    s.conf.set("spark.sql.streaming.stateStore.providerClass",
+      if (rocks) RocksProvider else HdfsProvider)
+    // replay state is tiny; per-commit row recounts are pure overhead
+    s.conf.set(
+      "spark.sql.streaming.stateStore.rocksdb.trackTotalNumberOfRows", "false")
     val q =
       try out.writeStream.format("memory").queryName(name)
         .outputMode(mode)
         .option("checkpointLocation", ckpt.toString).start()
-      finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+      finally {
+        s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+        prevProvider match {
+          case Some(p) =>
+            s.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+          case None =>
+            s.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        }
+      }
     try batches.foreach { b => input.addData(b); q.processAllAvailable() }
     finally {
       q.stop()
@@ -147,7 +165,6 @@ object StreamQueries {
     "q_stream_dedup_last" -> ((s, dir) => {
       import s.implicits._
       implicit val sqlCtx = s.sqlContext
-      useRocksDb(s)
       val rows = sortedEvents(s, dir)
       val input = MemoryStream[Ev]
       val ranked = input.toDS().toDF()
@@ -156,7 +173,7 @@ object StreamQueries {
             .partitionBy($"user_id").orderBy($"ts".desc)))
         .filter($"rn" === 1).drop("rn")
       val changes = StreamingRank.rewrite(ranked)
-      val sink = runToEnd(s, input, changes, chunks(rows, 4))
+      val sink = runToEnd(s, input, changes, chunks(rows, 4), rocks = true)
       foldChangelog(sink, Changelog.RowKindCol)
         .select($"user_id", $"event_id".as("last_event_id"),
           $"value".as("last_value"))
@@ -171,7 +188,6 @@ object StreamQueries {
       import s.implicits._
       implicit val sqlCtx = s.sqlContext
       implicit val chEnc = Encoders.product[RetractableTopN.TopNChange]
-      useRocksDb(s)
       val evs = t(s, dir, "events")
         .select($"event_id", $"event_type").as[(Long, String)]
         .collect().toSeq.sortBy(_._1)
@@ -184,7 +200,8 @@ object StreamQueries {
         .transformWithState(new RetractableTopN.RetractableTopNProcessor(3),
           org.apache.spark.sql.streaming.TimeMode.None(),
           org.apache.spark.sql.streaming.OutputMode.Update())
-      val sink = runToEnd(s, input, diffs.toDF(), chunks(inserts, 3) :+ deletes)
+      val sink = runToEnd(s, input, diffs.toDF(), chunks(inserts, 3) :+ deletes,
+        rocks = true)
       foldChangelog(sink, "kind")
         .select($"key".as("event_type"), $"id")
         .orderBy($"event_type", $"id")
@@ -200,7 +217,6 @@ object StreamQueries {
     "q_stream_asof" -> ((s, dir) => {
       import s.implicits._
       implicit val sqlCtx = s.sqlContext
-      useRocksDb(s)
       val ev = t(s, dir, "events")
       val probes = ev.filter($"event_type" === "purchase")
         .select($"event_id".as("p_id"), $"user_id",
@@ -224,7 +240,7 @@ object StreamQueries {
         dim, Seq("user_id"), "ts", Seq("v_id", "v_value"),
         watermarkDelay = "1 hour")
       val sink = runToEnd(s, input, joined,
-        chunks(probes, 3) :+ sentinel(7200000L))
+        chunks(probes, 3) :+ sentinel(7200000L), rocks = true)
       sink.filter($"p_id" >= 0)
         .select($"p_id", $"r_v_id", $"r_v_value")
         .orderBy($"p_id")
@@ -238,7 +254,6 @@ object StreamQueries {
     "q_stream_session" -> ((s, dir) => {
       import s.implicits._
       implicit val sqlCtx = s.sqlContext
-      useRocksDb(s)
       val rows = sortedEvents(s, dir)
       val maxTs = rows.map(_.ts.getTime).max
       def sentinel(off: Long) = Seq(Ev(-1L, -1L,
@@ -253,7 +268,7 @@ object StreamQueries {
         input.toDS().toDF().withWatermark("ts", "1 hour"),
         Seq("user_id"), "ts", "1 hour")
       val sink = runToEnd(s, input, annotated,
-        chunks(rows, 4) :+ sentinel(3 * 3600000L))
+        chunks(rows, 4) :+ sentinel(3 * 3600000L), rocks = true)
       sink.filter($"user_id" >= 0)
         .select($"user_id", $"event_id",
           $"window_start".cast("timestamp_ntz").as("window_start"),
@@ -319,7 +334,6 @@ object StreamQueries {
       import s.implicits._
       implicit val sqlCtx = s.sqlContext
       implicit val chEnc = Encoders.product[StatefulOps.Change[String, Long]]
-      useRocksDb(s)
       val evs = t(s, dir, "events")
         .select($"event_id", $"event_type").as[(Long, String)]
         .collect().toSeq.sortBy(_._1)
@@ -332,7 +346,8 @@ object StreamQueries {
         .transformWithState(new StatefulOps.RetractSumProcessor[String, Long](),
           org.apache.spark.sql.streaming.TimeMode.None(),
           org.apache.spark.sql.streaming.OutputMode.Update())
-      val sink = runToEnd(s, input, changes.toDF(), chunks(inserts, 3) :+ deletes)
+      val sink = runToEnd(s, input, changes.toDF(), chunks(inserts, 3) :+ deletes,
+        rocks = true)
       foldChangelog(
         sink.select($"kind", $"value.key".as("event_type"),
           $"value.sum".as("sum_id"), $"value.count".as("n")), "kind")
@@ -348,7 +363,6 @@ object StreamQueries {
     "q_stream_outer" -> ((s, dir) => {
       import s.implicits._
       implicit val sqlCtx = s.sqlContext
-      useRocksDb(s)
       val ev = t(s, dir, "events")
         .select($"event_id", $"user_id", $"event_type", $"value")
         .as[(Long, Long, String, Double)].collect().toSeq
@@ -364,7 +378,8 @@ object StreamQueries {
       val right = ds.filter(!_._3).map(r => (r._1, r._2, (r._4, r._5)))
       val out = OuterJoin.outerJoin[Long, (Long, Double), (Long, Double)](
         left, right, OuterJoin.FullOuter)
-      val sink = runToEnd(s, input, out.toDF(), chunks(inserts, 3) :+ deletes)
+      val sink = runToEnd(s, input, out.toDF(), chunks(inserts, 3) :+ deletes,
+        rocks = true)
       foldChangelog(
         sink.select($"kind", $"key".as("user_id"),
           $"left._1".as("p_id"), $"left._2".as("p_value"),
@@ -382,7 +397,6 @@ object StreamQueries {
     "q_stream_over" -> ((s, dir) => {
       import s.implicits._
       implicit val sqlCtx = s.sqlContext
-      useRocksDb(s)
       val rows = sortedEvents(s, dir)
         .filter(e => e.event_type == "purchase" || e.event_type == "error")
       val maxTs = rows.map(_.ts.getTime).max
@@ -397,7 +411,8 @@ object StreamQueries {
           new ProcessOps.UnboundedPrecedingOverProcessor(rangeMode = false),
           org.apache.spark.sql.streaming.TimeMode.EventTime(),
           org.apache.spark.sql.streaming.OutputMode.Append())
-      val sink = runToEnd(s, input, out.toDF(), chunks(timed, 4) :+ sentinel)
+      val sink = runToEnd(s, input, out.toDF(), chunks(timed, 4) :+ sentinel,
+        rocks = true)
       sink.filter($"key" =!= "__flush")
         .select($"key".as("event_type"), $"v".as("event_id"),
           $"movingSum".as("moving_sum"), $"n")
@@ -412,7 +427,6 @@ object StreamQueries {
     "q_stream_cep" -> ((s, dir) => {
       import s.implicits._
       implicit val sqlCtx = s.sqlContext
-      useRocksDb(s)
       val rows = sortedEvents(s, dir)
       val evs = rows.map(e =>
         CepQueries.E(e.user_id, micros(e.ts), e.event_type, e.event_id))
@@ -426,7 +440,7 @@ object StreamQueries {
           val st = m.stages.toMap
           (st("A").head.user_id, st("A").head.event_id, st("B").head.event_id)
         }.toDF("user_id", "purchase_id", "error_id")
-      runToEnd(s, input, matches, chunks(evs, 4))
+      runToEnd(s, input, matches, chunks(evs, 4), rocks = true)
         .orderBy($"user_id", $"purchase_id")
     })
   )
