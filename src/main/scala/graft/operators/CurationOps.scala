@@ -1,0 +1,140 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Corpus-curation operators for large-scale training-data pipelines:
+  * intra-document repetition screening (the Gopher/MassiveText quality
+  * rules), benchmark-contamination detection, deterministic hash-based
+  * dataset splits, and weighted domain mixing (up/down-sampling).
+  *
+  * Everything here is either a pure per-row projection (repetition,
+  * split, mixing) or a broadcast semi-join against a SMALL benchmark set
+  * (contamination) — no operator shuffles the corpus, so each scales
+  * linearly with input and parallelizes per-partition at any corpus
+  * size. Cross-engine determinism: derived numbers are integer counts or
+  * single-rounded IEEE divisions of exact integers (see
+  * [[graft.queries.Q]] doctrine).
+  */
+object CurationOps {
+
+  private def words(textCol: Column): Column = split(textCol, " ")
+
+  /** Word n-grams of `textCol` as space-joined strings. Single pass over
+    * the token array per n — an expression tree (transform over an index
+    * sequence + slice), no explode, no shuffle.
+    */
+  def wordNgrams(textCol: Column, n: Int): Column = {
+    val w = words(textCol)
+    when(size(w) < n, array().cast(ArrayType(StringType)))
+      .otherwise(transform(sequence(lit(1), size(w) - (n - 1)),
+        i => concat_ws(" ", slice(w, i, lit(n)))))
+  }
+
+  /** Gopher-style intra-document repetition statistics: fraction of
+    * duplicate words / 2-grams / 3-grams (1 − distinct/total). High
+    * values flag boilerplate and degenerate repetition; the usual
+    * filter keeps dup_2gram_frac below ~0.2. Pure projection.
+    */
+  def repetitionStats(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    def dupFrac(grams: Column): Column = {
+      val total = size(grams)
+      when(total === 0, lit(0.0)).otherwise(
+        lit(1.0) - size(array_distinct(grams)).cast(DoubleType) /
+          total.cast(DoubleType))
+    }
+    val w = words(col(textCol))
+    docs.select(
+      col("doc_id"),
+      size(w).cast(LongType).as("n_words"),
+      dupFrac(w).as("dup_word_frac"),
+      dupFrac(wordNgrams(col(textCol), 2)).as("dup_2gram_frac"),
+      dupFrac(wordNgrams(col(textCol), 3)).as("dup_3gram_frac"))
+  }
+
+  /** Benchmark-contamination screen: for each corpus document, how many
+    * of its distinct word n-grams appear anywhere in the benchmark set,
+    * and the contaminated fraction. Classic decontamination shape
+    * (GPT-2/3, The Pile): an n-gram of ~8+ words shared with an eval
+    * benchmark marks the document for dropping.
+    *
+    * The benchmark side is DISTINCT n-grams only and benchmarks are
+    * orders of magnitude smaller than the corpus, so the join is a
+    * BROADCAST hash semi-probe — the 100 TB corpus side never shuffles;
+    * each doc row carries its distinct grams and probes the broadcast
+    * set. Only matched docs return (left out = clean).
+    */
+  def contaminationScreen(corpus: DataFrame, benchmark: DataFrame, n: Int = 5,
+      textCol: String = "text"): DataFrame = {
+    val benchGrams = benchmark
+      .select(explode(wordNgrams(col(textCol), n)).as("gram"))
+      .distinct()
+    val docGrams = corpus.select(col("doc_id"),
+      explode(array_distinct(wordNgrams(col(textCol), n))).as("gram"),
+      size(array_distinct(wordNgrams(col(textCol), n))).as("n_grams"))
+    docGrams
+      .join(broadcast(benchGrams), "gram")
+      .groupBy(col("doc_id"), col("n_grams"))
+      .agg(count(lit(1)).as("n_contaminated"))
+      .select(col("doc_id"), col("n_contaminated"),
+        col("n_contaminated").cast(DoubleType) /
+          col("n_grams").cast(DoubleType)).toDF(
+        "doc_id", "n_contaminated", "contaminated_frac")
+  }
+
+  /** Knuth multiplicative hash bucket in [0, buckets) — plain integer
+    * arithmetic, so ANY engine (and the DuckDB oracle) reproduces it
+    * bit-for-bit, unlike engine-specific hash builtins. Stable across
+    * runs, partitioning, and cluster size by construction.
+    */
+  def hashBucket(idCol: Column, buckets: Int = 100): Column =
+    pmod(idCol.cast(LongType) * lit(2654435761L), lit(1L << 32)) % buckets
+
+  /** Deterministic train/validation/test split: percent-weighted cut of
+    * the hash-bucket space. `cuts` are cumulative upper percents, e.g.
+    * train 90 / val 5 / test 5 = Seq(("train",90),("val",95),
+    * ("test",100)). Pure projection — a document's split never depends
+    * on the rest of the data, so splits stay stable as the corpus grows.
+    */
+  def hashSplit(docs: DataFrame, cuts: Seq[(String, Int)],
+      idCol: String = "doc_id"): DataFrame = {
+    require(cuts.nonEmpty && cuts.last._2 == 100,
+      s"cumulative cuts must end at 100, got $cuts")
+    val b = hashBucket(col(idCol))
+    val expr = cuts.init.foldRight(lit(cuts.last._1): Column) {
+      case ((name, upper), rest) => when(b < upper, lit(name)).otherwise(rest)
+    }
+    docs.withColumn("split", expr)
+  }
+
+  /** Weighted domain mixing: replicate each document `w` times where the
+    * per-group weight w may be fractional — floor(w) guaranteed copies
+    * plus one more for the hash-fraction of documents (deterministic,
+    * not sampled), so the EXPECTED mix matches the weights exactly and
+    * the realized mix is reproducible. w < 1 down-samples, w > 1
+    * up-samples; each copy carries `copy_no` for downstream shuffling.
+    * The weight table is tiny (one row per domain) → broadcast join;
+    * replication is a per-row generator (no shuffle, no skew: a heavy
+    * domain's copies stay spread across its source partitions).
+    */
+  def mixCorpus(docs: DataFrame, weights: DataFrame,
+      groupCols: Seq[String]): DataFrame = {
+    val wcols = weights.columns.toSet
+    require(wcols.contains("weight"),
+      s"weights needs a 'weight' column, got ${weights.columns.toSeq}")
+    // copies = floor(w) + (bucket < frac(w)·1000 ? 1 : 0); weight is
+    // read as milli-units (exact integers) to dodge double rounding
+    val milli = (col("weight") * 1000).cast(LongType)
+    val extra = when(
+      hashBucket(col("doc_id"), 1000) < milli % 1000, 1L).otherwise(0L)
+    val copies = (milli / 1000L + extra).cast(IntegerType)
+    // sequence(1, 0) would count DOWN ([1,0]); zero copies must be an
+    // empty array so explode drops the row
+    val reps = when(copies >= 1, sequence(lit(1), copies))
+      .otherwise(array().cast(ArrayType(IntegerType)))
+    docs.join(broadcast(weights), groupCols)
+      .withColumn("copy_no", explode(reps))
+      .drop("weight")
+  }
+}

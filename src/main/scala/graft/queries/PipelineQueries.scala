@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
-import graft.operators.{DedupOps, MultimodalOps, SimilarityOps, TextOps}
+import graft.operators.{CurationOps, DedupOps, MultimodalOps, SimilarityOps, TextOps}
 import Q._
 
 /** Training-data pipeline operators (beyond the reference's own surface):
@@ -66,6 +66,49 @@ object PipelineQueries {
     // BPE-ish token accounting (TextOps.bpeTokenStats).
     "q_text_bpe" -> ((s, dir) => {
       TextOps.bpeTokenStats(t(s, dir, "documents")).orderBy(col("doc_id"))
+    }),
+
+    // Gopher-style intra-document repetition screen
+    // (CurationOps.repetitionStats): duplicate word/2-gram/3-gram
+    // fractions as a pure projection.
+    "q_cur_repetition" -> ((s, dir) => {
+      CurationOps.repetitionStats(t(s, dir, "documents"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Benchmark-contamination screen (CurationOps.contaminationScreen):
+    // docs with doc_id % 97 == 0 stand in for the eval benchmark; every
+    // other doc sharing a 3-gram with them is flagged with its overlap
+    // count. Broadcast semi-probe — the corpus side never shuffles.
+    "q_cur_contamination" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      CurationOps.contaminationScreen(
+        docs.filter(col("doc_id") % 97 =!= 0),
+        docs.filter(col("doc_id") % 97 === 0), n = 3)
+        .orderBy(col("doc_id"))
+    }),
+
+    // Deterministic hash split (CurationOps.hashSplit): 90/5/5
+    // train/val/test off a multiplicative hash of doc_id — stable under
+    // corpus growth, engine-reproducible integer arithmetic.
+    "q_cur_split" -> ((s, dir) => {
+      CurationOps.hashSplit(t(s, dir, "documents"),
+        Seq(("train", 90), ("val", 95), ("test", 100)))
+        .select(col("doc_id"), col("split"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Weighted domain mixing (CurationOps.mixCorpus): per-language
+    // up/down-sampling with fractional weights resolved by hash bucket
+    // (en halved, fr doubled, de ×1.25, es dropped, zh tripled).
+    "q_cur_mix" -> ((s, dir) => {
+      val weights = t(s, dir, "documents").sparkSession
+        .createDataFrame(Seq(("en", 0.5), ("fr", 2.0), ("de", 1.25),
+          ("es", 0.0), ("zh", 3.0)))
+        .toDF("lang", "weight")
+      CurationOps.mixCorpus(t(s, dir, "documents"), weights, Seq("lang"))
+        .select(col("doc_id"), col("lang"), col("copy_no"))
+        .orderBy(col("doc_id"), col("copy_no"))
     }),
 
     // Greedy sequence packing (TextOps.packSequences): 256-token bins,
@@ -353,6 +396,53 @@ object PipelineQueries {
         |  regexp_extract_all(text, '${TextOps.bpePattern.replace("'", "''")}') AS toks
         |  FROM documents)
         |ORDER BY doc_id""".stripMargin,
+
+    "q_cur_repetition" ->
+      """WITH base AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |g AS (SELECT doc_id, w,
+        |  CASE WHEN len(w) < 2 THEN CAST([] AS VARCHAR[])
+        |       ELSE list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1]) END AS g2,
+        |  CASE WHEN len(w) < 3 THEN CAST([] AS VARCHAR[])
+        |       ELSE list_transform(range(1, len(w)-1), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]) END AS g3
+        |  FROM base)
+        |SELECT doc_id, CAST(len(w) AS BIGINT) AS n_words,
+        |  CASE WHEN len(w)=0 THEN 0.0 ELSE 1.0 - CAST(len(list_distinct(w)) AS DOUBLE)/CAST(len(w) AS DOUBLE) END AS dup_word_frac,
+        |  CASE WHEN len(g2)=0 THEN 0.0 ELSE 1.0 - CAST(len(list_distinct(g2)) AS DOUBLE)/CAST(len(g2) AS DOUBLE) END AS dup_2gram_frac,
+        |  CASE WHEN len(g3)=0 THEN 0.0 ELSE 1.0 - CAST(len(list_distinct(g3)) AS DOUBLE)/CAST(len(g3) AS DOUBLE) END AS dup_3gram_frac
+        |FROM g ORDER BY doc_id""".stripMargin,
+
+    "q_cur_contamination" ->
+      """WITH bench AS (
+        |  SELECT DISTINCT gram FROM (
+        |    SELECT unnest(CASE WHEN len(w) < 3 THEN CAST([] AS VARCHAR[])
+        |      ELSE list_transform(range(1, len(w)-1), i -> w[i]||' '||w[i+1]||' '||w[i+2]) END) AS gram
+        |    FROM (SELECT string_split(text,' ') AS w FROM documents WHERE doc_id % 97 = 0))),
+        |docg AS (
+        |  SELECT doc_id, unnest(grams) AS gram, len(grams) AS n_grams FROM (
+        |    SELECT doc_id, list_distinct(CASE WHEN len(w) < 3 THEN CAST([] AS VARCHAR[])
+        |      ELSE list_transform(range(1, len(w)-1), i -> w[i]||' '||w[i+1]||' '||w[i+2]) END) AS grams
+        |    FROM (SELECT doc_id, string_split(text,' ') AS w FROM documents WHERE doc_id % 97 <> 0)))
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_contaminated,
+        |  CAST(count(*) AS DOUBLE)/CAST(n_grams AS DOUBLE) AS contaminated_frac
+        |FROM docg JOIN bench USING (gram)
+        |GROUP BY doc_id, n_grams ORDER BY doc_id""".stripMargin,
+
+    "q_cur_split" ->
+      """SELECT doc_id,
+        |  CASE WHEN ((doc_id * 2654435761) % 4294967296) % 100 < 90 THEN 'train'
+        |       WHEN ((doc_id * 2654435761) % 4294967296) % 100 < 95 THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_cur_mix" ->
+      """WITH wts AS (SELECT * FROM (VALUES ('en', 500), ('fr', 2000), ('de', 1250),
+        |    ('es', 0), ('zh', 3000)) AS t(lang, milli)),
+        |c AS (SELECT doc_id, d.lang,
+        |    milli // 1000 + CASE WHEN ((doc_id * 2654435761) % 4294967296) % 1000 < milli % 1000
+        |      THEN 1 ELSE 0 END AS copies
+        |  FROM documents d JOIN wts USING (lang))
+        |SELECT doc_id, lang, CAST(unnest(generate_series(1, copies)) AS INT) AS copy_no
+        |FROM c WHERE copies >= 1 ORDER BY doc_id, copy_no""".stripMargin,
 
     "q_dedup_exact" ->
       s"""SELECT MIN(doc_id) AS doc_id, COUNT(*) AS n_copies

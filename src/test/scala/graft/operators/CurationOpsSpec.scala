@@ -1,0 +1,89 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+
+import graft.SparkSuite
+
+/** Unit edges + plan shape of the curation operators (the oracle queries
+  * cover the bulk path on real data).
+  */
+class CurationOpsSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("wordNgrams slides correctly and is empty below n") {
+    val df = Seq((1L, "a b c d"), (2L, "a b")).toDF("doc_id", "text")
+    val got = df.select($"doc_id",
+      CurationOps.wordNgrams($"text", 3).as("g"))
+      .as[(Long, Seq[String])].collect().toMap
+    assert(got(1L) == Seq("a b c", "b c d"))
+    assert(got(2L).isEmpty)
+  }
+
+  test("repetitionStats: all-same words, all-distinct words, short doc") {
+    val df = Seq((1L, "x x x x"), (2L, "a b c d"), (3L, "solo"))
+      .toDF("doc_id", "text")
+    val got = CurationOps.repetitionStats(df)
+      .as[(Long, Long, Double, Double, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got(1L) == ((1L, 4L, 0.75, 1.0 - 1.0 / 3.0, 0.5))) // "x x" ×3, "x x x" ×2
+    assert(got(2L) == ((2L, 4L, 0.0, 0.0, 0.0)))
+    assert(got(3L) == ((3L, 1L, 0.0, 0.0, 0.0))) // below n → 0, not NaN
+  }
+
+  test("repetitionStats is a pure projection — zero shuffles") {
+    val df = Seq((1L, "a b a b")).toDF("doc_id", "text")
+    val plan = CurationOps.repetitionStats(df).queryExecution.executedPlan
+    assert(plan.collect { case s: ShuffleExchangeExec => s }.isEmpty)
+  }
+
+  test("contaminationScreen flags overlap and broadcasts the benchmark") {
+    val corpus = Seq(
+      (1L, "p q r s t"),        // shares "p q r", "q r s", "r s t"
+      (2L, "zz yy xx ww")).toDF("doc_id", "text")
+    val bench = Seq((100L, "p q r s t u")).toDF("doc_id", "text")
+    val out = CurationOps.contaminationScreen(corpus, bench, n = 3)
+    val got = out.as[(Long, Long, Double)].collect().toList
+    assert(got == List((1L, 3L, 1.0))) // all 3 of doc 1's grams hit; doc 2 clean
+    val plan = out.queryExecution.executedPlan.toString() // finalized by collect
+    assert(plan.contains("BroadcastHashJoin"), s"benchmark side must broadcast: $plan")
+  }
+
+  test("hashSplit is deterministic, total, and respects the cuts") {
+    val docs = (0L until 2000L).map(d => (d, s"doc $d")).toDF("doc_id", "text")
+    val split = CurationOps.hashSplit(docs,
+      Seq(("train", 90), ("val", 95), ("test", 100)))
+    val byLabel = split.groupBy("split").count()
+      .as[(String, Long)].collect().toMap
+    assert(byLabel.values.sum == 2000L)
+    // multiplicative hash spreads ids ~uniformly: train within [85%, 95%]
+    assert(byLabel("train") > 1700L && byLabel("train") < 1900L, byLabel)
+    // stable across evaluations
+    val again = CurationOps.hashSplit(docs,
+      Seq(("train", 90), ("val", 95), ("test", 100)))
+      .groupBy("split").count().as[(String, Long)].collect().toMap
+    assert(again == byLabel)
+  }
+
+  test("hashSplit rejects cuts not ending at 100") {
+    val docs = Seq((1L, "t")).toDF("doc_id", "text")
+    intercept[IllegalArgumentException] {
+      CurationOps.hashSplit(docs, Seq(("train", 90), ("val", 99)))
+    }
+  }
+
+  test("mixCorpus: integer weights replicate exactly, zero drops, fractional lands between") {
+    val docs = (0L until 1000L).map(d =>
+      (d, if (d % 2 == 0) "keep" else "drop", s"doc $d"))
+      .toDF("doc_id", "lang", "text")
+    val weights = Seq(("keep", 2.5), ("drop", 0.0)).toDF("lang", "weight")
+    val out = CurationOps.mixCorpus(docs, weights, Seq("lang"))
+    val n = out.count()
+    // 500 docs × 2.5 expected = 1250; hash-fraction realization is
+    // deterministic but not exact — allow ±10%
+    assert(n > 1125L && n < 1375L, s"got $n")
+    assert(out.filter($"lang" === "drop").count() == 0L)
+    // every copy of a doc is distinct via copy_no
+    assert(out.select("doc_id", "copy_no").distinct().count() == n)
+  }
+}
