@@ -23,14 +23,17 @@ object CurationOps {
 
   /** Word n-grams of `textCol` as space-joined strings. Single pass over
     * the token array per n — an expression tree (transform over an index
-    * sequence + slice), no explode, no shuffle.
+    * sequence + slice), no explode, no shuffle. The token array is bound
+    * to a lambda variable (one-element transform wrapper, the
+    * [[DedupOps.shingles]] pattern): Catalyst does no CSE across lambda
+    * boundaries, so an unbound reference would re-split the text once
+    * per gram position.
     */
-  def wordNgrams(textCol: Column, n: Int): Column = {
-    val w = words(textCol)
-    when(size(w) < n, array().cast(ArrayType(StringType)))
-      .otherwise(transform(sequence(lit(1), size(w) - (n - 1)),
-        i => concat_ws(" ", slice(w, i, lit(n)))))
-  }
+  def wordNgrams(textCol: Column, n: Int): Column =
+    element_at(transform(array(words(textCol)), w =>
+      when(size(w) < n, array().cast(ArrayType(StringType)))
+        .otherwise(transform(sequence(lit(1), size(w) - (n - 1)),
+          i => concat_ws(" ", slice(w, i, lit(n)))))), 1)
 
   /** Gopher-style intra-document repetition statistics: fraction of
     * duplicate words / 2-grams / 3-grams (1 − distinct/total). High
@@ -38,12 +41,13 @@ object CurationOps {
     * filter keeps dup_2gram_frac below ~0.2. Pure projection.
     */
   def repetitionStats(docs: DataFrame, textCol: String = "text"): DataFrame = {
-    def dupFrac(grams: Column): Column = {
-      val total = size(grams)
-      when(total === 0, lit(0.0)).otherwise(
-        lit(1.0) - size(array_distinct(grams)).cast(DoubleType) /
-          total.cast(DoubleType))
-    }
+    // the gram array binds to a lambda variable so it evaluates once per
+    // row despite the three references (size ×2, array_distinct)
+    def dupFrac(grams: Column): Column =
+      element_at(transform(array(grams), g =>
+        when(size(g) === 0, lit(0.0)).otherwise(
+          lit(1.0) - size(array_distinct(g)).cast(DoubleType) /
+            size(g).cast(DoubleType))), 1)
     val w = words(col(textCol))
     docs.select(
       col("doc_id"),
@@ -70,9 +74,17 @@ object CurationOps {
     val benchGrams = benchmark
       .select(explode(wordNgrams(col(textCol), n)).as("gram"))
       .distinct()
-    val docGrams = corpus.select(col("doc_id"),
-      explode(array_distinct(wordNgrams(col(textCol), n))).as("gram"),
-      size(array_distinct(wordNgrams(col(textCol), n))).as("n_grams"))
+    // two-step on purpose: project the distinct-gram ARRAY once, then
+    // explode + size over the column reference. Writing the ngram
+    // expression directly beside the explode re-evaluates the whole
+    // pipeline per OUTPUT row (quadratic in doc length — measured 20×);
+    // as a doubly-referenced non-cheap expression, CollapseProject keeps
+    // this projection below the Generate, so it runs once per document.
+    val docGrams = corpus
+      .select(col("doc_id"),
+        array_distinct(wordNgrams(col(textCol), n)).as("grams"))
+      .select(col("doc_id"), explode(col("grams")).as("gram"),
+        size(col("grams")).as("n_grams"))
     docGrams
       .join(broadcast(benchGrams), "gram")
       .groupBy(col("doc_id"), col("n_grams"))
