@@ -95,6 +95,36 @@ object CurationOps {
         "doc_id", "n_contaminated", "contaminated_frac")
   }
 
+  /** Tokenizer-aware sliding-window chunking: split each document into
+    * fixed-size token windows with `overlap` tokens of context carried
+    * between consecutive chunks (stride = chunkTokens − overlap), the
+    * standard shape for packing long documents into a training context
+    * window. Output one row per chunk: (doc_id, chunk_id, n_tokens,
+    * chunk). The window arithmetic is a per-row expression tree over the
+    * bound token array and the explode is the only row expansion — no
+    * shuffle, parallel per partition at any corpus size. The final
+    * (short) window still emits; empty docs yield one empty chunk row,
+    * a document is never silently dropped.
+    */
+  def chunkDocuments(docs: DataFrame, chunkTokens: Int = 128,
+      overlap: Int = 0, textCol: String = "text"): DataFrame = {
+    require(chunkTokens > 0 && overlap >= 0 && overlap < chunkTokens,
+      s"need 0 <= overlap < chunkTokens, got overlap=$overlap chunk=$chunkTokens")
+    val stride = chunkTokens - overlap
+    // chunk starts: 1, 1+stride, … up to n − overlap (a later start would
+    // hold only tokens the previous window already covered) —
+    // ceil(max(n − overlap, 1) / stride) windows cover every token
+    val chunks = element_at(transform(array(words(col(textCol))), w =>
+      transform(
+        sequence(lit(1), greatest(size(w) - overlap, lit(1)), lit(stride)),
+        start => slice(w, start, lit(chunkTokens)))), 1)
+    docs
+      .select(col("doc_id"), posexplode(chunks).as(Seq("chunk_id", "toks")))
+      .select(col("doc_id"), col("chunk_id").cast(LongType).as("chunk_id"),
+        size(col("toks")).cast(LongType).as("n_tokens"),
+        concat_ws(" ", col("toks")).as("chunk"))
+  }
+
   /** Knuth multiplicative hash bucket in [0, buckets) — plain integer
     * arithmetic, so ANY engine (and the DuckDB oracle) reproduces it
     * bit-for-bit, unlike engine-specific hash builtins. Stable across

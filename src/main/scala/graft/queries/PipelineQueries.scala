@@ -88,6 +88,15 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // Tokenizer-aware sliding-window chunking (CurationOps
+    // .chunkDocuments): 32-token windows, 8 tokens of carried overlap
+    // (stride 24) — long docs split for a fixed training context window.
+    "q_cur_chunk" -> ((s, dir) => {
+      CurationOps.chunkDocuments(t(s, dir, "documents"),
+        chunkTokens = 32, overlap = 8)
+        .orderBy(col("doc_id"), col("chunk_id"))
+    }),
+
     // Deterministic hash split (CurationOps.hashSplit): 90/5/5
     // train/val/test off a multiplicative hash of doc_id — stable under
     // corpus growth, engine-reproducible integer arithmetic.
@@ -426,6 +435,16 @@ object PipelineQueries {
         |  CAST(count(*) AS DOUBLE)/CAST(n_grams AS DOUBLE) AS contaminated_frac
         |FROM docg JOIN bench USING (gram)
         |GROUP BY doc_id, n_grams ORDER BY doc_id""".stripMargin,
+
+    "q_cur_chunk" ->
+      """WITH base AS (SELECT doc_id, string_split(text,' ') AS w FROM documents),
+        |st AS (SELECT doc_id, w, unnest(range(1, greatest(len(w) - 8, 1) + 1, 24)) AS s FROM base),
+        |ch AS (SELECT doc_id, s, w[s : s + 31] AS toks FROM st)
+        |SELECT doc_id,
+        |  CAST(row_number() OVER (PARTITION BY doc_id ORDER BY s) - 1 AS BIGINT) AS chunk_id,
+        |  CAST(len(toks) AS BIGINT) AS n_tokens,
+        |  array_to_string(toks, ' ') AS chunk
+        |FROM ch ORDER BY doc_id, chunk_id""".stripMargin,
 
     "q_cur_split" ->
       """SELECT doc_id,

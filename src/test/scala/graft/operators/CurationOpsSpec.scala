@@ -49,6 +49,35 @@ class CurationOpsSpec extends SparkSuite {
     assert(plan.contains("BroadcastHashJoin"), s"benchmark side must broadcast: $plan")
   }
 
+  test("chunkDocuments covers every token with the configured overlap") {
+    val doc = (1 to 11).map(i => s"t$i").mkString(" ")
+    val df = Seq((1L, doc)).toDF("doc_id", "text")
+    val got = CurationOps.chunkDocuments(df, chunkTokens = 4, overlap = 1)
+      .as[(Long, Long, Long, String)].collect().toList
+    assert(got == List(
+      (1L, 0L, 4L, "t1 t2 t3 t4"),
+      (1L, 1L, 4L, "t4 t5 t6 t7"),
+      (1L, 2L, 4L, "t7 t8 t9 t10"),
+      (1L, 3L, 2L, "t10 t11"))) // short tail still emits
+  }
+
+  test("chunkDocuments emits exactly one chunk for short docs and no window redundancy") {
+    val df = Seq((1L, "a b"), (2L, "a b c d e f g")).toDF("doc_id", "text")
+    val got = CurationOps.chunkDocuments(df, chunkTokens = 4, overlap = 1)
+      .as[(Long, Long, Long, String)].collect().toList
+    assert(got.filter(_._1 == 1L) == List((1L, 0L, 2L, "a b")))
+    // n=7, stride 3: starts 1,4 cover all 7; a start at 7 would add
+    // nothing beyond the overlap
+    assert(got.filter(_._1 == 2L).map(_._4) == List("a b c d", "d e f g"))
+  }
+
+  test("chunkDocuments rejects overlap >= chunkTokens") {
+    val df = Seq((1L, "t")).toDF("doc_id", "text")
+    intercept[IllegalArgumentException] {
+      CurationOps.chunkDocuments(df, chunkTokens = 4, overlap = 4)
+    }
+  }
+
   test("hashSplit is deterministic, total, and respects the cuts") {
     val docs = (0L until 2000L).map(d => (d, s"doc $d")).toDF("doc_id", "text")
     val split = CurationOps.hashSplit(docs,
