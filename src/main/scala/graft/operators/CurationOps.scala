@@ -19,21 +19,15 @@ import org.apache.spark.sql.types._
   */
 object CurationOps {
 
-  private def words(textCol: Column): Column = split(textCol, " ")
+  private def words(textCol: Column): Column = TextOps.tokens(textCol)
 
-  /** Word n-grams of `textCol` as space-joined strings. Single pass over
-    * the token array per n — an expression tree (transform over an index
-    * sequence + slice), no explode, no shuffle. The token array is bound
-    * to a lambda variable (one-element transform wrapper, the
-    * [[DedupOps.shingles]] pattern): Catalyst does no CSE across lambda
-    * boundaries, so an unbound reference would re-split the text once
-    * per gram position.
+  /** Word n-grams of `textCol` as space-joined strings — exactly
+    * [[DedupOps.shingles]] (same tokenization, same short-doc guard,
+    * same lambda-bound single-pass form); aliased here under the
+    * curation vocabulary so the two idioms cannot drift apart.
     */
   def wordNgrams(textCol: Column, n: Int): Column =
-    element_at(transform(array(words(textCol)), w =>
-      when(size(w) < n, array().cast(ArrayType(StringType)))
-        .otherwise(transform(sequence(lit(1), size(w) - (n - 1)),
-          i => concat_ws(" ", slice(w, i, lit(n)))))), 1)
+    DedupOps.shingles(textCol, n)
 
   /** Gopher-style intra-document repetition statistics: fraction of
     * duplicate words / 2-grams / 3-grams (1 − distinct/total). High
@@ -129,9 +123,18 @@ object CurationOps {
     * arithmetic, so ANY engine (and the DuckDB oracle) reproduces it
     * bit-for-bit, unlike engine-specific hash builtins. Stable across
     * runs, partitioning, and cluster size by construction.
+    *
+    * The id pre-reduces into [0, 2^31) before the multiply so the
+    * product can never overflow Int64 (2^31 · 2654435761 < 2^63 —
+    * ANSI mode would otherwise throw for ids above ~3.4e9), and pmod
+    * keeps negative ids non-negative. For ids in [0, 2^31) — every id
+    * the testdata and any sane doc-id scheme uses — the pre-reduction
+    * is the identity and the oracle SQL mirrors the arithmetic exactly.
     */
-  def hashBucket(idCol: Column, buckets: Int = 100): Column =
-    pmod(idCol.cast(LongType) * lit(2654435761L), lit(1L << 32)) % buckets
+  def hashBucket(idCol: Column, buckets: Int = 100): Column = {
+    val r = pmod(idCol.cast(LongType), lit(1L << 31))
+    pmod(r * lit(2654435761L), lit(1L << 32)) % buckets
+  }
 
   /** Deterministic train/validation/test split: percent-weighted cut of
     * the hash-bucket space. `cuts` are cumulative upper percents, e.g.
@@ -143,6 +146,10 @@ object CurationOps {
       idCol: String = "doc_id"): DataFrame = {
     require(cuts.nonEmpty && cuts.last._2 == 100,
       s"cumulative cuts must end at 100, got $cuts")
+    require(cuts.map(_._2) == cuts.map(_._2).sorted &&
+        cuts.map(_._2).distinct == cuts.map(_._2),
+      s"cumulative cuts must be strictly increasing, got $cuts — " +
+        "an out-of-order cut would silently shadow a later label")
     val b = hashBucket(col(idCol))
     val expr = cuts.init.foldRight(lit(cuts.last._1): Column) {
       case ((name, upper), rest) => when(b < upper, lit(name)).otherwise(rest)
@@ -166,8 +173,9 @@ object CurationOps {
     require(wcols.contains("weight"),
       s"weights needs a 'weight' column, got ${weights.columns.toSeq}")
     // copies = floor(w) + (bucket < frac(w)·1000 ? 1 : 0); weight is
-    // read as milli-units (exact integers) to dodge double rounding
-    val milli = (col("weight") * 1000).cast(LongType)
+    // ROUNDED to milli-units — a truncating cast would turn 0.7 (IEEE
+    // 699.999…) into 699 milli and mis-replicate one doc per thousand
+    val milli = round(col("weight") * 1000).cast(LongType)
     val extra = when(
       hashBucket(col("doc_id"), 1000) < milli % 1000, 1L).otherwise(0L)
     val copies = (milli / 1000L + extra).cast(IntegerType)
@@ -175,8 +183,15 @@ object CurationOps {
     // empty array so explode drops the row
     val reps = when(copies >= 1, sequence(lit(1), copies))
       .otherwise(array().cast(ArrayType(IntegerType)))
-    docs.join(broadcast(weights), groupCols)
-      .withColumn("copy_no", explode(reps))
+    // LEFT join + loud error: a group missing from the weight table must
+    // not silently vanish (an intentional drop is an explicit 0.0 row) —
+    // at corpus scale, data drift adding a new domain would otherwise
+    // delete it from the mix with no signal
+    docs.join(broadcast(weights), groupCols, "left")
+      .withColumn("copy_no", explode(when(col("weight").isNull,
+        raise_error(concat(lit("mixCorpus: no weight for group ("),
+          concat_ws(",", groupCols.map(col): _*), lit(")"))))
+        .otherwise(reps)))
       .drop("weight")
   }
 }

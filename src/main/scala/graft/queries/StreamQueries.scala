@@ -66,28 +66,30 @@ object StreamQueries {
     // on the in-memory HDFSBacked store, which commits far cheaper at
     // replay state sizes — and a leaked session-level RocksDB setting
     // must not tax the queries that don't need it.
+    val trackConf =
+      "spark.sql.streaming.stateStore.rocksdb.trackTotalNumberOfRows"
     val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
     val prevProvider =
       s.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    val prevTrack = s.conf.getOption(trackConf)
+    def restore(key: String, prev: Option[String]): Unit = prev match {
+      case Some(p) => s.conf.set(key, p)
+      case None    => s.conf.unset(key)
+    }
     s.conf.set("spark.sql.shuffle.partitions",
       math.min(prevShuffle.toInt, 8).toString)
     s.conf.set("spark.sql.streaming.stateStore.providerClass",
       if (rocks) RocksProvider else HdfsProvider)
     // replay state is tiny; per-commit row recounts are pure overhead
-    s.conf.set(
-      "spark.sql.streaming.stateStore.rocksdb.trackTotalNumberOfRows", "false")
+    s.conf.set(trackConf, "false")
     val q =
       try out.writeStream.format("memory").queryName(name)
         .outputMode(mode)
         .option("checkpointLocation", ckpt.toString).start()
       finally {
         s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
-        prevProvider match {
-          case Some(p) =>
-            s.conf.set("spark.sql.streaming.stateStore.providerClass", p)
-          case None =>
-            s.conf.unset("spark.sql.streaming.stateStore.providerClass")
-        }
+        restore("spark.sql.streaming.stateStore.providerClass", prevProvider)
+        restore(trackConf, prevTrack)
       }
     try batches.foreach { b => input.addData(b); q.processAllAvailable() }
     finally {

@@ -101,6 +101,38 @@ class CurationOpsSpec extends SparkSuite {
     }
   }
 
+  test("hashBucket tolerates negative and huge ids without overflow") {
+    val df = Seq(-7L, -1L, 0L, 5L, Long.MaxValue, Long.MinValue + 1)
+      .toDF("doc_id")
+    val out = df.select(CurationOps.hashBucket($"doc_id").as("b"))
+      .as[Long].collect() // ANSI mode would throw here on overflow
+    assert(out.forall(b => b >= 0 && b < 100))
+  }
+
+  test("mixCorpus rounds fractional weights instead of truncating") {
+    // 0.7 * 1000 = 699.999… in IEEE double; truncation would keep 699
+    // docs per thousand instead of 700
+    val docs = (0L until 1000L).map(d => (d, "x", s"doc $d"))
+      .toDF("doc_id", "lang", "text")
+    val out = CurationOps.mixCorpus(docs,
+      Seq(("x", 0.7)).toDF("lang", "weight"), Seq("lang"))
+    val kept = out.count()
+    val exact = docs.select(CurationOps.hashBucket($"doc_id", 1000).as("b"))
+      .filter($"b" < 700).count()
+    assert(kept == exact, s"kept $kept, hash-exact $exact")
+  }
+
+  test("mixCorpus fails loudly on a group with no weight row") {
+    val docs = Seq((1L, "en", "a"), (2L, "ja", "b")).toDF("doc_id", "lang", "text")
+    val weights = Seq(("en", 1.0)).toDF("lang", "weight")
+    val e = intercept[Exception] {
+      CurationOps.mixCorpus(docs, weights, Seq("lang")).count()
+    }
+    assert(e.getMessage.contains("no weight for group") ||
+      Option(e.getCause).exists(_.getMessage.contains("no weight for group")),
+      s"unexpected error: ${e.getMessage}")
+  }
+
   test("mixCorpus: integer weights replicate exactly, zero drops, fractional lands between") {
     val docs = (0L until 1000L).map(d =>
       (d, if (d % 2 == 0) "keep" else "drop", s"doc $d"))
