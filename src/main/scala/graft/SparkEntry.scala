@@ -24,7 +24,8 @@ object SparkEntry {
       (PipelineQueries.queries, PipelineQueries.oracles),
       (CepQueries.queries, CepQueries.oracles),
       (SqlQueries.queries, SqlQueries.oracles),
-      (StreamQueries.queries, StreamQueries.oracles)
+      (StreamQueries.queries, StreamQueries.oracles),
+      (IntegrationQueries.queries, IntegrationQueries.oracles)
     )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

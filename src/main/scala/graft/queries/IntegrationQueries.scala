@@ -1,0 +1,211 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, Encoders, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.queries.Q._
+import graft.operators.{AsyncOps, LookupJoin}
+import graft.sources.{AvroIO, SequenceFileIO}
+import graft.streaming.{Changelog, StatefulOps}
+
+/** Integration surfaces under the hard oracle gate — components that
+  * previously had ScalaTest-only verification (formats, lookup/async
+  * joins, the UDTAF shape, count windows, the DSv2 mem source) get a
+  * driver-visible DuckDB-checked row each: the operator runs on real
+  * testdata and its result must hash-match SQL that never touches the
+  * operator.
+  *
+  * Format round-trips are gated by equivalence: write the table through
+  * the format, read it back, aggregate — the oracle aggregates the
+  * PARQUET original, so any fidelity loss (timestamp precision, null
+  * handling, numeric width) diverges the hash.
+  */
+object IntegrationQueries {
+
+  private def tmpDir(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).toString
+
+  val queries: Map[String, QFn] = Map(
+
+    // Avro container-file round-trip (sources/AvroIO): events — the
+    // micros-precision timestamp table, the hard fidelity case — writes
+    // to avro and reads back; per-type counts, exact-decimal value sums
+    // and the max event time must match the parquet oracle.
+    "q_fmt_avro" -> ((s, dir) => {
+      // ts arrives as timestamp_ntz; avro's timestamp-micros is an
+      // instant, so round-trip through the session-zone instant (ntz →
+      // ltz → avro → ltz → ntz is lossless within one session)
+      val ev = t(s, dir, "events")
+        .select(col("event_id"), col("ts").cast("timestamp").as("ts"),
+          col("user_id"), col("event_type"), col("value"))
+      val path = tmpDir("q_fmt_avro") + "/events_avro"
+      AvroIO.write(ev, path)
+      AvroIO.read(s, path, ev.schema)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"),
+          max(col("ts")).cast("timestamp_ntz").as("max_ts"))
+        .orderBy(col("event_type"))
+    }),
+
+    // SequenceFile round-trip (sources/SequenceFileIO): orders keyed by
+    // o_orderkey as (LongWritable, row-JSON Text) — per-status counts,
+    // exact-decimal totalprice sums and max order date vs parquet.
+    "q_fmt_seqfile" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+          col("o_totalprice"), col("o_orderdate"))
+      val path = tmpDir("q_fmt_seqfile") + "/orders_seq"
+      SequenceFileIO.write(o, path, "o_orderkey")
+      SequenceFileIO.read(s, path, o.schema)
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("sum_price"),
+          max(col("o_orderdate")).cast("timestamp_ntz").as("max_date"))
+        .orderBy(col("o_orderstatus"))
+    }),
+
+    // Lookup join (operators/LookupJoin): customers probe a nation
+    // dimension through the LookupFunction + per-partition LRU cache
+    // path (the reference's lookup-join runtime shape); the result must
+    // equal the plain SQL join. The dim is driver-collected by design —
+    // a lookup table is small by contract.
+    "q_join_lookup" -> ((s, dir) => {
+      import s.implicits._
+      val nations = t(s, dir, "nation")
+        .select(col("n_nationkey").cast(LongType), col("n_name"))
+        .as[(Long, String)].collect().toMap
+      val fn = new LookupJoin.LookupFunction[Long, String] {
+        override def lookup(k: Long): Option[String] = nations.get(k)
+      }
+      val cust = t(s, dir, "customer")
+        .select(col("c_custkey"), col("c_nationkey").cast(LongType))
+        .as[(Long, Long)]
+      LookupJoin.lookupJoin[(Long, Long), Long, String](cust, _._2, fn)
+        .map { case ((ck, _), n) => (ck, n.getOrElse("?")) }
+        .toDF("c_custkey", "n_name")
+        .orderBy(col("c_custkey"))
+    }),
+
+    // Async ordered lookup (operators/AsyncOps.orderedAsync — the
+    // reference's AsyncDataStream.orderedWait): same nation enrichment
+    // through asynchronous invocations with bounded in-flight capacity;
+    // emission order per partition stays input order, and the oracle is
+    // the same SQL join.
+    "q_async_lookup" -> ((s, dir) => {
+      import s.implicits._
+      val nations = t(s, dir, "nation")
+        .select(col("n_nationkey").cast(LongType), col("n_name"))
+        .as[(Long, String)].collect().toMap
+      val fn = new AsyncOps.AsyncFunction[(Long, Long), (Long, String)] {
+        override def invoke(in: (Long, Long))(
+            implicit ec: scala.concurrent.ExecutionContext)
+            : scala.concurrent.Future[(Long, String)] =
+          scala.concurrent.Future((in._1, nations.getOrElse(in._2, "?")))
+      }
+      val cust = t(s, dir, "customer")
+        .select(col("c_custkey"), col("c_nationkey").cast(LongType))
+        .as[(Long, Long)]
+      AsyncOps.orderedAsync(cust, fn, capacity = 8)
+        .toDF("c_custkey", "n_name")
+        .orderBy(col("c_custkey"))
+    }),
+
+    // Table aggregate / UDTAF (the reference's canonical top-2 emitter,
+    // TableAggregateFunction): per order status emit the two highest
+    // totalprice orders with their rank — a multi-row-per-group
+    // aggregate, the shape GROUP BY cannot produce.
+    "q_agg_tableagg" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "orders")
+        .select(col("o_orderstatus"), col("o_orderkey"), col("o_totalprice"))
+        .as[(String, Long, Double)]
+        .groupByKey(_._1)
+        .flatMapGroups { (status, it) =>
+          it.toSeq.sortBy(r => (-r._3, r._2)).take(2).zipWithIndex
+            .map { case ((_, key, price), i) => (status, i + 1L, key, price) }
+            .iterator
+        }
+        .toDF("o_orderstatus", "rank", "o_orderkey", "o_totalprice")
+        .orderBy(col("o_orderstatus"), col("rank"))
+    }),
+
+    // Streaming count windows (StatefulOps.CountWindowProcessor — the
+    // reference's countWindow(size)): events replay per user in
+    // (event-time, id) order through 4 micro-batches; every FULL window
+    // of 10 emits (sum of event ids, count), partial tails stay pending.
+    // The oracle reproduces the windows with ROW_NUMBER arithmetic.
+    "q_stream_countwin" -> ((s, dir) => {
+      StreamQueries.countWindowReplay(s, dir, size = 10)
+    }),
+
+    // DSv2 mem source round-trip (sources/GraftMemSource): orders load
+    // through the source's 2PC batch WRITE, then scan back through its
+    // read path with a pushed filter and pruned columns — the driver
+    // sees only (id, v) rows the source filtered, and the oracle runs
+    // the same predicate in SQL.
+    "q_src_dsv2" -> ((s, dir) => {
+      val table = "q_src_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      t(s, dir, "orders")
+        .select(col("o_orderkey").as("id"), col("o_orderstatus").as("name"),
+          (col("o_totalprice").cast(DecimalType(12, 2)) * 100)
+            .cast(LongType).as("v"))
+        .write.format("graftmem").option("table", table).mode("append").save()
+      s.read.format("graftmem").option("table", table).load()
+        .filter(col("v") > 30000000L) // pushed to the source
+        .select(col("id"), col("v"))  // name pruned before the scan
+        .orderBy(col("id"))
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q_fmt_avro" ->
+      s"""SELECT event_type, COUNT(*) AS n, ${dsumSql("value")} AS sum_value,
+        |  MAX(ts) AS max_ts
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q_fmt_seqfile" ->
+      s"""SELECT o_orderstatus, COUNT(*) AS n,
+        |  ${dsumSql("o_totalprice")} AS sum_price,
+        |  MAX(o_orderdate) AS max_date
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    "q_join_lookup" ->
+      """SELECT c_custkey, n_name FROM customer
+        |JOIN nation ON n_nationkey = c_nationkey
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q_async_lookup" ->
+      """SELECT c_custkey, n_name FROM customer
+        |JOIN nation ON n_nationkey = c_nationkey
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q_agg_tableagg" ->
+      """SELECT o_orderstatus, CAST(rank AS BIGINT) AS rank, o_orderkey,
+        |  o_totalprice
+        |FROM (SELECT o_orderstatus, o_orderkey, o_totalprice,
+        |        ROW_NUMBER() OVER (PARTITION BY o_orderstatus
+        |          ORDER BY o_totalprice DESC, o_orderkey) AS rank
+        |      FROM orders)
+        |WHERE rank <= 2 ORDER BY o_orderstatus, rank""".stripMargin,
+
+    "q_stream_countwin" ->
+      """WITH ordered AS (
+        |  SELECT user_id, event_id,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        |  FROM events)
+        |SELECT CAST(user_id AS VARCHAR) AS key,
+        |  CAST((rn - 1) // 10 AS BIGINT) AS window_id,
+        |  CAST(SUM(event_id) AS BIGINT) AS sum_ids,
+        |  CAST(COUNT(*) AS BIGINT) AS n
+        |FROM ordered GROUP BY user_id, (rn - 1) // 10
+        |HAVING COUNT(*) = 10
+        |ORDER BY key, window_id""".stripMargin,
+
+    "q_src_dsv2" ->
+      """SELECT o_orderkey AS id,
+        |  CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS v
+        |FROM orders
+        |WHERE CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) > 30000000
+        |ORDER BY id""".stripMargin
+  )
+}

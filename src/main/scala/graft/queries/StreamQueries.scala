@@ -140,6 +140,31 @@ object StreamQueries {
       .as[Ev].collect().toSeq.sortBy(e => (micros(e.ts), e.event_id))
   }
 
+  /** Streaming count-window replay (IntegrationQueries.q_stream_countwin
+    * lives in that module's inventory; the harness internals live here):
+    * events stream per user in (event-time, id) order, every full window
+    * of `size` rows emits its event-id sum — partial tails stay pending
+    * in state, exactly the reference's countWindow(size) contract.
+    */
+  private[queries] def countWindowReplay(s: SparkSession, dir: String,
+      size: Int): DataFrame = {
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    implicit val chEnc =
+      Encoders.product[StatefulOps.Change[String, Long]]
+    val rows = sortedEvents(s, dir).map(e =>
+      StatefulOps.Change(Changelog.Insert, e.user_id.toString, e.event_id))
+    val input = MemoryStream[StatefulOps.Change[String, Long]]
+    val out = input.toDS().groupByKey(_.key)
+      .transformWithState(new StatefulOps.CountWindowProcessor(size),
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        org.apache.spark.sql.streaming.OutputMode.Update())
+    val sink = runToEnd(s, input, out.toDF(), chunks(rows, 4), rocks = true)
+    sink.select($"key", $"windowId".as("window_id"),
+        $"sum".as("sum_ids"), $"n")
+      .orderBy($"key", $"window_id")
+  }
+
   val queries: Map[String, QFn] = Map(
 
     // Streaming tumbling-window aggregate: the same GROUP BY
