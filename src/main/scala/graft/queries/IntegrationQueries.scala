@@ -138,6 +138,34 @@ object IntegrationQueries {
       StreamQueries.countWindowReplay(s, dir, size = 10)
     }),
 
+    // Streaming temporal sort + chained order audit (TemporalSort): see
+    // StreamQueries.temporalSortReplay — the second stateful operator
+    // makes emission ORDER an oracle-checkable value.
+    "q_stream_sort" -> ((s, dir) => {
+      StreamQueries.temporalSortReplay(s, dir)
+    }),
+
+    // Rolling file sink + rename-safe compaction (FileCompaction): events
+    // write as many small part files, compaction merges them in place
+    // (write-then-rename-then-delete, crash-safe toward duplication not
+    // loss), and the directory must still aggregate to the parquet
+    // oracle — a lost or double-counted record breaks the hash.
+    "q_fmt_filesink" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          col("value"))
+      val out = tmpDir("q_fmt_filesink") + "/rolled"
+      graft.sources.FileCompaction.writeRolled(ev, out,
+        maxRecordsPerFile = 1000L)
+      graft.sources.FileCompaction.compactParquet(s, out,
+        smallBytes = 64L * 1024 * 1024, targetBytes = 128L * 1024 * 1024)
+      s.read.parquet(out)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"),
+          max(col("event_id")).as("max_id"))
+        .orderBy(col("event_type"))
+    }),
+
     // DSv2 mem source round-trip (sources/GraftMemSource): orders load
     // through the source's 2PC batch WRITE, then scan back through its
     // read path with a pushed filter and pruned columns — the driver
@@ -200,6 +228,17 @@ object IntegrationQueries {
         |FROM ordered GROUP BY user_id, (rn - 1) // 10
         |HAVING COUNT(*) = 10
         |ORDER BY key, window_id""".stripMargin,
+
+    "q_stream_sort" ->
+      """SELECT CAST(user_id AS VARCHAR) AS key,
+        |  CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(0 AS BIGINT) AS violations
+        |FROM events GROUP BY user_id ORDER BY key""".stripMargin,
+
+    "q_fmt_filesink" ->
+      s"""SELECT event_type, COUNT(*) AS n, ${dsumSql("value")} AS sum_value,
+        |  MAX(event_id) AS max_id
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "q_src_dsv2" ->
       """SELECT o_orderkey AS id,

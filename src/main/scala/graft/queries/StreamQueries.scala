@@ -165,6 +165,45 @@ object StreamQueries {
       .orderBy($"key", $"window_id")
   }
 
+  /** Temporal-sort replay with a chained order auditor
+    * (IntegrationQueries.q_stream_sort): events replay through
+    * TemporalSort.sorted, whose append output feeds
+    * TemporalSort.OrderAuditProcessor — a SECOND stateful operator in
+    * the same query — counting per-key rows and order violations at
+    * MICROSECOND granularity. The oracle pins (n = per-user row count,
+    * violations = 0): a lost row, duplicate emission, or out-of-order
+    * emission each breaks the hash.
+    */
+  private[queries] def temporalSortReplay(s: SparkSession,
+      dir: String): DataFrame = {
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    implicit val auditEnc =
+      Encoders.product[graft.streaming.TemporalSort.OrderAudit]
+    val rows = sortedEvents(s, dir)
+    val maxTs = rows.map(_.ts.getTime).max
+    def sentinel(off: Long) = Seq(Ev(-1L, -1L,
+      new java.sql.Timestamp(maxTs + off), "flush", 0.0))
+    val input = MemoryStream[Ev]
+    val watermarked = input.toDS().withWatermark("ts", "1 hour").as[Ev]
+    val sortedOut = graft.streaming.TemporalSort.sorted[String, Ev](
+      watermarked, e => e.user_id.toString, e => e.ts.getTime)
+    val audited = sortedOut
+      .groupByKey(e => e.user_id.toString)
+      .transformWithState(
+        new graft.streaming.TemporalSort.OrderAuditProcessor[Ev](
+          e => e.user_id.toString, e => micros(e.ts)),
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        org.apache.spark.sql.streaming.OutputMode.Update())
+    val sink = runToEnd(s, input, audited.toDF(),
+      chunks(rows, 4) :+ sentinel(2 * 3600000L), rocks = true)
+    // n/violations are monotone per key → max = final state
+    sink.filter($"key" =!= "-1")
+      .groupBy($"key")
+      .agg(max($"n").as("n"), max($"violations").as("violations"))
+      .orderBy($"key")
+  }
+
   val queries: Map[String, QFn] = Map(
 
     // Streaming tumbling-window aggregate: the same GROUP BY

@@ -73,4 +73,39 @@ object TemporalSort {
       .transformWithState(
         new TemporalSortProcessor[K, V](tsOf, implicitly[Encoder[V]]),
         TimeMode.EventTime(), OutputMode.Append())
+
+  case class OrderAudit(key: String, n: Long, violations: Long)
+
+  /** Downstream order auditor: consumes a (supposedly) time-ordered
+    * stream and tracks, per key, how many rows arrived with a timestamp
+    * BELOW their predecessor's. Chained after [[sorted]] it makes
+    * emission ORDER a checkable value — an oracle compare of the final
+    * (n, violations=0) row per key fails if the sort ever emitted out of
+    * order, which a sorted-at-the-end sink table alone cannot reveal.
+    */
+  class OrderAuditProcessor[V](keyOf: V => String, tsOf: V => Long)
+      extends StatefulProcessor[String, V, OrderAudit] {
+    @transient private var lastTs: ValueState[Long] = _
+    @transient private var seen: ValueState[OrderAudit] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      lastTs = getHandle.getValueState[Long]("lastTs",
+        Encoders.scalaLong, TTLConfig.NONE)
+      seen = getHandle.getValueState[OrderAudit]("seen",
+        Encoders.product[OrderAudit], TTLConfig.NONE)
+    }
+    override def handleInputRows(key: String, rows: Iterator[V],
+        timerValues: TimerValues): Iterator[OrderAudit] = {
+      var cur = if (seen.exists()) seen.get() else OrderAudit(key, 0L, 0L)
+      var last = if (lastTs.exists()) lastTs.get() else Long.MinValue
+      rows.foreach { v =>
+        val ts = tsOf(v)
+        cur = cur.copy(n = cur.n + 1,
+          violations = cur.violations + (if (ts < last) 1L else 0L))
+        last = ts
+      }
+      lastTs.update(last)
+      seen.update(cur)
+      Iterator.single(cur)
+    }
+  }
 }

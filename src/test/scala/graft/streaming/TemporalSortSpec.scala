@@ -133,4 +133,38 @@ class TemporalSortSpec extends SparkSuite {
     // RowTimeRangeUnboundedPrecedingFunction
     assert(got.toSet == Set((1000L, 1L, 3L), (1000L, 2L, 3L), (2000L, 4L, 7L)))
   }
+
+  test("order auditor flags out-of-order emission and passes ordered emission") {
+    implicit val sqlCtx = spark.sqlContext
+    implicit val auditEnc =
+      org.apache.spark.sql.Encoders.product[TemporalSort.OrderAudit]
+    def audit(batches: Seq[Seq[TimedIn]]): Map[String, (Long, Long)] = {
+      val input = MemoryStream[TimedIn]
+      val out = input.toDS().groupByKey(_.key)
+        .transformWithState(
+          new TemporalSort.OrderAuditProcessor[TimedIn](
+            _.key, _.eventTime.getTime),
+          TimeMode.None(), OutputMode.Update())
+      val name = s"audit_${System.nanoTime()}"
+      val q = out.writeStream.format("memory").queryName(name)
+        .outputMode("update")
+        .option("checkpointLocation", tmpDir("ckpt")).start()
+      try { batches.foreach { b => input.addData(b); q.processAllAvailable() } }
+      finally q.stop()
+      spark.table(name).as[TemporalSort.OrderAudit].collect()
+        .groupBy(_.key)
+        .map { case (k, rs) =>
+          k -> (rs.map(_.n).max, rs.map(_.violations).max) }
+    }
+    // ordered input (incl. across batches): zero violations
+    val ok = audit(Seq(
+      Seq(TimedIn("k", ts(1000), 1), TimedIn("k", ts(2000), 2)),
+      Seq(TimedIn("k", ts(2000), 3), TimedIn("k", ts(5000), 4))))
+    assert(ok("k") == ((4L, 0L)))
+    // a regression inside a batch AND across a batch boundary both count
+    val bad = audit(Seq(
+      Seq(TimedIn("k", ts(3000), 1), TimedIn("k", ts(1000), 2)),
+      Seq(TimedIn("k", ts(500), 3))))
+    assert(bad("k") == ((3L, 2L)))
+  }
 }
