@@ -23,8 +23,21 @@ import graft.streaming.{Changelog, StatefulOps}
   */
 object IntegrationQueries {
 
-  private def tmpDir(prefix: String): String =
-    java.nio.file.Files.createTempDirectory(prefix).toString
+  /** Per-run scratch dir for format round-trips, reaped at JVM exit so
+    * repeated Verify/Bench runs don't accumulate tmp data.
+    */
+  private def tmpDir(prefix: String): String = {
+    val dir = java.nio.file.Files.createTempDirectory(prefix)
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      try {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(dir).iterator().asScala.toSeq
+          .sortBy(-_.getNameCount)
+          .foreach(java.nio.file.Files.deleteIfExists(_))
+      } catch { case _: Throwable => () } // best-effort
+    }))
+    dir.toString
+  }
 
   val queries: Map[String, QFn] = Map(
 

@@ -29,36 +29,56 @@ object TemporalSort {
       extends StatefulProcessor[K, V, V] {
 
     @transient private var buf: MapState[Long, Buffered[V]] = _
+    @transient private var ptimer: ValueState[Long] = _ // smallest live timer
 
     override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
       implicit val ev: Encoder[V] = vEnc
       buf = getHandle.getMapState[Long, Buffered[V]]("buffer",
         Encoders.scalaLong, Encoders.product[Buffered[V]], TTLConfig.NONE)
+      ptimer = getHandle.getValueState[Long]("ptimer",
+        Encoders.scalaLong, TTLConfig.NONE)
+    }
+
+    /** Timers are COALESCED (the ProcessOps doctrine): one live timer per
+      * key at the smallest unemitted timestamp, re-armed after each
+      * drain. A timer per distinct timestamp makes every watermark
+      * advance fire once per buffered timestamp, each fire scanning the
+      * whole remaining buffer — O(T²) state reads per key.
+      */
+    private def arm(ts: Long): Unit = {
+      val cur = if (ptimer.exists()) ptimer.get() else Long.MaxValue
+      if (ts < cur) { getHandle.registerTimer(ts); ptimer.update(ts) }
     }
 
     override def handleInputRows(key: K, rows: Iterator[V],
         timerValues: TimerValues): Iterator[V] = {
       val wm = timerValues.getCurrentWatermarkInMs()
+      var minNew = Long.MaxValue
       rows.foreach { v =>
         val ts = tsOf(v)
         if (ts > wm) {
           val cur = if (buf.containsKey(ts)) buf.getValue(ts).vs else Seq.empty
           buf.updateValue(ts, Buffered(cur :+ v))
-          getHandle.registerTimer(ts)
+          if (ts < minNew) minNew = ts
         } // else: late row, dropped
       }
+      if (minNew != Long.MaxValue) arm(minNew)
       Iterator.empty
     }
 
     override def handleExpiredTimer(key: K, timerValues: TimerValues,
         expiredTimerInfo: ExpiredTimerInfo): Iterator[V] = {
       val wm = timerValues.getCurrentWatermarkInMs()
-      val due = buf.iterator().map(_._1).filter(_ <= wm).toArray.sorted
+      val all = buf.iterator().map(_._1).toArray.sorted
+      val due = all.takeWhile(_ <= wm)
       val out = scala.collection.mutable.ArrayBuffer.empty[V]
       due.foreach { ts =>
         out ++= buf.getValue(ts).vs
         buf.removeKey(ts)
       }
+      // re-arm for the earliest still-buffered timestamp (all > wm here)
+      ptimer.clear()
+      if (due.length < all.length) arm(all(due.length))
       out.iterator
     }
   }
