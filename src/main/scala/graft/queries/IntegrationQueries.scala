@@ -179,6 +179,39 @@ object IntegrationQueries {
         .orderBy(col("event_type"))
     }),
 
+    // Connected / broadcast streams (ConnectedStreams
+    // .ThresholdProcessor): see StreamQueries.broadcastReplay.
+    "q_stream_broadcast" -> ((s, dir) => {
+      StreamQueries.broadcastReplay(s, dir)
+    }),
+
+    // Continuous file-monitor source: events split across three parquet
+    // appends, then a readStream over the directory discovers them one
+    // file per trigger (forced incremental discovery) and a streaming
+    // aggregation folds them — the complete-mode result must equal the
+    // batch aggregate of the same parquet.
+    "q_stream_filesrc" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          col("value"))
+      val src = tmpDir("q_stream_filesrc") + "/incoming"
+      (0 until 3).foreach { i =>
+        ev.filter(pmod(col("event_id"), lit(3)) === i)
+          .coalesce(1).write.mode("append").parquet(src)
+      }
+      val stream = s.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1").parquet(src)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+      val name = "q_filesrc_" +
+        java.util.UUID.randomUUID().toString.replace("-", "")
+      val q = stream.writeStream.format("memory").queryName(name)
+        .outputMode("complete")
+        .option("checkpointLocation", tmpDir("q_filesrc_ckpt")).start()
+      try q.processAllAvailable() finally q.stop()
+      s.table(name).orderBy(col("event_type"))
+    }),
+
     // DSv2 mem source round-trip (sources/GraftMemSource): orders load
     // through the source's 2PC batch WRITE, then scan back through its
     // read path with a pushed filter and pruned columns — the driver
@@ -251,6 +284,18 @@ object IntegrationQueries {
     "q_fmt_filesink" ->
       s"""SELECT event_type, COUNT(*) AS n, ${dsumSql("value")} AS sum_value,
         |  MAX(event_id) AS max_id
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q_stream_broadcast" ->
+      """SELECT CAST(user_id AS VARCHAR) AS key,
+        |  CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS value,
+        |  user_id % 100 AS threshold
+        |FROM events
+        |WHERE CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) > user_id % 100
+        |ORDER BY key, value""".stripMargin,
+
+    "q_stream_filesrc" ->
+      s"""SELECT event_type, COUNT(*) AS n, ${dsumSql("value")} AS sum_value
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "q_src_dsv2" ->

@@ -204,6 +204,40 @@ object StreamQueries {
       .orderBy($"key")
   }
 
+  /** Connected-streams replay (IntegrationQueries.q_stream_broadcast):
+    * a CONTROL stream of per-user thresholds (batch 1) connects with the
+    * event DATA stream (batches 2–4) through ThresholdProcessor — the
+    * KeyedBroadcastProcessFunction shape: control rows mutate keyed
+    * state, data rows filter against it. With every threshold delivered
+    * before any data, the final emission equals a batch filter the
+    * oracle can state in SQL.
+    */
+  private[queries] def broadcastReplay(s: SparkSession,
+      dir: String): DataFrame = {
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    implicit val flaggedEnc =
+      Encoders.product[graft.streaming.ConnectedStreams.Flagged]
+    import graft.streaming.ConnectedStreams.{Tagged, ThresholdProcessor}
+    val evs = sortedEvents(s, dir)
+    val controls = evs.map(_.user_id).distinct.sorted.map(u =>
+      Tagged(u.toString, isControl = true, threshold = u % 100, value = 0L))
+    val data = evs.map { e =>
+      val cents = math.round(e.value * 100)
+      Tagged(e.user_id.toString, isControl = false, threshold = 0L,
+        value = cents)
+    }
+    val input = MemoryStream[Tagged]
+    val out = input.toDS().groupByKey(_.key)
+      .transformWithState(new ThresholdProcessor(defaultThreshold = 0L),
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        org.apache.spark.sql.streaming.OutputMode.Update())
+    val sink = runToEnd(s, input, out.toDF(),
+      controls +: chunks(data, 3), rocks = true)
+    sink.select($"key", $"value", $"threshold")
+      .orderBy($"key", $"value")
+  }
+
   val queries: Map[String, QFn] = Map(
 
     // Streaming tumbling-window aggregate: the same GROUP BY
