@@ -1,13 +1,11 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 import graft.queries.Q._
 import graft.operators.{AsyncOps, LookupJoin}
 import graft.sources.{AvroIO, SequenceFileIO}
-import graft.streaming.{Changelog, StatefulOps}
 
 /** Integration surfaces under the hard oracle gate — components that
   * previously had ScalaTest-only verification (formats, lookup/async
@@ -28,14 +26,8 @@ object IntegrationQueries {
     */
   private def tmpDir(prefix: String): String = {
     val dir = java.nio.file.Files.createTempDirectory(prefix)
-    Runtime.getRuntime.addShutdownHook(new Thread(() => {
-      try {
-        import scala.jdk.CollectionConverters._
-        java.nio.file.Files.walk(dir).iterator().asScala.toSeq
-          .sortBy(-_.getNameCount)
-          .foreach(java.nio.file.Files.deleteIfExists(_))
-      } catch { case _: Throwable => () } // best-effort
-    }))
+    Runtime.getRuntime.addShutdownHook(
+      new Thread(() => Q.deleteRecursively(dir)))
     dir.toString
   }
 
@@ -134,7 +126,15 @@ object IntegrationQueries {
         .as[(String, Long, Double)]
         .groupByKey(_._1)
         .flatMapGroups { (status, it) =>
-          it.toSeq.sortBy(r => (-r._3, r._2)).take(2).zipWithIndex
+          // single-pass bounded accumulator (the UDTAF contract): keep
+          // the best 2 of an UNBOUNDED group in O(1) memory — a full
+          // toSeq.sortBy would buffer the whole group per task
+          val ord = Ordering.by[(String, Long, Double), (Double, Long)](
+            r => (-r._3, r._2))
+          val top = it.foldLeft(List.empty[(String, Long, Double)]) {
+            (acc, r) => (r :: acc).sorted(ord).take(2)
+          }
+          top.sorted(ord).zipWithIndex
             .map { case ((_, key, price), i) => (status, i + 1L, key, price) }
             .iterator
         }
@@ -218,7 +218,10 @@ object IntegrationQueries {
     // sees only (id, v) rows the source filtered, and the oracle runs
     // the same predicate in SQL.
     "q_src_dsv2" -> ((s, dir) => {
-      val table = "q_src_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      // fixed scratch name, cleared before each load: a UUID per run
+      // would leak a full orders copy in MemTables for the JVM lifetime
+      val table = "q_src_dsv2_scratch"
+      graft.sources.MemTables.tables.remove(table)
       t(s, dir, "orders")
         .select(col("o_orderkey").as("id"), col("o_orderstatus").as("name"),
           (col("o_totalprice").cast(DecimalType(12, 2)) * 100)
@@ -234,7 +237,7 @@ object IntegrationQueries {
   val oracles: Map[String, String] = Map(
     "q_fmt_avro" ->
       s"""SELECT event_type, COUNT(*) AS n, ${dsumSql("value")} AS sum_value,
-        |  MAX(ts) AS max_ts
+        |  MAX(make_timestamp(epoch_ns(ts) // 1000)) AS max_ts
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "q_fmt_seqfile" ->
@@ -265,7 +268,8 @@ object IntegrationQueries {
     "q_stream_countwin" ->
       """WITH ordered AS (
         |  SELECT user_id, event_id,
-        |    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        |    ROW_NUMBER() OVER (PARTITION BY user_id
+        |      ORDER BY make_timestamp(epoch_ns(ts) // 1000), event_id) AS rn
         |  FROM events)
         |SELECT CAST(user_id AS VARCHAR) AS key,
         |  CAST((rn - 1) // 10 AS BIGINT) AS window_id,

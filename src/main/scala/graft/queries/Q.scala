@@ -32,4 +32,15 @@ object Q {
   /** Oracle-side equivalent of [[dsum]]. */
   def dsumSql(col: String): String =
     s"CAST(SUM(CAST($col AS DECIMAL(12,2))) AS DOUBLE)"
+
+  /** Best-effort recursive delete (deepest first) — shared by every
+    * scratch-dir consumer so the idiom can't drift.
+    */
+  def deleteRecursively(dir: java.nio.file.Path): Unit =
+    try {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(dir).iterator().asScala.toSeq
+        .sortBy(-_.getNameCount)
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+    } catch { case _: Throwable => () }
 }

@@ -94,11 +94,7 @@ object StreamQueries {
     try batches.foreach { b => input.addData(b); q.processAllAvailable() }
     finally {
       q.stop()
-      try {
-        import scala.jdk.CollectionConverters._
-        java.nio.file.Files.walk(ckpt).iterator().asScala.toSeq
-          .sortBy(-_.getNameCount).foreach(java.nio.file.Files.deleteIfExists(_))
-      } catch { case _: java.io.IOException => () } // best-effort cleanup
+      Q.deleteRecursively(ckpt) // best-effort cleanup
     }
     s.table(name)
   }
@@ -192,7 +188,7 @@ object StreamQueries {
       .groupByKey(e => e.user_id.toString)
       .transformWithState(
         new graft.streaming.TemporalSort.OrderAuditProcessor[Ev](
-          e => e.user_id.toString, e => micros(e.ts)),
+          e => micros(e.ts)),
         org.apache.spark.sql.streaming.TimeMode.None(),
         org.apache.spark.sql.streaming.OutputMode.Update())
     val sink = runToEnd(s, input, audited.toDF(),

@@ -158,7 +158,13 @@ object ProcessOps {
       */
     private def arm(ts: Long): Unit = {
       val cur = if (ptimer.exists()) ptimer.get() else Long.MaxValue
-      if (ts < cur) { getHandle.registerTimer(ts); ptimer.update(ts) }
+      if (ts < cur) {
+        // delete the superseded higher timer: left alive it would fire a
+        // no-op callback that still scans the whole remaining buffer
+        if (cur != Long.MaxValue) getHandle.deleteTimer(cur)
+        getHandle.registerTimer(ts)
+        ptimer.update(ts)
+      }
     }
 
     override def handleInputRows(key: String, rows: Iterator[TimedIn],

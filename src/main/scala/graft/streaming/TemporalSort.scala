@@ -47,7 +47,13 @@ object TemporalSort {
       */
     private def arm(ts: Long): Unit = {
       val cur = if (ptimer.exists()) ptimer.get() else Long.MaxValue
-      if (ts < cur) { getHandle.registerTimer(ts); ptimer.update(ts) }
+      if (ts < cur) {
+        // delete the superseded higher timer: left alive it would fire a
+        // no-op callback that still scans the whole remaining buffer
+        if (cur != Long.MaxValue) getHandle.deleteTimer(cur)
+        getHandle.registerTimer(ts)
+        ptimer.update(ts)
+      }
     }
 
     override def handleInputRows(key: K, rows: Iterator[V],
@@ -103,7 +109,7 @@ object TemporalSort {
     * (n, violations=0) row per key fails if the sort ever emitted out of
     * order, which a sorted-at-the-end sink table alone cannot reveal.
     */
-  class OrderAuditProcessor[V](keyOf: V => String, tsOf: V => Long)
+  class OrderAuditProcessor[V](tsOf: V => Long)
       extends StatefulProcessor[String, V, OrderAudit] {
     @transient private var lastTs: ValueState[Long] = _
     @transient private var seen: ValueState[OrderAudit] = _

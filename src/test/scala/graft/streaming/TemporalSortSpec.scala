@@ -143,7 +143,7 @@ class TemporalSortSpec extends SparkSuite {
       val out = input.toDS().groupByKey(_.key)
         .transformWithState(
           new TemporalSort.OrderAuditProcessor[TimedIn](
-            _.key, _.eventTime.getTime),
+            _.eventTime.getTime),
           TimeMode.None(), OutputMode.Update())
       val name = s"audit_${System.nanoTime()}"
       val q = out.writeStream.format("memory").queryName(name)
