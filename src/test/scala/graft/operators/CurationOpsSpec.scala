@@ -71,6 +71,33 @@ class CurationOpsSpec extends SparkSuite {
     assert(got.filter(_._1 == 2L).map(_._4) == List("a b c d", "d e f g"))
   }
 
+  test("chunkDocuments reconstruction property on random docs") {
+    // dropping each non-first chunk's leading `overlap` tokens and
+    // concatenating must rebuild the document exactly — every token
+    // appears once at its original position, for any (n, chunk, overlap)
+    val rnd = new scala.util.Random(42)
+    val docs = (0 until 30).map { i =>
+      val n = rnd.nextInt(40) + 1
+      (i.toLong, (1 to n).map(j => s"w${rnd.nextInt(8)}_$j").mkString(" "))
+    }
+    val df = docs.toDF("doc_id", "text")
+    for ((chunk, overlap) <- Seq((4, 0), (4, 1), (7, 3), (10, 9))) {
+      val got = CurationOps.chunkDocuments(df, chunk, overlap)
+        .as[(Long, Long, Long, String)].collect()
+        .groupBy(_._1).map { case (id, rs) =>
+          val rebuilt = rs.sortBy(_._2).zipWithIndex.flatMap { case (r, i) =>
+            val toks = r._4.split(" ").toSeq
+            if (i == 0) toks else toks.drop(overlap)
+          }
+          id -> rebuilt.mkString(" ")
+        }
+      docs.foreach { case (id, text) =>
+        assert(got(id) == text,
+          s"chunk=$chunk overlap=$overlap doc=$id: ${got(id)} != $text")
+      }
+    }
+  }
+
   test("chunkDocuments rejects overlap >= chunkTokens") {
     val df = Seq((1L, "t")).toDF("doc_id", "text")
     intercept[IllegalArgumentException] {
