@@ -158,6 +158,18 @@ object IntegrationQueries {
       StreamQueries.temporalSortReplay(s, dir)
     }),
 
+    // Streaming semi / anti join with retractions (SemiAntiJoin
+    // .SemiAntiProcessor): see StreamQueries.semiAntiReplay — the
+    // view-delete batch drives right counts across zero, forcing the
+    // retract-all / re-emit-all protocol the reference's semi/anti
+    // operators implement.
+    "q_stream_semi" -> ((s, dir) => {
+      StreamQueries.semiAntiReplay(s, dir, semi = true)
+    }),
+    "q_stream_anti" -> ((s, dir) => {
+      StreamQueries.semiAntiReplay(s, dir, semi = false)
+    }),
+
     // Rolling file sink + rename-safe compaction (FileCompaction): events
     // write as many small part files, compaction merges them in place
     // (write-then-rename-then-delete, crash-safe toward duplication not
@@ -289,6 +301,20 @@ object IntegrationQueries {
       s"""SELECT event_type, COUNT(*) AS n, ${dsumSql("value")} AS sum_value,
         |  MAX(event_id) AS max_id
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q_stream_semi" ->
+      """SELECT CAST(p.user_id AS VARCHAR) AS key, p.event_id AS id
+        |FROM events p WHERE p.event_type = 'purchase' AND EXISTS (
+        |  SELECT 1 FROM events v WHERE v.event_type = 'view'
+        |    AND v.user_id = p.user_id AND v.user_id % 7 <> 0 AND v.event_id % 3 <> 0)
+        |ORDER BY key, id""".stripMargin,
+
+    "q_stream_anti" ->
+      """SELECT CAST(p.user_id AS VARCHAR) AS key, p.event_id AS id
+        |FROM events p WHERE p.event_type = 'purchase' AND NOT EXISTS (
+        |  SELECT 1 FROM events v WHERE v.event_type = 'view'
+        |    AND v.user_id = p.user_id AND v.user_id % 7 <> 0 AND v.event_id % 3 <> 0)
+        |ORDER BY key, id""".stripMargin,
 
     "q_stream_broadcast" ->
       """SELECT CAST(user_id AS VARCHAR) AS key,

@@ -241,6 +241,45 @@ object StreamQueries {
       .orderBy($"key", $"value")
   }
 
+  /** Streaming semi/anti join replay (IntegrationQueries
+    * .q_stream_semi/anti): purchases stream as the LEFT side per user,
+    * views as the RIGHT; after the insert replay a batch of view
+    * DELETES (every view of users ≡ 0 mod 7, plus event_id % 3 == 0
+    * churn) drives right counts back across the zero boundary — all the
+    * way to EMPTY for the mod-7 users, so the anti side re-emits and
+    * the semi side retracts for real. The folded changelog must equal
+    * the batch EXISTS / NOT EXISTS oracle over surviving views.
+    */
+  private[queries] def semiAntiReplay(s: SparkSession, dir: String,
+      semi: Boolean): DataFrame = {
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    import graft.streaming.SemiAntiJoin.{JoinInput, JoinOutput, SemiAntiProcessor}
+    implicit val outEnc = Encoders.product[JoinOutput]
+    val evs = sortedEvents(s, dir)
+    val inserts = evs.collect {
+      case e if e.event_type == "purchase" =>
+        JoinInput(e.user_id.toString, isLeft = true, e.event_id, 1)
+      case e if e.event_type == "view" =>
+        JoinInput(e.user_id.toString, isLeft = false, e.event_id, 1)
+    }
+    val deletes = evs.collect {
+      case e if e.event_type == "view" &&
+          (e.user_id % 7 == 0 || e.event_id % 3 == 0) =>
+        JoinInput(e.user_id.toString, isLeft = false, e.event_id, -1)
+    }
+    val input = MemoryStream[JoinInput]
+    val out = input.toDS().groupByKey(_.key)
+      .transformWithState(new SemiAntiProcessor(semi),
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        org.apache.spark.sql.streaming.OutputMode.Update())
+    val sink = runToEnd(s, input, out.toDF(),
+      chunks(inserts, 3) :+ deletes, rocks = true)
+    foldChangelog(sink, "kind")
+      .select($"key", $"id")
+      .orderBy($"key", $"id")
+  }
+
   val queries: Map[String, QFn] = Map(
 
     // Streaming tumbling-window aggregate: the same GROUP BY
