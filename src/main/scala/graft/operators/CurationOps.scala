@@ -157,6 +157,152 @@ object CurationOps {
     docs.withColumn("split", expr)
   }
 
+  /** PII patterns scanned by [[piiScrub]]: (kind, regex, replacement).
+    * Restricted to the RE2-compatible subset of Java regex (no
+    * backreferences, no lookaround) so the engine (java.util.regex) and
+    * any SQL oracle (RE2) agree match-for-match. Order matters: emails
+    * are scrubbed before IPs so the host part of `user@10.2.3.4` is
+    * consumed by the email rule, and IPs before phones so a dotted
+    * quad can never be re-read as a partial phone.
+    */
+  val piiPatterns: Seq[(String, String, String)] = Seq(
+    ("email", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ipv4", "\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b", "<IP>"),
+    ("phone", "\\b\\d{3}[-. ]\\d{3}[-. ]\\d{4}\\b", "<PHONE>"))
+
+  /** PII detection + redaction (the C4/Dolma pre-training scrub): count
+    * each PII kind per document and emit the text with every match
+    * replaced by its placeholder, applying [[piiPatterns]] in order so
+    * later rules run on the already-scrubbed text. Pure projection —
+    * regexp_count/regexp_replace stay inside whole-stage codegen, no
+    * shuffle at any corpus size.
+    */
+  def piiScrub(docs: DataFrame, textCol: String = "text",
+      patterns: Seq[(String, String, String)] = piiPatterns): DataFrame = {
+    // counts are measured on the ORIGINAL text (what was found), while
+    // redaction is sequential (what each later rule still sees)
+    val counts = patterns.map { case (kind, re, _) =>
+      regexp_count(col(textCol), lit(re)).cast(LongType).as(s"n_$kind")
+    }
+    val redacted = patterns.foldLeft(col(textCol)) {
+      case (c, (_, re, rep)) => regexp_replace(c, re, rep)
+    }
+    docs.select(col("doc_id") +: counts :+ redacted.as("redacted"): _*)
+  }
+
+  /** Non-overlapping fixed-size token windows of `textCol`, each
+    * re-joined to a string — the segmenter the synthetic corpus (no
+    * newlines) feeds to [[dedupSegments]]; a real deployment passes
+    * `split(text, '\n')` lines or a sentence splitter instead.
+    */
+  def tokenWindows(textCol: Column, windowTokens: Int): Column = {
+    require(windowTokens > 0, s"windowTokens must be positive: $windowTokens")
+    element_at(transform(array(words(textCol)), w =>
+      transform(
+        sequence(lit(1), greatest(size(w), lit(1)), lit(windowTokens)),
+        start => concat_ws(" ", slice(w, start, lit(windowTokens))))), 1)
+  }
+
+  /** Cross-corpus segment-level dedup (the CCNet/Dolma line-dedup shape):
+    * drop every segment (line / sentence / token window — any
+    * array-of-string `segs` expression) that occurs verbatim in at least
+    * `minDocs` DISTINCT documents, and reassemble each document from its
+    * surviving segments in original order. Boilerplate headers, cookie
+    * banners and licence blocks repeat across pages; this removes them
+    * corpus-wide without dropping whole documents.
+    *
+    * Scale: two hash shuffles, both on the segment string — the
+    * doc-frequency aggregate (partial-agg'd map-side) and the
+    * frequency→segment join — then one groupBy doc_id to reassemble.
+    * Each is linear in total segment count; a 100 TB corpus dedups in
+    * one pass with no driver state. The reassembly collect_list holds
+    * one document's segments — bounded by max doc length, not corpus
+    * size.
+    */
+  def dedupSegments(docs: DataFrame, segs: Column, minDocs: Int = 2,
+      delim: String = " "): DataFrame = {
+    require(minDocs >= 2, s"minDocs must be >= 2, got $minDocs")
+    val exploded = docs
+      .select(col("doc_id"), posexplode(segs).as(Seq("seg_idx", "seg")))
+    // count DISTINCT docs per segment: intra-doc repetition alone must
+    // not mark a segment as boilerplate (repetitionStats owns that)
+    val dupSegs = exploded
+      .groupBy(col("seg"))
+      .agg(countDistinct(col("doc_id")).as("seg_df"))
+      .filter(col("seg_df") >= minDocs)
+      .select(col("seg"), lit(true).as("is_dup"))
+    exploded
+      .join(dupSegs, Seq("seg"), "left")
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_segments"),
+        sum(when(col("is_dup"), 1L).otherwise(0L)).as("n_dropped"),
+        array_join(
+          transform(
+            array_sort(collect_list(when(col("is_dup").isNull,
+              struct(col("seg_idx"), col("seg"))))),
+            s => s.getField("seg")),
+          delim).as("clean_text"))
+  }
+
+  /** Corpus unigram counts: (word, cnt) plus the totals every scorer
+    * needs. One partial-aggregated shuffle over the exploded words.
+    */
+  def unigramModel(docs: DataFrame, textCol: String = "text"): DataFrame =
+    docs.select(explode(words(col(textCol))).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+
+  /** Unigram language-model scoring with Laplace smoothing (the CCNet
+    * quality-filter shape: score docs against a reference corpus's
+    * unigram distribution; unusually improbable docs are gibberish,
+    * unusually probable ones are boilerplate). Emitted per doc:
+    * n_words, n_oov (words unseen in the model), and the mean smoothed
+    * token probability score = Σ(cnt_w + 1) / (n_words · (total + vocab))
+    * — all-integer arithmetic until ONE final double division, so any
+    * engine reproduces the score bit-for-bit.
+    *
+    * Scale: the word→cnt join is Zipf-skewed (a handful of stopwords
+    * carry most of the mass), so the model splits: the `topK` heaviest
+    * words resolve map-side from a BROADCAST map (covers the bulk of
+    * token occurrences, no shuffle), and only the long tail — near-
+    * uniform by construction — shuffle-joins. A plain hash join here
+    * would send every "the" to one partition.
+    */
+  def unigramScore(docs: DataFrame, model: DataFrame, topK: Int = 1000,
+      textCol: String = "text"): DataFrame = {
+    val totals = model.agg(
+      sum(col("cnt")).as("total"), count(lit(1)).as("vocab"))
+    val hot = model.orderBy(col("cnt").desc, col("word")).limit(topK)
+    val hotMap = hot.agg(
+      map_from_entries(collect_list(struct(col("word"), col("cnt"))))
+        .as("hot_cnts"))
+    val tail = model.join(hot.select(col("word")), Seq("word"), "left_anti")
+    val tokens = docs
+      .select(col("doc_id"), posexplode(words(col(textCol)))
+        .as(Seq("tok_idx", "word")))
+      .crossJoin(broadcast(hotMap))
+      .select(col("doc_id"), col("word"),
+        // try_element_at: a missing key is the expected signal for "not
+        // a hot word" (ANSI element_at would throw)
+        try_element_at(col("hot_cnts"), col("word")).as("hot_cnt"))
+    // tail join only for words the broadcast map missed; cnt 0 = OOV
+    val scored = tokens.filter(col("hot_cnt").isNotNull)
+      .select(col("doc_id"), col("hot_cnt").as("cnt"))
+      .unionAll(tokens.filter(col("hot_cnt").isNull)
+        .join(tail, Seq("word"), "left")
+        .select(col("doc_id"), coalesce(col("cnt"), lit(0L)).as("cnt")))
+    scored
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_words"),
+        sum(when(col("cnt") === 0L, 1L).otherwise(0L)).as("n_oov"),
+        sum(col("cnt") + 1L).as("sum_sm"))
+      .crossJoin(broadcast(totals))
+      .select(col("doc_id"), col("n_words"), col("n_oov"),
+        (col("sum_sm").cast(DoubleType) /
+          (col("n_words") * (col("total") + col("vocab"))).cast(DoubleType))
+          .as("lm_score"))
+  }
+
   /** Weighted domain mixing: replicate each document `w` times where the
     * per-group weight w may be fractional — floor(w) guaranteed copies
     * plus one more for the hash-fraction of documents (deterministic,

@@ -120,6 +120,51 @@ object PipelineQueries {
         .orderBy(col("doc_id"), col("copy_no"))
     }),
 
+    // PII detection + redaction (CurationOps.piiScrub): docs with
+    // doc_id % 7 == 0 get a deterministic email/IP/phone suffix appended
+    // (the synthetic corpus carries none); the scrub must count each kind
+    // and redact all three, leaving the other docs untouched.
+    "q_cur_pii" -> ((s, dir) => {
+      val id = col("doc_id").cast(StringType)
+      val decorated = t(s, dir, "documents").withColumn("text",
+        when(col("doc_id") % 7 === 0, concat(col("text"),
+          lit(" mail u"), id, lit("@ex"), (col("doc_id") % 5).cast(StringType),
+          lit(".com ip 10."), (col("doc_id") % 200).cast(StringType),
+          lit(".3."), (col("doc_id") % 250).cast(StringType),
+          lit(" tel 415-555-"),
+          lpad((col("doc_id") % 10000).cast(StringType), 4, "0")))
+          .otherwise(col("text")))
+      CurationOps.piiScrub(decorated)
+        .orderBy(col("doc_id"))
+    }),
+
+    // Cross-corpus segment dedup (CurationOps.dedupSegments): docs with
+    // doc_id % 3 == 0 get a shared 10-token boilerplate header; segmenting
+    // into 10-token windows, the header window repeats across >= 2 docs and
+    // is dropped corpus-wide while every other window survives.
+    "q_cur_segdedup" -> ((s, dir) => {
+      val boiler = "please accept all cookies to continue reading this site"
+      val decorated = t(s, dir, "documents").withColumn("text",
+        when(col("doc_id") % 3 === 0, concat(lit(boiler + " "), col("text")))
+          .otherwise(col("text")))
+      CurationOps.dedupSegments(decorated,
+        CurationOps.tokenWindows(col("text"), 10), minDocs = 2)
+        .orderBy(col("doc_id"))
+    }),
+
+    // Unigram LM quality score (CurationOps.unigramScore): model built on
+    // the 90% train docs, scoring the held-out 10% (each decorated with
+    // one guaranteed-OOV token); topK=20 exercises both the broadcast hot
+    // path and the shuffled tail join.
+    "q_cur_lmscore" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val model = CurationOps.unigramModel(docs.filter(col("doc_id") % 10 =!= 0))
+      val held = docs.filter(col("doc_id") % 10 === 0).withColumn("text",
+        concat(col("text"), lit(" zz"), col("doc_id").cast(StringType)))
+      CurationOps.unigramScore(held, model, topK = 20)
+        .orderBy(col("doc_id"))
+    }),
+
     // Greedy sequence packing (TextOps.packSequences): 256-token bins,
     // pack groups of 50 docs (the parallel unit); the oracle replays the
     // same sequential policy with a recursive CTE per group.
@@ -462,6 +507,62 @@ object PipelineQueries {
         |  FROM documents d JOIN wts USING (lang))
         |SELECT doc_id, lang, CAST(unnest(generate_series(1, copies)) AS INT) AS copy_no
         |FROM c WHERE copies >= 1 ORDER BY doc_id, copy_no""".stripMargin,
+
+    "q_cur_pii" -> {
+      // identical RE2-compatible patterns, applied in the same order
+      val eRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+      val iRe = "\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b"
+      val pRe = "\\b\\d{3}[-. ]\\d{3}[-. ]\\d{4}\\b"
+      s"""WITH base AS (SELECT doc_id,
+        |  CASE WHEN doc_id % 7 = 0 THEN text
+        |      || ' mail u' || CAST(doc_id AS VARCHAR) || '@ex' || CAST(doc_id % 5 AS VARCHAR)
+        |      || '.com ip 10.' || CAST(doc_id % 200 AS VARCHAR) || '.3.' || CAST(doc_id % 250 AS VARCHAR)
+        |      || ' tel 415-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+        |    ELSE text END AS text FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text, '$eRe')) AS BIGINT) AS n_email,
+        |  CAST(len(regexp_extract_all(text, '$iRe')) AS BIGINT) AS n_ipv4,
+        |  CAST(len(regexp_extract_all(text, '$pRe')) AS BIGINT) AS n_phone,
+        |  regexp_replace(regexp_replace(regexp_replace(text,
+        |    '$eRe', '<EMAIL>', 'g'), '$iRe', '<IP>', 'g'), '$pRe', '<PHONE>', 'g')
+        |    AS redacted
+        |FROM base ORDER BY doc_id""".stripMargin
+    },
+
+    "q_cur_segdedup" ->
+      """WITH base AS (SELECT doc_id,
+        |  CASE WHEN doc_id % 3 = 0
+        |    THEN 'please accept all cookies to continue reading this site ' || text
+        |    ELSE text END AS text FROM documents),
+        |ws AS (SELECT doc_id, string_split(text, ' ') AS w FROM base),
+        |segs AS (SELECT doc_id, s, array_to_string(w[s : s + 9], ' ') AS seg
+        |  FROM ws, UNNEST(range(1, greatest(len(w), 1) + 1, 10)) AS u(s)),
+        |df AS (SELECT seg FROM segs GROUP BY seg HAVING count(DISTINCT doc_id) >= 2),
+        |fl AS (SELECT s.doc_id, s.s, s.seg, d.seg IS NOT NULL AS dup
+        |  FROM segs s LEFT JOIN df d USING (seg))
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_segments,
+        |  CAST(sum(CASE WHEN dup THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+        |  coalesce(string_agg(CASE WHEN NOT dup THEN seg END, ' ' ORDER BY s), '')
+        |    AS clean_text
+        |FROM fl GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q_cur_lmscore" ->
+      """WITH model AS (SELECT word, count(*) AS cnt FROM (
+        |    SELECT unnest(string_split(text, ' ')) AS word
+        |    FROM documents WHERE doc_id % 10 <> 0) GROUP BY word),
+        |tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS total,
+        |    CAST(count(*) AS BIGINT) AS vocab FROM model),
+        |held AS (SELECT doc_id, text || ' zz' || CAST(doc_id AS VARCHAR) AS text
+        |  FROM documents WHERE doc_id % 10 = 0),
+        |toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM held),
+        |j AS (SELECT doc_id, coalesce(cnt, 0) AS cnt
+        |  FROM toks LEFT JOIN model USING (word))
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+        |  CAST(sum(CASE WHEN cnt = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+        |  CAST(sum(cnt + 1) AS DOUBLE) / CAST(count(*) * (total + vocab) AS DOUBLE)
+        |    AS lm_score
+        |FROM j CROSS JOIN tot GROUP BY doc_id, total, vocab
+        |ORDER BY doc_id""".stripMargin,
 
     "q_dedup_exact" ->
       s"""SELECT MIN(doc_id) AS doc_id, COUNT(*) AS n_copies

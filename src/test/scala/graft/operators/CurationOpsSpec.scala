@@ -174,4 +174,98 @@ class CurationOpsSpec extends SparkSuite {
     // every copy of a doc is distinct via copy_no
     assert(out.select("doc_id", "copy_no").distinct().count() == n)
   }
+
+  test("piiScrub counts and redacts all three kinds, in order") {
+    val df = Seq(
+      (1L, "write to bob.smith+x@corp.example.org today"),
+      (2L, "host 192.168.0.1 and 10.0.0.255 up"),
+      (3L, "call 415-555-0134 or 415.555.0199"),
+      (4L, "mixed a@b.io at 8.8.8.8 tel 650-555-0000"),
+      (5L, "clean text with no identifiers at all"))
+      .toDF("doc_id", "text")
+    val got = CurationOps.piiScrub(df)
+      .as[(Long, Long, Long, Long, String)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got(1L) == ((1L, 1L, 0L, 0L, "write to <EMAIL> today")))
+    assert(got(2L) == ((2L, 0L, 2L, 0L, "host <IP> and <IP> up")))
+    assert(got(3L) == ((3L, 0L, 0L, 2L, "call <PHONE> or <PHONE>")))
+    assert(got(4L) == ((4L, 1L, 1L, 1L, "mixed <EMAIL> at <IP> tel <PHONE>")))
+    assert(got(5L) == ((5L, 0L, 0L, 0L, "clean text with no identifiers at all")))
+  }
+
+  test("piiScrub: email rule consumes the host of user@dotted-quad before the IP rule") {
+    val df = Seq((1L, "ssh root@10.1.2.3 now")).toDF("doc_id", "text")
+    val got = CurationOps.piiScrub(df)
+      .as[(Long, Long, Long, Long, String)].collect().head
+    // counts run on the ORIGINAL text: the email pattern needs an alpha
+    // TLD so root@10.1.2.3 is NOT an email, and the quad IS an IP
+    assert(got == ((1L, 0L, 1L, 0L, "ssh root@<IP> now")))
+  }
+
+  test("piiScrub is a pure projection — zero shuffles") {
+    val df = Seq((1L, "a@b.io")).toDF("doc_id", "text")
+    val plan = CurationOps.piiScrub(df).queryExecution.executedPlan
+    assert(plan.collect { case s: ShuffleExchangeExec => s }.isEmpty)
+  }
+
+  test("tokenWindows: non-overlapping cover, short tail, empty doc") {
+    val df = Seq((1L, "a b c d e"), (2L, "x")).toDF("doc_id", "text")
+    val got = df.select($"doc_id",
+      CurationOps.tokenWindows($"text", 2).as("s"))
+      .as[(Long, Seq[String])].collect().toMap
+    assert(got(1L) == Seq("a b", "c d", "e"))
+    assert(got(2L) == Seq("x"))
+  }
+
+  test("dedupSegments drops only cross-doc repeats and preserves order") {
+    val df = Seq(
+      (1L, "BOIL txt one"),
+      (2L, "BOIL txt two"),
+      (3L, "solo words here"),
+      // intra-doc repetition alone must NOT count toward the doc frequency
+      (4L, "SELF SELF four"))
+      .toDF("doc_id", "text")
+    // one-token segments
+    val out = CurationOps.dedupSegments(df, split($"text", " "), minDocs = 2)
+      .as[(Long, Long, Long, String)].collect().map(r => r._1 -> r).toMap
+    // "BOIL" in docs 1+2 (dropped), "txt" in docs 1+2 (dropped)
+    assert(out(1L) == ((1L, 3L, 2L, "one")))
+    assert(out(2L) == ((2L, 3L, 2L, "two")))
+    assert(out(3L) == ((3L, 3L, 0L, "solo words here")))
+    assert(out(4L) == ((4L, 3L, 0L, "SELF SELF four")))
+  }
+
+  test("dedupSegments: fully-boilerplate doc reassembles to empty text") {
+    val df = Seq((1L, "A B"), (2L, "A B")).toDF("doc_id", "text")
+    val out = CurationOps.dedupSegments(df, split($"text", " "), minDocs = 2)
+      .as[(Long, Long, Long, String)].collect().map(r => r._1 -> r).toMap
+    assert(out(1L) == ((1L, 2L, 2L, "")))
+    assert(out(2L) == ((2L, 2L, 2L, "")))
+  }
+
+  test("unigramScore: Laplace smoothing, OOV counting, exact score") {
+    val train = Seq((1L, "a a a b"), (2L, "a b c")).toDF("doc_id", "text")
+    val model = CurationOps.unigramModel(train)
+    // model: a→4, b→2, c→1; total=7, vocab=3
+    val got = model.as[(String, Long)].collect().toMap
+    assert(got == Map("a" -> 4L, "b" -> 2L, "c" -> 1L))
+    val score = CurationOps.unigramScore(
+      Seq((10L, "a c zz")).toDF("doc_id", "text"), model, topK = 1)
+      .as[(Long, Long, Long, Double)].collect().head
+    // words: a(4), c(1), zz(0 = OOV); score = (5+2+1)/(3·(7+3))
+    assert(score == ((10L, 3L, 1L, 8.0 / 30.0)))
+  }
+
+  test("unigramScore hot/tail split agrees with an all-tail run") {
+    val docs = (0L until 50L).map(d =>
+      (d, (0 to (d % 7).toInt).map(i => s"w${(d + i) % 11}").mkString(" ")))
+      .toDF("doc_id", "text")
+    val model = CurationOps.unigramModel(docs)
+    def run(topK: Int) = CurationOps.unigramScore(docs, model, topK)
+      .as[(Long, Long, Long, Double)].collect().sortBy(_._1).toSeq
+    // the broadcast-hot/shuffled-tail split is an execution detail:
+    // any topK must produce identical rows (scores compare EXACTLY —
+    // both paths end in the same single division of the same integers)
+    assert(run(0) == run(5) && run(5) == run(1000))
+  }
 }
