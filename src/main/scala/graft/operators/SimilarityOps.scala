@@ -295,6 +295,61 @@ object SimilarityOps {
     (ps, cs)
   }
 
+  /** SemDeDup (Abbas et al., arXiv:2303.09540): partition the embedding
+    * space with k-means cells, then inside each cell mark every vector
+    * that has a LOWER-id neighbor at cosine >= `threshold` as a semantic
+    * duplicate (the lowest-id member of any near-dup group survives —
+    * deterministic, no tie policy needed). Returns one row per corpus
+    * vector: (idCol, cell, is_dup).
+    *
+    * Where [[embedNearDupPairs]] buckets by random hyperplanes (recall
+    * driven by probing), this is the paper's clustering form: the
+    * corpus-size-quadratic pair search becomes Σ|cell|², driven by
+    * nCells. Scale: assignment is a pure projection over a broadcast
+    * O(nCells·dim) centroid model — the corpus never shuffles for it;
+    * the pair search is one cell-keyed self-join, and a hot cell (dense
+    * region) caps its per-key build rows at `saltTarget` via the same
+    * size-aware salting the RP-LSH join uses. `lloydIters` > 0 refines
+    * the seeded centroids first ([[lloydIterate]]).
+    */
+  def semanticDedup(corpus: DataFrame, threshold: Double, nCells: Int = 8,
+      lloydIters: Int = 0, dim: Int = 64,
+      idCol: String = "vec_id", embCol: String = "embedding",
+      saltTarget: Int = 0): DataFrame = {
+    var cents = seedCentroids(corpus, nCells, idCol, embCol)
+    (0 until lloydIters).foreach { _ =>
+      cents = lloydIterate(corpus, cents, dim, idCol, embCol)
+    }
+    val assigned = corpus
+      .crossJoin(broadcast(centroidArray(cents)))
+      .select(col(idCol).as("id"), col(embCol).as("e"),
+        norm(col(embCol)).as("n"),
+        nearestCell(col("cents"), col(embCol)).as("cell"))
+    // three consumers (both self-join sides + the final left join) — the
+    // nCells-cosine assignment fold runs once, not three times
+    CacheOnce.untilConsumed(assigned)
+    // cell-keyed self-join, lower ids on the build side ("bucket"/"id_b"
+    // naming so the shared salting helper applies verbatim)
+    val probes = assigned.select(col("cell").as("bucket"),
+      col("id").as("id_a"), col("e").as("e_a"), col("n").as("n_a"))
+    val builds = assigned.select(col("cell").as("bucket"),
+      col("id").as("id_b"), col("e").as("e_b"), col("n").as("n_b"))
+    val joined =
+      if (saltTarget > 0) {
+        val (ps, cs) = saltedBucketSides(probes, builds, saltTarget)
+        ps.join(cs, Seq("bucket", "__salt"))
+      } else probes.join(builds, "bucket")
+    val dups = joined
+      .filter(col("id_b") < col("id_a"))
+      .filter(dot(col("e_a"), col("e_b")) / (col("n_a") * col("n_b"))
+        >= threshold)
+      .select(col("id_a").as("id")).distinct()
+    assigned
+      .join(dups.withColumn("__dup", lit(true)), Seq("id"), "left")
+      .select(col("id").as(idCol), col("cell"),
+        coalesce(col("__dup"), lit(false)).as("is_dup"))
+  }
+
   /** {-1,+1} signs for pseudo-random hyperplane `b` over `dim` dims. */
   private[operators] def planeSigns(b: Int, dim: Int): Column =
     array((0 until dim).map { i =>

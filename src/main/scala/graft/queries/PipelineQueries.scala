@@ -303,6 +303,20 @@ object PipelineQueries {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    // SemDeDup semantic dedup (SimilarityOps.semanticDedup): k-means-cell
+    // partition of the embedding space, then lower-id-neighbor cosine
+    // screen inside each cell. Injected exact copies (cos ~1.0) are the
+    // semantic dups; the natural background tops out at cos ~0.5, so
+    // threshold 0.95 splits them with a wide margin on both engines.
+    "q_dedup_semantic" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val withDups = emb.unionAll(
+        emb.filter(col("vec_id") % 10 === 0)
+          .withColumn("vec_id", col("vec_id") + dupOffset))
+      SimilarityOps.semanticDedup(withDups, threshold = 0.95, nCells = 8)
+        .orderBy(col("vec_id"))
+    }),
+
     // Near-dup cluster resolution (DedupOps.dupClusters): connected
     // components over a pair graph via alternating Large-Star/Small-Star
     // (log-round convergence — safe for chained near-dups at corpus
@@ -765,6 +779,33 @@ object PipelineQueries {
         |  SELECT w.n, s.b FROM walk w JOIN sym s ON w.r = s.a)
         |SELECT n AS doc_id, CAST(MIN(r) AS BIGINT) AS cluster_id
         |FROM walk GROUP BY n ORDER BY doc_id""".stripMargin,
+
+    "q_dedup_semantic" -> {
+      val cosSql = (a: String, b: String) =>
+        s"list_dot_product($a, $b) / (sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b)))"
+      s"""WITH src AS (
+        |  SELECT vec_id, embedding FROM embeddings
+        |  UNION ALL
+        |  SELECT vec_id + 1000000, embedding FROM embeddings WHERE vec_id % 10 = 0),
+        |seeds AS (
+        |  SELECT vec_id AS seed_id, embedding::DOUBLE[] AS se
+        |  FROM src ORDER BY vec_id LIMIT 8),
+        |c AS (SELECT vec_id AS id, embedding::DOUBLE[] AS e FROM src),
+        |cass AS (
+        |  SELECT id, e, seed_id AS cell FROM (
+        |    SELECT c.id, c.e, s.seed_id,
+        |      row_number() OVER (PARTITION BY c.id
+        |        ORDER BY ${cosSql("c.e", "s.se")} DESC, s.seed_id) AS rn
+        |    FROM c, seeds s)
+        |  WHERE rn = 1),
+        |dups AS (
+        |  SELECT DISTINCT a.id FROM cass a JOIN cass b
+        |    ON a.cell = b.cell AND b.id < a.id
+        |  WHERE ${cosSql("a.e", "b.e")} >= 0.95)
+        |SELECT a.id AS vec_id, CAST(a.cell AS BIGINT) AS cell,
+        |  (d.id IS NOT NULL) AS is_dup
+        |FROM cass a LEFT JOIN dups d USING (id) ORDER BY vec_id""".stripMargin
+    },
 
     "q_dedup_embed" -> {
       // reproduce the hyperplane signs exactly as q_sim_rplsh

@@ -44,25 +44,68 @@ object SqlQueries {
       |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
       |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin
 
-  val queries: Map[String, QFn] = Map(
-    "q_sql_groupingsets" -> ((s, dir) => {
-      Tables.registerAll(s, dir)
-      s.sql(groupingSets)
-    }),
-    "q_sql_tpch3" -> ((s, dir) => {
-      Tables.registerAll(s, dir)
-      s.sql(q3ish)
-    }),
-    "q_sql_tpch5" -> ((s, dir) => {
-      Tables.registerAll(s, dir)
-      s.sql(q5ish)
-    })
-  )
+  // TPC-H Q17-shaped: TWO correlated scalar subqueries against the same
+  // inner table — Catalyst decorrelates both into one per-partkey
+  // aggregate joined back (RewriteCorrelatedScalarSubquery). The classic
+  // `qty < 0.2 * AVG(qty)` is restated as `5·qty·COUNT < SUM` so every
+  // comparison is exact decimal/integer arithmetic on both engines
+  // (DuckDB's AVG returns DOUBLE, whose rounding could flip boundary rows).
+  private val q17ish =
+    """SELECT p_brand,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS small_qty_revenue,
+      |  COUNT(*) AS n_small
+      |FROM lineitem l1, part
+      |WHERE p_partkey = l1.l_partkey AND p_brand IN ('Brand#1', 'Brand#2', 'Brand#3')
+      |  AND 5 * CAST(l1.l_quantity AS DECIMAL(12,2)) *
+      |      (SELECT COUNT(*) FROM lineitem l2 WHERE l2.l_partkey = l1.l_partkey)
+      |    < (SELECT SUM(CAST(l_quantity AS DECIMAL(12,2))) FROM lineitem l2 WHERE l2.l_partkey = l1.l_partkey)
+      |GROUP BY p_brand ORDER BY p_brand""".stripMargin
 
-  // identical SQL text runs as the oracle
-  val oracles: Map[String, String] = Map(
+  // TPC-H Q2-shaped: correlated EQUALITY against a MIN subquery (the
+  // cheapest line per part) — no arithmetic on the compared value, so
+  // double equality is exact cross-engine.
+  private val q2ish =
+    """SELECT p_partkey, p_name, COUNT(*) AS n_cheapest
+      |FROM lineitem l1, part
+      |WHERE p_partkey = l1.l_partkey AND p_size < 5
+      |  AND l1.l_extendedprice = (SELECT MIN(l2.l_extendedprice)
+      |                            FROM lineitem l2 WHERE l2.l_partkey = l1.l_partkey)
+      |GROUP BY p_partkey, p_name ORDER BY p_partkey""".stripMargin
+
+  // TPC-H Q21-shaped: EXISTS + NOT EXISTS, the NOT EXISTS correlated to
+  // TWO outer tables (l1.l_orderkey and o_orderdate) — the hardest
+  // decorrelation shape in the dialect-shared suite ("late" = shipped
+  // more than 60 days after the order date; the testdata carries no
+  // receipt/commit dates).
+  private val q21ish =
+    """SELECT s_name, COUNT(*) AS numwait
+      |FROM supplier, lineitem l1, orders
+      |WHERE s_suppkey = l1.l_suppkey AND o_orderkey = l1.l_orderkey
+      |  AND o_orderstatus = 'F'
+      |  AND l1.l_shipdate > o_orderdate + INTERVAL 60 DAY
+      |  AND EXISTS (SELECT 1 FROM lineitem l2
+      |    WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+      |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+      |    WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+      |      AND l3.l_shipdate > o_orderdate + INTERVAL 60 DAY)
+      |GROUP BY s_name ORDER BY numwait DESC, s_name""".stripMargin
+
+  private val all: Map[String, String] = Map(
     "q_sql_groupingsets" -> groupingSets,
     "q_sql_tpch3" -> q3ish,
-    "q_sql_tpch5" -> q5ish
+    "q_sql_tpch5" -> q5ish,
+    "q_sql_tpch17" -> q17ish,
+    "q_sql_tpch2" -> q2ish,
+    "q_sql_tpch21" -> q21ish
   )
+
+  val queries: Map[String, QFn] = all.map { case (name, sql) =>
+    name -> ((s, dir) => {
+      Tables.registerAll(s, dir)
+      s.sql(sql)
+    }): (String, QFn)
+  }
+
+  // identical SQL text runs as the oracle
+  val oracles: Map[String, String] = all
 }

@@ -160,6 +160,25 @@ class PlanQualitySpec extends SparkSuite {
     assert(!plan.contains("CartesianProduct"), s"cartesian in: $plan")
   }
 
+  test("correlated EXISTS / NOT EXISTS decorrelate to semi/anti joins, no cartesian") {
+    val df = queries.SqlQueries.queries("q_sql_tpch21")(spark, sf)
+    df.collect() // finalize the adaptive plan
+    val plan = df.queryExecution.executedPlan.toString()
+    assert(!plan.contains("CartesianProduct"), s"cartesian in: $plan")
+    assert(plan.contains("LeftSemi"), s"EXISTS must become a semi join: $plan")
+    assert(plan.contains("LeftAnti"), s"NOT EXISTS must become an anti join: $plan")
+  }
+
+  test("correlated scalar subqueries decorrelate into aggregate joins, no cartesian") {
+    val df = queries.SqlQueries.queries("q_sql_tpch17")(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString()
+    assert(!plan.contains("CartesianProduct"), s"cartesian in: $plan")
+    // the per-partkey COUNT/SUM subqueries become partial-agg'd
+    // aggregates joined back on l_partkey — never a per-row re-scan
+    assert("HashAggregate".r.findAllIn(plan).size >= 2, s"no agg join in: $plan")
+  }
+
   test("JSON constructors stay inside whole-stage codegen") {
     import graft.functions.JsonConstructors._
     val df = Tables.load(spark, sf, "nation")

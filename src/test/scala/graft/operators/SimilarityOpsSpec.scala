@@ -178,4 +178,44 @@ class SimilarityOpsSpec extends SparkSuite {
     val r = recall(ann, exact)
     assert(r >= 0.9, s"trained recall $r < 0.9")
   }
+
+  test("semanticDedup keeps the lowest id of each copy group, one row per vector") {
+    // copies of vectors 0..7 land in the copy's own cell (identical
+    // vector → identical assignment) and are flagged; originals survive
+    val withCopies = corpus.unionAll(
+      corpus.filter($"vec_id" < 8).withColumn("vec_id", $"vec_id" + 5000L))
+    val out = SimilarityOps.semanticDedup(withCopies,
+      threshold = 0.999, nCells = Cells, dim = Dim)
+      .as[(Long, Long, Boolean)].collect()
+    assert(out.length == Cells * PerCluster + 8) // exactly one row per input
+    val dupIds = out.filter(_._3).map(_._1).toSet
+    assert((5000L until 5008L).forall(dupIds.contains),
+      s"every exact copy must be flagged: $dupIds")
+    // at 0.999 only exact copies qualify (intra-cluster noise ~0.15)
+    assert(dupIds.forall(_ >= 5000L), s"false positives: $dupIds")
+    // copy and original share a cell
+    val cellOf = out.map(r => r._1 -> r._2).toMap
+    (0L until 8L).foreach(i => assert(cellOf(i) == cellOf(i + 5000L)))
+  }
+
+  test("semanticDedup: salted pair search equals unsalted") {
+    val withCopies = corpus.unionAll(
+      corpus.filter($"vec_id" % 10 === 0).withColumn("vec_id", $"vec_id" + 5000L))
+    def run(salt: Int) = SimilarityOps.semanticDedup(withCopies,
+      threshold = 0.98, nCells = Cells, dim = Dim, saltTarget = salt)
+      .as[(Long, Long, Boolean)].collect().sortBy(_._1).toSeq
+    // saltTarget well below the per-cell population forces multi-group
+    // salting; the (probe, build) pairing must be exactly preserved
+    assert(run(0) == run(7))
+  }
+
+  test("semanticDedup with Lloyd refinement still flags every exact copy") {
+    val withCopies = corpus.unionAll(
+      corpus.filter($"vec_id" < 8).withColumn("vec_id", $"vec_id" + 5000L))
+    val out = SimilarityOps.semanticDedup(withCopies,
+      threshold = 0.999, nCells = Cells, lloydIters = 2, dim = Dim)
+      .as[(Long, Long, Boolean)].collect()
+    val dupIds = out.filter(_._3).map(_._1).toSet
+    assert(dupIds == (5000L until 5008L).toSet, s"got $dupIds")
+  }
 }
