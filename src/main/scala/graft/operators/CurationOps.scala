@@ -222,11 +222,18 @@ object CurationOps {
   def dedupSegments(docs: DataFrame, segs: Column, minDocs: Int = 2,
       delim: String = " "): DataFrame = {
     require(minDocs >= 2, s"minDocs must be >= 2, got $minDocs")
+    // posexplode_OUTER: a segmenter returning an empty array (e.g. a
+    // sentence splitter on a whitespace-only doc) must yield an
+    // n_segments=0 row, not silently delete the document
     val exploded = docs
-      .select(col("doc_id"), posexplode(segs).as(Seq("seg_idx", "seg")))
+      .select(col("doc_id"), posexplode_outer(segs).as(Seq("seg_idx", "seg")))
+    // two consumers (doc-frequency agg + rejoin side) — the corpus-wide
+    // segmentation projection runs once, not twice
+    CacheOnce.untilConsumed(exploded)
     // count DISTINCT docs per segment: intra-doc repetition alone must
     // not mark a segment as boilerplate (repetitionStats owns that)
     val dupSegs = exploded
+      .filter(col("seg").isNotNull)
       .groupBy(col("seg"))
       .agg(countDistinct(col("doc_id")).as("seg_df"))
       .filter(col("seg_df") >= minDocs)
@@ -235,11 +242,12 @@ object CurationOps {
       .join(dupSegs, Seq("seg"), "left")
       .groupBy(col("doc_id"))
       .agg(
-        count(lit(1)).as("n_segments"),
+        count(col("seg")).as("n_segments"),
         sum(when(col("is_dup"), 1L).otherwise(0L)).as("n_dropped"),
         array_join(
           transform(
-            array_sort(collect_list(when(col("is_dup").isNull,
+            array_sort(collect_list(when(
+              col("is_dup").isNull && col("seg").isNotNull,
               struct(col("seg_idx"), col("seg"))))),
             s => s.getField("seg")),
           delim).as("clean_text"))
@@ -278,13 +286,16 @@ object CurationOps {
         .as("hot_cnts"))
     val tail = model.join(hot.select(col("word")), Seq("word"), "left_anti")
     val tokens = docs
-      .select(col("doc_id"), posexplode(words(col(textCol)))
-        .as(Seq("tok_idx", "word")))
+      .select(col("doc_id"), explode(words(col(textCol))).as("word"))
       .crossJoin(broadcast(hotMap))
       .select(col("doc_id"), col("word"),
         // try_element_at: a missing key is the expected signal for "not
         // a hot word" (ANSI element_at would throw)
         try_element_at(col("hot_cnts"), col("word")).as("hot_cnt"))
+    // tokens (corpus scan + explode + broadcast probe) feeds BOTH
+    // branches of the hot/tail union, and model feeds four consumers
+    // (totals, hot, hotMap, tail) — materialize each once
+    CacheOnce.untilConsumed(tokens, model)
     // tail join only for words the broadcast map missed; cnt 0 = OOV
     val scored = tokens.filter(col("hot_cnt").isNotNull)
       .select(col("doc_id"), col("hot_cnt").as("cnt"))

@@ -137,14 +137,37 @@ object SimilarityOps {
     * ~nProbe/nCells at the classic IVF recall cost; nProbe = nCells
     * degrades gracefully to exact brute force.
     */
+  /** Seeded centroids refined by `lloydIters` k-means iterations — the
+    * model-fitting step [[ivfTopK]] and [[semanticDedup]] share.
+    */
+  def fitCentroids(corpus: DataFrame, nCells: Int, lloydIters: Int,
+      dim: Int, idCol: String = "vec_id",
+      embCol: String = "embedding"): DataFrame = {
+    var cents = seedCentroids(corpus, nCells, idCol, embCol)
+    (0 until lloydIters).foreach { _ =>
+      cents = lloydIterate(corpus, cents, dim, idCol, embCol)
+    }
+    cents
+  }
+
+  /** Every corpus vector with its hoisted norm and nearest-centroid cell:
+    * (id, e, n, cell). The broadcast-model projection both IVF and
+    * semantic dedup assign with — the corpus never shuffles for it.
+    */
+  private def assignCells(corpus: DataFrame, centroids: DataFrame,
+      idCol: String, embCol: String): DataFrame =
+    corpus
+      .crossJoin(broadcast(centroidArray(centroids)))
+      .select(col(idCol).as("id"), col(embCol).as("e"),
+        norm(col(embCol)).as("n"),
+        nearestCell(col("cents"), col(embCol)).as("cell"))
+
   def ivfTopKWith(queries: DataFrame, corpus: DataFrame, centroids: DataFrame,
       k: Int, nProbe: Int,
       idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
-    val assigned = corpus
-      .crossJoin(broadcast(centroidArray(centroids)))
-      .select(col(idCol).as("c_id"), col(embCol).as("c_emb"),
-        norm(col(embCol)).as("c_n"),
-        nearestCell(col("cents"), col(embCol)).as("cell"))
+    val assigned = assignCells(corpus, centroids, idCol, embCol)
+      .select(col("id").as("c_id"), col("e").as("c_emb"),
+        col("n").as("c_n"), col("cell"))
     // query side is small: rank all cells per query, keep nProbe
     val wq = org.apache.spark.sql.expressions.Window
       .partitionBy(col("q_id")).orderBy(col("scos").desc, col("seed_id"))
@@ -174,13 +197,10 @@ object SimilarityOps {
     */
   def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int,
       nCells: Int, nProbe: Int, lloydIters: Int = 0, dim: Int = 64,
-      idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
-    var cents = seedCentroids(corpus, nCells, idCol, embCol)
-    (0 until lloydIters).foreach { _ =>
-      cents = lloydIterate(corpus, cents, dim, idCol, embCol)
-    }
-    ivfTopKWith(queries, corpus, cents, k, nProbe, idCol, embCol)
-  }
+      idCol: String = "vec_id", embCol: String = "embedding"): DataFrame =
+    ivfTopKWith(queries, corpus,
+      fitCentroids(corpus, nCells, lloydIters, dim, idCol, embCol),
+      k, nProbe, idCol, embCol)
 
   /** Random-hyperplane LSH bucket id (`bits` sign bits) — the embedding
     * analogue of MinHash banding: vectors sharing a bucket are cosine-close
@@ -316,15 +336,9 @@ object SimilarityOps {
       lloydIters: Int = 0, dim: Int = 64,
       idCol: String = "vec_id", embCol: String = "embedding",
       saltTarget: Int = 0): DataFrame = {
-    var cents = seedCentroids(corpus, nCells, idCol, embCol)
-    (0 until lloydIters).foreach { _ =>
-      cents = lloydIterate(corpus, cents, dim, idCol, embCol)
-    }
-    val assigned = corpus
-      .crossJoin(broadcast(centroidArray(cents)))
-      .select(col(idCol).as("id"), col(embCol).as("e"),
-        norm(col(embCol)).as("n"),
-        nearestCell(col("cents"), col(embCol)).as("cell"))
+    val assigned = assignCells(corpus,
+      fitCentroids(corpus, nCells, lloydIters, dim, idCol, embCol),
+      idCol, embCol)
     // three consumers (both self-join sides + the final left join) — the
     // nCells-cosine assignment fold runs once, not three times
     CacheOnce.untilConsumed(assigned)

@@ -143,7 +143,9 @@ object PipelineQueries {
     // into 10-token windows, the header window repeats across >= 2 docs and
     // is dropped corpus-wide while every other window survives.
     "q_cur_segdedup" -> ((s, dir) => {
-      val boiler = "please accept all cookies to continue reading this site"
+      // exactly 10 tokens = exactly the first window, so dropping it
+      // removes the full header and nothing else
+      val boiler = "please accept all cookies to continue reading this site now"
       val decorated = t(s, dir, "documents").withColumn("text",
         when(col("doc_id") % 3 === 0, concat(lit(boiler + " "), col("text")))
           .otherwise(col("text")))
@@ -546,7 +548,7 @@ object PipelineQueries {
     "q_cur_segdedup" ->
       """WITH base AS (SELECT doc_id,
         |  CASE WHEN doc_id % 3 = 0
-        |    THEN 'please accept all cookies to continue reading this site ' || text
+        |    THEN 'please accept all cookies to continue reading this site now ' || text
         |    ELSE text END AS text FROM documents),
         |ws AS (SELECT doc_id, string_split(text, ' ') AS w FROM base),
         |segs AS (SELECT doc_id, s, array_to_string(w[s : s + 9], ' ') AS seg

@@ -175,8 +175,12 @@ class PlanQualitySpec extends SparkSuite {
     val plan = df.queryExecution.executedPlan.toString()
     assert(!plan.contains("CartesianProduct"), s"cartesian in: $plan")
     // the per-partkey COUNT/SUM subqueries become partial-agg'd
-    // aggregates joined back on l_partkey — never a per-row re-scan
-    assert("HashAggregate".r.findAllIn(plan).size >= 2, s"no agg join in: $plan")
+    // aggregates joined back on l_partkey — never a per-row re-scan.
+    // The outer GROUP BY p_brand alone contributes one partial+final
+    // pair (2), so >= 4 is the threshold that actually detects the
+    // decorrelated subquery aggregate (currently 12 with AQE).
+    assert("HashAggregate".r.findAllIn(plan).size >= 4, s"no agg join in: $plan")
+    assert(plan.contains("l_partkey"), s"no partkey agg join in: $plan")
   }
 
   test("JSON constructors stay inside whole-stage codegen") {

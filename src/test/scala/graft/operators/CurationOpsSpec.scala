@@ -235,6 +235,17 @@ class CurationOpsSpec extends SparkSuite {
     assert(out(4L) == ((4L, 3L, 0L, "SELF SELF four")))
   }
 
+  test("dedupSegments keeps a doc whose segmenter returns an empty array") {
+    // a filtering segmenter (sentence splitter on a whitespace doc) must
+    // yield an n_segments=0 row, never silently delete the document
+    val df = Seq((1L, "real words"), (2L, "")).toDF("doc_id", "text")
+    val segmenter = filter(split($"text", " "), s => length(s) > 0)
+    val out = CurationOps.dedupSegments(df, segmenter, minDocs = 2)
+      .as[(Long, Long, Long, String)].collect().map(r => r._1 -> r).toMap
+    assert(out(1L) == ((1L, 2L, 0L, "real words")))
+    assert(out(2L) == ((2L, 0L, 0L, "")))
+  }
+
   test("dedupSegments: fully-boilerplate doc reassembles to empty text") {
     val df = Seq((1L, "A B"), (2L, "A B")).toDF("doc_id", "text")
     val out = CurationOps.dedupSegments(df, split($"text", " "), minDocs = 2)
