@@ -243,6 +243,103 @@ object IntegrationQueries {
         .filter(col("v") > 30000000L) // pushed to the source
         .select(col("id"), col("v"))  // name pruned before the scan
         .orderBy(col("id"))
+    }),
+
+    // CSV round-trip: events — micros timestamps serialize as text and
+    // doubles as shortest-round-trip decimal strings; any formatting or
+    // parsing loss diverges from the parquet oracle.
+    "q_fmt_csv" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+        .select(col("event_id"), col("ts"), col("user_id"),
+          col("event_type"), col("value"))
+      val path = tmpDir("q_fmt_csv") + "/events_csv"
+      val ntzFmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+      ev.write.option("header", "true").option("timestampNTZFormat", ntzFmt)
+        .csv(path)
+      s.read.option("header", "true").option("timestampNTZFormat", ntzFmt)
+        .schema(ev.schema).csv(path)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"),
+          max(col("ts")).as("max_ts"))
+        .orderBy(col("event_type"))
+    }),
+
+    // JSON-lines round-trip: lineitem prices and ship timestamps through
+    // schema-on-read JSON.
+    "q_fmt_json" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_returnflag"),
+          col("l_extendedprice"), col("l_shipdate"))
+      val path = tmpDir("q_fmt_json") + "/lineitem_json"
+      val ntzFmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+      li.write.option("timestampNTZFormat", ntzFmt).json(path)
+      s.read.option("timestampNTZFormat", ntzFmt).schema(li.schema).json(path)
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"), dsum(col("l_extendedprice")).as("sum_price"),
+          max(col("l_shipdate")).as("max_ship"))
+        .orderBy(col("l_returnflag"))
+    }),
+
+    // ORC round-trip: customer account balances per market segment.
+    "q_fmt_orc" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      val path = tmpDir("q_fmt_orc") + "/customer_orc"
+      c.write.orc(path)
+      s.read.orc(path)
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n"), dsum(col("c_acctbal")).as("sum_bal"))
+        .orderBy(col("c_mktsegment"))
+    }),
+
+    // Partitioned filesystem round-trip: events written partitionBy a
+    // derived int bucket (values live in directory NAMES and must come
+    // back typed), read with a partition filter — the pruned-scan path
+    // FormatsSpec pins at the plan level, gated here on values.
+    "q_fmt_partitioned" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+        .withColumn("bucket", (col("user_id") % 8).cast(IntegerType))
+      val path = tmpDir("q_fmt_partitioned") + "/events_part"
+      ev.write.partitionBy("bucket").parquet(path)
+      s.read.parquet(path)
+        .filter(col("bucket").isin(1, 3, 5))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+        .orderBy(col("bucket"))
+    }),
+
+    // Offline state inspection (streaming/StateReader — the State
+    // Processor API analogue): a streaming per-status aggregation runs
+    // over a 3-batch replay and STOPS; the statestore source then opens
+    // the checkpoint and reads the aggregation BUFFER state without the
+    // query — key + (count, decimal sum) per status must equal the batch
+    // SQL over the same table. Gates the full write→checkpoint→offline-
+    // read cycle, not just the reader's schema.
+    "q_state_reader" -> ((s, dir) => {
+      import s.implicits._
+      implicit val sqlCtx = s.sqlContext
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      val rows = t(s, dir, "orders")
+        .select(col("o_orderstatus"), col("o_totalprice"))
+        .as[(String, Double)].collect().toSeq
+      val ckpt = tmpDir("q_state_reader") + "/ckpt"
+      val input = MemoryStream[(String, Double)]
+      val agg = input.toDS().toDF("st", "tp")
+        .groupBy(col("st"))
+        .agg(count(lit(1)).as("n"), sum(dec2(col("tp"))).as("sp"))
+      val q = agg.writeStream.format("memory")
+        .queryName(s"qsr_${java.util.UUID.randomUUID().toString.replace("-", "")}")
+        .outputMode("complete").option("checkpointLocation", ckpt).start()
+      try {
+        val size = math.max(1, math.ceil(rows.length / 3.0).toInt)
+        rows.grouped(size).foreach { b =>
+          input.addData(b); q.processAllAvailable()
+        }
+      } finally q.stop()
+      graft.streaming.StateReader.store(s, ckpt)
+        .select(col("key.st").as("o_orderstatus"),
+          col("value.count").as("n"),
+          col("value.sum").cast(DoubleType).as("sum_price"))
+        .orderBy(col("o_orderstatus"))
     })
   )
 
@@ -256,6 +353,32 @@ object IntegrationQueries {
       s"""SELECT o_orderstatus, COUNT(*) AS n,
         |  ${dsumSql("o_totalprice")} AS sum_price,
         |  MAX(o_orderdate) AS max_date
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    "q_fmt_csv" ->
+      s"""SELECT event_type, COUNT(*) AS n, ${dsumSql("value")} AS sum_value,
+        |  MAX(ts) AS max_ts
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q_fmt_json" ->
+      s"""SELECT l_returnflag, COUNT(*) AS n,
+        |  ${dsumSql("l_extendedprice")} AS sum_price,
+        |  MAX(l_shipdate) AS max_ship
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q_fmt_orc" ->
+      s"""SELECT c_mktsegment, COUNT(*) AS n, ${dsumSql("c_acctbal")} AS sum_bal
+        |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+
+    "q_fmt_partitioned" ->
+      s"""SELECT CAST(user_id % 8 AS INT) AS bucket, COUNT(*) AS n,
+        |  ${dsumSql("value")} AS sum_value
+        |FROM events WHERE user_id % 8 IN (1, 3, 5)
+        |GROUP BY bucket ORDER BY bucket""".stripMargin,
+
+    "q_state_reader" ->
+      s"""SELECT o_orderstatus, COUNT(*) AS n,
+        |  ${dsumSql("o_totalprice")} AS sum_price
         |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
 
     "q_join_lookup" ->

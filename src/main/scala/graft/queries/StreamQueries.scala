@@ -301,6 +301,38 @@ object StreamQueries {
         .orderBy($"window_start", $"event_type")
     }),
 
+    // Watermark late-data semantics made driver-visible: the same tumble
+    // aggregate under withWatermark + APPEND mode — each window emits
+    // exactly once when the watermark passes its end. Batch 4 re-sends
+    // the 50 earliest rows (fresh ids, original early timestamps) AFTER
+    // the watermark has advanced past their windows: the engine MUST
+    // drop them (reference numLateRecordsDropped; LateData scaladoc) or
+    // the early windows' counts / re-emission diverge the hash. A final
+    // far-future sentinel closes the last real window; its own window
+    // never closes so append mode never emits it.
+    "q_stream_late" -> ((s, dir) => {
+      import s.implicits._
+      implicit val sqlCtx = s.sqlContext
+      val rows = sortedEvents(s, dir)
+      val lateAgain = rows.take(50).map(e =>
+        e.copy(event_id = e.event_id + 9000000L))
+      val maxTs = micros(rows.last.ts)
+      val sentinel = Ev(9999999L, 0L,
+        new java.sql.Timestamp(maxTs / 1000L + 10L * 86400 * 1000),
+        "sentinel", 0.0)
+      val input = MemoryStream[Ev]
+      val agg = input.toDS()
+        .withWatermark("ts", "1 second")
+        .groupBy(window($"ts", "1 hour"), $"event_type")
+        .agg(count(lit(1)).as("n"), dsum($"value").as("sum_value"))
+        .select($"window.start".cast("timestamp_ntz").as("window_start"),
+          $"window.end".cast("timestamp_ntz").as("window_end"),
+          $"event_type", $"n", $"sum_value")
+      runToEnd(s, input, agg,
+        chunks(rows, 3) ++ Seq(lateAgain, Seq(sentinel)), mode = "append")
+        .orderBy($"window_start", $"event_type")
+    }),
+
     // Streaming keep-last dedup through the SQL rank-pattern recognition
     // (rn = 1 ORDER BY ts DESC → StreamExecDeduplicate keep-last): the
     // emitted +I/-U/+U retract stream folds to one final row per user.
@@ -589,6 +621,16 @@ object StreamQueries {
 
   val oracles: Map[String, String] = Map(
     "q_stream_tumble" ->
+      """WITH e AS (SELECT event_id, user_id, make_timestamp(epoch_ns(ts) // 1000) AS ts, event_type, value FROM events)
+        |SELECT time_bucket(INTERVAL 1 HOUR, ts) AS window_start,
+        |  time_bucket(INTERVAL 1 HOUR, ts) + INTERVAL 1 HOUR AS window_end,
+        |  event_type, COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+        |FROM e GROUP BY 1, 2, 3 ORDER BY window_start, event_type""".stripMargin,
+
+    // identical to the tumble oracle: the late re-sends and the sentinel
+    // must leave NO trace in the append-mode output
+    "q_stream_late" ->
       """WITH e AS (SELECT event_id, user_id, make_timestamp(epoch_ns(ts) // 1000) AS ts, event_type, value FROM events)
         |SELECT time_bucket(INTERVAL 1 HOUR, ts) AS window_start,
         |  time_bucket(INTERVAL 1 HOUR, ts) + INTERVAL 1 HOUR AS window_end,
