@@ -168,6 +168,29 @@ object JoinQueries {
           |ORDER BY p_id""".stripMargin)
     }),
 
+    // BOTH front-door extensions chained in ONE statement through
+    // GraftSql (the reference's single-parser shape, ParserImpl.java:91):
+    // a window TVF annotates the purchase probe, then the same statement
+    // temporal-joins each probe row to the latest view as of its row
+    // time. Gates the rewriter CHAIN (TVF expansion must leave a valid
+    // statement for the FOR SYSTEM_TIME parse), not just each rewriter.
+    "q_join_asof_tvf" -> ((s, dir) => {
+      import s.implicits._
+      val ev = t(s, dir, "events")
+      ev.filter($"event_type" === "purchase")
+        .select($"event_id".as("p_id"), $"user_id", $"ts")
+        .createOrReplaceTempView("asoftvf_p")
+      ev.filter($"event_type" === "view")
+        .select($"event_id".as("v_id"), $"user_id", $"ts")
+        .createOrReplaceTempView("asoftvf_v")
+      graft.GraftSql.sql(s,
+        """SELECT p.p_id, p.window_start, v.v_id AS r_v_id
+          |FROM TABLE(TUMBLE(TABLE asoftvf_p, DESCRIPTOR(ts), INTERVAL '1' HOUR)) AS p
+          |JOIN asoftvf_v FOR SYSTEM_TIME AS OF p.ts AS v
+          |ON p.user_id = v.user_id
+          |ORDER BY p_id""".stripMargin)
+    }),
+
     // Composite-key temporal join — the reference's join spec accepts a
     // conjunction of equi-conditions (StreamExecTemporalJoin.java:77 /
     // EventTimeTemporalJoinRewriteRule.java): each purchase joins the
@@ -268,6 +291,16 @@ object JoinQueries {
         |p AS (SELECT event_id AS p_id, user_id, ts FROM e WHERE event_type = 'purchase'),
         |v AS (SELECT event_id AS v_id, user_id, ts, value AS v_value FROM e WHERE event_type = 'view')
         |SELECT p.p_id, v.v_id AS r_v_id, v.v_value AS r_v_value
+        |FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND v.ts <= p.ts
+        |ORDER BY p_id""".stripMargin,
+
+    "q_join_asof_tvf" ->
+      """WITH e AS (SELECT event_id, user_id, make_timestamp(epoch_ns(ts) // 1000) AS ts, event_type, value FROM events),
+        |p AS (SELECT event_id AS p_id, user_id, ts,
+        |        time_bucket(INTERVAL 1 HOUR, ts) AS window_start
+        |      FROM e WHERE event_type = 'purchase'),
+        |v AS (SELECT event_id AS v_id, user_id, ts FROM e WHERE event_type = 'view')
+        |SELECT p.p_id, p.window_start, v.v_id AS r_v_id
         |FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND v.ts <= p.ts
         |ORDER BY p_id""".stripMargin,
 

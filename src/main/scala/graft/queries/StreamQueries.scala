@@ -381,6 +381,29 @@ object StreamQueries {
         .orderBy($"event_type", $"id")
     }),
 
+    // Streaming SQL rank RECOGNITION end-to-end (the planner-rule path,
+    // not the processor called directly as q_stream_topn does): the
+    // idiomatic row_number-filter plan over an append-only stream is
+    // recognized by StreamingRank.rewrite, routed to the top-n diff
+    // operator, and its folded changelog must equal the batch top-3
+    // per type by (value DESC, event_id).
+    "q_stream_rank" -> ((s, dir) => {
+      import s.implicits._
+      implicit val sqlCtx = s.sqlContext
+      val rows = sortedEvents(s, dir)
+      val input = MemoryStream[Ev]
+      val named = input.toDS().toDF()
+        .select($"event_type", $"event_id", $"value")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"event_type").orderBy($"value".desc, $"event_id")
+      val changes = StreamingRank.rewrite(
+        named.withColumn("rn", row_number().over(w))
+          .filter($"rn" <= 3).drop("rn"))
+      val sink = runToEnd(s, input, changes, chunks(rows, 4), rocks = true)
+      foldChangelog(sink, Changelog.RowKindCol)
+        .orderBy($"event_type", $"event_id")
+    }),
+
     // Streaming mixed-mode temporal join: purchase probes replay as a
     // stream against the BOUNDED views dim loaded into keyed state at
     // query start (TemporalJoin.asOfStreamStatic — the reference's
@@ -645,6 +668,13 @@ object StreamQueries {
         |    row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
         |  FROM e)
         |WHERE rn = 1 ORDER BY user_id""".stripMargin,
+
+    "q_stream_rank" ->
+      """SELECT event_type, event_id, value FROM (
+        |  SELECT event_type, event_id, value,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY value DESC, event_id) AS rn
+        |  FROM events)
+        |WHERE rn <= 3 ORDER BY event_type, event_id""".stripMargin,
 
     "q_stream_topn" ->
       """SELECT event_type, event_id AS id FROM (
