@@ -120,6 +120,22 @@ object FunctionQueries {
         .orderBy($"r_regionkey")
     }),
 
+    // Bitwise scalar + aggregate family (BuiltInFunctionDefinitions
+    // BIT_AND/BIT_OR/BIT_XOR aggregate forms and the & | ^ scalars).
+    "q_fn_bitagg" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "lineitem")
+        .select($"l_returnflag", $"l_orderkey", $"l_linenumber")
+        .groupBy($"l_returnflag")
+        .agg(
+          bit_and($"l_orderkey").as("band"),
+          bit_or($"l_orderkey").as("bor"),
+          bit_xor($"l_orderkey").as("bxor"),
+          bit_and($"l_orderkey".bitwiseAND($"l_linenumber")).as("band_mixed"),
+          sum(($"l_orderkey".bitwiseXOR($"l_linenumber")) % 97).as("sum_xor_mod"))
+        .orderBy($"l_returnflag")
+    }),
+
     // Temporal family (extract:1831, dateFormat:1916, timestampDiff:1931,
     // toDate:1990, plus last_day/trunc/add).
     "q_fn_temporal" -> ((s, dir) => {
@@ -430,6 +446,15 @@ object FunctionQueries {
         |  bin(o_orderkey) AS key_bin,
         |  o_orderkey AS key_roundtrip
         |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "q_fn_bitagg" ->
+      """SELECT l_returnflag,
+        |  bit_and(l_orderkey) AS band,
+        |  bit_or(l_orderkey) AS bor,
+        |  bit_xor(l_orderkey) AS bxor,
+        |  bit_and(l_orderkey & l_linenumber) AS band_mixed,
+        |  CAST(sum(xor(l_orderkey, l_linenumber) % 97) AS BIGINT) AS sum_xor_mod
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
     "q_fn_math_float" ->
       """SELECT o_orderkey,

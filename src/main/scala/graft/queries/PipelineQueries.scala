@@ -19,6 +19,16 @@ object PipelineQueries {
 
   private val dupOffset = 1000000L
 
+  // [[CurationOps.piiPatterns]] regexes, shared by every PII oracle
+  // (RE2-compatible, identical text both engines)
+  private val eRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private val iRe = "\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b"
+  private val pRe = "\\b\\d{3}[-. ]\\d{3}[-. ]\\d{4}\\b"
+  /** Oracle twin of the ordered [[CurationOps.piiScrub]] redaction. */
+  private def piiRedactSql(e: String): String =
+    s"""regexp_replace(regexp_replace(regexp_replace($e,
+       |    '$eRe', '<EMAIL>', 'g'), '$iRe', '<IP>', 'g'), '$pRe', '<PHONE>', 'g')""".stripMargin
+
   /** Bench-only queries (b_ prefix) — run by Bench, never by Verify.
     * No oracle exists BY DESIGN: LSH candidate sets are
     * hash-family-dependent, so swapping the hash family cannot be
@@ -164,6 +174,34 @@ object PipelineQueries {
       val held = docs.filter(col("doc_id") % 10 === 0).withColumn("text",
         concat(col("text"), lit(" zz"), col("doc_id").cast(StringType)))
       CurationOps.unigramScore(held, model, topK = 20)
+        .orderBy(col("doc_id"))
+    }),
+
+    // The full curation pipeline COMPOSED end-to-end in one query —
+    // inject duplicates, decorate a slice with PII, then
+    // scrub → token-length gate → exact dedup → deterministic split →
+    // keep train. Gates that the operators compose (each consumes the
+    // previous one's output schema) and that the whole chain stays
+    // engine-reproducible, not just each stage alone.
+    "q_pipeline_e2e" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val withDups = docs.unionAll(
+        docs.filter(col("doc_id") % 10 === 0)
+          .withColumn("doc_id", col("doc_id") + dupOffset))
+      val decorated = withDups.withColumn("text",
+        when(col("doc_id") % 7 === 0, concat(col("text"),
+          lit(" mail x"), col("doc_id").cast(StringType), lit("@ex.com")))
+          .otherwise(col("text")))
+      val scrubbed = CurationOps.piiScrub(decorated)
+        .select(col("doc_id"), col("redacted").as("text"))
+      val sized = scrubbed
+        .withColumn("n_tokens", size(TextOps.tokens(col("text"))).cast(LongType))
+        .filter(col("n_tokens") >= 20)
+      val survivors = DedupOps.exactDedup(sized)
+      CurationOps.hashSplit(survivors,
+        Seq(("train", 90), ("val", 95), ("test", 100)))
+        .filter(col("split") === "train")
+        .select(col("doc_id"), col("n_copies"), col("split"))
         .orderBy(col("doc_id"))
     }),
 
@@ -525,10 +563,6 @@ object PipelineQueries {
         |FROM c WHERE copies >= 1 ORDER BY doc_id, copy_no""".stripMargin,
 
     "q_cur_pii" -> {
-      // identical RE2-compatible patterns, applied in the same order
-      val eRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
-      val iRe = "\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b"
-      val pRe = "\\b\\d{3}[-. ]\\d{3}[-. ]\\d{4}\\b"
       s"""WITH base AS (SELECT doc_id,
         |  CASE WHEN doc_id % 7 = 0 THEN text
         |      || ' mail u' || CAST(doc_id AS VARCHAR) || '@ex' || CAST(doc_id % 5 AS VARCHAR)
@@ -539,8 +573,7 @@ object PipelineQueries {
         |  CAST(len(regexp_extract_all(text, '$eRe')) AS BIGINT) AS n_email,
         |  CAST(len(regexp_extract_all(text, '$iRe')) AS BIGINT) AS n_ipv4,
         |  CAST(len(regexp_extract_all(text, '$pRe')) AS BIGINT) AS n_phone,
-        |  regexp_replace(regexp_replace(regexp_replace(text,
-        |    '$eRe', '<EMAIL>', 'g'), '$iRe', '<IP>', 'g'), '$pRe', '<PHONE>', 'g')
+        |  ${piiRedactSql("text")}
         |    AS redacted
         |FROM base ORDER BY doc_id""".stripMargin
     },
@@ -583,6 +616,24 @@ object PipelineQueries {
     "q_dedup_exact" ->
       s"""SELECT MIN(doc_id) AS doc_id, COUNT(*) AS n_copies
         |FROM ($withDupsSql) GROUP BY text ORDER BY doc_id""".stripMargin,
+
+    "q_pipeline_e2e" ->
+      s"""WITH wd AS ($withDupsSql),
+        |dec AS (SELECT doc_id,
+        |  CASE WHEN doc_id % 7 = 0
+        |    THEN text || ' mail x' || CAST(doc_id AS VARCHAR) || '@ex.com'
+        |    ELSE text END AS text FROM wd),
+        |scr AS (SELECT doc_id, ${piiRedactSql("text")} AS text FROM dec),
+        |siz AS (SELECT doc_id, text FROM scr
+        |  WHERE len(string_split(text, ' ')) >= 20),
+        |ded AS (SELECT MIN(doc_id) AS doc_id, COUNT(*) AS n_copies
+        |  FROM siz GROUP BY text),
+        |spl AS (SELECT doc_id, n_copies,
+        |  CASE WHEN ((doc_id * 2654435761) % 4294967296) % 100 < 90 THEN 'train'
+        |       WHEN ((doc_id * 2654435761) % 4294967296) % 100 < 95 THEN 'val'
+        |       ELSE 'test' END AS split FROM ded)
+        |SELECT doc_id, n_copies, split FROM spl
+        |WHERE split = 'train' ORDER BY doc_id""".stripMargin,
 
     "q_dedup_minhash" ->
       s"""SELECT doc_id,
