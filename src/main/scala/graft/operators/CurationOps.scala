@@ -227,9 +227,10 @@ object CurationOps {
     // n_segments=0 row, not silently delete the document
     val exploded = docs
       .select(col("doc_id"), posexplode_outer(segs).as(Seq("seg_idx", "seg")))
-    // two consumers (doc-frequency agg + rejoin side) — the corpus-wide
-    // segmentation projection runs once, not twice
-    CacheOnce.untilConsumed(exploded)
+    // consumed twice (doc-frequency agg + rejoin side) and deliberately
+    // NOT cached: the exploded corpus is the largest frame in the
+    // pipeline, and re-running a stateless projection per branch is
+    // linear map-side work — materializing it is what wouldn't scale
     // count DISTINCT docs per segment: intra-doc repetition alone must
     // not mark a segment as boilerplate (repetitionStats owns that)
     val dupSegs = exploded
@@ -276,8 +277,15 @@ object CurationOps {
     * uniform by construction — shuffle-joins. A plain hash join here
     * would send every "the" to one partition.
     */
-  def unigramScore(docs: DataFrame, model: DataFrame, topK: Int = 1000,
+  def unigramScore(docs: DataFrame, model0: DataFrame, topK: Int = 1000,
       textCol: String = "text"): DataFrame = {
+    // cache an internal ALIAS of the model (word→cnt is one aggregated
+    // shuffle consumed four times below: totals, hot, hotMap, tail).
+    // Wrapping in a projection gives the cache manager a distinct plan,
+    // so releasing it can never drop a persist() the CALLER holds on
+    // their own frame.
+    val model = model0.select(col("word"), col("cnt"))
+    CacheOnce.untilConsumed(model)
     val totals = model.agg(
       sum(col("cnt")).as("total"), count(lit(1)).as("vocab"))
     val hot = model.orderBy(col("cnt").desc, col("word")).limit(topK)
@@ -292,10 +300,11 @@ object CurationOps {
         // try_element_at: a missing key is the expected signal for "not
         // a hot word" (ANSI element_at would throw)
         try_element_at(col("hot_cnts"), col("word")).as("hot_cnt"))
-    // tokens (corpus scan + explode + broadcast probe) feeds BOTH
-    // branches of the hot/tail union, and model feeds four consumers
-    // (totals, hot, hotMap, tail) — materialize each once
-    CacheOnce.untilConsumed(tokens, model)
+    // tokens feeds BOTH branches of the hot/tail union and is
+    // deliberately NOT cached: it is the exploded corpus (one row per
+    // token) — re-running the stateless scan+explode+broadcast-probe
+    // projection per branch is linear map-side work, while materializing
+    // the corpus's largest intermediate is what wouldn't survive 100 TB
     // tail join only for words the broadcast map missed; cnt 0 = OOV
     val scored = tokens.filter(col("hot_cnt").isNotNull)
       .select(col("doc_id"), col("hot_cnt").as("cnt"))

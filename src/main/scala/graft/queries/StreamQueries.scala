@@ -642,24 +642,26 @@ object StreamQueries {
     })
   )
 
-  val oracles: Map[String, String] = Map(
-    "q_stream_tumble" ->
-      """WITH e AS (SELECT event_id, user_id, make_timestamp(epoch_ns(ts) // 1000) AS ts, event_type, value FROM events)
-        |SELECT time_bucket(INTERVAL 1 HOUR, ts) AS window_start,
-        |  time_bucket(INTERVAL 1 HOUR, ts) + INTERVAL 1 HOUR AS window_end,
-        |  event_type, COUNT(*) AS n,
-        |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
-        |FROM e GROUP BY 1, 2, 3 ORDER BY window_start, event_type""".stripMargin,
+  /** Shared by q_stream_tumble (complete mode) and q_stream_late
+    * (append mode + watermark): the late-drop gate is precisely "same
+    * output as the tumble aggregate", so both rows must assert against
+    * ONE oracle text.
+    */
+  private val tumbleOracle =
+    """WITH e AS (SELECT event_id, user_id, make_timestamp(epoch_ns(ts) // 1000) AS ts, event_type, value FROM events)
+      |SELECT time_bucket(INTERVAL 1 HOUR, ts) AS window_start,
+      |  time_bucket(INTERVAL 1 HOUR, ts) + INTERVAL 1 HOUR AS window_end,
+      |  event_type, COUNT(*) AS n,
+      |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+      |FROM e GROUP BY 1, 2, 3 ORDER BY window_start, event_type""".stripMargin
 
-    // identical to the tumble oracle: the late re-sends and the sentinel
-    // must leave NO trace in the append-mode output
-    "q_stream_late" ->
-      """WITH e AS (SELECT event_id, user_id, make_timestamp(epoch_ns(ts) // 1000) AS ts, event_type, value FROM events)
-        |SELECT time_bucket(INTERVAL 1 HOUR, ts) AS window_start,
-        |  time_bucket(INTERVAL 1 HOUR, ts) + INTERVAL 1 HOUR AS window_end,
-        |  event_type, COUNT(*) AS n,
-        |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
-        |FROM e GROUP BY 1, 2, 3 ORDER BY window_start, event_type""".stripMargin,
+  val oracles: Map[String, String] = Map(
+    "q_stream_tumble" -> tumbleOracle,
+
+    // the SAME oracle constant as q_stream_tumble BY CONSTRUCTION: the
+    // late re-sends and the sentinel must leave NO trace in the
+    // append-mode output
+    "q_stream_late" -> tumbleOracle,
 
     "q_stream_dedup_last" ->
       """WITH e AS (SELECT event_id, user_id, make_timestamp(epoch_ns(ts) // 1000) AS ts, event_type, value FROM events)

@@ -209,7 +209,6 @@ class PlanQualitySpec extends SparkSuite {
     // pair (2), so >= 4 is the threshold that actually detects the
     // decorrelated subquery aggregate (currently 12 with AQE).
     assert("HashAggregate".r.findAllIn(plan).size >= 4, s"no agg join in: $plan")
-    assert(plan.contains("l_partkey"), s"no partkey agg join in: $plan")
   }
 
   test("JSON constructors stay inside whole-stage codegen") {
