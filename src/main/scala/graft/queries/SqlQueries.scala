@@ -90,8 +90,36 @@ object SqlQueries {
       |      AND l3.l_shipdate > o_orderdate + INTERVAL 60 DAY)
       |GROUP BY s_name ORDER BY numwait DESC, s_name""".stripMargin
 
+  // GROUPING() disambiguation over CUBE (the reference's
+  // GROUPING/GROUPING_ID surface; a NULL group key vs a rolled-up key
+  // are indistinguishable without it).
+  private val groupingFn =
+    """SELECT l_returnflag, l_linestatus,
+      |  CAST(GROUPING(l_returnflag) AS BIGINT) AS g_rf,
+      |  CAST(GROUPING(l_linestatus) AS BIGINT) AS g_ls,
+      |  COUNT(*) AS n
+      |FROM lineitem
+      |GROUP BY CUBE (l_returnflag, l_linestatus)
+      |ORDER BY g_rf, g_ls, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin
+
+  // WITH RECURSIVE (Spark 4's recursive CTE — the iterative-closure
+  // class of query the reference reaches via its iterate operators,
+  // expressed relationally): 5-hop doc-id chains from each century
+  // anchor, aggregated per root.
+  private val recursiveCte =
+    """WITH RECURSIVE chain AS (
+      |  SELECT doc_id, doc_id AS root, 0 AS depth FROM documents WHERE doc_id % 100 = 0
+      |  UNION ALL
+      |  SELECT d.doc_id, c.root, c.depth + 1
+      |  FROM chain c JOIN documents d ON d.doc_id = c.doc_id + 1
+      |  WHERE c.depth < 4)
+      |SELECT root, COUNT(*) AS n, CAST(SUM(doc_id) AS BIGINT) AS sum_ids
+      |FROM chain GROUP BY root ORDER BY root""".stripMargin
+
   private val all: Map[String, String] = Map(
     "q_sql_groupingsets" -> groupingSets,
+    "q_sql_groupingfn" -> groupingFn,
+    "q_sql_recursive" -> recursiveCte,
     "q_sql_tpch3" -> q3ish,
     "q_sql_tpch5" -> q5ish,
     "q_sql_tpch17" -> q17ish,
