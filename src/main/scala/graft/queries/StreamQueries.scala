@@ -551,6 +551,36 @@ object StreamQueries {
         .orderBy($"event_type")
     }),
 
+    // The SAME replay through MINI-BATCH aggregation (the reference's
+    // table.exec.mini-batch / MiniBatchGroupAggFunction): one protocol
+    // step per key per micro-batch instead of per record — the folded
+    // end state must still equal the per-record oracle exactly, while
+    // the emission count collapses from O(records) to O(keys·batches).
+    "q_stream_minibatch" -> ((s, dir) => {
+      import s.implicits._
+      implicit val sqlCtx = s.sqlContext
+      implicit val chEnc = Encoders.product[StatefulOps.Change[String, Long]]
+      val evs = t(s, dir, "events")
+        .select($"event_id", $"event_type").as[(Long, String)]
+        .collect().toSeq.sortBy(_._1)
+      val inserts = evs.map { case (id, tpe) =>
+        StatefulOps.Change(Changelog.Insert, tpe, id) }
+      val deletes = evs.collect { case (id, tpe) if id % 5 == 0 =>
+        StatefulOps.Change(Changelog.Delete, tpe, id) }
+      val input = MemoryStream[StatefulOps.Change[String, Long]]
+      val changes = input.toDS().groupByKey(_.key)
+        .transformWithState(
+          new StatefulOps.RetractSumProcessor[String, Long](miniBatch = true),
+          org.apache.spark.sql.streaming.TimeMode.None(),
+          org.apache.spark.sql.streaming.OutputMode.Update())
+      val sink = runToEnd(s, input, changes.toDF(), chunks(inserts, 3) :+ deletes,
+        rocks = true)
+      foldChangelog(
+        sink.select($"kind", $"value.key".as("event_type"),
+          $"value.sum".as("sum_id"), $"value.count".as("n")), "kind")
+        .orderBy($"event_type")
+    }),
+
     // Streaming two-sided FULL OUTER join with retractions
     // (StreamingJoinOperator parity): purchases (left) and views (right)
     // replay as inserts, then every view with v_id divisible by 3
@@ -642,6 +672,15 @@ object StreamQueries {
     })
   )
 
+  /** Shared by q_stream_groupagg (per-record emission) and
+    * q_stream_minibatch (one step per key per batch): both protocols
+    * must fold to this aggregate over surviving rows.
+    */
+  private val groupAggOracle =
+    """SELECT event_type, CAST(SUM(event_id) AS BIGINT) AS sum_id, COUNT(*) AS n
+      |FROM events WHERE event_id % 5 <> 0
+      |GROUP BY event_type ORDER BY event_type""".stripMargin
+
   /** Shared by q_stream_tumble (complete mode) and q_stream_late
     * (append mode + watermark): the late-drop gate is precisely "same
     * output as the tumble aggregate", so both rows must assert against
@@ -711,10 +750,11 @@ object StreamQueries {
         | AND e.ts <= p.ts
         |ORDER BY p_id, e_id""".stripMargin,
 
-    "q_stream_groupagg" ->
-      """SELECT event_type, CAST(SUM(event_id) AS BIGINT) AS sum_id, COUNT(*) AS n
-        |FROM events WHERE event_id % 5 <> 0
-        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q_stream_groupagg" -> groupAggOracle,
+
+    // mini-batch emission must fold to the SAME end state per-record
+    // emission does — one shared oracle constant by construction
+    "q_stream_minibatch" -> groupAggOracle,
 
     "q_stream_outer" ->
       """WITH p AS (SELECT user_id, event_id AS p_id, value AS p_value FROM events WHERE event_type = 'purchase'),

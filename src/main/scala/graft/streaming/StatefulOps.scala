@@ -77,8 +77,8 @@ object StatefulOps {
     */
   case class AggResult[K, N](key: K, sum: N, count: Long)
 
-  class RetractSumProcessor[K, N](implicit num: Numeric[N],
-      accEnc: Encoder[AggResult[K, N]])
+  class RetractSumProcessor[K, N](miniBatch: Boolean = false)(
+      implicit num: Numeric[N], accEnc: Encoder[AggResult[K, N]])
       extends StatefulProcessor[K, Change[K, N], Change[K, AggResult[K, N]]] {
     @transient private var acc: ValueState[AggResult[K, N]] = _
     override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
@@ -93,6 +93,7 @@ object StatefulOps {
       // heap state within a checkpoint interval the same way)
       var cur: Option[AggResult[K, N]] = if (acc.exists()) Some(acc.get()) else None
       val had = cur.isDefined
+      val initial = cur
       rows.foreach { c =>
         val add = Changelog.isAdd(c.kind)
         val signed = if (add) c.value else num.negate(c.value)
@@ -104,20 +105,38 @@ object StatefulOps {
         }
         cur match {
           // GroupAggFunction.java:131 — a retraction arriving for an
-          // absent group must not create an accumulator; drop it.
+          // absent group must not create an accumulator: drop it. (The
+          // fold rule is shared by both modes; per-record mode also
+          // emits here.)
           case None if !add => ()
           case None =>
-            out += Change(Changelog.Insert, key, next)
+            if (!miniBatch) out += Change(Changelog.Insert, key, next)
             cur = Some(next)
           case Some(p) if next.count <= 0 =>
             // RecordCounter: group emptied — emit delete, clear state.
-            out += Change(Changelog.Delete, key, p)
+            if (!miniBatch) out += Change(Changelog.Delete, key, p)
             cur = None
           case Some(p) =>
-            out += Change(Changelog.UpdateBefore, key, p)
-            out += Change(Changelog.UpdateAfter, key, next)
+            if (!miniBatch) {
+              out += Change(Changelog.UpdateBefore, key, p)
+              out += Change(Changelog.UpdateAfter, key, next)
+            }
             cur = Some(next)
         }
+      }
+      // mini-batch mode (table.exec.mini-batch, MiniBatchGroupAggFunction
+      // semantics): ONE protocol step per key per micro-batch, diffing
+      // the pre-batch accumulator against the folded result — at most 2
+      // emissions however many records arrived, and a group created and
+      // emptied inside one batch leaves no trace. Unchanged accumulators
+      // emit nothing (no-op -U/+U suppression).
+      if (miniBatch) (initial, cur) match {
+        case (None, Some(v))                  => out += Change(Changelog.Insert, key, v)
+        case (Some(p), None)                  => out += Change(Changelog.Delete, key, p)
+        case (Some(p), Some(v)) if p != v =>
+          out += Change(Changelog.UpdateBefore, key, p)
+          out += Change(Changelog.UpdateAfter, key, v)
+        case _                                => ()
       }
       cur match {
         case Some(v) => acc.update(v)

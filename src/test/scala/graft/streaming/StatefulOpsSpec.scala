@@ -94,6 +94,48 @@ class StatefulOpsSpec extends SparkSuite {
     assert(out(3) == Seq(Change(Changelog.Delete, "k", AggResult("k", 7, 1))))
   }
 
+  test("mini-batch mode: one protocol step per key per batch, same fold") {
+    def run(mini: Boolean, batches: Seq[Seq[Change[String, Long]]]) =
+      runBatches[Change[String, Long], Change[String, AggResult[String, Long]]](batches,
+        ds => ds.groupByKey(_.key)
+          .transformWithState(new RetractSumProcessor[String, Long](mini),
+            TimeMode.None(), OutputMode.Update()))
+    // 100 inserts for one key in one batch: per-record emits 199 rows,
+    // mini-batch exactly 1 (+I of the folded accumulator)
+    val big = Seq((1L to 100L).map(v => Change(Changelog.Insert, "k", v)))
+    val perRec = run(mini = false, big)
+    val miniB = run(mini = true, big)
+    assert(perRec(0).length == 199)
+    assert(miniB(0) == Seq(Change(Changelog.Insert, "k", AggResult("k", 5050L, 100L))))
+    // created AND emptied within one batch leaves no trace
+    val churn = Seq(Seq(
+      Change(Changelog.Insert, "k", 4L), Change(Changelog.Delete, "k", 4L)))
+    assert(run(mini = true, churn)(0).isEmpty)
+    // unchanged accumulator (insert 3 + delete 3 around existing state)
+    // emits nothing: no-op -U/+U suppression
+    val noop = Seq(
+      Seq(Change(Changelog.Insert, "k", 8L)),
+      Seq(Change(Changelog.Insert, "k", 3L), Change(Changelog.Delete, "k", 3L)))
+    assert(run(mini = true, noop)(1).isEmpty)
+    // random changelogs: both modes fold to the same end state
+    val rnd = new scala.util.Random(5)
+    val mixed = (0 until 4).map { _ =>
+      (0 until 30).map { _ =>
+        val key = s"k${rnd.nextInt(3)}"
+        if (rnd.nextBoolean()) Change(Changelog.Insert, key, rnd.nextInt(50).toLong)
+        else Change(Changelog.Delete, key, rnd.nextInt(50).toLong)
+      }
+    }
+    def fold(out: Seq[Seq[Change[String, AggResult[String, Long]]]]) =
+      out.flatten.foldLeft(Map.empty[String, AggResult[String, Long]]) {
+        case (m, c) =>
+          if (Changelog.isAdd(c.kind)) m + (c.key -> c.value)
+          else if (c.kind == Changelog.Delete) m - c.key
+          else m // -U: superseded by the paired +U
+      }
+    assert(fold(run(mini = false, mixed)) == fold(run(mini = true, mixed)))
+  }
+
   test("retractable sum state clears: re-insert after -D starts fresh") {
     val batches = Seq(
       Seq(Change(Changelog.Insert, "k", 3L)),
