@@ -551,6 +551,40 @@ object StreamQueries {
         .orderBy($"event_type")
     }),
 
+    // Retractable MAX (MaxWithRetractAggFunction parity): inserts replay,
+    // then each type's 10 LARGEST event_ids retract — every delete hits
+    // the current maximum, forcing the recompute-from-remaining path
+    // (the only non-O(1) branch) ten times per key. The folded changelog
+    // must equal batch MAX/COUNT over the surviving rows.
+    "q_stream_minmax" -> ((s, dir) => {
+      import s.implicits._
+      implicit val sqlCtx = s.sqlContext
+      implicit val chEnc = Encoders.product[StatefulOps.Change[String, Long]]
+      val evs = t(s, dir, "events")
+        .select($"event_id", $"event_type").as[(Long, String)]
+        .collect().toSeq.sortBy(_._1)
+      val inserts = evs.map { case (id, tpe) =>
+        StatefulOps.Change(Changelog.Insert, tpe, id) }
+      // the 10 largest ids per type, retracted LARGEST FIRST so every
+      // single delete dethrones the then-current max
+      val deletes = evs.groupBy(_._2).values.toSeq.flatMap(
+        _.sortBy(-_._1).take(10).map { case (id, tpe) =>
+          StatefulOps.Change(Changelog.Delete, tpe, id) })
+        .sortBy(c => (c.key, -c.value))
+      val input = MemoryStream[StatefulOps.Change[String, Long]]
+      val changes = input.toDS().groupByKey(_.key)
+        .transformWithState(
+          new StatefulOps.RetractMinMaxProcessor[String, Long](isMax = true),
+          org.apache.spark.sql.streaming.TimeMode.None(),
+          org.apache.spark.sql.streaming.OutputMode.Update())
+      val sink = runToEnd(s, input, changes.toDF(), chunks(inserts, 3) :+ deletes,
+        rocks = true)
+      foldChangelog(
+        sink.select($"kind", $"value.key".as("event_type"),
+          $"value.extreme".as("max_id"), $"value.count".as("n")), "kind")
+        .orderBy($"event_type")
+    }),
+
     // The SAME replay through MINI-BATCH aggregation (the reference's
     // table.exec.mini-batch / MiniBatchGroupAggFunction): one protocol
     // step per key per micro-batch instead of per record — the folded
@@ -751,6 +785,15 @@ object StreamQueries {
         |ORDER BY p_id, e_id""".stripMargin,
 
     "q_stream_groupagg" -> groupAggOracle,
+
+    "q_stream_minmax" ->
+      """WITH surv AS (
+        |  SELECT event_type, event_id FROM (
+        |    SELECT event_type, event_id,
+        |      row_number() OVER (PARTITION BY event_type ORDER BY event_id DESC) AS rn
+        |    FROM events) WHERE rn > 10)
+        |SELECT event_type, CAST(MAX(event_id) AS BIGINT) AS max_id, COUNT(*) AS n
+        |FROM surv GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     // mini-batch emission must fold to the SAME end state per-record
     // emission does — one shared oracle constant by construction
