@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.queries.Q._
 import graft.cep.{CEP, Pattern}
-import graft.streaming.{Changelog, OuterJoin, ProcessOps, RetractableTopN, SessionWindows, StatefulOps, StreamingRank, TemporalJoin}
+import graft.streaming.{Changelog, OuterJoin, ProcTimeJoin, ProcessOps, RetractableTopN, SessionWindows, StatefulOps, StreamingRank, TemporalJoin}
 
 /** Streaming oracle parity — driver-visible proof that the stateful
   * streaming operators produce the SAME table a batch query does, through
@@ -116,6 +116,21 @@ object StreamQueries {
 
   case class Ev(event_id: Long, user_id: Long, ts: java.sql.Timestamp,
       event_type: String, value: Double)
+
+  /** Change row fed to the upsert sink gate (kind renames to __rowkind). */
+  case class UpsCh(user_id: Long, event_id: Long, value: Double,
+      seq: Long, kind: Byte)
+
+  /** Per-run scratch dir reaped at JVM exit (same idiom as
+    * IntegrationQueries.tmpDir — repeated Verify/Bench runs must not
+    * accumulate table dirs in /tmp).
+    */
+  private def tmpDir(prefix: String): String = {
+    val dir = java.nio.file.Files.createTempDirectory(prefix)
+    Runtime.getRuntime.addShutdownHook(
+      new Thread(() => Q.deleteRecursively(dir)))
+    dir.toString
+  }
 
   /** Epoch MICROS of a micros-precision timestamp (getTime carries the
     * millis; getNanos the sub-second — only its sub-milli part is new).
@@ -703,6 +718,146 @@ object StreamQueries {
         }.toDF("user_id", "purchase_id", "error_id")
       runToEnd(s, input, matches, chunks(evs, 4), rocks = true)
         .orderBy($"user_id", $"purchase_id")
+    }),
+
+    // Processing-time temporal join (ProcTimeJoin — the reference's
+    // TemporalProcessTimeJoinOperator): probes join the build side's
+    // LATEST version at arrival, no event-time alignment. Deterministic
+    // replay: view upserts land in batches 1/3 (split by id parity),
+    // purchase probes in batches 2/4. ARRIVAL order decides "latest":
+    // an even probe sees the even batch's last update per user
+    // (max (ts, id) among even views); an odd probe sees the odd
+    // batch's last update when the user had any odd view — it arrived
+    // later and overwrote, even if its event time is older — else the
+    // even one. The oracle mirrors that COALESCE(latest-odd, latest-even).
+    "q_stream_ptjoin" -> ((s, dir) => {
+      import s.implicits._
+      implicit val sqlCtx = s.sqlContext
+      val rows = sortedEvents(s, dir)
+      val views = rows.filter(_.event_type == "view")
+      val purchases = rows.filter(_.event_type == "purchase")
+      val input = MemoryStream[Ev]
+      val all = input.toDS()
+      val probes = all.filter($"event_type" === "purchase")
+        .select($"event_id".as("p_id"), $"user_id")
+      val builds = all.filter($"event_type" === "view")
+        .select($"user_id", $"event_id".as("v_id"), $"value".as("v_value"))
+      val joined = ProcTimeJoin.procTimeJoin(probes, builds,
+        Seq("user_id"), Seq("v_id", "v_value"))
+      val batches = Seq(
+        views.filter(_.event_id % 2 == 0),
+        purchases.filter(_.event_id % 2 == 0),
+        views.filter(_.event_id % 2 != 0),
+        purchases.filter(_.event_id % 2 != 0))
+      val sink = runToEnd(s, input, joined, batches, mode = "append",
+        rocks = true)
+      sink.select($"p_id", $"r_v_id", $"r_v_value").orderBy($"p_id")
+    }),
+
+    // Fast Top-1 (FastTop1Function — O(1) state per key): the cheapest
+    // per-type row by (cents, id) survives a 4-batch replay's -U/+U
+    // dethronings; the folded changelog is the per-type argmin.
+    "q_stream_top1" -> ((s, dir) => {
+      import s.implicits._
+      implicit val sqlCtx = s.sqlContext
+      val rows = sortedEvents(s, dir)
+      val ranked = rows.map(e => StatefulOps.Ranked(e.event_type, e.event_id,
+        math.round(e.value * 100)))
+      val input = MemoryStream[StatefulOps.Ranked]
+      val out = input.toDS().groupByKey(_.key)
+        .transformWithState(new StatefulOps.FastTop1Processor,
+          org.apache.spark.sql.streaming.TimeMode.None(),
+          org.apache.spark.sql.streaming.OutputMode.Update())
+      val sink = runToEnd(s, input, out.toDF(), chunks(ranked, 4),
+        rocks = true)
+      foldChangelog(sink, "kind")
+        .select($"value.key".as("event_type"), $"value.id".as("event_id"),
+          $"value.sort".as("cents"))
+        .orderBy($"event_type")
+    }),
+
+    // Append-only First-N (AppendOnlyFirstNFunction — ROW_NUMBER over
+    // arrival order, rn <= n, counter-only state): the first 3 events
+    // per user in (ts, id) replay order and nothing after them.
+    "q_stream_firstn" -> ((s, dir) => {
+      import s.implicits._
+      implicit val sqlCtx = s.sqlContext
+      val rows = sortedEvents(s, dir)
+      val ranked = rows.map(e => StatefulOps.Ranked(e.user_id.toString,
+        e.event_id, micros(e.ts)))
+      val input = MemoryStream[StatefulOps.Ranked]
+      val out = input.toDS().groupByKey(_.key)
+        .transformWithState(new StatefulOps.AppendOnlyFirstNProcessor(3),
+          org.apache.spark.sql.streaming.TimeMode.None(),
+          org.apache.spark.sql.streaming.OutputMode.Update())
+      val sink = runToEnd(s, input, out.toDF(), chunks(ranked, 4),
+        rocks = true)
+      foldChangelog(sink, "kind")
+        .select($"value.key".cast("long").as("user_id"),
+          $"value.id".as("event_id"), $"value.sort".as("ts_us"))
+        .orderBy($"user_id", $"event_id")
+    }),
+
+    // Split COUNT(DISTINCT) — SplitAggregateRule's partial/final shape:
+    // per-type distinct users shard across (type, user % 16) keys; the
+    // partial operator emits shard distinct-count retract rows keyed by
+    // type, and the final SUM over the folded changelog (exactly what
+    // RetractSumProcessor computes) is the distinct total. A delete
+    // batch retracts every event_id % 4 == 0 row — a user leaves the
+    // distinct set only when their LAST event of that type retracts
+    // (value multiplicity), which the oracle states declaratively.
+    "q_stream_distinct" -> ((s, dir) => {
+      import s.implicits._
+      implicit val sqlCtx = s.sqlContext
+      val rows = sortedEvents(s, dir)
+      val ins = rows.map(e => StatefulOps.SplitIn(e.event_type,
+        (e.user_id % 16).toInt, e.user_id, Changelog.Insert))
+      val dels = rows.filter(_.event_id % 4 == 0).map(e =>
+        StatefulOps.SplitIn(e.event_type, (e.user_id % 16).toInt,
+          e.user_id, Changelog.Delete))
+      val input = MemoryStream[StatefulOps.SplitIn]
+      val out = input.toDS().groupByKey(r => s"${r.group}|${r.bucket}")
+        .transformWithState(new StatefulOps.SplitDistinctProcessor,
+          org.apache.spark.sql.streaming.TimeMode.None(),
+          org.apache.spark.sql.streaming.OutputMode.Update())
+      val sink = runToEnd(s, input, out.toDF(), chunks(ins, 3) :+ dels,
+        rocks = true)
+      // the final-stage fold: signed sum of shard-count changes per group
+      sink.groupBy($"key".as("event_type"))
+        .agg(sum(when(col("kind") === Changelog.Insert ||
+            col("kind") === Changelog.UpdateAfter, $"value")
+          .otherwise(-$"value")).as("n_users"))
+        .orderBy($"event_type")
+    }),
+
+    // Upsert-materializing file sink (sources/UpsertSink — the upsert
+    // table sink / SinkUpsertMaterializer shape): the events changelog
+    // replays keyed by user (seq = replay position, so last-wins follows
+    // (ts, id) order), then a tombstone batch deletes every user_id % 5
+    // == 0. The materialized parquet table — hash-bucketed, touched
+    // buckets rewritten via dynamic partition overwrite — must hold
+    // exactly the batch keep-last state minus the deleted users.
+    "q_sink_upsert" -> ((s, dir) => {
+      import s.implicits._
+      implicit val sqlCtx = s.sqlContext
+      val rows = sortedEvents(s, dir)
+      val ups = rows.zipWithIndex.map { case (e, i) =>
+        UpsCh(e.user_id, e.event_id, e.value, i.toLong, Changelog.Insert) }
+      val dels = rows.map(_.user_id).distinct.filter(_ % 5 == 0).sorted.map(u =>
+        UpsCh(u, -1L, 0.0, Long.MaxValue, Changelog.Delete))
+      val table = tmpDir("q_sink_upsert") + "/t"
+      val input = MemoryStream[UpsCh]
+      val q = graft.sources.UpsertSink.start(
+        input.toDS().toDF().withColumnRenamed("kind", Changelog.RowKindCol),
+        Seq("user_id"), "seq", table, buckets = 8,
+        checkpoint = tmpDir("q_sink_upsert_ckpt"))
+      try (chunks(ups, 3) :+ dels).foreach { b =>
+        input.addData(b); q.processAllAvailable()
+      } finally q.stop()
+      graft.sources.UpsertSink.read(s, table)
+        .select($"user_id", $"event_id".as("last_event_id"),
+          $"value".as("last_value"))
+        .orderBy($"user_id")
     })
   )
 
@@ -828,6 +983,62 @@ object StreamQueries {
         |SELECT user_id, event_id AS purchase_id, next_id AS error_id
         |FROM o WHERE event_type = 'purchase' AND next_type = 'error'
         |ORDER BY user_id, purchase_id""".stripMargin,
+
+    "q_stream_ptjoin" ->
+      """WITH e AS (SELECT event_id, user_id, make_timestamp(epoch_ns(ts) // 1000) AS ts, event_type, value FROM events),
+        |v AS (SELECT event_id, user_id, ts, value FROM e WHERE event_type = 'view'),
+        |le AS (SELECT user_id, event_id AS v_id, value AS v_value,
+        |         row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        |       FROM v WHERE event_id % 2 = 0),
+        |lo AS (SELECT user_id, event_id AS v_id, value AS v_value,
+        |         row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        |       FROM v WHERE event_id % 2 = 1),
+        |u AS (SELECT DISTINCT user_id FROM v),
+        |codd AS (SELECT u.user_id,
+        |           COALESCE(lo1.v_id, le1.v_id) AS v_id,
+        |           COALESCE(lo1.v_value, le1.v_value) AS v_value
+        |         FROM u
+        |         LEFT JOIN (SELECT * FROM lo WHERE rn = 1) lo1 ON u.user_id = lo1.user_id
+        |         LEFT JOIN (SELECT * FROM le WHERE rn = 1) le1 ON u.user_id = le1.user_id),
+        |cand AS (SELECT user_id, v_id, v_value, 0 AS par FROM le WHERE rn = 1
+        |         UNION ALL
+        |         SELECT user_id, v_id, v_value, 1 AS par FROM codd),
+        |p AS (SELECT event_id AS p_id, user_id, CAST(event_id % 2 AS INT) AS par
+        |      FROM e WHERE event_type = 'purchase')
+        |SELECT p.p_id, c.v_id AS r_v_id, c.v_value AS r_v_value
+        |FROM p LEFT JOIN cand c ON p.user_id = c.user_id AND p.par = c.par
+        |ORDER BY p_id""".stripMargin,
+
+    "q_stream_top1" ->
+      """WITH e AS (SELECT event_type, event_id,
+        |  CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents FROM events)
+        |SELECT event_type, event_id, cents FROM (
+        |  SELECT event_type, event_id, cents,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY cents, event_id) AS rn
+        |  FROM e)
+        |WHERE rn = 1 ORDER BY event_type""".stripMargin,
+
+    "q_stream_firstn" ->
+      """WITH e AS (SELECT user_id, event_id,
+        |  CAST(epoch_ns(ts) // 1000 AS BIGINT) AS ts_us FROM events)
+        |SELECT user_id, event_id, ts_us FROM (
+        |  SELECT user_id, event_id, ts_us,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS rn
+        |  FROM e)
+        |WHERE rn <= 3 ORDER BY user_id, event_id""".stripMargin,
+
+    "q_stream_distinct" ->
+      """SELECT event_type, COUNT(DISTINCT user_id) AS n_users
+        |FROM events WHERE event_id % 4 <> 0
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q_sink_upsert" ->
+      """WITH e AS (SELECT event_id, user_id, make_timestamp(epoch_ns(ts) // 1000) AS ts, value FROM events)
+        |SELECT user_id, event_id AS last_event_id, value AS last_value FROM (
+        |  SELECT user_id, event_id, value,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM e)
+        |WHERE rn = 1 AND user_id % 5 <> 0 ORDER BY user_id""".stripMargin,
 
     "q_stream_session" ->
       """WITH e AS (SELECT event_id, user_id, make_timestamp(epoch_ns(ts) // 1000) AS ts FROM events),

@@ -454,6 +454,123 @@ object StatefulOps {
     }
   }
 
+  /** One partial-distinct input row: `group` is the logical GROUP BY
+    * key, `bucket` the distinct-value shard (hash(value) % N upstream) —
+    * the operator keys on the COMPOSITE (group, bucket), which is the
+    * whole point of the split.
+    */
+  case class SplitIn(group: String, bucket: Int, value: Long, kind: Byte)
+
+  /** Split COUNT(DISTINCT) — the reference's SplitAggregateRule /
+    * PartialFinalType rewrite (FlinkStreamRuleSets.scala:352; config
+    * `table.exec.distinct-agg.split.enabled`): a hot group's distinct
+    * state shards across (group, hash(value) % buckets) keys so no
+    * single task holds (or serializes) the group's whole distinct set.
+    * This partial operator keeps value→multiplicity per shard (retraction
+    * needs multiplicity: a value stays distinct until its LAST copy
+    * retracts) and emits the shard's distinct-count changes keyed by the
+    * GROUP — retract-protocol rows a downstream [[RetractSumProcessor]]
+    * folds into the group total (partial → final, the two-stage shape).
+    * Emission is once per key per batch (mini-batch style: ≤2 rows), so
+    * the partial→final traffic is O(touched shards), not O(records).
+    *
+    * At 100 TB this is the difference between a 10-million-distinct hot
+    * key living on one executor and 10k shards of ~1k values each.
+    */
+  class SplitDistinctProcessor
+      extends StatefulProcessor[String, SplitIn, Change[String, Long]] {
+    @transient private var counts: MapState[Long, Long] = _
+    @transient private var nDistinct: ValueState[Long] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      counts = getHandle.getMapState[Long, Long]("counts",
+        Encoders.scalaLong, Encoders.scalaLong, TTLConfig.NONE)
+      nDistinct = getHandle.getValueState[Long]("nDistinct",
+        Encoders.scalaLong, TTLConfig.NONE)
+    }
+    override def handleInputRows(key: String, rows: Iterator[SplitIn],
+        timerValues: TimerValues): Iterator[Change[String, Long]] = {
+      val d0 = if (nDistinct.exists()) nDistinct.get() else 0L
+      var d = d0
+      var group: String = null
+      rows.foreach { r =>
+        group = r.group
+        val c = if (counts.containsKey(r.value)) counts.getValue(r.value) else 0L
+        if (Changelog.isAdd(r.kind)) {
+          if (c == 0L) d += 1
+          counts.updateValue(r.value, c + 1)
+        } else if (c > 0L) { // retraction of an absent value: no-op
+          if (c == 1L) { counts.removeKey(r.value); d -= 1 }
+          else counts.updateValue(r.value, c - 1)
+        }
+      }
+      nDistinct.update(d)
+      if (d == d0 || group == null) Iterator.empty
+      else {
+        val out = scala.collection.mutable.ArrayBuffer.empty[Change[String, Long]]
+        if (d0 > 0) out += Change(Changelog.UpdateBefore, group, d0)
+        if (d > 0) out += Change(Changelog.UpdateAfter, group, d)
+        out.iterator
+      }
+    }
+  }
+
+  /** Fast Top-1 over an append-only stream — the reference's
+    * FastTop1Function.java:54 (flink-table-runtime/.../operators/rank/):
+    * the n=1 specialization keeps ONE (sort, id) pair per key instead of
+    * a buffer, so state is O(1) and every record is a single compare. A
+    * better row dethrones the current champion with a -U/+U pair; the
+    * first row emits +I. Ordering is (sort ASC, id ASC) — the same
+    * tiebreak every rank operator here uses.
+    */
+  class FastTop1Processor
+      extends StatefulProcessor[String, Ranked, Change[String, Ranked]] {
+    @transient private var top: ValueState[Ranked] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      top = getHandle.getValueState[Ranked]("top1",
+        Encoders.product[Ranked], TTLConfig.NONE)
+    override def handleInputRows(key: String, rows: Iterator[Ranked],
+        timerValues: TimerValues): Iterator[Change[String, Ranked]] = {
+      val out = scala.collection.mutable.ArrayBuffer.empty[Change[String, Ranked]]
+      var cur: Ranked = if (top.exists()) top.get() else null
+      rows.foreach { r =>
+        if (cur == null) {
+          out += Change(Changelog.Insert, key, r); cur = r
+        } else if (Ordering.Tuple2[Long, Long].lt((r.sort, r.id),
+            (cur.sort, cur.id))) {
+          out += Change(Changelog.UpdateBefore, key, cur)
+          out += Change(Changelog.UpdateAfter, key, r)
+          cur = r
+        } // worse row: append-only input, never relevant again
+      }
+      if (cur != null) top.update(cur)
+      out.iterator
+    }
+  }
+
+  /** First-N rows per key in arrival order — the reference's
+    * AppendOnlyFirstNFunction.java:39 (ROW_NUMBER over proctime ASC,
+    * rn <= n): the first `n` arrivals emit +I and every later row is
+    * dropped. State is one counter per key — no buffer, since an
+    * append-only input can never retract an already-emitted row.
+    */
+  class AppendOnlyFirstNProcessor(n: Int)
+      extends StatefulProcessor[String, Ranked, Change[String, Ranked]] {
+    @transient private var cnt: ValueState[Long] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      cnt = getHandle.getValueState[Long]("cnt",
+        Encoders.scalaLong, TTLConfig.NONE)
+    override def handleInputRows(key: String, rows: Iterator[Ranked],
+        timerValues: TimerValues): Iterator[Change[String, Ranked]] = {
+      val out = scala.collection.mutable.ArrayBuffer.empty[Change[String, Ranked]]
+      var c = if (cnt.exists()) cnt.get() else 0L
+      rows.foreach { r =>
+        if (c < n) { out += Change(Changelog.Insert, key, r); c += 1 }
+      }
+      cnt.update(c)
+      out.iterator
+    }
+  }
+
   // ---- typed-API entry points -------------------------------------------
 
   def keepFirst[K: Encoder, V: Encoder](ds: Dataset[V], keyFn: V => K): Dataset[V] =

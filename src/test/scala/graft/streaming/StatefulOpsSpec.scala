@@ -328,6 +328,69 @@ class StatefulOpsSpec extends SparkSuite {
     assert(out(2) == Seq(CountWindowResult("k", 1, 15, 3)))
   }
 
+  test("split distinct: multiplicity guards retraction; shards fold to the total") {
+    // group g's values shard across 2 buckets; value 10 arrives twice —
+    // one retraction must NOT drop it from the distinct set
+    val b = (v: Long) => (v % 2).toInt
+    val batches = Seq(
+      Seq(SplitIn("g", b(10), 10, Changelog.Insert),
+        SplitIn("g", b(11), 11, Changelog.Insert),
+        SplitIn("g", b(10), 10, Changelog.Insert)),
+      Seq(SplitIn("g", b(10), 10, Changelog.Delete)),  // copy 1 of 2: no change
+      Seq(SplitIn("g", b(10), 10, Changelog.Delete)),  // last copy: distinct drops
+      Seq(SplitIn("g", b(12), 12, Changelog.Delete)))  // absent value: no-op
+    val out = runBatches[SplitIn, Change[String, Long]](batches,
+      ds => ds.groupByKey(r => s"${r.group}|${r.bucket}")
+        .transformWithState(new SplitDistinctProcessor,
+          TimeMode.None(), OutputMode.Update()))
+    // batch 1: bucket 0 goes 0->1 (value 10), bucket 1 goes 0->1 (value
+    // 11) — TWO shard rows, one per (group, bucket) key
+    assert(out(0).length == 2)
+    assert(out(0).forall(_ == Change(Changelog.UpdateAfter, "g", 1L)))
+    assert(out(1).isEmpty)
+    assert(out(2) == Seq(Change(Changelog.UpdateBefore, "g", 1L)))
+    assert(out(3).isEmpty)
+    // folding the changelog as RetractSumProcessor would (add on +I/+U,
+    // subtract on -U/-D) leaves COUNT(DISTINCT) = 1 (value 11)
+    val total = out.flatten.map {
+      case Change(k, _, v) if Changelog.isAdd(k) => v
+      case Change(_, _, v) => -v
+    }.sum
+    assert(total == 1L)
+  }
+
+  test("fast top-1 keeps O(1) state and emits -U/+U on dethroning only") {
+    val batches = Seq(
+      Seq(Ranked("k", 1, 50), Ranked("k", 2, 30)), // 2 dethrones 1 in-batch
+      Seq(Ranked("k", 3, 40), Ranked("x", 9, 7)),  // 3 worse: silent
+      Seq(Ranked("k", 4, 30)))                     // ties on sort: id 2 < 4 holds
+    val out = runBatches[Ranked, Change[String, Ranked]](batches,
+      ds => ds.groupByKey(_.key)
+        .transformWithState(new FastTop1Processor,
+          TimeMode.None(), OutputMode.Update()))
+    assert(out(0) == Seq(
+      Change(Changelog.Insert, "k", Ranked("k", 1, 50)),
+      Change(Changelog.UpdateBefore, "k", Ranked("k", 1, 50)),
+      Change(Changelog.UpdateAfter, "k", Ranked("k", 2, 30))))
+    assert(out(1) == Seq(Change(Changelog.Insert, "x", Ranked("x", 9, 7))))
+    assert(out(2).isEmpty)
+  }
+
+  test("append-only first-n emits exactly the first n arrivals per key") {
+    val batches = Seq(
+      Seq(Ranked("k", 1, 9), Ranked("k", 2, 1), Ranked("k", 3, 5)),
+      Seq(Ranked("k", 4, 0), Ranked("z", 5, 2)))
+    val out = runBatches[Ranked, Change[String, Ranked]](batches,
+      ds => ds.groupByKey(_.key)
+        .transformWithState(new AppendOnlyFirstNProcessor(2),
+          TimeMode.None(), OutputMode.Update()))
+    // arrival order wins, not sort order: 1 then 2; 3 and 4 are dropped
+    assert(out(0) == Seq(
+      Change(Changelog.Insert, "k", Ranked("k", 1, 9)),
+      Change(Changelog.Insert, "k", Ranked("k", 2, 1))))
+    assert(out(1) == Seq(Change(Changelog.Insert, "z", Ranked("z", 5, 2))))
+  }
+
   test("changelog materialize folds emitted stream to final table") {
     import org.apache.spark.sql.functions._
     val changelog = Seq(
