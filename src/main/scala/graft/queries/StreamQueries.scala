@@ -77,11 +77,18 @@ object StreamQueries {
       case None    => s.conf.unset(key)
     }
     s.conf.set("spark.sql.shuffle.partitions",
-      math.min(prevShuffle.toInt, 8).toString)
+      math.min(prevShuffle.toInt, 2).toString)
     s.conf.set("spark.sql.streaming.stateStore.providerClass",
       if (rocks) RocksProvider else HdfsProvider)
     // replay state is tiny; per-commit row recounts are pure overhead
     s.conf.set(trackConf, "false")
+    // changelog checkpointing: commit uploads the batch's delta instead
+    // of a full SST snapshot — replay-sized state pays snapshot cost per
+    // store per batch otherwise
+    val changelogConf =
+      "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled"
+    val prevChangelog = s.conf.getOption(changelogConf)
+    s.conf.set(changelogConf, "true")
     val q =
       try out.writeStream.format("memory").queryName(name)
         .outputMode(mode)
@@ -90,6 +97,7 @@ object StreamQueries {
         s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
         restore("spark.sql.streaming.stateStore.providerClass", prevProvider)
         restore(trackConf, prevTrack)
+        restore(changelogConf, prevChangelog)
       }
     try batches.foreach { b => input.addData(b); q.processAllAvailable() }
     finally {
