@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.queries.Q._
 import graft.cep.{CEP, Pattern}
-import graft.streaming.{Changelog, OuterJoin, ProcTimeJoin, ProcessOps, RetractableTopN, SessionWindows, StatefulOps, StreamingRank, TemporalJoin}
+import graft.streaming.{AllowedLateness, Changelog, OuterJoin, ProcTimeJoin, ProcessOps, RetractableTopN, SessionWindows, StatefulOps, StreamingRank, TemporalJoin}
 
 /** Streaming oracle parity — driver-visible proof that the stateful
   * streaming operators produce the SAME table a batch query does, through
@@ -806,6 +806,50 @@ object StreamQueries {
         .orderBy($"user_id", $"event_id")
     }),
 
+    // Allowed-lateness window re-fire + late side output (AllowedLateness
+    // — WindowedStream.allowedLateness/sideOutputLateData, a former
+    // documented non-goal): events replay ascending (3 batches), then
+    // batch 4 re-sends two classes with fresh ids — rows from the last
+    // hour (late-but-allowed: counted, re-firing already-fired windows)
+    // and rows just past the 3-hour horizon (side output). A sentinel
+    // flushes the tail. The folded changelog must equal the oracle's
+    // window counts over original+allowed rows plus one late=true row
+    // per side-output element.
+    "q_stream_lateness" -> ((s, dir) => {
+      import s.implicits._
+      implicit val sqlCtx = s.sqlContext
+      val rows = sortedEvents(s, dir)
+      val mUs = micros(rows.last.ts)
+      val hourUs = 3600L * 1000000L
+      def wsOf(t: Long) = t - (t % hourUs)
+      def in(e: Ev, idOff: Long) =
+        AllowedLateness.LWIn(e.event_type, e.ts, e.event_id + idOff)
+      val ins = rows.map(in(_, 0L))
+      // class B: allowed-late (window still inside the lateness horizon)
+      val reB = rows.filter(e => micros(e.ts) > mUs - hourUs).map(in(_, 9000000L))
+      // class A: past end+lateness but ahead of the engine filter — the
+      // 9h delay leaves a ~6h processor-visible too-late band; a
+      // 1-second margin keeps the ms-truncated engine watermark boundary
+      // out of the class
+      val reA = rows.filter { e =>
+        val t = micros(e.ts)
+        t >= mUs - 9 * hourUs + 1000000L && wsOf(t) + 3 * hourUs <= mUs
+      }.map(in(_, 9000000L))
+      val sentinel = Seq(AllowedLateness.LWIn("sentinel",
+        new java.sql.Timestamp(mUs / 1000L + 10L * 86400 * 1000), 0L))
+      val input = MemoryStream[AllowedLateness.LWIn]
+      val out = AllowedLateness.tumbleCounts(
+        input.toDS().withWatermark("eventTime", "9 hours"), // lat+win+6h slack
+        windowMs = 3600000L, latenessMs = 7200000L, delayMs = 9 * 3600000L)
+      val sink = runToEnd(s, input, out,
+        chunks(ins, 3) ++ Seq(reA ++ reB, sentinel), rocks = true)
+      foldChangelog(sink, "kind")
+        .filter($"etype" =!= "sentinel")
+        .select($"late", $"etype".as("event_type"), $"ws".as("ws_ms"),
+          $"n", $"id")
+        .orderBy($"late", $"event_type", $"ws_ms", $"id")
+    }),
+
     // Split COUNT(DISTINCT) — SplitAggregateRule's partial/final shape:
     // per-type distinct users shard across (type, user % 16) keys; the
     // partial operator emits shard distinct-count retract rows keyed by
@@ -1034,6 +1078,26 @@ object StreamQueries {
         |    row_number() OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS rn
         |  FROM e)
         |WHERE rn <= 3 ORDER BY user_id, event_id""".stripMargin,
+
+    "q_stream_lateness" ->
+      """WITH e AS (SELECT event_id, make_timestamp(epoch_ns(ts) // 1000) AS ts, event_type FROM events),
+        |mx AS (SELECT MAX(ts) AS m FROM e),
+        |okre AS (SELECT e.* FROM e, mx WHERE ts > m - INTERVAL 1 HOUR),
+        |latere AS (SELECT e.* FROM e, mx
+        |           WHERE ts >= m - INTERVAL 9 HOUR + INTERVAL 1 SECOND
+        |             AND time_bucket(INTERVAL 1 HOUR, ts) + INTERVAL 3 HOUR <= m),
+        |counted AS (SELECT ts, event_type FROM e
+        |            UNION ALL SELECT ts, event_type FROM okre)
+        |SELECT FALSE AS late, event_type,
+        |  CAST(epoch_ms(time_bucket(INTERVAL 1 HOUR, ts)) AS BIGINT) AS ws_ms,
+        |  COUNT(*) AS n, CAST(-1 AS BIGINT) AS id
+        |FROM counted GROUP BY 2, 3
+        |UNION ALL
+        |SELECT TRUE, event_type,
+        |  CAST(epoch_ms(time_bucket(INTERVAL 1 HOUR, ts)) AS BIGINT),
+        |  CAST(-1 AS BIGINT), event_id + 9000000
+        |FROM latere
+        |ORDER BY late, event_type, ws_ms, id""".stripMargin,
 
     "q_stream_distinct" ->
       """SELECT event_type, COUNT(DISTINCT user_id) AS n_users
