@@ -360,4 +360,44 @@ object CurationOps {
         .otherwise(reps)))
       .drop("weight")
   }
+
+  /** Bloom-prefiltered membership screen — the cross-corpus "have we
+    * seen this key" join at scales where the seen-set is too big to
+    * broadcast but its Bloom image is not (the runtime-filter /
+    * Bloom-join pattern Spark itself injects for selective joins;
+    * `df.stat.bloomFilter` builds the image distributed, one
+    * treeAggregate, no shuffle of the corpus).
+    *
+    * Exactness is preserved: the Bloom has NO false negatives, so for
+    * `anti = true` (keep unseen rows — dedup against a seen corpus) the
+    * definite-negative rows pass through join-free and only the
+    * bloom-positive sliver (|true matches| + fpp·|corpus|) pays the
+    * exact anti-join; for semi (keep seen rows) the sliver pays an
+    * exact semi-join that removes the false positives. At 100 TB with a
+    * 1% seen-rate, ~99% of the corpus never shuffles.
+    *
+    * The probe is a broadcast-task-local `mightContain` — a hash check
+    * against the shared image; the saved corpus shuffle dominates the
+    * non-codegen probe cost by orders of magnitude.
+    */
+  def bloomScreen(corpus: DataFrame, seen: DataFrame, keyCol: String,
+      seenKeyCol: String, expectedItems: Long, fpp: Double = 0.01,
+      anti: Boolean = false): DataFrame = {
+    val bloom = seen.stat.bloomFilter(seenKeyCol, expectedItems, fpp)
+    val bc = corpus.sparkSession.sparkContext.broadcast(bloom)
+    val isString = corpus.schema(keyCol).dataType ==
+      org.apache.spark.sql.types.StringType
+    val might =
+      if (isString) udf((k: String) => k != null && bc.value.mightContainString(k))
+      else udf((k: Long) => bc.value.mightContainLong(k))
+    val seenKeys = seen.select(col(seenKeyCol).as(keyCol)).distinct()
+    if (anti) {
+      val residual = corpus.filter(might(col(keyCol)))
+        .join(seenKeys, Seq(keyCol), "left_anti")
+      corpus.filter(!might(col(keyCol))).unionByName(residual)
+    } else {
+      corpus.filter(might(col(keyCol)))
+        .join(seenKeys, Seq(keyCol), "left_semi")
+    }
+  }
 }

@@ -98,6 +98,20 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // Bloom-prefiltered cross-corpus membership screen (CurationOps
+    // .bloomScreen): keep documents NOT in the seen-set (doc_id % 7 ==
+    // 0 stands in for an already-trained corpus). The Bloom image is
+    // deliberately undersized so false positives occur and the exact
+    // residual anti-join must remove them — the result is exact set
+    // difference either way, which is what the oracle states.
+    "q_cur_bloom" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      CurationOps.bloomScreen(docs.select(col("doc_id"), col("n_chars")),
+        docs.filter(col("doc_id") % 7 === 0), "doc_id", "doc_id",
+        expectedItems = 64, fpp = 0.2, anti = true)
+        .orderBy(col("doc_id"))
+    }),
+
     // Tokenizer-aware sliding-window chunking (CurationOps
     // .chunkDocuments): 32-token windows, 8 tokens of carried overlap
     // (stride 24) — long docs split for a fixed training context window.
@@ -518,6 +532,10 @@ object PipelineQueries {
         |  CASE WHEN len(g2)=0 THEN 0.0 ELSE 1.0 - CAST(len(list_distinct(g2)) AS DOUBLE)/CAST(len(g2) AS DOUBLE) END AS dup_2gram_frac,
         |  CASE WHEN len(g3)=0 THEN 0.0 ELSE 1.0 - CAST(len(list_distinct(g3)) AS DOUBLE)/CAST(len(g3) AS DOUBLE) END AS dup_3gram_frac
         |FROM g ORDER BY doc_id""".stripMargin,
+
+    "q_cur_bloom" ->
+      """SELECT doc_id, n_chars FROM documents
+        |WHERE doc_id % 7 <> 0 ORDER BY doc_id""".stripMargin,
 
     "q_cur_contamination" ->
       """WITH bench AS (

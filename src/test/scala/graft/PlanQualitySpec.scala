@@ -118,6 +118,30 @@ class PlanQualitySpec extends SparkSuite {
     }
   }
 
+  test("runtime Bloom filter is injected for a selective dim join") {
+    // the runtime-filter story at 100 TB: a selective filter on the dim
+    // side should cut the fact scan BEFORE the shuffle via an injected
+    // bloom_filter probe (InjectRuntimeFilter). Thresholds are lowered so
+    // spec-sized parquet qualifies; production keeps defaults where the
+    // fact side is the one that crosses the 10 GB application threshold.
+    withSQLConf(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.optimizer.runtimeFilter.number.threshold" -> "10",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+      val fact = Tables.load(spark, sf, "lineitem")
+        .select($"l_orderkey", $"l_partkey", $"l_quantity")
+      val dim = Tables.load(spark, sf, "part")
+        .filter($"p_size" === 1) // selective creation-side predicate
+        .select($"p_partkey")
+      val joined = fact.join(dim, $"l_partkey" === $"p_partkey")
+        .agg(sum($"l_quantity"))
+      val plan = joined.queryExecution.executedPlan.toString()
+      assert(plan.contains("bloom_filter") || plan.contains("BloomFilter"),
+        s"no runtime bloom filter injected in: $plan")
+    }
+  }
+
   private def withSQLConf[T](kv: (String, String)*)(f: => T): T = {
     val old = kv.map { case (k, _) => k -> spark.conf.getOption(k) }
     kv.foreach { case (k, v) => spark.conf.set(k, v) }

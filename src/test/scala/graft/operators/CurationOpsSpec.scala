@@ -279,4 +279,21 @@ class CurationOpsSpec extends SparkSuite {
     // both paths end in the same single division of the same integers)
     assert(run(0) == run(5) && run(5) == run(1000))
   }
+
+  test("bloomScreen is exact for semi and anti despite false positives") {
+    val corpus = (0L until 500L).map(i => (i, s"k$i")).toDF("id", "skey")
+    val seen = (0L until 500L by 7).map(i => (i, s"k$i")).toDF("sid", "sskey")
+    // tiny filter → guaranteed false positives; results must stay exact
+    def ids(df: org.apache.spark.sql.DataFrame): Set[Long] =
+      df.select("id").as[Long].collect().toSet
+    val expSeen = (0L until 500L by 7).toSet
+    assert(ids(CurationOps.bloomScreen(corpus, seen, "id", "sid",
+      expectedItems = 20, fpp = 0.5)) == expSeen)
+    assert(ids(CurationOps.bloomScreen(corpus, seen, "id", "sid",
+      expectedItems = 20, fpp = 0.5, anti = true)) ==
+      (0L until 500L).toSet -- expSeen)
+    // string-key path
+    assert(ids(CurationOps.bloomScreen(corpus, seen, "skey", "sskey",
+      expectedItems = 20, fpp = 0.5).select($"id")) == expSeen)
+  }
 }
