@@ -260,7 +260,13 @@ object WindowTvf {
     call.fn match {
       case "TUMBLE" =>
         val size = parseInterval(call.args(2))
-        val w = window(ts, size.spark)
+        // optional 4th arg: window OFFSET (the reference's TUMBLE(…,
+        // INTERVAL offset) — SqlWindowTableFunction's optional align);
+        // maps to the built-in window()'s startTime shift
+        val w =
+          if (call.args.length > 3)
+            window(ts, size.spark, size.spark, parseInterval(call.args(3)).spark)
+          else window(ts, size.spark)
         withTime(df.withColumn("window_start", w.getField("start"))
           .withColumn("window_end", w.getField("end")))
 

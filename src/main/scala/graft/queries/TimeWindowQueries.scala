@@ -137,6 +137,17 @@ object TimeWindowQueries {
           |ORDER BY window_start, event_type""".stripMargin)
     }),
 
+    // TUMBLE with the optional OFFSET argument: windows align to
+    // :15 boundaries instead of the hour (window() startTime shift).
+    "q_tvf_tumble_offset" -> ((s, dir) => {
+      graft.Tables.registerAll(s, dir)
+      graft.GraftSql.sql(s,
+        """SELECT window_start, window_end, event_type, COUNT(*) AS n
+          |FROM TABLE(TUMBLE(TABLE events, DESCRIPTOR(ts), INTERVAL '1' HOUR, INTERVAL '15' MINUTES))
+          |GROUP BY window_start, window_end, event_type
+          |ORDER BY window_start, event_type""".stripMargin)
+    }),
+
     "q_tvf_hop" -> ((s, dir) => {
       graft.Tables.registerAll(s, dir)
       graft.GraftSql.sql(s,
@@ -271,6 +282,12 @@ object TimeWindowQueries {
     */
   val oracles: Map[String, String] = baseOracles ++ Map(
     "q_tvf_tumble" -> baseOracles("q_window_tumble"),
+    "q_tvf_tumble_offset" ->
+      s"""WITH e AS ($evCte)
+        |SELECT time_bucket(INTERVAL 1 HOUR, ts, INTERVAL 15 MINUTE) AS window_start,
+        |  time_bucket(INTERVAL 1 HOUR, ts, INTERVAL 15 MINUTE) + INTERVAL 1 HOUR AS window_end,
+        |  event_type, COUNT(*) AS n
+        |FROM e GROUP BY 1, 2, 3 ORDER BY window_start, event_type""".stripMargin,
     "q_tvf_hop" -> baseOracles("q_window_hop"),
     "q_tvf_cumulate" -> baseOracles("q_window_cumulate"),
     "q_tvf_session" -> baseOracles("q_window_session"))

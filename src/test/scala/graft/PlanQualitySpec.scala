@@ -142,6 +142,47 @@ class PlanQualitySpec extends SparkSuite {
     }
   }
 
+  test("CBO with ANALYZE stats reorders a misordered star join") {
+    // the reference's TPC-DS runs use table stats for CBO
+    // (TpcdsTestProgram --useTableStats); Spark's CostBasedJoinReorder
+    // needs cataloged tables with ANALYZE'd stats. The query joins the
+    // fact to the BIG dim first syntactically; with stats the optimizer
+    // must put the 20-row dim innermost instead.
+    Seq("cbo_fact", "cbo_dim_big", "cbo_dim_tiny").foreach(t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t"))
+    (0L until 100000L).map(i => (i % 10000, i % 20, i))
+      .toDF("b", "t", "v").write.saveAsTable("cbo_fact")
+    (0L until 10000L).map(i => (i, i)).toDF("b", "x")
+      .write.saveAsTable("cbo_dim_big")
+    (0L until 20L).map(i => (i, i)).toDF("t", "y")
+      .write.saveAsTable("cbo_dim_tiny")
+    Seq("cbo_fact", "cbo_dim_big", "cbo_dim_tiny").foreach(t =>
+      spark.sql(s"ANALYZE TABLE $t COMPUTE STATISTICS FOR ALL COLUMNS"))
+    try {
+      def joinOrder(cbo: Boolean): (Int, Int) = withSQLConf(
+        "spark.sql.cbo.enabled" -> cbo.toString,
+        "spark.sql.cbo.joinReorder.enabled" -> cbo.toString) {
+        val p = spark.sql(
+          """SELECT SUM(v) FROM cbo_fact
+            |JOIN cbo_dim_big ON cbo_fact.b = cbo_dim_big.b
+            |JOIN cbo_dim_tiny ON cbo_fact.t = cbo_dim_tiny.t""".stripMargin)
+          .queryExecution.optimizedPlan.toString()
+        (p.indexOf("cbo_dim_big"), p.indexOf("cbo_dim_tiny"))
+      }
+      val (big, tiny) = joinOrder(cbo = true)
+      assert(big >= 0 && tiny >= 0)
+      // left-deep print order: the innermost (first-joined) relation
+      // appears first — with stats, that must be the tiny dim
+      assert(tiny < big,
+        s"CBO did not reorder: tiny dim at $tiny, big dim at $big")
+      // and the reorder is attributable to stats: without CBO the
+      // syntactic order (big first) survives
+      val (big0, tiny0) = joinOrder(cbo = false)
+      assert(big0 < tiny0, "baseline already had the tiny dim innermost")
+    } finally Seq("cbo_fact", "cbo_dim_big", "cbo_dim_tiny").foreach(t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t"))
+  }
+
   private def withSQLConf[T](kv: (String, String)*)(f: => T): T = {
     val old = kv.map { case (k, _) => k -> spark.conf.getOption(k) }
     kv.foreach { case (k, v) => spark.conf.set(k, v) }
