@@ -67,6 +67,22 @@ class UpsertSinkSpec extends SparkSuite {
     assert(table(dir).size == 64)
   }
 
+  test("replayed batch converges: mergeBatch is idempotent on (key, seq)") {
+    val dir = tmpDir("upsert") + "/t"
+    val b1 = Seq(UpsRow(1, "a", 1, Changelog.Insert),
+      UpsRow(2, "b", 1, Changelog.Insert)).toDF()
+      .withColumnRenamed("kind", Changelog.RowKindCol)
+    val b2 = Seq(UpsRow(1, "a2", 2, Changelog.UpdateAfter),
+      UpsRow(2, "b", 2, Changelog.Delete)).toDF()
+      .withColumnRenamed("kind", Changelog.RowKindCol)
+    UpsertSink.mergeBatch(spark, b1, Seq("k"), "seq", dir, 4)
+    UpsertSink.mergeBatch(spark, b2, Seq("k"), "seq", dir, 4)
+    val once = table(dir)
+    // a foreachBatch redelivery after a crash re-runs the SAME batch
+    UpsertSink.mergeBatch(spark, b2, Seq("k"), "seq", dir, 4)
+    assert(table(dir) == once && once == Set((1L, "a2")))
+  }
+
   test("delete loses a same-seq tie (delete+reinsert keeps the row)") {
     val dir = tmpDir("upsert") + "/t"
     val b = Seq(
