@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{AnalysisException, DataFrame, SparkSession}
 
-import graft.operators.{MatchRecognizeSql, TemporalJoinSql, WindowTvf}
+import graft.operators.{ConnectorDdl, MatchRecognizeSql, TemporalJoinSql, WindowTvf}
 
 /** The single SQL entry point — the engine's analogue of the reference's
   * one parser front door (flink-sql-parser ParserImpl.java:91, which
@@ -20,8 +20,19 @@ import graft.operators.{MatchRecognizeSql, TemporalJoinSql, WindowTvf}
   */
 object GraftSql {
 
-  def sql(spark: SparkSession, query: String): DataFrame =
-    run(spark, query, forceExpand = false)
+  def sql(spark: SparkSession, query: String): DataFrame = {
+    // connector DDL/DML (CREATE TABLE … WITH ('connector'=…) / INSERT
+    // INTO a registered connector table) routes to ConnectorDdl; the
+    // INSERT's query part re-enters this method, so the full extended
+    // surface works inside it
+    if (ConnectorDdl.isCreate(query)) {
+      ConnectorDdl.createTable(spark, query)
+      spark.emptyDataFrame
+    } else if (ConnectorDdl.isInsert(spark, query)) {
+      ConnectorDdl.insertInto(spark, query, (s, q) => sql(s, q))
+      spark.emptyDataFrame
+    } else run(spark, query, forceExpand = false)
+  }
 
   private def run(spark: SparkSession, query: String,
       forceExpand: Boolean): DataFrame = {

@@ -1,0 +1,221 @@
+package graft.operators
+
+import scala.collection.concurrent.TrieMap
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Flink-style connector DDL front door — the reference's
+  * `CREATE TABLE t (cols…, x AS expr, WATERMARK FOR ts AS ts - INTERVAL
+  * '5' SECOND, PRIMARY KEY (k) NOT ENFORCED) WITH ('connector' = …)`
+  * (flink-sql-parser `SqlCreateTable`; planner `CatalogSourceTable` /
+  * `DynamicSourceUtils`) and the matching `INSERT INTO t <query>` —
+  * every reference SQL job starts with exactly this statement pair.
+  *
+  * Spark mapping per connector:
+  *   - `filesystem` (+ `path`, `format` = parquet/csv/json/orc): batch
+  *     `spark.read` registered as a temp view; with `'scan.streaming' =
+  *     'true'` a file-monitor `readStream` instead. A declared
+  *     WATERMARK clause becomes `withWatermark` on the streaming read
+  *     (recorded, inert, on batch — same as the reference, where
+  *     watermarks only drive streaming execution). Computed columns
+  *     (`name AS expr`) append as projections in declaration order.
+  *   - `filesystem` with PRIMARY KEY: INSERT runs the keyed
+  *     [[graft.sources.UpsertSink]] merge (bucketed dynamic overwrite)
+  *     instead of an append — the upsert-sink materialization the
+  *     reference routes through SinkUpsertMaterializer. Each INSERT gets
+  *     a monotonically increasing seq, so later INSERTs win per key.
+  *   - `datagen` (+ `number-of-rows`): a DETERMINISTIC stand-in for the
+  *     reference's random generator (oracle-comparable by design):
+  *     `fields.<col>.kind` = `sequence` (with `start`) counts up;
+  *     anything else derives from a per-column hash of the row id.
+  *   - `print` / `blackhole`: sink-only tables; INSERT collects to
+  *     stdout / writes the noop format.
+  *
+  * Statements are routed here by [[graft.GraftSql]]; the INSERT's query
+  * part goes back through the full GraftSql chain, so TVFs, temporal
+  * joins and MATCH_RECOGNIZE all work inside an INSERT.
+  */
+object ConnectorDdl {
+
+  case class TableDesc(name: String, fields: StructType,
+      computed: Seq[(String, String)], watermark: Option[(String, String)],
+      primaryKey: Seq[String], options: Map[String, String],
+      insertSeq: java.util.concurrent.atomic.AtomicLong =
+        new java.util.concurrent.atomic.AtomicLong(0L)) {
+    def connector: String = options.getOrElse("connector",
+      sys.error(s"table $name: missing 'connector' option"))
+  }
+
+  /** session-scoped registry: (sessionHash, lowercased name) → desc */
+  private val registry = TrieMap.empty[(Int, String), TableDesc]
+  private def key(spark: SparkSession, name: String) =
+    (System.identityHashCode(spark), name.toLowerCase)
+
+  def lookup(spark: SparkSession, name: String): Option[TableDesc] =
+    registry.get(key(spark, name))
+
+  // ------------------------------------------------------------ parsing
+
+  private val CreateRe =
+    """(?is)^\s*CREATE\s+(?:TEMPORARY\s+)?TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?([A-Za-z_][\w.]*)\s*\((.*)\)\s*WITH\s*\((.*)\)\s*;?\s*$""".r
+  private val InsertRe =
+    """(?is)^\s*INSERT\s+(INTO|OVERWRITE)\s+([A-Za-z_][\w.]*)\s+(.*?)\s*;?\s*$""".r
+  private val WatermarkRe =
+    """(?is)^WATERMARK\s+FOR\s+(\w+)\s+AS\s+\w+\s*-\s*INTERVAL\s*'(\d+)'\s*(\w+)$""".r
+  private val PkRe =
+    """(?is)^PRIMARY\s+KEY\s*\(([^)]*)\)\s*(?:NOT\s+ENFORCED)?$""".r
+  private val ComputedRe = """(?is)^(\w+)\s+AS\s+(.+)$""".r
+  private val FieldRe = """(?is)^(\w+)\s+(.+?)(?:\s+NOT\s+NULL)?$""".r
+
+  /** Is this statement connector DDL/DML this object handles? */
+  def isCreate(stmt: String): Boolean = CreateRe.matches(stmt)
+  def isInsert(spark: SparkSession, stmt: String): Boolean = stmt match {
+    case InsertRe(_, name, _) => lookup(spark, name).isDefined
+    case _ => false
+  }
+
+  /** Split at top-level commas (quote- and paren-aware). */
+  private def splitTop(s: String): Seq[String] = {
+    val masked = SqlText.maskQuoted(s)
+    val parts = Seq.newBuilder[String]
+    var depth = 0
+    var start = 0
+    masked.zipWithIndex.foreach { case (c, i) =>
+      if (c == '(' || c == '<') depth += 1
+      else if (c == ')' || c == '>') depth -= 1
+      else if (c == ',' && depth == 0) { parts += s.substring(start, i); start = i + 1 }
+    }
+    parts += s.substring(start)
+    parts.result().map(_.trim).filter(_.nonEmpty)
+  }
+
+  /** Flink type → Spark DDL type (precision on timestamps dropped —
+    * Spark timestamps are micros; TIMESTAMP_LTZ folds to timestamp).
+    */
+  private def sparkType(t: String): DataType = {
+    val norm = t.trim
+      .replaceAll("(?i)TIMESTAMP_LTZ(\\(\\d+\\))?", "TIMESTAMP")
+      .replaceAll("(?i)TIMESTAMP(\\(\\d+\\))", "TIMESTAMP")
+      .replaceAll("(?i)^BYTES$", "BINARY")
+      .replaceAll("(?i)^RAW$", "BINARY")
+    org.apache.spark.sql.catalyst.parser.CatalystSqlParser.parseDataType(norm)
+  }
+
+  private def unquote(s: String): String = {
+    val t = s.trim
+    if (t.length >= 2 && t.head == '\'' && t.last == '\'')
+      t.substring(1, t.length - 1)
+    else sys.error(s"WITH option piece not quoted: $s")
+  }
+
+  /** Execute a CREATE TABLE … WITH (…) statement. */
+  def createTable(spark: SparkSession, stmt: String): Unit = stmt match {
+    case CreateRe(name, body, opts) =>
+      val options = splitTop(opts).map { kv =>
+        val i = SqlText.maskQuoted(kv).indexOf('=')
+        require(i > 0, s"bad WITH option: $kv")
+        unquote(kv.substring(0, i)) -> unquote(kv.substring(i + 1))
+      }.toMap
+      var fields = Vector.empty[StructField]
+      var computed = Vector.empty[(String, String)]
+      var watermark: Option[(String, String)] = None
+      var pk = Seq.empty[String]
+      splitTop(body).foreach {
+        case WatermarkRe(c, n, unit) =>
+          watermark = Some((c, s"$n ${unit.toLowerCase}"))
+        case PkRe(cols) =>
+          pk = cols.split(",").map(_.trim).toSeq
+        case ComputedRe(n, expr) => // the AS keyword disambiguates from fields
+          computed :+= ((n, expr.trim))
+        case FieldRe(n, tpe) =>
+          fields :+= StructField(n, sparkType(tpe))
+        case other => sys.error(s"unrecognized CREATE TABLE item: $other")
+      }
+      val desc = TableDesc(name, StructType(fields), computed, watermark,
+        pk, options)
+      registry.put(key(spark, name), desc)
+      desc.connector match {
+        case "filesystem" if desc.primaryKey.isEmpty =>
+          if (new java.io.File(options.getOrElse("path",
+              sys.error(s"$name: filesystem needs 'path'"))).exists())
+            sourceFrame(spark, desc).createOrReplaceTempView(name)
+          // else: sink-only for now; a later INSERT materializes it
+        case "filesystem" => () // PK table: view appears after first INSERT
+        case "datagen" =>
+          datagenFrame(spark, desc).createOrReplaceTempView(name)
+        case "print" | "blackhole" => () // sink-only
+        case c => sys.error(s"unsupported connector '$c'")
+      }
+    case _ => sys.error("not a connector CREATE TABLE statement")
+  }
+
+  /** The readable DataFrame for a filesystem table. */
+  private def sourceFrame(spark: SparkSession, d: TableDesc): DataFrame = {
+    val fmt = d.options.getOrElse("format", "parquet")
+    val path = d.options("path")
+    val streaming = d.options.get("scan.streaming").contains("true")
+    val base0 =
+      if (streaming) spark.readStream.schema(d.fields).format(fmt).load(path)
+      else spark.read.schema(d.fields).format(fmt).load(path)
+    val withComputed = d.computed.foldLeft(base0) { case (df, (n, e)) =>
+      df.withColumn(n, expr(e))
+    }
+    d.watermark match {
+      case Some((c, delay)) if streaming => withComputed.withWatermark(c, delay)
+      case _ => withComputed // batch: watermark recorded but inert
+    }
+  }
+
+  /** Deterministic datagen (documented stand-in for the reference's
+    * random generator — reproducibility is a feature here).
+    */
+  private def datagenFrame(spark: SparkSession, d: TableDesc): DataFrame = {
+    val n = d.options.getOrElse("number-of-rows", "1000").toLong
+    val base = spark.range(n).toDF("__id")
+    val projected = d.fields.fields.foldLeft(base) { case (df, f) =>
+      val kind = d.options.getOrElse(s"fields.${f.name}.kind", "random")
+      val start = d.options.getOrElse(s"fields.${f.name}.start", "0").toLong
+      val c = kind match {
+        case "sequence" => (col("__id") + lit(start)).cast(f.dataType)
+        case _ => f.dataType match {
+          case StringType => md5(concat(lit(f.name), col("__id").cast("string")))
+          case t => pmod(xxhash64(lit(f.name), col("__id")), lit(1000000L)).cast(t)
+        }
+      }
+      df.withColumn(f.name, c)
+    }
+    projected.drop("__id")
+  }
+
+  /** Execute `INSERT INTO/OVERWRITE <connector table> <query>`. */
+  def insertInto(spark: SparkSession, stmt: String,
+      runQuery: (SparkSession, String) => DataFrame): Unit = stmt match {
+    case InsertRe(mode, name, query) =>
+      val d = lookup(spark, name).getOrElse(sys.error(s"unknown table $name"))
+      val df = runQuery(spark, query)
+      d.connector match {
+        case "print" =>
+          df.collect().foreach(r => println(s"+I[${r.mkString(", ")}]"))
+        case "blackhole" =>
+          df.write.format("noop").mode("overwrite").save()
+        case "filesystem" if d.primaryKey.nonEmpty =>
+          val seq = d.insertSeq.incrementAndGet()
+          graft.sources.UpsertSink.mergeBatch(spark,
+            df.withColumn("__ddl_seq", lit(seq)), d.primaryKey, "__ddl_seq",
+            d.options("path"),
+            d.options.getOrElse("sink.buckets", "8").toInt)
+          graft.sources.UpsertSink.read(spark, d.options("path"))
+            .drop("__ddl_seq").createOrReplaceTempView(name)
+        case "filesystem" =>
+          val fmt = d.options.getOrElse("format", "parquet")
+          df.write.format(fmt)
+            .mode(if (mode.equalsIgnoreCase("OVERWRITE")) "overwrite" else "append")
+            .save(d.options("path"))
+          sourceFrame(spark, d).createOrReplaceTempView(name)
+        case c => sys.error(s"connector '$c' is not writable")
+      }
+    case _ => sys.error("not a connector INSERT statement")
+  }
+}

@@ -132,8 +132,61 @@ object SqlQueries {
       Tables.registerAll(s, dir)
       s.sql(sql)
     }): (String, QFn)
-  }
+  } ++ Map[String, QFn](
 
-  // identical SQL text runs as the oracle
-  val oracles: Map[String, String] = all
+    // Connector DDL front door (operators/ConnectorDdl via GraftSql):
+    // CREATE TABLE … WITH ('connector'='filesystem') over the lineitem
+    // parquet, with a computed column — then query it. The oracle states
+    // the computed column inline over the raw table.
+    "q_sql_ddl" -> ((s, dir) => {
+      graft.GraftSql.sql(s,
+        s"""CREATE TABLE ddl_li (
+           |  l_orderkey BIGINT,
+           |  l_quantity DOUBLE,
+           |  l_returnflag STRING,
+           |  qty2 AS l_quantity * 2
+           |) WITH ('connector' = 'filesystem',
+           |        'path' = '$dir/lineitem.parquet',
+           |        'format' = 'parquet')""".stripMargin)
+      graft.GraftSql.sql(s,
+        """SELECT l_returnflag,
+          |  CAST(SUM(CAST(qty2 AS DECIMAL(14,2))) AS DOUBLE) AS sum_qty2,
+          |  COUNT(*) AS n
+          |FROM ddl_li GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
+    }),
+
+    // INSERT INTO a filesystem sink table (OVERWRITE so repeated verify
+    // runs converge), then read the materialized table back through the
+    // same front door.
+    "q_sql_ddl_sink" -> ((s, dir) => {
+      Tables.registerAll(s, dir)
+      val out = java.nio.file.Files.createTempDirectory("q_sql_ddl_sink")
+      Runtime.getRuntime.addShutdownHook(
+        new Thread(() => Q.deleteRecursively(out)))
+      graft.GraftSql.sql(s,
+        s"""CREATE TABLE ddl_sink (l_returnflag STRING, sum_qty DOUBLE)
+           |WITH ('connector' = 'filesystem', 'path' = '$out/t',
+           |      'format' = 'parquet')""".stripMargin)
+      graft.GraftSql.sql(s,
+        """INSERT OVERWRITE ddl_sink
+          |SELECT l_returnflag,
+          |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
+          |FROM lineitem GROUP BY l_returnflag""".stripMargin)
+      graft.GraftSql.sql(s,
+        "SELECT * FROM ddl_sink ORDER BY l_returnflag")
+    })
+  )
+
+  // identical SQL text runs as the oracle (the DDL rows restate the
+  // computed/materialized columns inline over the raw tables)
+  val oracles: Map[String, String] = all ++ Map(
+    "q_sql_ddl" ->
+      """SELECT l_returnflag,
+        |  CAST(SUM(CAST(l_quantity * 2 AS DECIMAL(14,2))) AS DOUBLE) AS sum_qty2,
+        |  COUNT(*) AS n
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q_sql_ddl_sink" ->
+      """SELECT l_returnflag,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
 }

@@ -1,0 +1,93 @@
+package graft.operators
+
+import graft.{GraftSql, SparkSuite}
+
+/** Connector DDL front door (ConnectorDdl via GraftSql): CREATE TABLE
+  * … WITH ('connector'=…), computed columns, WATERMARK clause, PRIMARY
+  * KEY upsert INSERT, datagen, print/blackhole sinks.
+  */
+class ConnectorDdlSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def tmp(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).toString
+
+  test("filesystem source table: schema, computed column, SELECT") {
+    val dir = tmp("ddl_src")
+    Seq((1L, 10.0, "a"), (2L, 20.0, "b"), (3L, 30.0, "a"))
+      .toDF("id", "amount", "tag").write.mode("overwrite").parquet(dir)
+    GraftSql.sql(spark,
+      s"""CREATE TABLE fs_src (
+         |  id BIGINT,
+         |  amount DOUBLE,
+         |  tag STRING,
+         |  doubled AS amount * 2
+         |) WITH ('connector' = 'filesystem', 'path' = '$dir',
+         |        'format' = 'parquet')""".stripMargin)
+    val rows = GraftSql.sql(spark,
+      "SELECT tag, SUM(doubled) AS s FROM fs_src GROUP BY tag ORDER BY tag")
+      .as[(String, Double)].collect().toSeq
+    assert(rows == Seq(("a", 80.0), ("b", 40.0)))
+  }
+
+  test("streaming filesystem source applies the WATERMARK clause") {
+    val dir = tmp("ddl_stream")
+    Seq((1L, java.sql.Timestamp.valueOf("2024-01-01 00:00:00")))
+      .toDF("id", "ts").write.mode("overwrite").parquet(dir)
+    GraftSql.sql(spark,
+      s"""CREATE TABLE fs_stream (
+         |  id BIGINT,
+         |  ts TIMESTAMP(3),
+         |  WATERMARK FOR ts AS ts - INTERVAL '5' SECOND
+         |) WITH ('connector' = 'filesystem', 'path' = '$dir',
+         |        'format' = 'parquet', 'scan.streaming' = 'true')""".stripMargin)
+    val df = spark.table("fs_stream")
+    assert(df.isStreaming)
+    assert(df.queryExecution.analyzed.toString.contains("EventTimeWatermark"))
+  }
+
+  test("INSERT INTO filesystem sink writes and re-registers the view") {
+    val dir = tmp("ddl_sink") + "/out"
+    GraftSql.sql(spark,
+      s"""CREATE TABLE fs_sink (tag STRING, total DOUBLE)
+         |WITH ('connector' = 'filesystem', 'path' = '$dir',
+         |      'format' = 'parquet')""".stripMargin)
+    Seq(("x", 1.0), ("x", 2.0), ("y", 5.0)).toDF("tag", "v")
+      .createOrReplaceTempView("ddl_in")
+    GraftSql.sql(spark,
+      "INSERT INTO fs_sink SELECT tag, SUM(v) AS total FROM ddl_in GROUP BY tag")
+    val rows = GraftSql.sql(spark, "SELECT * FROM fs_sink ORDER BY tag")
+      .as[(String, Double)].collect().toSeq
+    assert(rows == Seq(("x", 3.0), ("y", 5.0)))
+  }
+
+  test("PRIMARY KEY filesystem table: INSERT upserts by key") {
+    val dir = tmp("ddl_pk") + "/t"
+    GraftSql.sql(spark,
+      s"""CREATE TABLE pk_t (k BIGINT, v STRING, PRIMARY KEY (k) NOT ENFORCED)
+         |WITH ('connector' = 'filesystem', 'path' = '$dir',
+         |      'format' = 'parquet')""".stripMargin)
+    GraftSql.sql(spark,
+      "INSERT INTO pk_t SELECT * FROM VALUES (1, 'a'), (2, 'b') AS t(k, v)")
+    GraftSql.sql(spark,
+      "INSERT INTO pk_t SELECT * FROM VALUES (2, 'b2'), (3, 'c') AS t(k, v)")
+    val rows = GraftSql.sql(spark, "SELECT k, v FROM pk_t ORDER BY k")
+      .as[(Long, String)].collect().toSeq
+    assert(rows == Seq((1L, "a"), (2L, "b2"), (3L, "c")))
+  }
+
+  test("datagen is deterministic; blackhole INSERT executes") {
+    GraftSql.sql(spark,
+      """CREATE TABLE gen (sid BIGINT, label STRING)
+        |WITH ('connector' = 'datagen', 'number-of-rows' = '5',
+        |      'fields.sid.kind' = 'sequence', 'fields.sid.start' = '100')""".stripMargin)
+    val a = GraftSql.sql(spark, "SELECT * FROM gen ORDER BY sid").collect()
+    val b = GraftSql.sql(spark, "SELECT * FROM gen ORDER BY sid").collect()
+    assert(a.toSeq == b.toSeq)
+    assert(a.map(_.getLong(0)).toSeq == (100L to 104L))
+    GraftSql.sql(spark,
+      """CREATE TABLE sink_bh (sid BIGINT)
+        |WITH ('connector' = 'blackhole')""".stripMargin)
+    GraftSql.sql(spark, "INSERT INTO sink_bh SELECT sid FROM gen")
+  }
+}
