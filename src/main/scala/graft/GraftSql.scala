@@ -20,7 +20,23 @@ import graft.operators.{ConnectorDdl, MatchRecognizeSql, TemporalJoinSql, Window
   */
 object GraftSql {
 
+  private val StatementSetRe =
+    """(?is)^\s*EXECUTE\s+STATEMENT\s+SET\s+BEGIN\s+(.*)\s+END\s*;?\s*$""".r
+
   def sql(spark: SparkSession, query: String): DataFrame = {
+    // EXECUTE STATEMENT SET BEGIN <insert>; <insert>; … END — the
+    // reference's multi-sink statement set (SqlStatementSet): each
+    // INSERT runs through this same entry. The reference's shared-scan
+    // optimization maps to Spark's exchange/scan reuse within each job
+    // plus the caller caching a shared source view when the inserts
+    // genuinely read the same heavy input.
+    query match {
+      case StatementSetRe(body) =>
+        body.split(";").map(_.trim).filter(_.nonEmpty)
+          .foreach(stmt => sql(spark, stmt))
+        return spark.emptyDataFrame
+      case _ => ()
+    }
     // connector DDL/DML (CREATE TABLE … WITH ('connector'=…) / INSERT
     // INTO a registered connector table) routes to ConnectorDdl; the
     // INSERT's query part re-enters this method, so the full extended

@@ -76,6 +76,26 @@ class ConnectorDdlSpec extends SparkSuite {
     assert(rows == Seq((1L, "a"), (2L, "b2"), (3L, "c")))
   }
 
+  test("EXECUTE STATEMENT SET runs every INSERT (multi-sink job)") {
+    val d1 = tmp("ddl_ss1") + "/a"
+    val d2 = tmp("ddl_ss2") + "/b"
+    Seq((1L, 2.0), (2L, 3.0)).toDF("id", "v")
+      .createOrReplaceTempView("ss_in")
+    GraftSql.sql(spark,
+      s"""CREATE TABLE ss_a (id BIGINT, v DOUBLE)
+         |WITH ('connector' = 'filesystem', 'path' = '$d1', 'format' = 'parquet')""".stripMargin)
+    GraftSql.sql(spark,
+      s"""CREATE TABLE ss_b (n BIGINT)
+         |WITH ('connector' = 'filesystem', 'path' = '$d2', 'format' = 'parquet')""".stripMargin)
+    GraftSql.sql(spark,
+      """EXECUTE STATEMENT SET BEGIN
+        |  INSERT INTO ss_a SELECT id, v FROM ss_in;
+        |  INSERT INTO ss_b SELECT COUNT(*) AS n FROM ss_in;
+        |END""".stripMargin)
+    assert(spark.read.parquet(d1).count() == 2)
+    assert(spark.read.parquet(d2).as[Long].collect().toSeq == Seq(2L))
+  }
+
   test("datagen is deterministic; blackhole INSERT executes") {
     GraftSql.sql(spark,
       """CREATE TABLE gen (sid BIGINT, label STRING)
