@@ -119,6 +119,29 @@ object TextOps {
         lit(0L), (acc, x) => acc + x).as("n_subword_est"))
   }
 
+  /** Hashed-linear quality-classifier inference — the fastText-style
+    * filtering pass pretraining pipelines run corpus-wide (CCNet's
+    * fastText stage; GPT-3's quality LR): score = sigmoid(mean hashed
+    * bag-of-words weight). The weight table is derived, not learned —
+    * `w(i) = (i·2654435761 mod 1001) − 500` milli-units — so the gate is
+    * deterministic and the SQL oracle reproduces it; swap `weightExpr`
+    * for an `element_at` over a broadcast learned vector in production
+    * (same plan shape: pure projection, zero shuffle at any corpus
+    * size). All-integer accumulation; one double division chain + a
+    * 6dp-rounded sigmoid at the end (cross-engine doctrine).
+    */
+  def classifierScore(docs: DataFrame, dim: Int = 1024,
+      textCol: String = "text"): DataFrame = {
+    val w = tokens(col(textCol))
+    def weight(t: Column): Column =
+      pmod(wordHash(t), lit(dim.toLong)) * lit(2654435761L) % 1001L - 500L
+    val raw = aggregate(w, lit(0L), (acc, t) => acc + weight(t))
+    val logit = raw.cast(DoubleType) / lit(1000.0) / size(w).cast(DoubleType)
+    docs.select(col("doc_id"), size(w).cast(LongType).as("n_tokens"),
+      raw.as("raw_milli"),
+      round(lit(1.0) / (lit(1.0) + exp(-logit)), 6).as("quality_prob"))
+  }
+
   /** Order-sensitive rolling-hash fingerprint: fold words left-to-right as
     * acc = (acc * 31 + wordHash(w)) mod (2^31 - 1). Stays below 2^63 so
     * both engines compute it with plain BIGINT arithmetic.

@@ -78,6 +78,13 @@ object PipelineQueries {
       TextOps.bpeTokenStats(t(s, dir, "documents")).orderBy(col("doc_id"))
     }),
 
+    // Hashed-linear classifier inference (TextOps.classifierScore) —
+    // the fastText-style quality-filter pass as a pure projection.
+    "q_text_classify" -> ((s, dir) => {
+      TextOps.classifierScore(t(s, dir, "documents"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Gopher-style intra-document repetition screen
     // (CurationOps.repetitionStats): duplicate word/2-gram/3-gram
     // fractions as a pure projection.
@@ -518,6 +525,19 @@ object PipelineQueries {
         |  regexp_extract_all(text, '${TextOps.bpePattern.replace("'", "''")}') AS toks
         |  FROM documents)
         |ORDER BY doc_id""".stripMargin,
+
+    "q_text_classify" ->
+      s"""SELECT doc_id,
+        |  CAST(len(w) AS BIGINT) AS n_tokens,
+        |  list_reduce(
+        |    list_prepend(0::BIGINT, list_transform(w,
+        |      x -> (${TextOps.wordHashSql("x")} % 1024) * 2654435761 % 1001 - 500)),
+        |    (a, b) -> a + b) AS raw_milli,
+        |  round(1.0 / (1.0 + exp(-(CAST(list_reduce(
+        |    list_prepend(0::BIGINT, list_transform(w,
+        |      x -> (${TextOps.wordHashSql("x")} % 1024) * 2654435761 % 1001 - 500)),
+        |    (a, b) -> a + b) AS DOUBLE) / 1000.0 / len(w)))), 6) AS quality_prob
+        |FROM ($docsW) ORDER BY doc_id""".stripMargin,
 
     "q_cur_repetition" ->
       """WITH base AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
