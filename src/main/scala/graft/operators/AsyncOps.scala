@@ -27,6 +27,61 @@ object AsyncOps {
     def close(): Unit = {}
   }
 
+  /** Retry policy — the reference's AsyncRetryStrategies
+    * (flink-streaming-java/.../functions/async/AsyncRetryStrategies.java:
+    * FixedDelayRetryStrategy, ExponentialBackoffDelayRetryStrategy) with
+    * its retry predicate: attempt `n` (1-based) re-invokes after
+    * `min(initialDelay · multiplier^(n-1), maxDelay)` when `retryOn`
+    * accepts the failure and attempts remain.
+    */
+  case class RetryStrategy(maxAttempts: Int, initialDelayMs: Long,
+      multiplier: Double = 1.0, maxDelayMs: Long = Long.MaxValue,
+      retryOn: Throwable => Boolean = _ => true) {
+    require(maxAttempts >= 1)
+    def delayFor(attempt: Int): Long =
+      math.min(maxDelayMs.toDouble,
+        initialDelayMs * math.pow(multiplier, (attempt - 1).toDouble)).toLong
+  }
+  object RetryStrategy {
+    def fixedDelay(maxAttempts: Int, delayMs: Long): RetryStrategy =
+      RetryStrategy(maxAttempts, delayMs)
+    def exponentialBackoff(maxAttempts: Int, initialDelayMs: Long,
+        maxDelayMs: Long, multiplier: Double = 2.0): RetryStrategy =
+      RetryStrategy(maxAttempts, initialDelayMs, multiplier, maxDelayMs)
+  }
+
+  /** Single shared scheduler for retry delays — timers only, the actual
+    * re-invocation runs on the caller's ExecutionContext.
+    */
+  @transient private lazy val retryTimer =
+    Executors.newSingleThreadScheduledExecutor(r => {
+      val t = new Thread(r, "async-retry-timer"); t.setDaemon(true); t
+    })
+
+  /** Wrap an AsyncFunction with retries. Composes with either ordering
+    * mode; the in-flight slot stays occupied across attempts, exactly
+    * the reference's behavior (a retrying element still counts against
+    * the operator's capacity).
+    */
+  def withRetry[I, O](fn: AsyncFunction[I, O],
+      strategy: RetryStrategy): AsyncFunction[I, O] =
+    new AsyncFunction[I, O] {
+      override def open(): Unit = fn.open()
+      override def close(): Unit = fn.close()
+      override def invoke(in: I)(implicit ec: ExecutionContext): Future[O] = {
+        def attempt(n: Int): Future[O] =
+          fn.invoke(in).recoverWith {
+            case e if n < strategy.maxAttempts && strategy.retryOn(e) =>
+              val p = scala.concurrent.Promise[O]()
+              retryTimer.schedule(new Runnable {
+                def run(): Unit = p.completeWith(attempt(n + 1))
+              }, strategy.delayFor(n), TimeUnit.MILLISECONDS)
+              p.future
+          }
+        attempt(1)
+      }
+    }
+
   /** Ordered async apply (AsyncDataStream.orderedWait semantics). */
   def orderedAsync[I, O](ds: Dataset[I], fn: AsyncFunction[I, O],
       capacity: Int = 16, timeoutMs: Long = 60000)(

@@ -53,6 +53,34 @@ class OperatorSpec extends SparkSuite {
     assert(out.sorted == (0L until 50L).map(_ * 2))
   }
 
+  test("async retry: transient failures recover, exhaustion propagates") {
+    // fails the first 2 attempts per element, succeeds on the 3rd
+    class Flaky2 extends AsyncOps.AsyncFunction[Long, Long] {
+      private val tries = new java.util.concurrent.ConcurrentHashMap[Long, Integer]()
+      override def invoke(in: Long)(implicit ec: ExecutionContext): Future[Long] =
+        Future {
+          val n = tries.merge(in, 1, (a, b) => a + b)
+          if (n <= 2) throw new RuntimeException(s"transient $in#$n")
+          in * 2
+        }
+    }
+    val ds = spark.range(0, 10).map(_.toLong).repartition(1)
+    val ok = AsyncOps.orderedAsync[Long, Long](ds,
+      AsyncOps.withRetry(new Flaky2, AsyncOps.RetryStrategy.fixedDelay(3, 5)),
+      capacity = 4).collect().toSeq
+    assert(ok == (0L until 10L).map(_ * 2))
+    // two attempts only: the third failure must surface
+    val err = intercept[Exception] {
+      AsyncOps.orderedAsync[Long, Long](ds,
+        AsyncOps.withRetry(new Flaky2, AsyncOps.RetryStrategy.fixedDelay(2, 1)),
+        capacity = 4).collect()
+    }
+    assert(err.getMessage != null)
+    // exponential backoff delay schedule
+    val exp = AsyncOps.RetryStrategy.exponentialBackoff(5, 10, 50)
+    assert(Seq(1, 2, 3, 4).map(exp.delayFor) == Seq(10L, 20L, 40L, 50L))
+  }
+
   test("split_index: 0-based, literal delimiter, null out of range (Flink-exact)") {
     val df = Seq(("a,b,c", 0), ("a,b,c", 2), ("a,b,c", 3), ("a,b,c", -1))
       .toDF("s", "i")
