@@ -33,6 +33,38 @@ object IntegrationQueries {
 
   val queries: Map[String, QFn] = Map(
 
+    // Changelog JSON format (sources/ChangelogJson — debezium-json):
+    // CDC envelopes built from events (insert all; update value+1 for
+    // id % 3 == 0; delete id % 5 == 0), decoded to the changelog shape
+    // and materialized by ts_ms — the end state must equal the oracle's
+    // declarative restatement. The whole decode is a projection; only
+    // the materialize pays a keyed shuffle.
+    "q_fmt_debezium" -> ((s, dir) => {
+      import org.apache.spark.sql.types._
+      val payload = StructType(Seq(StructField("event_id", LongType),
+        StructField("user_id", LongType), StructField("value", DoubleType)))
+      val ev = t(s, dir, "events")
+        .select(col("event_id"), col("user_id"), col("value"))
+      def row(value: org.apache.spark.sql.Column) =
+        struct(col("event_id"), col("user_id"), value.as("value"))
+      val ins = ev.select(to_json(struct(
+        row(col("value")).as("after"), lit("c").as("op"),
+        (col("event_id") * 3).as("ts_ms"))).as("v"))
+      val upd = ev.filter(col("event_id") % 3 === 0).select(to_json(struct(
+        row(col("value")).as("before"),
+        row(col("value") + 1).as("after"), lit("u").as("op"),
+        (col("event_id") * 3 + 1).as("ts_ms"))).as("v"))
+      val del = ev.filter(col("event_id") % 5 === 0).select(to_json(struct(
+        row(when(col("event_id") % 3 === 0, col("value") + 1)
+          .otherwise(col("value"))).as("before"), lit("d").as("op"),
+        (col("event_id") * 3 + 2).as("ts_ms"))).as("v"))
+      val parsed = graft.sources.ChangelogJson.debezium(
+        ins.union(upd).union(del), "v", payload)
+      graft.streaming.Changelog.materialize(parsed, Seq("event_id"), "ts_ms")
+        .select(col("event_id"), col("user_id"), col("value"))
+        .orderBy(col("event_id"))
+    }),
+
     // Avro container-file round-trip (sources/AvroIO): events — the
     // micros-precision timestamp table, the hard fidelity case — writes
     // to avro and reads back; per-type counts, exact-decimal value sums
@@ -344,6 +376,11 @@ object IntegrationQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_fmt_debezium" ->
+      """SELECT event_id, user_id,
+        |  CASE WHEN event_id % 3 = 0 THEN value + 1 ELSE value END AS value
+        |FROM events WHERE event_id % 5 <> 0 ORDER BY event_id""".stripMargin,
+
     "q_fmt_avro" ->
       s"""SELECT event_type, COUNT(*) AS n, ${dsumSql("value")} AS sum_value,
         |  MAX(make_timestamp(epoch_ns(ts) // 1000)) AS max_ts

@@ -1,0 +1,59 @@
+package graft.sources
+
+import org.apache.spark.sql.types._
+
+import graft.SparkSuite
+import graft.streaming.Changelog
+
+class ChangelogJsonSpec extends SparkSuite {
+  import spark.implicits._
+
+  private val payload = StructType(Seq(
+    StructField("id", LongType), StructField("v", StringType)))
+
+  test("debezium-json: c/u/d decode to +I, -U/+U pair, -D") {
+    val env = Seq(
+      """{"after":{"id":1,"v":"a"},"op":"c","ts_ms":10}""",
+      """{"before":{"id":1,"v":"a"},"after":{"id":1,"v":"b"},"op":"u","ts_ms":20}""",
+      """{"before":{"id":2,"v":"x"},"op":"d","ts_ms":30}""",
+      """{"after":{"id":3,"v":"s"},"op":"r","ts_ms":40}""").toDF("value")
+    val got = ChangelogJson.debezium(env, "value", payload)
+      .as[(Byte, Long, String, Long)].collect().toSet
+    assert(got == Set(
+      (Changelog.Insert, 1L, "a", 10L),
+      (Changelog.UpdateBefore, 1L, "a", 20L),
+      (Changelog.UpdateAfter, 1L, "b", 20L),
+      (Changelog.Delete, 2L, "x", 30L),
+      (Changelog.Insert, 3L, "s", 40L)))
+    // end-to-end: the parsed changelog materializes to the net state
+    val fin = Changelog.materialize(
+      ChangelogJson.debezium(env, "value", payload), Seq("id"), "ts_ms")
+      .select($"id", $"v").as[(Long, String)].collect().toSet
+    assert(fin == Set((1L, "b"), (3L, "s")))
+  }
+
+  test("canal-json: multi-row data; UPDATE merges partial old over data") {
+    val env = Seq(
+      """{"type":"INSERT","data":[{"id":1,"v":"a"},{"id":2,"v":"b"}],"ts":10}""",
+      // old carries ONLY the changed field (v); id comes from data
+      """{"type":"UPDATE","data":[{"id":1,"v":"a2"}],"old":[{"v":"a"}],"ts":20}""",
+      """{"type":"DELETE","data":[{"id":2,"v":"b"}],"ts":30}""").toDF("value")
+    val got = ChangelogJson.canal(env, "value", payload)
+      .as[(Byte, Long, String, Long)].collect().toSet
+    assert(got == Set(
+      (Changelog.Insert, 1L, "a", 10L),
+      (Changelog.Insert, 2L, "b", 10L),
+      (Changelog.UpdateBefore, 1L, "a", 20L), // merged old: id from data
+      (Changelog.UpdateAfter, 1L, "a2", 20L),
+      (Changelog.Delete, 2L, "b", 30L)))
+  }
+
+  test("unknown op is a loud error") {
+    val env = Seq("""{"after":{"id":1,"v":"a"},"op":"z","ts_ms":1}""").toDF("value")
+    val e = intercept[Exception] {
+      ChangelogJson.debezium(env, "value", payload).collect()
+    }
+    assert(e.getMessage.contains("unknown op") ||
+      e.getCause != null && e.getCause.getMessage.contains("unknown op"))
+  }
+}
