@@ -208,6 +208,23 @@ object ConnectorDdl {
             d.options.getOrElse("sink.buckets", "8").toInt)
           graft.sources.UpsertSink.read(spark, d.options("path"))
             .drop("__ddl_seq").createOrReplaceTempView(name)
+        case "filesystem" if df.isStreaming =>
+          // a streaming INSERT INTO is the reference's job shape: the
+          // statement starts a continuous write. Bounded-source runs
+          // (file-monitor over a finite dir) drain via AvailableNow and
+          // return when caught up; an unbounded source keeps running —
+          // the caller holds the query handle via spark.streams.
+          val fmt = d.options.getOrElse("format", "parquet")
+          val ckpt = d.options.getOrElse("sink.checkpoint",
+            java.nio.file.Files.createTempDirectory(s"ddl_${name}_ckpt")
+              .toString)
+          val q = df.writeStream.format(fmt)
+            .option("checkpointLocation", ckpt)
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start(d.options("path"))
+          q.awaitTermination()
+          sourceFrame(spark, d.copy(options = d.options - "scan.streaming"))
+            .createOrReplaceTempView(name)
         case "filesystem" =>
           val fmt = d.options.getOrElse("format", "parquet")
           df.write.format(fmt)

@@ -93,4 +93,34 @@ object ChangelogJson {
       .select(col("c.kind").as(Changelog.RowKindCol), col("c.row.*"),
         col("ts_ms"))
   }
+
+  /** Decode `maxwell-json` envelopes (MaxwellJsonDeserializationSchema):
+    * like canal but one row per envelope — `{"type": "insert"|"update"|
+    * "delete", "data": {row}, "old": {changedFieldsOldValues}, "ts": n}`;
+    * the UPDATE_BEFORE image is `old` merged over `data`.
+    */
+  def maxwell(json: DataFrame, valueCol: String,
+      payload: StructType): DataFrame = {
+    val env = StructType(Seq(
+      StructField("type", StringType), StructField("data", payload),
+      StructField("old", payload), StructField("ts", LongType)))
+    val e = from_json(col(valueCol), env)
+    val data = e.getField("data")
+    def mergedBefore: Column =
+      struct(payload.fieldNames.toSeq.map(f =>
+        coalesce(e.getField("old").getField(f), data.getField(f)).as(f)): _*)
+    val changes =
+      when(e.getField("type") === "insert",
+        array(changeStruct(lit(Changelog.Insert), data)))
+      .when(e.getField("type") === "update", array(
+        changeStruct(lit(Changelog.UpdateBefore), mergedBefore),
+        changeStruct(lit(Changelog.UpdateAfter), data)))
+      .when(e.getField("type") === "delete",
+        array(changeStruct(lit(Changelog.Delete), data)))
+      .otherwise(raise_error(concat(lit("maxwell-json: unknown type "),
+        e.getField("type"))))
+    json.select(explode(changes).as("c"), e.getField("ts").as("ts_ms"))
+      .select(col("c.kind").as(Changelog.RowKindCol), col("c.row.*"),
+        col("ts_ms"))
+  }
 }

@@ -76,6 +76,31 @@ class ConnectorDdlSpec extends SparkSuite {
     assert(rows == Seq((1L, "a"), (2L, "b2"), (3L, "c")))
   }
 
+  test("streaming INSERT INTO: source table with watermark drains to a sink") {
+    val src = tmp("ddl_sjob_src")
+    val dst = tmp("ddl_sjob_dst") + "/out"
+    Seq((1L, java.sql.Timestamp.valueOf("2024-01-01 00:10:00"), 5.0),
+      (2L, java.sql.Timestamp.valueOf("2024-01-01 00:20:00"), 7.0),
+      (3L, java.sql.Timestamp.valueOf("2024-01-01 01:10:00"), 9.0))
+      .toDF("id", "ts", "v").write.mode("overwrite").parquet(src)
+    GraftSql.sql(spark,
+      s"""CREATE TABLE sj_src (
+         |  id BIGINT, ts TIMESTAMP(3), v DOUBLE,
+         |  WATERMARK FOR ts AS ts - INTERVAL '5' SECOND
+         |) WITH ('connector' = 'filesystem', 'path' = '$src',
+         |        'format' = 'parquet', 'scan.streaming' = 'true')""".stripMargin)
+    GraftSql.sql(spark,
+      s"""CREATE TABLE sj_dst (id BIGINT, v DOUBLE)
+         |WITH ('connector' = 'filesystem', 'path' = '$dst',
+         |      'format' = 'parquet')""".stripMargin)
+    // the reference's job shape: one INSERT statement runs the stream;
+    // AvailableNow drains the bounded directory and returns
+    GraftSql.sql(spark, "INSERT INTO sj_dst SELECT id, v FROM sj_src")
+    val rows = GraftSql.sql(spark, "SELECT id, v FROM sj_dst ORDER BY id")
+      .as[(Long, Double)].collect().toSeq
+    assert(rows == Seq((1L, 5.0), (2L, 7.0), (3L, 9.0)))
+  }
+
   test("EXECUTE STATEMENT SET runs every INSERT (multi-sink job)") {
     val d1 = tmp("ddl_ss1") + "/a"
     val d2 = tmp("ddl_ss2") + "/b"

@@ -48,6 +48,20 @@ class ChangelogJsonSpec extends SparkSuite {
       (Changelog.Delete, 2L, "b", 30L)))
   }
 
+  test("maxwell-json: single-row envelopes with partial old merge") {
+    val env = Seq(
+      """{"type":"insert","data":{"id":1,"v":"a"},"ts":10}""",
+      """{"type":"update","data":{"id":1,"v":"a2"},"old":{"v":"a"},"ts":20}""",
+      """{"type":"delete","data":{"id":1,"v":"a2"},"ts":30}""").toDF("value")
+    val got = ChangelogJson.maxwell(env, "value", payload)
+      .as[(Byte, Long, String, Long)].collect().toSet
+    assert(got == Set(
+      (Changelog.Insert, 1L, "a", 10L),
+      (Changelog.UpdateBefore, 1L, "a", 20L),
+      (Changelog.UpdateAfter, 1L, "a2", 20L),
+      (Changelog.Delete, 1L, "a2", 30L)))
+  }
+
   test("unknown op is a loud error") {
     val env = Seq("""{"after":{"id":1,"v":"a"},"op":"z","ts_ms":1}""").toDF("value")
     val e = intercept[Exception] {
