@@ -910,6 +910,83 @@ object StreamQueries {
         .select($"user_id", $"event_id".as("last_event_id"),
           $"value".as("last_value"))
         .orderBy($"user_id")
+    }),
+
+    // Watermark idleness (WatermarkStrategy.withIdleness via
+    // WatermarkOutputMultiplexer — SURVEY §2.10's last partial row):
+    // events replay as TWO source partitions (user parity); the odd
+    // partition sends only rows before the one-third time cutoff and
+    // then stalls. WatermarkMux stamps each fetch round with the
+    // combined watermark at the SOURCE layer (where the reference runs
+    // the multiplexer); after two silent rounds the stalled partition is
+    // marked idle and the clock follows the live partition alone, so
+    // every window — including those holding only the stalled
+    // partition's rows — closes and emits exactly once in append mode.
+    // Without idleness the clock pins at the stall point and the tail
+    // windows never emit (WatermarkMuxSpec pins that contrast); the
+    // oracle counts ALL sent rows, so an unpinned clock is required for
+    // the hash to match.
+    "q_stream_idle" -> ((s, dir) => {
+      import s.implicits._
+      implicit val sqlCtx = s.sqlContext
+      val rows = sortedEvents(s, dir)
+      val us = rows.map(e => micros(e.ts))
+      val cutoff = us.min + (us.max - us.min) / 3
+      val sent = rows.filter(e => e.user_id % 2 == 0 || micros(e.ts) < cutoff)
+      val tagged = sent.map(e =>
+        ((e.user_id % 2).toInt, (e.event_type, e.ts.getTime)))
+      val rounds = chunks(tagged, 6) ++ Seq(
+        Seq((0, ("sentinel", rows.last.ts.getTime + 10L * 86400000L))),
+        Seq.empty)
+      val input = MemoryStream[graft.streaming.WatermarkMux.MuxIn]
+      val out = graft.streaming.WatermarkMux.idleTumbleCounts(
+        input.toDS(), windowMs = 3600000L)
+      runToEnd(s, input, out,
+        graft.streaming.WatermarkMux.stamp(rounds, delayMs = 0L,
+          idleTimeoutRounds = 2),
+        mode = "append", rocks = true)
+        .filter($"etype" =!= "sentinel")
+        .select(timestamp_millis($"ws").cast("timestamp_ntz")
+          .as("window_start"), $"etype".as("event_type"), $"n")
+        .orderBy($"window_start", $"event_type")
+    }),
+
+    // Watermark alignment (WatermarkStrategy.withWatermarkAlignment —
+    // the source coordinator's pause/resume protocol): an unbalanced
+    // split (25% of users on the fast partition) drains through
+    // WatermarkMux.alignRounds, which pauses whichever source runs more
+    // than maxDrift ahead of the group min, then replays through the
+    // stamped-clock tumble operator. Alignment must change PACING, not
+    // results: a lost, duplicated, or clock-outrun row (the stamped
+    // operator drops closed-window arrivals) diverges the count hash
+    // from the plain batch tumble oracle over all events.
+    "q_stream_aligned" -> ((s, dir) => {
+      import s.implicits._
+      implicit val sqlCtx = s.sqlContext
+      val rows = sortedEvents(s, dir)
+      val fast = rows.filter(_.user_id % 4 == 0)
+        .map(e => (e.event_type, e.ts.getTime)).toVector
+      val slow = rows.filter(_.user_id % 4 != 0)
+        .map(e => (e.event_type, e.ts.getTime)).toVector
+      val spanMs = (rows.last.ts.getTime - rows.head.ts.getTime).max(1L)
+      val rounds = graft.streaming.WatermarkMux.alignRounds(
+        Map(0 -> fast, 1 -> slow), (r: (String, Long)) => r._2,
+        maxDriftMs = spanMs / 10, rowsPerRound = (slow.size / 6).max(1))
+      val sentinelTs = rows.last.ts.getTime + 10L * 86400000L
+      val allRounds = rounds ++ Seq(
+        Seq((0, ("sentinel", sentinelTs)), (1, ("sentinel", sentinelTs))),
+        Seq.empty[(Int, (String, Long))])
+      val input = MemoryStream[graft.streaming.WatermarkMux.MuxIn]
+      val out = graft.streaming.WatermarkMux.idleTumbleCounts(
+        input.toDS(), windowMs = 3600000L)
+      runToEnd(s, input, out,
+        graft.streaming.WatermarkMux.stamp(allRounds, delayMs = 0L,
+          idleTimeoutRounds = 1000000),
+        mode = "append", rocks = true)
+        .filter($"etype" =!= "sentinel")
+        .select(timestamp_millis($"ws").cast("timestamp_ntz")
+          .as("window_start"), $"etype".as("event_type"), $"n")
+        .orderBy($"window_start", $"event_type")
     })
   )
 
@@ -1103,6 +1180,22 @@ object StreamQueries {
       """SELECT event_type, COUNT(DISTINCT user_id) AS n_users
         |FROM events WHERE event_id % 4 <> 0
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // exactly the rows the idleness replay sends: even-parity users in
+    // full, odd-parity users only before the one-third time cutoff (the
+    // stall point) — integer micros arithmetic on both engines
+    "q_stream_idle" ->
+      """WITH e AS (SELECT user_id, epoch_ns(ts) // 1000 AS us, make_timestamp(epoch_ns(ts) // 1000) AS ts, event_type FROM events),
+        |c AS (SELECT MIN(us) + (MAX(us) - MIN(us)) // 3 AS cutoff FROM e)
+        |SELECT time_bucket(INTERVAL 1 HOUR, ts) AS window_start, event_type, COUNT(*) AS n
+        |FROM e WHERE user_id % 2 = 0 OR us < (SELECT cutoff FROM c)
+        |GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin,
+
+    // alignment changes pacing, never results: the full tumble counts
+    "q_stream_aligned" ->
+      """WITH e AS (SELECT make_timestamp(epoch_ns(ts) // 1000) AS ts, event_type FROM events)
+        |SELECT time_bucket(INTERVAL 1 HOUR, ts) AS window_start, event_type, COUNT(*) AS n
+        |FROM e GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin,
 
     "q_sink_upsert" ->
       """WITH e AS (SELECT event_id, user_id, make_timestamp(epoch_ns(ts) // 1000) AS ts, value FROM events)
