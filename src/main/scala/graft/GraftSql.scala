@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{AnalysisException, DataFrame, SparkSession}
 
-import graft.operators.{ConnectorDdl, MatchRecognizeSql, TemporalJoinSql, WindowTvf}
+import graft.operators.{ConnectorDdl, MatchRecognizeSql, SqlHints, TemporalJoinSql, WindowTvf}
 
 /** The single SQL entry point — the engine's analogue of the reference's
   * one parser front door (flink-sql-parser ParserImpl.java:91, which
@@ -60,15 +60,18 @@ object GraftSql {
     try {
       var progressed = true
       while (progressed) {
-        MatchRecognizeSql.step(spark, text) match {
+        SqlHints.step(spark, text) match {
           case Some((t, vs)) => text = t; views ++= vs
-          case None => WindowTvf.step(spark, text, forceExpand) match {
-            case Some(s) =>
-              text = s.text; views ++= s.views
-              batchSessionRoute |= s.batchSessionRoute
-            case None => TemporalJoinSql.step(spark, text) match {
-              case Some((t, vs)) => text = t; views ++= vs
-              case None => progressed = false
+          case None => MatchRecognizeSql.step(spark, text) match {
+            case Some((t, vs)) => text = t; views ++= vs
+            case None => WindowTvf.step(spark, text, forceExpand) match {
+              case Some(s) =>
+                text = s.text; views ++= s.views
+                batchSessionRoute |= s.batchSessionRoute
+              case None => TemporalJoinSql.step(spark, text) match {
+                case Some((t, vs)) => text = t; views ++= vs
+                case None => progressed = false
+              }
             }
           }
         }

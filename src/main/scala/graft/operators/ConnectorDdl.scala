@@ -151,6 +151,22 @@ object ConnectorDdl {
     case _ => sys.error("not a connector CREATE TABLE statement")
   }
 
+  /** Re-read a registered table with per-statement option overrides —
+    * the consumer behind the `OPTIONS(…)` dynamic-table-options hint
+    * ([[SqlHints]]); the registry entry itself is untouched.
+    */
+  def frameWithOptions(spark: SparkSession, name: String,
+      overrides: Map[String, String]): DataFrame = {
+    val d = lookup(spark, name).getOrElse(
+      sys.error(s"$name is not a registered connector table"))
+    val merged = d.copy(options = d.options ++ overrides)
+    merged.connector match {
+      case "filesystem" => sourceFrame(spark, merged)
+      case "datagen"    => datagenFrame(spark, merged)
+      case c => sys.error(s"OPTIONS hint unsupported for connector '$c'")
+    }
+  }
+
   /** The readable DataFrame for a filesystem table. */
   private def sourceFrame(spark: SparkSession, d: TableDesc): DataFrame = {
     val fmt = d.options.getOrElse("format", "parquet")

@@ -372,8 +372,78 @@ object IntegrationQueries {
           col("value.count").as("n"),
           col("value.sum").cast(DoubleType).as("sum_price"))
         .orderBy(col("o_orderstatus"))
+    }),
+
+    // Delta iteration (operators/Iterate.iterateDelta — the reference's
+    // DataSet.iterateDelta solution-set/workset loop): single-source
+    // shortest paths over a deterministic weighted DAG derived from the
+    // documents ids (chain edges +1, skip edges +7 from even nodes).
+    // Each round relaxes only edges out of last round's improvements;
+    // the loop ends when the workset drains. The oracle recomputes every
+    // distance declaratively with a recursive CTE — a wrong merge, a
+    // premature drain, or a lost relaxation diverges the hash.
+    "q_iter_sssp" -> ((s, dir) => withFewPartitions(s) {
+      val e = iterEdges(s, dir)
+      graft.operators.Iterate.shortestPaths(e, sourceId = 0L)
+        .orderBy(col("id"))
+    }),
+
+    // Bulk iteration (Iterate.iterate — DataSet.iterate with a fixed
+    // round count): 5 rounds of min-label-over-in-neighbors on the same
+    // DAG; after k rounds a node's label is the min id within <= k hops
+    // upstream, which the oracle states with a depth-bounded recursion.
+    "q_iter_minlabel" -> ((s, dir) => withFewPartitions(s) {
+      val n = t(s, dir, "documents").filter(col("doc_id") < 300)
+        .select(col("doc_id").as("id"))
+      graft.operators.Iterate.minLabelSpread(n, iterEdges(s, dir), 5)
+        .orderBy(col("id"))
     })
   )
+
+  /** Iteration rounds move TINY keyed frames (the 300-node graph, the
+    * shrinking frontier); a wide session shuffle width only multiplies
+    * per-round task-scheduling overhead, and the number of ROUNDS — not
+    * per-round data — is the cost driver. Same idiom as the streaming
+    * replays' runToEnd cap; the session default is restored for
+    * whatever runs next. At real scale the caller sizes this to the
+    * graph, not the corpus.
+    */
+  private def withFewPartitions[A](s: org.apache.spark.sql.SparkSession)
+      (body: => A): A = {
+    val prev = s.conf.get("spark.sql.shuffle.partitions")
+    val prevAqe = s.conf.get("spark.sql.adaptive.enabled")
+    s.conf.set("spark.sql.shuffle.partitions", "1")
+    // AQE's per-stage replanning round-trips dominate a tiny-frame
+    // iteration's latency and buy nothing at 4 partitions
+    s.conf.set("spark.sql.adaptive.enabled", "false")
+    try body finally {
+      s.conf.set("spark.sql.shuffle.partitions", prev)
+      s.conf.set("spark.sql.adaptive.enabled", prevAqe)
+    }
+  }
+
+  /** Deterministic weighted DAG off the documents ids (all edges point
+    * id-upward, so the DuckDB recursion terminates): an EXPENSIVE unit
+    * chain doc→doc+1 (weight doc%3+4) plus powers-of-3 skip edges
+    * doc→doc+3^k (k=1..4, weight doc%5+2 — cheap and FLAT across
+    * scales, so one big skip always beats composing smaller ones).
+    * Optimal paths therefore take maximal skips and their hop count is
+    * the base-3 digit sum of the target (≤ ~10 anywhere under 300) —
+    * the delta iteration's round count, which IS this query's cost
+    * driver, stays a handful while multi-path relaxation (chain vs
+    * every skip scale) is genuinely exercised.
+    */
+  private def iterEdges(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    val n = t(s, dir, "documents").filter(col("doc_id") < 300)
+      .select(col("doc_id"))
+    def edges(step: Int, w: org.apache.spark.sql.Column) =
+      n.filter(col("doc_id") + step < 300)
+        .select(col("doc_id").as("src"), (col("doc_id") + step).as("dst"),
+          w.as("w"))
+    Seq(3, 9, 27, 81).map(k => edges(k, col("doc_id") % 5 + 2))
+      .foldLeft(edges(1, col("doc_id") % 3 + 4))(_ unionByName _)
+  }
 
   val oracles: Map[String, String] = Map(
     "q_fmt_debezium" ->
@@ -493,6 +563,38 @@ object IntegrationQueries {
         |  CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS v
         |FROM orders
         |WHERE CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) > 30000000
-        |ORDER BY id""".stripMargin
+        |ORDER BY id""".stripMargin,
+
+    // recursive-CTE restatement of the delta-iteration fixpoint: every
+    // distance from node 0 over the same derived DAG (UNION dedups the
+    // frontier, MIN folds multi-path sums)
+    "q_iter_sssp" ->
+      """WITH RECURSIVE
+        |n AS (SELECT doc_id FROM documents WHERE doc_id < 300),
+        |e AS (
+        |  SELECT doc_id AS src, doc_id + 1 AS dst, doc_id % 3 + 4 AS w FROM n WHERE doc_id + 1 < 300
+        |  UNION ALL
+        |  SELECT doc_id, doc_id + s, doc_id % 5 + 2 FROM n, (VALUES (3), (9), (27), (81)) AS sk(s)
+        |  WHERE doc_id + s < 300),
+        |p(id, dist) AS (
+        |  SELECT CAST(0 AS BIGINT) AS id, CAST(0 AS BIGINT) AS dist
+        |  UNION
+        |  SELECT e.dst, p.dist + e.w FROM p JOIN e ON e.src = p.id)
+        |SELECT id, MIN(dist) AS dist FROM p GROUP BY id ORDER BY id""".stripMargin,
+
+    // depth-bounded recursion = exactly k bulk rounds of min-label
+    "q_iter_minlabel" ->
+      """WITH RECURSIVE
+        |n AS (SELECT doc_id FROM documents WHERE doc_id < 300),
+        |e AS (
+        |  SELECT doc_id AS src, doc_id + 1 AS dst FROM n WHERE doc_id + 1 < 300
+        |  UNION ALL
+        |  SELECT doc_id, doc_id + s FROM n, (VALUES (3), (9), (27), (81)) AS sk(s)
+        |  WHERE doc_id + s < 300),
+        |r(id, label, depth) AS (
+        |  SELECT doc_id, doc_id, 0 FROM n
+        |  UNION ALL
+        |  SELECT e.dst, r.label, r.depth + 1 FROM r JOIN e ON e.src = r.id WHERE r.depth < 5)
+        |SELECT id, MIN(label) AS label FROM r GROUP BY id ORDER BY id""".stripMargin
   )
 }

@@ -123,4 +123,35 @@ object ChangelogJson {
       .select(col("c.kind").as(Changelog.RowKindCol), col("c.row.*"),
         col("ts_ms"))
   }
+
+  /** Decode `ogg-json` envelopes (OggJsonDeserializationSchema —
+    * Oracle GoldenGate): `{"before":…, "after":…, "op_type": "I"|"U"|
+    * "D", "op_ts": "yyyy-MM-dd HH:mm:ss.ffffff"}`. `I` emits +I from
+    * `after`; `U` the -U/+U pair from full before/after images (ogg
+    * ships complete rows, no partial-old merge); `D` emits -D from
+    * `before`. `op_ts` (the source-database commit time) parses to
+    * epoch-millis `ts_ms` for use as the materialize seq.
+    */
+  def ogg(json: DataFrame, valueCol: String,
+      payload: StructType): DataFrame = {
+    val env = StructType(Seq(
+      StructField("before", payload), StructField("after", payload),
+      StructField("op_type", StringType), StructField("op_ts", StringType)))
+    val e = from_json(col(valueCol), env)
+    val changes =
+      when(e.getField("op_type") === "I",
+        array(changeStruct(lit(Changelog.Insert), e.getField("after"))))
+      .when(e.getField("op_type") === "U", array(
+        changeStruct(lit(Changelog.UpdateBefore), e.getField("before")),
+        changeStruct(lit(Changelog.UpdateAfter), e.getField("after"))))
+      .when(e.getField("op_type") === "D",
+        array(changeStruct(lit(Changelog.Delete), e.getField("before"))))
+      .otherwise(raise_error(concat(lit("ogg-json: unknown op_type "),
+        e.getField("op_type"))))
+    json.select(explode(changes).as("c"),
+        unix_millis(to_timestamp(e.getField("op_ts"),
+          "yyyy-MM-dd HH:mm:ss.SSSSSS")).as("ts_ms"))
+      .select(col("c.kind").as(Changelog.RowKindCol), col("c.row.*"),
+        col("ts_ms"))
+  }
 }

@@ -106,4 +106,56 @@ class GraftSqlSpec extends SparkSuite {
         |ORDER BY window_start""".stripMargin)
     assert(out.collect().length == 1)
   }
+
+  test("NEST_LOOP join hint maps to Spark's replicated nested loop") {
+    Seq(1L, 2L, 3L).toDF("a").createOrReplaceTempView("gs_nl_l")
+    Seq(2L, 3L, 4L).toDF("b").createOrReplaceTempView("gs_nl_r")
+    val out = GraftSql.sql(spark,
+      """SELECT /*+ NEST_LOOP(r) */ l.a, r.b
+        |FROM gs_nl_l l JOIN gs_nl_r r ON l.a < r.b""".stripMargin)
+    assert(out.count() == 6L)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("CartesianProduct") ||
+      plan.contains("BroadcastNestedLoopJoin"))
+    // reference-named hints Spark already knows pass through untouched
+    val bc = GraftSql.sql(spark,
+      """SELECT /*+ BROADCAST(r) */ l.a FROM gs_nl_l l
+        |JOIN gs_nl_r r ON l.a = r.b""".stripMargin)
+    assert(bc.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"))
+  }
+
+  test("OPTIONS hint overrides a connector table's options per statement") {
+    val dir1 = java.nio.file.Files.createTempDirectory("gs_opt1").toString
+    val dir2 = java.nio.file.Files.createTempDirectory("gs_opt2").toString
+    Seq((1L, "one")).toDF("id", "tag").write.mode("overwrite").parquet(dir1)
+    Seq((2L, "two"), (3L, "three")).toDF("id", "tag")
+      .write.mode("overwrite").parquet(dir2)
+    GraftSql.sql(spark,
+      s"""CREATE TABLE gs_opt_t (id BIGINT, tag STRING)
+         |WITH ('connector' = 'filesystem', 'path' = '$dir1',
+         |      'format' = 'parquet')""".stripMargin)
+    // hinted read: the path override applies to this statement only
+    val hinted = GraftSql.sql(spark,
+      "SELECT id FROM gs_opt_t /*+ OPTIONS('path'='" + dir2 +
+        "') */ ORDER BY id").collect().map(_.getLong(0)).toSeq
+    assert(hinted == Seq(2L, 3L))
+    // the registered table is untouched
+    val plain = GraftSql.sql(spark, "SELECT id FROM gs_opt_t")
+      .collect().map(_.getLong(0)).toSeq
+    assert(plain == Seq(1L))
+  }
+
+  test("OPTIONS on a non-connector table and STATE_TTL fail loudly") {
+    Seq(1L).toDF("x").createOrReplaceTempView("gs_opt_plain")
+    val e1 = intercept[RuntimeException] {
+      GraftSql.sql(spark,
+        "SELECT x FROM gs_opt_plain /*+ OPTIONS('k'='v') */")
+    }
+    assert(e1.getMessage.contains("not a connector table"))
+    val e2 = intercept[RuntimeException] {
+      GraftSql.sql(spark,
+        "SELECT /*+ STATE_TTL('t'='1h') */ x FROM gs_opt_plain")
+    }
+    assert(e2.getMessage.contains("STATE_TTL"))
+  }
 }

@@ -62,6 +62,25 @@ class ChangelogJsonSpec extends SparkSuite {
       (Changelog.Delete, 1L, "a2", 30L)))
   }
 
+  test("ogg-json: I/U/D decode with op_ts commit-time parsing") {
+    val env = Seq(
+      """{"after":{"id":1,"v":"a"},"op_type":"I","op_ts":"2024-01-01 00:00:01.000000"}""",
+      """{"before":{"id":1,"v":"a"},"after":{"id":1,"v":"b"},"op_type":"U","op_ts":"2024-01-01 00:00:02.000000"}""",
+      """{"before":{"id":2,"v":"x"},"op_type":"D","op_ts":"2024-01-01 00:00:03.000000"}""").toDF("value")
+    val base = 1704067200000L // 2024-01-01T00:00:00Z in UTC session tz
+    val got = ChangelogJson.ogg(env, "value", payload)
+      .as[(Byte, Long, String, Long)].collect().toSet
+    assert(got == Set(
+      (Changelog.Insert, 1L, "a", base + 1000L),
+      (Changelog.UpdateBefore, 1L, "a", base + 2000L),
+      (Changelog.UpdateAfter, 1L, "b", base + 2000L),
+      (Changelog.Delete, 2L, "x", base + 3000L)))
+    val fin = Changelog.materialize(
+      ChangelogJson.ogg(env, "value", payload), Seq("id"), "ts_ms")
+      .select($"id", $"v").as[(Long, String)].collect().toSet
+    assert(fin == Set((1L, "b")))
+  }
+
   test("unknown op is a loud error") {
     val env = Seq("""{"after":{"id":1,"v":"a"},"op":"z","ts_ms":1}""").toDF("value")
     val e = intercept[Exception] {
