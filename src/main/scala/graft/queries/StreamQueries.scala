@@ -912,6 +912,70 @@ object StreamQueries {
         .orderBy($"user_id")
     }),
 
+    // State bootstrap + savepoint-rewrite loop (streaming/StateBootstrap
+    // — the State Processor API's WRITE side, SavepointWriter /
+    // OperatorTransformation.bootstrapWith): phase 1 streams the
+    // pre-cutoff half of events through the keyed running aggregate
+    // with a RETAINED checkpoint and stops; the checkpoint state reads
+    // back offline (StateReader), becomes the successor's bootstrap
+    // frame, and phase 2 — a NEW query on a fresh checkpoint —
+    // continues over the post-cutoff half with that initial state. The
+    // final running totals must equal batch totals over ALL events for
+    // every user active after the cutoff: lost, doubled, or stale
+    // bootstrap state each diverge the hash.
+    "q_state_bootstrap" -> ((s, dir) => {
+      import s.implicits._
+      implicit val sqlCtx = s.sqlContext
+      import graft.streaming.StateBootstrap
+      val rows = sortedEvents(s, dir)
+      val us = rows.map(e => micros(e.ts))
+      val cutoff = us.min + (us.max - us.min) / 2
+      def toIn(e: Ev) =
+        StateBootstrap.BIn(e.user_id.toString, math.round(e.value * 100))
+      val hist = rows.filter(e => micros(e.ts) < cutoff).map(toIn)
+      val rest = rows.filter(e => micros(e.ts) >= cutoff).map(toIn)
+      // phase 1: transformWithState needs RocksDB; changelog
+      // checkpointing stays OFF so the offline statestore read sees
+      // plain snapshots; checkpoint retained until JVM exit
+      val ckpt1 = tmpDir("q_state_boot") + "/ckpt1"
+      val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
+      val prevProvider =
+        s.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+      s.conf.set("spark.sql.shuffle.partitions", "2")
+      s.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      val in1 = MemoryStream[StateBootstrap.BIn]
+      val out1 = StateBootstrap.agg(in1.toDS(),
+        s.emptyDataset(Encoders.product[StateBootstrap.BInit]))
+      val q1 =
+        try out1.writeStream.format("memory")
+          .queryName(s"qsb_${java.util.UUID.randomUUID().toString.replace("-", "")}")
+          .outputMode("update")
+          .option("checkpointLocation", ckpt1).start()
+        finally {
+          s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+          prevProvider match {
+            case Some(p) =>
+              s.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+            case None =>
+              s.conf.unset("spark.sql.streaming.stateStore.providerClass")
+          }
+        }
+      try chunks(hist, 2).foreach { b => in1.addData(b); q1.processAllAvailable() }
+      finally q1.stop()
+      // the read→(identity-)rewrite→bootstrap leg; the spec drives a
+      // non-identity rewrite through the same path
+      val boot = StateBootstrap.readAccState(s, ckpt1)
+      val in2 = MemoryStream[StateBootstrap.BIn]
+      val out2 = StateBootstrap.agg(in2.toDS(), boot)
+      val sink = runToEnd(s, in2, out2, chunks(rest, 3), rocks = true)
+      // n is strictly monotone per key: the final state is the argmax row
+      sink.groupBy($"key".cast("long").as("user_id"))
+        .agg(max(struct($"n", $"cents")).as("m"))
+        .select($"user_id", $"m.n".as("n"), $"m.cents".as("sum_cents"))
+        .orderBy($"user_id")
+    }),
+
     // Watermark idleness (WatermarkStrategy.withIdleness via
     // WatermarkOutputMultiplexer — SURVEY §2.10's last partial row):
     // events replay as TWO source partitions (user parity); the odd
@@ -1180,6 +1244,18 @@ object StreamQueries {
       """SELECT event_type, COUNT(DISTINCT user_id) AS n_users
         |FROM events WHERE event_id % 4 <> 0
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // totals over ALL events for users active after the handover cutoff
+    // (phase-2 keys); the history half reaches the result only through
+    // the checkpoint→read→bootstrap cycle
+    "q_state_bootstrap" ->
+      """WITH e AS (SELECT user_id, epoch_ns(ts) // 1000 AS usec,
+        |  CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents FROM events),
+        |c AS (SELECT MIN(usec) + (MAX(usec) - MIN(usec)) // 2 AS cutoff FROM e)
+        |SELECT user_id, COUNT(*) AS n, CAST(SUM(cents) AS BIGINT) AS sum_cents
+        |FROM e GROUP BY user_id
+        |HAVING MAX(usec) >= (SELECT cutoff FROM c)
+        |ORDER BY user_id""".stripMargin,
 
     // exactly the rows the idleness replay sends: even-parity users in
     // full, odd-parity users only before the one-third time cutoff (the
