@@ -332,6 +332,28 @@ object FunctionQueries {
         .orderBy($"r_regionkey")
     }),
 
+    // The §2.9 stragglers: the position family in all three spellings
+    // (position:987, locate:1177, instr:1166 — all 1-based, 0 = absent),
+    // ELT-style 1-based member pick, fromUnixtime:1963 (string form),
+    // and convertTz:1951 (NTZ wall-clock rebase between zones; the epoch
+    // base lands in EST so no DST edge enters the oracle).
+    "q_fn_misc" -> ((s, dir) => {
+      import s.implicits._
+      val epoch = $"n_nationkey" * 86400L + lit(1700000000L) + lit(3661L)
+      t(s, dir, "nation")
+        .select(
+          $"n_nationkey",
+          locate("A", $"n_name").cast(LongType).as("loc_a"),
+          instr($"n_name", "AN").cast(LongType).as("instr_an"),
+          expr("position('I' IN n_name)").cast(LongType).as("pos_i"),
+          elt(($"n_nationkey" % 3 + 1).cast(IntegerType), $"n_name",
+            lit("mid"), lit("last")).as("elt_pick"),
+          from_unixtime(epoch).as("fut"),
+          convert_timezone(lit("UTC"), lit("America/New_York"),
+            timestamp_seconds(epoch).cast(TimestampNTZType)).as("ny_wall"))
+        .orderBy($"n_nationkey")
+    }),
+
     // parse_url (parseUrl:1193) over synthesized URLs.
     "q_fn_url" -> ((s, dir) => {
       import s.implicits._
@@ -602,6 +624,17 @@ object FunctionQueries {
         |  substr(r_name, 1, 1) || '##' || substr(r_name, 4) AS overlaid,
         |  '' || r_name AS mapped
         |FROM region ORDER BY r_regionkey""".stripMargin,
+
+    "q_fn_misc" ->
+      """SELECT n_nationkey,
+        |  strpos(n_name, 'A') AS loc_a,
+        |  strpos(n_name, 'AN') AS instr_an,
+        |  strpos(n_name, 'I') AS pos_i,
+        |  CASE CAST(n_nationkey % 3 + 1 AS INTEGER)
+        |    WHEN 1 THEN n_name WHEN 2 THEN 'mid' ELSE 'last' END AS elt_pick,
+        |  strftime(CAST(to_timestamp(1700000000 + n_nationkey * 86400 + 3661) AT TIME ZONE 'UTC' AS TIMESTAMP), '%Y-%m-%d %H:%M:%S') AS fut,
+        |  CAST(to_timestamp(1700000000 + n_nationkey * 86400 + 3661) AT TIME ZONE 'America/New_York' AS TIMESTAMP) AS ny_wall
+        |FROM nation ORDER BY n_nationkey""".stripMargin,
 
     "q_fn_url" ->
       """SELECT p_partkey,

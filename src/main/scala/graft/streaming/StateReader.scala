@@ -50,4 +50,24 @@ object StateReader {
       .option("operatorId", operatorId.toString)
       .option("joinSide", side)
       .load(checkpoint)
+
+  /** Queryable state (`KeyedStream.asQueryableState`,
+    * flink-queryable-state/ QueryableStateClient.getKvState): external
+    * point reads of a key's LIVE state while the query keeps running.
+    * Spark mapping: a committed micro-batch's state files are immutable,
+    * so the `statestore` source reads the last-committed image
+    * concurrently with the running query — the same read-committed
+    * visibility the reference's client gives (it too serves the last
+    * consistent snapshot, not mid-record mutations). The lookup is a
+    * pruned scan + key filter rather than an index probe: fine for
+    * dashboards/debug (the reference deprecated the feature for hot
+    * paths as well); a serving-grade path belongs in an external store
+    * fed by the changelog.
+    */
+  def point(spark: SparkSession, checkpoint: String, varName: String,
+      key: Any, operatorId: Int = 0): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit}
+    stateVar(spark, checkpoint, varName, operatorId)
+      .filter(col("key.value") === lit(key))
+  }
 }

@@ -59,4 +59,28 @@ class StateBootstrapSpec extends SparkSuite {
     // a continues from the REWRITTEN (2,60); b restarts from empty
     assert(fin2 == Map("a" -> ((3L, 61L)), "b" -> ((1L, 2L))))
   }
+
+  test("queryable state: point reads of a RUNNING query's live state") {
+    implicit val sqlCtx = spark.sqlContext
+    val ckpt = tmpDir("sb_live")
+    val input = MemoryStream[BIn]
+    val out = StateBootstrap.agg(input.toDS(), spark.emptyDataset[BInit])
+    val q = out.writeStream.format("memory")
+      .queryName(s"sbl_${System.nanoTime()}")
+      .outputMode("update").option("checkpointLocation", ckpt).start()
+    try {
+      input.addData(Seq(BIn("a", 10L), BIn("b", 5L)))
+      q.processAllAvailable()
+      // the query is STILL RUNNING: point-read key a's committed state
+      def readA() = StateReader.point(spark, ckpt, "acc", "a")
+        .select($"value.n", $"value.cents").as[(Long, Long)].collect().toSeq
+      assert(q.isActive && readA() == Seq((1L, 10L)))
+      // a later batch becomes visible at its commit (read-committed)
+      input.addData(Seq(BIn("a", 7L)))
+      q.processAllAvailable()
+      assert(q.isActive && readA() == Seq((2L, 17L)))
+      // absent key: empty, not an error
+      assert(StateReader.point(spark, ckpt, "acc", "zzz").isEmpty)
+    } finally q.stop()
+  }
 }
