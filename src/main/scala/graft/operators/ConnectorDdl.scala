@@ -42,6 +42,7 @@ object ConnectorDdl {
   case class TableDesc(name: String, fields: StructType,
       computed: Seq[(String, String)], watermark: Option[(String, String)],
       primaryKey: Seq[String], options: Map[String, String],
+      partitions: Seq[String] = Seq.empty,
       insertSeq: java.util.concurrent.atomic.AtomicLong =
         new java.util.concurrent.atomic.AtomicLong(0L)) {
     def connector: String = options.getOrElse("connector",
@@ -60,8 +61,27 @@ object ConnectorDdl {
 
   private val CreateRe =
     """(?is)^\s*CREATE\s+(?:TEMPORARY\s+)?TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?([A-Za-z_][\w.]*)\s*\((.*)\)\s*WITH\s*\((.*)\)\s*;?\s*$""".r
+  private val PartClauseRe =
+    """(?is)PARTITIONED\s+BY\s*\(([^)]*)\)\s*""".r
+  private val CreateLikeRe =
+    """(?is)^\s*CREATE\s+(?:TEMPORARY\s+)?TABLE\s+([A-Za-z_][\w.]*)\s*(?:\((.*)\)\s*)?(?:WITH\s*\((.*)\)\s*)?LIKE\s+([A-Za-z_][\w.]*)\s*(?:\(\s*(INCLUDING|EXCLUDING)\s+OPTIONS\s*\))?\s*;?\s*$""".r
   private val InsertRe =
     """(?is)^\s*INSERT\s+(INTO|OVERWRITE)\s+([A-Za-z_][\w.]*)\s+(.*?)\s*;?\s*$""".r
+  private val InsertPartRe =
+    """(?is)^\s*PARTITION\s*\(([^)]*)\)\s*(.*)$""".r
+
+  /** Pull a top-level `PARTITIONED BY (…)` clause out of a CREATE
+    * statement (the greedy column-body regex cannot disambiguate it);
+    * returns the statement without the clause plus the partition cols.
+    */
+  private def splitPartitionClause(stmt: String): (String, Seq[String]) =
+    PartClauseRe.findFirstMatchIn(SqlText.maskQuoted(stmt)) match {
+      case Some(m) =>
+        (stmt.substring(0, m.start) + stmt.substring(m.end),
+          stmt.substring(m.start(1), m.end(1))
+            .split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+      case None => (stmt, Seq.empty)
+    }
   private val WatermarkRe =
     """(?is)^WATERMARK\s+FOR\s+(\w+)\s+AS\s+\w+\s*-\s*INTERVAL\s*'(\d+)'\s*(\w+)$""".r
   private val PkRe =
@@ -70,7 +90,8 @@ object ConnectorDdl {
   private val FieldRe = """(?is)^(\w+)\s+(.+?)(?:\s+NOT\s+NULL)?$""".r
 
   /** Is this statement connector DDL/DML this object handles? */
-  def isCreate(stmt: String): Boolean = CreateRe.matches(stmt)
+  def isCreate(stmt: String): Boolean =
+    CreateLikeRe.matches(stmt) || CreateRe.matches(splitPartitionClause(stmt)._1)
   def isInsert(spark: SparkSession, stmt: String): Boolean = stmt match {
     case InsertRe(_, name, _) => lookup(spark, name).isDefined
     case _ => false
@@ -110,45 +131,89 @@ object ConnectorDdl {
     else sys.error(s"WITH option piece not quoted: $s")
   }
 
-  /** Execute a CREATE TABLE … WITH (…) statement. */
-  def createTable(spark: SparkSession, stmt: String): Unit = stmt match {
-    case CreateRe(name, body, opts) =>
-      val options = splitTop(opts).map { kv =>
-        val i = SqlText.maskQuoted(kv).indexOf('=')
-        require(i > 0, s"bad WITH option: $kv")
-        unquote(kv.substring(0, i)) -> unquote(kv.substring(i + 1))
-      }.toMap
-      var fields = Vector.empty[StructField]
-      var computed = Vector.empty[(String, String)]
-      var watermark: Option[(String, String)] = None
-      var pk = Seq.empty[String]
-      splitTop(body).foreach {
-        case WatermarkRe(c, n, unit) =>
-          watermark = Some((c, s"$n ${unit.toLowerCase}"))
-        case PkRe(cols) =>
-          pk = cols.split(",").map(_.trim).toSeq
-        case ComputedRe(n, expr) => // the AS keyword disambiguates from fields
-          computed :+= ((n, expr.trim))
-        case FieldRe(n, tpe) =>
-          fields :+= StructField(n, sparkType(tpe))
-        case other => sys.error(s"unrecognized CREATE TABLE item: $other")
-      }
-      val desc = TableDesc(name, StructType(fields), computed, watermark,
-        pk, options)
-      registry.put(key(spark, name), desc)
-      desc.connector match {
-        case "filesystem" if desc.primaryKey.isEmpty =>
-          if (new java.io.File(options.getOrElse("path",
-              sys.error(s"$name: filesystem needs 'path'"))).exists())
-            sourceFrame(spark, desc).createOrReplaceTempView(name)
-          // else: sink-only for now; a later INSERT materializes it
-        case "filesystem" => () // PK table: view appears after first INSERT
-        case "datagen" =>
-          datagenFrame(spark, desc).createOrReplaceTempView(name)
-        case "print" | "blackhole" => () // sink-only
-        case c => sys.error(s"unsupported connector '$c'")
-      }
-    case _ => sys.error("not a connector CREATE TABLE statement")
+  private def parseOptions(opts: String): Map[String, String] =
+    splitTop(opts).map { kv =>
+      val i = SqlText.maskQuoted(kv).indexOf('=')
+      require(i > 0, s"bad WITH option: $kv")
+      unquote(kv.substring(0, i)) -> unquote(kv.substring(i + 1))
+    }.toMap
+
+  private case class ParsedBody(fields: Vector[StructField],
+      computed: Vector[(String, String)],
+      watermark: Option[(String, String)], pk: Seq[String])
+
+  private def parseBody(body: String): ParsedBody = {
+    var fields = Vector.empty[StructField]
+    var computed = Vector.empty[(String, String)]
+    var watermark: Option[(String, String)] = None
+    var pk = Seq.empty[String]
+    splitTop(body).foreach {
+      case WatermarkRe(c, n, unit) =>
+        watermark = Some((c, s"$n ${unit.toLowerCase}"))
+      case PkRe(cols) =>
+        pk = cols.split(",").map(_.trim).toSeq
+      case ComputedRe(n, expr) => // the AS keyword disambiguates from fields
+        computed :+= ((n, expr.trim))
+      case FieldRe(n, tpe) =>
+        fields :+= StructField(n, sparkType(tpe))
+      case other => sys.error(s"unrecognized CREATE TABLE item: $other")
+    }
+    ParsedBody(fields, computed, watermark, pk)
+  }
+
+  private def register(spark: SparkSession, desc: TableDesc): Unit = {
+    registry.put(key(spark, desc.name), desc)
+    desc.connector match {
+      case "filesystem" if desc.primaryKey.isEmpty =>
+        if (new java.io.File(desc.options.getOrElse("path",
+            sys.error(s"${desc.name}: filesystem needs 'path'"))).exists())
+          sourceFrame(spark, desc).createOrReplaceTempView(desc.name)
+        // else: sink-only for now; a later INSERT materializes it
+      case "filesystem" => () // PK table: view appears after first INSERT
+      case "datagen" =>
+        datagenFrame(spark, desc).createOrReplaceTempView(desc.name)
+      case "print" | "blackhole" => () // sink-only
+      case c => sys.error(s"unsupported connector '$c'")
+    }
+  }
+
+  /** Execute a CREATE TABLE … [PARTITIONED BY (…)] WITH (…) [LIKE …]
+    * statement. LIKE (SqlCreateTableLike): the new table inherits the
+    * base's schema, computed columns, watermark, primary key, partitions
+    * and — unless `(EXCLUDING OPTIONS)` — its WITH options; new columns
+    * append, new options override.
+    */
+  def createTable(spark: SparkSession, stmt: String): Unit = {
+    stmt match {
+      case CreateLikeRe(name, bodyOrNull, optsOrNull, baseName, optMode) =>
+        val base = lookup(spark, baseName).getOrElse(
+          sys.error(s"LIKE base '$baseName' is not a registered connector table"))
+        val extra = Option(bodyOrNull).map(parseBody)
+          .getOrElse(ParsedBody(Vector.empty, Vector.empty, None, Nil))
+        val newOpts = Option(optsOrNull).map(parseOptions).getOrElse(Map.empty)
+        val baseOpts =
+          if (Option(optMode).exists(_.equalsIgnoreCase("EXCLUDING")))
+            Map.empty[String, String]
+          else base.options
+        register(spark, TableDesc(name,
+          StructType(base.fields.fields ++ extra.fields),
+          base.computed ++ extra.computed,
+          extra.watermark.orElse(base.watermark),
+          if (extra.pk.nonEmpty) extra.pk else base.primaryKey,
+          baseOpts ++ newOpts, base.partitions))
+        return
+      case _ => ()
+    }
+    val (bare, partitions) = splitPartitionClause(stmt)
+    bare match {
+      case CreateRe(name, body, opts) =>
+        val p = parseBody(body)
+        partitions.foreach(c => require(p.fields.exists(_.name == c),
+          s"PARTITIONED BY column '$c' is not in the schema"))
+        register(spark, TableDesc(name, StructType(p.fields), p.computed,
+          p.watermark, p.pk, parseOptions(opts), partitions))
+      case _ => sys.error("not a connector CREATE TABLE statement")
+    }
   }
 
   /** Re-read a registered table with per-statement option overrides —
@@ -205,12 +270,33 @@ object ConnectorDdl {
     projected.drop("__id")
   }
 
-  /** Execute `INSERT INTO/OVERWRITE <connector table> <query>`. */
+  /** Execute `INSERT INTO/OVERWRITE <table> [PARTITION (c='v', …)]
+    * <query>` — static partition values (SqlInsert static partitions)
+    * become literal columns appended to the query result.
+    */
   def insertInto(spark: SparkSession, stmt: String,
       runQuery: (SparkSession, String) => DataFrame): Unit = stmt match {
-    case InsertRe(mode, name, query) =>
+    case InsertRe(mode, name, query0) =>
       val d = lookup(spark, name).getOrElse(sys.error(s"unknown table $name"))
-      val df = runQuery(spark, query)
+      val (query, static) = query0 match {
+        case InsertPartRe(pairs, rest) =>
+          (rest, pairs.split(",").map(_.trim).filter(_.nonEmpty).toSeq.map { p =>
+            val i = p.indexOf('=')
+            require(i > 0, s"bad static partition spec: $p")
+            val v = p.substring(i + 1).trim
+            p.substring(0, i).trim ->
+              (if (v.length >= 2 && v.head == '\'' && v.last == '\'')
+                v.substring(1, v.length - 1) else v)
+          })
+        case _ => (query0, Seq.empty)
+      }
+      val df = static.foldLeft(runQuery(spark, query)) { case (acc, (c, v)) =>
+        require(d.partitions.contains(c),
+          s"static partition '$c' is not a partition column of $name")
+        val f = d.fields.find(_.name == c).getOrElse(
+          sys.error(s"static partition '$c' is not in $name's schema"))
+        acc.withColumn(c, lit(v).cast(f.dataType))
+      }
       d.connector match {
         case "print" =>
           df.collect().foreach(r => println(s"+I[${r.mkString(", ")}]"))
@@ -234,18 +320,27 @@ object ConnectorDdl {
           val ckpt = d.options.getOrElse("sink.checkpoint",
             java.nio.file.Files.createTempDirectory(s"ddl_${name}_ckpt")
               .toString)
-          val q = df.writeStream.format(fmt)
+          val ws0 = df.writeStream.format(fmt)
             .option("checkpointLocation", ckpt)
             .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          val q = (if (d.partitions.nonEmpty)
+            ws0.partitionBy(d.partitions: _*) else ws0)
             .start(d.options("path"))
           q.awaitTermination()
           sourceFrame(spark, d.copy(options = d.options - "scan.streaming"))
             .createOrReplaceTempView(name)
         case "filesystem" =>
           val fmt = d.options.getOrElse("format", "parquet")
-          df.write.format(fmt)
+          val w0 = df.write.format(fmt)
             .mode(if (mode.equalsIgnoreCase("OVERWRITE")) "overwrite" else "append")
-            .save(d.options("path"))
+          // partitioned OVERWRITE replaces only the partitions the
+          // query produced (the reference's dynamic-partition overwrite;
+          // a static PARTITION clause pins exactly one of them)
+          val w = if (d.partitions.nonEmpty)
+            w0.partitionBy(d.partitions: _*)
+              .option("partitionOverwriteMode", "dynamic")
+          else w0
+          w.save(d.options("path"))
           sourceFrame(spark, d).createOrReplaceTempView(name)
         case c => sys.error(s"connector '$c' is not writable")
       }

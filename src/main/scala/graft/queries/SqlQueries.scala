@@ -174,6 +174,40 @@ object SqlQueries {
           |FROM lineitem GROUP BY l_returnflag""".stripMargin)
       graft.GraftSql.sql(s,
         "SELECT * FROM ddl_sink ORDER BY l_returnflag")
+    }),
+
+    // PARTITIONED BY sink: orders materialize hash-partitioned by
+    // o_orderstatus (directory-per-status layout, dynamic-partition
+    // OVERWRITE), plus a STATIC `PARTITION (o_orderstatus = 'X')` insert
+    // whose rows take the literal from the clause. Read back through the
+    // partitioned scan and aggregate per partition value — lost rows,
+    // misrouted partitions, or a clobbered untouched partition each
+    // diverge against the declarative oracle.
+    "q_sql_ddl_part" -> ((s, dir) => {
+      Tables.registerAll(s, dir)
+      val out = java.nio.file.Files.createTempDirectory("q_sql_ddl_part")
+      Runtime.getRuntime.addShutdownHook(
+        new Thread(() => Q.deleteRecursively(out)))
+      graft.GraftSql.sql(s,
+        s"""CREATE TABLE ddl_part (o_orderkey BIGINT, cents BIGINT,
+           |  o_orderstatus STRING)
+           |PARTITIONED BY (o_orderstatus)
+           |WITH ('connector' = 'filesystem', 'path' = '$out/t',
+           |      'format' = 'parquet')""".stripMargin)
+      graft.GraftSql.sql(s,
+        """INSERT OVERWRITE ddl_part
+          |SELECT o_orderkey,
+          |  CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents,
+          |  o_orderstatus
+          |FROM orders""".stripMargin)
+      graft.GraftSql.sql(s,
+        """INSERT INTO ddl_part PARTITION (o_orderstatus = 'X')
+          |SELECT o_orderkey + 10000000,
+          |  CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents
+          |FROM orders WHERE o_orderkey % 100 = 0""".stripMargin)
+      graft.GraftSql.sql(s,
+        """SELECT o_orderstatus, COUNT(*) AS n, SUM(cents) AS sum_cents
+          |FROM ddl_part GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)
     })
   )
 
@@ -188,5 +222,18 @@ object SqlQueries {
     "q_sql_ddl_sink" ->
       """SELECT l_returnflag,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
-        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q_sql_ddl_part" ->
+      """WITH base AS (
+        |  SELECT o_orderkey,
+        |    CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents,
+        |    o_orderstatus
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT o_orderkey + 10000000,
+        |    CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT), 'X'
+        |  FROM orders WHERE o_orderkey % 100 = 0)
+        |SELECT o_orderstatus, COUNT(*) AS n,
+        |  CAST(SUM(cents) AS BIGINT) AS sum_cents
+        |FROM base GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)
 }

@@ -135,4 +135,56 @@ class ConnectorDdlSpec extends SparkSuite {
         |WITH ('connector' = 'blackhole')""".stripMargin)
     GraftSql.sql(spark, "INSERT INTO sink_bh SELECT sid FROM gen")
   }
+
+  test("PARTITIONED BY: partitioned writes, static partitions, pruning") {
+    val dir = tmp("ddl_part") + "/t"
+    GraftSql.sql(spark,
+      s"""CREATE TABLE part_t (id BIGINT, v DOUBLE, tag STRING)
+         |PARTITIONED BY (tag)
+         |WITH ('connector' = 'filesystem', 'path' = '$dir',
+         |      'format' = 'parquet')""".stripMargin)
+    GraftSql.sql(spark,
+      """INSERT INTO part_t SELECT * FROM
+        |VALUES (1, 1.0, 'a'), (2, 2.0, 'b') AS t(id, v, tag)""".stripMargin)
+    // the directory layout IS partitioned
+    assert(new java.io.File(s"$dir/tag=a").isDirectory)
+    // static partition: the value comes from the PARTITION clause
+    GraftSql.sql(spark,
+      """INSERT INTO part_t PARTITION (tag = 'c')
+        |SELECT * FROM VALUES (3, 3.0) AS t(id, v)""".stripMargin)
+    // dynamic-partition OVERWRITE replaces ONLY the written partition
+    GraftSql.sql(spark,
+      """INSERT OVERWRITE part_t PARTITION (tag = 'a')
+        |SELECT * FROM VALUES (9, 9.0) AS t(id, v)""".stripMargin)
+    val rows = GraftSql.sql(spark,
+      "SELECT id, tag FROM part_t ORDER BY id")
+      .as[(Long, String)].collect().toSeq
+    assert(rows == Seq((2L, "b"), (3L, "c"), (9L, "a")))
+    // partition pruning reaches the scan
+    val plan = GraftSql.sql(spark, "SELECT id FROM part_t WHERE tag = 'b'")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(tag"))
+  }
+
+  test("CREATE TABLE LIKE inherits schema and options; EXCLUDING drops them") {
+    val dir = tmp("ddl_like") + "/src"
+    Seq((1L, "x")).toDF("id", "tag").write.mode("overwrite").parquet(dir)
+    GraftSql.sql(spark,
+      s"""CREATE TABLE like_base (id BIGINT, tag STRING)
+         |WITH ('connector' = 'filesystem', 'path' = '$dir',
+         |      'format' = 'parquet')""".stripMargin)
+    // derived table: extra computed column, inherited options
+    GraftSql.sql(spark,
+      "CREATE TABLE like_kid (doubled AS id * 2) LIKE like_base")
+    val rows = GraftSql.sql(spark,
+      "SELECT id, tag, doubled FROM like_kid")
+      .as[(Long, String, Long)].collect().toSeq
+    assert(rows == Seq((1L, "x", 2L)))
+    // EXCLUDING OPTIONS: the child must supply its own connector
+    val e = intercept[RuntimeException] {
+      GraftSql.sql(spark,
+        "CREATE TABLE like_bad LIKE like_base (EXCLUDING OPTIONS)")
+    }
+    assert(e.getMessage.contains("connector"))
+  }
 }
