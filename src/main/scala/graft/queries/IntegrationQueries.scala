@@ -183,6 +183,14 @@ object IntegrationQueries {
       StreamQueries.countWindowReplay(s, dir, size = 10)
     }),
 
+    // Sliding count window (StatefulOps.CountSlideProcessor —
+    // countWindow(size, slide)): fires every 4th row per user over the
+    // trailing 10; the oracle restates each firing with a windowed
+    // self-join over the replay's row numbers.
+    "q_stream_countslide" -> ((s, dir) => {
+      StreamQueries.countSlideReplay(s, dir, size = 10, slide = 4)
+    }),
+
     // Streaming temporal sort + chained order audit (TemporalSort): see
     // StreamQueries.temporalSortReplay — the second stateful operator
     // makes emission ORDER an oracle-checkable value.
@@ -506,6 +514,22 @@ object IntegrationQueries {
         |          ORDER BY o_totalprice DESC, o_orderkey) AS rank
         |      FROM orders)
         |WHERE rank <= 2 ORDER BY o_orderstatus, rank""".stripMargin,
+
+    "q_stream_countslide" ->
+      """WITH ordered AS (
+        |  SELECT user_id, event_id,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id
+        |      ORDER BY make_timestamp(epoch_ns(ts) // 1000), event_id) AS rn
+        |  FROM events)
+        |SELECT CAST(o.user_id AS VARCHAR) AS key,
+        |  CAST(o.rn // 4 AS BIGINT) AS fire_id,
+        |  CAST(SUM(i.event_id) AS BIGINT) AS sum_ids,
+        |  CAST(COUNT(*) AS BIGINT) AS n
+        |FROM ordered o JOIN ordered i
+        |  ON i.user_id = o.user_id AND i.rn BETWEEN o.rn - 9 AND o.rn
+        |WHERE o.rn % 4 = 0
+        |GROUP BY o.user_id, o.rn
+        |ORDER BY key, fire_id""".stripMargin,
 
     "q_stream_countwin" ->
       """WITH ordered AS (

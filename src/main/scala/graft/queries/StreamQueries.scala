@@ -191,6 +191,30 @@ object StreamQueries {
       .orderBy($"key", $"window_id")
   }
 
+  /** Sliding-count-window replay (IntegrationQueries.q_stream_countslide):
+    * every `slide`-th row per user emits the event-id sum over the last
+    * `size` rows — KeyedStream.countWindow(size, slide) semantics, the
+    * CountEvictor's trailing retention made oracle-visible.
+    */
+  private[queries] def countSlideReplay(s: SparkSession, dir: String,
+      size: Int, slide: Int): DataFrame = {
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    implicit val chEnc =
+      Encoders.product[StatefulOps.Change[String, Long]]
+    val rows = sortedEvents(s, dir).map(e =>
+      StatefulOps.Change(Changelog.Insert, e.user_id.toString, e.event_id))
+    val input = MemoryStream[StatefulOps.Change[String, Long]]
+    val out = input.toDS().groupByKey(_.key)
+      .transformWithState(new StatefulOps.CountSlideProcessor(size, slide),
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        org.apache.spark.sql.streaming.OutputMode.Update())
+    val sink = runToEnd(s, input, out.toDF(), chunks(rows, 4), rocks = true)
+    sink.select($"key", $"fireId".as("fire_id"),
+        $"sum".as("sum_ids"), $"n")
+      .orderBy($"key", $"fire_id")
+  }
+
   /** Temporal-sort replay with a chained order auditor
     * (IntegrationQueries.q_stream_sort): events replay through
     * TemporalSort.sorted, whose append output feeds

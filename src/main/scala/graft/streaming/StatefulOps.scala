@@ -454,6 +454,41 @@ object StatefulOps {
     }
   }
 
+  /** Sliding count window — `KeyedStream.countWindow(size, slide)`
+    * (KeyedStream.java:766: GlobalWindows + CountTrigger(slide) +
+    * CountEvictor(size)): every `slide`-th row per key emits the
+    * aggregate over the LAST `size` rows. State is the retained tail
+    * (≤ size values) plus the arrival counter — exactly the evictor's
+    * retention, bounded regardless of stream length.
+    */
+  case class CountSlideResult(key: String, fireId: Long, sum: Long, n: Long)
+
+  case class CountSlideState(seen: Long, tail: Seq[Long])
+
+  class CountSlideProcessor(size: Int, slide: Int)
+      extends StatefulProcessor[String, Change[String, Long], CountSlideResult] {
+    require(size >= 1 && slide >= 1)
+    @transient private var st: ValueState[CountSlideState] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[CountSlideState]("slide",
+        Encoders.product[CountSlideState], TTLConfig.NONE)
+    override def handleInputRows(key: String,
+        rows: Iterator[Change[String, Long]],
+        timerValues: TimerValues): Iterator[CountSlideResult] = {
+      val out = scala.collection.mutable.ArrayBuffer.empty[CountSlideResult]
+      var cur = if (st.exists()) st.get() else CountSlideState(0L, Vector.empty)
+      rows.foreach { c =>
+        val tail = (cur.tail :+ c.value).takeRight(size)
+        cur = CountSlideState(cur.seen + 1, tail)
+        if (cur.seen % slide == 0)
+          out += CountSlideResult(key, cur.seen / slide, tail.sum,
+            tail.length.toLong)
+      }
+      st.update(cur)
+      out.iterator
+    }
+  }
+
   /** One partial-distinct input row: `group` is the logical GROUP BY
     * key, `bucket` the distinct-value shard (hash(value) % N upstream) —
     * the operator keys on the COMPOSITE (group, bucket), which is the

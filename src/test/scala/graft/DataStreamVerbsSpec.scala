@@ -32,4 +32,25 @@ class DataStreamVerbsSpec extends SparkSuite {
     assert(processed.collect().map(c => c.user -> c.n).toMap ==
       Map("b" -> 2L, "a" -> 3L, "c" -> 4L))
   }
+
+  test("physical partitioning verbs (DataStream.shuffle/rescale/global/partitionCustom/broadcast)") {
+    import org.apache.spark.sql.functions._
+    val ds = (1L to 100L).toDF("id")
+    // shuffle/rebalance/rescale → round-robin repartition to a width
+    val rebalanced = ds.repartition(5)
+    assert(rebalanced.rdd.getNumPartitions == 5)
+    // global → everything to one partition
+    assert(ds.repartition(1).rdd.getNumPartitions == 1)
+    // partitionCustom → hash-partition by an expression; co-partitioned
+    // rows land together (the custom Partitioner contract)
+    val custom = ds.repartition(4, col("id") % 4)
+    val partOf = custom.withColumn("p", spark_partition_id())
+      .select((col("id") % 4).as("k"), col("p")).distinct().collect()
+    assert(partOf.groupBy(_.getLong(0)).forall(_._2.length == 1))
+    // broadcast → replicate the small side to every task (broadcast join)
+    val joined = ds.join(broadcast(Seq((1L, "one")).toDF("id", "name")), "id")
+    assert(joined.queryExecution.executedPlan.toString
+      .contains("BroadcastHashJoin"))
+    assert(joined.count() == 1)
+  }
 }

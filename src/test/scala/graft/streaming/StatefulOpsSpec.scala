@@ -328,6 +328,24 @@ class StatefulOpsSpec extends SparkSuite {
     assert(out(2) == Seq(CountWindowResult("k", 1, 15, 3)))
   }
 
+  test("sliding count window fires every `slide` rows over the last `size`") {
+    // size 3, slide 2: fire at rows 2, 4, 6 with the trailing ≤3 values
+    val batches = Seq(
+      Seq(Change(Changelog.Insert, "k", 1L), Change(Changelog.Insert, "k", 2L),
+        Change(Changelog.Insert, "k", 3L)),
+      Seq(Change(Changelog.Insert, "k", 4L), Change(Changelog.Insert, "k", 5L),
+        Change(Changelog.Insert, "k", 6L), Change(Changelog.Insert, "x", 9L)))
+    val out = runBatches[Change[String, Long], CountSlideResult](batches,
+      ds => ds.groupByKey(_.key)
+        .transformWithState(new CountSlideProcessor(3, 2),
+          TimeMode.None(), OutputMode.Update()))
+    // fire 1: rows (1,2) — window not yet full, evictor keeps what exists
+    assert(out(0) == Seq(CountSlideResult("k", 1, 3, 2)))
+    // fires at rows 4 and 6: last three values each time; x never fires
+    assert(out(1).toSet == Set(CountSlideResult("k", 2, 9, 3),
+      CountSlideResult("k", 3, 15, 3)))
+  }
+
   test("split distinct: multiplicity guards retraction; shards fold to the total") {
     // group g's values shard across 2 buckets; value 10 arrives twice —
     // one retraction must NOT drop it from the distinct set
