@@ -44,6 +44,12 @@ object GraftSql {
     if (ConnectorDdl.isCreate(query)) {
       ConnectorDdl.createTable(spark, query)
       spark.emptyDataFrame
+    } else if (ConnectorDdl.isAlter(spark, query)) {
+      ConnectorDdl.alterTable(spark, query)
+      spark.emptyDataFrame
+    } else if (ConnectorDdl.isDrop(spark, query)) {
+      ConnectorDdl.dropTable(spark, query)
+      spark.emptyDataFrame
     } else if (ConnectorDdl.isInsert(spark, query)) {
       ConnectorDdl.insertInto(spark, query, (s, q) => sql(s, q))
       spark.emptyDataFrame

@@ -67,6 +67,10 @@ object ConnectorDdl {
     """(?is)^\s*CREATE\s+(?:TEMPORARY\s+)?TABLE\s+([A-Za-z_][\w.]*)\s*(?:\((.*)\)\s*)?(?:WITH\s*\((.*)\)\s*)?LIKE\s+([A-Za-z_][\w.]*)\s*(?:\(\s*(INCLUDING|EXCLUDING)\s+OPTIONS\s*\))?\s*;?\s*$""".r
   private val InsertRe =
     """(?is)^\s*INSERT\s+(INTO|OVERWRITE)\s+([A-Za-z_][\w.]*)\s+(.*?)\s*;?\s*$""".r
+  private val AlterRe =
+    """(?is)^\s*ALTER\s+TABLE\s+([A-Za-z_][\w.]*)\s+(SET|RESET)\s*\((.*)\)\s*;?\s*$""".r
+  private val DropRe =
+    """(?is)^\s*DROP\s+TABLE\s+(IF\s+EXISTS\s+)?([A-Za-z_][\w.]*)\s*;?\s*$""".r
   private val InsertPartRe =
     """(?is)^\s*PARTITION\s*\(([^)]*)\)\s*(.*)$""".r
 
@@ -92,6 +96,47 @@ object ConnectorDdl {
   /** Is this statement connector DDL/DML this object handles? */
   def isCreate(stmt: String): Boolean =
     CreateLikeRe.matches(stmt) || CreateRe.matches(splitPartitionClause(stmt)._1)
+
+  /** ALTER/DROP on a REGISTERED connector table (unregistered names fall
+    * through to spark.sql — catalog tables keep their native DDL).
+    */
+  def isAlter(spark: SparkSession, stmt: String): Boolean = stmt match {
+    case AlterRe(name, _, _) => lookup(spark, name).isDefined
+    case _ => false
+  }
+  def isDrop(spark: SparkSession, stmt: String): Boolean = stmt match {
+    case DropRe(_, name) => lookup(spark, name).isDefined
+    case _ => false
+  }
+
+  /** `ALTER TABLE t SET ('k'='v', …)` / `RESET ('k', …)` — the
+    * reference's SqlAlterTableOptions/SqlAlterTableReset: table options
+    * change in place and the readable view refreshes under the merged
+    * options. RESET items are bare or quoted key names.
+    */
+  def alterTable(spark: SparkSession, stmt: String): Unit = stmt match {
+    case AlterRe(name, verb, items) =>
+      val d = lookup(spark, name).getOrElse(sys.error(s"unknown table $name"))
+      val next =
+        if (verb.equalsIgnoreCase("SET")) d.options ++ parseOptions(items)
+        else d.options -- splitTop(items).map { k =>
+          val t = k.trim
+          if (t.length >= 2 && t.head == '\'' && t.last == '\'')
+            t.substring(1, t.length - 1) else t
+        }
+      require(next.contains("connector"),
+        s"$name: cannot RESET 'connector' — the table would lose its type")
+      register(spark, d.copy(options = next))
+    case _ => sys.error("not a connector ALTER TABLE statement")
+  }
+
+  /** `DROP TABLE [IF EXISTS] t` — unregister and drop the temp view. */
+  def dropTable(spark: SparkSession, stmt: String): Unit = stmt match {
+    case DropRe(_, name) =>
+      registry.remove(key(spark, name))
+      spark.catalog.dropTempView(name)
+    case _ => sys.error("not a connector DROP TABLE statement")
+  }
   def isInsert(spark: SparkSession, stmt: String): Boolean = stmt match {
     case InsertRe(_, name, _) => lookup(spark, name).isDefined
     case _ => false

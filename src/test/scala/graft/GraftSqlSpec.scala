@@ -145,6 +145,18 @@ class GraftSqlSpec extends SparkSuite {
     assert(plain == Seq(1L))
   }
 
+  test("a join hint and a window TVF compose in one statement") {
+    Seq((1L, "u1", ts(1)), (2L, "u2", ts(2)))
+      .toDF("p_id", "user_id", "ts").createOrReplaceTempView("gs_hx")
+    Seq(("u1", 10L)).toDF("uid", "k").createOrReplaceTempView("gs_hy")
+    val out = GraftSql.sql(spark,
+      """SELECT /*+ NEST_LOOP(y) */ p.p_id, y.k
+        |FROM TABLE(TUMBLE(TABLE gs_hx, DESCRIPTOR(ts), INTERVAL '1' HOUR)) AS p
+        |JOIN gs_hy y ON p.user_id <= y.uid
+        |ORDER BY p.p_id""".stripMargin)
+    assert(out.collect().map(_.getLong(0)).toSeq == Seq(1L))
+  }
+
   test("OPTIONS on a non-connector table and STATE_TTL fail loudly") {
     Seq(1L).toDF("x").createOrReplaceTempView("gs_opt_plain")
     val e1 = intercept[RuntimeException] {

@@ -166,6 +166,39 @@ class ConnectorDdlSpec extends SparkSuite {
     assert(plan.contains("PartitionFilters: [isnotnull(tag"))
   }
 
+  test("ALTER TABLE SET/RESET edits options in place; DROP unregisters") {
+    val d1 = tmp("ddl_alter1")
+    val d2 = tmp("ddl_alter2")
+    Seq((1L, "one")).toDF("id", "tag").write.mode("overwrite").parquet(d1)
+    Seq((2L, "two"), (3L, "three")).toDF("id", "tag")
+      .write.mode("overwrite").parquet(d2)
+    GraftSql.sql(spark,
+      s"""CREATE TABLE alter_t (id BIGINT, tag STRING)
+         |WITH ('connector' = 'filesystem', 'path' = '$d1',
+         |      'format' = 'parquet')""".stripMargin)
+    // SET repoints the table; the readable view refreshes
+    GraftSql.sql(spark, s"ALTER TABLE alter_t SET ('path' = '$d2')")
+    assert(GraftSql.sql(spark, "SELECT COUNT(*) AS n FROM alter_t")
+      .head().getLong(0) == 2L)
+    // RESET of a load-bearing key fails loudly
+    val e = intercept[RuntimeException] {
+      GraftSql.sql(spark, "ALTER TABLE alter_t RESET ('connector')")
+    }
+    assert(e.getMessage.contains("connector"))
+    // DROP unregisters: the name stops resolving through the front door
+    GraftSql.sql(spark, "DROP TABLE alter_t")
+    intercept[Exception] {
+      GraftSql.sql(spark, "SELECT * FROM alter_t").collect()
+    }
+    // and re-CREATE over the dropped name works
+    GraftSql.sql(spark,
+      s"""CREATE TABLE alter_t (id BIGINT, tag STRING)
+         |WITH ('connector' = 'filesystem', 'path' = '$d1',
+         |      'format' = 'parquet')""".stripMargin)
+    assert(GraftSql.sql(spark, "SELECT COUNT(*) AS n FROM alter_t")
+      .head().getLong(0) == 1L)
+  }
+
   test("CREATE TABLE LIKE inherits schema and options; EXCLUDING drops them") {
     val dir = tmp("ddl_like") + "/src"
     Seq((1L, "x")).toDF("id", "tag").write.mode("overwrite").parquet(dir)
