@@ -209,7 +209,10 @@ object ConnectorDdl {
   private def register(spark: SparkSession, desc: TableDesc): Unit = {
     registry.put(key(spark, desc.name), desc)
     desc.connector match {
-      case "filesystem" if desc.primaryKey.isEmpty =>
+      // a CDC-format table is a SOURCE even with a PRIMARY KEY (the key
+      // drives materialization, not upsert-sink routing)
+      case "filesystem" if desc.primaryKey.isEmpty ||
+          CdcFormats.contains(desc.options.getOrElse("format", "parquet")) =>
         if (new java.io.File(desc.options.getOrElse("path",
             sys.error(s"${desc.name}: filesystem needs 'path'"))).exists())
           sourceFrame(spark, desc).createOrReplaceTempView(desc.name)
@@ -277,11 +280,15 @@ object ConnectorDdl {
     }
   }
 
+  private val CdcFormats =
+    Set("debezium-json", "canal-json", "maxwell-json", "ogg-json")
+
   /** The readable DataFrame for a filesystem table. */
   private def sourceFrame(spark: SparkSession, d: TableDesc): DataFrame = {
     val fmt = d.options.getOrElse("format", "parquet")
     val path = d.options("path")
     val streaming = d.options.get("scan.streaming").contains("true")
+    if (CdcFormats.contains(fmt)) return cdcFrame(spark, d, fmt, streaming)
     val base0 =
       if (streaming) spark.readStream.schema(d.fields).format(fmt).load(path)
       else spark.read.schema(d.fields).format(fmt).load(path)
@@ -292,6 +299,37 @@ object ConnectorDdl {
       case Some((c, delay)) if streaming => withComputed.withWatermark(c, delay)
       case _ => withComputed // batch: watermark recorded but inert
     }
+  }
+
+  /** CDC-format table (the reference's `'format' = 'debezium-json'`
+    * family on a table definition — DebeziumJsonFormatFactory etc.):
+    * the path holds one JSON envelope per line; the declared columns
+    * are the PAYLOAD schema. A batch scan of a PRIMARY KEY table
+    * materializes to current state (keep-last by the envelope's
+    * commit-time `ts_ms`, deletes removed — the changelog-source
+    * contract); without a key, and for every streaming scan, the
+    * decoded changelog itself is the table (`__rowkind` + `ts_ms`
+    * columns exposed), feeding retract-aware consumers downstream.
+    */
+  private def cdcFrame(spark: SparkSession, d: TableDesc, fmt: String,
+      streaming: Boolean): DataFrame = {
+    val path = d.options("path")
+    val raw =
+      if (streaming) spark.readStream.text(path) else spark.read.text(path)
+    val decoded = fmt match {
+      case "debezium-json" =>
+        graft.sources.ChangelogJson.debezium(raw, "value", d.fields)
+      case "canal-json" =>
+        graft.sources.ChangelogJson.canal(raw, "value", d.fields)
+      case "maxwell-json" =>
+        graft.sources.ChangelogJson.maxwell(raw, "value", d.fields)
+      case "ogg-json" =>
+        graft.sources.ChangelogJson.ogg(raw, "value", d.fields)
+    }
+    if (!streaming && d.primaryKey.nonEmpty)
+      graft.streaming.Changelog.materialize(decoded, d.primaryKey, "ts_ms")
+        .drop("ts_ms")
+    else decoded
   }
 
   /** Deterministic datagen (documented stand-in for the reference's
@@ -342,6 +380,9 @@ object ConnectorDdl {
           sys.error(s"static partition '$c' is not in $name's schema"))
         acc.withColumn(c, lit(v).cast(f.dataType))
       }
+      if (CdcFormats.contains(d.options.getOrElse("format", "parquet")))
+        sys.error(s"$name: CDC-format tables are read-only here — write " +
+          "envelopes with the producing system, or use a parquet/csv sink")
       d.connector match {
         case "print" =>
           df.collect().foreach(r => println(s"+I[${r.mkString(", ")}]"))

@@ -199,6 +199,36 @@ class ConnectorDdlSpec extends SparkSuite {
       .head().getLong(0) == 1L)
   }
 
+  test("CDC-format table: PK batch scan materializes, streaming scan is a changelog") {
+    val dir = tmp("ddl_cdc")
+    val lines = Seq(
+      """{"after":{"id":1,"v":"a"},"op":"c","ts_ms":10}""",
+      """{"before":{"id":1,"v":"a"},"after":{"id":1,"v":"b"},"op":"u","ts_ms":20}""",
+      """{"after":{"id":2,"v":"x"},"op":"c","ts_ms":30}""",
+      """{"before":{"id":2,"v":"x"},"op":"d","ts_ms":40}""")
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(dir, "part-0.json"),
+      lines.mkString("\n").getBytes("UTF-8"))
+    GraftSql.sql(spark,
+      s"""CREATE TABLE cdc_t (id BIGINT, v STRING,
+         |  PRIMARY KEY (id) NOT ENFORCED)
+         |WITH ('connector' = 'filesystem', 'path' = '$dir',
+         |      'format' = 'debezium-json')""".stripMargin)
+    // batch: materialized current state — update applied, delete removed
+    val rows = GraftSql.sql(spark, "SELECT id, v FROM cdc_t ORDER BY id")
+      .as[(Long, String)].collect().toSeq
+    assert(rows == Seq((1L, "b")))
+    // streaming scan: the raw changelog with __rowkind, for retract
+    // consumers downstream
+    GraftSql.sql(spark,
+      s"""CREATE TABLE cdc_s (id BIGINT, v STRING)
+         |WITH ('connector' = 'filesystem', 'path' = '$dir',
+         |      'format' = 'debezium-json', 'scan.streaming' = 'true')""".stripMargin)
+    val sdf = spark.table("cdc_s")
+    assert(sdf.isStreaming &&
+      sdf.columns.contains(graft.streaming.Changelog.RowKindCol))
+  }
+
   test("CREATE TABLE LIKE inherits schema and options; EXCLUDING drops them") {
     val dir = tmp("ddl_like") + "/src"
     Seq((1L, "x")).toDF("id", "tag").write.mode("overwrite").parquet(dir)
