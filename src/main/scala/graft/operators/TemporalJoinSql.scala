@@ -137,6 +137,104 @@ object TemporalJoinSql {
     val masked = SqlText.maskQuoted(query)
     JoinRe.findFirstMatchIn(masked).map(m =>
       rewriteSpan(spark, query, masked, m, rightTimeCol))
+      .orElse(lateralStep(spark, query, masked))
+  }
+
+  // ---- legacy TemporalTableFunction form: LATERAL TABLE(fn(p.ts)) ----
+
+  private case class TemporalFn(view: String, timeCol: String, keyCol: String)
+  private val fnRegistry =
+    scala.collection.concurrent.TrieMap.empty[(Int, String), TemporalFn]
+  private val fnSeq = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  /** Register a temporal table function — the reference's
+    * `Table.createTemporalTableFunction($"timeCol", $"keyCol")` +
+    * `registerFunction(name, …)` (TemporalTableFunction.java): `table`'s
+    * rows are versions of `keyCol`, versioned by `timeCol`. SQL may then
+    * use the classic form
+    *
+    *   `FROM probe p, LATERAL TABLE (name(p.ts)) AS r WHERE p.k = r.<keyCol>`
+    *
+    * (the key equality may also write the bare `<keyCol>`, the
+    * reference's documented idiom). [[lateralStep]] rewrites it into the
+    * FOR SYSTEM_TIME AS OF span and the standard machinery runs.
+    */
+  def registerTemporalTableFunction(spark: SparkSession, name: String,
+      table: DataFrame, timeCol: String, keyCol: String): Unit = {
+    require(table.columns.contains(timeCol),
+      s"temporal table function $name: no time column '$timeCol'")
+    require(table.columns.contains(keyCol),
+      s"temporal table function $name: no key column '$keyCol'")
+    val view = s"__ttf_src_${fnSeq.incrementAndGet()}"
+    table.createOrReplaceTempView(view)
+    fnRegistry.put((System.identityHashCode(spark), name.toLowerCase),
+      TemporalFn(view, timeCol, keyCol))
+  }
+
+  private val LateralRe =
+    """(?is),\s*LATERAL\s+TABLE\s*\(\s*(\w+)\s*\(\s*(\w+)\.(\w+)\s*\)\s*\)(?:\s+(?:AS\s+)?(\w+))?""".r
+  private val WhereTermRe =
+    """(?is)\b(WHERE|AND)\s+((?:\w+\.)?\w+)\s*=\s*((?:\w+\.)?\w+)""".r
+
+  /** Rewrite the first registered `LATERAL TABLE(fn(p.ts))` call into
+    * the FOR SYSTEM_TIME AS OF span: the version table splices in (time
+    * column renamed to the probe's, so the default version-time
+    * name-match holds), the WHERE key equality moves into the ON clause,
+    * and the next chaining iteration runs the standard rewrite.
+    */
+  private def lateralStep(spark: SparkSession, query: String,
+      masked: String): Option[(String, Seq[String])] = {
+    val m = LateralRe.findFirstMatchIn(masked).getOrElse(return None)
+    val fn = fnRegistry.get(
+      (System.identityHashCode(spark), m.group(1).toLowerCase))
+      .getOrElse(return None)
+    val (pa, ts) = (m.group(2), m.group(3))
+    val ra = Option(m.group(4)).getOrElse(s"__ttf_a${fnSeq.incrementAndGet()}")
+    def isRatesKey(side: String) =
+      side.equalsIgnoreCase(fn.keyCol) ||
+        side.equalsIgnoreCase(s"$ra.${fn.keyCol}")
+    // the key predicate: first top-level WHERE/AND equality referencing
+    // the function's key column (exactly one side)
+    val term = WhereTermRe.findAllMatchIn(masked).find { t =>
+      t.start > m.end && (isRatesKey(t.group(2)) ^ isRatesKey(t.group(3)))
+    }.getOrElse(sys.error(
+      s"LATERAL TABLE(${m.group(1)}(…)) needs a WHERE equality on the " +
+        s"function's key column '${fn.keyCol}' (the reference's idiom: " +
+        s"WHERE $pa.k = ${fn.keyCol})"))
+    val probeExpr =
+      if (isRatesKey(term.group(2))) term.group(3) else term.group(2)
+    // version table with its time column renamed to the probe's — the
+    // span's default version-time name-match then applies
+    val src = spark.table(fn.view)
+    val views = Seq.newBuilder[String]
+    val rightView =
+      if (fn.timeCol == ts) fn.view
+      else {
+        require(!src.columns.contains(ts),
+          s"version table already has a column '$ts' distinct from its " +
+            s"time column '${fn.timeCol}' — cannot align version time")
+        val v = s"__ttf_r_${fnSeq.incrementAndGet()}"
+        src.withColumnRenamed(fn.timeCol, ts).createOrReplaceTempView(v)
+        views += v
+        v
+      }
+    // two right-to-left edits: drop the WHERE key term, splice the join
+    val afterTerm = masked.substring(term.end)
+    val keepsWhere = term.group(1).equalsIgnoreCase("WHERE") &&
+      "(?is)^\\s*AND\\b".r.findFirstMatchIn(afterTerm).isDefined
+    val (termCut, cutLen) =
+      if (keepsWhere) {
+        val andLen = "(?is)^\\s*AND\\b".r.findFirstMatchIn(afterTerm).get.end
+        (term.start + term.group(1).length, term.end - term.start -
+          term.group(1).length + andLen)
+      } else (term.start, term.end - term.start)
+    var out = query.substring(0, termCut) +
+      query.substring(termCut + cutLen)
+    val join = s" JOIN $rightView FOR SYSTEM_TIME AS OF $pa.$ts AS $ra " +
+      s"ON $probeExpr = $ra.${fn.keyCol}"
+    out = out.substring(0, m.start) + join +
+      out.substring(m.end)
+    Some((out, views.result()))
   }
 
   /** Execute a SQL statement containing the FOR SYSTEM_TIME AS OF join. */

@@ -168,6 +168,30 @@ object JoinQueries {
           |ORDER BY p_id""".stripMargin)
     }),
 
+    // The LEGACY temporal-table-function SQL form
+    // (TemporalTableFunction / LATERAL TABLE(rates(o.ts)) + WHERE key
+    // equality): registers views as a temporal function and rewrites to
+    // the FOR SYSTEM_TIME span — same oracle as q_join_asof_sql by
+    // construction, so the two syntaxes are pinned equivalent.
+    "q_join_asof_lateral" -> ((s, dir) => {
+      import s.implicits._
+      val ev = t(s, dir, "events")
+      ev.filter($"event_type" === "purchase")
+        .select($"event_id".as("p_id"), $"user_id", $"ts")
+        .createOrReplaceTempView("asof_lp")
+      graft.operators.TemporalJoinSql.registerTemporalTableFunction(
+        s, "asof_lv_fn",
+        ev.filter($"event_type" === "view")
+          .select($"event_id".as("v_id"), $"user_id".as("v_user"),
+            $"ts".as("v_ts"), $"value".as("v_value")),
+        timeCol = "v_ts", keyCol = "v_user")
+      graft.GraftSql.sql(s,
+        """SELECT p.p_id, v.v_id AS r_v_id, v.v_value AS r_v_value
+          |FROM asof_lp AS p, LATERAL TABLE (asof_lv_fn(p.ts)) AS v
+          |WHERE p.user_id = v.v_user
+          |ORDER BY p_id""".stripMargin)
+    }),
+
     // BOTH front-door extensions chained in ONE statement through
     // GraftSql (the reference's single-parser shape, ParserImpl.java:91):
     // a window TVF annotates the purchase probe, then the same statement
@@ -287,6 +311,16 @@ object JoinQueries {
         |ORDER BY p_id""".stripMargin,
 
     "q_join_asof_sql" ->
+      """WITH e AS (SELECT event_id, user_id, make_timestamp(epoch_ns(ts) // 1000) AS ts, event_type, value FROM events),
+        |p AS (SELECT event_id AS p_id, user_id, ts FROM e WHERE event_type = 'purchase'),
+        |v AS (SELECT event_id AS v_id, user_id, ts, value AS v_value FROM e WHERE event_type = 'view')
+        |SELECT p.p_id, v.v_id AS r_v_id, v.v_value AS r_v_value
+        |FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND v.ts <= p.ts
+        |ORDER BY p_id""".stripMargin,
+
+    // identical result to q_join_asof_sql — the two SQL syntaxes are
+    // equivalent by the reference's definition
+    "q_join_asof_lateral" ->
       """WITH e AS (SELECT event_id, user_id, make_timestamp(epoch_ns(ts) // 1000) AS ts, event_type, value FROM events),
         |p AS (SELECT event_id AS p_id, user_id, ts FROM e WHERE event_type = 'purchase'),
         |v AS (SELECT event_id AS v_id, user_id, ts, value AS v_value FROM e WHERE event_type = 'view')

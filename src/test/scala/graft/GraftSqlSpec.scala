@@ -107,6 +107,30 @@ class GraftSqlSpec extends SparkSuite {
     assert(out.collect().length == 1)
   }
 
+  test("legacy LATERAL TABLE temporal table function rewrites to the as-of join") {
+    Seq((1L, "u1", ts(1)), (2L, "u1", ts(5)), (3L, "u2", ts(2)))
+      .toDF("p_id", "user_id", "ts").createOrReplaceTempView("gs_lat_p")
+    val rates = Seq(("u1", ts(0), 1.0), ("u1", ts(4), 2.0), ("u2", ts(9), 9.0))
+      .toDF("uid", "rts", "rate")
+    graft.operators.TemporalJoinSql.registerTemporalTableFunction(
+      spark, "gsrates", rates, timeCol = "rts", keyCol = "uid")
+    val out = GraftSql.sql(spark,
+      """SELECT p.p_id, r.rate
+        |FROM gs_lat_p p, LATERAL TABLE (gsrates(p.ts)) AS r
+        |WHERE p.user_id = r.uid AND p.p_id > 0
+        |ORDER BY p.p_id""".stripMargin)
+    assert(out.collect().toSeq == Seq(
+      Row(1L, 1.0), Row(2L, 2.0), Row(3L, null)))
+    // the bare-key-column spelling (the reference's documented idiom)
+    val bare = GraftSql.sql(spark,
+      """SELECT p.p_id, r.rate
+        |FROM gs_lat_p p, LATERAL TABLE (gsrates(p.ts)) AS r
+        |WHERE p.user_id = uid
+        |ORDER BY p.p_id""".stripMargin)
+    assert(bare.collect().toSeq == Seq(
+      Row(1L, 1.0), Row(2L, 2.0), Row(3L, null)))
+  }
+
   test("NEST_LOOP join hint maps to Spark's replicated nested loop") {
     Seq(1L, 2L, 3L).toDF("a").createOrReplaceTempView("gs_nl_l")
     Seq(2L, 3L, 4L).toDF("b").createOrReplaceTempView("gs_nl_r")
