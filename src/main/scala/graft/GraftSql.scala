@@ -22,6 +22,8 @@ object GraftSql {
 
   private val StatementSetRe =
     """(?is)^\s*EXECUTE\s+STATEMENT\s+SET\s+BEGIN\s+(.*)\s+END\s*;?\s*$""".r
+  private val ExplainRe =
+    """(?is)^\s*EXPLAIN\s+(?:PLAN\s+FOR\s+)?(.*?)\s*;?\s*$""".r
 
   def sql(spark: SparkSession, query: String): DataFrame = {
     // EXECUTE STATEMENT SET BEGIN <insert>; <insert>; … END — the
@@ -41,9 +43,30 @@ object GraftSql {
     // INTO a registered connector table) routes to ConnectorDdl; the
     // INSERT's query part re-enters this method, so the full extended
     // surface works inside it
+    // EXPLAIN [PLAN FOR] <query> (the reference's SqlRichExplain): the
+    // inner statement runs through the full rewriter chain but only its
+    // PLAN is returned — queries only; DDL/DML would execute on build
+    query match {
+      case ExplainRe(inner) if inner.nonEmpty &&
+          !inner.matches("(?is)^\\s*EXPLAIN\\b.*") =>
+        require(!ConnectorDdl.isCreate(inner) &&
+          !ConnectorDdl.isInsert(spark, inner) &&
+          !StatementSetRe.matches(inner),
+          "EXPLAIN supports queries here, not DDL/DML statements")
+        val df = sql(spark, inner)
+        val plan = df.queryExecution.explainString(
+          org.apache.spark.sql.execution.ExtendedMode)
+        import spark.implicits._
+        return Seq(plan).toDF("plan")
+      case _ => ()
+    }
     if (ConnectorDdl.isCreate(query)) {
       ConnectorDdl.createTable(spark, query)
       spark.emptyDataFrame
+    } else if (ConnectorDdl.isDescribe(spark, query)) {
+      ConnectorDdl.describeTable(spark, query)
+    } else if (ConnectorDdl.isShowCreate(spark, query)) {
+      ConnectorDdl.showCreateTable(spark, query)
     } else if (ConnectorDdl.isAlter(spark, query)) {
       ConnectorDdl.alterTable(spark, query)
       spark.emptyDataFrame

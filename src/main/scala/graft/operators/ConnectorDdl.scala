@@ -91,7 +91,21 @@ object ConnectorDdl {
   private val PkRe =
     """(?is)^PRIMARY\s+KEY\s*\(([^)]*)\)\s*(?:NOT\s+ENFORCED)?$""".r
   private val ComputedRe = """(?is)^(\w+)\s+AS\s+(.+)$""".r
+  private val MetadataRe =
+    """(?is)^(\w+)\s+(.+?)\s+METADATA(?:\s+FROM\s+'([^']+)')?(?:\s+VIRTUAL)?$""".r
   private val FieldRe = """(?is)^(\w+)\s+(.+?)(?:\s+NOT\s+NULL)?$""".r
+
+  /** Metadata keys (SqlTableColumn.SqlMetadataColumn — the reference's
+    * `col TYPE METADATA FROM 'key' [VIRTUAL]`) → Spark's file-source
+    * `_metadata` struct fields. File-scoped keys only; a format with no
+    * file identity (datagen) fails at read, loudly.
+    */
+  private val MetadataKeys = Map(
+    "file.path" -> "_metadata.file_path",
+    "file.name" -> "_metadata.file_name",
+    "file.size" -> "_metadata.file_size",
+    "file.modification-time" -> "_metadata.file_modification_time",
+    "timestamp" -> "_metadata.file_modification_time")
 
   /** Is this statement connector DDL/DML this object handles? */
   def isCreate(stmt: String): Boolean =
@@ -136,6 +150,71 @@ object ConnectorDdl {
       registry.remove(key(spark, name))
       spark.catalog.dropTempView(name)
     case _ => sys.error("not a connector DROP TABLE statement")
+  }
+
+  private val DescribeRe =
+    """(?is)^\s*DESC(?:RIBE)?\s+(?:EXTENDED\s+)?([A-Za-z_][\w.]*)\s*;?\s*$""".r
+  private val ShowCreateRe =
+    """(?is)^\s*SHOW\s+CREATE\s+TABLE\s+([A-Za-z_][\w.]*)\s*;?\s*$""".r
+
+  def isDescribe(spark: SparkSession, stmt: String): Boolean = stmt match {
+    case DescribeRe(name) => lookup(spark, name).isDefined
+    case _ => false
+  }
+  def isShowCreate(spark: SparkSession, stmt: String): Boolean = stmt match {
+    case ShowCreateRe(name) => lookup(spark, name).isDefined
+    case _ => false
+  }
+
+  /** `DESCRIBE t` for a registered connector table — one row per
+    * column in Spark's (col_name, data_type, comment) shape, with
+    * computed/watermark/key/partition items annotated.
+    */
+  def describeTable(spark: SparkSession, stmt: String): DataFrame = stmt match {
+    case DescribeRe(name) =>
+      val d = lookup(spark, name).getOrElse(sys.error(s"unknown table $name"))
+      val rows =
+        d.fields.fields.toSeq.map(f => (f.name, f.dataType.sql.toLowerCase,
+          if (d.partitions.contains(f.name)) "partition key" else "physical")) ++
+        d.computed.map { case (n, e) => (n, "", s"computed: $e") } ++
+        d.watermark.map { case (c, delay) =>
+          ("WATERMARK", "", s"$c - INTERVAL '$delay'") }.toSeq ++
+        (if (d.primaryKey.nonEmpty)
+          Seq(("PRIMARY KEY", "", d.primaryKey.mkString(", ")))
+        else Seq.empty)
+      import spark.implicits._
+      rows.toDF("col_name", "data_type", "comment")
+    case _ => sys.error("not a DESCRIBE statement")
+  }
+
+  /** `SHOW CREATE TABLE t` (SqlShowCreateTable) — the DDL text
+    * reconstructed from the registry (metadata columns reconstruct as
+    * their computed `_metadata` form).
+    */
+  def showCreateTable(spark: SparkSession, stmt: String): DataFrame = stmt match {
+    case ShowCreateRe(name) =>
+      val d = lookup(spark, name).getOrElse(sys.error(s"unknown table $name"))
+      val items =
+        d.fields.fields.toSeq.map(f => s"  ${f.name} ${f.dataType.sql}") ++
+        d.computed.map { case (n, e) => s"  $n AS $e" } ++
+        d.watermark.map { case (c, delay) =>
+          val Array(n, unit) = delay.split(" ", 2)
+          s"  WATERMARK FOR $c AS $c - INTERVAL '$n' ${unit.toUpperCase}"
+        }.toSeq ++
+        (if (d.primaryKey.nonEmpty)
+          Seq(s"  PRIMARY KEY (${d.primaryKey.mkString(", ")}) NOT ENFORCED")
+        else Seq.empty)
+      val part =
+        if (d.partitions.nonEmpty)
+          s"\nPARTITIONED BY (${d.partitions.mkString(", ")})"
+        else ""
+      val opts = d.options.toSeq.sortBy(_._1)
+        .map { case (k, v) => s"'$k' = '$v'" }.mkString(",\n  ")
+      val ddl = s"CREATE TABLE ${d.name} (\n" + items.mkString(",\n") +
+        s"\n)$part WITH (\n  $opts\n)"
+      import spark.implicits._
+      Seq(ddl).toDF("result")
+    case _ => sys.error("not a SHOW CREATE TABLE statement")
   }
   def isInsert(spark: SparkSession, stmt: String): Boolean = stmt match {
     case InsertRe(_, name, _) => lookup(spark, name).isDefined
@@ -199,6 +278,12 @@ object ConnectorDdl {
         pk = cols.split(",").map(_.trim).toSeq
       case ComputedRe(n, expr) => // the AS keyword disambiguates from fields
         computed :+= ((n, expr.trim))
+      case MetadataRe(n, tpe, keyOrNull) =>
+        val key = Option(keyOrNull).getOrElse(n)
+        val src = MetadataKeys.getOrElse(key,
+          sys.error(s"unsupported METADATA key '$key' (supported: " +
+            MetadataKeys.keys.toSeq.sorted.mkString(", ") + ")"))
+        computed :+= ((n, s"CAST($src AS ${sparkType(tpe).sql})"))
       case FieldRe(n, tpe) =>
         fields :+= StructField(n, sparkType(tpe))
       case other => sys.error(s"unrecognized CREATE TABLE item: $other")

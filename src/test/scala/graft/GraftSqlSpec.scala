@@ -181,6 +181,23 @@ class GraftSqlSpec extends SparkSuite {
     assert(out.collect().map(_.getLong(0)).toSeq == Seq(1L))
   }
 
+  test("EXPLAIN returns the plan of a front-door statement without running it") {
+    Seq(("u1", ts(1)), ("u2", ts(2)))
+      .toDF("uid", "ts").createOrReplaceTempView("gs_expl")
+    val plan = GraftSql.sql(spark,
+      """EXPLAIN SELECT uid, COUNT(*) AS n
+        |FROM TABLE(TUMBLE(TABLE gs_expl, DESCRIPTOR(ts), INTERVAL '1' HOUR))
+        |GROUP BY uid, window_start, window_end""".stripMargin)
+      .head().getString(0)
+    assert(plan.contains("Physical Plan") && plan.contains("Aggregate"))
+    GraftSql.sql(spark,
+      "CREATE TABLE gs_expl_bh (x BIGINT) WITH ('connector' = 'blackhole')")
+    val e = intercept[IllegalArgumentException] {
+      GraftSql.sql(spark, "EXPLAIN INSERT INTO gs_expl_bh SELECT 1")
+    }
+    assert(e.getMessage.contains("EXPLAIN supports queries"))
+  }
+
   test("OPTIONS on a non-connector table and STATE_TTL fail loudly") {
     Seq(1L).toDF("x").createOrReplaceTempView("gs_opt_plain")
     val e1 = intercept[RuntimeException] {

@@ -229,6 +229,34 @@ class ConnectorDdlSpec extends SparkSuite {
       sdf.columns.contains(graft.streaming.Changelog.RowKindCol))
   }
 
+  test("METADATA columns map to Spark's _metadata; DESCRIBE and SHOW CREATE TABLE round-trip") {
+    val dir = tmp("ddl_meta")
+    Seq((1L, "x"), (2L, "y")).toDF("id", "tag").write.mode("overwrite").parquet(dir)
+    GraftSql.sql(spark,
+      s"""CREATE TABLE meta_t (
+         |  id BIGINT,
+         |  tag STRING,
+         |  fpath STRING METADATA FROM 'file.path',
+         |  fsize BIGINT METADATA FROM 'file.size' VIRTUAL
+         |) WITH ('connector' = 'filesystem', 'path' = '$dir',
+         |        'format' = 'parquet')""".stripMargin)
+    val rows = GraftSql.sql(spark,
+      "SELECT id, fpath, fsize FROM meta_t ORDER BY id").collect()
+    assert(rows.forall(r => r.getString(1).contains(dir) &&
+      r.getString(1).endsWith(".parquet") && r.getLong(2) > 0L))
+    // DESCRIBE: physical + metadata-as-computed rows
+    val desc = GraftSql.sql(spark, "DESCRIBE meta_t")
+      .collect().map(r => r.getString(0) -> r.getString(2)).toMap
+    assert(desc("id") == "physical" && desc("fpath").startsWith("computed:"))
+    // SHOW CREATE TABLE output is executable DDL: re-create from it
+    val ddl = GraftSql.sql(spark, "SHOW CREATE TABLE meta_t")
+      .head().getString(0)
+    GraftSql.sql(spark, "DROP TABLE meta_t")
+    GraftSql.sql(spark, ddl.replace("CREATE TABLE meta_t", "CREATE TABLE meta_t2"))
+    assert(GraftSql.sql(spark, "SELECT COUNT(*) AS n FROM meta_t2")
+      .head().getLong(0) == 2L)
+  }
+
   test("CREATE TABLE LIKE inherits schema and options; EXCLUDING drops them") {
     val dir = tmp("ddl_like") + "/src"
     Seq((1L, "x")).toDF("id", "tag").write.mode("overwrite").parquet(dir)
