@@ -368,15 +368,32 @@ object ConnectorDdl {
   private val CdcFormats =
     Set("debezium-json", "canal-json", "maxwell-json", "ogg-json")
 
+  /** Format-scoped options (`'<fmt>.<key>' = '<v>'` — the reference's
+    * per-format option namespace, e.g. flink-csv's `csv.field-delimiter`)
+    * pass through to the Spark datasource with the prefix stripped; the
+    * handful of Flink-spelled keys with a direct Spark name translate.
+    * Covers the flink-compress story too: `'csv.compression' = 'gzip'`
+    * writes codec'd files, and Spark reads them back transparently.
+    */
+  private val FormatOptionNames = Map("field-delimiter" -> "sep")
+  private def formatOptions(d: TableDesc, fmt: String): Map[String, String] =
+    d.options.collect {
+      case (k, v) if k.startsWith(fmt + ".") =>
+        val bare = k.stripPrefix(fmt + ".")
+        FormatOptionNames.getOrElse(bare, bare) -> v
+    }
+
   /** The readable DataFrame for a filesystem table. */
   private def sourceFrame(spark: SparkSession, d: TableDesc): DataFrame = {
     val fmt = d.options.getOrElse("format", "parquet")
     val path = d.options("path")
     val streaming = d.options.get("scan.streaming").contains("true")
     if (CdcFormats.contains(fmt)) return cdcFrame(spark, d, fmt, streaming)
+    val fopts = formatOptions(d, fmt)
     val base0 =
-      if (streaming) spark.readStream.schema(d.fields).format(fmt).load(path)
-      else spark.read.schema(d.fields).format(fmt).load(path)
+      if (streaming) spark.readStream.schema(d.fields).format(fmt)
+        .options(fopts).load(path)
+      else spark.read.schema(d.fields).format(fmt).options(fopts).load(path)
     val withComputed = d.computed.foldLeft(base0) { case (df, (n, e)) =>
       df.withColumn(n, expr(e))
     }
@@ -502,7 +519,7 @@ object ConnectorDdl {
             .createOrReplaceTempView(name)
         case "filesystem" =>
           val fmt = d.options.getOrElse("format", "parquet")
-          val w0 = df.write.format(fmt)
+          val w0 = df.write.format(fmt).options(formatOptions(d, fmt))
             .mode(if (mode.equalsIgnoreCase("OVERWRITE")) "overwrite" else "append")
           // partitioned OVERWRITE replaces only the partitions the
           // query produced (the reference's dynamic-partition overwrite;

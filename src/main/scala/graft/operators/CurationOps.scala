@@ -136,6 +136,34 @@ object CurationOps {
     pmod(r * lit(2654435761L), lit(1L << 32)) % buckets
   }
 
+  /** Full-resolution multiplicative hash in [0, 2^32) — the sort key
+    * behind [[sampleKPerGroup]]'s reproducible pseudo-random order.
+    */
+  private def hashOrder(idCol: Column): Column = {
+    val r = pmod(idCol.cast(LongType), lit(1L << 31))
+    pmod(r * lit(2654435761L), lit(1L << 32))
+  }
+
+  /** Deterministic stratified sample: (up to) `k` documents per group,
+    * chosen by ranking the multiplicative id hash within the group — a
+    * reproducible pseudo-random order independent of engine, run,
+    * partitioning, and cluster size (Spark's `sample()` is none of
+    * those). Ties (hash collisions) break by id. One keyed shuffle for
+    * the rank; at 100 TB this is the "inspect/evaluate N docs per
+    * domain" pass, and the selection only changes for groups whose
+    * membership changed.
+    */
+  def sampleKPerGroup(docs: DataFrame, groupCol: String, idCol: String,
+      k: Int): DataFrame = {
+    require(k >= 1, "sample size must be positive")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol))
+      .orderBy(hashOrder(col(idCol)), col(idCol))
+    docs.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k)
+      .drop("__rn")
+  }
+
   /** Deterministic train/validation/test split: percent-weighted cut of
     * the hash-bucket space. `cuts` are cumulative upper percents, e.g.
     * train 90 / val 5 / test 5 = Seq(("train",90),("val",95),

@@ -131,6 +131,17 @@ object PipelineQueries {
     // Deterministic hash split (CurationOps.hashSplit): 90/5/5
     // train/val/test off a multiplicative hash of doc_id — stable under
     // corpus growth, engine-reproducible integer arithmetic.
+    // Deterministic stratified sampling (CurationOps.sampleKPerGroup):
+    // 7 docs per language by multiplicative-hash rank — the oracle
+    // recomputes the same integer arithmetic, so any
+    // engine-/partitioning-dependence in the selection breaks the hash.
+    "q_cur_sample" -> ((s, dir) => {
+      CurationOps.sampleKPerGroup(
+        t(s, dir, "documents").select(col("doc_id"), col("lang")),
+        "lang", "doc_id", k = 7)
+        .orderBy(col("doc_id"))
+    }),
+
     "q_cur_split" -> ((s, dir) => {
       CurationOps.hashSplit(t(s, dir, "documents"),
         Seq(("train", 90), ("val", 95), ("test", 100)))
@@ -582,6 +593,13 @@ object PipelineQueries {
         |  CAST(len(toks) AS BIGINT) AS n_tokens,
         |  array_to_string(toks, ' ') AS chunk
         |FROM ch ORDER BY doc_id, chunk_id""".stripMargin,
+
+    "q_cur_sample" ->
+      """SELECT doc_id, lang FROM (
+        |  SELECT doc_id, lang, row_number() OVER (PARTITION BY lang
+        |    ORDER BY (doc_id * 2654435761) % 4294967296, doc_id) AS rn
+        |  FROM documents)
+        |WHERE rn <= 7 ORDER BY doc_id""".stripMargin,
 
     "q_cur_split" ->
       """SELECT doc_id,

@@ -148,6 +148,19 @@ object TimeWindowQueries {
           |ORDER BY window_start, event_type""".stripMargin)
     }),
 
+    // Window TVF composed with GROUPING SETS (the reference's window
+    // aggregation supports grouping sets over the TVF's columns): the
+    // expanded TUMBLE view must leave a statement Spark's grouping-sets
+    // analysis accepts — gates the COMPOSITION, not just the TVF.
+    "q_tvf_groupingsets" -> ((s, dir) => {
+      graft.Tables.registerAll(s, dir)
+      graft.GraftSql.sql(s,
+        """SELECT window_start, event_type, user_id % 3 AS ubucket, COUNT(*) AS n
+          |FROM TABLE(TUMBLE(TABLE events, DESCRIPTOR(ts), INTERVAL '1' HOUR))
+          |GROUP BY window_start, window_end, GROUPING SETS ((event_type), (user_id % 3))
+          |ORDER BY window_start, event_type, ubucket""".stripMargin)
+    }),
+
     "q_tvf_hop" -> ((s, dir) => {
       graft.Tables.registerAll(s, dir)
       graft.GraftSql.sql(s,
@@ -288,6 +301,14 @@ object TimeWindowQueries {
         |  time_bucket(INTERVAL 1 HOUR, ts, INTERVAL 15 MINUTE) + INTERVAL 1 HOUR AS window_end,
         |  event_type, COUNT(*) AS n
         |FROM e GROUP BY 1, 2, 3 ORDER BY window_start, event_type""".stripMargin,
+    "q_tvf_groupingsets" ->
+      s"""WITH e AS ($evCte)
+        |SELECT time_bucket(INTERVAL 1 HOUR, ts) AS window_start,
+        |  event_type, user_id % 3 AS ubucket, COUNT(*) AS n
+        |FROM e
+        |GROUP BY time_bucket(INTERVAL 1 HOUR, ts),
+        |  GROUPING SETS ((event_type), (user_id % 3))
+        |ORDER BY window_start, event_type, ubucket""".stripMargin,
     "q_tvf_hop" -> baseOracles("q_window_hop"),
     "q_tvf_cumulate" -> baseOracles("q_window_cumulate"),
     "q_tvf_session" -> baseOracles("q_window_session"))

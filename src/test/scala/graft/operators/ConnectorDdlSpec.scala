@@ -257,6 +257,23 @@ class ConnectorDdlSpec extends SparkSuite {
       .head().getLong(0) == 2L)
   }
 
+  test("format-scoped options pass through: delimiter, header, gzip compression") {
+    val dir = tmp("ddl_fmtopt") + "/t"
+    GraftSql.sql(spark,
+      s"""CREATE TABLE fmtopt_t (id BIGINT, tag STRING)
+         |WITH ('connector' = 'filesystem', 'path' = '$dir',
+         |      'format' = 'csv', 'csv.field-delimiter' = ';',
+         |      'csv.header' = 'true', 'csv.compression' = 'gzip')""".stripMargin)
+    GraftSql.sql(spark,
+      "INSERT INTO fmtopt_t SELECT * FROM VALUES (1, 'a'), (2, 'b') AS t(id, tag)")
+    // files are gzip'd csv; the header + delimiter round-trip
+    val files = new java.io.File(dir).listFiles().map(_.getName)
+    assert(files.exists(_.endsWith(".csv.gz")), files.mkString(","))
+    val rows = GraftSql.sql(spark, "SELECT id, tag FROM fmtopt_t ORDER BY id")
+      .as[(Long, String)].collect().toSeq
+    assert(rows == Seq((1L, "a"), (2L, "b")))
+  }
+
   test("CREATE TABLE LIKE inherits schema and options; EXCLUDING drops them") {
     val dir = tmp("ddl_like") + "/src"
     Seq((1L, "x")).toDF("id", "tag").write.mode("overwrite").parquet(dir)
