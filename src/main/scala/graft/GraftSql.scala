@@ -24,6 +24,10 @@ object GraftSql {
     """(?is)^\s*EXECUTE\s+STATEMENT\s+SET\s+BEGIN\s+(.*)\s+END\s*;?\s*$""".r
   private val ExplainRe =
     """(?is)^\s*EXPLAIN\s+(?:PLAN\s+FOR\s+)?(.*?)\s*;?\s*$""".r
+  private val SetRe =
+    """(?is)^\s*SET\s+'([^']+)'\s*=\s*'([^']*)'\s*;?\s*$""".r
+  private val ResetRe =
+    """(?is)^\s*RESET\s+'([^']+)'\s*;?\s*$""".r
 
   def sql(spark: SparkSession, query: String): DataFrame = {
     // EXECUTE STATEMENT SET BEGIN <insert>; <insert>; … END — the
@@ -43,6 +47,14 @@ object GraftSql {
     // INTO a registered connector table) routes to ConnectorDdl; the
     // INSERT's query part re-enters this method, so the full extended
     // surface works inside it
+    // SET 'k' = 'v' / RESET 'k' (SqlSet/SqlReset — the reference's
+    // session-config statements): session conf edits through the front
+    // door; Spark's own unquoted SET syntax still falls through
+    query match {
+      case SetRe(k, v) => spark.conf.set(k, v); return spark.emptyDataFrame
+      case ResetRe(k)  => spark.conf.unset(k); return spark.emptyDataFrame
+      case _ => ()
+    }
     // EXPLAIN [PLAN FOR] <query> (the reference's SqlRichExplain): the
     // inner statement runs through the full rewriter chain but only its
     // PLAN is returned — queries only; DDL/DML would execute on build

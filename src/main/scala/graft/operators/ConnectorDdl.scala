@@ -435,11 +435,22 @@ object ConnectorDdl {
   }
 
   /** Deterministic datagen (documented stand-in for the reference's
-    * random generator — reproducibility is a feature here).
+    * random generator — reproducibility is a feature here). With
+    * `'rows-per-second'` set the table is an UNBOUNDED STREAM on
+    * Spark's rate source (the reference's streaming datagen mode) —
+    * same per-field derivation off the monotone id, so the stream's
+    * content is deterministic in the id even though its pacing is not.
     */
   private def datagenFrame(spark: SparkSession, d: TableDesc): DataFrame = {
-    val n = d.options.getOrElse("number-of-rows", "1000").toLong
-    val base = spark.range(n).toDF("__id")
+    val rps = d.options.get("rows-per-second")
+    val base = rps match {
+      case Some(r) =>
+        spark.readStream.format("rate").option("rowsPerSecond", r)
+          .load().select(col("value").as("__id"))
+      case None =>
+        spark.range(d.options.getOrElse("number-of-rows", "1000").toLong)
+          .toDF("__id")
+    }
     val projected = d.fields.fields.foldLeft(base) { case (df, f) =>
       val kind = d.options.getOrElse(s"fields.${f.name}.kind", "random")
       val start = d.options.getOrElse(s"fields.${f.name}.start", "0").toLong

@@ -136,6 +136,20 @@ class ConnectorDdlSpec extends SparkSuite {
     GraftSql.sql(spark, "INSERT INTO sink_bh SELECT sid FROM gen")
   }
 
+  test("streaming datagen (rows-per-second) and SET/RESET config statements") {
+    GraftSql.sql(spark,
+      """CREATE TABLE gen_stream (sid BIGINT, label STRING)
+        |WITH ('connector' = 'datagen', 'rows-per-second' = '5',
+        |      'fields.sid.kind' = 'sequence')""".stripMargin)
+    val df = spark.table("gen_stream")
+    assert(df.isStreaming && df.columns.toSeq == Seq("sid", "label"))
+    // SET writes the session conf through the front door; RESET clears
+    GraftSql.sql(spark, "SET 'spark.graft.test.knob' = 'on'")
+    assert(spark.conf.get("spark.graft.test.knob") == "on")
+    GraftSql.sql(spark, "RESET 'spark.graft.test.knob'")
+    assert(spark.conf.getOption("spark.graft.test.knob").isEmpty)
+  }
+
   test("PARTITIONED BY: partitioned writes, static partitions, pruning") {
     val dir = tmp("ddl_part") + "/t"
     GraftSql.sql(spark,
