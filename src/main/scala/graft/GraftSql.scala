@@ -72,9 +72,17 @@ object GraftSql {
         return Seq(plan).toDF("plan")
       case _ => ()
     }
-    if (ConnectorDdl.isCreate(query)) {
+    if (ConnectorDdl.isCtas(query)) {
+      ConnectorDdl.createTableAs(spark, query, (s, q) => sql(s, q))
+      spark.emptyDataFrame
+    } else if (ConnectorDdl.isCreate(query)) {
       ConnectorDdl.createTable(spark, query)
       spark.emptyDataFrame
+    } else if (ConnectorDdl.isCompact(spark, query)) {
+      ConnectorDdl.compactTable(spark, query)
+      spark.emptyDataFrame
+    } else if (ConnectorDdl.isShowPartitions(spark, query)) {
+      ConnectorDdl.showPartitions(spark, query)
     } else if (ConnectorDdl.isDescribe(spark, query)) {
       ConnectorDdl.describeTable(spark, query)
     } else if (ConnectorDdl.isShowCreate(spark, query)) {

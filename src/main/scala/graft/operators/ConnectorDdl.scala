@@ -69,6 +69,12 @@ object ConnectorDdl {
     """(?is)^\s*INSERT\s+(INTO|OVERWRITE)\s+([A-Za-z_][\w.]*)\s+(.*?)\s*;?\s*$""".r
   private val AlterRe =
     """(?is)^\s*ALTER\s+TABLE\s+([A-Za-z_][\w.]*)\s+(SET|RESET)\s*\((.*)\)\s*;?\s*$""".r
+  private val CompactRe =
+    """(?is)^\s*ALTER\s+TABLE\s+([A-Za-z_][\w.]*)\s+COMPACT\s*;?\s*$""".r
+  private val ShowPartsRe =
+    """(?is)^\s*SHOW\s+PARTITIONS\s+([A-Za-z_][\w.]*)\s*;?\s*$""".r
+  private val CtasRe =
+    """(?is)^\s*CREATE\s+TABLE\s+([A-Za-z_][\w.]*)\s+WITH\s*\((.*?)\)\s*AS\s+(SELECT\b.*|VALUES\b.*)$""".r
   private val DropRe =
     """(?is)^\s*DROP\s+TABLE\s+(IF\s+EXISTS\s+)?([A-Za-z_][\w.]*)\s*;?\s*$""".r
   private val InsertPartRe =
@@ -151,6 +157,79 @@ object ConnectorDdl {
       spark.catalog.dropTempView(name)
     case _ => sys.error("not a connector DROP TABLE statement")
   }
+
+  def isCtas(stmt: String): Boolean = CtasRe.matches(stmt)
+  def isCompact(spark: SparkSession, stmt: String): Boolean = stmt match {
+    case CompactRe(name) => lookup(spark, name).isDefined
+    case _ => false
+  }
+  def isShowPartitions(spark: SparkSession, stmt: String): Boolean =
+    stmt match {
+      case ShowPartsRe(name) => lookup(spark, name).isDefined
+      case _ => false
+    }
+
+  /** CTAS (SqlCreateTableAs): `CREATE TABLE t WITH (…) AS <query>` —
+    * the schema comes from the query, the first write materializes it.
+    */
+  def createTableAs(spark: SparkSession, stmt: String,
+      runQuery: (SparkSession, String) => DataFrame): Unit = stmt match {
+    case CtasRe(name, opts, query) =>
+      val options = parseOptions(opts)
+      val df = runQuery(spark, query)
+      val desc = TableDesc(name, df.schema, Vector.empty, None, Nil,
+        options)
+      registry.put(key(spark, name), desc)
+      desc.connector match {
+        case "filesystem" =>
+          val fmt = options.getOrElse("format", "parquet")
+          df.write.format(fmt).options(formatOptions(desc, fmt))
+            .mode("overwrite").save(options("path"))
+          sourceFrame(spark, desc).createOrReplaceTempView(name)
+        case c => sys.error(s"CTAS unsupported for connector '$c'")
+      }
+    case _ => sys.error("not a CTAS statement")
+  }
+
+  /** `ALTER TABLE t COMPACT` (SqlAlterTableCompact — the filesystem
+    * connector's compaction statement): merge small files in place,
+    * rename-safe, then refresh the view.
+    */
+  def compactTable(spark: SparkSession, stmt: String): Unit = stmt match {
+    case CompactRe(name) =>
+      val d = lookup(spark, name).getOrElse(sys.error(s"unknown table $name"))
+      require(d.connector == "filesystem", s"$name: COMPACT needs a filesystem table")
+      require(d.options.getOrElse("format", "parquet") == "parquet",
+        s"$name: COMPACT supports parquet tables")
+      require(d.partitions.isEmpty,
+        s"$name: COMPACT of partitioned tables is not supported (compact " +
+          "partition directories individually)")
+      val small = d.options.getOrElse("compaction.small-bytes",
+        (16L * 1024 * 1024).toString).toLong
+      val target = d.options.getOrElse("compaction.target-bytes",
+        (128L * 1024 * 1024).toString).toLong
+      graft.sources.FileCompaction.compactParquet(spark, d.options("path"),
+        small, target)
+      sourceFrame(spark, d).createOrReplaceTempView(name)
+    case _ => sys.error("not a COMPACT statement")
+  }
+
+  /** `SHOW PARTITIONS t` — partition directory values of a partitioned
+    * filesystem table (SqlShowPartitions).
+    */
+  def showPartitions(spark: SparkSession, stmt: String): DataFrame =
+    stmt match {
+      case ShowPartsRe(name) =>
+        val d = lookup(spark, name).getOrElse(sys.error(s"unknown table $name"))
+        require(d.partitions.nonEmpty, s"$name is not partitioned")
+        import spark.implicits._
+        val dirs = Option(new java.io.File(d.options("path")).listFiles())
+          .getOrElse(Array.empty)
+          .filter(f => f.isDirectory && f.getName.contains("="))
+          .map(_.getName).sorted.toSeq
+        dirs.toDF("partition")
+      case _ => sys.error("not a SHOW PARTITIONS statement")
+    }
 
   private val DescribeRe =
     """(?is)^\s*DESC(?:RIBE)?\s+(?:EXTENDED\s+)?([A-Za-z_][\w.]*)\s*;?\s*$""".r

@@ -288,6 +288,44 @@ class ConnectorDdlSpec extends SparkSuite {
     assert(rows == Seq((1L, "a"), (2L, "b")))
   }
 
+  test("CTAS, ALTER TABLE COMPACT, and SHOW PARTITIONS") {
+    val dir = tmp("ddl_ctas") + "/t"
+    Seq((1L, "a"), (2L, "b"), (3L, "a")).toDF("id", "tag")
+      .createOrReplaceTempView("ctas_in")
+    // CTAS: schema from the query, materialized on create
+    GraftSql.sql(spark,
+      s"""CREATE TABLE ctas_t WITH ('connector' = 'filesystem',
+         |  'path' = '$dir', 'format' = 'parquet')
+         |AS SELECT tag, COUNT(*) AS n FROM ctas_in GROUP BY tag""".stripMargin)
+    val rows = GraftSql.sql(spark, "SELECT tag, n FROM ctas_t ORDER BY tag")
+      .as[(String, Long)].collect().toSeq
+    assert(rows == Seq(("a", 2L), ("b", 1L)))
+    // COMPACT: write many small appends, compact, content unchanged,
+    // fewer files
+    (1 to 5).foreach { i =>
+      GraftSql.sql(spark,
+        s"INSERT INTO ctas_t SELECT 'z$i' AS tag, CAST($i AS BIGINT) AS n")
+    }
+    def nFiles() = new java.io.File(dir).listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    val before = nFiles()
+    GraftSql.sql(spark, "ALTER TABLE ctas_t COMPACT")
+    assert(nFiles() < before)
+    assert(GraftSql.sql(spark, "SELECT COUNT(*) AS n FROM ctas_t")
+      .head().getLong(0) == 7L)
+    // SHOW PARTITIONS over a partitioned table
+    val pdir = tmp("ddl_showp") + "/t"
+    GraftSql.sql(spark,
+      s"""CREATE TABLE showp_t (id BIGINT, tag STRING) PARTITIONED BY (tag)
+         |WITH ('connector' = 'filesystem', 'path' = '$pdir',
+         |      'format' = 'parquet')""".stripMargin)
+    GraftSql.sql(spark,
+      "INSERT INTO showp_t SELECT id, tag FROM ctas_in")
+    val parts = GraftSql.sql(spark, "SHOW PARTITIONS showp_t")
+      .as[String].collect().toSeq
+    assert(parts == Seq("tag=a", "tag=b"))
+  }
+
   test("CREATE TABLE LIKE inherits schema and options; EXCLUDING drops them") {
     val dir = tmp("ddl_like") + "/src"
     Seq((1L, "x")).toDF("id", "tag").write.mode("overwrite").parquet(dir)
