@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{AnalysisException, DataFrame, SparkSession}
 
-import graft.operators.{ConnectorDdl, MatchRecognizeSql, SqlHints, TemporalJoinSql, WindowTvf}
+import graft.operators.{ConnectorDdl, MatchRecognizeSql, MaterializedTable, SqlHints, TemporalJoinSql, WindowTvf}
 
 /** The single SQL entry point — the engine's analogue of the reference's
   * one parser front door (flink-sql-parser ParserImpl.java:91, which
@@ -72,7 +72,16 @@ object GraftSql {
         return Seq(plan).toDF("plan")
       case _ => ()
     }
-    if (ConnectorDdl.isCtas(query)) {
+    if (MaterializedTable.isCreate(query)) {
+      MaterializedTable.create(spark, query, (s, q) => sql(s, q))
+      spark.emptyDataFrame
+    } else if (MaterializedTable.isAlter(spark, query)) {
+      MaterializedTable.alter(spark, query, (s, q) => sql(s, q))
+      spark.emptyDataFrame
+    } else if (MaterializedTable.isDrop(spark, query)) {
+      MaterializedTable.drop(spark, query)
+      spark.emptyDataFrame
+    } else if (ConnectorDdl.isCtas(query)) {
       ConnectorDdl.createTableAs(spark, query, (s, q) => sql(s, q))
       spark.emptyDataFrame
     } else if (ConnectorDdl.isCreate(query)) {

@@ -334,7 +334,7 @@ object ConnectorDdl {
     else sys.error(s"WITH option piece not quoted: $s")
   }
 
-  private def parseOptions(opts: String): Map[String, String] =
+  private[operators] def parseOptions(opts: String): Map[String, String] =
     splitTop(opts).map { kv =>
       val i = SqlText.maskQuoted(kv).indexOf('=')
       require(i > 0, s"bad WITH option: $kv")

@@ -1,0 +1,142 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import scala.collection.concurrent.TrieMap
+
+/** Materialized tables — the reference's FLIP-435 feature (flink-1.20's
+  * `CREATE MATERIALIZED TABLE`, SqlCreateMaterializedTable.java:47, with
+  * the `ALTER MATERIALIZED TABLE … REFRESH / SUSPEND / RESUME` lifecycle
+  * statements): a declared query materializes to storage and the engine
+  * keeps it no staler than the declared FRESHNESS.
+  *
+  * Spark-first mapping of the two refresh modes (the reference derives
+  * the mode from freshness vs a threshold; here `REFRESH_MODE` may also
+  * be explicit):
+  *
+  *   - **FULL** — the default for a bounded query: the query result
+  *     overwrites the storage path on CREATE and on each
+  *     `ALTER … REFRESH` (the reference's periodic batch refresh job;
+  *     its SCHEDULER is workflow-owned there too — Flink submits batch
+  *     jobs to a scheduler it does not implement — so the refresh
+  *     statement is the engine-side contract, and FRESHNESS is recorded
+  *     metadata the caller's scheduler honors).
+  *   - **CONTINUOUS** — for a streaming query: a writeStream job keeps
+  *     the parquet storage continuously fresh; `SUSPEND` stops the job
+  *     (checkpoint retained), `RESUME` restarts it from the checkpoint,
+  *     exactly the reference's suspend/resume semantics.
+  *
+  * Reads go through a temp view over the storage path — plain parquet,
+  * so a 100 TB materialization reads like any other table and the
+  * freshness machinery adds nothing to the read path.
+  */
+object MaterializedTable {
+
+  case class MatDesc(name: String, query: String, path: String,
+      freshness: String, mode: String, checkpoint: String,
+      var job: Option[org.apache.spark.sql.streaming.StreamingQuery])
+
+  private val registry = TrieMap.empty[(Int, String), MatDesc]
+  private def key(spark: SparkSession, name: String) =
+    (System.identityHashCode(spark), name.toLowerCase)
+
+  def lookup(spark: SparkSession, name: String): Option[MatDesc] =
+    registry.get(key(spark, name))
+
+  private val CreateRe =
+    ("""(?is)^\s*CREATE\s+MATERIALIZED\s+TABLE\s+([A-Za-z_][\w.]*)\s*""" +
+      """(?:WITH\s*\((.*?)\)\s*)?""" +
+      """FRESHNESS\s*=\s*INTERVAL\s*'(\d+)'\s*(\w+)\s*""" +
+      """(?:REFRESH_MODE\s*=\s*(FULL|CONTINUOUS)\s*)?""" +
+      """AS\s+(.*?)\s*;?\s*$""").r
+  private val AlterRe =
+    """(?is)^\s*ALTER\s+MATERIALIZED\s+TABLE\s+([A-Za-z_][\w.]*)\s+(REFRESH|SUSPEND|RESUME)\s*;?\s*$""".r
+  private val DropRe =
+    """(?is)^\s*DROP\s+MATERIALIZED\s+TABLE\s+([A-Za-z_][\w.]*)\s*;?\s*$""".r
+
+  def isCreate(stmt: String): Boolean = CreateRe.matches(stmt)
+  def isAlter(spark: SparkSession, stmt: String): Boolean = stmt match {
+    case AlterRe(name, _) => lookup(spark, name).isDefined
+    case _ => false
+  }
+  def isDrop(spark: SparkSession, stmt: String): Boolean = stmt match {
+    case DropRe(name) => lookup(spark, name).isDefined
+    case _ => false
+  }
+
+  private def registerView(spark: SparkSession, d: MatDesc): Unit =
+    spark.read.parquet(d.path).createOrReplaceTempView(d.name)
+
+  private def startContinuous(d: MatDesc, df: DataFrame): Unit = {
+    require(df.isStreaming,
+      s"${d.name}: REFRESH_MODE = CONTINUOUS needs a streaming query")
+    d.job = Some(df.writeStream.format("parquet")
+      .option("checkpointLocation", d.checkpoint)
+      .start(d.path))
+  }
+
+  /** Execute CREATE MATERIALIZED TABLE. `run` is the front-door SQL
+    * entry so the AS query may use every extended construct.
+    */
+  def create(spark: SparkSession, stmt: String,
+      run: (SparkSession, String) => DataFrame): Unit = stmt match {
+    case CreateRe(name, optsOrNull, fn, fUnit, modeOrNull, query) =>
+      val options = Option(optsOrNull).map(o =>
+        ConnectorDdl.parseOptions(o)).getOrElse(Map.empty)
+      val path = options.getOrElse("path",
+        java.nio.file.Files.createTempDirectory(s"mt_$name").toString + "/t")
+      val probe = run(spark, query)
+      val mode = Option(modeOrNull).map(_.toUpperCase).getOrElse(
+        if (probe.isStreaming) "CONTINUOUS" else "FULL")
+      val ckpt = options.getOrElse("checkpoint",
+        java.nio.file.Files.createTempDirectory(s"mt_${name}_ckpt").toString)
+      val d = MatDesc(name, query, path, s"$fn ${fUnit.toLowerCase}",
+        mode, ckpt, None)
+      mode match {
+        case "FULL" =>
+          require(!probe.isStreaming,
+            s"$name: REFRESH_MODE = FULL needs a bounded query")
+          probe.write.mode("overwrite").parquet(path)
+        case "CONTINUOUS" =>
+          startContinuous(d, probe)
+          d.job.foreach(_.processAllAvailable()) // initial image
+      }
+      registry.put(key(spark, name), d)
+      registerView(spark, d)
+    case _ => sys.error("not a CREATE MATERIALIZED TABLE statement")
+  }
+
+  /** REFRESH (full re-materialization), SUSPEND (stop the continuous
+    * job, checkpoint kept), RESUME (restart it from the checkpoint).
+    */
+  def alter(spark: SparkSession, stmt: String,
+      run: (SparkSession, String) => DataFrame): Unit = stmt match {
+    case AlterRe(name, verb) =>
+      val d = lookup(spark, name).getOrElse(sys.error(s"unknown table $name"))
+      verb.toUpperCase match {
+        case "REFRESH" =>
+          require(d.mode == "FULL",
+            s"$name: REFRESH applies to FULL mode (continuous tables " +
+              "stay fresh; SUSPEND/RESUME control the job)")
+          run(spark, d.query).write.mode("overwrite").parquet(d.path)
+          registerView(spark, d)
+        case "SUSPEND" =>
+          require(d.mode == "CONTINUOUS", s"$name: SUSPEND needs CONTINUOUS mode")
+          d.job.foreach(_.stop())
+          d.job = None
+        case "RESUME" =>
+          require(d.mode == "CONTINUOUS", s"$name: RESUME needs CONTINUOUS mode")
+          require(d.job.isEmpty, s"$name is already running")
+          startContinuous(d, run(spark, d.query))
+      }
+    case _ => sys.error("not an ALTER MATERIALIZED TABLE statement")
+  }
+
+  def drop(spark: SparkSession, stmt: String): Unit = stmt match {
+    case DropRe(name) =>
+      registry.remove(key(spark, name)).foreach { d =>
+        d.job.foreach(_.stop())
+        spark.catalog.dropTempView(d.name)
+      }
+    case _ => sys.error("not a DROP MATERIALIZED TABLE statement")
+  }
+}

@@ -176,6 +176,27 @@ object SqlQueries {
         "SELECT * FROM ddl_sink ORDER BY l_returnflag")
     }),
 
+    // Materialized table (FLIP-435 — operators/MaterializedTable): a
+    // FULL-mode materialization over orders, REFRESHed once (the
+    // lifecycle statement re-runs the definition), then read back; must
+    // equal the declarative aggregate.
+    "q_sql_mattable" -> ((s, dir) => {
+      Tables.registerAll(s, dir)
+      val out = java.nio.file.Files.createTempDirectory("q_sql_mattable")
+      Runtime.getRuntime.addShutdownHook(
+        new Thread(() => Q.deleteRecursively(out)))
+      graft.GraftSql.sql(s,
+        s"""CREATE MATERIALIZED TABLE mt_orders
+           |WITH ('path' = '$out/t')
+           |FRESHNESS = INTERVAL '1' HOUR
+           |AS SELECT o_orderstatus, COUNT(*) AS n,
+           |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2)) * 100) AS BIGINT) AS sum_cents
+           |FROM orders GROUP BY o_orderstatus""".stripMargin)
+      graft.GraftSql.sql(s, "ALTER MATERIALIZED TABLE mt_orders REFRESH")
+      graft.GraftSql.sql(s,
+        "SELECT * FROM mt_orders ORDER BY o_orderstatus")
+    }),
+
     // PARTITIONED BY sink: orders materialize hash-partitioned by
     // o_orderstatus (directory-per-status layout, dynamic-partition
     // OVERWRITE), plus a STATIC `PARTITION (o_orderstatus = 'X')` insert
@@ -223,6 +244,11 @@ object SqlQueries {
       """SELECT l_returnflag,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q_sql_mattable" ->
+      """SELECT o_orderstatus, COUNT(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2)) * 100) AS BIGINT) AS sum_cents
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
     "q_sql_ddl_part" ->
       """WITH base AS (
         |  SELECT o_orderkey,

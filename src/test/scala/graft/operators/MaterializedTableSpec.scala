@@ -1,0 +1,69 @@
+package graft.operators
+
+import graft.{GraftSql, SparkSuite}
+
+/** FLIP-435 materialized tables: FULL create/refresh staleness
+  * semantics, CONTINUOUS suspend/resume lifecycle, and drop.
+  */
+class MaterializedTableSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def tmp(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).toString
+
+  test("FULL mode: stale until ALTER ... REFRESH re-materializes") {
+    val src = tmp("mt_full_src")
+    Seq((1L, "a"), (2L, "b")).toDF("id", "tag").write.mode("overwrite").parquet(src)
+    GraftSql.sql(spark,
+      s"""CREATE TABLE mt_base (id BIGINT, tag STRING)
+         |WITH ('connector' = 'filesystem', 'path' = '$src',
+         |      'format' = 'parquet')""".stripMargin)
+    GraftSql.sql(spark,
+      """CREATE MATERIALIZED TABLE mt_counts
+        |FRESHNESS = INTERVAL '1' HOUR
+        |AS SELECT tag, COUNT(*) AS n FROM mt_base GROUP BY tag""".stripMargin)
+    def counts() = GraftSql.sql(spark,
+      "SELECT tag, n FROM mt_counts ORDER BY tag")
+      .as[(String, Long)].collect().toSeq
+    assert(counts() == Seq(("a", 1L), ("b", 1L)))
+    assert(MaterializedTable.lookup(spark, "mt_counts")
+      .exists(d => d.mode == "FULL" && d.freshness == "1 hour"))
+    // base grows; the materialization is STALE by design until refresh
+    Seq((3L, "a")).toDF("id", "tag").write.mode("append").parquet(src)
+    GraftSql.sql(spark, "ALTER TABLE mt_base SET ('path' = '" + src + "')")
+    assert(counts() == Seq(("a", 1L), ("b", 1L)))
+    GraftSql.sql(spark, "ALTER MATERIALIZED TABLE mt_counts REFRESH")
+    assert(counts() == Seq(("a", 2L), ("b", 1L)))
+    GraftSql.sql(spark, "DROP MATERIALIZED TABLE mt_counts")
+    assert(MaterializedTable.lookup(spark, "mt_counts").isEmpty)
+  }
+
+  test("CONTINUOUS mode: streaming job with SUSPEND/RESUME from checkpoint") {
+    val src = tmp("mt_cont_src")
+    Seq((1L, 5.0)).toDF("id", "v").write.mode("overwrite").parquet(src)
+    GraftSql.sql(spark,
+      s"""CREATE TABLE mt_stream_src (id BIGINT, v DOUBLE)
+         |WITH ('connector' = 'filesystem', 'path' = '$src',
+         |      'format' = 'parquet', 'scan.streaming' = 'true')""".stripMargin)
+    GraftSql.sql(spark,
+      """CREATE MATERIALIZED TABLE mt_live
+        |FRESHNESS = INTERVAL '30' SECOND
+        |AS SELECT id, v * 2 AS v2 FROM mt_stream_src""".stripMargin)
+    val d = MaterializedTable.lookup(spark, "mt_live").get
+    assert(d.mode == "CONTINUOUS" && d.job.exists(_.isActive))
+    def ids() = spark.read.parquet(d.path).as[(Long, Double)]
+      .collect().toMap
+    assert(ids() == Map(1L -> 10.0))
+    // SUSPEND stops the job; files appended while suspended are missed
+    GraftSql.sql(spark, "ALTER MATERIALIZED TABLE mt_live SUSPEND")
+    assert(MaterializedTable.lookup(spark, "mt_live").get.job.isEmpty)
+    Seq((2L, 7.0)).toDF("id", "v").write.mode("append").parquet(src)
+    assert(ids() == Map(1L -> 10.0))
+    // RESUME picks up from the checkpoint and catches up
+    GraftSql.sql(spark, "ALTER MATERIALIZED TABLE mt_live RESUME")
+    val job = MaterializedTable.lookup(spark, "mt_live").get.job.get
+    job.processAllAvailable()
+    assert(ids() == Map(1L -> 10.0, 2L -> 14.0))
+    GraftSql.sql(spark, "DROP MATERIALIZED TABLE mt_live")
+  }
+}
