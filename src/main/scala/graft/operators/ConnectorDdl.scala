@@ -71,6 +71,10 @@ object ConnectorDdl {
     """(?is)^\s*ALTER\s+TABLE\s+([A-Za-z_][\w.]*)\s+(SET|RESET)\s*\((.*)\)\s*;?\s*$""".r
   private val CompactRe =
     """(?is)^\s*ALTER\s+TABLE\s+([A-Za-z_][\w.]*)\s+COMPACT\s*;?\s*$""".r
+  private val AlterAddRe =
+    """(?is)^\s*ALTER\s+TABLE\s+([A-Za-z_][\w.]*)\s+ADD\s*\((.*)\)\s*;?\s*$""".r
+  private val RenameRe =
+    """(?is)^\s*ALTER\s+TABLE\s+([A-Za-z_][\w.]*)\s+RENAME\s+TO\s+([A-Za-z_][\w.]*)\s*;?\s*$""".r
   private val ShowPartsRe =
     """(?is)^\s*SHOW\s+PARTITIONS\s+([A-Za-z_][\w.]*)\s*;?\s*$""".r
   private val CtasRe =
@@ -122,6 +126,8 @@ object ConnectorDdl {
     */
   def isAlter(spark: SparkSession, stmt: String): Boolean = stmt match {
     case AlterRe(name, _, _) => lookup(spark, name).isDefined
+    case AlterAddRe(name, _) => lookup(spark, name).isDefined
+    case RenameRe(name, _) => lookup(spark, name).isDefined
     case _ => false
   }
   def isDrop(spark: SparkSession, stmt: String): Boolean = stmt match {
@@ -147,6 +153,26 @@ object ConnectorDdl {
       require(next.contains("connector"),
         s"$name: cannot RESET 'connector' — the table would lose its type")
       register(spark, d.copy(options = next))
+    // ALTER TABLE t ADD (col TYPE, c AS expr, …) — SqlAlterTableAdd:
+    // schema evolution by appending; parquet reads surface the new
+    // physical column as NULL for pre-existing files
+    case AlterAddRe(name, body) =>
+      val d = lookup(spark, name).getOrElse(sys.error(s"unknown table $name"))
+      val p = parseBody(body)
+      p.fields.foreach(f => require(!d.fields.fieldNames.contains(f.name),
+        s"$name: column '${f.name}' already exists"))
+      register(spark, d.copy(fields = StructType(d.fields.fields ++ p.fields),
+        computed = d.computed ++ p.computed,
+        watermark = p.watermark.orElse(d.watermark),
+        primaryKey = if (p.pk.nonEmpty) p.pk else d.primaryKey))
+    // ALTER TABLE t RENAME TO t2 — SqlAlterTableRename: registry move,
+    // old view dropped, new view registered
+    case RenameRe(name, newName) =>
+      val d = lookup(spark, name).getOrElse(sys.error(s"unknown table $name"))
+      require(lookup(spark, newName).isEmpty, s"table $newName already exists")
+      registry.remove(key(spark, name))
+      spark.catalog.dropTempView(name)
+      register(spark, d.copy(name = newName))
     case _ => sys.error("not a connector ALTER TABLE statement")
   }
 

@@ -326,6 +326,30 @@ class ConnectorDdlSpec extends SparkSuite {
     assert(parts == Seq("tag=a", "tag=b"))
   }
 
+  test("ALTER TABLE ADD evolves the schema; RENAME TO moves the name") {
+    val dir = tmp("ddl_evolve")
+    Seq(Tuple1(1L)).toDF("id").write.mode("overwrite").parquet(dir)
+    GraftSql.sql(spark,
+      s"""CREATE TABLE evolve_t (id BIGINT)
+         |WITH ('connector' = 'filesystem', 'path' = '$dir',
+         |      'format' = 'parquet')""".stripMargin)
+    // append a physical column (old files read NULL) + a computed one
+    GraftSql.sql(spark,
+      "ALTER TABLE evolve_t ADD (tag STRING, doubled AS id * 2)")
+    val row = GraftSql.sql(spark,
+      "SELECT id, tag, doubled FROM evolve_t").head()
+    assert(row.getLong(0) == 1L && row.isNullAt(1) && row.getLong(2) == 2L)
+    val dup = intercept[IllegalArgumentException] {
+      GraftSql.sql(spark, "ALTER TABLE evolve_t ADD (id BIGINT)")
+    }
+    assert(dup.getMessage.contains("already exists"))
+    // rename: old name gone, new name serves the same table
+    GraftSql.sql(spark, "ALTER TABLE evolve_t RENAME TO evolve_t2")
+    assert(ConnectorDdl.lookup(spark, "evolve_t").isEmpty)
+    assert(GraftSql.sql(spark, "SELECT COUNT(*) AS n FROM evolve_t2")
+      .head().getLong(0) == 1L)
+  }
+
   test("CREATE TABLE LIKE inherits schema and options; EXCLUDING drops them") {
     val dir = tmp("ddl_like") + "/src"
     Seq((1L, "x")).toDF("id", "tag").write.mode("overwrite").parquet(dir)
