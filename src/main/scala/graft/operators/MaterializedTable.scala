@@ -82,8 +82,14 @@ object MaterializedTable {
     case CreateRe(name, optsOrNull, fn, fUnit, modeOrNull, query) =>
       val options = Option(optsOrNull).map(o =>
         ConnectorDdl.parseOptions(o)).getOrElse(Map.empty)
-      val path = options.getOrElse("path",
-        java.nio.file.Files.createTempDirectory(s"mt_$name").toString + "/t")
+      val path = options.getOrElse("path", {
+        // default storage is JVM-scoped scratch; reaped at exit so
+        // repeated Verify/Bench runs don't accumulate materializations
+        val dir = java.nio.file.Files.createTempDirectory(s"mt_$name")
+        Runtime.getRuntime.addShutdownHook(new Thread(() =>
+          graft.queries.Q.deleteRecursively(dir)))
+        dir.toString + "/t"
+      })
       val probe = run(spark, query)
       val mode = Option(modeOrNull).map(_.toUpperCase).getOrElse(
         if (probe.isStreaming) "CONTINUOUS" else "FULL")
