@@ -90,6 +90,35 @@ object SqlQueries {
       |      AND l3.l_shipdate > o_orderdate + INTERVAL 60 DAY)
       |GROUP BY s_name ORDER BY numwait DESC, s_name""".stripMargin
 
+  // TPC-H Q18-shaped: IN over a grouped-HAVING subquery (large-volume
+  // orders) — RewritePredicateSubquery turns the IN into a semi join
+  // against the aggregated subquery; exact decimal sums on both sides.
+  private val q18ish =
+    """SELECT c_name, o_orderkey,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS total_qty
+      |FROM customer, orders, lineitem
+      |WHERE c_custkey = o_custkey AND o_orderkey = l_orderkey
+      |  AND o_orderkey IN (
+      |    SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+      |    HAVING SUM(CAST(l_quantity AS DECIMAL(12,2))) > 120)
+      |GROUP BY c_name, o_orderkey
+      |ORDER BY o_orderkey""".stripMargin
+
+  // TPC-H Q20-shaped: NESTED IN subqueries (suppliers shipping small
+  // parts in volume) — a semi join whose build side itself contains a
+  // semi join under a grouped HAVING.
+  private val q20ish =
+    """SELECT s_name, CAST(s_acctbal AS DOUBLE) AS acctbal
+      |FROM supplier, nation
+      |WHERE s_nationkey = n_nationkey
+      |  AND n_name IN ('NATION_3', 'NATION_7', 'NATION_11')
+      |  AND s_suppkey IN (
+      |    SELECT l_suppkey FROM lineitem
+      |    WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_size < 10)
+      |    GROUP BY l_suppkey
+      |    HAVING SUM(CAST(l_quantity AS DECIMAL(12,2))) > 50)
+      |ORDER BY s_name""".stripMargin
+
   // GROUPING() disambiguation over CUBE (the reference's
   // GROUPING/GROUPING_ID surface; a NULL group key vs a rolled-up key
   // are indistinguishable without it).
@@ -124,7 +153,9 @@ object SqlQueries {
     "q_sql_tpch5" -> q5ish,
     "q_sql_tpch17" -> q17ish,
     "q_sql_tpch2" -> q2ish,
-    "q_sql_tpch21" -> q21ish
+    "q_sql_tpch21" -> q21ish,
+    "q_sql_tpch18" -> q18ish,
+    "q_sql_tpch20" -> q20ish
   )
 
   val queries: Map[String, QFn] = all.map { case (name, sql) =>
