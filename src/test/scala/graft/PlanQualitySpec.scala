@@ -89,6 +89,37 @@ class PlanQualitySpec extends SparkSuite {
     }
   }
 
+  test("dynamic partition pruning: dim filter prunes the fact scan at runtime") {
+    // the reference's dynamic-filtering operator
+    // (DynamicFilteringDataCollectorOperator): a selective dimension
+    // predicate must reach a PARTITIONED fact scan as a runtime
+    // partition filter — Spark's native DPP is the same mechanism
+    val o = Tables.load(spark, sf, "orders")
+    o.write.mode("overwrite").partitionBy("o_orderstatus")
+      .saveAsTable("orders_dpp")
+    try {
+      // the dim must be a real scan with a surviving selective filter —
+      // a LocalRelation constant-folds its filter away and the pruning
+      // rule sees nothing selective to reuse
+      val dimDir = java.nio.file.Files.createTempDirectory("dpp_dim").toString
+      Seq(("F", 1L), ("O", 2L), ("P", 3L)).toDF("status", "flag")
+        .write.mode("overwrite").parquet(dimDir)
+      withSQLConf(
+        "spark.sql.optimizer.dynamicPartitionPruning.enabled" -> "true",
+        "spark.sql.optimizer.dynamicPartitionPruning.useStats" -> "false",
+        "spark.sql.optimizer.dynamicPartitionPruning.fallbackFilterRatio" -> "10.0") {
+        val joined = spark.table("orders_dpp")
+          .join(spark.read.parquet(dimDir).filter($"flag" === 1L),
+            $"o_orderstatus" === $"status")
+          .agg(count(lit(1)).as("n"))
+        joined.collect()
+        val plan = joined.queryExecution.executedPlan.toString()
+        assert(plan.contains("dynamicpruning"),
+          s"no dynamic partition pruning in: $plan")
+      }
+    } finally spark.sql("DROP TABLE IF EXISTS orders_dpp")
+  }
+
   test("AQE splits a skewed join partition at runtime (isSkew marker)") {
     // the hot-key story the build brief names: one join key carries most
     // of the rows; AQE's skew-join rule must split that partition into
