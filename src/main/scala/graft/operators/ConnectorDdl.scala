@@ -382,7 +382,10 @@ object ConnectorDdl {
       case PkRe(cols) =>
         pk = cols.split(",").map(_.trim).toSeq
       case ComputedRe(n, expr) => // the AS keyword disambiguates from fields
-        computed :+= ((n, expr.trim))
+        // PROCTIME() (the reference's processing-time attribute,
+        // SqlProctimeFunction) maps to the engine's clock function
+        computed :+= ((n, "(?i)\\bPROCTIME\\s*\\(\\s*\\)".r
+          .replaceAllIn(expr.trim, "current_timestamp()")))
       case MetadataRe(n, tpe, keyOrNull) =>
         val key = Option(keyOrNull).getOrElse(n)
         val src = MetadataKeys.getOrElse(key,

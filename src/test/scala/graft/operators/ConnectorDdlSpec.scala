@@ -258,6 +258,11 @@ class ConnectorDdlSpec extends SparkSuite {
       "SELECT id, fpath, fsize FROM meta_t ORDER BY id").collect()
     assert(rows.forall(r => r.getString(1).contains(dir) &&
       r.getString(1).endsWith(".parquet") && r.getLong(2) > 0L))
+    // PROCTIME() computed column maps to the engine clock
+    GraftSql.sql(spark, "ALTER TABLE meta_t ADD (pt AS PROCTIME())")
+    val pt = GraftSql.sql(spark, "SELECT pt FROM meta_t LIMIT 1")
+      .head().getTimestamp(0)
+    assert(math.abs(pt.getTime - System.currentTimeMillis()) < 60000L)
     // DESCRIBE: physical + metadata-as-computed rows
     val desc = GraftSql.sql(spark, "DESCRIBE meta_t")
       .collect().map(r => r.getString(0) -> r.getString(2)).toMap
