@@ -61,9 +61,11 @@ object GraftSql {
     query match {
       case ExplainRe(inner) if inner.nonEmpty &&
           !inner.matches("(?is)^\\s*EXPLAIN\\b.*") =>
-        require(!ConnectorDdl.isCreate(inner) &&
-          !ConnectorDdl.isInsert(spark, inner) &&
-          !StatementSetRe.matches(inner),
+        // whitelist query forms — building the inner statement EXECUTES
+        // it for every DDL/DML the front door handles (DROP, ALTER,
+        // CTAS, SET, materialized-table lifecycle, …), so anything that
+        // is not a query is rejected rather than enumerated
+        require(inner.matches("(?is)^\\s*(SELECT|WITH|VALUES|TABLE|FROM)\\b.*"),
           "EXPLAIN supports queries here, not DDL/DML statements")
         val df = sql(spark, inner)
         val plan = df.queryExecution.explainString(

@@ -249,11 +249,16 @@ object ConnectorDdl {
         val d = lookup(spark, name).getOrElse(sys.error(s"unknown table $name"))
         require(d.partitions.nonEmpty, s"$name is not partitioned")
         import spark.implicits._
-        val dirs = Option(new java.io.File(d.options("path")).listFiles())
-          .getOrElse(Array.empty)
-          .filter(f => f.isDirectory && f.getName.contains("="))
-          .map(_.getName).sorted.toSeq
-        dirs.toDF("partition")
+        // walk one level per partition column — multi-column tables
+        // nest (a=1/b=x), and only full-depth paths are partitions
+        def walk(dir: java.io.File, depth: Int): Seq[String] = {
+          val level = Option(dir.listFiles()).getOrElse(Array.empty)
+            .filter(f => f.isDirectory && f.getName.contains("="))
+          if (depth == d.partitions.length - 1) level.map(_.getName).toSeq
+          else level.toSeq.flatMap(f =>
+            walk(f, depth + 1).map(f.getName + "/" + _))
+        }
+        walk(new java.io.File(d.options("path")), 0).sorted.toDF("partition")
       case _ => sys.error("not a SHOW PARTITIONS statement")
     }
 
@@ -410,7 +415,17 @@ object ConnectorDdl {
             sys.error(s"${desc.name}: filesystem needs 'path'"))).exists())
           sourceFrame(spark, desc).createOrReplaceTempView(desc.name)
         // else: sink-only for now; a later INSERT materializes it
-      case "filesystem" => () // PK table: view appears after first INSERT
+      case "filesystem" =>
+        // PK table: the view appears after the first INSERT — but a
+        // RE-registration (ALTER SET/ADD, RENAME) of a table that was
+        // already materialized must refresh/recreate the view, or the
+        // new name serves nothing and the old options keep serving
+        val path = desc.options.getOrElse("path",
+          sys.error(s"${desc.name}: filesystem needs 'path'"))
+        val dir = new java.io.File(path)
+        if (dir.exists() && Option(dir.list()).exists(_.nonEmpty))
+          graft.sources.UpsertSink.read(spark, path)
+            .drop("__ddl_seq").createOrReplaceTempView(desc.name)
       case "datagen" =>
         datagenFrame(spark, desc).createOrReplaceTempView(desc.name)
       case "print" | "blackhole" => () // sink-only
@@ -628,6 +643,7 @@ object ConnectorDdl {
             java.nio.file.Files.createTempDirectory(s"ddl_${name}_ckpt")
               .toString)
           val ws0 = df.writeStream.format(fmt)
+            .options(formatOptions(d, fmt))
             .option("checkpointLocation", ckpt)
             .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
           val q = (if (d.partitions.nonEmpty)

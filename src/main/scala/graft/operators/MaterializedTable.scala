@@ -33,7 +33,8 @@ object MaterializedTable {
 
   case class MatDesc(name: String, query: String, path: String,
       freshness: String, mode: String, checkpoint: String,
-      var job: Option[org.apache.spark.sql.streaming.StreamingQuery])
+      var job: Option[org.apache.spark.sql.streaming.StreamingQuery],
+      var listener: Option[org.apache.spark.sql.streaming.StreamingQueryListener] = None)
 
   private val registry = TrieMap.empty[(Int, String), MatDesc]
   private def key(spark: SparkSession, name: String) =
@@ -66,12 +67,34 @@ object MaterializedTable {
   private def registerView(spark: SparkSession, d: MatDesc): Unit =
     spark.read.parquet(d.path).createOrReplaceTempView(d.name)
 
-  private def startContinuous(d: MatDesc, df: DataFrame): Unit = {
+  private def startContinuous(spark: SparkSession, d: MatDesc,
+      df: DataFrame): Unit = {
     require(df.isStreaming,
       s"${d.name}: REFRESH_MODE = CONTINUOUS needs a streaming query")
-    d.job = Some(df.writeStream.format("parquet")
+    val job = df.writeStream.format("parquet")
       .option("checkpointLocation", d.checkpoint)
-      .start(d.path))
+      .start(d.path)
+    d.job = Some(job)
+    // a temp view pins its file listing at registration — without a
+    // per-commit refresh the SQL read path would serve the CREATE-time
+    // image forever while the directory keeps growing
+    val l = new org.apache.spark.sql.streaming.StreamingQueryListener {
+      import org.apache.spark.sql.streaming.StreamingQueryListener._
+      override def onQueryStarted(e: QueryStartedEvent): Unit = ()
+      override def onQueryProgress(e: QueryProgressEvent): Unit =
+        if (e.progress.id == job.id)
+          try registerView(spark, d) catch { case _: Throwable => () }
+      override def onQueryTerminated(e: QueryTerminatedEvent): Unit = ()
+    }
+    spark.streams.addListener(l)
+    d.listener = Some(l)
+  }
+
+  private def stopContinuous(spark: SparkSession, d: MatDesc): Unit = {
+    d.job.foreach(_.stop())
+    d.job = None
+    d.listener.foreach(spark.streams.removeListener)
+    d.listener = None
   }
 
   /** Execute CREATE MATERIALIZED TABLE. `run` is the front-door SQL
@@ -103,7 +126,7 @@ object MaterializedTable {
             s"$name: REFRESH_MODE = FULL needs a bounded query")
           probe.write.mode("overwrite").parquet(path)
         case "CONTINUOUS" =>
-          startContinuous(d, probe)
+          startContinuous(spark, d, probe)
           d.job.foreach(_.processAllAvailable()) // initial image
       }
       registry.put(key(spark, name), d)
@@ -127,12 +150,11 @@ object MaterializedTable {
           registerView(spark, d)
         case "SUSPEND" =>
           require(d.mode == "CONTINUOUS", s"$name: SUSPEND needs CONTINUOUS mode")
-          d.job.foreach(_.stop())
-          d.job = None
+          stopContinuous(spark, d)
         case "RESUME" =>
           require(d.mode == "CONTINUOUS", s"$name: RESUME needs CONTINUOUS mode")
           require(d.job.isEmpty, s"$name is already running")
-          startContinuous(d, run(spark, d.query))
+          startContinuous(spark, d, run(spark, d.query))
       }
     case _ => sys.error("not an ALTER MATERIALIZED TABLE statement")
   }
@@ -140,7 +162,7 @@ object MaterializedTable {
   def drop(spark: SparkSession, stmt: String): Unit = stmt match {
     case DropRe(name) =>
       registry.remove(key(spark, name)).foreach { d =>
-        d.job.foreach(_.stop())
+        stopContinuous(spark, d)
         spark.catalog.dropTempView(d.name)
       }
     case _ => sys.error("not a DROP MATERIALIZED TABLE statement")

@@ -355,6 +355,34 @@ class ConnectorDdlSpec extends SparkSuite {
       .head().getLong(0) == 1L)
   }
 
+  test("RENAME of a materialized PK table keeps it readable; nested SHOW PARTITIONS") {
+    val dir = tmp("ddl_pkren") + "/t"
+    GraftSql.sql(spark,
+      s"""CREATE TABLE pkren_t (k BIGINT, v STRING, PRIMARY KEY (k) NOT ENFORCED)
+         |WITH ('connector' = 'filesystem', 'path' = '$dir',
+         |      'format' = 'parquet')""".stripMargin)
+    GraftSql.sql(spark,
+      "INSERT INTO pkren_t SELECT * FROM VALUES (1, 'a') AS t(k, v)")
+    GraftSql.sql(spark, "ALTER TABLE pkren_t RENAME TO pkren_t2")
+    // the new name must serve the already-materialized upsert state
+    assert(GraftSql.sql(spark, "SELECT k, v FROM pkren_t2")
+      .as[(Long, String)].collect().toSeq == Seq((1L, "a")))
+
+    // multi-column partitioning: SHOW PARTITIONS walks the nesting
+    val pdir = tmp("ddl_showp2") + "/t"
+    GraftSql.sql(spark,
+      s"""CREATE TABLE showp2_t (id BIGINT, a STRING, b STRING)
+         |PARTITIONED BY (a, b)
+         |WITH ('connector' = 'filesystem', 'path' = '$pdir',
+         |      'format' = 'parquet')""".stripMargin)
+    GraftSql.sql(spark,
+      """INSERT INTO showp2_t SELECT * FROM
+        |VALUES (1, 'x', 'p'), (2, 'x', 'q'), (3, 'y', 'p') AS t(id, a, b)""".stripMargin)
+    val parts = GraftSql.sql(spark, "SHOW PARTITIONS showp2_t")
+      .as[String].collect().toSeq
+    assert(parts == Seq("a=x/b=p", "a=x/b=q", "a=y/b=p"))
+  }
+
   test("CREATE TABLE LIKE inherits schema and options; EXCLUDING drops them") {
     val dir = tmp("ddl_like") + "/src"
     Seq((1L, "x")).toDF("id", "tag").write.mode("overwrite").parquet(dir)

@@ -59,11 +59,16 @@ class MaterializedTableSpec extends SparkSuite {
     assert(MaterializedTable.lookup(spark, "mt_live").get.job.isEmpty)
     Seq((2L, 7.0)).toDF("id", "v").write.mode("append").parquet(src)
     assert(ids() == Map(1L -> 10.0))
-    // RESUME picks up from the checkpoint and catches up
+    // RESUME picks up from the checkpoint and catches up — and the SQL
+    // VIEW advances too (per-commit re-registration), not just the path
     GraftSql.sql(spark, "ALTER MATERIALIZED TABLE mt_live RESUME")
     val job = MaterializedTable.lookup(spark, "mt_live").get.job.get
     job.processAllAvailable()
     assert(ids() == Map(1L -> 10.0, 2L -> 14.0))
+    val viaView = GraftSql.sql(spark,
+      "SELECT id, v2 FROM mt_live ORDER BY id")
+      .as[(Long, Double)].collect().toMap
+    assert(viaView == Map(1L -> 10.0, 2L -> 14.0))
     GraftSql.sql(spark, "DROP MATERIALIZED TABLE mt_live")
   }
 }
