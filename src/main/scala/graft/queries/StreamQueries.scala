@@ -936,6 +936,36 @@ object StreamQueries {
         .orderBy($"user_id")
     }),
 
+    // Event-time state-TTL dedup (StatefulOps.KeepFirstTtlProcessor —
+    // the DeduplicateFunctionHelper + StateTtlConfig story made
+    // deterministic): a user's "seen" mark expires after a 6-hour
+    // event-time gap, so the next event is a FIRST again. The oracle
+    // restates it as per-user gaps-and-islands firsts; timers only
+    // clear expired state and cannot affect emissions, which is
+    // exactly what makes wall-clock TTL semantics oracle-expressible.
+    "q_stream_dedup_ttl" -> ((s, dir) => {
+      import s.implicits._
+      implicit val sqlCtx = s.sqlContext
+      implicit val ttlEnc = Encoders.product[StatefulOps.TtlIn]
+      val rows = sortedEvents(s, dir).map(e =>
+        StatefulOps.TtlIn(e.user_id.toString, e.ts, e.event_id))
+      val sentinel = StatefulOps.TtlIn("-1",
+        new java.sql.Timestamp(rows.last.ts.getTime + 10L * 86400000L), -1L)
+      val input = MemoryStream[StatefulOps.TtlIn]
+      val out = input.toDS().withWatermark("ts", "1 second")
+        .as[StatefulOps.TtlIn]
+        .groupByKey(_.key)
+        .transformWithState(
+          new StatefulOps.KeepFirstTtlProcessor(6L * 3600000L),
+          org.apache.spark.sql.streaming.TimeMode.EventTime(),
+          org.apache.spark.sql.streaming.OutputMode.Append())
+      runToEnd(s, input, out.toDF(), chunks(rows, 4) :+ Seq(sentinel),
+        mode = "append", rocks = true)
+        .filter($"key" =!= "-1")
+        .select($"key".cast("long").as("user_id"), $"id".as("event_id"))
+        .orderBy($"user_id", $"event_id")
+    }),
+
     // State bootstrap + savepoint-rewrite loop (streaming/StateBootstrap
     // — the State Processor API's WRITE side, SavepointWriter /
     // OperatorTransformation.bootstrapWith): phase 1 streams the
@@ -1268,6 +1298,17 @@ object StreamQueries {
       """SELECT event_type, COUNT(DISTINCT user_id) AS n_users
         |FROM events WHERE event_id % 4 <> 0
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // per-user gaps-and-islands firsts at the 6-hour gap — ms-truncated
+    // timestamps on both engines
+    "q_stream_dedup_ttl" ->
+      """WITH e AS (SELECT event_id, user_id, make_timestamp(epoch_ns(ts) // 1000) AS ts FROM events),
+        |g AS (SELECT user_id, event_id,
+        |    epoch_ms(ts) - lag(epoch_ms(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap_ms
+        |  FROM e)
+        |SELECT user_id, event_id FROM g
+        |WHERE gap_ms IS NULL OR gap_ms > 21600000
+        |ORDER BY user_id, event_id""".stripMargin,
 
     // totals over ALL events for users active after the handover cutoff
     // (phase-2 keys); the history half reaches the result only through

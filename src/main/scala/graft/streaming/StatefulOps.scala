@@ -37,6 +37,48 @@ object StatefulOps {
     }
   }
 
+  /** Keep-first dedup under an EVENT-TIME state TTL — the reference's
+    * DeduplicateFunctionHelper + StateTtlConfig story made
+    * deterministic: a key's "seen" mark expires once the event-time gap
+    * since its last row exceeds `ttlMs`, so the next row is a FIRST
+    * again (per-key gaps-and-islands firsts — exactly SQL-expressible,
+    * unlike wall-clock TTL). Emission needs only the lastTs compare;
+    * the timer exists purely to CLEAR expired state (a post-expiry row
+    * computes the same answer from absent state), so state is bounded
+    * by the ttl horizon and the semantics never depend on cleanup
+    * timing. Input event-time column must carry the stream's watermark.
+    */
+  case class TtlIn(key: String, ts: java.sql.Timestamp, id: Long)
+
+  class KeepFirstTtlProcessor(ttlMs: Long)
+      extends StatefulProcessor[String, TtlIn, TtlIn] {
+    @transient private var lastTs: ValueState[Long] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      lastTs = getHandle.getValueState[Long]("lastTs",
+        Encoders.scalaLong, TTLConfig.NONE)
+    override def handleInputRows(key: String, rows: Iterator[TtlIn],
+        timerValues: TimerValues): Iterator[TtlIn] = {
+      val out = scala.collection.mutable.ArrayBuffer.empty[TtlIn]
+      var last = if (lastTs.exists()) lastTs.get() else Long.MinValue
+      rows.foreach { r =>
+        val ts = r.ts.getTime
+        if (last == Long.MinValue || ts - last > ttlMs) out += r
+        if (ts > last) last = ts
+      }
+      lastTs.update(last)
+      getHandle.registerTimer(last + ttlMs) // cleanup horizon
+      out.iterator
+    }
+    override def handleExpiredTimer(key: String, timerValues: TimerValues,
+        expiredTimerInfo: ExpiredTimerInfo): Iterator[TtlIn] = {
+      // only the LATEST horizon clears state; superseded timers no-op
+      if (lastTs.exists() &&
+          lastTs.get() + ttlMs <= expiredTimerInfo.getExpiryTimeInMs())
+        lastTs.clear()
+      Iterator.empty
+    }
+  }
+
   /** Keep-LAST-row-per-key streaming dedup emitting a retract stream —
     * semantics of ProcTimeDeduplicateKeepLastRowFunction.java:32 +
     * StreamExecChangelogNormalize.java:77: each new row for a key retracts

@@ -328,6 +328,19 @@ class StatefulOpsSpec extends SparkSuite {
     assert(out(2) == Seq(CountWindowResult("k", 1, 15, 3)))
   }
 
+  test("event-time TTL dedup: a first re-emits after the gap, not within it") {
+    def in(ms: Long, id: Long) = TtlIn("k", new java.sql.Timestamp(ms), id)
+    val out = runBatches[TtlIn, TtlIn](Seq(
+      Seq(in(1000L, 1), in(2000L, 2)),  // 1 is first; 2 within ttl
+      Seq(in(9000L, 3)),                // gap 7000 > ttl 5000: first again
+      Seq(in(12000L, 4))),              // gap 3000: suppressed
+      ds => ds.withWatermark("ts", "1 second").as[TtlIn]
+        .groupByKey(_.key)
+        .transformWithState(new KeepFirstTtlProcessor(5000L),
+          TimeMode.EventTime(), OutputMode.Append()))
+    assert(out.flatten.map(_.id) == Seq(1L, 3L))
+  }
+
   test("sliding count window fires every `slide` rows over the last `size`") {
     // size 3, slide 2: fire at rows 2, 4, 6 with the trailing ≤3 values
     val batches = Seq(
