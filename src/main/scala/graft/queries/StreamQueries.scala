@@ -936,6 +936,34 @@ object StreamQueries {
         .orderBy($"user_id")
     }),
 
+    // Streaming window join (the reference's WindowJoinOperator —
+    // StreamExecWindowJoin): clicks and purchases split out of one
+    // replayed stream, each bucketed to its tumbling window, and joined
+    // on (window, user). Spark executes this as a stream-stream join
+    // whose state evicts per window under the watermark — the
+    // recommended windowed-join shape; the append sink must equal the
+    // batch window join (same oracle as q_window_join modulo replay).
+    "q_stream_winjoin" -> ((s, dir) => {
+      import s.implicits._
+      implicit val sqlCtx = s.sqlContext
+      val rows = sortedEvents(s, dir)
+        .filter(e => e.event_type == "click" || e.event_type == "purchase")
+      val input = MemoryStream[Ev]
+      val ev = input.toDS().withWatermark("ts", "1 hour")
+      val clicks = ev.filter($"event_type" === "click")
+        .select(window($"ts", "1 hour").getField("start").as("cw"),
+          $"user_id".as("c_user"), $"event_id".as("click_id"))
+      val purchases = ev.filter($"event_type" === "purchase")
+        .select(window($"ts", "1 hour").getField("start").as("pw"),
+          $"user_id".as("p_user"), $"event_id".as("purchase_id"))
+      val joined = clicks.join(purchases,
+          $"cw" === $"pw" && $"c_user" === $"p_user")
+        .select($"cw".cast("timestamp_ntz").as("window_start"),
+          $"c_user".as("user_id"), $"click_id", $"purchase_id")
+      runToEnd(s, input, joined, chunks(rows, 4), mode = "append")
+        .orderBy($"window_start", $"user_id", $"click_id", $"purchase_id")
+    }),
+
     // Event-time state-TTL dedup (StatefulOps.KeepFirstTtlProcessor —
     // the DeduplicateFunctionHelper + StateTtlConfig story made
     // deterministic): a user's "seen" mark expires after a 6-hour
@@ -1298,6 +1326,17 @@ object StreamQueries {
       """SELECT event_type, COUNT(DISTINCT user_id) AS n_users
         |FROM events WHERE event_id % 4 <> 0
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // same result as the batch window join by construction
+    "q_stream_winjoin" ->
+      """WITH e AS (SELECT event_id, user_id, make_timestamp(epoch_ns(ts) // 1000) AS ts, event_type FROM events),
+        |c AS (SELECT time_bucket(INTERVAL 1 HOUR, ts) AS w, user_id, event_id AS click_id
+        |      FROM e WHERE event_type = 'click'),
+        |p AS (SELECT time_bucket(INTERVAL 1 HOUR, ts) AS w, user_id, event_id AS purchase_id
+        |      FROM e WHERE event_type = 'purchase')
+        |SELECT c.w AS window_start, c.user_id AS user_id, click_id, purchase_id
+        |FROM c JOIN p ON c.w = p.w AND c.user_id = p.user_id
+        |ORDER BY window_start, c.user_id, click_id, purchase_id""".stripMargin,
 
     // per-user gaps-and-islands firsts at the 6-hour gap — ms-truncated
     // timestamps on both engines
