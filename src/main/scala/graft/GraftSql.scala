@@ -92,6 +92,15 @@ object GraftSql {
     } else if (ConnectorDdl.isCompact(spark, query)) {
       ConnectorDdl.compactTable(spark, query)
       spark.emptyDataFrame
+    } else if (ConnectorDdl.isTruncate(spark, query)) {
+      ConnectorDdl.truncateTable(spark, query)
+      spark.emptyDataFrame
+    } else if (ConnectorDdl.isDelete(spark, query)) {
+      ConnectorDdl.deleteFrom(spark, query)
+      spark.emptyDataFrame
+    } else if (ConnectorDdl.isUpdate(spark, query)) {
+      ConnectorDdl.updateTable(spark, query)
+      spark.emptyDataFrame
     } else if (ConnectorDdl.isShowPartitions(spark, query)) {
       ConnectorDdl.showPartitions(spark, query)
     } else if (ConnectorDdl.isDescribe(spark, query)) {

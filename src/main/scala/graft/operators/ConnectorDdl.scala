@@ -83,6 +83,12 @@ object ConnectorDdl {
     """(?is)^\s*DROP\s+TABLE\s+(IF\s+EXISTS\s+)?([A-Za-z_][\w.]*)\s*;?\s*$""".r
   private val InsertPartRe =
     """(?is)^\s*PARTITION\s*\(([^)]*)\)\s*(.*)$""".r
+  private val TruncateRe =
+    """(?is)^\s*TRUNCATE\s+TABLE\s+([A-Za-z_][\w.]*)\s*;?\s*$""".r
+  private val DeleteRe =
+    """(?is)^\s*DELETE\s+FROM\s+([A-Za-z_][\w.]*)(?:\s+WHERE\s+(.*?))?\s*;?\s*$""".r
+  private val UpdateRe =
+    """(?is)^\s*UPDATE\s+([A-Za-z_][\w.]*)\s+SET\s+(.*?)(?:\s+WHERE\s+(.*?))?\s*;?\s*$""".r
 
   /** Pull a top-level `PARTITIONED BY (…)` clause out of a CREATE
     * statement (the greedy column-body regex cannot disambiguate it);
@@ -261,6 +267,87 @@ object ConnectorDdl {
         walk(new java.io.File(d.options("path")), 0).sorted.toDF("partition")
       case _ => sys.error("not a SHOW PARTITIONS statement")
     }
+
+  def isTruncate(spark: SparkSession, stmt: String): Boolean = stmt match {
+    case TruncateRe(name) => lookup(spark, name).isDefined
+    case _ => false
+  }
+  def isDelete(spark: SparkSession, stmt: String): Boolean = stmt match {
+    case DeleteRe(name, _) => lookup(spark, name).isDefined
+    case _ => false
+  }
+  def isUpdate(spark: SparkSession, stmt: String): Boolean = stmt match {
+    case UpdateRe(name, _, _) => lookup(spark, name).isDefined
+    case _ => false
+  }
+
+  /** Copy-on-write rewrite of a filesystem table's physical rows — the
+    * execution shape of the reference's batch row-level DELETE/UPDATE
+    * (SupportsRowLevelDelete/Update on copy-on-write connectors) and of
+    * SqlTruncateTable: surviving rows materialize (eager localCheckpoint
+    * — a read can never overwrite its own input files), the path is
+    * overwritten, the view refreshes. At scale this is one full-table
+    * job, exactly the cost the reference documents for copy-on-write.
+    */
+  private def rewriteRows(spark: SparkSession, d: TableDesc,
+      f: DataFrame => DataFrame): Unit = {
+    require(d.connector == "filesystem",
+      s"${d.name}: row-level DML needs a filesystem table")
+    require(d.primaryKey.isEmpty,
+      s"${d.name}: row-level DML on PRIMARY KEY tables is not supported " +
+        "(write a keyed changelog INSERT instead)")
+    val fmt = d.options.getOrElse("format", "parquet")
+    require(!CdcFormats.contains(fmt), s"${d.name}: CDC tables are read-only")
+    // PHYSICAL columns only — computed/metadata columns re-derive on read
+    val physical = spark.read.schema(d.fields).format(fmt)
+      .options(formatOptions(d, fmt)).load(d.options("path"))
+    val next = f(physical).localCheckpoint(true)
+    val w0 = next.write.format(fmt).options(formatOptions(d, fmt))
+      .mode("overwrite")
+    (if (d.partitions.nonEmpty) w0.partitionBy(d.partitions: _*) else w0)
+      .save(d.options("path"))
+    next.queryExecution.analyzed.collectFirst {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
+    }.foreach(_.unpersist(blocking = false))
+    sourceFrame(spark, d).createOrReplaceTempView(d.name)
+  }
+
+  def truncateTable(spark: SparkSession, stmt: String): Unit = stmt match {
+    case TruncateRe(name) =>
+      val d = lookup(spark, name).getOrElse(sys.error(s"unknown table $name"))
+      rewriteRows(spark, d, df => df.limit(0))
+    case _ => sys.error("not a TRUNCATE statement")
+  }
+
+  def deleteFrom(spark: SparkSession, stmt: String): Unit = stmt match {
+    case DeleteRe(name, whereOrNull) =>
+      val d = lookup(spark, name).getOrElse(sys.error(s"unknown table $name"))
+      Option(whereOrNull) match {
+        case Some(p) => rewriteRows(spark, d, _.filter(not(expr(p))))
+        case None => rewriteRows(spark, d, _.limit(0)) // DELETE all
+      }
+    case _ => sys.error("not a DELETE statement")
+  }
+
+  def updateTable(spark: SparkSession, stmt: String): Unit = stmt match {
+    case UpdateRe(name, sets, whereOrNull) =>
+      val d = lookup(spark, name).getOrElse(sys.error(s"unknown table $name"))
+      val assignments = splitTop(sets).map { a =>
+        val i = SqlText.maskQuoted(a).indexOf('=')
+        require(i > 0, s"bad SET assignment: $a")
+        val c = a.substring(0, i).trim
+        require(d.fields.fieldNames.contains(c),
+          s"$name: SET target '$c' is not a physical column")
+        c -> a.substring(i + 1).trim
+      }
+      val cond = Option(whereOrNull).map(expr).getOrElse(lit(true))
+      rewriteRows(spark, d, df => assignments.foldLeft(df) {
+        case (acc, (c, e)) =>
+          acc.withColumn(c,
+            when(cond, expr(e).cast(d.fields(c).dataType)).otherwise(col(c)))
+      })
+    case _ => sys.error("not an UPDATE statement")
+  }
 
   private val DescribeRe =
     """(?is)^\s*DESC(?:RIBE)?\s+(?:EXTENDED\s+)?([A-Za-z_][\w.]*)\s*;?\s*$""".r
@@ -609,13 +696,32 @@ object ConnectorDdl {
           })
         case _ => (query0, Seq.empty)
       }
-      val df = static.foldLeft(runQuery(spark, query)) { case (acc, (c, v)) =>
+      // SQL INSERT semantics: the query's columns map POSITIONALLY to
+      // the table's declared (non-static) columns and CAST to their
+      // types — without this a literal like 1.0 (DECIMAL(2,1)) would be
+      // stored as decimal while the table schema reads DOUBLE, and the
+      // schema-mismatch read reinterprets the unscaled representation
+      static.foreach { case (c, _) =>
         require(d.partitions.contains(c),
           s"static partition '$c' is not a partition column of $name")
+      }
+      val targets = d.fields.fields.toSeq
+        .filterNot(f => static.exists(_._1 == f.name))
+      val raw = runQuery(spark, query)
+      require(raw.columns.length == targets.length,
+        s"INSERT INTO $name: query produces ${raw.columns.length} columns, " +
+          s"table expects ${targets.length}" +
+          (if (static.nonEmpty) " (after static partitions)" else ""))
+      val aligned = raw.select(raw.columns.zip(targets).map {
+        // backtick-quote: an unaliased literal column is NAMED like
+        // "9.0", which a bare col() would parse as a field path
+        case (c, f) => col(s"`$c`").cast(f.dataType).as(f.name)
+      }: _*)
+      val df = static.foldLeft(aligned) { case (acc, (c, v)) =>
         val f = d.fields.find(_.name == c).getOrElse(
           sys.error(s"static partition '$c' is not in $name's schema"))
         acc.withColumn(c, lit(v).cast(f.dataType))
-      }
+      }.select(d.fields.fieldNames.map(col).toSeq: _*)
       if (CdcFormats.contains(d.options.getOrElse("format", "parquet")))
         sys.error(s"$name: CDC-format tables are read-only here — write " +
           "envelopes with the producing system, or use a parquet/csv sink")

@@ -228,6 +228,33 @@ object SqlQueries {
         "SELECT * FROM mt_orders ORDER BY o_orderstatus")
     }),
 
+    // Row-level DML (batch DELETE/UPDATE — the reference's
+    // SupportsRowLevelDelete/Update copy-on-write shape — plus
+    // SqlTruncateTable-adjacent rewrite machinery): orders materialize
+    // via CTAS, a DELETE drops every third order, an UPDATE bumps every
+    // fifth surviving order's cents, and the read-back aggregate must
+    // equal the declarative restatement.
+    "q_sql_dml" -> ((s, dir) => {
+      Tables.registerAll(s, dir)
+      val out = java.nio.file.Files.createTempDirectory("q_sql_dml")
+      Runtime.getRuntime.addShutdownHook(
+        new Thread(() => Q.deleteRecursively(out)))
+      graft.GraftSql.sql(s,
+        s"""CREATE TABLE dml_orders WITH ('connector' = 'filesystem',
+           |  'path' = '$out/t', 'format' = 'parquet')
+           |AS SELECT o_orderkey,
+           |  CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents,
+           |  o_orderstatus
+           |FROM orders""".stripMargin)
+      graft.GraftSql.sql(s, "DELETE FROM dml_orders WHERE o_orderkey % 3 = 0")
+      graft.GraftSql.sql(s,
+        "UPDATE dml_orders SET cents = cents + 5 WHERE o_orderkey % 5 = 0")
+      graft.GraftSql.sql(s,
+        """SELECT o_orderstatus, COUNT(*) AS n,
+          |  CAST(SUM(cents) AS BIGINT) AS sum_cents
+          |FROM dml_orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)
+    }),
+
     // PARTITIONED BY sink: orders materialize hash-partitioned by
     // o_orderstatus (directory-per-status layout, dynamic-partition
     // OVERWRITE), plus a STATIC `PARTITION (o_orderstatus = 'X')` insert
@@ -275,6 +302,18 @@ object SqlQueries {
       """SELECT l_returnflag,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q_sql_dml" ->
+      """WITH base AS (
+        |  SELECT o_orderkey,
+        |    CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents,
+        |    o_orderstatus
+        |  FROM orders WHERE o_orderkey % 3 <> 0),
+        |u AS (SELECT o_orderstatus,
+        |    CASE WHEN o_orderkey % 5 = 0 THEN cents + 5 ELSE cents END AS cents
+        |  FROM base)
+        |SELECT o_orderstatus, COUNT(*) AS n, CAST(SUM(cents) AS BIGINT) AS sum_cents
+        |FROM u GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
     "q_sql_mattable" ->
       """SELECT o_orderstatus, COUNT(*) AS n,
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2)) * 100) AS BIGINT) AS sum_cents

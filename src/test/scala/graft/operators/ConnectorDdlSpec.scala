@@ -383,6 +383,29 @@ class ConnectorDdlSpec extends SparkSuite {
     assert(parts == Seq("a=x/b=p", "a=x/b=q", "a=y/b=p"))
   }
 
+  test("row-level DELETE, UPDATE, and TRUNCATE rewrite the table copy-on-write") {
+    val dir = tmp("ddl_dml") + "/t"
+    GraftSql.sql(spark,
+      s"""CREATE TABLE dml_t (id BIGINT, v DOUBLE, tag STRING)
+         |WITH ('connector' = 'filesystem', 'path' = '$dir',
+         |      'format' = 'parquet')""".stripMargin)
+    GraftSql.sql(spark,
+      """INSERT INTO dml_t SELECT * FROM VALUES
+        |(1, 1.0, 'a'), (2, 2.0, 'a'), (3, 3.0, 'b'), (4, 4.0, 'b') AS t(id, v, tag)""".stripMargin)
+    GraftSql.sql(spark, "DELETE FROM dml_t WHERE id % 2 = 0")
+    GraftSql.sql(spark, "UPDATE dml_t SET v = v * 10 WHERE tag = 'a'")
+    val rows = GraftSql.sql(spark, "SELECT id, v FROM dml_t ORDER BY id")
+      .as[(Long, Double)].collect().toSeq
+    assert(rows == Seq((1L, 10.0), (3L, 3.0)))
+    GraftSql.sql(spark, "TRUNCATE TABLE dml_t")
+    assert(GraftSql.sql(spark, "SELECT COUNT(*) AS n FROM dml_t")
+      .head().getLong(0) == 0L)
+    // a truncated table accepts new inserts
+    GraftSql.sql(spark, "INSERT INTO dml_t SELECT 9, 9.0, 'z'")
+    assert(GraftSql.sql(spark, "SELECT COUNT(*) AS n FROM dml_t")
+      .head().getLong(0) == 1L)
+  }
+
   test("CREATE TABLE LIKE inherits schema and options; EXCLUDING drops them") {
     val dir = tmp("ddl_like") + "/src"
     Seq((1L, "x")).toDF("id", "tag").write.mode("overwrite").parquet(dir)
