@@ -90,6 +90,17 @@ object MaterializedTable {
     d.listener = Some(l)
   }
 
+  /** Drain a CONTINUOUS table's pending input and refresh its read view
+    * SYNCHRONOUSLY. The per-commit listener keeps the view fresh
+    * eventually (its events post async); callers that need
+    * read-your-writes right after a known ingest call this.
+    */
+  def sync(spark: SparkSession, name: String): Unit =
+    lookup(spark, name).foreach { d =>
+      d.job.foreach(_.processAllAvailable())
+      registerView(spark, d)
+    }
+
   private def stopContinuous(spark: SparkSession, d: MatDesc): Unit = {
     d.job.foreach(_.stop())
     d.job = None

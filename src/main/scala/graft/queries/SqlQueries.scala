@@ -228,6 +228,47 @@ object SqlQueries {
         "SELECT * FROM mt_orders ORDER BY o_orderstatus")
     }),
 
+    // CONTINUOUS materialized table under the gate: a file-monitor
+    // source feeds a continuously-refreshed materialization; half the
+    // events exist at CREATE (initial image), the rest append while the
+    // job runs, and the final aggregate over the MATERIALIZED view must
+    // equal batch SQL over all events — a missed commit, a stale read
+    // view, or double-processing on the resume path breaks the hash.
+    "q_sql_mattable_cont" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      Tables.registerAll(s, dir)
+      val out = java.nio.file.Files.createTempDirectory("q_sql_mtcont")
+      Runtime.getRuntime.addShutdownHook(
+        new Thread(() => Q.deleteRecursively(out)))
+      val src = s"$out/src"
+      val ev = Tables.load(s, dir, "events")
+        .select(col("event_id"), col("event_type"),
+          col("value").cast("double").as("value"))
+      ev.filter(col("event_id") % 2 === 0).write.mode("overwrite").parquet(src)
+      graft.GraftSql.sql(s,
+        s"""CREATE TABLE mtc_src (event_id BIGINT, event_type STRING, value DOUBLE)
+           |WITH ('connector' = 'filesystem', 'path' = '$src',
+           |      'format' = 'parquet', 'scan.streaming' = 'true')""".stripMargin)
+      graft.GraftSql.sql(s,
+        s"""CREATE MATERIALIZED TABLE mt_cont
+           |WITH ('path' = '$out/t', 'checkpoint' = '$out/ckpt')
+           |FRESHNESS = INTERVAL '30' SECOND
+           |AS SELECT event_id, event_type,
+           |  CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents
+           |FROM mtc_src""".stripMargin)
+      // the second half arrives while the job runs
+      ev.filter(col("event_id") % 2 =!= 0).write.mode("append").parquet(src)
+      graft.operators.MaterializedTable.sync(s, "mt_cont")
+      val result = graft.GraftSql.sql(s,
+        """SELECT event_type, COUNT(*) AS n, CAST(SUM(cents) AS BIGINT) AS sum_cents
+          |FROM mt_cont GROUP BY event_type ORDER BY event_type""".stripMargin)
+      // materialize the answer, then stop the job (Verify/Bench hygiene)
+      val rows = result.collect()
+      graft.GraftSql.sql(s, "DROP MATERIALIZED TABLE mt_cont")
+      graft.GraftSql.sql(s, "DROP TABLE mtc_src")
+      s.createDataFrame(java.util.Arrays.asList(rows: _*), result.schema)
+    }),
+
     // Row-level DML (batch DELETE/UPDATE — the reference's
     // SupportsRowLevelDelete/Update copy-on-write shape — plus
     // SqlTruncateTable-adjacent rewrite machinery): orders materialize
@@ -302,6 +343,11 @@ object SqlQueries {
       """SELECT l_returnflag,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q_sql_mattable_cont" ->
+      """SELECT event_type, COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(12,2)) * 100) AS BIGINT) AS sum_cents
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
     "q_sql_dml" ->
       """WITH base AS (
         |  SELECT o_orderkey,

@@ -62,8 +62,9 @@ class MaterializedTableSpec extends SparkSuite {
     // RESUME picks up from the checkpoint and catches up — and the SQL
     // VIEW advances too (per-commit re-registration), not just the path
     GraftSql.sql(spark, "ALTER MATERIALIZED TABLE mt_live RESUME")
-    val job = MaterializedTable.lookup(spark, "mt_live").get.job.get
-    job.processAllAvailable()
+    // drain + SYNCHRONOUS view refresh (the per-commit listener posts
+    // async; read-your-writes needs the explicit sync)
+    MaterializedTable.sync(spark, "mt_live")
     assert(ids() == Map(1L -> 10.0, 2L -> 14.0))
     val viaView = GraftSql.sql(spark,
       "SELECT id, v2 FROM mt_live ORDER BY id")
