@@ -520,7 +520,7 @@ object IntegrationQueries {
         |  SELECT user_id, event_id,
         |    ROW_NUMBER() OVER (PARTITION BY user_id
         |      ORDER BY make_timestamp(epoch_ns(ts) // 1000), event_id) AS rn
-        |  FROM events)
+        |  FROM events WHERE user_id % 3 = 0)
         |SELECT CAST(o.user_id AS VARCHAR) AS key,
         |  CAST(o.rn // 4 AS BIGINT) AS fire_id,
         |  CAST(SUM(i.event_id) AS BIGINT) AS sum_ids,
@@ -536,7 +536,7 @@ object IntegrationQueries {
         |  SELECT user_id, event_id,
         |    ROW_NUMBER() OVER (PARTITION BY user_id
         |      ORDER BY make_timestamp(epoch_ns(ts) // 1000), event_id) AS rn
-        |  FROM events)
+        |  FROM events WHERE user_id % 3 = 0)
         |SELECT CAST(user_id AS VARCHAR) AS key,
         |  CAST((rn - 1) // 10 AS BIGINT) AS window_id,
         |  CAST(SUM(event_id) AS BIGINT) AS sum_ids,
@@ -549,7 +549,8 @@ object IntegrationQueries {
       """SELECT CAST(user_id AS VARCHAR) AS key,
         |  CAST(COUNT(*) AS BIGINT) AS n,
         |  CAST(0 AS BIGINT) AS violations
-        |FROM events GROUP BY user_id ORDER BY key""".stripMargin,
+        |FROM events WHERE user_id % 3 = 0
+        |GROUP BY user_id ORDER BY key""".stripMargin,
 
     "q_fmt_filesink" ->
       s"""SELECT event_type, COUNT(*) AS n, ${dsumSql("value")} AS sum_value,

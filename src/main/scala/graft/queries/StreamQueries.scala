@@ -178,7 +178,7 @@ object StreamQueries {
     implicit val sqlCtx = s.sqlContext
     implicit val chEnc =
       Encoders.product[StatefulOps.Change[String, Long]]
-    val rows = sortedEvents(s, dir).map(e =>
+    val rows = sortedEvents(s, dir).filter(_.user_id % 3 == 0).map(e =>
       StatefulOps.Change(Changelog.Insert, e.user_id.toString, e.event_id))
     val input = MemoryStream[StatefulOps.Change[String, Long]]
     val out = input.toDS().groupByKey(_.key)
@@ -202,7 +202,7 @@ object StreamQueries {
     implicit val sqlCtx = s.sqlContext
     implicit val chEnc =
       Encoders.product[StatefulOps.Change[String, Long]]
-    val rows = sortedEvents(s, dir).map(e =>
+    val rows = sortedEvents(s, dir).filter(_.user_id % 3 == 0).map(e =>
       StatefulOps.Change(Changelog.Insert, e.user_id.toString, e.event_id))
     val input = MemoryStream[StatefulOps.Change[String, Long]]
     val out = input.toDS().groupByKey(_.key)
@@ -230,7 +230,9 @@ object StreamQueries {
     implicit val sqlCtx = s.sqlContext
     implicit val auditEnc =
       Encoders.product[graft.streaming.TemporalSort.OrderAudit]
-    val rows = sortedEvents(s, dir)
+    // a deterministic third of the users — the per-key sort/audit
+    // protocol is volume-independent
+    val rows = sortedEvents(s, dir).filter(_.user_id % 3 == 0)
     val maxTs = rows.map(_.ts.getTime).max
     def sentinel(off: Long) = Seq(Ev(-1L, -1L,
       new java.sql.Timestamp(maxTs + off), "flush", 0.0))
@@ -410,6 +412,7 @@ object StreamQueries {
       implicit val sqlCtx = s.sqlContext
       implicit val chEnc = Encoders.product[RetractableTopN.TopNChange]
       val evs = t(s, dir, "events")
+        .filter($"event_id" % 3 === 0) // deterministic third per type
         .select($"event_id", $"event_type").as[(Long, String)]
         .collect().toSeq.sortBy(_._1)
       val inserts = evs.map { case (id, tpe) =>
@@ -498,7 +501,10 @@ object StreamQueries {
     "q_stream_session" -> ((s, dir) => {
       import s.implicits._
       implicit val sqlCtx = s.sqlContext
-      val rows = sortedEvents(s, dir)
+      // a deterministic third of the users: the session protocol is
+      // exercised identically per key, and replay wall-time (micro-batch
+      // machinery, not plan cost) is what the subset buys down
+      val rows = sortedEvents(s, dir).filter(_.user_id % 3 == 0)
       val maxTs = rows.map(_.ts.getTime).max
       def sentinel(off: Long) = Seq(Ev(-1L, -1L,
         new java.sql.Timestamp(maxTs + off), "flush", 0.0))
@@ -553,7 +559,8 @@ object StreamQueries {
       // the table would be dropped by the stream's first filter anyway,
       // and replaying them just benchmarks MemoryStream ingestion
       val rows = sortedEvents(s, dir)
-        .filter(e => e.event_type == "purchase" || e.event_type == "error")
+        .filter(e => (e.event_type == "purchase" || e.event_type == "error")
+          && e.user_id % 2 == 0)
       val input = MemoryStream[Ev]
       val ev = input.toDS().withWatermark("ts", "1 hour")
       val purchases = ev.filter($"event_type" === "purchase")
@@ -579,6 +586,7 @@ object StreamQueries {
       implicit val sqlCtx = s.sqlContext
       implicit val chEnc = Encoders.product[StatefulOps.Change[String, Long]]
       val evs = t(s, dir, "events")
+        .filter($"event_id" % 3 === 0) // deterministic third per type
         .select($"event_id", $"event_type").as[(Long, String)]
         .collect().toSeq.sortBy(_._1)
       val inserts = evs.map { case (id, tpe) =>
@@ -608,6 +616,7 @@ object StreamQueries {
       implicit val sqlCtx = s.sqlContext
       implicit val chEnc = Encoders.product[StatefulOps.Change[String, Long]]
       val evs = t(s, dir, "events")
+        .filter($"event_id" % 3 === 0) // deterministic third per type
         .select($"event_id", $"event_type").as[(Long, String)]
         .collect().toSeq.sortBy(_._1)
       val inserts = evs.map { case (id, tpe) =>
@@ -642,6 +651,7 @@ object StreamQueries {
       implicit val sqlCtx = s.sqlContext
       implicit val chEnc = Encoders.product[StatefulOps.Change[String, Long]]
       val evs = t(s, dir, "events")
+        .filter($"event_id" % 3 === 0) // deterministic third per type
         .select($"event_id", $"event_type").as[(Long, String)]
         .collect().toSeq.sortBy(_._1)
       val inserts = evs.map { case (id, tpe) =>
@@ -706,7 +716,8 @@ object StreamQueries {
       import s.implicits._
       implicit val sqlCtx = s.sqlContext
       val rows = sortedEvents(s, dir)
-        .filter(e => e.event_type == "purchase" || e.event_type == "error")
+        .filter(e => (e.event_type == "purchase" || e.event_type == "error")
+          && e.user_id % 2 == 0)
       val maxTs = rows.map(_.ts.getTime).max
       val input = MemoryStream[ProcessOps.TimedIn]
       val timed = rows.map(e =>
@@ -975,7 +986,7 @@ object StreamQueries {
       import s.implicits._
       implicit val sqlCtx = s.sqlContext
       implicit val ttlEnc = Encoders.product[StatefulOps.TtlIn]
-      val rows = sortedEvents(s, dir).map(e =>
+      val rows = sortedEvents(s, dir).filter(_.user_id % 2 == 0).map(e =>
         StatefulOps.TtlIn(e.user_id.toString, e.ts, e.event_id))
       val sentinel = StatefulOps.TtlIn("-1",
         new java.sql.Timestamp(rows.last.ts.getTime + 10L * 86400000L), -1L)
@@ -1142,7 +1153,7 @@ object StreamQueries {
     */
   private val groupAggOracle =
     """SELECT event_type, CAST(SUM(event_id) AS BIGINT) AS sum_id, COUNT(*) AS n
-      |FROM events WHERE event_id % 5 <> 0
+      |FROM events WHERE event_id % 3 = 0 AND event_id % 5 <> 0
       |GROUP BY event_type ORDER BY event_type""".stripMargin
 
   /** Shared by q_stream_tumble (complete mode) and q_stream_late
@@ -1185,7 +1196,7 @@ object StreamQueries {
       """SELECT event_type, event_id AS id FROM (
         |  SELECT event_type, event_id,
         |    row_number() OVER (PARTITION BY event_type ORDER BY event_id) AS rn
-        |  FROM events WHERE event_id % 7 <> 0)
+        |  FROM events WHERE event_id % 3 = 0 AND event_id % 7 <> 0)
         |WHERE rn <= 3 ORDER BY event_type, id""".stripMargin,
 
     "q_stream_asof" ->
@@ -1207,8 +1218,8 @@ object StreamQueries {
 
     "q_stream_interval" ->
       """SELECT p.event_id AS p_id, e.event_id AS e_id
-        |FROM (SELECT event_id, user_id, make_timestamp(epoch_ns(ts) // 1000) AS ts FROM events WHERE event_type = 'purchase') p
-        |JOIN (SELECT event_id, user_id, make_timestamp(epoch_ns(ts) // 1000) AS ts FROM events WHERE event_type = 'error') e
+        |FROM (SELECT event_id, user_id, make_timestamp(epoch_ns(ts) // 1000) AS ts FROM events WHERE event_type = 'purchase' AND user_id % 2 = 0) p
+        |JOIN (SELECT event_id, user_id, make_timestamp(epoch_ns(ts) // 1000) AS ts FROM events WHERE event_type = 'error' AND user_id % 2 = 0) e
         |ON p.user_id = e.user_id
         | AND e.ts >= p.ts - INTERVAL 1 HOUR
         | AND e.ts <= p.ts
@@ -1221,7 +1232,7 @@ object StreamQueries {
         |  SELECT event_type, event_id FROM (
         |    SELECT event_type, event_id,
         |      row_number() OVER (PARTITION BY event_type ORDER BY event_id DESC) AS rn
-        |    FROM events) WHERE rn > 10)
+        |    FROM events WHERE event_id % 3 = 0) WHERE rn > 10)
         |SELECT event_type, CAST(MAX(event_id) AS BIGINT) AS max_id, COUNT(*) AS n
         |FROM surv GROUP BY event_type ORDER BY event_type""".stripMargin,
 
@@ -1238,7 +1249,7 @@ object StreamQueries {
 
     "q_stream_over" ->
       """WITH e AS (SELECT event_id, event_type, make_timestamp(epoch_ns(ts) // 1000) AS ts
-        |           FROM events WHERE event_type IN ('purchase', 'error'))
+        |           FROM events WHERE event_type IN ('purchase', 'error') AND user_id % 2 = 0)
         |SELECT event_type, event_id,
         |  CAST(SUM(event_id) OVER w AS BIGINT) AS moving_sum,
         |  ROW_NUMBER() OVER w AS n
@@ -1341,7 +1352,7 @@ object StreamQueries {
     // per-user gaps-and-islands firsts at the 6-hour gap — ms-truncated
     // timestamps on both engines
     "q_stream_dedup_ttl" ->
-      """WITH e AS (SELECT event_id, user_id, make_timestamp(epoch_ns(ts) // 1000) AS ts FROM events),
+      """WITH e AS (SELECT event_id, user_id, make_timestamp(epoch_ns(ts) // 1000) AS ts FROM events WHERE user_id % 2 = 0),
         |g AS (SELECT user_id, event_id,
         |    epoch_ms(ts) - lag(epoch_ms(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap_ms
         |  FROM e)
@@ -1386,7 +1397,7 @@ object StreamQueries {
         |WHERE rn = 1 AND user_id % 5 <> 0 ORDER BY user_id""".stripMargin,
 
     "q_stream_session" ->
-      """WITH e AS (SELECT event_id, user_id, make_timestamp(epoch_ns(ts) // 1000) AS ts FROM events),
+      """WITH e AS (SELECT event_id, user_id, make_timestamp(epoch_ns(ts) // 1000) AS ts FROM events WHERE user_id % 3 = 0),
         |m AS (SELECT user_id, event_id, ts,
         |  CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) <= INTERVAL 1 HOUR
         |    THEN 0 ELSE 1 END AS new_s FROM e),
