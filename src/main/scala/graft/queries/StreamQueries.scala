@@ -464,7 +464,7 @@ object StreamQueries {
     "q_stream_asof" -> ((s, dir) => {
       import s.implicits._
       implicit val sqlCtx = s.sqlContext
-      val ev = t(s, dir, "events")
+      val ev = t(s, dir, "events").filter($"user_id" % 2 === 0)
       val probes = ev.filter($"event_type" === "purchase")
         .select($"event_id".as("p_id"), $"user_id",
           $"ts".cast("timestamp").as("ts"))
@@ -682,6 +682,7 @@ object StreamQueries {
       import s.implicits._
       implicit val sqlCtx = s.sqlContext
       val ev = t(s, dir, "events")
+        .filter($"user_id" % 2 === 0) // deterministic half of the users
         .select($"event_id", $"user_id", $"event_type", $"value")
         .as[(Long, Long, String, Double)].collect().toSeq
       def tagged(tpe: String, isLeft: Boolean, kind: Byte, keep: Long => Boolean) =
@@ -896,7 +897,7 @@ object StreamQueries {
     "q_stream_distinct" -> ((s, dir) => {
       import s.implicits._
       implicit val sqlCtx = s.sqlContext
-      val rows = sortedEvents(s, dir)
+      val rows = sortedEvents(s, dir).filter(_.user_id % 2 == 0)
       val ins = rows.map(e => StatefulOps.SplitIn(e.event_type,
         (e.user_id % 16).toInt, e.user_id, Changelog.Insert))
       val dels = rows.filter(_.event_id % 4 == 0).map(e =>
@@ -1200,7 +1201,7 @@ object StreamQueries {
         |WHERE rn <= 3 ORDER BY event_type, id""".stripMargin,
 
     "q_stream_asof" ->
-      """WITH e AS (SELECT event_id, user_id, make_timestamp(epoch_ns(ts) // 1000) AS ts, event_type, value FROM events),
+      """WITH e AS (SELECT event_id, user_id, make_timestamp(epoch_ns(ts) // 1000) AS ts, event_type, value FROM events WHERE user_id % 2 = 0),
         |p AS (SELECT event_id AS p_id, user_id, ts FROM e WHERE event_type = 'purchase'),
         |v AS (SELECT event_id AS v_id, user_id, ts, value AS v_value FROM e WHERE event_type = 'view')
         |SELECT p.p_id, v.v_id AS r_v_id, v.v_value AS r_v_value
@@ -1241,8 +1242,8 @@ object StreamQueries {
     "q_stream_minibatch" -> groupAggOracle,
 
     "q_stream_outer" ->
-      """WITH p AS (SELECT user_id, event_id AS p_id, value AS p_value FROM events WHERE event_type = 'purchase'),
-        |v AS (SELECT user_id, event_id AS v_id, value AS v_value FROM events WHERE event_type = 'view' AND event_id % 3 <> 0)
+      """WITH p AS (SELECT user_id, event_id AS p_id, value AS p_value FROM events WHERE event_type = 'purchase' AND user_id % 2 = 0),
+        |v AS (SELECT user_id, event_id AS v_id, value AS v_value FROM events WHERE event_type = 'view' AND event_id % 3 <> 0 AND user_id % 2 = 0)
         |SELECT COALESCE(p.user_id, v.user_id) AS user_id, p.p_id, p.p_value, v.v_id, v.v_value
         |FROM p FULL OUTER JOIN v ON p.user_id = v.user_id
         |ORDER BY user_id, p_id, v_id""".stripMargin,
@@ -1335,7 +1336,7 @@ object StreamQueries {
 
     "q_stream_distinct" ->
       """SELECT event_type, COUNT(DISTINCT user_id) AS n_users
-        |FROM events WHERE event_id % 4 <> 0
+        |FROM events WHERE event_id % 4 <> 0 AND user_id % 2 = 0
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     // same result as the batch window join by construction
