@@ -65,7 +65,7 @@ object GraftSql {
         // it for every DDL/DML the front door handles (DROP, ALTER,
         // CTAS, SET, materialized-table lifecycle, …), so anything that
         // is not a query is rejected rather than enumerated
-        require(inner.matches("(?is)^\\s*(SELECT|WITH|VALUES|TABLE|FROM)\\b.*"),
+        require(inner.matches("(?is)^[\\s(]*(SELECT|WITH|VALUES|TABLE|FROM)\\b.*"),
           "EXPLAIN supports queries here, not DDL/DML statements")
         val df = sql(spark, inner)
         val plan = df.queryExecution.explainString(

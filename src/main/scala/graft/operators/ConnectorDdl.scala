@@ -84,11 +84,11 @@ object ConnectorDdl {
   private val InsertPartRe =
     """(?is)^\s*PARTITION\s*\(([^)]*)\)\s*(.*)$""".r
   private val TruncateRe =
-    """(?is)^\s*TRUNCATE\s+TABLE\s+([A-Za-z_][\w.]*)\s*;?\s*$""".r
+    """(?is)^\s*TRUNCATE\s+TABLE\s+([A-Za-z_][\w.]*)\s*$""".r
   private val DeleteRe =
-    """(?is)^\s*DELETE\s+FROM\s+([A-Za-z_][\w.]*)(?:\s+WHERE\s+(.*?))?\s*;?\s*$""".r
+    """(?is)^\s*DELETE\s+FROM\s+([A-Za-z_][\w.]*)(?:\s+WHERE\s+(.*))?$""".r
   private val UpdateRe =
-    """(?is)^\s*UPDATE\s+([A-Za-z_][\w.]*)\s+SET\s+(.*?)(?:\s+WHERE\s+(.*?))?\s*;?\s*$""".r
+    """(?is)^\s*UPDATE\s+([A-Za-z_][\w.]*)\s+SET\s+(.*?)(?:\s+WHERE\s+(.*))?$""".r
 
   /** Pull a top-level `PARTITIONED BY (…)` clause out of a CREATE
     * statement (the greedy column-body regex cannot disambiguate it);
@@ -158,7 +158,7 @@ object ConnectorDdl {
         }
       require(next.contains("connector"),
         s"$name: cannot RESET 'connector' — the table would lose its type")
-      register(spark, d.copy(options = next))
+      register(spark, d.copy(options = next), fresh = false)
     // ALTER TABLE t ADD (col TYPE, c AS expr, …) — SqlAlterTableAdd:
     // schema evolution by appending; parquet reads surface the new
     // physical column as NULL for pre-existing files
@@ -170,7 +170,8 @@ object ConnectorDdl {
       register(spark, d.copy(fields = StructType(d.fields.fields ++ p.fields),
         computed = d.computed ++ p.computed,
         watermark = p.watermark.orElse(d.watermark),
-        primaryKey = if (p.pk.nonEmpty) p.pk else d.primaryKey))
+        primaryKey = if (p.pk.nonEmpty) p.pk else d.primaryKey),
+        fresh = false)
     // ALTER TABLE t RENAME TO t2 — SqlAlterTableRename: registry move,
     // old view dropped, new view registered
     case RenameRe(name, newName) =>
@@ -178,7 +179,7 @@ object ConnectorDdl {
       require(lookup(spark, newName).isEmpty, s"table $newName already exists")
       registry.remove(key(spark, name))
       spark.catalog.dropTempView(name)
-      register(spark, d.copy(name = newName))
+      register(spark, d.copy(name = newName), fresh = false)
     case _ => sys.error("not a connector ALTER TABLE statement")
   }
 
@@ -268,18 +269,32 @@ object ConnectorDdl {
       case _ => sys.error("not a SHOW PARTITIONS statement")
     }
 
-  def isTruncate(spark: SparkSession, stmt: String): Boolean = stmt match {
-    case TruncateRe(name) => lookup(spark, name).isDefined
-    case _ => false
+  /** DML statements parse against the QUOTE-MASKED text (group spans
+    * slice the original): a ' WHERE ' inside a string literal in a SET
+    * expression must not split the statement.
+    */
+  private def dmlMatch(re: scala.util.matching.Regex, stmt: String)
+      : Option[(scala.util.matching.Regex.Match, String)] = {
+    // strip the statement terminator FIRST: the mask blanks quoted
+    // literals to spaces, and a trailing \s*;?\s* tail would swallow
+    // them, truncating the sliced predicate spans
+    val clean = stmt.replaceAll("\\s+$", "").stripSuffix(";")
+      .replaceAll("\\s+$", "")
+    re.findFirstMatchIn(SqlText.maskQuotedOpaque(clean)).map((_, clean))
   }
-  def isDelete(spark: SparkSession, stmt: String): Boolean = stmt match {
-    case DeleteRe(name, _) => lookup(spark, name).isDefined
-    case _ => false
-  }
-  def isUpdate(spark: SparkSession, stmt: String): Boolean = stmt match {
-    case UpdateRe(name, _, _) => lookup(spark, name).isDefined
-    case _ => false
-  }
+  private def grp(m: scala.util.matching.Regex.Match, orig: String,
+      i: Int): String =
+    if (m.group(i) == null) null else orig.substring(m.start(i), m.end(i))
+
+  def isTruncate(spark: SparkSession, stmt: String): Boolean =
+    dmlMatch(TruncateRe, stmt).exists { case (m, o) =>
+      lookup(spark, grp(m, o, 1)).isDefined }
+  def isDelete(spark: SparkSession, stmt: String): Boolean =
+    dmlMatch(DeleteRe, stmt).exists { case (m, o) =>
+      lookup(spark, grp(m, o, 1)).isDefined }
+  def isUpdate(spark: SparkSession, stmt: String): Boolean =
+    dmlMatch(UpdateRe, stmt).exists { case (m, o) =>
+      lookup(spark, grp(m, o, 1)).isDefined }
 
   /** Copy-on-write rewrite of a filesystem table's physical rows — the
     * execution shape of the reference's batch row-level DELETE/UPDATE
@@ -298,6 +313,8 @@ object ConnectorDdl {
         "(write a keyed changelog INSERT instead)")
     val fmt = d.options.getOrElse("format", "parquet")
     require(!CdcFormats.contains(fmt), s"${d.name}: CDC tables are read-only")
+    // a never-written sink table has nothing to delete/update — no-op
+    if (!new java.io.File(d.options("path")).exists()) return
     // PHYSICAL columns only — computed/metadata columns re-derive on read
     val physical = spark.read.schema(d.fields).format(fmt)
       .options(formatOptions(d, fmt)).load(d.options("path"))
@@ -306,48 +323,85 @@ object ConnectorDdl {
       .mode("overwrite")
     (if (d.partitions.nonEmpty) w0.partitionBy(d.partitions: _*) else w0)
       .save(d.options("path"))
-    next.queryExecution.analyzed.collectFirst {
-      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
-    }.foreach(_.unpersist(blocking = false))
+    graft.sources.UpsertSink.release(next)
     sourceFrame(spark, d).createOrReplaceTempView(d.name)
   }
 
-  def truncateTable(spark: SparkSession, stmt: String): Unit = stmt match {
-    case TruncateRe(name) =>
-      val d = lookup(spark, name).getOrElse(sys.error(s"unknown table $name"))
-      rewriteRows(spark, d, df => df.limit(0))
-    case _ => sys.error("not a TRUNCATE statement")
+  def truncateTable(spark: SparkSession, stmt: String): Unit =
+    dmlMatch(TruncateRe, stmt) match {
+      case Some((m, o)) =>
+        val name = grp(m, o, 1)
+        val d = lookup(spark, name).getOrElse(sys.error(s"unknown table $name"))
+        rewriteRows(spark, d, df => df.limit(0))
+      case None => sys.error("not a TRUNCATE statement")
+    }
+
+  def deleteFrom(spark: SparkSession, stmt: String): Unit =
+    dmlMatch(DeleteRe, stmt) match {
+      case Some((m, o)) =>
+        val name = grp(m, o, 1)
+        val d = lookup(spark, name).getOrElse(sys.error(s"unknown table $name"))
+        Option(grp(m, o, 2)) match {
+          // SQL DELETE removes rows where the predicate is TRUE; a NULL
+          // predicate keeps the row — null-safe equality, not not()
+          case Some(p) =>
+            rewriteRows(spark, d, _.filter(!(expr(p) <=> lit(true))))
+          case None => rewriteRows(spark, d, _.limit(0)) // DELETE all
+        }
+      case None => sys.error("not a DELETE statement")
+    }
+
+  /** Split SET assignments at top-level commas — parens and quotes only
+    * ([[splitTop]] also tracks < > for MAP<...> type bodies, which would
+    * miscount comparison operators inside SET expressions).
+    */
+  private def splitAssignments(sets: String): Seq[String] = {
+    val masked = SqlText.maskQuotedOpaque(sets)
+    val parts = Seq.newBuilder[String]
+    var depth = 0
+    var start = 0
+    masked.zipWithIndex.foreach { case (c, i) =>
+      if (c == '(') depth += 1
+      else if (c == ')') depth -= 1
+      else if (c == ',' && depth == 0) {
+        parts += sets.substring(start, i); start = i + 1
+      }
+    }
+    parts += sets.substring(start)
+    parts.result().map(_.trim).filter(_.nonEmpty)
   }
 
-  def deleteFrom(spark: SparkSession, stmt: String): Unit = stmt match {
-    case DeleteRe(name, whereOrNull) =>
-      val d = lookup(spark, name).getOrElse(sys.error(s"unknown table $name"))
-      Option(whereOrNull) match {
-        case Some(p) => rewriteRows(spark, d, _.filter(not(expr(p))))
-        case None => rewriteRows(spark, d, _.limit(0)) // DELETE all
-      }
-    case _ => sys.error("not a DELETE statement")
-  }
-
-  def updateTable(spark: SparkSession, stmt: String): Unit = stmt match {
-    case UpdateRe(name, sets, whereOrNull) =>
-      val d = lookup(spark, name).getOrElse(sys.error(s"unknown table $name"))
-      val assignments = splitTop(sets).map { a =>
-        val i = SqlText.maskQuoted(a).indexOf('=')
-        require(i > 0, s"bad SET assignment: $a")
-        val c = a.substring(0, i).trim
-        require(d.fields.fieldNames.contains(c),
-          s"$name: SET target '$c' is not a physical column")
-        c -> a.substring(i + 1).trim
-      }
-      val cond = Option(whereOrNull).map(expr).getOrElse(lit(true))
-      rewriteRows(spark, d, df => assignments.foldLeft(df) {
-        case (acc, (c, e)) =>
-          acc.withColumn(c,
-            when(cond, expr(e).cast(d.fields(c).dataType)).otherwise(col(c)))
-      })
-    case _ => sys.error("not an UPDATE statement")
-  }
+  def updateTable(spark: SparkSession, stmt: String): Unit =
+    dmlMatch(UpdateRe, stmt) match {
+      case Some((m, o)) =>
+        val name = grp(m, o, 1)
+        val d = lookup(spark, name).getOrElse(sys.error(s"unknown table $name"))
+        val assignments = splitAssignments(grp(m, o, 2)).map { a =>
+          val i = SqlText.maskQuoted(a).indexOf('=')
+          require(i > 0, s"bad SET assignment: $a")
+          val c = a.substring(0, i).trim
+          require(d.fields.fieldNames.contains(c),
+            s"$name: SET target '$c' is not a physical column")
+          c -> a.substring(i + 1).trim
+        }
+        val dup = assignments.groupBy(_._1).collectFirst {
+          case (c, as) if as.length > 1 => c }
+        require(dup.isEmpty, s"$name: column '${dup.get}' assigned twice")
+        val cond = Option(grp(m, o, 3)).map(expr).getOrElse(lit(true))
+        val byCol = assignments.toMap
+        // ONE projection over the ORIGINAL frame: every SET expression
+        // and the WHERE condition see the pre-update snapshot (SQL
+        // semantics) — a sequential withColumn fold would let later
+        // assignments read already-updated values
+        rewriteRows(spark, d, df => df.select(d.fields.fields.toSeq.map {
+          f => byCol.get(f.name) match {
+            case Some(e) => when(cond, expr(e).cast(f.dataType))
+              .otherwise(col(f.name)).as(f.name)
+            case None => col(f.name)
+          }
+        }: _*))
+      case None => sys.error("not an UPDATE statement")
+    }
 
   private val DescribeRe =
     """(?is)^\s*DESC(?:RIBE)?\s+(?:EXTENDED\s+)?([A-Za-z_][\w.]*)\s*;?\s*$""".r
@@ -491,7 +545,8 @@ object ConnectorDdl {
     ParsedBody(fields, computed, watermark, pk)
   }
 
-  private def register(spark: SparkSession, desc: TableDesc): Unit = {
+  private def register(spark: SparkSession, desc: TableDesc,
+      fresh: Boolean = true): Unit = {
     registry.put(key(spark, desc.name), desc)
     desc.connector match {
       // a CDC-format table is a SOURCE even with a PRIMARY KEY (the key
@@ -503,14 +558,16 @@ object ConnectorDdl {
           sourceFrame(spark, desc).createOrReplaceTempView(desc.name)
         // else: sink-only for now; a later INSERT materializes it
       case "filesystem" =>
-        // PK table: the view appears after the first INSERT — but a
-        // RE-registration (ALTER SET/ADD, RENAME) of a table that was
-        // already materialized must refresh/recreate the view, or the
-        // new name serves nothing and the old options keep serving
+        // FRESH CREATE of a PK table: the view appears after the first
+        // INSERT (whatever files sit at the path belong to a previous
+        // life of the directory, not this table). A RE-registration
+        // (ALTER SET/ADD, RENAME) of an already-materialized table must
+        // refresh/recreate the view, or the new name serves nothing and
+        // the old options keep serving.
         val path = desc.options.getOrElse("path",
           sys.error(s"${desc.name}: filesystem needs 'path'"))
         val dir = new java.io.File(path)
-        if (dir.exists() && Option(dir.list()).exists(_.nonEmpty))
+        if (!fresh && dir.exists() && Option(dir.list()).exists(_.nonEmpty))
           graft.sources.UpsertSink.read(spark, path)
             .drop("__ddl_seq").createOrReplaceTempView(desc.name)
       case "datagen" =>

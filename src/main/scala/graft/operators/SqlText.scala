@@ -64,6 +64,20 @@ private[operators] object SqlText {
     new String(out)
   }
 
+  /** Same-length copy with quoted spans filled with a NON-SPACE
+    * placeholder: keyword/operator scans that treat whitespace as a
+    * separator must not see a blanked literal as separator space (a
+    * space-mask lets `\s+WHERE` match straight through a string
+    * literal), while quoted content still cannot fake a keyword.
+    */
+  def maskQuotedOpaque(s: String): String = {
+    val out = s.toCharArray
+    quotedSpans(s).foreach { case (a, b) =>
+      var i = a; while (i < b) { out(i) = 'x'; i += 1 }
+    }
+    new String(out)
+  }
+
   /** Apply `f` to the segments of `s` outside quoted spans; quoted spans
     * pass through verbatim.
     */

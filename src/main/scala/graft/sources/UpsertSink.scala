@@ -107,10 +107,12 @@ object UpsertSink {
     touched.length
   }
 
-  /** Unpersist a localCheckpoint's backing RDD — batch-scoped frames in a
-    * long-running stream must not wait for the ContextCleaner.
+  /** Unpersist a localCheckpoint's backing RDD — batch-scoped frames in
+    * a long-running stream must not wait for the ContextCleaner. Shared
+    * with ConnectorDdl's copy-on-write DML: one idiom, one place to fix
+    * when a Spark version changes the plan shape.
     */
-  private def release(df: DataFrame): Unit =
+  private[graft] def release(df: DataFrame): Unit =
     df.queryExecution.analyzed.collectFirst {
       case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
     }.foreach(_.unpersist(blocking = false))

@@ -190,6 +190,9 @@ class GraftSqlSpec extends SparkSuite {
         |GROUP BY uid, window_start, window_end""".stripMargin)
       .head().getString(0)
     assert(plan.contains("Physical Plan") && plan.contains("Aggregate"))
+    // parenthesized query form is a query too
+    assert(GraftSql.sql(spark, "EXPLAIN (SELECT 1)")
+      .head().getString(0).contains("Physical Plan"))
     GraftSql.sql(spark,
       "CREATE TABLE gs_expl_bh (x BIGINT) WITH ('connector' = 'blackhole')")
     val e = intercept[IllegalArgumentException] {

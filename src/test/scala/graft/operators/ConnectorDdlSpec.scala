@@ -406,6 +406,45 @@ class ConnectorDdlSpec extends SparkSuite {
       .head().getLong(0) == 1L)
   }
 
+  test("DML edge semantics: NULL predicates, snapshot SET, quoted WHERE, fresh PK dirs") {
+    val dir = tmp("ddl_dml_edge") + "/t"
+    GraftSql.sql(spark,
+      s"""CREATE TABLE dmle_t (id BIGINT, v DOUBLE, w DOUBLE, note STRING)
+         |WITH ('connector' = 'filesystem', 'path' = '$dir',
+         |      'format' = 'parquet')""".stripMargin)
+    // DELETE before any INSERT is a no-op, not a path error
+    GraftSql.sql(spark, "DELETE FROM dmle_t WHERE id = 1")
+    GraftSql.sql(spark,
+      """INSERT INTO dmle_t SELECT * FROM VALUES
+        |(1, 10.0, 1.0, 'a'), (2, CAST(NULL AS DOUBLE), 2.0, 'see where it fails')
+        |AS t(id, v, w, note)""".stripMargin)
+    // a NULL predicate keeps the row (SQL DELETE removes TRUE only)
+    GraftSql.sql(spark, "DELETE FROM dmle_t WHERE v > 5")
+    assert(GraftSql.sql(spark, "SELECT id FROM dmle_t ORDER BY id")
+      .as[Long].collect().toSeq == Seq(2L))
+    // SET expressions see the PRE-update snapshot: a swap works, and a
+    // CASE with comparison operators + a quoted ' WHERE ' both parse
+    GraftSql.sql(spark,
+      """INSERT INTO dmle_t SELECT 3, 7.0, 8.0, 'x'""")
+    GraftSql.sql(spark,
+      """UPDATE dmle_t SET v = w, w = CASE WHEN v < 100 THEN v ELSE w END,
+        |note = 'see where it goes' WHERE id = 3""".stripMargin)
+    val r3 = GraftSql.sql(spark,
+      "SELECT v, w, note FROM dmle_t WHERE id = 3").head()
+    assert(r3.getDouble(0) == 8.0 && r3.getDouble(1) == 7.0 &&
+      r3.getString(2) == "see where it goes")
+    // a FRESH PK CREATE over a non-empty foreign dir defers its view to
+    // the first INSERT instead of serving the old files
+    GraftSql.sql(spark,
+      s"""CREATE TABLE dmle_pk (id BIGINT, v DOUBLE,
+         |  PRIMARY KEY (id) NOT ENFORCED)
+         |WITH ('connector' = 'filesystem', 'path' = '$dir',
+         |      'format' = 'parquet')""".stripMargin)
+    intercept[Exception] {
+      GraftSql.sql(spark, "SELECT * FROM dmle_pk").collect()
+    }
+  }
+
   test("CREATE TABLE LIKE inherits schema and options; EXCLUDING drops them") {
     val dir = tmp("ddl_like") + "/src"
     Seq((1L, "x")).toDF("id", "tag").write.mode("overwrite").parquet(dir)
