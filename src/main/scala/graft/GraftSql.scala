@@ -38,8 +38,16 @@ object GraftSql {
     // genuinely read the same heavy input.
     query match {
       case StatementSetRe(body) =>
-        body.split(";").map(_.trim).filter(_.nonEmpty)
-          .foreach(stmt => sql(spark, stmt))
+        // quote-aware split: a ';' inside a string literal is content,
+        // not a statement separator
+        val masked = graft.operators.SqlText.maskQuotedOpaque(body)
+        val stmts = scala.collection.mutable.ArrayBuffer.empty[String]
+        var start = 0
+        masked.zipWithIndex.foreach { case (c, i) =>
+          if (c == ';') { stmts += body.substring(start, i); start = i + 1 }
+        }
+        stmts += body.substring(start)
+        stmts.map(_.trim).filter(_.nonEmpty).foreach(stmt => sql(spark, stmt))
         return spark.emptyDataFrame
       case _ => ()
     }

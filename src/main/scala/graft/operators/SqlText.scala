@@ -13,7 +13,7 @@ package graft.operators
   * an apostrophe inside `-- don't` must not open a bogus quote span
   * that swallows the rest of the statement.
   */
-private[operators] object SqlText {
+private[graft] object SqlText {
 
   /** [start, end) spans of quoted regions and comments, delimiters
     * included. An unclosed quote or block comment spans to the end of

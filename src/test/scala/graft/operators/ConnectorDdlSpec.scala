@@ -433,6 +433,29 @@ class ConnectorDdlSpec extends SparkSuite {
       "SELECT v, w, note FROM dmle_t WHERE id = 3").head()
     assert(r3.getDouble(0) == 8.0 && r3.getDouble(1) == 7.0 &&
       r3.getString(2) == "see where it goes")
+    // partitioned DELETE: a full copy-on-write rewrite keeps layout
+    val pdir = tmp("ddl_dml_part") + "/t"
+    GraftSql.sql(spark,
+      s"""CREATE TABLE dmle_p (id BIGINT, tag STRING) PARTITIONED BY (tag)
+         |WITH ('connector' = 'filesystem', 'path' = '$pdir',
+         |      'format' = 'parquet')""".stripMargin)
+    GraftSql.sql(spark,
+      """INSERT INTO dmle_p SELECT * FROM
+        |VALUES (1, 'a'), (2, 'a'), (3, 'b') AS t(id, tag)""".stripMargin)
+    GraftSql.sql(spark, "DELETE FROM dmle_p WHERE id = 1")
+    assert(GraftSql.sql(spark, "SELECT id, tag FROM dmle_p ORDER BY id")
+      .as[(Long, String)].collect().toSeq == Seq((2L, "a"), (3L, "b")))
+    assert(new java.io.File(s"$pdir/tag=a").isDirectory)
+    // a STATEMENT SET whose literal contains ';' splits quote-aware
+    GraftSql.sql(spark,
+      """EXECUTE STATEMENT SET BEGIN
+        |UPDATE dmle_t SET note = 'a;b' WHERE id = 3;
+        |DELETE FROM dmle_p WHERE id = 3
+        |END""".stripMargin)
+    assert(GraftSql.sql(spark, "SELECT note FROM dmle_t WHERE id = 3")
+      .head().getString(0) == "a;b")
+    assert(GraftSql.sql(spark, "SELECT COUNT(*) AS n FROM dmle_p")
+      .head().getLong(0) == 1L)
     // a FRESH PK CREATE over a non-empty foreign dir defers its view to
     // the first INSERT instead of serving the old files
     GraftSql.sql(spark,
