@@ -136,6 +136,41 @@ object CurationOps {
     pmod(r * lit(2654435761L), lit(1L << 32)) % buckets
   }
 
+  /** Canonical URL normalization — the crawl-curation pass that makes
+    * URL-level dedup meaningful (the C4/CommonCrawl pipelines dedup by
+    * normalized URL before any content pass): lowercase the scheme and
+    * host, drop a default port, drop the fragment, drop tracking
+    * parameters (utm_*, fbclid, gclid, ref), SORT the surviving query
+    * parameters (order is not identity), and strip one trailing slash
+    * from a non-root path. Pure expression tree over builtins
+    * (regexp captures + filter/array_sort/concat_ws lambdas) — zero
+    * shuffle, codegen-friendly, scale-free; the dedup that follows is
+    * one exact hash-groupBy on the canonical string.
+    */
+  def canonicalUrl(url: Column): Column = {
+    // scheme://host[:port][/path][?query][#fragment]
+    val scheme = lower(regexp_extract(url, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    val hostPort = regexp_extract(url, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1)
+    val host = lower(regexp_extract(hostPort, "^([^:]*)", 1))
+    val port = regexp_extract(hostPort, ":(\\d+)$", 1)
+    val keepPort = port =!= "" &&
+      !(scheme === "http" && port === "80") &&
+      !(scheme === "https" && port === "443")
+    val path0 = regexp_extract(url, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)", 1)
+    val query = regexp_extract(url, "\\?([^#]*)", 1)
+    val kept = filter(
+      when(query === "", array().cast("array<string>"))
+        .otherwise(split(query, "&")),
+      p => !(lower(p).rlike("^(utm_[a-z]+|fbclid|gclid|ref)=")) && p =!= "")
+    val canonQ = concat_ws("&", array_sort(kept))
+    val canonPath = when(path0.rlike("^/.+/$"),
+        regexp_replace(path0, "/$", "")).otherwise(path0)
+    concat(scheme, lit("://"), host,
+      when(keepPort, concat(lit(":"), port)).otherwise(lit("")),
+      canonPath,
+      when(canonQ =!= "", concat(lit("?"), canonQ)).otherwise(lit("")))
+  }
+
   /** Full-resolution multiplicative hash in [0, 2^32) — the sort key
     * behind [[sampleKPerGroup]]'s reproducible pseudo-random order.
     */

@@ -131,6 +131,34 @@ object PipelineQueries {
     // Deterministic hash split (CurationOps.hashSplit): 90/5/5
     // train/val/test off a multiplicative hash of doc_id — stable under
     // corpus growth, engine-reproducible integer arithmetic.
+    // URL-level dedup (CurationOps.canonicalUrl — the C4/CommonCrawl
+    // canonical-URL pass): three messy variants per part (mixed-case
+    // host + default port + trailing slash + tracking params + shuffled
+    // param order + fragment) must all collapse to ONE canonical URL;
+    // the oracle constructs the canonical form directly, so any
+    // normalization miss leaves duplicate rows and breaks the count.
+    "q_cur_urldedup" -> ((s, dir) => {
+      val slug = lower(regexp_replace(col("p_type"), " ", "-"))
+      val base = t(s, dir, "part").select(col("p_partkey"), slug.as("slug"))
+      def v(u: org.apache.spark.sql.Column) =
+        base.select(col("p_partkey"), u.as("url"))
+      val variants =
+        v(concat(lit("HTTPS://Shop.Example.COM:443/cat/"), col("slug"),
+          lit("/?utm_source=x&id="), col("p_partkey")))
+        .unionByName(v(concat(lit("https://shop.example.com/cat/"),
+          col("slug"), lit("?id="), col("p_partkey"),
+          lit("&utm_campaign=y#frag"))))
+        .unionByName(v(concat(lit("https://shop.example.com/cat/"),
+          col("slug"), lit("?id="), col("p_partkey"))))
+      variants
+        .select(col("p_partkey"),
+          graft.operators.CurationOps.canonicalUrl(col("url")).as("canon_url"))
+        .groupBy(col("canon_url"))
+        .agg(min(col("p_partkey")).as("p_partkey"), count(lit(1)).as("n_variants"))
+        .select(col("p_partkey"), col("canon_url"), col("n_variants"))
+        .orderBy(col("p_partkey"))
+    }),
+
     // Deterministic stratified sampling (CurationOps.sampleKPerGroup):
     // 7 docs per language by multiplicative-hash rank — the oracle
     // recomputes the same integer arithmetic, so any
@@ -593,6 +621,13 @@ object PipelineQueries {
         |  CAST(len(toks) AS BIGINT) AS n_tokens,
         |  array_to_string(toks, ' ') AS chunk
         |FROM ch ORDER BY doc_id, chunk_id""".stripMargin,
+
+    "q_cur_urldedup" ->
+      """SELECT p_partkey,
+        |  'https://shop.example.com/cat/' || lower(replace(p_type, ' ', '-'))
+        |    || '?id=' || p_partkey AS canon_url,
+        |  CAST(3 AS BIGINT) AS n_variants
+        |FROM part ORDER BY p_partkey""".stripMargin,
 
     "q_cur_sample" ->
       """SELECT doc_id, lang FROM (

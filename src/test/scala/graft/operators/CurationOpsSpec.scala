@@ -296,4 +296,28 @@ class CurationOpsSpec extends SparkSuite {
     assert(ids(CurationOps.bloomScreen(corpus, seen, "skey", "sskey",
       expectedItems = 20, fpp = 0.5).select($"id")) == expSeen)
   }
+
+  test("canonicalUrl: case, ports, fragments, tracking params, slashes, order") {
+    import org.apache.spark.sql.functions.col
+    val cases = Seq(
+      // mixed-case host + default port + trailing slash + utm + order
+      ("HTTPS://Shop.Example.COM:443/cat/widget/?utm_source=x&id=7",
+        "https://shop.example.com/cat/widget?id=7"),
+      // fragment dropped; params sorted; tracking dropped
+      ("https://shop.example.com/cat/widget?id=7&b=2&fbclid=z#frag",
+        "https://shop.example.com/cat/widget?b=2&id=7"),
+      // NON-default port kept; root path slash kept
+      ("http://h.example.org:8080/",
+        "http://h.example.org:8080/"),
+      // http default port dropped; no query
+      ("HTTP://H.example.org:80/a",
+        "http://h.example.org/a"),
+      // only tracking params: query disappears entirely
+      ("https://a.b/p?utm_campaign=c&gclid=g",
+        "https://a.b/p"))
+    val got = cases.map(_._1).toDF("u")
+      .select(CurationOps.canonicalUrl(col("u")).as("c"))
+      .as[String].collect().toSeq
+    assert(got == cases.map(_._2))
+  }
 }
