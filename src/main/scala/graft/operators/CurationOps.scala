@@ -136,6 +136,27 @@ object CurationOps {
     pmod(r * lit(2654435761L), lit(1L << 32)) % buckets
   }
 
+  /** HTML boilerplate strip — the text-extraction pass every crawl
+    * pipeline runs before curation (C4/CCNet extract text upstream of
+    * all filters): drop script/style subtrees WITH their content, drop
+    * comments, drop remaining tags, decode the five predefined
+    * entities, collapse runs of whitespace. A deterministic
+    * regexp-chain projection (zero shuffle); a layout-aware extractor
+    * (trafilatura-class) is a modeling choice layered ON this plumbing,
+    * not a different plan shape.
+    */
+  def stripHtml(html: Column): Column = {
+    val noScript = regexp_replace(html,
+      "(?is)<(script|style)\\b[^>]*>.*?</\\1\\s*>", " ")
+    val noComment = regexp_replace(noScript, "(?s)<!--.*?-->", " ")
+    val noTag = regexp_replace(noComment, "(?s)<[^>]*>", " ")
+    val decoded = regexp_replace(regexp_replace(regexp_replace(
+      regexp_replace(regexp_replace(noTag,
+        "&lt;", "<"), "&gt;", ">"), "&quot;", "\""), "&#39;", "'"),
+      "&amp;", "&")
+    trim(regexp_replace(decoded, "\\s+", " "))
+  }
+
   /** Canonical URL normalization — the crawl-curation pass that makes
     * URL-level dedup meaningful (the C4/CommonCrawl pipelines dedup by
     * normalized URL before any content pass): lowercase the scheme and

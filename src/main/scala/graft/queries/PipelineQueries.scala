@@ -131,6 +131,25 @@ object PipelineQueries {
     // Deterministic hash split (CurationOps.hashSplit): 90/5/5
     // train/val/test off a multiplicative hash of doc_id — stable under
     // corpus growth, engine-reproducible integer arithmetic.
+    // HTML boilerplate strip (CurationOps.stripHtml — the crawl text
+    // extractor): each document wraps in synthetic markup (style +
+    // script subtrees with decoy text, a comment, entities), and the
+    // extracted text must reduce to exactly the title plus the
+    // whitespace-collapsed original — the oracle constructs that
+    // expectation directly, so any leak of script/style content or a
+    // swallowed entity breaks the hash.
+    "q_cur_html" -> ((s, dir) => {
+      val html = concat(
+        lit("<html><head><style>p{margin:0}</style></head><body><h1>Doc "),
+        col("doc_id"),
+        lit("</h1><script>var hidden=\"BOILER\";</script><!-- c -->"),
+        lit("<p>&quot;"), col("text"), lit("&quot;</p></body></html>"))
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          graft.operators.CurationOps.stripHtml(html).as("clean"))
+        .orderBy(col("doc_id"))
+    }),
+
     // URL-level dedup (CurationOps.canonicalUrl — the C4/CommonCrawl
     // canonical-URL pass): three messy variants per part (mixed-case
     // host + default port + trailing slash + tracking params + shuffled
@@ -621,6 +640,12 @@ object PipelineQueries {
         |  CAST(len(toks) AS BIGINT) AS n_tokens,
         |  array_to_string(toks, ' ') AS chunk
         |FROM ch ORDER BY doc_id, chunk_id""".stripMargin,
+
+    "q_cur_html" ->
+      """SELECT doc_id,
+        |  'Doc ' || doc_id || ' "' ||
+        |    trim(regexp_replace(text, '\s+', ' ', 'g')) || '"' AS clean
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     "q_cur_urldedup" ->
       """SELECT p_partkey,

@@ -297,6 +297,21 @@ class CurationOpsSpec extends SparkSuite {
       expectedItems = 20, fpp = 0.5).select($"id")) == expSeen)
   }
 
+  test("stripHtml: script/style subtrees, comments, tags, entities, whitespace") {
+    import org.apache.spark.sql.functions.col
+    val cases = Seq(
+      ("<html><head><STYLE>h1{color:red}</STYLE></head>" +
+        "<body><h1>Title</h1><script type='x'>alert('<b>hi</b>')</script>" +
+        "<!-- note --><p>a &amp; b &lt;c&gt;</p></body></html>",
+        "Title a & b <c>"),
+      ("plain text, no markup", "plain text, no markup"),
+      ("<p>line\n\n  break</p>", "line break"))
+    val got = cases.map(_._1).toDF("h")
+      .select(CurationOps.stripHtml(col("h")).as("t"))
+      .as[String].collect().toSeq
+    assert(got == cases.map(_._2))
+  }
+
   test("canonicalUrl: case, ports, fragments, tracking params, slashes, order") {
     import org.apache.spark.sql.functions.col
     val cases = Seq(
