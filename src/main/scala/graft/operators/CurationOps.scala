@@ -186,10 +186,12 @@ object CurationOps {
     val canonQ = concat_ws("&", array_sort(kept))
     val canonPath = when(path0.rlike("^/.+/$"),
         regexp_replace(path0, "/$", "")).otherwise(path0)
-    concat(scheme, lit("://"), host,
-      when(keepPort, concat(lit(":"), port)).otherwise(lit("")),
-      canonPath,
-      when(canonQ =!= "", concat(lit("?"), canonQ)).otherwise(lit("")))
+    // a scheme-less string is not a URL this pass owns — pass through
+    when(scheme === "", url).otherwise(
+      concat(scheme, lit("://"), host,
+        when(keepPort, concat(lit(":"), port)).otherwise(lit("")),
+        canonPath,
+        when(canonQ =!= "", concat(lit("?"), canonQ)).otherwise(lit(""))))
   }
 
   /** Full-resolution multiplicative hash in [0, 2^32) — the sort key

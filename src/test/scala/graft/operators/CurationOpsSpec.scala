@@ -329,7 +329,9 @@ class CurationOpsSpec extends SparkSuite {
         "http://h.example.org/a"),
       // only tracking params: query disappears entirely
       ("https://a.b/p?utm_campaign=c&gclid=g",
-        "https://a.b/p"))
+        "https://a.b/p"),
+      // scheme-less input is not a URL this pass owns — pass through
+      ("not a url at all", "not a url at all"))
     val got = cases.map(_._1).toDF("u")
       .select(CurationOps.canonicalUrl(col("u")).as("c"))
       .as[String].collect().toSeq
