@@ -468,6 +468,29 @@ class ConnectorDdlSpec extends SparkSuite {
     }
   }
 
+  test("SHOW CREATE TABLE round-trips watermark, key, and partitions") {
+    val dir = tmp("ddl_showfull") + "/t"
+    GraftSql.sql(spark,
+      s"""CREATE TABLE showfull_t (
+         |  id BIGINT, ts TIMESTAMP(3), region STRING,
+         |  WATERMARK FOR ts AS ts - INTERVAL '5' SECOND,
+         |  PRIMARY KEY (id) NOT ENFORCED
+         |) PARTITIONED BY (region)
+         |WITH ('connector' = 'filesystem', 'path' = '$dir',
+         |      'format' = 'parquet')""".stripMargin)
+    val ddl = GraftSql.sql(spark, "SHOW CREATE TABLE showfull_t")
+      .head().getString(0)
+    assert(ddl.contains("WATERMARK FOR ts AS ts - INTERVAL '5' SECOND") &&
+      ddl.contains("PRIMARY KEY (id) NOT ENFORCED") &&
+      ddl.contains("PARTITIONED BY (region)"))
+    // the reconstruction is executable and preserves every feature
+    GraftSql.sql(spark,
+      ddl.replace("CREATE TABLE showfull_t", "CREATE TABLE showfull_t2"))
+    val d2 = ConnectorDdl.lookup(spark, "showfull_t2").get
+    assert(d2.primaryKey == Seq("id") && d2.partitions == Seq("region") &&
+      d2.watermark.contains(("ts", "5 second")))
+  }
+
   test("CREATE TABLE LIKE inherits schema and options; EXCLUDING drops them") {
     val dir = tmp("ddl_like") + "/src"
     Seq((1L, "x")).toDF("id", "tag").write.mode("overwrite").parquet(dir)

@@ -336,5 +336,10 @@ class CurationOpsSpec extends SparkSuite {
       .select(CurationOps.canonicalUrl(col("u")).as("c"))
       .as[String].collect().toSeq
     assert(got == cases.map(_._2))
+    // idempotence: the canonical form is a fixpoint
+    val twice = cases.map(_._2).toDF("u")
+      .select(CurationOps.canonicalUrl(col("u")).as("c"))
+      .as[String].collect().toSeq
+    assert(twice == cases.map(_._2))
   }
 }
