@@ -151,8 +151,9 @@ object CurationOps {
     val noComment = regexp_replace(noScript, "(?s)<!--.*?-->", " ")
     val noTag = regexp_replace(noComment, "(?s)<[^>]*>", " ")
     val decoded = regexp_replace(regexp_replace(regexp_replace(
-      regexp_replace(regexp_replace(noTag,
+      regexp_replace(regexp_replace(regexp_replace(noTag,
         "&lt;", "<"), "&gt;", ">"), "&quot;", "\""), "&#39;", "'"),
+        "&apos;", "'"),
       "&amp;", "&")
     trim(regexp_replace(decoded, "\\s+", " "))
   }
@@ -169,23 +170,36 @@ object CurationOps {
     * one exact hash-groupBy on the canonical string.
     */
   def canonicalUrl(url: Column): Column = {
-    // scheme://host[:port][/path][?query][#fragment]
+    // scheme://[userinfo@]host[:port][/path][?query][#fragment]
     val scheme = lower(regexp_extract(url, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
-    val hostPort = regexp_extract(url, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1)
-    val host = lower(regexp_extract(hostPort, "^([^:]*)", 1))
-    val port = regexp_extract(hostPort, ":(\\d+)$", 1)
+    val authority = regexp_extract(url,
+      "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1)
+    // userinfo is dropped (it is not page identity); IPv6 literals keep
+    // their brackets and split host/port at the closing bracket
+    val hostPort = regexp_replace(authority, "^[^@]*@", "")
+    val isV6 = hostPort.startsWith("[")
+    val host = when(isV6,
+        lower(regexp_extract(hostPort, "^(\\[[^\\]]*\\])", 1)))
+      .otherwise(lower(regexp_extract(hostPort, "^([^:]*)", 1)))
+    val port = when(isV6, regexp_extract(hostPort, "\\]:(\\d+)$", 1))
+      .otherwise(regexp_extract(hostPort, "^[^:]*:(\\d+)$", 1))
     val keepPort = port =!= "" &&
       !(scheme === "http" && port === "80") &&
       !(scheme === "https" && port === "443")
     val path0 = regexp_extract(url, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)", 1)
-    val query = regexp_extract(url, "\\?([^#]*)", 1)
+    // the query is the span after the FIRST pre-fragment '?' — a '?'
+    // first appearing inside the fragment must not fabricate one
+    val query = regexp_extract(url, "^[^#?]*\\?([^#]*)", 1)
     val kept = filter(
       when(query === "", array().cast("array<string>"))
         .otherwise(split(query, "&")),
       p => !(lower(p).rlike("^(utm_[a-z]+|fbclid|gclid|ref)=")) && p =!= "")
     val canonQ = concat_ws("&", array_sort(kept))
-    val canonPath = when(path0.rlike("^/.+/$"),
-        regexp_replace(path0, "/$", "")).otherwise(path0)
+    // trailing slashes collapse entirely and the empty path unifies with
+    // root "/" — the canonical form is a FIXPOINT, and the crawl's most
+    // common duplicate pair (bare host vs root slash) collapses
+    val stripped = regexp_replace(path0, "/+$", "")
+    val canonPath = when(stripped === "", lit("/")).otherwise(stripped)
     // a scheme-less string is not a URL this pass owns — pass through
     when(scheme === "", url).otherwise(
       concat(scheme, lit("://"), host,

@@ -128,9 +128,6 @@ object PipelineQueries {
         .orderBy(col("doc_id"), col("chunk_id"))
     }),
 
-    // Deterministic hash split (CurationOps.hashSplit): 90/5/5
-    // train/val/test off a multiplicative hash of doc_id — stable under
-    // corpus growth, engine-reproducible integer arithmetic.
     // HTML boilerplate strip (CurationOps.stripHtml — the crawl text
     // extractor): each document wraps in synthetic markup (style +
     // script subtrees with decoy text, a comment, entities), and the
@@ -139,11 +136,15 @@ object PipelineQueries {
     // expectation directly, so any leak of script/style content or a
     // swallowed entity breaks the hash.
     "q_cur_html" -> ((s, dir) => {
+      // the text embeds ESCAPED (as a real generator would emit it), so
+      // the gate holds even if future testdata carries markup characters
+      val esc = regexp_replace(regexp_replace(regexp_replace(col("text"),
+        "&", "&amp;"), "<", "&lt;"), ">", "&gt;")
       val html = concat(
         lit("<html><head><style>p{margin:0}</style></head><body><h1>Doc "),
         col("doc_id"),
         lit("</h1><script>var hidden=\"BOILER\";</script><!-- c -->"),
-        lit("<p>&quot;"), col("text"), lit("&quot;</p></body></html>"))
+        lit("<p>&quot;"), esc, lit("&quot;</p></body></html>"))
       t(s, dir, "documents")
         .select(col("doc_id"),
           graft.operators.CurationOps.stripHtml(html).as("clean"))
@@ -189,6 +190,9 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // Deterministic hash split (CurationOps.hashSplit): 90/5/5
+    // train/val/test off a multiplicative hash of doc_id — stable under
+    // corpus growth, engine-reproducible integer arithmetic.
     "q_cur_split" -> ((s, dir) => {
       CurationOps.hashSplit(t(s, dir, "documents"),
         Seq(("train", 90), ("val", 95), ("test", 100)))
