@@ -94,7 +94,7 @@ object GraftSql {
     } else if (ConnectorDdl.isCtas(query)) {
       ConnectorDdl.createTableAs(spark, query, (s, q) => sql(s, q))
       spark.emptyDataFrame
-    } else if (ConnectorDdl.isCreate(query)) {
+    } else if (ConnectorDdl.isCreate(spark, query)) {
       ConnectorDdl.createTable(spark, query)
       spark.emptyDataFrame
     } else if (ConnectorDdl.isCompact(spark, query)) {

@@ -24,6 +24,7 @@ object SparkEntry {
       (PipelineQueries.queries, PipelineQueries.oracles),
       (CepQueries.queries, CepQueries.oracles),
       (SqlQueries.queries, SqlQueries.oracles),
+      (TpcdsQueries.queries, TpcdsQueries.oracles),
       (StreamQueries.queries, StreamQueries.oracles),
       (IntegrationQueries.queries, IntegrationQueries.oracles)
     )

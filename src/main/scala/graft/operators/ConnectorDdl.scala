@@ -123,9 +123,15 @@ object ConnectorDdl {
     "file.modification-time" -> "_metadata.file_modification_time",
     "timestamp" -> "_metadata.file_modification_time")
 
-  /** Is this statement connector DDL/DML this object handles? */
-  def isCreate(stmt: String): Boolean =
-    CreateLikeRe.matches(stmt) || CreateRe.matches(splitPartitionClause(stmt)._1)
+  /** Is this statement connector DDL/DML this object handles? A LIKE
+    * form claims the statement only when the base is a REGISTERED
+    * connector table — Spark-native `CREATE TABLE x LIKE y` catalog DDL
+    * falls through to spark.sql, the same contract isAlter/isDrop keep.
+    */
+  def isCreate(spark: SparkSession, stmt: String): Boolean = stmt match {
+    case CreateLikeRe(_, _, _, base, _) => lookup(spark, base).isDefined
+    case _ => CreateRe.matches(splitPartitionClause(stmt)._1)
+  }
 
   /** ALTER/DROP on a REGISTERED connector table (unregistered names fall
     * through to spark.sql — catalog tables keep their native DDL).
@@ -319,8 +325,12 @@ object ConnectorDdl {
     val physical = spark.read.schema(d.fields).format(fmt)
       .options(formatOptions(d, fmt)).load(d.options("path"))
     val next = f(physical).localCheckpoint(true)
+    // pin STATIC overwrite: under a session-level 'dynamic'
+    // partitionOverwriteMode (reachable via the front-door SET),
+    // partitions whose rows were all deleted would be silently
+    // retained and keep serving stale rows
     val w0 = next.write.format(fmt).options(formatOptions(d, fmt))
-      .mode("overwrite")
+      .option("partitionOverwriteMode", "static").mode("overwrite")
     (if (d.partitions.nonEmpty) w0.partitionBy(d.partitions: _*) else w0)
       .save(d.options("path"))
     graft.sources.UpsertSink.release(next)
@@ -459,8 +469,11 @@ object ConnectorDdl {
         if (d.partitions.nonEmpty)
           s"\nPARTITIONED BY (${d.partitions.mkString(", ")})"
         else ""
+      // escape quotes so an option value with an apostrophe (a path,
+      // a csv delimiter) round-trips as executable DDL
+      def esc(s: String) = s.replace("'", "''")
       val opts = d.options.toSeq.sortBy(_._1)
-        .map { case (k, v) => s"'$k' = '$v'" }.mkString(",\n  ")
+        .map { case (k, v) => s"'${esc(k)}' = '${esc(v)}'" }.mkString(",\n  ")
       val ddl = s"CREATE TABLE ${d.name} (\n" + items.mkString(",\n") +
         s"\n)$part WITH (\n  $opts\n)"
       import spark.implicits._
@@ -502,7 +515,8 @@ object ConnectorDdl {
   private def unquote(s: String): String = {
     val t = s.trim
     if (t.length >= 2 && t.head == '\'' && t.last == '\'')
-      t.substring(1, t.length - 1)
+      // doubled '' inside the literal is the SQL escape for one quote
+      t.substring(1, t.length - 1).replace("''", "'")
     else sys.error(s"WITH option piece not quoted: $s")
   }
 
@@ -784,10 +798,23 @@ object ConnectorDdl {
           "envelopes with the producing system, or use a parquet/csv sink")
       d.connector match {
         case "print" =>
-          df.collect().foreach(r => println(s"+I[${r.mkString(", ")}]"))
+          // print PER PARTITION on the executors (the reference's
+          // PrintSinkFunction prints per task manager) — never a
+          // driver-side collect, which would OOM on a big INSERT
+          if (df.isStreaming) {
+            val q = df.writeStream.format("console")
+              .option("checkpointLocation", java.nio.file.Files
+                .createTempDirectory(s"print_${name}_ckpt").toString)
+              .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+              .start()
+            q.awaitTermination()
+          } else df.foreachPartition {
+            (it: Iterator[org.apache.spark.sql.Row]) =>
+              it.foreach(r => println(s"+I[${r.mkString(", ")}]"))
+          }
         case "blackhole" =>
           df.write.format("noop").mode("overwrite").save()
-        case "filesystem" if d.primaryKey.nonEmpty =>
+        case "filesystem" if d.primaryKey.nonEmpty && !df.isStreaming =>
           val seq = d.insertSeq.incrementAndGet()
           graft.sources.UpsertSink.mergeBatch(spark,
             df.withColumn("__ddl_seq", lit(seq)), d.primaryKey, "__ddl_seq",
@@ -795,12 +822,58 @@ object ConnectorDdl {
             d.options.getOrElse("sink.buckets", "8").toInt)
           graft.sources.UpsertSink.read(spark, d.options("path"))
             .drop("__ddl_seq").createOrReplaceTempView(name)
+        case "filesystem" if df.isStreaming && d.primaryKey.nonEmpty =>
+          // streaming INSERT into a PRIMARY KEY table: changelog-mode
+          // inference (the reference's FlinkChangelogModeInferenceProgram
+          // decision) routes an UPDATING query through the keyed upsert
+          // merge — each micro-batch carries the latest row per key
+          // (Update mode), merged last-writer-wins via the bucketed
+          // UpsertSink. An insert-only query appends through the same
+          // merge (new keys only), so both modes land on the keyed store.
+          val inf = graft.streaming.ChangelogInference.infer(df)
+          val mode =
+            if (inf.needsRowKind) org.apache.spark.sql.streaming.OutputMode.Update()
+            else org.apache.spark.sql.streaming.OutputMode.Append()
+          val ckpt = d.options.getOrElse("sink.checkpoint",
+            java.nio.file.Files.createTempDirectory(s"ddl_${name}_ckpt")
+              .toString)
+          val path = d.options("path")
+          val buckets = d.options.getOrElse("sink.buckets", "8").toInt
+          val pk = d.primaryKey
+          val q = df.writeStream.outputMode(mode)
+            .option("checkpointLocation", ckpt)
+            .foreachBatch { (batch: DataFrame, _: Long) =>
+              val seq = d.insertSeq.incrementAndGet()
+              graft.sources.UpsertSink.mergeBatch(batch.sparkSession,
+                batch.withColumn("__ddl_seq", lit(seq)), pk, "__ddl_seq",
+                path, buckets)
+              ()
+            }
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start()
+          q.awaitTermination()
+          graft.sources.UpsertSink.read(spark, path)
+            .drop("__ddl_seq").createOrReplaceTempView(name)
         case "filesystem" if df.isStreaming =>
           // a streaming INSERT INTO is the reference's job shape: the
           // statement starts a continuous write. Bounded-source runs
           // (file-monitor over a finite dir) drain via AvailableNow and
           // return when caught up; an unbounded source keeps running —
           // the caller holds the query handle via spark.streams.
+          // Changelog-mode inference gates the append file sink: an
+          // UPDATING query (unwindowed aggregate, arbitrary stateful op)
+          // cannot append to a keyless file table — the reference's
+          // planner rejects exactly this ("Table sink doesn't support
+          // consuming update changes"); declare a PRIMARY KEY to route
+          // through the upsert materialization instead.
+          val inf = graft.streaming.ChangelogInference.infer(df)
+          if (inf.needsRowKind)
+            sys.error(s"Table sink '$name' doesn't support consuming " +
+              "update changes which is produced by this streaming query " +
+              "(unwindowed aggregate / stateful operator). Declare a " +
+              "PRIMARY KEY on the table for upsert materialization, or " +
+              "make the query insert-only (window the aggregate on event " +
+              "time).")
           val fmt = d.options.getOrElse("format", "parquet")
           val ckpt = d.options.getOrElse("sink.checkpoint",
             java.nio.file.Files.createTempDirectory(s"ddl_${name}_ckpt")

@@ -34,7 +34,9 @@ object MaterializedTable {
   case class MatDesc(name: String, query: String, path: String,
       freshness: String, mode: String, checkpoint: String,
       var job: Option[org.apache.spark.sql.streaming.StreamingQuery],
-      var listener: Option[org.apache.spark.sql.streaming.StreamingQueryListener] = None)
+      var listener: Option[org.apache.spark.sql.streaming.StreamingQueryListener] = None,
+      schema: org.apache.spark.sql.types.StructType =
+        new org.apache.spark.sql.types.StructType())
 
   private val registry = TrieMap.empty[(Int, String), MatDesc]
   private def key(spark: SparkSession, name: String) =
@@ -64,13 +66,31 @@ object MaterializedTable {
     case _ => false
   }
 
-  private def registerView(spark: SparkSession, d: MatDesc): Unit =
-    spark.read.parquet(d.path).createOrReplaceTempView(d.name)
+  private def registerView(spark: SparkSession, d: MatDesc): Unit = {
+    // pin the probe's schema: a CONTINUOUS table whose source has no
+    // data yet has an empty storage dir, and a schema-inferring read
+    // would die with 'unable to infer schema' instead of serving the
+    // (correctly) empty table
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(d.path))
+    val r = if (d.schema.isEmpty) spark.read
+      else spark.read.schema(d.schema)
+    r.parquet(d.path).createOrReplaceTempView(d.name)
+  }
 
   private def startContinuous(spark: SparkSession, d: MatDesc,
       df: DataFrame): Unit = {
     require(df.isStreaming,
       s"${d.name}: REFRESH_MODE = CONTINUOUS needs a streaming query")
+    // changelog-mode inference (FlinkChangelogModeInferenceProgram
+    // analogue): the parquet storage is append-only, so an UPDATING
+    // query (unwindowed aggregate) gets the engine's diagnostic instead
+    // of Spark's raw analysis error
+    if (graft.streaming.ChangelogInference.infer(df).needsRowKind)
+      sys.error(s"${d.name}: the definition query produces update " +
+        "changes (unwindowed aggregate / stateful operator), which a " +
+        "CONTINUOUS materialization over append-only storage cannot " +
+        "consume. Window the aggregate on event time, or use " +
+        "REFRESH_MODE = FULL with ALTER ... REFRESH.")
     val job = df.writeStream.format("parquet")
       .option("checkpointLocation", d.checkpoint)
       .start(d.path)
@@ -130,7 +150,7 @@ object MaterializedTable {
       val ckpt = options.getOrElse("checkpoint",
         java.nio.file.Files.createTempDirectory(s"mt_${name}_ckpt").toString)
       val d = MatDesc(name, query, path, s"$fn ${fUnit.toLowerCase}",
-        mode, ckpt, None)
+        mode, ckpt, None, schema = probe.schema)
       mode match {
         case "FULL" =>
           require(!probe.isStreaming,

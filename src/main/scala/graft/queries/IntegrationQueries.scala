@@ -101,6 +101,44 @@ object IntegrationQueries {
         .orderBy(col("o_orderstatus"))
     }),
 
+    // Protobuf wire format (sources/ProtobufWire — the reference's
+    // flink-protobuf, PbFormatFactory.java:40 / ProtoToRowConverter.java,
+    // re-expressed as proto3 wire-level Catalyst expressions since no
+    // protobuf jar resolves offline): orders rows — scalar fields, a
+    // packed repeated int64 and a nested message — encode to wire bytes
+    // and decode back; the aggregate over the decoded frame must equal
+    // the parquet oracle. Both directions are pure projections.
+    "q_fmt_protobuf" -> ((s, dir) => {
+      val pbSchema = StructType(Seq(
+        StructField("k", LongType),
+        StructField("status", StringType),
+        StructField("cents", LongType),
+        StructField("mods", ArrayType(LongType, containsNull = false)),
+        StructField("who", StructType(Seq(
+          StructField("cust", LongType),
+          StructField("prio", StringType))))))
+      val o = t(s, dir, "orders")
+      val msg = struct(
+        col("o_orderkey").as("k"),
+        col("o_orderstatus").as("status"),
+        (dec2(col("o_totalprice")) * 100).cast(LongType).as("cents"),
+        array(col("o_orderkey") % 7, col("o_orderkey") % 11).as("mods"),
+        struct(col("o_custkey").as("cust"),
+          col("o_orderpriority").as("prio")).as("who"))
+      val wire = o.select(
+        graft.sources.ProtobufWire.toProtobuf(msg).as("pb"))
+      val back = wire.select(
+        graft.sources.ProtobufWire.fromProtobuf(col("pb"), pbSchema).as("m"))
+      back.groupBy(col("m.status").as("status"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("m.cents")).cast(LongType).as("sum_cents"),
+          sum(element_at(col("m.mods"), 1) + element_at(col("m.mods"), 2))
+            .cast(LongType).as("sum_mods"),
+          sum(col("m.who.cust")).cast(LongType).as("sum_cust"),
+          countDistinct(col("m.who.prio")).as("n_prio"))
+        .orderBy(col("status"))
+    }),
+
     // Lookup join (operators/LookupJoin): customers probe a nation
     // dimension through the LookupFunction + per-partition LRU cache
     // path (the reference's lookup-join runtime shape); the result must
@@ -468,6 +506,14 @@ object IntegrationQueries {
       s"""SELECT o_orderstatus, COUNT(*) AS n,
         |  ${dsumSql("o_totalprice")} AS sum_price,
         |  MAX(o_orderdate) AS max_date
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    "q_fmt_protobuf" ->
+      """SELECT o_orderstatus AS status, COUNT(*) AS n,
+        |  CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)) AS BIGINT) AS sum_cents,
+        |  CAST(SUM(o_orderkey % 7 + o_orderkey % 11) AS BIGINT) AS sum_mods,
+        |  CAST(SUM(o_custkey) AS BIGINT) AS sum_cust,
+        |  COUNT(DISTINCT o_orderpriority) AS n_prio
         |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
 
     "q_fmt_csv" ->

@@ -1,0 +1,356 @@
+package graft.sources
+
+import java.io.ByteArrayOutputStream
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.graftbridge.Bridge
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** proto3 wire-format encode/decode as native Catalyst expressions — the
+  * engine's protobuf format (the reference's flink-formats/flink-protobuf:
+  * `PbFormatFactory.java:40` registers the format; `deserialize/
+  * ProtoToRowConverter.java` decodes messages to rows, `serialize/
+  * RowToProtoConverter` the reverse). The reference generates Java
+  * against protobuf-java descriptors; no protobuf jar resolves in this
+  * environment, so the proto3 *wire format* itself (a public, stable
+  * spec: varint / zigzag / length-delimited framing) is implemented
+  * directly and driven by the Spark schema, field numbers taken from
+  * declaration order (1-based) — the same positional mapping the
+  * reference derives from the compiled descriptor.
+  *
+  * Supported (the flat-message surface of the reference's converter):
+  *   - int32/int64 (IntegerType/LongType, varint, two's-complement 10-byte
+  *     negatives — standard `intN` semantics, not `sintN`),
+  *   - bool (BooleanType, varint 0/1),
+  *   - double (wire type 1, fixed64 LE), float (wire type 5, fixed32 LE),
+  *   - string (UTF-8) and bytes (wire type 2),
+  *   - packed repeated numerics (ArrayType of int/long/double/float —
+  *     proto3's default packed encoding),
+  *   - unpacked repeated strings/bytes (one length-delimited field each),
+  *   - nested messages (StructType, length-delimited).
+  *
+  * proto3 semantics preserved: zero/empty/false scalars are OMITTED on
+  * encode and default-filled on decode; unknown field numbers are skipped
+  * by wire type (forward compatibility); repeated numeric fields accept
+  * both packed and unpacked encodings on decode, as the spec requires.
+  *
+  * Scale shape: both directions are pure per-row projections (no shuffle,
+  * no state); `CodegenFallback` keeps them inside the projection operator
+  * like `from_json`.
+  */
+object ProtobufWire {
+
+  /** Encode a struct column to proto3 wire bytes. */
+  def toProtobuf(col: Column): Column =
+    Bridge.column(PbEncode(Bridge.expression(col)))
+
+  /** Decode proto3 wire bytes to a struct of `schema`. */
+  def fromProtobuf(col: Column, schema: StructType): Column =
+    Bridge.column(PbDecode(Bridge.expression(col), schema))
+
+  // ------------------------------------------------------------ encoding
+
+  private def writeVarint(out: ByteArrayOutputStream, v0: Long): Unit = {
+    var v = v0
+    while ((v & ~0x7fL) != 0) {
+      out.write(((v & 0x7f) | 0x80).toInt)
+      v >>>= 7
+    }
+    out.write(v.toInt & 0x7f)
+  }
+
+  private def writeTag(out: ByteArrayOutputStream, field: Int, wire: Int): Unit =
+    writeVarint(out, (field.toLong << 3) | wire)
+
+  private def writeFixed64(out: ByteArrayOutputStream, v: Long): Unit = {
+    var i = 0
+    while (i < 8) { out.write(((v >>> (8 * i)) & 0xff).toInt); i += 1 }
+  }
+
+  private def writeFixed32(out: ByteArrayOutputStream, v: Int): Unit = {
+    var i = 0
+    while (i < 4) { out.write((v >>> (8 * i)) & 0xff); i += 1 }
+  }
+
+  private def writeLenDelim(out: ByteArrayOutputStream, field: Int,
+      bytes: Array[Byte]): Unit = {
+    writeTag(out, field, 2)
+    writeVarint(out, bytes.length.toLong)
+    out.write(bytes, 0, bytes.length)
+  }
+
+  /** Encode one InternalRow as a proto3 message (field numbers = ordinal
+    * position + 1; proto3 default values omitted).
+    */
+  def encodeRow(row: InternalRow, schema: StructType): Array[Byte] = {
+    val out = new ByteArrayOutputStream()
+    var i = 0
+    while (i < schema.length) {
+      val f = schema.fields(i)
+      val num = i + 1
+      if (!row.isNullAt(i)) f.dataType match {
+        case IntegerType =>
+          val v = row.getInt(i)
+          // negative int32 encodes as the sign-extended 64-bit varint
+          // (10 bytes) — the standard `int32` rule
+          if (v != 0) { writeTag(out, num, 0); writeVarint(out, v.toLong) }
+        case LongType =>
+          val v = row.getLong(i)
+          if (v != 0L) { writeTag(out, num, 0); writeVarint(out, v) }
+        case BooleanType =>
+          if (row.getBoolean(i)) { writeTag(out, num, 0); writeVarint(out, 1L) }
+        case DoubleType =>
+          val v = row.getDouble(i)
+          if (v != 0.0d || java.lang.Double.doubleToRawLongBits(v) != 0L) {
+            writeTag(out, num, 1)
+            writeFixed64(out, java.lang.Double.doubleToLongBits(v))
+          }
+        case FloatType =>
+          val v = row.getFloat(i)
+          if (v != 0.0f || java.lang.Float.floatToRawIntBits(v) != 0) {
+            writeTag(out, num, 5)
+            writeFixed32(out, java.lang.Float.floatToIntBits(v))
+          }
+        case StringType =>
+          val b = row.getUTF8String(i).getBytes
+          if (b.nonEmpty) writeLenDelim(out, num, b)
+        case BinaryType =>
+          val b = row.getBinary(i)
+          if (b.nonEmpty) writeLenDelim(out, num, b)
+        case ArrayType(et, _) =>
+          encodeArray(out, num, row.getArray(i), et)
+        case st: StructType =>
+          writeLenDelim(out, num, encodeRow(row.getStruct(i, st.length), st))
+        case other => throw new IllegalArgumentException(
+          s"unsupported type for protobuf: ${other.simpleString}")
+      }
+      i += 1
+    }
+    out.toByteArray
+  }
+
+  private def encodeArray(out: ByteArrayOutputStream, num: Int,
+      arr: ArrayData, et: DataType): Unit = et match {
+    // packed repeated numerics: ONE length-delimited payload
+    case IntegerType | LongType | BooleanType | DoubleType | FloatType =>
+      if (arr.numElements() > 0) {
+        val body = new ByteArrayOutputStream()
+        var j = 0
+        while (j < arr.numElements()) {
+          et match {
+            case IntegerType => writeVarint(body, arr.getInt(j).toLong)
+            case LongType => writeVarint(body, arr.getLong(j))
+            case BooleanType => writeVarint(body, if (arr.getBoolean(j)) 1L else 0L)
+            case DoubleType =>
+              writeFixed64(body, java.lang.Double.doubleToLongBits(arr.getDouble(j)))
+            case FloatType =>
+              writeFixed32(body, java.lang.Float.floatToIntBits(arr.getFloat(j)))
+            case _ => ()
+          }
+          j += 1
+        }
+        writeLenDelim(out, num, body.toByteArray)
+      }
+    // repeated strings/bytes: one length-delimited field per element
+    case StringType =>
+      var j = 0
+      while (j < arr.numElements()) {
+        writeLenDelim(out, num, arr.getUTF8String(j).getBytes); j += 1
+      }
+    case BinaryType =>
+      var j = 0
+      while (j < arr.numElements()) {
+        writeLenDelim(out, num, arr.getBinary(j)); j += 1
+      }
+    case st: StructType =>
+      var j = 0
+      while (j < arr.numElements()) {
+        writeLenDelim(out, num, encodeRow(arr.getStruct(j, st.length), st)); j += 1
+      }
+    case other => throw new IllegalArgumentException(
+      s"unsupported repeated type for protobuf: ${other.simpleString}")
+  }
+
+  // ------------------------------------------------------------ decoding
+
+  private final class Reader(bytes: Array[Byte], var pos: Int, val end: Int) {
+    def hasMore: Boolean = pos < end
+    def readVarint(): Long = {
+      var shift = 0
+      var result = 0L
+      while (shift < 64) {
+        val b = bytes(pos); pos += 1
+        result |= (b & 0x7fL) << shift
+        if ((b & 0x80) == 0) return result
+        shift += 7
+      }
+      throw new IllegalArgumentException("malformed varint")
+    }
+    def readFixed64(): Long = {
+      var v = 0L
+      var i = 0
+      while (i < 8) { v |= (bytes(pos + i) & 0xffL) << (8 * i); i += 1 }
+      pos += 8; v
+    }
+    def readFixed32(): Int = {
+      var v = 0
+      var i = 0
+      while (i < 4) { v |= (bytes(pos + i) & 0xff) << (8 * i); i += 1 }
+      pos += 4; v
+    }
+    def readBytes(): Array[Byte] = {
+      val len = readVarint().toInt
+      val out = java.util.Arrays.copyOfRange(bytes, pos, pos + len)
+      pos += len; out
+    }
+    def sub(): Reader = {
+      val len = readVarint().toInt
+      val r = new Reader(bytes, pos, pos + len)
+      pos += len; r
+    }
+    def skip(wire: Int): Unit = wire match {
+      case 0 => readVarint()
+      case 1 => pos += 8
+      case 2 => val len = readVarint().toInt; pos += len
+      case 5 => pos += 4
+      case w => throw new IllegalArgumentException(s"unsupported wire type $w")
+    }
+  }
+
+  /** Decode one proto3 message into an InternalRow of `schema` (absent
+    * fields take proto3 defaults: 0 / false / "" / empty).
+    */
+  def decodeRow(bytes: Array[Byte], schema: StructType): InternalRow =
+    decodeMessage(new Reader(bytes, 0, bytes.length), schema)
+
+  private def decodeMessage(r: Reader, schema: StructType): InternalRow = {
+    val values = new Array[Any](schema.length)
+    val repeated = Array.fill(schema.length)(
+      null: scala.collection.mutable.ArrayBuffer[Any])
+    // proto3 defaults up front; later occurrences of a field overwrite
+    // ("last one wins" for scalars, append for repeated)
+    var i = 0
+    while (i < schema.length) {
+      values(i) = schema.fields(i).dataType match {
+        case IntegerType => 0
+        case LongType => 0L
+        case BooleanType => false
+        case DoubleType => 0.0d
+        case FloatType => 0.0f
+        case StringType => UTF8String.EMPTY_UTF8
+        case BinaryType => Array.emptyByteArray
+        case _: ArrayType => null // filled from `repeated` at the end
+        case _: StructType => null // absent message decodes to null
+        case other => throw new IllegalArgumentException(
+          s"unsupported type for protobuf: ${other.simpleString}")
+      }
+      i += 1
+    }
+    while (r.hasMore) {
+      val tag = r.readVarint()
+      val num = (tag >>> 3).toInt
+      val wire = (tag & 7).toInt
+      val idx = num - 1
+      if (idx < 0 || idx >= schema.length) r.skip(wire)
+      else schema.fields(idx).dataType match {
+        case IntegerType => values(idx) = r.readVarint().toInt
+        case LongType => values(idx) = r.readVarint()
+        case BooleanType => values(idx) = r.readVarint() != 0L
+        case DoubleType =>
+          values(idx) = java.lang.Double.longBitsToDouble(r.readFixed64())
+        case FloatType =>
+          values(idx) = java.lang.Float.intBitsToFloat(r.readFixed32())
+        case StringType => values(idx) = UTF8String.fromBytes(r.readBytes())
+        case BinaryType => values(idx) = r.readBytes()
+        case st: StructType => values(idx) = decodeMessage(r.sub(), st)
+        case ArrayType(et, _) =>
+          if (repeated(idx) == null)
+            repeated(idx) = scala.collection.mutable.ArrayBuffer.empty[Any]
+          val buf = repeated(idx)
+          et match {
+            case IntegerType | LongType | BooleanType | DoubleType | FloatType
+                if wire == 2 =>
+              // packed payload: decode elements until the span ends
+              val s = r.sub()
+              while (s.hasMore) buf += readScalar(s, et, packed = true)
+            case IntegerType | LongType | BooleanType | DoubleType | FloatType =>
+              buf += readScalar(r, et, packed = true) // unpacked numeric
+            case StringType => buf += UTF8String.fromBytes(r.readBytes())
+            case BinaryType => buf += r.readBytes()
+            case st: StructType => buf += decodeMessage(r.sub(), st)
+            case other => throw new IllegalArgumentException(
+              s"unsupported repeated type for protobuf: ${other.simpleString}")
+          }
+      }
+    }
+    i = 0
+    while (i < schema.length) {
+      schema.fields(i).dataType match {
+        case _: ArrayType =>
+          values(i) = new GenericArrayData(
+            Option(repeated(i)).map(_.toArray).getOrElse(Array.empty[Any]))
+        case _ => ()
+      }
+      i += 1
+    }
+    InternalRow.fromSeq(values.toIndexedSeq)
+  }
+
+  private def readScalar(r: Reader, et: DataType, packed: Boolean): Any =
+    et match {
+      case IntegerType => r.readVarint().toInt
+      case LongType => r.readVarint()
+      case BooleanType => r.readVarint() != 0L
+      case DoubleType => java.lang.Double.longBitsToDouble(r.readFixed64())
+      case FloatType => java.lang.Float.intBitsToFloat(r.readFixed32())
+      case _ => throw new IllegalArgumentException("not a scalar")
+    }
+}
+
+/** struct → proto3 wire bytes (field numbers from ordinal position). */
+case class PbEncode(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  private lazy val structType = child.dataType.asInstanceOf[StructType]
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = child.nullable
+  override def prettyName: String = "graft_to_protobuf"
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case _: StructType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"to_protobuf needs a struct input, got ${other.simpleString}")
+    }
+  override protected def nullSafeEval(input: Any): Any =
+    ProtobufWire.encodeRow(input.asInstanceOf[InternalRow], structType)
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** proto3 wire bytes → struct of `schema`. */
+case class PbDecode(child: Expression, schema: StructType)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = schema
+  override def nullable: Boolean = child.nullable
+  override def prettyName: String = "graft_from_protobuf"
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case BinaryType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"from_protobuf needs a binary input, got ${other.simpleString}")
+    }
+  override protected def nullSafeEval(input: Any): Any =
+    ProtobufWire.decodeRow(input.asInstanceOf[Array[Byte]], schema)
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}

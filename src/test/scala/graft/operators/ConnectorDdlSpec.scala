@@ -512,4 +512,111 @@ class ConnectorDdlSpec extends SparkSuite {
     }
     assert(e.getMessage.contains("connector"))
   }
+
+  test("CREATE TABLE LIKE with an UNREGISTERED base falls through to Spark") {
+    // Spark-native catalog DDL must keep working: the LIKE arm claims a
+    // statement only when the base is a registered connector table
+    assert(!ConnectorDdl.isCreate(spark,
+      "CREATE TABLE native_kid LIKE native_base"))
+    // the front door routes it to spark.sql — the failure is Spark's
+    // own missing-table analysis error, not the registry error
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
+      GraftSql.sql(spark, "CREATE TABLE native_kid LIKE native_base_nope")
+    }
+    assert(!e.getMessage.contains("not a registered connector table"))
+  }
+
+  test("row-level DML stays STATIC overwrite under a dynamic session conf") {
+    val dir = tmp("ddl_dml_dyn") + "/t"
+    GraftSql.sql(spark,
+      s"""CREATE TABLE dmldyn_t (id BIGINT, tag STRING) PARTITIONED BY (tag)
+         |WITH ('connector' = 'filesystem', 'path' = '$dir',
+         |      'format' = 'parquet')""".stripMargin)
+    GraftSql.sql(spark,
+      """INSERT INTO dmldyn_t SELECT * FROM
+        |VALUES (1, 'a'), (2, 'a'), (3, 'b') AS t(id, tag)""".stripMargin)
+    // session conf set to dynamic via the front door — a DELETE that
+    // empties partition 'a' must still remove it (static overwrite
+    // pinned on the writer), not retain the stale directory
+    GraftSql.sql(spark,
+      "SET 'spark.sql.sources.partitionOverwriteMode' = 'dynamic'")
+    try {
+      GraftSql.sql(spark, "DELETE FROM dmldyn_t WHERE tag = 'a'")
+      assert(GraftSql.sql(spark, "SELECT id, tag FROM dmldyn_t")
+        .as[(Long, String)].collect().toSeq == Seq((3L, "b")))
+    } finally GraftSql.sql(spark,
+      "RESET 'spark.sql.sources.partitionOverwriteMode'")
+  }
+
+  test("streaming INSERT of an updating aggregate routes through the upsert sink") {
+    // changelog-mode inference at the front door: the unwindowed GROUP BY
+    // over a streaming scan is an UPDATE stream; the PRIMARY KEY on the
+    // target routes it through the keyed upsert merge automatically
+    // (FlinkChangelogModeInferenceProgram → upsert materialization)
+    val src = tmp("ddl_chlog_src")
+    val out = tmp("ddl_chlog_out") + "/t"
+    Seq((1L, "a", 10.0), (2L, "a", 5.0), (3L, "b", 7.0))
+      .toDF("id", "tag", "v").write.mode("overwrite").parquet(src)
+    GraftSql.sql(spark,
+      s"""CREATE TABLE chlog_src (id BIGINT, tag STRING, v DOUBLE)
+         |WITH ('connector' = 'filesystem', 'path' = '$src',
+         |      'format' = 'parquet', 'scan.streaming' = 'true')""".stripMargin)
+    GraftSql.sql(spark,
+      s"""CREATE TABLE chlog_agg (tag STRING, total DOUBLE,
+         |  PRIMARY KEY (tag) NOT ENFORCED)
+         |WITH ('connector' = 'filesystem', 'path' = '$out',
+         |      'format' = 'parquet')""".stripMargin)
+    GraftSql.sql(spark,
+      "INSERT INTO chlog_agg SELECT tag, SUM(v) AS total FROM chlog_src GROUP BY tag")
+    assert(GraftSql.sql(spark, "SELECT tag, total FROM chlog_agg ORDER BY tag")
+      .as[(String, Double)].collect().toSeq == Seq(("a", 15.0), ("b", 7.0)))
+    // more input arrives; a second INSERT re-drains and the upsert
+    // REPLACES each key's row with the new aggregate (not append)
+    Seq((4L, "a", 1.0)).toDF("id", "tag", "v").write.mode("append").parquet(src)
+    GraftSql.sql(spark,
+      "INSERT INTO chlog_agg SELECT tag, SUM(v) AS total FROM chlog_src GROUP BY tag")
+    assert(GraftSql.sql(spark, "SELECT tag, total FROM chlog_agg ORDER BY tag")
+      .as[(String, Double)].collect().toSeq == Seq(("a", 16.0), ("b", 7.0)))
+  }
+
+  test("streaming INSERT of an updating aggregate into a KEYLESS table fails loudly") {
+    val src = tmp("ddl_chlog2_src")
+    val out = tmp("ddl_chlog2_out") + "/t"
+    Seq((1L, "a", 10.0)).toDF("id", "tag", "v").write.mode("overwrite").parquet(src)
+    GraftSql.sql(spark,
+      s"""CREATE TABLE chlog2_src (id BIGINT, tag STRING, v DOUBLE)
+         |WITH ('connector' = 'filesystem', 'path' = '$src',
+         |      'format' = 'parquet', 'scan.streaming' = 'true')""".stripMargin)
+    GraftSql.sql(spark,
+      s"""CREATE TABLE chlog2_sink (tag STRING, total DOUBLE)
+         |WITH ('connector' = 'filesystem', 'path' = '$out',
+         |      'format' = 'parquet')""".stripMargin)
+    val e = intercept[RuntimeException] {
+      GraftSql.sql(spark,
+        "INSERT INTO chlog2_sink SELECT tag, SUM(v) AS total FROM chlog2_src GROUP BY tag")
+    }
+    // the ENGINE's diagnostic (update-changes + the PRIMARY KEY remedy),
+    // not Spark's raw append-mode analysis error
+    assert(e.getMessage.contains("update changes") &&
+      e.getMessage.contains("PRIMARY KEY"))
+  }
+
+  test("SHOW CREATE TABLE escapes quotes in option values and round-trips") {
+    val dir = tmp("ddl_quote") + "/t"
+    Seq((1L, "x")).toDF("id", "tag").write.mode("overwrite").parquet(dir)
+    GraftSql.sql(spark,
+      s"""CREATE TABLE quoted_t (id BIGINT, tag STRING)
+         |WITH ('connector' = 'filesystem', 'path' = '$dir',
+         |      'format' = 'parquet', 'note' = 'it''s quoted')""".stripMargin)
+    assert(ConnectorDdl.lookup(spark, "quoted_t").get
+      .options("note") == "it's quoted")
+    val ddl = GraftSql.sql(spark, "SHOW CREATE TABLE quoted_t")
+      .head().getString(0)
+    assert(ddl.contains("'it''s quoted'"))
+    // the rendered DDL is executable and preserves the value
+    GraftSql.sql(spark,
+      ddl.replace("CREATE TABLE quoted_t", "CREATE TABLE quoted_t2"))
+    assert(ConnectorDdl.lookup(spark, "quoted_t2").get
+      .options("note") == "it's quoted")
+  }
 }

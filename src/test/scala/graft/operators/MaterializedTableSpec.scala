@@ -72,4 +72,44 @@ class MaterializedTableSpec extends SparkSuite {
     assert(viaView == Map(1L -> 10.0, 2L -> 14.0))
     GraftSql.sql(spark, "DROP MATERIALIZED TABLE mt_live")
   }
+
+  test("CONTINUOUS create over an EMPTY source serves an empty table") {
+    // the streaming source has no data yet → no parquet files at the
+    // storage path; the view must register from the probe's schema
+    // instead of dying on schema inference
+    val src = tmp("mt_empty_src")
+    GraftSql.sql(spark,
+      s"""CREATE TABLE mt_empty_in (id BIGINT, v DOUBLE)
+         |WITH ('connector' = 'filesystem', 'path' = '$src',
+         |      'format' = 'parquet', 'scan.streaming' = 'true')""".stripMargin)
+    GraftSql.sql(spark,
+      """CREATE MATERIALIZED TABLE mt_empty
+        |FRESHNESS = INTERVAL '30' SECOND
+        |AS SELECT id, v * 2 AS v2 FROM mt_empty_in""".stripMargin)
+    assert(GraftSql.sql(spark, "SELECT COUNT(*) AS n FROM mt_empty")
+      .head().getLong(0) == 0L)
+    // first data arrives; the table catches up
+    Seq((9L, 1.5)).toDF("id", "v").write.mode("append").parquet(src)
+    MaterializedTable.sync(spark, "mt_empty")
+    assert(GraftSql.sql(spark, "SELECT id, v2 FROM mt_empty")
+      .as[(Long, Double)].collect().toSeq == Seq((9L, 3.0)))
+    GraftSql.sql(spark, "DROP MATERIALIZED TABLE mt_empty")
+  }
+
+  test("CONTINUOUS over an UPDATING query gets the engine diagnostic") {
+    val src = tmp("mt_upd_src")
+    Seq((1L, "a", 2.0)).toDF("id", "tag", "v").write.mode("overwrite").parquet(src)
+    GraftSql.sql(spark,
+      s"""CREATE TABLE mt_upd_in (id BIGINT, tag STRING, v DOUBLE)
+         |WITH ('connector' = 'filesystem', 'path' = '$src',
+         |      'format' = 'parquet', 'scan.streaming' = 'true')""".stripMargin)
+    val e = intercept[RuntimeException] {
+      GraftSql.sql(spark,
+        """CREATE MATERIALIZED TABLE mt_upd
+          |FRESHNESS = INTERVAL '30' SECOND
+          |AS SELECT tag, SUM(v) AS total FROM mt_upd_in GROUP BY tag""".stripMargin)
+    }
+    assert(e.getMessage.contains("update changes") &&
+      e.getMessage.contains("REFRESH_MODE = FULL"))
+  }
 }
