@@ -50,7 +50,44 @@ object PipelineQueries {
       DedupOps.jaccardVerify(withDups, pairs)
         .filter(col("jaccard") >= 0.8)
         .orderBy(col("id_a"), col("id_b"))
-    }))
+    }),
+
+    // Scale-law probe for the banded dedup pipeline: the SAME
+    // minhash→band→verify plan at 1× and at 8× corpus size (replicas
+    // made non-near-dup by a per-replica token so the candidate set
+    // grows linearly, not quadratically). The result row carries the
+    // candidate-pair and surviving-dup counts; the bench wall-time
+    // ratio between the two entries is the measured scaling exponent
+    // recorded in SURVEY's scale notes — near-linear = the banded join
+    // holds, quadratic = a bucket degenerated.
+    "b_dedup_scale1" -> ((s, dir) => dedupScale(s, dir, 1)),
+    "b_dedup_scale8" -> ((s, dir) => dedupScale(s, dir, 8)))
+
+  /** The q_dedup_lsh pipeline over a `factor`-times replicated corpus
+    * (distinct replica suffix per copy + the standard injected 10%
+    * near-dups), reduced to its candidate/dup counts.
+    */
+  private def dedupScale(s: org.apache.spark.sql.SparkSession, dir: String,
+      factor: Int): org.apache.spark.sql.DataFrame = {
+    val docs0 = t(s, dir, "documents")
+    val docs =
+      if (factor == 1) docs0
+      else docs0.crossJoin(
+          s.range(factor.toLong).toDF("rep").hint("broadcast"))
+        .withColumn("doc_id", col("doc_id") * factor + col("rep"))
+        .withColumn("text",
+          concat(col("text"), lit(" zq"), col("rep").cast("string")))
+        .drop("rep")
+    val withDups = docs.unionAll(
+      docs.filter(col("doc_id") % 10 === 0)
+        .withColumn("doc_id", col("doc_id") + dupOffset * factor))
+    val sig = DedupOps.minhashFast(withDups, k = 8)
+    graft.operators.CacheOnce.untilConsumed(sig)
+    val pairs = DedupOps.candidatePairs(DedupOps.lshBuckets(sig))
+    DedupOps.jaccardVerify(withDups, pairs)
+      .agg(count(lit(1)).as("candidate_pairs"),
+        sum(when(col("jaccard") >= 0.8, 1L).otherwise(0L)).as("near_dups"))
+  }
 
   val queries: Map[String, QFn] = Map(
     // Token/length stats per document (TextOps.tokenStats).

@@ -296,6 +296,54 @@ object SqlQueries {
           |FROM dml_orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)
     }),
 
+    // Hive metastore catalog (the reference's flink-connector-hive /
+    // HiveCatalog): a SECOND SparkSession on the same SparkContext with
+    // `enableHiveSupport` and a derby-backed metastore — CREATE TABLE
+    // lands in the metastore catalog (not a temp view), INSERT goes
+    // through the hive relation, and the read-back must match the
+    // declarative oracle. The session swap is scoped and restored.
+    "q_sql_hive" -> ((s, dir) => {
+      import org.apache.spark.sql.SparkSession
+      val wh = java.nio.file.Files.createTempDirectory("q_sql_hive_wh")
+      val ms = java.nio.file.Files.createTempDirectory("q_sql_hive_ms")
+      Runtime.getRuntime.addShutdownHook(new Thread(() => {
+        Q.deleteRecursively(wh); Q.deleteRecursively(ms) }))
+      val prevActive = SparkSession.getActiveSession
+      val prevDefault = SparkSession.getDefaultSession
+      SparkSession.clearActiveSession()
+      SparkSession.clearDefaultSession()
+      try {
+        val hive = SparkSession.builder()
+          .config("spark.sql.warehouse.dir", wh.toString)
+          .config("javax.jdo.option.ConnectionURL",
+            s"jdbc:derby:;databaseName=$ms/db;create=true")
+          .enableHiveSupport()
+          .getOrCreate()
+        Tables.registerAll(hive, dir)
+        hive.sql("DROP TABLE IF EXISTS hive_orders_agg")
+        hive.sql(
+          """CREATE TABLE hive_orders_agg
+            |  (o_orderstatus STRING, n BIGINT, sum_cents BIGINT)
+            |STORED AS PARQUET""".stripMargin)
+        // prove it's the metastore catalog, not a temp view
+        require(hive.catalog.tableExists("default.hive_orders_agg"),
+          "hive_orders_agg must exist in the metastore catalog")
+        hive.sql(
+          """INSERT OVERWRITE TABLE hive_orders_agg
+            |SELECT o_orderstatus, COUNT(*) AS n,
+            |  CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)) AS BIGINT) AS sum_cents
+            |FROM orders GROUP BY o_orderstatus""".stripMargin)
+        hive.sql(
+          """SELECT o_orderstatus, n, sum_cents FROM hive_orders_agg
+            |ORDER BY o_orderstatus""".stripMargin)
+      } finally {
+        SparkSession.clearActiveSession()
+        SparkSession.clearDefaultSession()
+        prevDefault.foreach(SparkSession.setDefaultSession)
+        prevActive.foreach(SparkSession.setActiveSession)
+      }
+    }),
+
     // PARTITIONED BY sink: orders materialize hash-partitioned by
     // o_orderstatus (directory-per-status layout, dynamic-partition
     // OVERWRITE), plus a STATIC `PARTITION (o_orderstatus = 'X')` insert
@@ -363,6 +411,11 @@ object SqlQueries {
     "q_sql_mattable" ->
       """SELECT o_orderstatus, COUNT(*) AS n,
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2)) * 100) AS BIGINT) AS sum_cents
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    "q_sql_hive" ->
+      """SELECT o_orderstatus, COUNT(*) AS n,
+        |  CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)) AS BIGINT) AS sum_cents
         |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
 
     "q_sql_ddl_part" ->

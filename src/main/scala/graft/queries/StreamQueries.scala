@@ -185,7 +185,7 @@ object StreamQueries {
       .transformWithState(new StatefulOps.CountWindowProcessor(size),
         org.apache.spark.sql.streaming.TimeMode.None(),
         org.apache.spark.sql.streaming.OutputMode.Update())
-    val sink = runToEnd(s, input, out.toDF(), chunks(rows, 4), rocks = true)
+    val sink = runToEnd(s, input, out.toDF(), chunks(rows, 2), rocks = true)
     sink.select($"key", $"windowId".as("window_id"),
         $"sum".as("sum_ids"), $"n")
       .orderBy($"key", $"window_id")
@@ -209,7 +209,7 @@ object StreamQueries {
       .transformWithState(new StatefulOps.CountSlideProcessor(size, slide),
         org.apache.spark.sql.streaming.TimeMode.None(),
         org.apache.spark.sql.streaming.OutputMode.Update())
-    val sink = runToEnd(s, input, out.toDF(), chunks(rows, 4), rocks = true)
+    val sink = runToEnd(s, input, out.toDF(), chunks(rows, 2), rocks = true)
     sink.select($"key", $"fireId".as("fire_id"),
         $"sum".as("sum_ids"), $"n")
       .orderBy($"key", $"fire_id")
@@ -248,7 +248,7 @@ object StreamQueries {
         org.apache.spark.sql.streaming.TimeMode.None(),
         org.apache.spark.sql.streaming.OutputMode.Update())
     val sink = runToEnd(s, input, audited.toDF(),
-      chunks(rows, 4) :+ sentinel(2 * 3600000L), rocks = true)
+      chunks(rows, 2) :+ sentinel(2 * 3600000L), rocks = true)
     // n/violations are monotone per key → max = final state
     sink.filter($"key" =!= "-1")
       .groupBy($"key")
@@ -285,7 +285,7 @@ object StreamQueries {
         org.apache.spark.sql.streaming.TimeMode.None(),
         org.apache.spark.sql.streaming.OutputMode.Update())
     val sink = runToEnd(s, input, out.toDF(),
-      controls +: chunks(data, 3), rocks = true)
+      controls +: chunks(data, 2), rocks = true)
     sink.select($"key", $"value", $"threshold")
       .orderBy($"key", $"value")
   }
@@ -323,7 +323,7 @@ object StreamQueries {
         org.apache.spark.sql.streaming.TimeMode.None(),
         org.apache.spark.sql.streaming.OutputMode.Update())
     val sink = runToEnd(s, input, out.toDF(),
-      chunks(inserts, 3) :+ deletes, rocks = true)
+      chunks(inserts, 2) :+ deletes, rocks = true)
     foldChangelog(sink, "kind")
       .select($"key", $"id")
       .orderBy($"key", $"id")
@@ -333,7 +333,7 @@ object StreamQueries {
 
     // Streaming tumbling-window aggregate: the same GROUP BY
     // window(ts, 1h), event_type plan as q_window_tumble, executed
-    // incrementally over 4 micro-batches with streaming agg state; the
+    // incrementally over replayed micro-batches with streaming agg state; the
     // complete-mode sink's final table must equal the batch result.
     "q_stream_tumble" -> ((s, dir) => {
       import s.implicits._
@@ -346,7 +346,7 @@ object StreamQueries {
         .select($"window.start".cast("timestamp_ntz").as("window_start"),
           $"window.end".cast("timestamp_ntz").as("window_end"),
           $"event_type", $"n", $"sum_value")
-      runToEnd(s, input, agg, chunks(rows, 4), mode = "complete")
+      runToEnd(s, input, agg, chunks(rows, 2), mode = "complete")
         .orderBy($"window_start", $"event_type")
     }),
 
@@ -396,7 +396,7 @@ object StreamQueries {
             .partitionBy($"user_id").orderBy($"ts".desc)))
         .filter($"rn" === 1).drop("rn")
       val changes = StreamingRank.rewrite(ranked)
-      val sink = runToEnd(s, input, changes, chunks(rows, 4), rocks = true)
+      val sink = runToEnd(s, input, changes, chunks(rows, 2), rocks = true)
       foldChangelog(sink, Changelog.RowKindCol)
         .select($"user_id", $"event_id".as("last_event_id"),
           $"value".as("last_value"))
@@ -424,7 +424,7 @@ object StreamQueries {
         .transformWithState(new RetractableTopN.RetractableTopNProcessor(3),
           org.apache.spark.sql.streaming.TimeMode.None(),
           org.apache.spark.sql.streaming.OutputMode.Update())
-      val sink = runToEnd(s, input, diffs.toDF(), chunks(inserts, 3) :+ deletes,
+      val sink = runToEnd(s, input, diffs.toDF(), chunks(inserts, 2) :+ deletes,
         rocks = true)
       foldChangelog(sink, "kind")
         .select($"key".as("event_type"), $"id")
@@ -449,7 +449,7 @@ object StreamQueries {
       val changes = StreamingRank.rewrite(
         named.withColumn("rn", row_number().over(w))
           .filter($"rn" <= 3).drop("rn"))
-      val sink = runToEnd(s, input, changes, chunks(rows, 4), rocks = true)
+      val sink = runToEnd(s, input, changes, chunks(rows, 2), rocks = true)
       foldChangelog(sink, Changelog.RowKindCol)
         .orderBy($"event_type", $"event_id")
     }),
@@ -487,7 +487,7 @@ object StreamQueries {
         dim, Seq("user_id"), "ts", Seq("v_id", "v_value"),
         watermarkDelay = "1 hour")
       val sink = runToEnd(s, input, joined,
-        chunks(probes, 3) :+ sentinel(7200000L), rocks = true)
+        chunks(probes, 2) :+ sentinel(7200000L), rocks = true)
       sink.filter($"p_id" >= 0)
         .select($"p_id", $"r_v_id", $"r_v_value")
         .orderBy($"p_id")
@@ -518,7 +518,7 @@ object StreamQueries {
         input.toDS().toDF().withWatermark("ts", "1 hour"),
         Seq("user_id"), "ts", "1 hour")
       val sink = runToEnd(s, input, annotated,
-        chunks(rows, 4) :+ sentinel(3 * 3600000L), rocks = true)
+        chunks(rows, 2) :+ sentinel(3 * 3600000L), rocks = true)
       sink.filter($"user_id" >= 0)
         .select($"user_id", $"event_id",
           $"window_start".cast("timestamp_ntz").as("window_start"),
@@ -528,7 +528,7 @@ object StreamQueries {
 
     // Streaming hopping-window aggregate: the same GROUP BY
     // window(ts, 1h, 30m), event_type plan as q_window_hop (every row in
-    // two overlapping windows), executed incrementally over 4 micro-
+    // two overlapping windows), executed incrementally over replayed micro-
     // batches; the complete-mode sink's final table must equal the batch
     // result.
     "q_stream_hop" -> ((s, dir) => {
@@ -542,7 +542,7 @@ object StreamQueries {
         .select($"window.start".cast("timestamp_ntz").as("window_start"),
           $"window.end".cast("timestamp_ntz").as("window_end"),
           $"event_type", $"n", $"sum_value")
-      runToEnd(s, input, agg, chunks(rows, 4), mode = "complete")
+      runToEnd(s, input, agg, chunks(rows, 2), mode = "complete")
         .orderBy($"window_start", $"event_type")
     }),
 
@@ -572,7 +572,7 @@ object StreamQueries {
           $"e_ts" >= $"p_ts" - expr("INTERVAL 1 HOUR") &&
           $"e_ts" <= $"p_ts")
         .select($"p_id", $"e_id")
-      runToEnd(s, input, joined, chunks(rows, 4), mode = "append")
+      runToEnd(s, input, joined, chunks(rows, 2), mode = "append")
         .orderBy($"p_id", $"e_id")
     }),
 
@@ -598,7 +598,7 @@ object StreamQueries {
         .transformWithState(new StatefulOps.RetractSumProcessor[String, Long](),
           org.apache.spark.sql.streaming.TimeMode.None(),
           org.apache.spark.sql.streaming.OutputMode.Update())
-      val sink = runToEnd(s, input, changes.toDF(), chunks(inserts, 3) :+ deletes,
+      val sink = runToEnd(s, input, changes.toDF(), chunks(inserts, 2) :+ deletes,
         rocks = true)
       foldChangelog(
         sink.select($"kind", $"value.key".as("event_type"),
@@ -633,7 +633,7 @@ object StreamQueries {
           new StatefulOps.RetractMinMaxProcessor[String, Long](isMax = true),
           org.apache.spark.sql.streaming.TimeMode.None(),
           org.apache.spark.sql.streaming.OutputMode.Update())
-      val sink = runToEnd(s, input, changes.toDF(), chunks(inserts, 3) :+ deletes,
+      val sink = runToEnd(s, input, changes.toDF(), chunks(inserts, 2) :+ deletes,
         rocks = true)
       foldChangelog(
         sink.select($"kind", $"value.key".as("event_type"),
@@ -664,7 +664,7 @@ object StreamQueries {
           new StatefulOps.RetractSumProcessor[String, Long](miniBatch = true),
           org.apache.spark.sql.streaming.TimeMode.None(),
           org.apache.spark.sql.streaming.OutputMode.Update())
-      val sink = runToEnd(s, input, changes.toDF(), chunks(inserts, 3) :+ deletes,
+      val sink = runToEnd(s, input, changes.toDF(), chunks(inserts, 2) :+ deletes,
         rocks = true)
       foldChangelog(
         sink.select($"kind", $"value.key".as("event_type"),
@@ -697,7 +697,7 @@ object StreamQueries {
       val right = ds.filter(!_._3).map(r => (r._1, r._2, (r._4, r._5)))
       val out = OuterJoin.outerJoin[Long, (Long, Double), (Long, Double)](
         left, right, OuterJoin.FullOuter)
-      val sink = runToEnd(s, input, out.toDF(), chunks(inserts, 3) :+ deletes,
+      val sink = runToEnd(s, input, out.toDF(), chunks(inserts, 2) :+ deletes,
         rocks = true)
       foldChangelog(
         sink.select($"kind", $"key".as("user_id"),
@@ -731,7 +731,7 @@ object StreamQueries {
           new ProcessOps.UnboundedPrecedingOverProcessor(rangeMode = false),
           org.apache.spark.sql.streaming.TimeMode.EventTime(),
           org.apache.spark.sql.streaming.OutputMode.Append())
-      val sink = runToEnd(s, input, out.toDF(), chunks(timed, 4) :+ sentinel,
+      val sink = runToEnd(s, input, out.toDF(), chunks(timed, 2) :+ sentinel,
         rocks = true)
       sink.filter($"key" =!= "__flush")
         .select($"key".as("event_type"), $"v".as("event_id"),
@@ -760,7 +760,7 @@ object StreamQueries {
           val st = m.stages.toMap
           (st("A").head.user_id, st("A").head.event_id, st("B").head.event_id)
         }.toDF("user_id", "purchase_id", "error_id")
-      runToEnd(s, input, matches, chunks(evs, 4), rocks = true)
+      runToEnd(s, input, matches, chunks(evs, 2), rocks = true)
         .orderBy($"user_id", $"purchase_id")
     }),
 
@@ -812,7 +812,7 @@ object StreamQueries {
         .transformWithState(new StatefulOps.FastTop1Processor,
           org.apache.spark.sql.streaming.TimeMode.None(),
           org.apache.spark.sql.streaming.OutputMode.Update())
-      val sink = runToEnd(s, input, out.toDF(), chunks(ranked, 4),
+      val sink = runToEnd(s, input, out.toDF(), chunks(ranked, 2),
         rocks = true)
       foldChangelog(sink, "kind")
         .select($"value.key".as("event_type"), $"value.id".as("event_id"),
@@ -834,7 +834,7 @@ object StreamQueries {
         .transformWithState(new StatefulOps.AppendOnlyFirstNProcessor(3),
           org.apache.spark.sql.streaming.TimeMode.None(),
           org.apache.spark.sql.streaming.OutputMode.Update())
-      val sink = runToEnd(s, input, out.toDF(), chunks(ranked, 4),
+      val sink = runToEnd(s, input, out.toDF(), chunks(ranked, 2),
         rocks = true)
       foldChangelog(sink, "kind")
         .select($"value.key".cast("long").as("user_id"),
@@ -908,7 +908,7 @@ object StreamQueries {
         .transformWithState(new StatefulOps.SplitDistinctProcessor,
           org.apache.spark.sql.streaming.TimeMode.None(),
           org.apache.spark.sql.streaming.OutputMode.Update())
-      val sink = runToEnd(s, input, out.toDF(), chunks(ins, 3) :+ dels,
+      val sink = runToEnd(s, input, out.toDF(), chunks(ins, 2) :+ dels,
         rocks = true)
       // the final-stage fold: signed sum of shard-count changes per group
       sink.groupBy($"key".as("event_type"))
@@ -939,7 +939,7 @@ object StreamQueries {
         input.toDS().toDF().withColumnRenamed("kind", Changelog.RowKindCol),
         Seq("user_id"), "seq", table, buckets = 8,
         checkpoint = tmpDir("q_sink_upsert_ckpt"))
-      try (chunks(ups, 3) :+ dels).foreach { b =>
+      try (chunks(ups, 2) :+ dels).foreach { b =>
         input.addData(b); q.processAllAvailable()
       } finally q.stop()
       graft.sources.UpsertSink.read(s, table)
@@ -972,8 +972,62 @@ object StreamQueries {
           $"cw" === $"pw" && $"c_user" === $"p_user")
         .select($"cw".cast("timestamp_ntz").as("window_start"),
           $"c_user".as("user_id"), $"click_id", $"purchase_id")
-      runToEnd(s, input, joined, chunks(rows, 4), mode = "append")
+      runToEnd(s, input, joined, chunks(rows, 2), mode = "append")
         .orderBy($"window_start", $"user_id", $"click_id", $"purchase_id")
+    }),
+
+    // Streaming windowed coGroup (streaming/CoGroup — the reference's
+    // CoGroupedStreams, DataStream.java:748): clicks and purchases
+    // buffer per (user, hour window) and ONE callback sees both
+    // buffers when the watermark fires the window — including
+    // one-sided keys, which a join would drop. The callback emits
+    // (window, user, n_clicks, n_purchases, exact cents sum over both
+    // sides); the oracle is the FULL OUTER join of the two per-window
+    // batch aggregates. One shuffle, state evicted per fired window.
+    "q_stream_cogroup" -> ((s, dir) => {
+      import s.implicits._
+      implicit val sqlCtx = s.sqlContext
+      val rows = sortedEvents(s, dir)
+        .filter(e => e.event_type == "click" || e.event_type == "purchase")
+      val sentinel = Ev(-1L, -1L,
+        new java.sql.Timestamp(rows.last.ts.getTime + 10L * 86400000L),
+        "click", 0.0)
+      val input = MemoryStream[Ev]
+      val ev = input.toDS()
+      val clicks = ev.filter($"event_type" === "click")
+        .select($"user_id", $"ts", $"value")
+      val purchases = ev.filter($"event_type" === "purchase")
+        .select($"user_id", $"ts", $"value")
+      val outSchema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("window_start",
+          org.apache.spark.sql.types.TimestampType),
+        org.apache.spark.sql.types.StructField("user_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("n_clicks",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("n_purchases",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("sum_cents",
+          org.apache.spark.sql.types.LongType)))
+      val out = graft.streaming.CoGroup.tumbling(
+        clicks.toDF(), purchases.toDF(), Seq("user_id"), "ts",
+        3600000L, "1 second",
+        (key, winStart, ls, rs) => {
+          // exact cents from the JSON decimal text — no double addition
+          def cents(r: org.apache.spark.sql.Row): Long =
+            (BigDecimal(r.getAs[String]("value")) * 100).toLongExact
+          Iterator.single(new org.apache.spark.sql.catalyst.expressions.GenericRow(
+            Array[Any](new java.sql.Timestamp(winStart), key.toLong,
+              ls.length.toLong, rs.length.toLong,
+              ls.map(cents).sum + rs.map(cents).sum)))
+        },
+        outSchema)
+      runToEnd(s, input, out.toDF(), chunks(rows, 2) :+ Seq(sentinel),
+        mode = "append", rocks = true)
+        .filter($"user_id" =!= -1L)
+        .select($"window_start".cast("timestamp_ntz").as("window_start"),
+          $"user_id", $"n_clicks", $"n_purchases", $"sum_cents")
+        .orderBy($"window_start", $"user_id")
     }),
 
     // Event-time state-TTL dedup (StatefulOps.KeepFirstTtlProcessor —
@@ -999,7 +1053,7 @@ object StreamQueries {
           new StatefulOps.KeepFirstTtlProcessor(6L * 3600000L),
           org.apache.spark.sql.streaming.TimeMode.EventTime(),
           org.apache.spark.sql.streaming.OutputMode.Append())
-      runToEnd(s, input, out.toDF(), chunks(rows, 4) :+ Seq(sentinel),
+      runToEnd(s, input, out.toDF(), chunks(rows, 2) :+ Seq(sentinel),
         mode = "append", rocks = true)
         .filter($"key" =!= "-1")
         .select($"key".cast("long").as("user_id"), $"id".as("event_id"))
@@ -1062,7 +1116,7 @@ object StreamQueries {
       val boot = StateBootstrap.readAccState(s, ckpt1)
       val in2 = MemoryStream[StateBootstrap.BIn]
       val out2 = StateBootstrap.agg(in2.toDS(), boot)
-      val sink = runToEnd(s, in2, out2, chunks(rest, 3), rocks = true)
+      val sink = runToEnd(s, in2, out2, chunks(rest, 2), rocks = true)
       // n is strictly monotone per key: the final state is the argmax row
       sink.groupBy($"key".cast("long").as("user_id"))
         .agg(max(struct($"n", $"cents")).as("m"))
@@ -1349,6 +1403,25 @@ object StreamQueries {
         |SELECT c.w AS window_start, c.user_id AS user_id, click_id, purchase_id
         |FROM c JOIN p ON c.w = p.w AND c.user_id = p.user_id
         |ORDER BY window_start, c.user_id, click_id, purchase_id""".stripMargin,
+
+    // the coGroup result equals the FULL OUTER join of the two
+    // per-window batch aggregates (one-sided keys included)
+    "q_stream_cogroup" ->
+      """WITH e AS (SELECT user_id, make_timestamp(epoch_ns(ts) // 1000) AS ts, event_type, value
+        |           FROM events WHERE event_type IN ('click', 'purchase')),
+        |c AS (SELECT time_bucket(INTERVAL 1 HOUR, ts) AS w, user_id, COUNT(*) AS n,
+        |        SUM(CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)) AS cents
+        |      FROM e WHERE event_type = 'click' GROUP BY 1, 2),
+        |p AS (SELECT time_bucket(INTERVAL 1 HOUR, ts) AS w, user_id, COUNT(*) AS n,
+        |        SUM(CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)) AS cents
+        |      FROM e WHERE event_type = 'purchase' GROUP BY 1, 2)
+        |SELECT COALESCE(c.w, p.w) AS window_start,
+        |  COALESCE(c.user_id, p.user_id) AS user_id,
+        |  CAST(COALESCE(c.n, 0) AS BIGINT) AS n_clicks,
+        |  CAST(COALESCE(p.n, 0) AS BIGINT) AS n_purchases,
+        |  CAST(COALESCE(c.cents, 0) + COALESCE(p.cents, 0) AS BIGINT) AS sum_cents
+        |FROM c FULL OUTER JOIN p ON c.w = p.w AND c.user_id = p.user_id
+        |ORDER BY window_start, user_id""".stripMargin,
 
     // per-user gaps-and-islands firsts at the 6-hour gap — ms-truncated
     // timestamps on both engines

@@ -375,4 +375,40 @@ class PlanQualitySpec extends SparkSuite {
     assert(plan.contains("__tj_k0") && plan.contains("__tj_k1"),
       s"composite key columns missing from: $plan")
   }
+
+  test("TPC-DS q95 shape: nested INs become semi joins, no cartesian") {
+    val df = queries.TpcdsQueries.queries("q_tpcds95")(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString()
+    assert(!plan.contains("CartesianProduct"), s"cartesian in: $plan")
+    // both IN subqueries (one nesting the ws_wh CTE again) must
+    // decorrelate to semi joins — a per-row re-execution would be a
+    // scale-killer on the fact table
+    assert(plan.contains("LeftSemi"), s"IN must become a semi join: $plan")
+  }
+
+  test("TPC-DS q70 shape: dims broadcast, rollup expands, no cartesian") {
+    val df = queries.TpcdsQueries.queries("q_tpcds70")(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString()
+    assert(!plan.contains("CartesianProduct"), s"cartesian in: $plan")
+    // nation/region are tiny dims joined to the fact — broadcast, never
+    // a fact-side shuffle join against a 25-row table
+    assert(plan.contains("BroadcastHashJoin"), s"dims must broadcast: $plan")
+    assert(plan.contains("Expand"), s"ROLLUP must plan as Expand: $plan")
+  }
+
+  test("TPC-DS q51 shape: the channel filter reaches the parquet scan") {
+    val df = queries.TpcdsQueries.queries("q_tpcds51")(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString()
+    assert(!plan.contains("CartesianProduct"), s"cartesian in: $plan")
+    // l_partkey < 200 and the returnflag channel filter must be scan
+    // pushdowns — at 100 TB the cumulative-window input is the sliver,
+    // not the whole fact table
+    assert(plan.contains("LessThan(l_partkey,200)"),
+      s"partkey filter must push to the scan: $plan")
+    assert(plan.contains("EqualTo(l_returnflag,"),
+      s"channel filter must push to the scan: $plan")
+  }
 }

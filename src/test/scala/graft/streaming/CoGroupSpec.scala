@@ -1,0 +1,79 @@
+package graft.streaming
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.catalyst.expressions.GenericRow
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.types._
+
+import graft.SparkSuite
+
+/** Windowed streaming coGroup (streaming/CoGroup): both-side buffering,
+  * one-sided keys (the capability a join lacks), watermark-driven fire,
+  * and the payload JSON round-trip.
+  */
+class CoGroupSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def ts(min: Int): java.sql.Timestamp =
+    new java.sql.Timestamp(min * 60000L)
+
+  test("tumbling coGroup sees both buffers, including one-sided keys") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(String, java.sql.Timestamp, Long)]
+    val ev = input.toDS().toDF("k", "ts", "v")
+    val left = ev.filter($"v" % 2 === 0)
+    val right = ev.filter($"v" % 2 === 1)
+    val outSchema = StructType(Seq(
+      StructField("k", StringType), StructField("win", LongType),
+      StructField("nl", LongType), StructField("nr", LongType)))
+    val out = CoGroup.tumbling(left, right, Seq("k"), "ts",
+      600000L, "0 seconds",
+      (key, win, ls, rs) => Iterator.single(new GenericRow(
+        Array[Any](key, win, ls.length.toLong, rs.length.toLong))),
+      outSchema)
+    val name = "cogroup_sink"
+    val ckpt = java.nio.file.Files.createTempDirectory("cogroup_ckpt")
+    // SparkSuite's shared session already pins the RocksDB provider
+    // (transformWithState requires it) — never set/unset it here, an
+    // unset would strip the suite-wide conf for every later suite
+    val q = out.writeStream.format("memory").queryName(name)
+      .outputMode("append")
+      .option("checkpointLocation", ckpt.toString).start()
+    try {
+      // window [0,10): a has left+right, b right-only, c left-only
+      input.addData(Seq(("a", ts(1), 2L), ("a", ts(2), 3L),
+        ("b", ts(3), 5L), ("c", ts(4), 4L)))
+      q.processAllAvailable()
+      // watermark advance fires the first window
+      input.addData(Seq(("a", ts(25), 8L)))
+      q.processAllAvailable()
+      input.addData(Seq(("z", ts(60), 0L)))
+      q.processAllAvailable()
+      val rows = spark.table(name)
+        .as[(String, Long, Long, Long)].collect().toSet
+      assert(rows.contains(("a", 0L, 1L, 1L))) // both sides together
+      assert(rows.contains(("b", 0L, 0L, 1L))) // right-only key emits
+      assert(rows.contains(("c", 0L, 1L, 0L))) // left-only key emits
+      assert(rows.contains(("a", 1200000L, 1L, 0L)))
+      // late row for the fired [0,10) window is dropped, not re-fired
+      input.addData(Seq(("a", ts(5), 6L)))
+      input.addData(Seq(("z", ts(90), 0L)))
+      q.processAllAvailable()
+      val after = spark.table(name)
+        .as[(String, Long, Long, Long)].collect()
+        .count { case (k, w, _, _) => k == "a" && w == 0L }
+      assert(after == 1)
+    } finally {
+      q.stop()
+      graft.queries.Q.deleteRecursively(ckpt)
+    }
+  }
+
+  test("parseFlatJson handles strings, escapes, numbers, and nulls") {
+    val m = CoGroup.parseFlatJson(
+      """{"a":"x,y","b":12.5,"c":"q\"z","d":null,"e":"2024-01-01T00:00:00"}""")
+    assert(m("a") == "x,y" && m("b") == "12.5" && m("c") == "q\"z" &&
+      m("d") == "null" && m("e") == "2024-01-01T00:00:00")
+    assert(CoGroup.parseFlatJson("{}") == Map.empty)
+  }
+}
