@@ -427,7 +427,342 @@ object TpcdsQueries {
       |FROM ssci FULL OUTER JOIN csci
       |  ON ssci.customer = csci.customer AND ssci.item = csci.item""".stripMargin
 
+  // ---------------------------------------------------------------- batch 2
+  // The remaining structural families of the 99-query suite, one named
+  // representative each (same determinism rules).
+
+  // q1-shape: grouped-returns CTE, correlated scalar average per nation
+  // (restated exactly: 5·total > 6·sum/cnt ⇔ total > 1.2·avg).
+  private val q1 =
+    """WITH customer_total_return AS (
+      |  SELECT o_custkey AS ctr_customer, c_nationkey AS ctr_nation,
+      |    SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS ctr_total_return
+      |  FROM lineitem, orders, customer
+      |  WHERE l_orderkey = o_orderkey AND o_custkey = c_custkey AND l_returnflag = 'R'
+      |  GROUP BY o_custkey, c_nationkey)
+      |SELECT ctr1.ctr_customer, CAST(ctr1.ctr_total_return AS DOUBLE) AS total_return
+      |FROM customer_total_return ctr1
+      |WHERE CAST(ctr1.ctr_total_return AS DOUBLE) * 5 > (
+      |    SELECT 6 * CAST(SUM(ctr2.ctr_total_return) AS DOUBLE) / COUNT(*)
+      |    FROM customer_total_return ctr2
+      |    WHERE ctr1.ctr_nation = ctr2.ctr_nation)
+      |ORDER BY ctr1.ctr_customer""".stripMargin
+
+  // q5-shape: ROLLUP over a UNION ALL of per-channel profit tables.
+  private def q5Channel(flag: String): String =
+    s"""  SELECT '${if (flag == "N") "store" else "web"}' AS channel, n_name,
+       |    CAST(l_extendedprice AS DECIMAL(12,2)) AS sales,
+       |    CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_discount AS DECIMAL(12,2)) AS profit_loss
+       |  FROM lineitem, supplier, nation
+       |  WHERE l_suppkey = s_suppkey AND s_nationkey = n_nationkey AND l_returnflag = '$flag'""".stripMargin
+  private val q5 =
+    s"""WITH all_sales AS (
+       |${q5Channel("N")}
+       |  UNION ALL
+       |${q5Channel("R")})
+       |SELECT channel, n_name, CAST(SUM(sales) AS DOUBLE) AS total_sales,
+       |  CAST(SUM(profit_loss) AS DOUBLE) AS total_profit_loss
+       |FROM all_sales
+       |GROUP BY ROLLUP (channel, n_name)
+       |ORDER BY channel NULLS FIRST, n_name NULLS FIRST""".stripMargin
+
+  // q17-shape: one order's lines flowing through three channels — the
+  // fact table joined to itself three times with channel + sequence
+  // constraints, aggregated per brand.
+  private val q17 =
+    """SELECT p_brand,
+      |  COUNT(*) AS cnt,
+      |  CAST(SUM(sq) AS BIGINT) AS store_qty,
+      |  CAST(SUM(aq) AS BIGINT) AS asale_qty,
+      |  CAST(SUM(rq) AS BIGINT) AS return_qty
+      |FROM (
+      |  SELECT s.l_partkey AS pk,
+      |    CAST(s.l_quantity AS BIGINT) AS sq,
+      |    CAST(a.l_quantity AS BIGINT) AS aq,
+      |    CAST(r.l_quantity AS BIGINT) AS rq
+      |  FROM lineitem s, lineitem a, lineitem r
+      |  WHERE s.l_orderkey = a.l_orderkey AND a.l_orderkey = r.l_orderkey
+      |    AND s.l_returnflag = 'N' AND a.l_returnflag = 'A' AND r.l_returnflag = 'R'
+      |    AND s.l_linenumber < a.l_linenumber AND a.l_linenumber < r.l_linenumber) t, part
+      |WHERE pk = p_partkey
+      |GROUP BY p_brand
+      |ORDER BY p_brand""".stripMargin
+
+  // q34-shape: order-size frequency band (HAVING COUNT BETWEEN) joined
+  // back to the customer dimension, per-order output.
+  private val q34 =
+    """SELECT c_name, ok AS o_orderkey, cnt
+      |FROM (
+      |  SELECT o_orderkey AS ok, o_custkey AS ck, COUNT(*) AS cnt
+      |  FROM orders, lineitem
+      |  WHERE o_orderkey = l_orderkey
+      |  GROUP BY o_orderkey, o_custkey
+      |  HAVING COUNT(*) BETWEEN 6 AND 7) freq, customer
+      |WHERE ck = c_custkey
+      |ORDER BY c_name, o_orderkey""".stripMargin
+
+  // q38-shape: INTERSECT of three multi-column tuples (q14 intersects a
+  // single column; this is the tuple form), then a count.
+  private def q38Set(flag: String): String =
+    s"""  SELECT DISTINCT c_custkey, c_name FROM customer, orders, lineitem
+       |  WHERE c_custkey = o_custkey AND o_orderkey = l_orderkey AND l_returnflag = '$flag'""".stripMargin
+  private val q38 =
+    s"""SELECT COUNT(*) AS hot_cust
+       |FROM (
+       |${q38Set("A")}
+       |  INTERSECT
+       |${q38Set("N")}
+       |  INTERSECT
+       |${q38Set("R")}) hot""".stripMargin
+
+  // q40-shape: before/after pivot around a boundary date per (nation, part).
+  private val q40 =
+    """SELECT n_name, p_brand,
+      |  CAST(SUM(CASE WHEN l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+      |    THEN CAST(l_extendedprice AS DECIMAL(12,2)) ELSE CAST(0 AS DECIMAL(12,2)) END) AS DOUBLE) AS sales_before,
+      |  CAST(SUM(CASE WHEN l_shipdate >= TIMESTAMP '1998-01-01 00:00:00'
+      |    THEN CAST(l_extendedprice AS DECIMAL(12,2)) ELSE CAST(0 AS DECIMAL(12,2)) END) AS DOUBLE) AS sales_after
+      |FROM lineitem, supplier, nation, part
+      |WHERE l_suppkey = s_suppkey AND s_nationkey = n_nationkey AND l_partkey = p_partkey
+      |  AND p_size < 8
+      |  AND l_shipdate BETWEEN TIMESTAMP '1997-07-01 00:00:00' AND TIMESTAMP '1998-06-30 00:00:00'
+      |GROUP BY n_name, p_brand
+      |ORDER BY n_name, p_brand""".stripMargin
+
+  // q41-shape: dimension self-subquery with a deeply OR-nested predicate
+  // block under a correlated COUNT.
+  private val q41 =
+    """SELECT DISTINCT p_name
+      |FROM part p1
+      |WHERE p_partkey < 400
+      |  AND (SELECT COUNT(*) FROM part p2
+      |       WHERE p2.p_brand = p1.p_brand
+      |         AND ((p2.p_type LIKE 'E%' AND p2.p_size BETWEEN 1 AND 15)
+      |           OR (p2.p_type LIKE 'M%' AND p2.p_size BETWEEN 10 AND 30)
+      |           OR (p2.p_type LIKE 'S%' AND p2.p_size BETWEEN 20 AND 40))) > 0
+      |ORDER BY p_name""".stripMargin
+
+  // q44-shape: best and worst performers by asc/desc rank joined at
+  // equal rank positions against the dimension twice.
+  private val q44 =
+    """WITH perf AS (
+      |  SELECT l_suppkey, SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS rev
+      |  FROM lineitem GROUP BY l_suppkey),
+      |asc_rank AS (
+      |  SELECT l_suppkey, RANK() OVER (ORDER BY CAST(rev AS DOUBLE), l_suppkey) AS rnk
+      |  FROM perf),
+      |desc_rank AS (
+      |  SELECT l_suppkey, RANK() OVER (ORDER BY CAST(rev AS DOUBLE) DESC, l_suppkey) AS rnk
+      |  FROM perf)
+      |SELECT a.rnk, s1.s_name AS best_performing, s2.s_name AS worst_performing
+      |FROM asc_rank a, desc_rank d, supplier s1, supplier s2
+      |WHERE a.rnk = d.rnk AND a.rnk <= 10
+      |  AND s1.s_suppkey = d.l_suppkey AND s2.s_suppkey = a.l_suppkey
+      |ORDER BY a.rnk""".stripMargin
+
+  // q45-shape: (attribute IN list) OR (key IN subquery) — the disjunct
+  // forces a post-join filter instead of a pure semi join.
+  private val q45 =
+    """SELECT n_name, c_mktsegment, COUNT(*) AS n,
+      |  CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS sum_bal
+      |FROM customer, nation
+      |WHERE c_nationkey = n_nationkey
+      |  AND (c_mktsegment IN ('BUILDING', 'MACHINERY')
+      |    OR c_custkey IN (SELECT o_custkey FROM orders, lineitem
+      |                     WHERE o_orderkey = l_orderkey AND l_quantity > 49))
+      |GROUP BY n_name, c_mktsegment
+      |ORDER BY n_name, c_mktsegment""".stripMargin
+
+  // q48-shape: one aggregate over an OR of three AND-predicate bands.
+  private val q48 =
+    """SELECT CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total_qty
+      |FROM lineitem, orders, customer
+      |WHERE l_orderkey = o_orderkey AND o_custkey = c_custkey
+      |  AND ((l_quantity BETWEEN 1 AND 15 AND l_extendedprice BETWEEN 10000 AND 60000 AND c_mktsegment = 'BUILDING')
+      |    OR (l_quantity BETWEEN 16 AND 30 AND l_extendedprice BETWEEN 20000 AND 80000 AND c_mktsegment = 'MACHINERY')
+      |    OR (l_quantity BETWEEN 31 AND 50 AND l_extendedprice BETWEEN 30000 AND 100000 AND c_mktsegment = 'AUTOMOBILE'))""".stripMargin
+
+  // q58-shape: three per-channel revenue tables, items where every
+  // channel sits within ±10% of the three-channel average
+  // (30·x BETWEEN 9·total AND 11·total ⇔ x/avg ∈ [0.9, 1.1]).
+  private def q58Channel(alias: String, flag: String): String =
+    s"""$alias AS (SELECT l_partkey AS item, SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS rev
+       |  FROM lineitem WHERE l_returnflag = '$flag' GROUP BY l_partkey)""".stripMargin
+  private val q58 =
+    s"""WITH ${q58Channel("aa", "A")},
+       |${q58Channel("nn", "N")},
+       |${q58Channel("rr", "R")}
+       |SELECT aa.item,
+       |  CAST(aa.rev AS DOUBLE) AS a_rev, CAST(nn.rev AS DOUBLE) AS n_rev, CAST(rr.rev AS DOUBLE) AS r_rev
+       |FROM aa, nn, rr
+       |WHERE aa.item = nn.item AND nn.item = rr.item
+       |  AND 30 * CAST(aa.rev AS DOUBLE) BETWEEN 9 * CAST(aa.rev + nn.rev + rr.rev AS DOUBLE) AND 11 * CAST(aa.rev + nn.rev + rr.rev AS DOUBLE)
+       |  AND 30 * CAST(nn.rev AS DOUBLE) BETWEEN 9 * CAST(aa.rev + nn.rev + rr.rev AS DOUBLE) AND 11 * CAST(aa.rev + nn.rev + rr.rev AS DOUBLE)
+       |  AND 30 * CAST(rr.rev AS DOUBLE) BETWEEN 9 * CAST(aa.rev + nn.rev + rr.rev AS DOUBLE) AND 11 * CAST(aa.rev + nn.rev + rr.rev AS DOUBLE)
+       |ORDER BY aa.item""".stripMargin
+
+  // q64-shape (reduced): a sale-with-matching-return CTE self-joined
+  // across two years on the item key with a cross-year constraint.
+  private val q64 =
+    """WITH cs AS (
+      |  SELECT l.l_partkey AS item, CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS yr,
+      |    COUNT(*) AS n_sales,
+      |    SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))) AS sales
+      |  FROM lineitem l, orders o
+      |  WHERE l.l_orderkey = o_orderkey AND l.l_returnflag = 'N'
+      |    AND EXISTS (SELECT 1 FROM lineitem r
+      |                WHERE r.l_orderkey = l.l_orderkey AND r.l_returnflag = 'R')
+      |  GROUP BY l.l_partkey, EXTRACT(YEAR FROM o_orderdate))
+      |SELECT cs1.item, cs1.yr AS yr1, cs2.yr AS yr2,
+      |  CAST(cs1.sales AS DOUBLE) AS sales1, CAST(cs2.sales AS DOUBLE) AS sales2,
+      |  cs1.n_sales AS n1, cs2.n_sales AS n2
+      |FROM cs cs1, cs cs2
+      |WHERE cs1.item = cs2.item AND cs1.yr = 1996 AND cs2.yr = 1997
+      |  AND cs2.sales <= cs1.sales
+      |ORDER BY cs1.item""".stripMargin
+
+  // q66-shape: CASE-pivot of monthly revenue into columns.
+  private def q66Month(m: Int, name: String): String =
+    s"""  CAST(SUM(CASE WHEN EXTRACT(MONTH FROM l_shipdate) = $m THEN CAST(l_extendedprice AS DECIMAL(12,2)) ELSE CAST(0 AS DECIMAL(12,2)) END) AS DOUBLE) AS ${name}_sales""".stripMargin
+  private val q66 =
+    s"""SELECT n_name, CAST(EXTRACT(YEAR FROM l_shipdate) AS BIGINT) AS yr,
+       |${Seq(1 -> "jan", 2 -> "feb", 3 -> "mar", 4 -> "apr", 5 -> "may", 6 -> "jun")
+          .map { case (m, n) => q66Month(m, n) }.mkString(",\n")}
+       |FROM lineitem, supplier, nation
+       |WHERE l_suppkey = s_suppkey AND s_nationkey = n_nationkey
+       |  AND EXTRACT(YEAR FROM l_shipdate) IN (1996, 1997)
+       |GROUP BY n_name, EXTRACT(YEAR FROM l_shipdate)
+       |ORDER BY n_name, yr""".stripMargin
+
+  // q72-shape: fact-fact join with an inter-fact date-offset condition.
+  private val q72 =
+    """SELECT p_brand, COUNT(*) AS n_delayed
+      |FROM lineitem l1, lineitem l2, part
+      |WHERE l1.l_orderkey = l2.l_orderkey AND l1.l_partkey = p_partkey
+      |  AND l1.l_returnflag = 'N' AND l2.l_returnflag = 'A'
+      |  AND l2.l_shipdate > l1.l_shipdate + INTERVAL 30 DAY
+      |GROUP BY p_brand
+      |ORDER BY p_brand""".stripMargin
+
+  // q75-shape: year-over-year decline per (brand, status) — union'd
+  // channel aggregate self-joined across years with a >10% drop filter.
+  private val q75 =
+    """WITH all_sales AS (
+      |  SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS yr, p_brand, l_linestatus,
+      |    SUM(CAST(l_quantity AS DECIMAL(12,2))) AS qty
+      |  FROM lineitem, orders, part
+      |  WHERE l_orderkey = o_orderkey AND l_partkey = p_partkey
+      |    AND l_returnflag IN ('N', 'R')
+      |  GROUP BY EXTRACT(YEAR FROM o_orderdate), p_brand, l_linestatus)
+      |SELECT prev_yr.yr AS prev_year, curr_yr.yr AS year_, curr_yr.p_brand, curr_yr.l_linestatus,
+      |  CAST(prev_yr.qty AS DOUBLE) AS prev_yr_cnt, CAST(curr_yr.qty AS DOUBLE) AS curr_yr_cnt
+      |FROM all_sales curr_yr, all_sales prev_yr
+      |WHERE curr_yr.p_brand = prev_yr.p_brand AND curr_yr.l_linestatus = prev_yr.l_linestatus
+      |  AND curr_yr.yr = 1997 AND prev_yr.yr = 1996
+      |  AND 10 * CAST(curr_yr.qty AS DOUBLE) < 9 * CAST(prev_yr.qty AS DOUBLE)
+      |ORDER BY curr_yr.p_brand, curr_yr.l_linestatus""".stripMargin
+
+  // q78-shape: channel aggregate where the OTHER channel is absent —
+  // LEFT JOIN … IS NULL anti pattern over aggregated CTEs.
+  private val q78 =
+    """WITH ns AS (
+      |  SELECT l_orderkey AS ok, l_partkey AS ik, SUM(CAST(l_quantity AS DECIMAL(12,2))) AS qty
+      |  FROM lineitem WHERE l_returnflag = 'N' GROUP BY l_orderkey, l_partkey),
+      |rs AS (
+      |  SELECT l_orderkey AS ok, l_partkey AS ik, SUM(CAST(l_quantity AS DECIMAL(12,2))) AS qty
+      |  FROM lineitem WHERE l_returnflag = 'R' GROUP BY l_orderkey, l_partkey)
+      |SELECT ns.ik AS item, COUNT(*) AS n_clean,
+      |  CAST(SUM(ns.qty) AS DOUBLE) AS clean_qty
+      |FROM ns LEFT JOIN rs ON ns.ok = rs.ok AND ns.ik = rs.ik
+      |WHERE rs.ok IS NULL
+      |GROUP BY ns.ik
+      |HAVING COUNT(*) >= 3
+      |ORDER BY ns.ik""".stripMargin
+
+  // q87-shape: EXCEPT chain of three distinct tuple sets.
+  private val q87 =
+    s"""SELECT COUNT(*) AS n_only_store
+       |FROM (
+       |${q38Set("N")}
+       |  EXCEPT
+       |${q38Set("A")}
+       |  EXCEPT
+       |${q38Set("R")}) cool""".stripMargin
+
+  // q89-shape: monthly deviation from the group average, the windowed
+  // sibling of q47 (join-based exact mean, cross-multiplied band).
+  private val q89 =
+    """WITH monthly AS (
+      |  SELECT p_brand, l_linestatus, CAST(EXTRACT(MONTH FROM l_shipdate) AS BIGINT) AS mon,
+      |    SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS msum, COUNT(*) AS n
+      |  FROM lineitem, part
+      |  WHERE l_partkey = p_partkey AND EXTRACT(YEAR FROM l_shipdate) = 1997
+      |  GROUP BY p_brand, l_linestatus, EXTRACT(MONTH FROM l_shipdate)),
+      |tot AS (
+      |  SELECT p_brand, l_linestatus, SUM(msum) AS ysum, COUNT(*) AS n_months
+      |  FROM monthly GROUP BY p_brand, l_linestatus)
+      |SELECT m.p_brand, m.l_linestatus, m.mon,
+      |  CAST(m.msum AS DOUBLE) AS sum_sales,
+      |  CAST(t.ysum AS DOUBLE) / t.n_months AS avg_monthly_sales
+      |FROM monthly m, tot t
+      |WHERE m.p_brand = t.p_brand AND m.l_linestatus = t.l_linestatus
+      |  AND ABS(CAST(m.msum AS DOUBLE) * t.n_months - CAST(t.ysum AS DOUBLE)) * 10
+      |    > 3 * CAST(t.ysum AS DOUBLE)
+      |ORDER BY m.p_brand, m.l_linestatus, m.mon""".stripMargin
+
+  // q93-shape: per-order net after subtracting the paired return row.
+  private val q93 =
+    """SELECT ok AS o_orderkey, CAST(SUM(act_price) AS DOUBLE) AS sumsales
+      |FROM (
+      |  SELECT s.l_orderkey AS ok,
+      |    CASE WHEN r.l_orderkey IS NOT NULL
+      |      THEN (CAST(s.l_quantity AS DECIMAL(12,2)) - CAST(r.l_quantity AS DECIMAL(12,2))) * CAST(s.l_extendedprice AS DECIMAL(12,2))
+      |      ELSE CAST(s.l_quantity AS DECIMAL(12,2)) * CAST(s.l_extendedprice AS DECIMAL(12,2)) END AS act_price
+      |  FROM lineitem s LEFT JOIN lineitem r
+      |    ON s.l_orderkey = r.l_orderkey AND s.l_partkey = r.l_partkey
+      |      AND r.l_returnflag = 'R' AND r.l_linenumber = s.l_linenumber + 1
+      |  WHERE s.l_returnflag = 'N') t
+      |GROUP BY ok
+      |HAVING CAST(SUM(act_price) AS DOUBLE) < 150000
+      |ORDER BY o_orderkey""".stripMargin
+
+  // q98-shape: revenue share within class via SUM OVER (PARTITION BY)
+  // of exact decimal sums.
+  private val q98 =
+    """SELECT p_type, p_brand,
+      |  CAST(itemrevenue AS DOUBLE) AS itemrevenue,
+      |  CAST(itemrevenue AS DOUBLE) * 100 / CAST(classrevenue AS DOUBLE) AS revenueratio
+      |FROM (
+      |  SELECT p_type, p_brand,
+      |    SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS itemrevenue,
+      |    SUM(SUM(CAST(l_extendedprice AS DECIMAL(12,2)))) OVER (PARTITION BY p_type) AS classrevenue
+      |  FROM lineitem, part
+      |  WHERE l_partkey = p_partkey
+      |    AND l_shipdate BETWEEN TIMESTAMP '1997-01-01 00:00:00' AND TIMESTAMP '1997-03-31 00:00:00'
+      |  GROUP BY p_type, p_brand) t
+      |ORDER BY p_type, p_brand""".stripMargin
+
   private val all: Map[String, String] = Map(
+    "q_tpcds1" -> q1,
+    "q_tpcds5" -> q5,
+    "q_tpcds17" -> q17,
+    "q_tpcds34" -> q34,
+    "q_tpcds38" -> q38,
+    "q_tpcds40" -> q40,
+    "q_tpcds41" -> q41,
+    "q_tpcds44" -> q44,
+    "q_tpcds45" -> q45,
+    "q_tpcds48" -> q48,
+    "q_tpcds58" -> q58,
+    "q_tpcds64" -> q64,
+    "q_tpcds66" -> q66,
+    "q_tpcds72" -> q72,
+    "q_tpcds75" -> q75,
+    "q_tpcds78" -> q78,
+    "q_tpcds87" -> q87,
+    "q_tpcds89" -> q89,
+    "q_tpcds93" -> q93,
+    "q_tpcds98" -> q98,
     "q_tpcds4" -> q4,
     "q_tpcds9" -> q9,
     "q_tpcds14" -> q14,
