@@ -742,7 +742,177 @@ object TpcdsQueries {
       |  GROUP BY p_type, p_brand) t
       |ORDER BY p_type, p_brand""".stripMargin
 
+  // ---------------------------------------------------------------- batch 3
+  // Final structural families: week-over-week pivots, scalar-ratio
+  // thresholds, multi-aggregate cross joins, lag buckets, shares.
+
+  // q2-shape: weekday-pivoted weekly sums, consecutive-year self-join on
+  // the week number. Spark and DuckDB disagree on EXTRACT(DOW) numbering
+  // (1–7 Sunday-first vs 0–6), so the pivot key is the dialect-shared
+  // pseudo-weekday DOY % 7 and the week is (DOY−1)/7 — same shape,
+  // engine-identical arithmetic.
+  private def q2Day(dow: Int, name: String): String =
+    s"""    SUM(CASE WHEN EXTRACT(DOY FROM l_shipdate) % 7 = $dow THEN CAST(l_extendedprice AS DECIMAL(12,2)) ELSE CAST(0 AS DECIMAL(12,2)) END) AS ${name}_sales""".stripMargin
+  private val q2 =
+    s"""WITH wk AS (
+       |  SELECT CAST(EXTRACT(YEAR FROM l_shipdate) AS BIGINT) AS yr,
+       |    CAST(FLOOR((EXTRACT(DOY FROM l_shipdate) - 1) / 7.0) AS BIGINT) AS wk,
+       |${Seq(0 -> "d0", 1 -> "d1", 6 -> "d6").map { case (d, n) => q2Day(d, n) }.mkString(",\n")}
+       |  FROM lineitem
+       |  GROUP BY EXTRACT(YEAR FROM l_shipdate), FLOOR((EXTRACT(DOY FROM l_shipdate) - 1) / 7.0))
+       |SELECT y1.wk AS wk,
+       |  CAST(y1.d0_sales AS DOUBLE) AS d0_1, CAST(y2.d0_sales AS DOUBLE) AS d0_2,
+       |  CAST(y1.d1_sales AS DOUBLE) AS d1_1, CAST(y2.d1_sales AS DOUBLE) AS d1_2,
+       |  CAST(y1.d6_sales AS DOUBLE) AS d6_1, CAST(y2.d6_sales AS DOUBLE) AS d6_2
+       |FROM wk y1, wk y2
+       |WHERE y1.yr = 1996 AND y2.yr = 1997 AND y1.wk = y2.wk
+       |ORDER BY y1.wk""".stripMargin
+
+  // q21-shape: before/after quantities around a boundary, kept when the
+  // ratio stays within [2/3, 3/2] (cross-multiplied on integers).
+  private val q21 =
+    """SELECT s_name, p_brand, before_qty, after_qty
+      |FROM (
+      |  SELECT s_name, p_brand,
+      |    CAST(SUM(CASE WHEN l_shipdate < TIMESTAMP '1998-01-01 00:00:00' THEN CAST(l_quantity AS BIGINT) ELSE 0 END) AS BIGINT) AS before_qty,
+      |    CAST(SUM(CASE WHEN l_shipdate >= TIMESTAMP '1998-01-01 00:00:00' THEN CAST(l_quantity AS BIGINT) ELSE 0 END) AS BIGINT) AS after_qty
+      |  FROM lineitem, supplier, part
+      |  WHERE l_suppkey = s_suppkey AND l_partkey = p_partkey
+      |    AND l_shipdate BETWEEN TIMESTAMP '1997-10-01 00:00:00' AND TIMESTAMP '1998-03-31 00:00:00'
+      |  GROUP BY s_name, p_brand) x
+      |WHERE before_qty > 0
+      |  AND 3 * after_qty >= 2 * before_qty AND 2 * after_qty <= 3 * before_qty
+      |ORDER BY s_name, p_brand""".stripMargin
+
+  // q22-shape: average quantity down a 4-level ROLLUP hierarchy, top-100
+  // under a TOTAL order (the dim tiebreakers make the limit exact).
+  private val q22 =
+    """SELECT p_type, p_brand, l_returnflag, l_linestatus,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS qoh
+      |FROM lineitem, part
+      |WHERE l_partkey = p_partkey
+      |GROUP BY ROLLUP (p_type, p_brand, l_returnflag, l_linestatus)
+      |ORDER BY qoh, p_type NULLS FIRST, p_brand NULLS FIRST,
+      |  l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
+      |LIMIT 100""".stripMargin
+
+  // q28-shape: cross join of SIX aggregate subqueries, each a
+  // COUNT + COUNT(DISTINCT) over its own band.
+  private def q28Band(i: Int, qlo: Int, qhi: Int, plo: Int, phi: Int): String =
+    s"""  (SELECT CAST(COUNT(*) AS BIGINT) AS c$i, COUNT(DISTINCT l_partkey) AS d$i
+       |   FROM lineitem WHERE l_quantity BETWEEN $qlo AND $qhi AND l_extendedprice BETWEEN $plo AND $phi) b$i""".stripMargin
+  private val q28 =
+    "SELECT * FROM\n" + Seq(
+      (1, 0, 5, 0, 30000), (2, 6, 10, 10000, 50000), (3, 11, 15, 20000, 70000),
+      (4, 16, 20, 30000, 90000), (5, 21, 25, 40000, 110000),
+      (6, 26, 30, 50000, 130000))
+      .map { case (i, a, b, c, d) => q28Band(i, a, b, c, d) }.mkString(",\n")
+
+  // q32-shape: "excess discount" — rows whose discount exceeds 1.3x the
+  // per-item average, via correlated COUNT and SUM scalars
+  // (10·d·cnt > 13·sum ⇔ d > 1.3·avg).
+  private val q32 =
+    """SELECT CAST(SUM(CAST(l1.l_discount AS DECIMAL(12,2)) * CAST(l1.l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS excess_discount
+      |FROM lineitem l1, part
+      |WHERE l1.l_partkey = p_partkey AND p_size < 10
+      |  AND 10 * CAST(l1.l_discount AS DECIMAL(12,2)) *
+      |      (SELECT COUNT(*) FROM lineitem l2 WHERE l2.l_partkey = l1.l_partkey)
+      |    > 13 * (SELECT SUM(CAST(l2.l_discount AS DECIMAL(12,2))) FROM lineitem l2 WHERE l2.l_partkey = l1.l_partkey)""".stripMargin
+
+  // q50-shape: shipping-lag 30-day bucket pivot per supplier nation.
+  private val q50 =
+    """SELECT n_name,
+      |  CAST(SUM(CASE WHEN l_shipdate <= o_orderdate + INTERVAL 30 DAY THEN 1 ELSE 0 END) AS BIGINT) AS d30,
+      |  CAST(SUM(CASE WHEN l_shipdate > o_orderdate + INTERVAL 30 DAY AND l_shipdate <= o_orderdate + INTERVAL 60 DAY THEN 1 ELSE 0 END) AS BIGINT) AS d60,
+      |  CAST(SUM(CASE WHEN l_shipdate > o_orderdate + INTERVAL 60 DAY AND l_shipdate <= o_orderdate + INTERVAL 90 DAY THEN 1 ELSE 0 END) AS BIGINT) AS d90,
+      |  CAST(SUM(CASE WHEN l_shipdate > o_orderdate + INTERVAL 90 DAY AND l_shipdate <= o_orderdate + INTERVAL 120 DAY THEN 1 ELSE 0 END) AS BIGINT) AS d120,
+      |  CAST(SUM(CASE WHEN l_shipdate > o_orderdate + INTERVAL 120 DAY THEN 1 ELSE 0 END) AS BIGINT) AS dmore
+      |FROM lineitem, orders, supplier, nation
+      |WHERE l_orderkey = o_orderkey AND l_suppkey = s_suppkey AND s_nationkey = n_nationkey
+      |GROUP BY n_name
+      |ORDER BY n_name""".stripMargin
+
+  // q59-shape: week-over-week ratio matrix per nation across two years.
+  private val q59 =
+    """WITH wss AS (
+      |  SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS yr,
+      |    CAST(EXTRACT(WEEK FROM o_orderdate) AS BIGINT) AS wk, n_name,
+      |    SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS sales
+      |  FROM orders, customer, nation
+      |  WHERE o_custkey = c_custkey AND c_nationkey = n_nationkey
+      |  GROUP BY EXTRACT(YEAR FROM o_orderdate), EXTRACT(WEEK FROM o_orderdate), n_name)
+      |SELECT y1.n_name, y1.wk,
+      |  CAST(y1.sales AS DOUBLE) / CAST(y2.sales AS DOUBLE) AS ratio
+      |FROM wss y1, wss y2
+      |WHERE y1.n_name = y2.n_name AND y1.wk = y2.wk
+      |  AND y1.yr = 1997 AND y2.yr = 1996 AND y2.sales > 0
+      |ORDER BY y1.n_name, y1.wk""".stripMargin
+
+  // q65-shape: parts whose revenue sits within 10% of the supplier's
+  // MINIMUM part revenue (correlated MIN over the grouped CTE).
+  private val q65 =
+    """WITH sb AS (
+      |  SELECT l_suppkey, l_partkey, SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS revenue
+      |  FROM lineitem GROUP BY l_suppkey, l_partkey)
+      |SELECT s_name, p_name, CAST(sb1.revenue AS DOUBLE) AS revenue
+      |FROM supplier, part, sb sb1
+      |WHERE s_suppkey = sb1.l_suppkey AND p_partkey = sb1.l_partkey
+      |  AND 10 * CAST(sb1.revenue AS DOUBLE) <= 11 * (
+      |    SELECT MIN(CAST(sb2.revenue AS DOUBLE)) FROM sb sb2
+      |    WHERE sb2.l_suppkey = sb1.l_suppkey)
+      |ORDER BY s_name, p_name""".stripMargin
+
+  // q76-shape: UNION ALL of sparse-dimension slices counted per channel.
+  private val q76 =
+    """SELECT channel, col_name, CAST(EXTRACT(YEAR FROM d) AS BIGINT) AS yr, COUNT(*) AS sales_cnt,
+      |  CAST(SUM(CAST(price AS DECIMAL(12,2))) AS DOUBLE) AS sales_amt
+      |FROM (
+      |  SELECT 'store' AS channel, 'l_suppkey' AS col_name, l_shipdate AS d, l_extendedprice AS price
+      |  FROM lineitem WHERE l_suppkey % 100 = 0
+      |  UNION ALL
+      |  SELECT 'web' AS channel, 'l_partkey' AS col_name, l_shipdate AS d, l_extendedprice AS price
+      |  FROM lineitem WHERE l_partkey % 200 = 0) t
+      |GROUP BY channel, col_name, EXTRACT(YEAR FROM d)
+      |ORDER BY channel, col_name, yr""".stripMargin
+
+  // q83-shape: per-item share of the three-channel total.
+  private def q83Channel(alias: String, flag: String): String =
+    s"""$alias AS (SELECT l_partkey AS item, SUM(CAST(l_quantity AS DECIMAL(12,2))) AS qty
+       |  FROM lineitem WHERE l_returnflag = '$flag' AND l_partkey < 300 GROUP BY l_partkey)""".stripMargin
+  private val q83 =
+    s"""WITH ${q83Channel("ar", "A")},
+       |${q83Channel("nr", "N")},
+       |${q83Channel("rr", "R")}
+       |SELECT ar.item,
+       |  CAST(ar.qty AS DOUBLE) AS a_qty,
+       |  CAST(ar.qty AS DOUBLE) / CAST(ar.qty + nr.qty + rr.qty AS DOUBLE) * 100 AS a_share,
+       |  CAST(nr.qty AS DOUBLE) AS n_qty,
+       |  CAST(nr.qty AS DOUBLE) / CAST(ar.qty + nr.qty + rr.qty AS DOUBLE) * 100 AS n_share,
+       |  CAST(rr.qty AS DOUBLE) AS r_qty,
+       |  CAST(rr.qty AS DOUBLE) / CAST(ar.qty + nr.qty + rr.qty AS DOUBLE) * 100 AS r_share
+       |FROM ar, nr, rr
+       |WHERE ar.item = nr.item AND nr.item = rr.item
+       |ORDER BY ar.item""".stripMargin
+
+  // q90-shape: ratio of two scalar counts.
+  private val q90 =
+    """SELECT CAST(am.amc AS DOUBLE) / CAST(pm.pmc AS DOUBLE) AS am_pm_ratio
+      |FROM (SELECT COUNT(*) AS amc FROM lineitem WHERE l_orderkey % 4 = 0 AND l_quantity < 25) am,
+      |     (SELECT COUNT(*) AS pmc FROM lineitem WHERE l_orderkey % 4 = 1 AND l_quantity < 25) pm
+      |WHERE pm.pmc > 0""".stripMargin
+
   private val all: Map[String, String] = Map(
+    "q_tpcds2" -> q2,
+    "q_tpcds21" -> q21,
+    "q_tpcds22" -> q22,
+    "q_tpcds28" -> q28,
+    "q_tpcds32" -> q32,
+    "q_tpcds50" -> q50,
+    "q_tpcds59" -> q59,
+    "q_tpcds65" -> q65,
+    "q_tpcds76" -> q76,
+    "q_tpcds83" -> q83,
+    "q_tpcds90" -> q90,
     "q_tpcds1" -> q1,
     "q_tpcds5" -> q5,
     "q_tpcds17" -> q17,
