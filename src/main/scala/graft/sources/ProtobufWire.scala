@@ -32,7 +32,9 @@ import org.apache.spark.unsafe.types.UTF8String
   *   - packed repeated numerics (ArrayType of int/long/double/float —
   *     proto3's default packed encoding),
   *   - unpacked repeated strings/bytes (one length-delimited field each),
-  *   - nested messages (StructType, length-delimited).
+  *   - nested messages (StructType, length-delimited),
+  *   - proto3 maps (MapType → repeated `{ key = 1; value = 2 }` entry
+  *     messages; duplicate keys merge last-wins, the spec's rule).
   *
   * proto3 semantics preserved: zero/empty/false scalars are OMITTED on
   * encode and default-filled on decode; unknown field numbers are skipped
@@ -124,6 +126,19 @@ object ProtobufWire {
           if (b.nonEmpty) writeLenDelim(out, num, b)
         case ArrayType(et, _) =>
           encodeArray(out, num, row.getArray(i), et)
+        // proto3 map<K,V>: repeated message { K key = 1; V value = 2; }
+        case MapType(kt, vt, _) =>
+          val m = row.getMap(i)
+          val keys = m.keyArray()
+          val vals = m.valueArray()
+          var j = 0
+          while (j < m.numElements()) {
+            val entry = new ByteArrayOutputStream()
+            writeScalarField(entry, 1, keys, j, kt)
+            writeScalarField(entry, 2, vals, j, vt)
+            writeLenDelim(out, num, entry.toByteArray)
+            j += 1
+          }
         case st: StructType =>
           writeLenDelim(out, num, encodeRow(row.getStruct(i, st.length), st))
         case other => throw new IllegalArgumentException(
@@ -132,6 +147,39 @@ object ProtobufWire {
       i += 1
     }
     out.toByteArray
+  }
+
+  /** One scalar map-entry field (default values omitted, per spec). */
+  private def writeScalarField(out: ByteArrayOutputStream, num: Int,
+      arr: ArrayData, j: Int, dt: DataType): Unit = dt match {
+    case IntegerType =>
+      val v = arr.getInt(j)
+      if (v != 0) { writeTag(out, num, 0); writeVarint(out, v.toLong) }
+    case LongType =>
+      val v = arr.getLong(j)
+      if (v != 0L) { writeTag(out, num, 0); writeVarint(out, v) }
+    case BooleanType =>
+      if (arr.getBoolean(j)) { writeTag(out, num, 0); writeVarint(out, 1L) }
+    case DoubleType =>
+      val v = arr.getDouble(j)
+      if (java.lang.Double.doubleToLongBits(v) != 0L) {
+        writeTag(out, num, 1)
+        writeFixed64(out, java.lang.Double.doubleToLongBits(v))
+      }
+    case FloatType =>
+      val v = arr.getFloat(j)
+      if (java.lang.Float.floatToIntBits(v) != 0) {
+        writeTag(out, num, 5)
+        writeFixed32(out, java.lang.Float.floatToIntBits(v))
+      }
+    case StringType =>
+      val b = arr.getUTF8String(j).getBytes
+      if (b.nonEmpty) writeLenDelim(out, num, b)
+    case BinaryType =>
+      val b = arr.getBinary(j)
+      if (b.nonEmpty) writeLenDelim(out, num, b)
+    case other => throw new IllegalArgumentException(
+      s"unsupported map entry type for protobuf: ${other.simpleString}")
   }
 
   private def encodeArray(out: ByteArrayOutputStream, num: Int,
@@ -245,6 +293,7 @@ object ProtobufWire {
         case StringType => UTF8String.EMPTY_UTF8
         case BinaryType => Array.emptyByteArray
         case _: ArrayType => null // filled from `repeated` at the end
+        case _: MapType => null // filled from `repeated` at the end
         case _: StructType => null // absent message decodes to null
         case other => throw new IllegalArgumentException(
           s"unsupported type for protobuf: ${other.simpleString}")
@@ -268,6 +317,16 @@ object ProtobufWire {
         case StringType => values(idx) = UTF8String.fromBytes(r.readBytes())
         case BinaryType => values(idx) = r.readBytes()
         case st: StructType => values(idx) = decodeMessage(r.sub(), st)
+        case MapType(kt, vt, _) =>
+          if (repeated(idx) == null)
+            repeated(idx) = scala.collection.mutable.ArrayBuffer.empty[Any]
+          // each entry is a mini message { key = 1; value = 2 } —
+          // decode with a synthetic 2-field schema; later duplicate
+          // keys win at materialization (proto3 map merge rule)
+          val entrySchema = StructType(Seq(
+            StructField("key", kt), StructField("value", vt)))
+          val entry = decodeMessage(r.sub(), entrySchema)
+          repeated(idx) += ((entry.get(0, kt), entry.get(1, vt)))
         case ArrayType(et, _) =>
           if (repeated(idx) == null)
             repeated(idx) = scala.collection.mutable.ArrayBuffer.empty[Any]
@@ -294,6 +353,14 @@ object ProtobufWire {
         case _: ArrayType =>
           values(i) = new GenericArrayData(
             Option(repeated(i)).map(_.toArray).getOrElse(Array.empty[Any]))
+        case _: MapType =>
+          // last entry wins per key (proto3 map merge rule)
+          val pairs = Option(repeated(i)).map(_.toSeq).getOrElse(Seq.empty)
+            .asInstanceOf[Seq[(Any, Any)]]
+          val merged = scala.collection.mutable.LinkedHashMap.empty[Any, Any]
+          pairs.foreach { case (k, v) => merged(k) = v }
+          values(i) = org.apache.spark.sql.catalyst.util.ArrayBasedMapData(
+            merged.keys.toArray, merged.values.toArray)
         case _ => ()
       }
       i += 1

@@ -106,6 +106,31 @@ class ProtobufWireSpec extends SparkSuite {
     assert(r2 == Row(9, "drop", 2.5d, 7L, 1.5f, 0L))
   }
 
+  test("proto3 maps round-trip as repeated key/value entry messages") {
+    val sch = StructType(Seq(
+      StructField("tags", MapType(StringType, LongType)),
+      StructField("scores", MapType(IntegerType, DoubleType))))
+    val df = Seq((Map("a" -> 1L, "" -> 0L), Map(3 -> 2.5, 0 -> -1.0)))
+      .toDF("tags", "scores")
+    val r = df.select(ProtobufWire.toProtobuf(
+        struct(col("tags"), col("scores"))).as("pb"))
+      .select(ProtobufWire.fromProtobuf(col("pb"), sch).as("m"))
+      .select("m.*").head()
+    assert(r.getMap[String, Long](0) == Map("a" -> 1L, "" -> 0L))
+    assert(r.getMap[Int, Double](1) == Map(3 -> 2.5, 0 -> -1.0))
+    // duplicate keys in the wire stream merge LAST-wins (spec rule):
+    // two entries for field 1 with key "k" → value of the second
+    // entry bytes: 0a 05 0a 01 6b 10 01 | 0a 05 0a 01 6b 10 02
+    val dup = Array(
+      0x0a, 0x05, 0x0a, 0x01, 0x6b, 0x10, 0x01,
+      0x0a, 0x05, 0x0a, 0x01, 0x6b, 0x10, 0x02).map(_.toByte)
+    val one = StructType(Seq(StructField("m", MapType(StringType, LongType))))
+    val got = Seq(1).toDF("x")
+      .select(ProtobufWire.fromProtobuf(lit(dup), one).as("r"))
+      .select("r.*").head()
+    assert(got.getMap[String, Long](0) == Map("k" -> 2L))
+  }
+
   test("unpacked numeric encoding is accepted on decode (spec requirement)") {
     // hand-build field 1 repeated int64 written UNPACKED: 08 05 08 90 03
     val bytes = Array(0x08, 0x05, 0x08, 0x90, 0x03).map(_.toByte)
