@@ -45,10 +45,33 @@ object CoGroup {
   def tumbling(left: DataFrame, right: DataFrame, keyCols: Seq[String],
       tsCol: String, windowMs: Long, delay: String,
       f: (String, Long, Seq[Row], Seq[Row]) => Iterator[Row],
+      outSchema: StructType): DataFrame =
+    windowed(left, right, keyCols, tsCol, windowMs, windowMs, delay, f,
+      outSchema)
+
+  /** Sliding-window coGroup — size/slide window assigner (the
+    * reference's SlidingEventTimeWindows under coGroup): each record
+    * joins every window covering its timestamp, so a record appears in
+    * size/slide window instances. Session-gap coGroup is reached by
+    * composing [[SessionWindows.annotate]] (per-row session bounds)
+    * with a tumbling coGroup on `window_start`.
+    */
+  def sliding(left: DataFrame, right: DataFrame, keyCols: Seq[String],
+      tsCol: String, sizeMs: Long, slideMs: Long, delay: String,
+      f: (String, Long, Seq[Row], Seq[Row]) => Iterator[Row],
+      outSchema: StructType): DataFrame =
+    windowed(left, right, keyCols, tsCol, sizeMs, slideMs, delay, f,
+      outSchema)
+
+  private def windowed(left: DataFrame, right: DataFrame,
+      keyCols: Seq[String], tsCol: String, sizeMs: Long, slideMs: Long,
+      delay: String, f: (String, Long, Seq[Row], Seq[Row]) => Iterator[Row],
       outSchema: StructType): DataFrame = {
     require(left.isStreaming && right.isStreaming,
-      "tumbling coGroup is the streaming form; batch uses Dataset.cogroup")
+      "windowed coGroup is the streaming form; batch uses Dataset.cogroup")
     require(keyCols.nonEmpty, "coGroup needs equality keys")
+    require(sizeMs > 0 && slideMs > 0 && sizeMs % slideMs == 0,
+      "window size must be a positive multiple of the slide")
     val leftCols = left.columns.toSeq
     val rightCols = right.columns.toSeq
 
@@ -60,26 +83,27 @@ object CoGroup {
         to_json(struct(df.columns.map(col).toSeq: _*)).as("__payload"))
     }
     // union of the two tagged shapes; payload travels as JSON so the
-    // two sides' (different) schemas share one shuffle row layout
+    // two sides' (different) schemas share one shuffle row layout.
+    // Sliding assignment replicates each record to its covering window
+    // starts BEFORE the shuffle (last start down to ts − size,
+    // step slide) — one shuffle total, same as the reference.
+    val lastStart = org.apache.spark.sql.functions.unix_millis(col("__ts"))
+      .divide(lit(slideMs)).cast("long").multiply(lit(slideMs))
     val tagged = tag(left, 0).unionByName(tag(right, 1))
       .withWatermark("__ts", delay)
+      .withColumn("__win", org.apache.spark.sql.functions.explode(
+        org.apache.spark.sql.functions.sequence(
+          lastStart - lit(sizeMs) + lit(slideMs), lastStart, lit(slideMs))))
 
     implicit val outEnc: org.apache.spark.sql.Encoder[Row] =
       Encoders.row(outSchema)
     implicit val keyEnc: org.apache.spark.sql.Encoder[(String, Long)] =
       Encoders.product[(String, Long)]
     tagged
-      .groupByKey { (r: Row) =>
-        val ts = r.get(1) match {
-          case t: java.sql.Timestamp => t.getTime
-          case i: java.time.Instant => i.toEpochMilli
-          case d: java.time.LocalDateTime =>
-            d.toInstant(java.time.ZoneOffset.UTC).toEpochMilli
-        }
-        (r.getString(0), Math.floorDiv(ts, windowMs) * windowMs)
-      }
+      .groupByKey((r: Row) =>
+        (r.getString(0), r.getLong(r.fieldIndex("__win"))))
       .transformWithState(
-        new TumblingCoGroupProcessor(windowMs, leftCols, rightCols, f),
+        new TumblingCoGroupProcessor(sizeMs, leftCols, rightCols, f),
         TimeMode.EventTime(), OutputMode.Append())
   }
 

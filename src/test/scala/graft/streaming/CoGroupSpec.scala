@@ -69,6 +69,45 @@ class CoGroupSpec extends SparkSuite {
     }
   }
 
+  test("sliding coGroup assigns each record to every covering window") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(String, java.sql.Timestamp, Long)]
+    val ev = input.toDS().toDF("k", "ts", "v")
+    val left = ev.filter($"v" % 2 === 0)
+    val right = ev.filter($"v" % 2 === 1)
+    val outSchema = StructType(Seq(
+      StructField("k", StringType), StructField("win", LongType),
+      StructField("nl", LongType), StructField("nr", LongType)))
+    // size 20 min, slide 10 min → every record lands in 2 windows
+    val out = CoGroup.sliding(left, right, Seq("k"), "ts",
+      1200000L, 600000L, "0 seconds",
+      (key, win, ls, rs) => Iterator.single(new GenericRow(
+        Array[Any](key, win, ls.length.toLong, rs.length.toLong))),
+      outSchema)
+    val name = "cogroup_slide_sink"
+    val ckpt = java.nio.file.Files.createTempDirectory("cogroup_slide_ckpt")
+    val q = out.writeStream.format("memory").queryName(name)
+      .outputMode("append")
+      .option("checkpointLocation", ckpt.toString).start()
+    try {
+      // a@15min: covering windows start at 10min and 20min... for
+      // size 20/slide 10 a ts of 15 min covers starts {0, 10} min
+      input.addData(Seq(("a", ts(15), 2L), ("a", ts(16), 3L)))
+      q.processAllAvailable()
+      input.addData(Seq(("z", ts(90), 0L)))
+      q.processAllAvailable()
+      val rows = spark.table(name)
+        .as[(String, Long, Long, Long)].collect().toSet
+      // both records appear TOGETHER in both covering windows
+      assert(rows.contains(("a", 0L, 1L, 1L)))
+      assert(rows.contains(("a", 600000L, 1L, 1L)))
+      assert(!rows.exists { case (k, w, _, _) => k == "a" && w == 1200000L })
+    } finally {
+      q.stop()
+      graft.queries.Q.deleteRecursively(ckpt)
+    }
+  }
+
   test("parseFlatJson handles strings, escapes, numbers, and nulls") {
     val m = CoGroup.parseFlatJson(
       """{"a":"x,y","b":12.5,"c":"q\"z","d":null,"e":"2024-01-01T00:00:00"}""")
