@@ -129,7 +129,11 @@ object ConnectorDdl {
     * falls through to spark.sql, the same contract isAlter/isDrop keep.
     */
   def isCreate(spark: SparkSession, stmt: String): Boolean = stmt match {
-    case CreateLikeRe(_, _, _, base, _) => lookup(spark, base).isDefined
+    // a column body or WITH options is the CONNECTOR form of LIKE —
+    // claim it even with an unregistered base so the user gets the
+    // registry diagnostic, not a Spark parse error on invalid syntax
+    case CreateLikeRe(_, body, opts, base, _) =>
+      body != null || opts != null || lookup(spark, base).isDefined
     case _ => CreateRe.matches(splitPartitionClause(stmt)._1)
   }
 
@@ -802,9 +806,18 @@ object ConnectorDdl {
           // PrintSinkFunction prints per task manager) — never a
           // driver-side collect, which would OOM on a big INSERT
           if (df.isStreaming) {
-            val q = df.writeStream.format("console")
+            // foreachBatch + executor-side print — the console sink
+            // truncates to 20 rows/20 chars AND collects each batch to
+            // the driver, both wrong for a sink of record
+            val q = df.writeStream
               .option("checkpointLocation", java.nio.file.Files
                 .createTempDirectory(s"print_${name}_ckpt").toString)
+              .foreachBatch { (batch: DataFrame, _: Long) =>
+                batch.foreachPartition {
+                  (it: Iterator[org.apache.spark.sql.Row]) =>
+                    it.foreach(r => println(s"+I[${r.mkString(", ")}]"))
+                }
+              }
               .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
               .start()
             q.awaitTermination()

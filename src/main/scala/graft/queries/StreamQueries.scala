@@ -1013,9 +1013,12 @@ object StreamQueries {
         clicks.toDF(), purchases.toDF(), Seq("user_id"), "ts",
         3600000L, "1 second",
         (key, winStart, ls, rs) => {
-          // exact cents from the JSON decimal text — no double addition
+          // exact cents from the JSON decimal text — no double
+          // addition; HALF_UP to 2dp matches the oracle's
+          // CAST(value AS DECIMAL(12,2)) rounding for >2dp inputs
           def cents(r: org.apache.spark.sql.Row): Long =
-            (BigDecimal(r.getAs[String]("value")) * 100).toLongExact
+            (BigDecimal(r.getAs[String]("value"))
+              .setScale(2, BigDecimal.RoundingMode.HALF_UP) * 100).toLongExact
           Iterator.single(new org.apache.spark.sql.catalyst.expressions.GenericRow(
             Array[Any](new java.sql.Timestamp(winStart), key.toLong,
               ls.length.toLong, rs.length.toLong,

@@ -149,9 +149,13 @@ object ProtobufWire {
     out.toByteArray
   }
 
-  /** One scalar map-entry field (default values omitted, per spec). */
+  /** One scalar map-entry field (default values omitted, per spec).
+    * proto3 has no null: a NULL map value encodes as the type's default
+    * (omitted), the same folding the reference's row→proto converter
+    * applies to nullable columns.
+    */
   private def writeScalarField(out: ByteArrayOutputStream, num: Int,
-      arr: ArrayData, j: Int, dt: DataType): Unit = dt match {
+      arr: ArrayData, j: Int, dt: DataType): Unit = if (!arr.isNullAt(j)) dt match {
     case IntegerType =>
       val v = arr.getInt(j)
       if (v != 0) { writeTag(out, num, 0); writeVarint(out, v.toLong) }
@@ -184,41 +188,58 @@ object ProtobufWire {
 
   private def encodeArray(out: ByteArrayOutputStream, num: Int,
       arr: ArrayData, et: DataType): Unit = et match {
-    // packed repeated numerics: ONE length-delimited payload
+    // packed repeated numerics: ONE length-delimited payload. proto3
+    // has no null — a NULL element folds to the type's default value
+    // (0/false), preserving the array's cardinality on round-trip.
     case IntegerType | LongType | BooleanType | DoubleType | FloatType =>
       if (arr.numElements() > 0) {
         val body = new ByteArrayOutputStream()
         var j = 0
         while (j < arr.numElements()) {
+          val isNull = arr.isNullAt(j)
           et match {
-            case IntegerType => writeVarint(body, arr.getInt(j).toLong)
-            case LongType => writeVarint(body, arr.getLong(j))
-            case BooleanType => writeVarint(body, if (arr.getBoolean(j)) 1L else 0L)
+            case IntegerType =>
+              writeVarint(body, if (isNull) 0L else arr.getInt(j).toLong)
+            case LongType =>
+              writeVarint(body, if (isNull) 0L else arr.getLong(j))
+            case BooleanType =>
+              writeVarint(body, if (!isNull && arr.getBoolean(j)) 1L else 0L)
             case DoubleType =>
-              writeFixed64(body, java.lang.Double.doubleToLongBits(arr.getDouble(j)))
+              writeFixed64(body, if (isNull) 0L
+                else java.lang.Double.doubleToLongBits(arr.getDouble(j)))
             case FloatType =>
-              writeFixed32(body, java.lang.Float.floatToIntBits(arr.getFloat(j)))
+              writeFixed32(body, if (isNull) 0
+                else java.lang.Float.floatToIntBits(arr.getFloat(j)))
             case _ => ()
           }
           j += 1
         }
         writeLenDelim(out, num, body.toByteArray)
       }
-    // repeated strings/bytes: one length-delimited field per element
+    // repeated strings/bytes: one length-delimited field per element;
+    // NULL elements fold to the empty default, keeping cardinality
     case StringType =>
       var j = 0
       while (j < arr.numElements()) {
-        writeLenDelim(out, num, arr.getUTF8String(j).getBytes); j += 1
+        writeLenDelim(out, num,
+          if (arr.isNullAt(j)) Array.emptyByteArray
+          else arr.getUTF8String(j).getBytes)
+        j += 1
       }
     case BinaryType =>
       var j = 0
       while (j < arr.numElements()) {
-        writeLenDelim(out, num, arr.getBinary(j)); j += 1
+        writeLenDelim(out, num,
+          if (arr.isNullAt(j)) Array.emptyByteArray else arr.getBinary(j))
+        j += 1
       }
     case st: StructType =>
       var j = 0
       while (j < arr.numElements()) {
-        writeLenDelim(out, num, encodeRow(arr.getStruct(j, st.length), st)); j += 1
+        writeLenDelim(out, num,
+          if (arr.isNullAt(j)) Array.emptyByteArray
+          else encodeRow(arr.getStruct(j, st.length), st))
+        j += 1
       }
     case other => throw new IllegalArgumentException(
       s"unsupported repeated type for protobuf: ${other.simpleString}")

@@ -87,8 +87,13 @@ object CoGroup {
     // Sliding assignment replicates each record to its covering window
     // starts BEFORE the shuffle (last start down to ts − size,
     // step slide) — one shuffle total, same as the reference.
-    val lastStart = org.apache.spark.sql.functions.unix_millis(col("__ts"))
-      .divide(lit(slideMs)).cast("long").multiply(lit(slideMs))
+    // FLOOR of the real-valued division (cast-to-long truncates toward
+    // zero, which is ceil for negative epochs). Note Spark's streaming
+    // watermark floor is epoch 0, so pre-1970 event times cannot fire
+    // windows in any transformWithState operator — not just this one.
+    val lastStart = org.apache.spark.sql.functions.floor(
+        org.apache.spark.sql.functions.unix_millis(col("__ts"))
+          .divide(lit(slideMs))).cast("long").multiply(lit(slideMs))
     val tagged = tag(left, 0).unionByName(tag(right, 1))
       .withWatermark("__ts", delay)
       .withColumn("__win", org.apache.spark.sql.functions.explode(
@@ -113,6 +118,11 @@ object CoGroup {
       extends StatefulProcessor[(String, Long), Row, Row] {
     @transient private var leftBuf: ListState[String] = _
     @transient private var rightBuf: ListState[String] = _
+    // built once, not per buffered row on the fire path
+    private lazy val leftSchema =
+      StructType(leftCols.map(StructField(_, StringType)))
+    private lazy val rightSchema =
+      StructType(rightCols.map(StructField(_, StringType)))
 
     override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
       leftBuf = getHandle.getListState[String]("left",
@@ -142,16 +152,15 @@ object CoGroup {
     override def handleExpiredTimer(key: (String, Long),
         timerValues: TimerValues, expiredTimerInfo: ExpiredTimerInfo)
         : Iterator[Row] = {
-      def parse(json: String, cols: Seq[String]): Row = {
+      def parse(json: String, cols: Seq[String], schema: StructType): Row = {
         val m = parseFlatJson(json)
         // carry a schema (all-string payload) so callbacks can read
         // fields by name
-        val schema = StructType(cols.map(StructField(_, StringType)))
         new org.apache.spark.sql.catalyst.expressions.GenericRowWithSchema(
           cols.map(c => m.getOrElse(c, null)).toArray[Any], schema)
       }
-      val ls = leftBuf.get().map(parse(_, leftCols)).toIndexedSeq
-      val rs = rightBuf.get().map(parse(_, rightCols)).toIndexedSeq
+      val ls = leftBuf.get().map(parse(_, leftCols, leftSchema)).toIndexedSeq
+      val rs = rightBuf.get().map(parse(_, rightCols, rightSchema)).toIndexedSeq
       leftBuf.clear(); rightBuf.clear()
       f(key._1, key._2, ls, rs)
     }
@@ -170,11 +179,17 @@ object CoGroup {
       i += 1 // opening quote
       while (i < s.length && s.charAt(i) != '"') {
         if (s.charAt(i) == '\\' && i + 1 < s.length) {
-          sb += (s.charAt(i + 1) match {
-            case 'n' => '\n'; case 't' => '\t'; case 'r' => '\r'
-            case c => c
-          })
-          i += 2
+          s.charAt(i + 1) match {
+            case 'n' => sb += '\n'; i += 2
+            case 't' => sb += '\t'; i += 2
+            case 'r' => sb += '\r'; i += 2
+            case 'b' => sb += '\b'; i += 2
+            case 'f' => sb += '\f'; i += 2
+            case 'u' if i + 5 < s.length =>
+              sb += Integer.parseInt(s.substring(i + 2, i + 6), 16).toChar
+              i += 6
+            case c => sb += c; i += 2
+          }
         } else { sb += s.charAt(i); i += 1 }
       }
       i += 1 // closing quote
@@ -184,14 +199,20 @@ object CoGroup {
       skipWs()
       if (i < s.length && s.charAt(i) == '"') readString()
       else {
+        // non-string value: number/bool/null, or a nested object/array
+        // returned as raw text — the depth scan must not count braces
+        // inside nested STRING literals
         val start = i
         var depth = 0
         while (i < s.length && (depth > 0 ||
             (s.charAt(i) != ',' && s.charAt(i) != '}'))) {
           val c = s.charAt(i)
-          if (c == '{' || c == '[') depth += 1
-          else if (c == '}' || c == ']') depth -= 1
-          i += 1
+          if (c == '"') { readString(); () }
+          else {
+            if (c == '{' || c == '[') depth += 1
+            else if (c == '}' || c == ']') depth -= 1
+            i += 1
+          }
         }
         s.substring(start, i).trim
       }

@@ -524,6 +524,14 @@ class ConnectorDdlSpec extends SparkSuite {
       GraftSql.sql(spark, "CREATE TABLE native_kid LIKE native_base_nope")
     }
     assert(!e.getMessage.contains("not a registered connector table"))
+    // but the CONNECTOR form of LIKE (WITH options / column body) is
+    // never valid Spark SQL — it stays claimed and gets the registry
+    // diagnostic even when the base is a typo
+    val e2 = intercept[RuntimeException] {
+      GraftSql.sql(spark,
+        "CREATE TABLE conn_kid WITH ('path' = '/tmp/x') LIKE typoed_base")
+    }
+    assert(e2.getMessage.contains("not a registered connector table"))
   }
 
   test("row-level DML stays STATIC overwrite under a dynamic session conf") {

@@ -131,6 +131,22 @@ class ProtobufWireSpec extends SparkSuite {
     assert(got.getMap[String, Long](0) == Map("k" -> 2L))
   }
 
+  test("NULL array elements fold to proto3 defaults, cardinality kept") {
+    val sch = StructType(Seq(
+      StructField("xs", ArrayType(LongType, containsNull = true)),
+      StructField("ss", ArrayType(StringType, containsNull = true))))
+    val df = Seq(1).toDF("x").select(
+      array(lit(5L), lit(null).cast("long"), lit(7L)).as("xs"),
+      array(lit("a"), lit(null).cast("string")).as("ss"))
+    val r = df.select(ProtobufWire.toProtobuf(
+        struct(col("xs"), col("ss"))).as("pb"))
+      .select(ProtobufWire.fromProtobuf(col("pb"), sch).as("m"))
+      .select("m.*").head()
+    // proto3 has no null — elements come back as defaults, same length
+    assert(r.getSeq[Long](0) == Seq(5L, 0L, 7L))
+    assert(r.getSeq[String](1) == Seq("a", ""))
+  }
+
   test("unpacked numeric encoding is accepted on decode (spec requirement)") {
     // hand-build field 1 repeated int64 written UNPACKED: 08 05 08 90 03
     val bytes = Array(0x08, 0x05, 0x08, 0x90, 0x03).map(_.toByte)

@@ -114,5 +114,11 @@ class CoGroupSpec extends SparkSuite {
     assert(m("a") == "x,y" && m("b") == "12.5" && m("c") == "q\"z" &&
       m("d") == "null" && m("e") == "2024-01-01T00:00:00")
     assert(CoGroup.parseFlatJson("{}") == Map.empty)
+    // control-char escapes decode (\uXXXX, \b, \f), and a nested
+    // object whose string value contains '}' does not break framing
+    val m2 = CoGroup.parseFlatJson(
+      """{"u":"ab","bs":"x\b\f","nest":{"s":"}, tricky"},"after":7}""")
+    assert(m2("u") == "ab" && m2("bs") == "x\b\f" &&
+      m2("nest") == """{"s":"}, tricky"}""" && m2("after") == "7")
   }
 }
