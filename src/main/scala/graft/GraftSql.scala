@@ -29,7 +29,19 @@ object GraftSql {
   private val ResetRe =
     """(?is)^\s*RESET\s+'([^']+)'\s*;?\s*$""".r
 
+  /** Sessions whose function registry already carries the engine's SQL
+    * functions (split_index, to_protobuf/from_protobuf) — the front
+    * door registers them on first use so SQL text has the full surface
+    * without a separate setup call.
+    */
+  private val registered =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[Int]()
+
   def sql(spark: SparkSession, query: String): DataFrame = {
+    if (registered.add(System.identityHashCode(spark))) {
+      graft.functions.GraftFunctions.register(spark)
+      graft.sources.ProtobufWire.register(spark)
+    }
     // EXECUTE STATEMENT SET BEGIN <insert>; <insert>; … END — the
     // reference's multi-sink statement set (SqlStatementSet): each
     // INSERT runs through this same entry. The reference's shared-scan

@@ -55,6 +55,38 @@ object ProtobufWire {
   def fromProtobuf(col: Column, schema: StructType): Column =
     Bridge.column(PbDecode(Bridge.expression(col), schema))
 
+  /** SQL registration — `to_protobuf(struct(...))` and
+    * `from_protobuf(bytes, 'k BIGINT, status STRING')` (the schema as a
+    * foldable DDL-string literal, the same contract as Spark's own
+    * `from_json`/`from_csv` SQL forms).
+    */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
+    import org.apache.spark.sql.catalyst.FunctionIdentifier
+    import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("to_protobuf"),
+      new ExpressionInfo(classOf[PbEncode].getName, "to_protobuf"),
+      (children: Seq[Expression]) => {
+        require(children.length == 1, "to_protobuf expects 1 argument")
+        PbEncode(children.head)
+      })
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("from_protobuf"),
+      new ExpressionInfo(classOf[PbDecode].getName, "from_protobuf"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2,
+          "from_protobuf expects (binary, 'ddl schema string')")
+        val schema = children(1) match {
+          case Literal(s: org.apache.spark.unsafe.types.UTF8String, StringType) =>
+            org.apache.spark.sql.catalyst.parser.CatalystSqlParser
+              .parseTableSchema(s.toString)
+          case other => throw new IllegalArgumentException(
+            "from_protobuf schema must be a string literal, got " + other)
+        }
+        PbDecode(children.head, schema)
+      })
+  }
+
   // ------------------------------------------------------------ encoding
 
   private def writeVarint(out: ByteArrayOutputStream, v0: Long): Unit = {

@@ -201,6 +201,17 @@ class GraftSqlSpec extends SparkSuite {
     assert(e.getMessage.contains("EXPLAIN supports queries"))
   }
 
+  test("front door auto-registers the engine's SQL functions") {
+    Seq(("a,b,c", 7L)).toDF("s", "k").createOrReplaceTempView("gs_fns")
+    // split_index and the protobuf pair work in plain SQL text with no
+    // setup call — the front door registers them on first use
+    val row = GraftSql.sql(spark,
+      """SELECT split_index(s, ',', 1) AS piece,
+        |  from_protobuf(to_protobuf(struct(k)), 'k BIGINT').k AS k2
+        |FROM gs_fns""".stripMargin).head()
+    assert(row.getString(0) == "b" && row.getLong(1) == 7L)
+  }
+
   test("OPTIONS on a non-connector table and STATE_TTL fail loudly") {
     Seq(1L).toDF("x").createOrReplaceTempView("gs_opt_plain")
     val e1 = intercept[RuntimeException] {

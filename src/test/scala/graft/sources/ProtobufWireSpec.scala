@@ -131,6 +131,25 @@ class ProtobufWireSpec extends SparkSuite {
     assert(got.getMap[String, Long](0) == Map("k" -> 2L))
   }
 
+  test("SQL registration: to_protobuf / from_protobuf with a DDL schema literal") {
+    ProtobufWire.register(spark)
+    Seq((5L, "ok"), (9L, "")).toDF("k", "status")
+      .createOrReplaceTempView("pb_sql_in")
+    val rows = spark.sql(
+      """SELECT m.k, m.status FROM (
+        |  SELECT from_protobuf(to_protobuf(struct(k, status)),
+        |                       'k BIGINT, status STRING') AS m
+        |  FROM pb_sql_in) t ORDER BY m.k""".stripMargin)
+      .as[(Long, String)].collect().toSeq
+    assert(rows == Seq((5L, "ok"), (9L, "")))
+    // non-literal schema argument is rejected loudly
+    val e = intercept[Exception] {
+      spark.sql("SELECT from_protobuf(to_protobuf(struct(k)), status) FROM pb_sql_in")
+        .collect()
+    }
+    assert(e.getMessage.contains("string literal"))
+  }
+
   test("NULL array elements fold to proto3 defaults, cardinality kept") {
     val sch = StructType(Seq(
       StructField("xs", ArrayType(LongType, containsNull = true)),
