@@ -29,16 +29,12 @@ object GraftSql {
   private val ResetRe =
     """(?is)^\s*RESET\s+'([^']+)'\s*;?\s*$""".r
 
-  /** Sessions whose function registry already carries the engine's SQL
-    * functions (split_index, to_protobuf/from_protobuf) — the front
-    * door registers them on first use so SQL text has the full surface
-    * without a separate setup call.
-    */
-  private val registered =
-    java.util.concurrent.ConcurrentHashMap.newKeySet[Int]()
-
   def sql(spark: SparkSession, query: String): DataFrame = {
-    if (registered.add(System.identityHashCode(spark))) {
+    // first-use registration of the engine's SQL functions, keyed by
+    // the registry's OWN state (an identity-hash set could collide with
+    // a GC'd session and silently skip a fresh one)
+    if (!spark.sessionState.functionRegistry.functionExists(
+        org.apache.spark.sql.catalyst.FunctionIdentifier("split_index"))) {
       graft.functions.GraftFunctions.register(spark)
       graft.sources.ProtobufWire.register(spark)
     }

@@ -473,9 +473,11 @@ object ConnectorDdl {
         if (d.partitions.nonEmpty)
           s"\nPARTITIONED BY (${d.partitions.mkString(", ")})"
         else ""
-      // escape quotes so an option value with an apostrophe (a path,
-      // a csv delimiter) round-trips as executable DDL
-      def esc(s: String) = s.replace("'", "''")
+      // escape quotes AND backslashes so option values (paths, csv
+      // delimiters, escape chars) round-trip as executable DDL — the
+      // quote-span scanner treats \ as an escape, so a bare trailing
+      // backslash would swallow the closing quote
+      def esc(s: String) = s.replace("\\", "\\\\").replace("'", "''")
       val opts = d.options.toSeq.sortBy(_._1)
         .map { case (k, v) => s"'${esc(k)}' = '${esc(v)}'" }.mkString(",\n  ")
       val ddl = s"CREATE TABLE ${d.name} (\n" + items.mkString(",\n") +
@@ -518,10 +520,28 @@ object ConnectorDdl {
 
   private def unquote(s: String): String = {
     val t = s.trim
-    if (t.length >= 2 && t.head == '\'' && t.last == '\'')
-      // doubled '' inside the literal is the SQL escape for one quote
-      t.substring(1, t.length - 1).replace("''", "'")
-    else sys.error(s"WITH option piece not quoted: $s")
+    if (t.length >= 2 && t.head == '\'' && t.last == '\'') {
+      // linear decode: doubled '' is the SQL escape for one quote, and
+      // \x is the parser-level escape (SqlText.quotedSpans treats \ as
+      // an escape, so SHOW CREATE doubles backslashes) — a replace
+      // chain would mis-handle sequences like \\'' at span edges
+      val body = t.substring(1, t.length - 1)
+      val out = new StringBuilder(body.length)
+      var i = 0
+      while (i < body.length) {
+        val c = body.charAt(i)
+        // only \\ and \' decode — a backslash before any OTHER char is
+        // literal content ('C:\tmp' keeps its backslash)
+        if (c == '\\' && i + 1 < body.length &&
+            (body.charAt(i + 1) == '\\' || body.charAt(i + 1) == '\'')) {
+          out += body.charAt(i + 1); i += 2
+        } else if (c == '\'' && i + 1 < body.length &&
+            body.charAt(i + 1) == '\'') {
+          out += '\''; i += 2
+        } else { out += c; i += 1 }
+      }
+      out.toString
+    } else sys.error(s"WITH option piece not quoted: $s")
   }
 
   private[operators] def parseOptions(opts: String): Map[String, String] =
@@ -826,7 +846,16 @@ object ConnectorDdl {
               it.foreach(r => println(s"+I[${r.mkString(", ")}]"))
           }
         case "blackhole" =>
-          df.write.format("noop").mode("overwrite").save()
+          if (df.isStreaming) {
+            // draining a stream into a blackhole is the reference's
+            // standard smoke-job shape — use the streaming noop sink
+            val q = df.writeStream.format("noop")
+              .option("checkpointLocation", java.nio.file.Files
+                .createTempDirectory(s"bh_${name}_ckpt").toString)
+              .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+              .start()
+            q.awaitTermination()
+          } else df.write.format("noop").mode("overwrite").save()
         case "filesystem" if d.primaryKey.nonEmpty && !df.isStreaming =>
           val seq = d.insertSeq.incrementAndGet()
           graft.sources.UpsertSink.mergeBatch(spark,

@@ -70,13 +70,21 @@ object PipelineQueries {
   private def dedupScale(s: org.apache.spark.sql.SparkSession, dir: String,
       factor: Int): org.apache.spark.sql.DataFrame = {
     val docs0 = t(s, dir, "documents")
+    // Replica disambiguation must actually break shingle similarity: a
+    // single appended token changes ~1 of w trigrams (J ≈ (w−2)/w ≥
+    // 0.8 → replicas of one base doc would form C(factor,2) candidate
+    // CLIQUES and the probe would measure a quadratic-ground-truth
+    // corpus). Inserting the replica tag between EVERY word pair puts
+    // the tag in every shingle, making replica shingle sets disjoint —
+    // candidates then grow linearly with factor (only the injected
+    // dupOffset near-dups match, replica-locally).
     val docs =
       if (factor == 1) docs0
       else docs0.crossJoin(
           s.range(factor.toLong).toDF("rep").hint("broadcast"))
         .withColumn("doc_id", col("doc_id") * factor + col("rep"))
-        .withColumn("text",
-          concat(col("text"), lit(" zq"), col("rep").cast("string")))
+        .withColumn("text", regexp_replace(col("text"), lit(" "),
+          concat(lit(" zq"), col("rep").cast("string"), lit(" "))))
         .drop("rep")
     val withDups = docs.unionAll(
       docs.filter(col("doc_id") % 10 === 0)

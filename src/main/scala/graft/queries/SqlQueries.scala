@@ -145,6 +145,10 @@ object SqlQueries {
       |SELECT root, COUNT(*) AS n, CAST(SUM(doc_id) AS BIGINT) AS sum_ids
       |FROM chain GROUP BY root ORDER BY root""".stripMargin
 
+  /** JVM-scoped hive session cache for q_sql_hive (see there). */
+  @volatile private var hiveSession
+      : Option[org.apache.spark.sql.SparkSession] = None
+
   private val all: Map[String, String] = Map(
     "q_sql_groupingsets" -> groupingSets,
     "q_sql_groupingfn" -> groupingFn,
@@ -304,21 +308,30 @@ object SqlQueries {
     // declarative oracle. The session swap is scoped and restored.
     "q_sql_hive" -> ((s, dir) => {
       import org.apache.spark.sql.SparkSession
-      val wh = java.nio.file.Files.createTempDirectory("q_sql_hive_wh")
-      val ms = java.nio.file.Files.createTempDirectory("q_sql_hive_ms")
-      Runtime.getRuntime.addShutdownHook(new Thread(() => {
-        Q.deleteRecursively(wh); Q.deleteRecursively(ms) }))
       val prevActive = SparkSession.getActiveSession
       val prevDefault = SparkSession.getDefaultSession
       SparkSession.clearActiveSession()
       SparkSession.clearDefaultSession()
       try {
-        val hive = SparkSession.builder()
-          .config("spark.sql.warehouse.dir", wh.toString)
-          .config("javax.jdo.option.ConnectionURL",
-            s"jdbc:derby:;databaseName=$ms/db;create=true")
-          .enableHiveSupport()
-          .getOrCreate()
+        // ONE hive session + derby metastore per JVM (bench re-runs
+        // each query; per-run sessions would accumulate SharedStates,
+        // embedded derby databases, and shutdown hooks)
+        val hive = SqlQueries.synchronized {
+          hiveSession.getOrElse {
+            val wh = java.nio.file.Files.createTempDirectory("q_sql_hive_wh")
+            val ms = java.nio.file.Files.createTempDirectory("q_sql_hive_ms")
+            Runtime.getRuntime.addShutdownHook(new Thread(() => {
+              Q.deleteRecursively(wh); Q.deleteRecursively(ms) }))
+            val h = SparkSession.builder()
+              .config("spark.sql.warehouse.dir", wh.toString)
+              .config("javax.jdo.option.ConnectionURL",
+                s"jdbc:derby:;databaseName=$ms/db;create=true")
+              .enableHiveSupport()
+              .getOrCreate()
+            hiveSession = Some(h)
+            h
+          }
+        }
         Tables.registerAll(hive, dir)
         hive.sql("DROP TABLE IF EXISTS hive_orders_agg")
         hive.sql(

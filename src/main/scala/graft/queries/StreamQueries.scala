@@ -1014,8 +1014,12 @@ object StreamQueries {
         3600000L, "1 second",
         (key, winStart, ls, rs) => {
           // exact cents from the JSON decimal text — no double
-          // addition; HALF_UP to 2dp matches the oracle's
-          // CAST(value AS DECIMAL(12,2)) rounding for >2dp inputs
+          // addition. The testdata invariant is exact-2dp values (the
+          // whole dec2() oracle convention rests on it); the HALF_UP
+          // is a never-crash guard for >2dp data, NOT a general match
+          // for the oracle's double→decimal cast (whose half-boundary
+          // rounding works on the binary expansion, not the shortest
+          // decimal representation this JSON text carries)
           def cents(r: org.apache.spark.sql.Row): Long =
             (BigDecimal(r.getAs[String]("value"))
               .setScale(2, BigDecimal.RoundingMode.HALF_UP) * 100).toLongExact

@@ -281,10 +281,17 @@ object ProtobufWire {
 
   private final class Reader(bytes: Array[Byte], var pos: Int, val end: Int) {
     def hasMore: Boolean = pos < end
+    // every read enforces the span's END: a truncated length-delimited
+    // field must fail loudly, not zero-pad, and a nested message must
+    // never read its parent's following bytes as its own fields
+    private def ensure(n: Int): Unit =
+      if (n < 0 || pos + n > end) throw new IllegalArgumentException(
+        s"truncated protobuf: need $n bytes at $pos, span ends at $end")
     def readVarint(): Long = {
       var shift = 0
       var result = 0L
       while (shift < 64) {
+        ensure(1)
         val b = bytes(pos); pos += 1
         result |= (b & 0x7fL) << shift
         if ((b & 0x80) == 0) return result
@@ -293,12 +300,14 @@ object ProtobufWire {
       throw new IllegalArgumentException("malformed varint")
     }
     def readFixed64(): Long = {
+      ensure(8)
       var v = 0L
       var i = 0
       while (i < 8) { v |= (bytes(pos + i) & 0xffL) << (8 * i); i += 1 }
       pos += 8; v
     }
     def readFixed32(): Int = {
+      ensure(4)
       var v = 0
       var i = 0
       while (i < 4) { v |= (bytes(pos + i) & 0xff) << (8 * i); i += 1 }
@@ -306,19 +315,21 @@ object ProtobufWire {
     }
     def readBytes(): Array[Byte] = {
       val len = readVarint().toInt
+      ensure(len)
       val out = java.util.Arrays.copyOfRange(bytes, pos, pos + len)
       pos += len; out
     }
     def sub(): Reader = {
       val len = readVarint().toInt
+      ensure(len)
       val r = new Reader(bytes, pos, pos + len)
       pos += len; r
     }
     def skip(wire: Int): Unit = wire match {
       case 0 => readVarint()
-      case 1 => pos += 8
-      case 2 => val len = readVarint().toInt; pos += len
-      case 5 => pos += 4
+      case 1 => ensure(8); pos += 8
+      case 2 => val len = readVarint().toInt; ensure(len); pos += len
+      case 5 => ensure(4); pos += 4
       case w => throw new IllegalArgumentException(s"unsupported wire type $w")
     }
   }

@@ -79,8 +79,13 @@ object CoGroup {
       val key =
         if (keyCols.lengthCompare(1) == 0) col(keyCols.head).cast("string")
         else to_json(struct(keyCols.map(col): _*))
+      // micros-precision timestampFormat: bare to_json truncates
+      // timestamps to millis, collapsing events distinct only at
+      // microsecond precision inside the payload
       df.select(key.as("__key"), col(tsCol).as("__ts"), lit(side).as("__side"),
-        to_json(struct(df.columns.map(col).toSeq: _*)).as("__payload"))
+        to_json(struct(df.columns.map(col).toSeq: _*),
+          java.util.Map.of("timestampFormat",
+            "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX")).as("__payload"))
     }
     // union of the two tagged shapes; payload travels as JSON so the
     // two sides' (different) schemas share one shuffle row layout.

@@ -609,6 +609,38 @@ class ConnectorDdlSpec extends SparkSuite {
       e.getMessage.contains("PRIMARY KEY"))
   }
 
+  test("streaming INSERT into a blackhole drains the stream") {
+    val src = tmp("ddl_bh_src")
+    Seq((1L, 2.0)).toDF("id", "v").write.mode("overwrite").parquet(src)
+    GraftSql.sql(spark,
+      s"""CREATE TABLE bh_src (id BIGINT, v DOUBLE)
+         |WITH ('connector' = 'filesystem', 'path' = '$src',
+         |      'format' = 'parquet', 'scan.streaming' = 'true')""".stripMargin)
+    GraftSql.sql(spark,
+      "CREATE TABLE bh_sink (id BIGINT, v DOUBLE) WITH ('connector' = 'blackhole')")
+    // must not throw (df.write on a streaming frame would)
+    GraftSql.sql(spark, "INSERT INTO bh_sink SELECT id, v FROM bh_src")
+  }
+
+  test("SHOW CREATE TABLE escapes backslashes in option values") {
+    val dir = tmp("ddl_bslash") + "/t"
+    Seq((1L, "x")).toDF("id", "tag").write.mode("overwrite").parquet(dir)
+    // input uses the ESCAPED form '\\' — the quote scanner treats \'
+    // as an escaped quote, so a bare '\' is not expressible directly
+    GraftSql.sql(spark,
+      s"""CREATE TABLE bslash_t (id BIGINT, tag STRING)
+         |WITH ('connector' = 'filesystem', 'path' = '$dir',
+         |      'format' = 'csv', 'csv.escape' = '\\\\', 'note' = 'C:\\\\dir')""".stripMargin)
+    val d = ConnectorDdl.lookup(spark, "bslash_t").get
+    assert(d.options("csv.escape") == "\\" && d.options("note") == "C:\\dir")
+    val ddl = GraftSql.sql(spark, "SHOW CREATE TABLE bslash_t")
+      .head().getString(0)
+    GraftSql.sql(spark,
+      ddl.replace("CREATE TABLE bslash_t", "CREATE TABLE bslash_t2"))
+    val d2 = ConnectorDdl.lookup(spark, "bslash_t2").get
+    assert(d2.options("csv.escape") == "\\" && d2.options("note") == "C:\\dir")
+  }
+
   test("SHOW CREATE TABLE escapes quotes in option values and round-trips") {
     val dir = tmp("ddl_quote") + "/t"
     Seq((1L, "x")).toDF("id", "tag").write.mode("overwrite").parquet(dir)

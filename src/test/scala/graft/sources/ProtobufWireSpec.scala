@@ -166,6 +166,32 @@ class ProtobufWireSpec extends SparkSuite {
     assert(r.getSeq[String](1) == Seq("a", ""))
   }
 
+  test("truncated wire bytes fail loudly instead of zero-padding") {
+    // field 1 string claims len 10 but only 4 bytes follow
+    val truncated = Array(0x0a, 0x0a, 0x61, 0x62, 0x63, 0x64).map(_.toByte)
+    val sch = StructType(Seq(StructField("s", StringType)))
+    val e = intercept[Exception] {
+      Seq(1).toDF("x")
+        .select(ProtobufWire.fromProtobuf(lit(truncated), sch).as("m"))
+        .select("m.*").collect()
+    }
+    assert(e.getMessage.contains("truncated protobuf") ||
+      Option(e.getCause).exists(_.getMessage.contains("truncated protobuf")))
+    // a nested message's length must bound its reads: inner claims
+    // len 2 but its string field claims len 5 (would read the parent's
+    // trailing field as its own content without the bound)
+    val crossing = Array(0x0a, 0x02, 0x0a, 0x05, 0x10, 0x07).map(_.toByte)
+    val nested = StructType(Seq(StructField("m", StructType(Seq(
+      StructField("s", StringType))))))
+    val e2 = intercept[Exception] {
+      Seq(1).toDF("x")
+        .select(ProtobufWire.fromProtobuf(lit(crossing), nested).as("r"))
+        .select("r.*").collect()
+    }
+    assert(e2.getMessage.contains("truncated protobuf") ||
+      Option(e2.getCause).exists(_.getMessage.contains("truncated protobuf")))
+  }
+
   test("unpacked numeric encoding is accepted on decode (spec requirement)") {
     // hand-build field 1 repeated int64 written UNPACKED: 08 05 08 90 03
     val bytes = Array(0x08, 0x05, 0x08, 0x90, 0x03).map(_.toByte)
