@@ -1037,6 +1037,58 @@ object StreamQueries {
         .orderBy($"window_start", $"user_id")
     }),
 
+    // Sliding-window coGroup (CoGroup.sliding — the reference's
+    // SlidingEventTimeWindows under CoGroupedStreams): size 2 h, slide
+    // 1 h, so every event lands in TWO window instances; the oracle
+    // restates the assignment as a union of the two shifted hour
+    // buckets. Users subsampled to keep the row count bounded.
+    "q_stream_coslide" -> ((s, dir) => {
+      import s.implicits._
+      implicit val sqlCtx = s.sqlContext
+      val rows = sortedEvents(s, dir)
+        .filter(e => (e.event_type == "click" || e.event_type == "purchase")
+          && e.user_id % 5 == 0)
+      val sentinel = Ev(-1L, -1L,
+        new java.sql.Timestamp(rows.last.ts.getTime + 10L * 86400000L),
+        "click", 0.0)
+      val input = MemoryStream[Ev]
+      val ev = input.toDS()
+      val clicks = ev.filter($"event_type" === "click")
+        .select($"user_id", $"ts", $"value")
+      val purchases = ev.filter($"event_type" === "purchase")
+        .select($"user_id", $"ts", $"value")
+      val outSchema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("window_start",
+          org.apache.spark.sql.types.TimestampType),
+        org.apache.spark.sql.types.StructField("user_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("n_clicks",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("n_purchases",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("sum_cents",
+          org.apache.spark.sql.types.LongType)))
+      val out = graft.streaming.CoGroup.sliding(
+        clicks.toDF(), purchases.toDF(), Seq("user_id"), "ts",
+        7200000L, 3600000L, "1 second",
+        (key, winStart, ls, rs) => {
+          def cents(r: org.apache.spark.sql.Row): Long =
+            (BigDecimal(r.getAs[String]("value"))
+              .setScale(2, BigDecimal.RoundingMode.HALF_UP) * 100).toLongExact
+          Iterator.single(new org.apache.spark.sql.catalyst.expressions.GenericRow(
+            Array[Any](new java.sql.Timestamp(winStart), key.toLong,
+              ls.length.toLong, rs.length.toLong,
+              ls.map(cents).sum + rs.map(cents).sum)))
+        },
+        outSchema)
+      runToEnd(s, input, out.toDF(), chunks(rows, 2) :+ Seq(sentinel),
+        mode = "append", rocks = true)
+        .filter($"user_id" =!= -1L)
+        .select($"window_start".cast("timestamp_ntz").as("window_start"),
+          $"user_id", $"n_clicks", $"n_purchases", $"sum_cents")
+        .orderBy($"window_start", $"user_id")
+    }),
+
     // Event-time state-TTL dedup (StatefulOps.KeepFirstTtlProcessor —
     // the DeduplicateFunctionHelper + StateTtlConfig story made
     // deterministic): a user's "seen" mark expires after a 6-hour
@@ -1422,6 +1474,29 @@ object StreamQueries {
         |p AS (SELECT time_bucket(INTERVAL 1 HOUR, ts) AS w, user_id, COUNT(*) AS n,
         |        SUM(CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)) AS cents
         |      FROM e WHERE event_type = 'purchase' GROUP BY 1, 2)
+        |SELECT COALESCE(c.w, p.w) AS window_start,
+        |  COALESCE(c.user_id, p.user_id) AS user_id,
+        |  CAST(COALESCE(c.n, 0) AS BIGINT) AS n_clicks,
+        |  CAST(COALESCE(p.n, 0) AS BIGINT) AS n_purchases,
+        |  CAST(COALESCE(c.cents, 0) + COALESCE(p.cents, 0) AS BIGINT) AS sum_cents
+        |FROM c FULL OUTER JOIN p ON c.w = p.w AND c.user_id = p.user_id
+        |ORDER BY window_start, user_id""".stripMargin,
+
+    // sliding assignment = each event in the bucket it starts AND the
+    // one before (size 2h, slide 1h)
+    "q_stream_coslide" ->
+      """WITH e AS (SELECT user_id, make_timestamp(epoch_ns(ts) // 1000) AS ts, event_type, value
+        |           FROM events
+        |           WHERE event_type IN ('click', 'purchase') AND user_id % 5 = 0),
+        |ex AS (SELECT user_id, event_type, value, time_bucket(INTERVAL 1 HOUR, ts) AS w FROM e
+        |       UNION ALL
+        |       SELECT user_id, event_type, value, time_bucket(INTERVAL 1 HOUR, ts) - INTERVAL 1 HOUR FROM e),
+        |c AS (SELECT w, user_id, COUNT(*) AS n,
+        |        SUM(CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)) AS cents
+        |      FROM ex WHERE event_type = 'click' GROUP BY 1, 2),
+        |p AS (SELECT w, user_id, COUNT(*) AS n,
+        |        SUM(CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)) AS cents
+        |      FROM ex WHERE event_type = 'purchase' GROUP BY 1, 2)
         |SELECT COALESCE(c.w, p.w) AS window_start,
         |  COALESCE(c.user_id, p.user_id) AS user_id,
         |  CAST(COALESCE(c.n, 0) AS BIGINT) AS n_clicks,
