@@ -30,14 +30,22 @@ object GraftSql {
     """(?is)^\s*RESET\s+'([^']+)'\s*;?\s*$""".r
 
   def sql(spark: SparkSession, query: String): DataFrame = {
-    // first-use registration of the engine's SQL functions, keyed by
-    // the registry's OWN state (an identity-hash set could collide with
-    // a GC'd session and silently skip a fresh one)
-    if (!spark.sessionState.functionRegistry.functionExists(
-        org.apache.spark.sql.catalyst.FunctionIdentifier("split_index"))) {
+    // first-use registration of the engine's SQL functions, each family
+    // keyed by whether the registry's entry is OUR expression class (an
+    // identity-hash set could collide with a GC'd session; a bare
+    // functionExists check would be fooled by Spark's own builtin
+    // to_protobuf/from_protobuf, which carry a descriptor-file
+    // contract this engine's override replaces)
+    def needsGraft(fn: String, cls: String): Boolean =
+      !spark.sessionState.functionRegistry.lookupFunction(
+        org.apache.spark.sql.catalyst.FunctionIdentifier(fn))
+        .exists(_.getClassName == cls)
+    if (needsGraft("split_index",
+        classOf[graft.functions.SplitIndex].getName))
       graft.functions.GraftFunctions.register(spark)
+    if (needsGraft("from_protobuf",
+        classOf[graft.sources.PbDecode].getName))
       graft.sources.ProtobufWire.register(spark)
-    }
     // EXECUTE STATEMENT SET BEGIN <insert>; <insert>; … END — the
     // reference's multi-sink statement set (SqlStatementSet): each
     // INSERT runs through this same entry. The reference's shared-scan

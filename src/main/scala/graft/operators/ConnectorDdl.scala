@@ -670,6 +670,16 @@ object ConnectorDdl {
     }
   }
 
+  /** Per-statement scratch checkpoint dir, reaped at JVM exit so
+    * repeated smoke jobs don't accumulate state-store files in /tmp.
+    */
+  private def scratchCkpt(prefix: String): String = {
+    val dir = java.nio.file.Files.createTempDirectory(prefix)
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      graft.queries.Q.deleteRecursively(dir)))
+    dir.toString
+  }
+
   private val CdcFormats =
     Set("debezium-json", "canal-json", "maxwell-json", "ogg-json")
 
@@ -830,8 +840,7 @@ object ConnectorDdl {
             // truncates to 20 rows/20 chars AND collects each batch to
             // the driver, both wrong for a sink of record
             val q = df.writeStream
-              .option("checkpointLocation", java.nio.file.Files
-                .createTempDirectory(s"print_${name}_ckpt").toString)
+              .option("checkpointLocation", scratchCkpt(s"print_${name}_ckpt"))
               .foreachBatch { (batch: DataFrame, _: Long) =>
                 batch.foreachPartition {
                   (it: Iterator[org.apache.spark.sql.Row]) =>
@@ -850,8 +859,7 @@ object ConnectorDdl {
             // draining a stream into a blackhole is the reference's
             // standard smoke-job shape — use the streaming noop sink
             val q = df.writeStream.format("noop")
-              .option("checkpointLocation", java.nio.file.Files
-                .createTempDirectory(s"bh_${name}_ckpt").toString)
+              .option("checkpointLocation", scratchCkpt(s"bh_${name}_ckpt"))
               .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
               .start()
             q.awaitTermination()

@@ -61,7 +61,33 @@ object PipelineQueries {
     // recorded in SURVEY's scale notes — near-linear = the banded join
     // holds, quadratic = a bucket degenerated.
     "b_dedup_scale1" -> ((s, dir) => dedupScale(s, dir, 1)),
-    "b_dedup_scale8" -> ((s, dir) => dedupScale(s, dir, 8)))
+    "b_dedup_scale8" -> ((s, dir) => dedupScale(s, dir, 8)),
+
+    // ANN scale-law probe: the SAME IVF assign→probe→score→rank plan
+    // over a 1× and an 8× corpus (replicated vectors land in the same
+    // cells, so probed-cell sizes — the per-query work — grow exactly
+    // linearly; the centroid model stays O(nCells·dim) broadcast).
+    // Near-linear wall ratio = the multi-probe scan holds at scale.
+    "b_sim_scale1" -> ((s, dir) => simScale(s, dir, 1)),
+    "b_sim_scale8" -> ((s, dir) => simScale(s, dir, 8)))
+
+  /** The q_sim_ann pipeline over a `factor`-times replicated corpus,
+    * reduced to its result cardinality + rank checksum.
+    */
+  private def simScale(s: org.apache.spark.sql.SparkSession, dir: String,
+      factor: Int): org.apache.spark.sql.DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val corpus =
+      if (factor == 1) emb
+      else emb.crossJoin(
+          s.range(factor.toLong).toDF("rep").hint("broadcast"))
+        .withColumn("vec_id", col("vec_id") * factor + col("rep"))
+        .drop("rep")
+    SimilarityOps.ivfTopK(emb.filter(col("vec_id") < 10), corpus,
+        k = 5, nCells = 8, nProbe = 3)
+      .agg(count(lit(1)).as("n"),
+        sum(col("rank")).cast("long").as("rank_sum"))
+  }
 
   /** The q_dedup_lsh pipeline over a `factor`-times replicated corpus
     * (distinct replica suffix per copy + the standard injected 10%
@@ -74,17 +100,19 @@ object PipelineQueries {
     // single appended token changes ~1 of w trigrams (J ≈ (w−2)/w ≥
     // 0.8 → replicas of one base doc would form C(factor,2) candidate
     // CLIQUES and the probe would measure a quadratic-ground-truth
-    // corpus). Inserting the replica tag between EVERY word pair puts
-    // the tag in every shingle, making replica shingle sets disjoint —
-    // candidates then grow linearly with factor (only the injected
-    // dupOffset near-dups match, replica-locally).
+    // corpus). Suffixing the replica tag onto EVERY word IN PLACE puts
+    // the tag in every shingle WITHOUT changing the token count (an
+    // inter-word insertion would double per-doc work at factor>1 and
+    // bias the measured exponent) — replica shingle sets are disjoint,
+    // so candidates grow linearly (only the injected dupOffset
+    // near-dups match, replica-locally).
     val docs =
       if (factor == 1) docs0
       else docs0.crossJoin(
           s.range(factor.toLong).toDF("rep").hint("broadcast"))
         .withColumn("doc_id", col("doc_id") * factor + col("rep"))
-        .withColumn("text", regexp_replace(col("text"), lit(" "),
-          concat(lit(" zq"), col("rep").cast("string"), lit(" "))))
+        .withColumn("text", regexp_replace(col("text"), lit("(\\S+)"),
+          concat(lit("$1zq"), col("rep").cast("string"))))
         .drop("rep")
     val withDups = docs.unionAll(
       docs.filter(col("doc_id") % 10 === 0)

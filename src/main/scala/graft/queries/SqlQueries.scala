@@ -317,7 +317,9 @@ object SqlQueries {
         // each query; per-run sessions would accumulate SharedStates,
         // embedded derby databases, and shutdown hooks)
         val hive = SqlQueries.synchronized {
-          hiveSession.getOrElse {
+          // a cached session bound to a STOPPED context must rebuild,
+          // not serve dead-context errors forever
+          hiveSession.filter(h => !h.sparkContext.isStopped).getOrElse {
             val wh = java.nio.file.Files.createTempDirectory("q_sql_hive_wh")
             val ms = java.nio.file.Files.createTempDirectory("q_sql_hive_ms")
             Runtime.getRuntime.addShutdownHook(new Thread(() => {

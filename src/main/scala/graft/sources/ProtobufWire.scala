@@ -284,9 +284,20 @@ object ProtobufWire {
     // every read enforces the span's END: a truncated length-delimited
     // field must fail loudly, not zero-pad, and a nested message must
     // never read its parent's following bytes as its own fields
+    // `n > end - pos` (not `pos + n > end`): the latter overflows Int
+    // for a huge claimed length and silently PASSES the check
     private def ensure(n: Int): Unit =
-      if (n < 0 || pos + n > end) throw new IllegalArgumentException(
+      if (n < 0 || n > end - pos) throw new IllegalArgumentException(
         s"truncated protobuf: need $n bytes at $pos, span ends at $end")
+    /** Length prefix as a bounds-checked Int (a 64-bit varint length
+      * must fail loudly, not truncate to a small Int and misparse).
+      */
+    private def readLen(): Int = {
+      val l = readVarint()
+      if (l < 0 || l > Int.MaxValue) throw new IllegalArgumentException(
+        s"malformed protobuf length $l")
+      l.toInt
+    }
     def readVarint(): Long = {
       var shift = 0
       var result = 0L
@@ -314,13 +325,13 @@ object ProtobufWire {
       pos += 4; v
     }
     def readBytes(): Array[Byte] = {
-      val len = readVarint().toInt
+      val len = readLen()
       ensure(len)
       val out = java.util.Arrays.copyOfRange(bytes, pos, pos + len)
       pos += len; out
     }
     def sub(): Reader = {
-      val len = readVarint().toInt
+      val len = readLen()
       ensure(len)
       val r = new Reader(bytes, pos, pos + len)
       pos += len; r
@@ -328,7 +339,7 @@ object ProtobufWire {
     def skip(wire: Int): Unit = wire match {
       case 0 => readVarint()
       case 1 => ensure(8); pos += 8
-      case 2 => val len = readVarint().toInt; ensure(len); pos += len
+      case 2 => val len = readLen(); ensure(len); pos += len
       case 5 => ensure(4); pos += 4
       case w => throw new IllegalArgumentException(s"unsupported wire type $w")
     }

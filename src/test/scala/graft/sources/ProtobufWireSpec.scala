@@ -190,6 +190,18 @@ class ProtobufWireSpec extends SparkSuite {
     }
     assert(e2.getMessage.contains("truncated protobuf") ||
       Option(e2.getCause).exists(_.getMessage.contains("truncated protobuf")))
+    // a HUGE claimed length (0x7FFFFFFF) must not overflow the bounds
+    // check into a silent empty decode
+    val huge = Array(0x0a, 0xff, 0xff, 0xff, 0xff, 0x07).map(_.toByte)
+    val e3 = intercept[Exception] {
+      Seq(1).toDF("x")
+        .select(ProtobufWire.fromProtobuf(lit(huge), nested).as("r"))
+        .select("r.*").collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => x.getMessage +: msgs(x.getCause))
+    assert(msgs(e3).exists(m => m != null &&
+      (m.contains("truncated protobuf") || m.contains("malformed protobuf"))))
   }
 
   test("unpacked numeric encoding is accepted on decode (spec requirement)") {
