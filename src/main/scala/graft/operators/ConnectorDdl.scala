@@ -844,15 +844,20 @@ object ConnectorDdl {
               .foreachBatch { (batch: DataFrame, _: Long) =>
                 batch.foreachPartition {
                   (it: Iterator[org.apache.spark.sql.Row]) =>
-                    it.foreach(r => println(s"+I[${r.mkString(", ")}]"))
+                    it.foreach(r =>
+                      System.out.println(s"+I[${r.mkString(", ")}]"))
                 }
               }
               .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
               .start()
             q.awaitTermination()
           } else df.foreachPartition {
+            // System.out (not Scala's Console-cached println): read
+            // dynamically per call, so the task-thread output lands on
+            // the process's CURRENT stdout
             (it: Iterator[org.apache.spark.sql.Row]) =>
-              it.foreach(r => println(s"+I[${r.mkString(", ")}]"))
+              it.foreach(r =>
+                System.out.println(s"+I[${r.mkString(", ")}]"))
           }
         case "blackhole" =>
           if (df.isStreaming) {

@@ -609,6 +609,24 @@ class ConnectorDdlSpec extends SparkSuite {
       e.getMessage.contains("PRIMARY KEY"))
   }
 
+  test("print sink emits EVERY row per partition, no driver truncation") {
+    GraftSql.sql(spark,
+      "CREATE TABLE prt_sink (id BIGINT) WITH ('connector' = 'print')")
+    spark.range(50).toDF("id").createOrReplaceTempView("prt_src")
+    // local mode shares stdout with the executors — capture it and
+    // assert all 50 rows print in the +I[...] per-row format (the
+    // console-sink route would truncate to 20 rows in table format)
+    val buf = new java.io.ByteArrayOutputStream()
+    val prev = System.out
+    System.setOut(new java.io.PrintStream(buf, true, "UTF-8"))
+    try GraftSql.sql(spark, "INSERT INTO prt_sink SELECT id FROM prt_src")
+    finally System.setOut(prev)
+    val printed = buf.toString("UTF-8").linesIterator
+      .filter(_.startsWith("+I[")).toSeq
+    assert(printed.length == 50)
+    assert((0L until 50L).forall(i => printed.contains(s"+I[$i]")))
+  }
+
   test("streaming INSERT into a blackhole drains the stream") {
     val src = tmp("ddl_bh_src")
     Seq((1L, 2.0)).toDF("id", "v").write.mode("overwrite").parquet(src)
