@@ -1013,15 +1013,14 @@ object StreamQueries {
         clicks.toDF(), purchases.toDF(), Seq("user_id"), "ts",
         3600000L, "1 second",
         (key, winStart, ls, rs) => {
-          // exact cents from the JSON decimal text — no double
-          // addition. The testdata invariant is exact-2dp values (the
-          // whole dec2() oracle convention rests on it); the HALF_UP
-          // is a never-crash guard for >2dp data, NOT a general match
-          // for the oracle's double→decimal cast (whose half-boundary
-          // rounding works on the binary expansion, not the shortest
-          // decimal representation this JSON text carries)
+          // exact cents via the double's shortest decimal rendering —
+          // no double addition. The testdata invariant is exact-2dp
+          // values (the whole dec2() oracle convention rests on it);
+          // the HALF_UP is a never-crash guard for >2dp data. The
+          // typed payload hands `value` over as a real Double now —
+          // no string cast contract
           def cents(r: org.apache.spark.sql.Row): Long =
-            (BigDecimal(r.getAs[String]("value"))
+            (BigDecimal(java.lang.Double.toString(r.getAs[Double]("value")))
               .setScale(2, BigDecimal.RoundingMode.HALF_UP) * 100).toLongExact
           Iterator.single(new org.apache.spark.sql.catalyst.expressions.GenericRow(
             Array[Any](new java.sql.Timestamp(winStart), key.toLong,
@@ -1073,7 +1072,7 @@ object StreamQueries {
         7200000L, 3600000L, "1 second",
         (key, winStart, ls, rs) => {
           def cents(r: org.apache.spark.sql.Row): Long =
-            (BigDecimal(r.getAs[String]("value"))
+            (BigDecimal(java.lang.Double.toString(r.getAs[Double]("value")))
               .setScale(2, BigDecimal.RoundingMode.HALF_UP) * 100).toLongExact
           Iterator.single(new org.apache.spark.sql.catalyst.expressions.GenericRow(
             Array[Any](new java.sql.Timestamp(winStart), key.toLong,

@@ -1,8 +1,7 @@
 package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Encoders, Row}
-import org.apache.spark.sql.catalyst.expressions.GenericRow
-import org.apache.spark.sql.functions.{col, lit, struct, to_json}
+import org.apache.spark.sql.functions.{col, concat_ws, explode, floor, lit, sequence, struct, unix_millis}
 import org.apache.spark.sql.streaming._
 import org.apache.spark.sql.types._
 
@@ -21,6 +20,14 @@ import org.apache.spark.sql.types._
   * timer at window end — the same fire-once-per-window contract as the
   * reference's EvictingWindowOperator-driven apply.
   *
+  * Payload codec: a TYPED union — each shuffle row carries two nullable
+  * structs (`__l` over the left schema, `__r` over the right), exactly
+  * one non-null, the analogue of the reference's `TaggedUnion` element
+  * type (`CoGroupedStreams.java`, UnionTypeInfo/UnionSerializer): Spark
+  * shuffles and RocksDB-stores the struct natively via encoders, and
+  * the callback receives Rows with the side's REAL column types — no
+  * per-row text encode/parse, no stringly-typed casts in user code.
+  *
   * Scale shape: ONE shuffle over the union (each side shuffles once, as
   * in the reference); state per key = that window's rows on both sides,
   * evicted at the watermark-driven fire; no cross-product, no driver
@@ -38,8 +45,9 @@ object CoGroup {
     * @param tsCol     event-time column, present on both sides
     * @param windowMs  tumbling window size in milliseconds
     * @param delay     watermark delay (applied to the tagged union)
-    * @param f         cogroup callback: (keyJson, windowStartMs,
-    *                  leftRows, rightRows) → output rows
+    * @param f         cogroup callback: (keyText, windowStartMs,
+    *                  leftRows, rightRows) → output rows; the buffered
+    *                  Rows carry each side's original schema and types
     * @param outSchema schema of the callback's output rows
     */
   def tumbling(left: DataFrame, right: DataFrame, keyCols: Seq[String],
@@ -72,23 +80,28 @@ object CoGroup {
     require(keyCols.nonEmpty, "coGroup needs equality keys")
     require(sizeMs > 0 && slideMs > 0 && sizeMs % slideMs == 0,
       "window size must be a positive multiple of the slide")
-    val leftCols = left.columns.toSeq
-    val rightCols = right.columns.toSeq
+    // state/encoder schemas: all-nullable so one-sided union rows and
+    // RocksDB round-trips agree on the layout regardless of source
+    // nullability
+    val leftSchema = StructType(left.schema.fields.map(_.copy(nullable = true)))
+    val rightSchema = StructType(right.schema.fields.map(_.copy(nullable = true)))
+
+    // key text: single keys cast to string; composite keys joined with
+    //  (never a key byte in practice) — no JSON anywhere
+    def keyExpr(df: DataFrame) =
+      if (keyCols.lengthCompare(1) == 0) col(keyCols.head).cast("string")
+      else concat_ws("", keyCols.map(c => col(c).cast("string")): _*)
 
     def tag(df: DataFrame, side: Int): DataFrame = {
-      val key =
-        if (keyCols.lengthCompare(1) == 0) col(keyCols.head).cast("string")
-        else to_json(struct(keyCols.map(col): _*))
-      // micros-precision timestampFormat: bare to_json truncates
-      // timestamps to millis, collapsing events distinct only at
-      // microsecond precision inside the payload
-      df.select(key.as("__key"), col(tsCol).as("__ts"), lit(side).as("__side"),
-        to_json(struct(df.columns.map(col).toSeq: _*),
-          java.util.Map.of("timestampFormat",
-            "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX")).as("__payload"))
+      val payload = struct(df.columns.map(col).toSeq: _*)
+      val (l, r) =
+        if (side == 0) (payload.cast(leftSchema), lit(null).cast(rightSchema))
+        else (lit(null).cast(leftSchema), payload.cast(rightSchema))
+      df.select(keyExpr(df).as("__key"), col(tsCol).as("__ts"),
+        lit(side).as("__side"), l.as("__l"), r.as("__r"))
     }
-    // union of the two tagged shapes; payload travels as JSON so the
-    // two sides' (different) schemas share one shuffle row layout.
+    // union of the two tagged shapes; the side structs travel typed so
+    // the two sides' (different) schemas share one shuffle row layout.
     // Sliding assignment replicates each record to its covering window
     // starts BEFORE the shuffle (last start down to ts − size,
     // step slide) — one shuffle total, same as the reference.
@@ -96,14 +109,13 @@ object CoGroup {
     // zero, which is ceil for negative epochs). Note Spark's streaming
     // watermark floor is epoch 0, so pre-1970 event times cannot fire
     // windows in any transformWithState operator — not just this one.
-    val lastStart = org.apache.spark.sql.functions.floor(
-        org.apache.spark.sql.functions.unix_millis(col("__ts"))
-          .divide(lit(slideMs))).cast("long").multiply(lit(slideMs))
+    val lastStart = floor(unix_millis(col("__ts")).divide(lit(slideMs)))
+      .cast("long").multiply(lit(slideMs))
     val tagged = tag(left, 0).unionByName(tag(right, 1))
       .withWatermark("__ts", delay)
-      .withColumn("__win", org.apache.spark.sql.functions.explode(
-        org.apache.spark.sql.functions.sequence(
-          lastStart - lit(sizeMs) + lit(slideMs), lastStart, lit(slideMs))))
+      .withColumn("__win", explode(
+        sequence(lastStart - lit(sizeMs) + lit(slideMs), lastStart,
+          lit(slideMs))))
 
     implicit val outEnc: org.apache.spark.sql.Encoder[Row] =
       Encoders.row(outSchema)
@@ -113,27 +125,25 @@ object CoGroup {
       .groupByKey((r: Row) =>
         (r.getString(0), r.getLong(r.fieldIndex("__win"))))
       .transformWithState(
-        new TumblingCoGroupProcessor(sizeMs, leftCols, rightCols, f),
+        new WindowedCoGroupProcessor(sizeMs, leftSchema, rightSchema, f),
         TimeMode.EventTime(), OutputMode.Append())
   }
 
-  class TumblingCoGroupProcessor(windowMs: Long,
-      leftCols: Seq[String], rightCols: Seq[String],
+  class WindowedCoGroupProcessor(windowMs: Long,
+      leftSchema: StructType, rightSchema: StructType,
       f: (String, Long, Seq[Row], Seq[Row]) => Iterator[Row])
       extends StatefulProcessor[(String, Long), Row, Row] {
-    @transient private var leftBuf: ListState[String] = _
-    @transient private var rightBuf: ListState[String] = _
-    // built once, not per buffered row on the fire path
-    private lazy val leftSchema =
-      StructType(leftCols.map(StructField(_, StringType)))
-    private lazy val rightSchema =
-      StructType(rightCols.map(StructField(_, StringType)))
+    @transient private var leftBuf: ListState[Row] = _
+    @transient private var rightBuf: ListState[Row] = _
 
     override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
-      leftBuf = getHandle.getListState[String]("left",
-        Encoders.STRING, TTLConfig.NONE)
-      rightBuf = getHandle.getListState[String]("right",
-        Encoders.STRING, TTLConfig.NONE)
+      // typed ListState: rows persist in the row-encoder's binary form,
+      // the analogue of the reference's heap/RocksDB ListState over the
+      // TaggedUnion serializer — no text round-trip
+      leftBuf = getHandle.getListState[Row]("left",
+        Encoders.row(leftSchema), TTLConfig.NONE)
+      rightBuf = getHandle.getListState[Row]("right",
+        Encoders.row(rightSchema), TTLConfig.NONE)
     }
 
     override def handleInputRows(key: (String, Long), rows: Iterator[Row],
@@ -142,10 +152,10 @@ object CoGroup {
       // window already fired (or would fire immediately) → late, drop
       if (timerValues.getCurrentWatermarkInMs() >= winEnd)
         return Iterator.empty
-      val ls = scala.collection.mutable.ArrayBuffer.empty[String]
-      val rs = scala.collection.mutable.ArrayBuffer.empty[String]
+      val ls = scala.collection.mutable.ArrayBuffer.empty[Row]
+      val rs = scala.collection.mutable.ArrayBuffer.empty[Row]
       rows.foreach { r =>
-        if (r.getInt(2) == 0) ls += r.getString(3) else rs += r.getString(3)
+        if (r.getInt(2) == 0) ls += r.getStruct(3) else rs += r.getStruct(4)
       }
       if (ls.nonEmpty) leftBuf.appendList(ls.toArray)
       if (rs.nonEmpty) rightBuf.appendList(rs.toArray)
@@ -157,81 +167,10 @@ object CoGroup {
     override def handleExpiredTimer(key: (String, Long),
         timerValues: TimerValues, expiredTimerInfo: ExpiredTimerInfo)
         : Iterator[Row] = {
-      def parse(json: String, cols: Seq[String], schema: StructType): Row = {
-        val m = parseFlatJson(json)
-        // carry a schema (all-string payload) so callbacks can read
-        // fields by name
-        new org.apache.spark.sql.catalyst.expressions.GenericRowWithSchema(
-          cols.map(c => m.getOrElse(c, null)).toArray[Any], schema)
-      }
-      val ls = leftBuf.get().map(parse(_, leftCols, leftSchema)).toIndexedSeq
-      val rs = rightBuf.get().map(parse(_, rightCols, rightSchema)).toIndexedSeq
+      val ls = leftBuf.get().toIndexedSeq
+      val rs = rightBuf.get().toIndexedSeq
       leftBuf.clear(); rightBuf.clear()
       f(key._1, key._2, ls, rs)
     }
-  }
-
-  /** Minimal flat-JSON object parser for the payload round-trip (values
-    * come back as String; the cogroup callback casts as needed). Handles
-    * string escapes; nested objects/arrays are returned as raw text.
-    */
-  def parseFlatJson(s: String): Map[String, String] = {
-    val out = Map.newBuilder[String, String]
-    var i = s.indexOf('{') + 1
-    def skipWs(): Unit = while (i < s.length && s.charAt(i).isWhitespace) i += 1
-    def readString(): String = {
-      val sb = new StringBuilder
-      i += 1 // opening quote
-      while (i < s.length && s.charAt(i) != '"') {
-        if (s.charAt(i) == '\\' && i + 1 < s.length) {
-          s.charAt(i + 1) match {
-            case 'n' => sb += '\n'; i += 2
-            case 't' => sb += '\t'; i += 2
-            case 'r' => sb += '\r'; i += 2
-            case 'b' => sb += '\b'; i += 2
-            case 'f' => sb += '\f'; i += 2
-            case 'u' if i + 5 < s.length =>
-              sb += Integer.parseInt(s.substring(i + 2, i + 6), 16).toChar
-              i += 6
-            case c => sb += c; i += 2
-          }
-        } else { sb += s.charAt(i); i += 1 }
-      }
-      i += 1 // closing quote
-      sb.toString
-    }
-    def readValue(): String = {
-      skipWs()
-      if (i < s.length && s.charAt(i) == '"') readString()
-      else {
-        // non-string value: number/bool/null, or a nested object/array
-        // returned as raw text — the depth scan must not count braces
-        // inside nested STRING literals
-        val start = i
-        var depth = 0
-        while (i < s.length && (depth > 0 ||
-            (s.charAt(i) != ',' && s.charAt(i) != '}'))) {
-          val c = s.charAt(i)
-          if (c == '"') { readString(); () }
-          else {
-            if (c == '{' || c == '[') depth += 1
-            else if (c == '}' || c == ']') depth -= 1
-            i += 1
-          }
-        }
-        s.substring(start, i).trim
-      }
-    }
-    while (i < s.length) {
-      skipWs()
-      if (i >= s.length || s.charAt(i) == '}') return out.result()
-      val k = readString()
-      skipWs()
-      i += 1 // ':'
-      out += (k -> readValue())
-      skipWs()
-      if (i < s.length && s.charAt(i) == ',') i += 1
-    }
-    out.result()
   }
 }

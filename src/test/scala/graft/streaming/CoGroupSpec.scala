@@ -9,7 +9,8 @@ import graft.SparkSuite
 
 /** Windowed streaming coGroup (streaming/CoGroup): both-side buffering,
   * one-sided keys (the capability a join lacks), watermark-driven fire,
-  * and the payload JSON round-trip.
+  * and the TYPED union payload (no JSON anywhere — callbacks receive
+  * rows with the sides' real column types).
   */
 class CoGroupSpec extends SparkSuite {
   import spark.implicits._
@@ -28,9 +29,24 @@ class CoGroupSpec extends SparkSuite {
       StructField("nl", LongType), StructField("nr", LongType)))
     val out = CoGroup.tumbling(left, right, Seq("k"), "ts",
       600000L, "0 seconds",
-      (key, win, ls, rs) => Iterator.single(new GenericRow(
-        Array[Any](key, win, ls.length.toLong, rs.length.toLong))),
+      (key, win, ls, rs) => {
+        // typed-payload pin: buffered rows carry REAL types — a Long
+        // `v` (sum it arithmetically, no casts) and a Timestamp `ts`.
+        // Under the old JSON codec these getAs calls would throw
+        // ClassCastException and fail the query.
+        (ls ++ rs).foreach { r =>
+          assert(r.getAs[Any]("v").isInstanceOf[Long])
+          assert(r.getAs[Any]("ts").isInstanceOf[java.sql.Timestamp])
+        }
+        val vsum = (ls ++ rs).map(_.getAs[Long]("v")).sum
+        assert(vsum >= 0L)
+        Iterator.single(new GenericRow(
+          Array[Any](key, win, ls.length.toLong, rs.length.toLong)))
+      },
       outSchema)
+    // codec pin: the plan shuffles a typed union struct, not JSON text
+    assert(!out.queryExecution.analyzed.toString.contains("to_json"),
+      "coGroup payload must be a typed union struct, not to_json text")
     val name = "cogroup_sink"
     val ckpt = java.nio.file.Files.createTempDirectory("cogroup_ckpt")
     // SparkSuite's shared session already pins the RocksDB provider
@@ -108,17 +124,46 @@ class CoGroupSpec extends SparkSuite {
     }
   }
 
-  test("parseFlatJson handles strings, escapes, numbers, and nulls") {
-    val m = CoGroup.parseFlatJson(
-      """{"a":"x,y","b":12.5,"c":"q\"z","d":null,"e":"2024-01-01T00:00:00"}""")
-    assert(m("a") == "x,y" && m("b") == "12.5" && m("c") == "q\"z" &&
-      m("d") == "null" && m("e") == "2024-01-01T00:00:00")
-    assert(CoGroup.parseFlatJson("{}") == Map.empty)
-    // control-char escapes decode (\uXXXX, \b, \f), and a nested
-    // object whose string value contains '}' does not break framing
-    val m2 = CoGroup.parseFlatJson(
-      """{"u":"ab","bs":"x\b\f","nest":{"s":"}, tricky"},"after":7}""")
-    assert(m2("u") == "ab" && m2("bs") == "x\b\f" &&
-      m2("nest") == """{"s":"}, tricky"}""" && m2("after") == "7")
+  test("coGroup buffers sides with different schemas typed end-to-end") {
+    // left and right carry DIFFERENT columns (the TaggedUnion point):
+    // the union row holds two nullable structs, exactly one non-null,
+    // and each callback buffer exposes its own side's schema
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(String, java.sql.Timestamp, Long)]
+    val ev = input.toDS().toDF("k", "ts", "v")
+    val left = ev.filter($"v" % 2 === 0)
+      .select($"k", $"ts", ($"v" * 10).as("lv"),
+        org.apache.spark.sql.functions.lit("L").as("tagL"))
+    val right = ev.filter($"v" % 2 === 1)
+      .select($"k", $"ts", ($"v".cast("double") / 2).as("rv"))
+    val outSchema = StructType(Seq(
+      StructField("k", StringType), StructField("win", LongType),
+      StructField("lsum", LongType), StructField("rsum", DoubleType)))
+    val out = CoGroup.tumbling(left, right, Seq("k"), "ts",
+      600000L, "0 seconds",
+      (key, win, ls, rs) => {
+        ls.foreach(r => assert(r.getAs[String]("tagL") == "L"))
+        Iterator.single(new GenericRow(Array[Any](key, win,
+          ls.map(_.getAs[Long]("lv")).sum,
+          rs.map(_.getAs[Double]("rv")).sum)))
+      },
+      outSchema)
+    val name = "cogroup_hetero_sink"
+    val ckpt = java.nio.file.Files.createTempDirectory("cogroup_hetero_ckpt")
+    val q = out.writeStream.format("memory").queryName(name)
+      .outputMode("append")
+      .option("checkpointLocation", ckpt.toString).start()
+    try {
+      input.addData(Seq(("a", ts(1), 2L), ("a", ts(2), 3L), ("a", ts(3), 5L)))
+      q.processAllAvailable()
+      input.addData(Seq(("z", ts(60), 0L)))
+      q.processAllAvailable()
+      val rows = spark.table(name)
+        .as[(String, Long, Long, Double)].collect().toSet
+      assert(rows.contains(("a", 0L, 20L, 4.0)))
+    } finally {
+      q.stop()
+      graft.queries.Q.deleteRecursively(ckpt)
+    }
   }
 }
