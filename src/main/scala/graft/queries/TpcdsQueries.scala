@@ -3,14 +3,18 @@ package graft.queries
 import graft.Tables
 import Q._
 
-/** TPC-DS hard-shape sweep — the reference ships all 99 TPC-DS queries
-  * as its end-to-end bar (flink-end-to-end-tests/flink-tpcds-test/src/
+/** TPC-DS full sweep, one oracle row per query q1-q99 — the reference
+  * ships all 99 TPC-DS queries as its end-to-end bar
+  * (flink-end-to-end-tests/flink-tpcds-test/src/
   * main/java/org/apache/flink/table/tpcds/TpcdsTestProgram.java:48,
   * query loop :103-109). The TPC-DS tables don't exist in the testdata,
   * so each query here is the NAMED TPC-DS query's *shape* — its CTE
   * structure, set ops, decorrelation pattern, window/rollup interplay —
   * re-targeted at the TPC-H-ish tables, with `l_returnflag` ('A'/'N'/
-  * 'R') standing in for the store/catalog/web channel split. The SQL is
+  * 'R') standing in for the catalog/store/web channel split (nearby
+  * stand-ins where a dim is missing: supplier nation for store state,
+  * `x % 10` for store id, `x % 5` for warehouse, `x % 50` for zip,
+  * DOY % 7 for the weekday, DOY % 24 for the hour). The SQL is
   * dialect-shared: the identical text runs in Spark and in the DuckDB
   * oracle.
   *
@@ -901,6 +905,891 @@ object TpcdsQueries {
       |     (SELECT COUNT(*) AS pmc FROM lineitem WHERE l_orderkey % 4 = 1 AND l_quantity < 25) pm
       |WHERE pm.pmc > 0""".stripMargin
 
+  // q3-shape: star join over (date x brand) with a type filter, revenue ranked inside year.
+  private val q3 =
+    """SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS d_year, p_brand,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_agg
+      |FROM lineitem, orders, part
+      |WHERE l_orderkey = o_orderkey AND l_partkey = p_partkey
+      |  AND p_type = 'PROMO' AND l_returnflag = 'N'
+      |GROUP BY EXTRACT(YEAR FROM o_orderdate), p_brand
+      |ORDER BY d_year, sum_agg DESC, p_brand""".stripMargin
+
+  // q6-shape: state rollcall of customers buying items priced above 1.02x the type average (correlated scalar avg), HAVING floor.
+  private val q6 =
+    """SELECT n_name AS state, CAST(COUNT(*) AS BIGINT) AS cnt
+      |FROM customer, orders, lineitem, part p, nation
+      |WHERE c_custkey = o_custkey AND o_orderkey = l_orderkey AND l_partkey = p_partkey
+      |  AND c_nationkey = n_nationkey
+      |  AND EXTRACT(YEAR FROM o_orderdate) = 1997 AND EXTRACT(QUARTER FROM o_orderdate) = 1
+      |  AND CAST(p_retailprice AS DOUBLE) * 50 > 51 * (
+      |    SELECT CAST(SUM(CAST(p2.p_retailprice AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*)
+      |    FROM part p2 WHERE p2.p_type = p.p_type)
+      |GROUP BY n_name
+      |HAVING COUNT(*) >= 10
+      |ORDER BY cnt, state""".stripMargin
+
+  // q7-shape: demographic-filtered star join, four exact-sum/count averages per item.
+  private val q7 =
+    """SELECT p_name AS item,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS agg1,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS agg2,
+      |  CAST(SUM(CAST(l_discount AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS agg3,
+      |  CAST(SUM(CAST(l_tax AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS agg4
+      |FROM lineitem, orders, customer, part
+      |WHERE l_orderkey = o_orderkey AND o_custkey = c_custkey AND l_partkey = p_partkey
+      |  AND c_mktsegment = 'BUILDING' AND o_orderpriority = '1-URGENT'
+      |  AND EXTRACT(YEAR FROM o_orderdate) = 1997
+      |GROUP BY p_name
+      |ORDER BY item""".stripMargin
+
+  // q8-shape: store revenue gated on a zip list INTERSECT preferred-customer zips, semi-joined to the store dim.
+  private val q8 =
+    """WITH zips AS (
+      |  SELECT CAST(c_custkey % 50 AS BIGINT) AS zip FROM customer WHERE c_custkey % 7 = 0
+      |  INTERSECT
+      |  SELECT zip FROM (
+      |    SELECT CAST(c_custkey % 50 AS BIGINT) AS zip FROM customer WHERE c_acctbal > 5000) t
+      |  GROUP BY zip HAVING COUNT(*) > 5)
+      |SELECT s_name, CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS net_profit
+      |FROM lineitem, supplier
+      |WHERE l_suppkey = s_suppkey AND l_returnflag = 'N'
+      |  AND EXTRACT(YEAR FROM l_shipdate) = 1997 AND EXTRACT(QUARTER FROM l_shipdate) = 2
+      |  AND CAST(s_suppkey % 50 AS BIGINT) IN (SELECT zip FROM zips)
+      |GROUP BY s_name
+      |ORDER BY s_name""".stripMargin
+
+  // q10-shape: EXISTS store AND (EXISTS web OR EXISTS catalog) in a year window, counted by demographic band.
+  private val q10 =
+    """SELECT c_mktsegment, CAST(c_custkey % 2 AS BIGINT) AS cd_band, COUNT(*) AS cnt
+      |FROM customer
+      |WHERE EXISTS (SELECT 1 FROM orders, lineitem
+      |    WHERE c_custkey = o_custkey AND o_orderkey = l_orderkey
+      |      AND l_returnflag = 'N' AND EXTRACT(YEAR FROM o_orderdate) = 1997)
+      |  AND (EXISTS (SELECT 1 FROM orders, lineitem
+      |    WHERE c_custkey = o_custkey AND o_orderkey = l_orderkey
+      |      AND l_returnflag = 'R' AND EXTRACT(YEAR FROM o_orderdate) = 1997)
+      |   OR EXISTS (SELECT 1 FROM orders, lineitem
+      |    WHERE c_custkey = o_custkey AND o_orderkey = l_orderkey
+      |      AND l_returnflag = 'A' AND EXTRACT(YEAR FROM o_orderdate) = 1997))
+      |GROUP BY c_mktsegment, c_custkey % 2
+      |ORDER BY c_mktsegment, cd_band""".stripMargin
+
+  // q11-shape: year-over-year growth self-join at ORDER grain (q4 family, totalprice measure, status channels).
+  private val q11 =
+    """WITH year_total AS (
+      |  SELECT c_custkey, c_name, c_mktsegment, CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS yr,
+      |    SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS total, 'store' AS channel
+      |  FROM customer, orders WHERE c_custkey = o_custkey AND o_orderstatus = 'F'
+      |  GROUP BY c_custkey, c_name, c_mktsegment, EXTRACT(YEAR FROM o_orderdate)
+      |  UNION ALL
+      |  SELECT c_custkey, c_name, c_mktsegment, CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS yr,
+      |    SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS total, 'web' AS channel
+      |  FROM customer, orders WHERE c_custkey = o_custkey AND o_orderstatus = 'O'
+      |  GROUP BY c_custkey, c_name, c_mktsegment, EXTRACT(YEAR FROM o_orderdate))
+      |SELECT ts2.c_custkey, ts2.c_name, ts2.c_mktsegment
+      |FROM year_total ts1, year_total ts2, year_total tw1, year_total tw2
+      |WHERE ts2.c_custkey = ts1.c_custkey AND ts1.c_custkey = tw1.c_custkey
+      |  AND ts1.c_custkey = tw2.c_custkey
+      |  AND ts1.channel = 'store' AND ts2.channel = 'store'
+      |  AND tw1.channel = 'web' AND tw2.channel = 'web'
+      |  AND ts1.yr = 1996 AND ts2.yr = 1997 AND tw1.yr = 1996 AND tw2.yr = 1997
+      |  AND ts1.total > 0 AND tw1.total > 0
+      |  AND CAST(tw2.total AS DOUBLE) * CAST(ts1.total AS DOUBLE)
+      |    > CAST(ts2.total AS DOUBLE) * CAST(tw1.total AS DOUBLE)
+      |ORDER BY ts2.c_custkey""".stripMargin
+
+  // q12-shape: item revenue share of its class via SUM OVER (PARTITION BY type), 30-day window.
+  private val q12 =
+    """WITH itemrev AS (
+      |  SELECT p_name AS item, p_type, SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS revenue
+      |  FROM lineitem, part
+      |  WHERE l_partkey = p_partkey AND l_returnflag = 'R'
+      |    AND l_shipdate BETWEEN TIMESTAMP '1997-05-01 00:00:00' AND TIMESTAMP '1997-05-31 00:00:00'
+      |  GROUP BY p_name, p_type)
+      |SELECT item, p_type, CAST(revenue AS DOUBLE) AS itemrevenue,
+      |  CAST(revenue AS DOUBLE) * 100 / CAST(SUM(revenue) OVER (PARTITION BY p_type) AS DOUBLE) AS revenueratio
+      |FROM itemrev
+      |ORDER BY p_type, item""".stripMargin
+
+  // q13-shape: single-row multi-average under three OR'd demographic/quantity/balance bands.
+  private val q13 =
+    """SELECT CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_price,
+      |  CAST(SUM(CAST(l_discount AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_disc,
+      |  CAST(SUM(CAST(l_tax AS DECIMAL(12,2))) AS DOUBLE) AS sum_tax
+      |FROM lineitem, orders, customer
+      |WHERE l_orderkey = o_orderkey AND o_custkey = c_custkey
+      |  AND ((c_mktsegment = 'BUILDING' AND c_acctbal BETWEEN 0 AND 3000 AND l_quantity BETWEEN 1 AND 15)
+      |    OR (c_mktsegment = 'MACHINERY' AND c_acctbal BETWEEN 3000 AND 6000 AND l_quantity BETWEEN 16 AND 30)
+      |    OR (c_mktsegment = 'HOUSEHOLD' AND c_acctbal BETWEEN 6000 AND 9000 AND l_quantity BETWEEN 31 AND 50))
+      |HAVING COUNT(*) > 0""".stripMargin
+
+  // q15-shape: zip-level catalog revenue with a three-way OR (zip list / state list / big ticket).
+  private val q15 =
+    """SELECT CAST(c_custkey % 50 AS BIGINT) AS ca_zip,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_sales
+      |FROM lineitem, orders, customer, nation
+      |WHERE l_orderkey = o_orderkey AND o_custkey = c_custkey AND c_nationkey = n_nationkey
+      |  AND l_returnflag = 'A'
+      |  AND (c_custkey % 50 IN (5, 13, 17, 26, 35, 42)
+      |    OR n_name IN ('NATION_3', 'NATION_7', 'NATION_21')
+      |    OR l_extendedprice > 50000)
+      |  AND EXTRACT(YEAR FROM o_orderdate) = 1997 AND EXTRACT(QUARTER FROM o_orderdate) = 2
+      |GROUP BY c_custkey % 50
+      |ORDER BY ca_zip""".stripMargin
+
+  // q16-shape: shipping report: COUNT(DISTINCT orders) with EXISTS other-supplier line AND NOT EXISTS returned line.
+  private val q16 =
+    """SELECT CAST(COUNT(DISTINCT l1.l_orderkey) AS BIGINT) AS order_count,
+      |  CAST(SUM(CAST(l1.l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS total_shipping_cost,
+      |  CAST(SUM(CAST(l1.l_extendedprice AS DECIMAL(12,2)) * CAST(l1.l_tax AS DECIMAL(12,2))) AS DOUBLE) AS total_net_profit
+      |FROM lineitem l1, orders
+      |WHERE l1.l_orderkey = o_orderkey
+      |  AND o_orderdate BETWEEN TIMESTAMP '1997-03-01 00:00:00' AND TIMESTAMP '1997-04-30 00:00:00'
+      |  AND o_orderpriority = '1-URGENT'
+      |  AND EXISTS (SELECT 1 FROM lineitem l2
+      |    WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+      |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+      |    WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_returnflag = 'R')""".stripMargin
+
+  // q18-shape: three-level ROLLUP (nation, segment, brand) of exact-sum averages over the catalog channel.
+  private val q18 =
+    """SELECT n_name, c_mktsegment, p_brand,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS agg1,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS agg2,
+      |  CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS agg3
+      |FROM lineitem, orders, customer, nation, part
+      |WHERE l_orderkey = o_orderkey AND o_custkey = c_custkey AND c_nationkey = n_nationkey
+      |  AND l_partkey = p_partkey AND l_returnflag = 'A'
+      |  AND EXTRACT(YEAR FROM o_orderdate) = 1997
+      |GROUP BY ROLLUP (n_name, c_mktsegment, p_brand)
+      |ORDER BY n_name NULLS FIRST, c_mktsegment NULLS FIRST, p_brand NULLS FIRST""".stripMargin
+
+  // q19-shape: brand revenue where the customer's nation differs from the supplier's (the zip<>zip non-equi).
+  private val q19 =
+    """SELECT p_brand, CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS ext_price
+      |FROM lineitem, orders, customer, supplier, part
+      |WHERE l_orderkey = o_orderkey AND o_custkey = c_custkey AND l_suppkey = s_suppkey
+      |  AND l_partkey = p_partkey AND l_returnflag = 'N'
+      |  AND EXTRACT(YEAR FROM o_orderdate) = 1997 AND EXTRACT(MONTH FROM o_orderdate) = 11
+      |  AND c_nationkey <> s_nationkey
+      |GROUP BY p_brand
+      |ORDER BY p_brand""".stripMargin
+
+  // q20-shape: catalog revenue share via SUM OVER (PARTITION BY brand), 60-day window (q12 sibling).
+  private val q20 =
+    """WITH itemrev AS (
+      |  SELECT p_name AS item, p_brand, SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS revenue
+      |  FROM lineitem, part
+      |  WHERE l_partkey = p_partkey AND l_returnflag = 'A'
+      |    AND l_shipdate BETWEEN TIMESTAMP '1997-02-01 00:00:00' AND TIMESTAMP '1997-03-31 00:00:00'
+      |  GROUP BY p_name, p_brand)
+      |SELECT item, p_brand, CAST(revenue AS DOUBLE) AS itemrevenue,
+      |  CAST(revenue AS DOUBLE) * 100 / CAST(SUM(revenue) OVER (PARTITION BY p_brand) AS DOUBLE) AS revenueratio
+      |FROM itemrev
+      |ORDER BY p_brand, item""".stripMargin
+
+  // q25-shape: sold-returned-resold triple join on item across all three channels, profit per brand.
+  private val q25 =
+    """WITH ss AS (
+      |  SELECT l_partkey AS item,
+      |    SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2)))) AS store_profit
+      |  FROM lineitem, orders
+      |  WHERE l_orderkey = o_orderkey AND l_returnflag = 'N'
+      |    AND EXTRACT(YEAR FROM o_orderdate) = 1997
+      |  GROUP BY l_partkey),
+      |sr AS (
+      |  SELECT l_partkey AS item,
+      |    SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_discount AS DECIMAL(12,2))) AS return_loss
+      |  FROM lineitem, orders
+      |  WHERE l_orderkey = o_orderkey AND l_returnflag = 'R'
+      |    AND EXTRACT(YEAR FROM o_orderdate) = 1997
+      |  GROUP BY l_partkey),
+      |cs AS (
+      |  SELECT l_partkey AS item,
+      |    SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2)))) AS catalog_profit
+      |  FROM lineitem, orders
+      |  WHERE l_orderkey = o_orderkey AND l_returnflag = 'A'
+      |    AND EXTRACT(YEAR FROM o_orderdate) = 1997
+      |  GROUP BY l_partkey)
+      |SELECT p_brand,
+      |  CAST(SUM(ss.store_profit) AS DOUBLE) AS store_profit,
+      |  CAST(SUM(sr.return_loss) AS DOUBLE) AS return_loss,
+      |  CAST(SUM(cs.catalog_profit) AS DOUBLE) AS catalog_profit
+      |FROM ss, sr, cs, part
+      |WHERE ss.item = sr.item AND sr.item = cs.item AND ss.item = p_partkey
+      |GROUP BY p_brand
+      |ORDER BY p_brand""".stripMargin
+
+  // q26-shape: catalog demographic averages per brand (q7 sibling on the catalog channel).
+  private val q26 =
+    """SELECT p_brand,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS agg1,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS agg2,
+      |  CAST(SUM(CAST(l_discount AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS agg3,
+      |  CAST(SUM(CAST(l_tax AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS agg4
+      |FROM lineitem, orders, customer, part
+      |WHERE l_orderkey = o_orderkey AND o_custkey = c_custkey AND l_partkey = p_partkey
+      |  AND l_returnflag = 'A' AND c_mktsegment = 'AUTOMOBILE' AND o_orderstatus = 'F'
+      |  AND EXTRACT(YEAR FROM o_orderdate) = 1997
+      |GROUP BY p_brand
+      |ORDER BY p_brand""".stripMargin
+
+  // q27-shape: ROLLUP (brand, supplier nation) of four exact-sum averages on the store channel.
+  private val q27 =
+    """SELECT p_brand, n_name,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS agg1,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS agg2,
+      |  CAST(SUM(CAST(l_discount AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS agg3,
+      |  CAST(SUM(CAST(l_tax AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS agg4
+      |FROM lineitem, orders, customer, supplier, nation, part
+      |WHERE l_orderkey = o_orderkey AND o_custkey = c_custkey AND l_suppkey = s_suppkey
+      |  AND s_nationkey = n_nationkey AND l_partkey = p_partkey
+      |  AND l_returnflag = 'N' AND c_mktsegment = 'FURNITURE'
+      |  AND EXTRACT(YEAR FROM o_orderdate) = 1997
+      |GROUP BY ROLLUP (p_brand, n_name)
+      |ORDER BY p_brand NULLS FIRST, n_name NULLS FIRST""".stripMargin
+
+  // q29-shape: quantity flavor of the q25 triple join, sales/returns one year and catalog the next.
+  private val q29 =
+    """WITH ss AS (
+      |  SELECT l_partkey AS item, SUM(CAST(l_quantity AS DECIMAL(12,2))) AS store_qty
+      |  FROM lineitem, orders
+      |  WHERE l_orderkey = o_orderkey AND l_returnflag = 'N'
+      |    AND EXTRACT(YEAR FROM o_orderdate) = 1996
+      |  GROUP BY l_partkey),
+      |sr AS (
+      |  SELECT l_partkey AS item, SUM(CAST(l_quantity AS DECIMAL(12,2))) AS return_qty
+      |  FROM lineitem, orders
+      |  WHERE l_orderkey = o_orderkey AND l_returnflag = 'R'
+      |    AND EXTRACT(YEAR FROM o_orderdate) = 1996
+      |  GROUP BY l_partkey),
+      |cs AS (
+      |  SELECT l_partkey AS item, SUM(CAST(l_quantity AS DECIMAL(12,2))) AS catalog_qty
+      |  FROM lineitem, orders
+      |  WHERE l_orderkey = o_orderkey AND l_returnflag = 'A'
+      |    AND EXTRACT(YEAR FROM o_orderdate) = 1997
+      |  GROUP BY l_partkey)
+      |SELECT p_brand,
+      |  CAST(SUM(ss.store_qty) AS DOUBLE) AS store_qty,
+      |  CAST(SUM(sr.return_qty) AS DOUBLE) AS return_qty,
+      |  CAST(SUM(cs.catalog_qty) AS DOUBLE) AS catalog_qty
+      |FROM ss, sr, cs, part
+      |WHERE ss.item = sr.item AND sr.item = cs.item AND ss.item = p_partkey
+      |GROUP BY p_brand
+      |ORDER BY p_brand""".stripMargin
+
+  // q30-shape: return customers above 1.2x their state average (correlated avg of a CTE), customer detail output.
+  private val q30 =
+    """WITH ctr AS (
+      |  SELECT o_custkey AS ctr_cust, c_nationkey AS ctr_state,
+      |    SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_tax AS DECIMAL(12,2))) AS ctr_return
+      |  FROM lineitem, orders, customer
+      |  WHERE l_orderkey = o_orderkey AND o_custkey = c_custkey AND l_returnflag = 'R'
+      |    AND EXTRACT(YEAR FROM o_orderdate) = 1997
+      |  GROUP BY o_custkey, c_nationkey)
+      |SELECT c_custkey, c_name, c_mktsegment, CAST(ctr1.ctr_return AS DOUBLE) AS return_amt
+      |FROM ctr ctr1, customer
+      |WHERE ctr1.ctr_cust = c_custkey
+      |  AND CAST(ctr1.ctr_return AS DOUBLE) * 5 > (
+      |    SELECT 6 * CAST(SUM(ctr2.ctr_return) AS DOUBLE) / COUNT(*)
+      |    FROM ctr ctr2 WHERE ctr1.ctr_state = ctr2.ctr_state)
+      |ORDER BY c_custkey""".stripMargin
+
+  // q33-shape: per-brand totals UNION ALL'd across three channels, each restricted to a type list.
+  private val q33 =
+    """WITH ss AS (
+      |  SELECT p_brand, SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS total_sales
+      |  FROM lineitem, part
+      |  WHERE l_partkey = p_partkey AND l_returnflag = 'N' AND p_type IN ('ECONOMY', 'PROMO')
+      |    AND EXTRACT(YEAR FROM l_shipdate) = 1997 AND EXTRACT(MONTH FROM l_shipdate) = 5
+      |  GROUP BY p_brand),
+      |cs AS (
+      |  SELECT p_brand, SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS total_sales
+      |  FROM lineitem, part
+      |  WHERE l_partkey = p_partkey AND l_returnflag = 'A' AND p_type IN ('ECONOMY', 'PROMO')
+      |    AND EXTRACT(YEAR FROM l_shipdate) = 1997 AND EXTRACT(MONTH FROM l_shipdate) = 5
+      |  GROUP BY p_brand),
+      |ws AS (
+      |  SELECT p_brand, SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS total_sales
+      |  FROM lineitem, part
+      |  WHERE l_partkey = p_partkey AND l_returnflag = 'R' AND p_type IN ('ECONOMY', 'PROMO')
+      |    AND EXTRACT(YEAR FROM l_shipdate) = 1997 AND EXTRACT(MONTH FROM l_shipdate) = 5
+      |  GROUP BY p_brand)
+      |SELECT p_brand, CAST(SUM(total_sales) AS DOUBLE) AS total_sales
+      |FROM (SELECT * FROM ss UNION ALL SELECT * FROM cs UNION ALL SELECT * FROM ws) tmp
+      |GROUP BY p_brand
+      |ORDER BY p_brand""".stripMargin
+
+  // q37-shape: item listing under a price band with two IN subqueries (recent bulk sale + catalog presence).
+  private val q37 =
+    """SELECT p_partkey, p_name, CAST(p_retailprice AS DOUBLE) AS price
+      |FROM part
+      |WHERE p_retailprice BETWEEN 940 AND 980 AND p_size IN (10, 20, 30, 40)
+      |  AND p_partkey IN (SELECT l_partkey FROM lineitem
+      |    WHERE l_quantity >= 35
+      |      AND l_shipdate BETWEEN TIMESTAMP '1997-01-01 00:00:00' AND TIMESTAMP '1997-02-28 00:00:00')
+      |  AND p_partkey IN (SELECT l_partkey FROM lineitem
+      |    WHERE l_returnflag = 'A' AND EXTRACT(YEAR FROM l_shipdate) = 1997)
+      |GROUP BY p_partkey, p_name, p_retailprice
+      |ORDER BY p_partkey""".stripMargin
+
+  // q42-shape: year x type revenue for one month (q3 family head).
+  private val q42 =
+    """SELECT CAST(EXTRACT(YEAR FROM l_shipdate) AS BIGINT) AS d_year, p_type,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_agg
+      |FROM lineitem, part
+      |WHERE l_partkey = p_partkey AND l_returnflag = 'N'
+      |  AND EXTRACT(MONTH FROM l_shipdate) = 11 AND EXTRACT(YEAR FROM l_shipdate) = 1997
+      |GROUP BY EXTRACT(YEAR FROM l_shipdate), p_type
+      |ORDER BY sum_agg DESC, d_year, p_type""".stripMargin
+
+  // q43-shape: per-store weekday pivot over the pseudo-weekday DOY % 7.
+  private val q43 =
+    """SELECT s_name,
+      |  CAST(SUM(CASE WHEN EXTRACT(DOY FROM l_shipdate) % 7 = 0 THEN CAST(l_extendedprice AS DECIMAL(12,2)) ELSE CAST(0 AS DECIMAL(12,2)) END) AS DOUBLE) AS sun_sales,
+      |  CAST(SUM(CASE WHEN EXTRACT(DOY FROM l_shipdate) % 7 = 1 THEN CAST(l_extendedprice AS DECIMAL(12,2)) ELSE CAST(0 AS DECIMAL(12,2)) END) AS DOUBLE) AS mon_sales,
+      |  CAST(SUM(CASE WHEN EXTRACT(DOY FROM l_shipdate) % 7 = 2 THEN CAST(l_extendedprice AS DECIMAL(12,2)) ELSE CAST(0 AS DECIMAL(12,2)) END) AS DOUBLE) AS tue_sales,
+      |  CAST(SUM(CASE WHEN EXTRACT(DOY FROM l_shipdate) % 7 = 3 THEN CAST(l_extendedprice AS DECIMAL(12,2)) ELSE CAST(0 AS DECIMAL(12,2)) END) AS DOUBLE) AS wed_sales,
+      |  CAST(SUM(CASE WHEN EXTRACT(DOY FROM l_shipdate) % 7 = 4 THEN CAST(l_extendedprice AS DECIMAL(12,2)) ELSE CAST(0 AS DECIMAL(12,2)) END) AS DOUBLE) AS thu_sales,
+      |  CAST(SUM(CASE WHEN EXTRACT(DOY FROM l_shipdate) % 7 = 5 THEN CAST(l_extendedprice AS DECIMAL(12,2)) ELSE CAST(0 AS DECIMAL(12,2)) END) AS DOUBLE) AS fri_sales,
+      |  CAST(SUM(CASE WHEN EXTRACT(DOY FROM l_shipdate) % 7 = 6 THEN CAST(l_extendedprice AS DECIMAL(12,2)) ELSE CAST(0 AS DECIMAL(12,2)) END) AS DOUBLE) AS sat_sales
+      |FROM lineitem, supplier
+      |WHERE l_suppkey = s_suppkey AND EXTRACT(YEAR FROM l_shipdate) = 1997
+      |GROUP BY s_name
+      |ORDER BY s_name""".stripMargin
+
+  // q46-shape: per-ticket amounts grouped in a CTE, kept only when bought-nation <> home-nation, weekend+priority filters.
+  private val q46 =
+    """WITH dnsale AS (
+      |  SELECT l_orderkey AS ticket, o_custkey AS cust, s_nationkey AS bought_nation,
+      |    SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_discount AS DECIMAL(12,2))) AS amt,
+      |    SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2)))) AS profit
+      |  FROM lineitem, orders, supplier
+      |  WHERE l_orderkey = o_orderkey AND l_suppkey = s_suppkey
+      |    AND o_orderpriority IN ('1-URGENT', '2-HIGH')
+      |    AND EXTRACT(DOY FROM o_orderdate) % 7 IN (0, 6)
+      |    AND EXTRACT(YEAR FROM o_orderdate) = 1997
+      |  GROUP BY l_orderkey, o_custkey, s_nationkey)
+      |SELECT c_name, ticket, CAST(amt AS DOUBLE) AS amt, CAST(profit AS DOUBLE) AS profit
+      |FROM dnsale, customer
+      |WHERE cust = c_custkey AND bought_nation <> c_nationkey
+      |ORDER BY c_name, ticket, amt""".stripMargin
+
+  // q52-shape: year x brand revenue for December (q42 sibling).
+  private val q52 =
+    """SELECT CAST(EXTRACT(YEAR FROM l_shipdate) AS BIGINT) AS d_year, p_brand,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS ext_price
+      |FROM lineitem, part
+      |WHERE l_partkey = p_partkey AND l_returnflag = 'N'
+      |  AND EXTRACT(MONTH FROM l_shipdate) = 12 AND EXTRACT(YEAR FROM l_shipdate) = 1997
+      |GROUP BY EXTRACT(YEAR FROM l_shipdate), p_brand
+      |ORDER BY d_year, ext_price DESC, p_brand""".stripMargin
+
+  // q53-shape: quarterly brand sales vs the brand average, deviation kept by EXACT decimal cross-multiplication.
+  private val q53 =
+    """WITH qsales AS (
+      |  SELECT p_brand, CAST(EXTRACT(QUARTER FROM l_shipdate) AS BIGINT) AS qtr,
+      |    SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS sum_sales
+      |  FROM lineitem, part
+      |  WHERE l_partkey = p_partkey AND l_returnflag = 'N'
+      |    AND p_type IN ('ECONOMY', 'STANDARD', 'PROMO')
+      |    AND EXTRACT(YEAR FROM l_shipdate) = 1997
+      |  GROUP BY p_brand, EXTRACT(QUARTER FROM l_shipdate))
+      |SELECT p_brand, qtr, CAST(sum_sales AS DOUBLE) AS sum_sales,
+      |  CAST(tot AS DOUBLE) / nq AS avg_quarterly_sales
+      |FROM (SELECT p_brand, qtr, sum_sales,
+      |    SUM(sum_sales) OVER (PARTITION BY p_brand) AS tot,
+      |    COUNT(*) OVER (PARTITION BY p_brand) AS nq
+      |  FROM qsales) t
+      |WHERE ABS(nq * sum_sales - tot) * 10 > tot
+      |ORDER BY p_brand, qtr""".stripMargin
+
+  // q54-shape: customers acquired on one channel, their revenue on another bucketed into fixed-width segments.
+  private val q54 =
+    """WITH my_customers AS (
+      |  SELECT DISTINCT o_custkey AS cust
+      |  FROM lineitem, orders, part
+      |  WHERE l_orderkey = o_orderkey AND l_partkey = p_partkey
+      |    AND l_returnflag = 'A' AND p_type = 'PROMO'
+      |    AND EXTRACT(YEAR FROM o_orderdate) = 1997 AND EXTRACT(QUARTER FROM o_orderdate) = 1),
+      |my_revenue AS (
+      |  SELECT cust, SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS revenue
+      |  FROM my_customers, orders, lineitem
+      |  WHERE o_custkey = cust AND l_orderkey = o_orderkey AND l_returnflag = 'N'
+      |    AND EXTRACT(YEAR FROM o_orderdate) = 1997 AND EXTRACT(QUARTER FROM o_orderdate) IN (2, 3)
+      |  GROUP BY cust)
+      |SELECT segment, COUNT(*) AS num_customers
+      |FROM (SELECT CAST(FLOOR(CAST(revenue AS DOUBLE) / 5000) AS BIGINT) AS segment FROM my_revenue) t
+      |GROUP BY segment
+      |ORDER BY segment""".stripMargin
+
+  // q55-shape: brand revenue for one month on the web channel (q42/q52 family).
+  private val q55 =
+    """SELECT p_brand, CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS ext_price
+      |FROM lineitem, part
+      |WHERE l_partkey = p_partkey AND l_returnflag = 'R'
+      |  AND EXTRACT(MONTH FROM l_shipdate) = 11 AND EXTRACT(YEAR FROM l_shipdate) = 1997
+      |GROUP BY p_brand
+      |ORDER BY ext_price DESC, p_brand""".stripMargin
+
+  // q56-shape: per-item three-channel totals under a size filter (q33 sibling at item grain).
+  private val q56 =
+    """WITH ss AS (
+      |  SELECT p_name AS item, SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS total_sales
+      |  FROM lineitem, part
+      |  WHERE l_partkey = p_partkey AND l_returnflag = 'N' AND p_size <= 10
+      |    AND EXTRACT(YEAR FROM l_shipdate) = 1997 AND EXTRACT(MONTH FROM l_shipdate) = 3
+      |  GROUP BY p_name),
+      |cs AS (
+      |  SELECT p_name AS item, SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS total_sales
+      |  FROM lineitem, part
+      |  WHERE l_partkey = p_partkey AND l_returnflag = 'A' AND p_size <= 10
+      |    AND EXTRACT(YEAR FROM l_shipdate) = 1997 AND EXTRACT(MONTH FROM l_shipdate) = 3
+      |  GROUP BY p_name),
+      |ws AS (
+      |  SELECT p_name AS item, SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS total_sales
+      |  FROM lineitem, part
+      |  WHERE l_partkey = p_partkey AND l_returnflag = 'R' AND p_size <= 10
+      |    AND EXTRACT(YEAR FROM l_shipdate) = 1997 AND EXTRACT(MONTH FROM l_shipdate) = 3
+      |  GROUP BY p_name)
+      |SELECT item, CAST(SUM(total_sales) AS DOUBLE) AS total_sales
+      |FROM (SELECT * FROM ss UNION ALL SELECT * FROM cs UNION ALL SELECT * FROM ws) tmp
+      |GROUP BY item
+      |ORDER BY item""".stripMargin
+
+  // q57-shape: supplier x quarter deviation with prev/next quarter via rank self-joins (q47 sibling).
+  private val q57 =
+    """WITH qv AS (
+      |  SELECT s_name, CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS yr,
+      |    CAST(EXTRACT(QUARTER FROM o_orderdate) AS BIGINT) AS qtr,
+      |    SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS qsum
+      |  FROM lineitem, orders, supplier
+      |  WHERE l_orderkey = o_orderkey AND l_suppkey = s_suppkey AND l_returnflag = 'A'
+      |  GROUP BY s_name, EXTRACT(YEAR FROM o_orderdate), EXTRACT(QUARTER FROM o_orderdate)),
+      |yv AS (SELECT s_name, yr, SUM(qsum) AS ysum, COUNT(*) AS nq FROM qv GROUP BY s_name, yr),
+      |v1 AS (
+      |  SELECT qv.s_name, qv.yr, qv.qtr, qv.qsum, yv.ysum, yv.nq,
+      |    RANK() OVER (PARTITION BY qv.s_name ORDER BY qv.yr, qv.qtr) AS rn
+      |  FROM qv, yv WHERE qv.s_name = yv.s_name AND qv.yr = yv.yr)
+      |SELECT v1.s_name, v1.yr, v1.qtr, CAST(v1.qsum AS DOUBLE) AS sum_sales,
+      |  CAST(v1.ysum AS DOUBLE) / v1.nq AS avg_quarterly_sales,
+      |  CAST(vl.qsum AS DOUBLE) AS psum, CAST(vn.qsum AS DOUBLE) AS nsum
+      |FROM v1, v1 vl, v1 vn
+      |WHERE v1.s_name = vl.s_name AND v1.s_name = vn.s_name
+      |  AND v1.rn = vl.rn + 1 AND v1.rn = vn.rn - 1 AND v1.yr = 1997
+      |  AND ABS(v1.nq * v1.qsum - v1.ysum) * 10 > 2 * v1.ysum
+      |ORDER BY v1.s_name, v1.yr, v1.qtr""".stripMargin
+
+  // q60-shape: per-item three-channel totals under a name-prefix filter (q33/q56 family).
+  private val q60 =
+    """WITH ss AS (
+      |  SELECT p_name AS item, SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS total_sales
+      |  FROM lineitem, part
+      |  WHERE l_partkey = p_partkey AND l_returnflag = 'N' AND p_name LIKE 'blue%'
+      |    AND EXTRACT(YEAR FROM l_shipdate) = 1997 AND EXTRACT(MONTH FROM l_shipdate) = 9
+      |  GROUP BY p_name),
+      |cs AS (
+      |  SELECT p_name AS item, SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS total_sales
+      |  FROM lineitem, part
+      |  WHERE l_partkey = p_partkey AND l_returnflag = 'A' AND p_name LIKE 'blue%'
+      |    AND EXTRACT(YEAR FROM l_shipdate) = 1997 AND EXTRACT(MONTH FROM l_shipdate) = 9
+      |  GROUP BY p_name),
+      |ws AS (
+      |  SELECT p_name AS item, SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS total_sales
+      |  FROM lineitem, part
+      |  WHERE l_partkey = p_partkey AND l_returnflag = 'R' AND p_name LIKE 'blue%'
+      |    AND EXTRACT(YEAR FROM l_shipdate) = 1997 AND EXTRACT(MONTH FROM l_shipdate) = 9
+      |  GROUP BY p_name)
+      |SELECT item, CAST(SUM(total_sales) AS DOUBLE) AS total_sales
+      |FROM (SELECT * FROM ss UNION ALL SELECT * FROM cs UNION ALL SELECT * FROM ws) tmp
+      |GROUP BY item
+      |ORDER BY item""".stripMargin
+
+  // q61-shape: promotional-to-total revenue ratio, two scalar aggregates cross-joined.
+  private val q61 =
+    """SELECT CAST(promotions AS DOUBLE) * 100 / CAST(total AS DOUBLE) AS promo_pct
+      |FROM
+      | (SELECT SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS promotions
+      |  FROM lineitem, orders, customer, nation
+      |  WHERE l_orderkey = o_orderkey AND o_custkey = c_custkey AND c_nationkey = n_nationkey
+      |    AND l_returnflag = 'N' AND l_discount > 0.05 AND n_regionkey = 1
+      |    AND EXTRACT(YEAR FROM o_orderdate) = 1997 AND EXTRACT(MONTH FROM o_orderdate) = 11) p,
+      | (SELECT SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS total
+      |  FROM lineitem, orders, customer, nation
+      |  WHERE l_orderkey = o_orderkey AND o_custkey = c_custkey AND c_nationkey = n_nationkey
+      |    AND l_returnflag = 'N' AND n_regionkey = 1
+      |    AND EXTRACT(YEAR FROM o_orderdate) = 1997 AND EXTRACT(MONTH FROM o_orderdate) = 11) t""".stripMargin
+
+  // q62-shape: ship-lag 30-day buckets pivoted per warehouse x priority (real lag: shipdate - orderdate).
+  private val q62 =
+    """SELECT CAST(l_suppkey % 5 AS BIGINT) AS warehouse, o_orderpriority,
+      |  CAST(SUM(CASE WHEN l_shipdate <= o_orderdate + INTERVAL 30 DAY THEN 1 ELSE 0 END) AS BIGINT) AS d30,
+      |  CAST(SUM(CASE WHEN l_shipdate > o_orderdate + INTERVAL 30 DAY AND l_shipdate <= o_orderdate + INTERVAL 60 DAY THEN 1 ELSE 0 END) AS BIGINT) AS d60,
+      |  CAST(SUM(CASE WHEN l_shipdate > o_orderdate + INTERVAL 60 DAY AND l_shipdate <= o_orderdate + INTERVAL 90 DAY THEN 1 ELSE 0 END) AS BIGINT) AS d90,
+      |  CAST(SUM(CASE WHEN l_shipdate > o_orderdate + INTERVAL 90 DAY AND l_shipdate <= o_orderdate + INTERVAL 120 DAY THEN 1 ELSE 0 END) AS BIGINT) AS d120,
+      |  CAST(SUM(CASE WHEN l_shipdate > o_orderdate + INTERVAL 120 DAY THEN 1 ELSE 0 END) AS BIGINT) AS dmore
+      |FROM lineitem, orders
+      |WHERE l_orderkey = o_orderkey AND l_returnflag = 'R'
+      |  AND EXTRACT(YEAR FROM o_orderdate) = 1997
+      |GROUP BY l_suppkey % 5, o_orderpriority
+      |ORDER BY warehouse, o_orderpriority""".stripMargin
+
+  // q63-shape: monthly manager-group sales vs average, exact-decimal deviation filter (q53 sibling).
+  private val q63 =
+    """WITH msales AS (
+      |  SELECT CAST(p_size % 10 AS BIGINT) AS mgr, CAST(EXTRACT(MONTH FROM l_shipdate) AS BIGINT) AS mon,
+      |    SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS sum_sales
+      |  FROM lineitem, part
+      |  WHERE l_partkey = p_partkey AND l_returnflag = 'A'
+      |    AND p_type IN ('LARGE', 'MEDIUM', 'SMALL')
+      |    AND EXTRACT(YEAR FROM l_shipdate) = 1997
+      |  GROUP BY p_size % 10, EXTRACT(MONTH FROM l_shipdate))
+      |SELECT mgr, mon, CAST(sum_sales AS DOUBLE) AS sum_sales,
+      |  CAST(tot AS DOUBLE) / nm AS avg_monthly_sales
+      |FROM (SELECT mgr, mon, sum_sales,
+      |    SUM(sum_sales) OVER (PARTITION BY mgr) AS tot,
+      |    COUNT(*) OVER (PARTITION BY mgr) AS nm
+      |  FROM msales) t
+      |WHERE ABS(nm * sum_sales - tot) * 10 > tot
+      |ORDER BY mgr, mon""".stripMargin
+
+  // q68-shape: per-ticket extended sums for out-of-nation buyers in named nations (q46 extended).
+  private val q68 =
+    """WITH onsale AS (
+      |  SELECT l_orderkey AS ticket, o_custkey AS cust, s_nationkey AS bought_nation,
+      |    SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS ext_sales,
+      |    SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_tax AS DECIMAL(12,2))) AS ext_tax,
+      |    SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2)))) AS ext_list
+      |  FROM lineitem, orders, supplier, nation
+      |  WHERE l_orderkey = o_orderkey AND l_suppkey = s_suppkey AND s_nationkey = n_nationkey
+      |    AND n_name IN ('NATION_2', 'NATION_11', 'NATION_19')
+      |    AND EXTRACT(YEAR FROM o_orderdate) = 1997 AND EXTRACT(MONTH FROM o_orderdate) IN (1, 2)
+      |  GROUP BY l_orderkey, o_custkey, s_nationkey)
+      |SELECT c_name, ticket, CAST(ext_sales AS DOUBLE) AS ext_sales,
+      |  CAST(ext_tax AS DOUBLE) AS ext_tax, CAST(ext_list AS DOUBLE) AS ext_list
+      |FROM onsale, customer
+      |WHERE cust = c_custkey AND bought_nation <> c_nationkey
+      |ORDER BY c_name, ticket""".stripMargin
+
+  // q69-shape: store-only customers: EXISTS store AND NOT EXISTS web AND NOT EXISTS catalog, banded counts.
+  private val q69 =
+    """SELECT c_mktsegment, CAST(c_custkey % 3 AS BIGINT) AS cd_band, COUNT(*) AS cnt
+      |FROM customer
+      |WHERE EXISTS (SELECT 1 FROM orders, lineitem
+      |    WHERE c_custkey = o_custkey AND o_orderkey = l_orderkey AND l_returnflag = 'N'
+      |      AND EXTRACT(YEAR FROM o_orderdate) = 1997 AND EXTRACT(QUARTER FROM o_orderdate) IN (1, 2))
+      |  AND NOT EXISTS (SELECT 1 FROM orders, lineitem
+      |    WHERE c_custkey = o_custkey AND o_orderkey = l_orderkey AND l_returnflag = 'R'
+      |      AND EXTRACT(YEAR FROM o_orderdate) = 1997 AND EXTRACT(QUARTER FROM o_orderdate) IN (1, 2))
+      |  AND NOT EXISTS (SELECT 1 FROM orders, lineitem
+      |    WHERE c_custkey = o_custkey AND o_orderkey = l_orderkey AND l_returnflag = 'A'
+      |      AND EXTRACT(YEAR FROM o_orderdate) = 1997 AND EXTRACT(QUARTER FROM o_orderdate) IN (1, 2))
+      |GROUP BY c_mktsegment, c_custkey % 3
+      |ORDER BY c_mktsegment, cd_band""".stripMargin
+
+  // q71-shape: brand x pseudo-hour revenue, three channels UNION ALL'd before one dim join.
+  private val q71 =
+    """WITH tmp AS (
+      |  SELECT l_partkey AS item, CAST(l_extendedprice AS DECIMAL(12,2)) AS price,
+      |    CAST(EXTRACT(DOY FROM l_shipdate) % 24 AS BIGINT) AS t_hour
+      |  FROM lineitem
+      |  WHERE l_returnflag = 'N' AND EXTRACT(YEAR FROM l_shipdate) = 1997
+      |    AND EXTRACT(MONTH FROM l_shipdate) = 12
+      |  UNION ALL
+      |  SELECT l_partkey AS item, CAST(l_extendedprice AS DECIMAL(12,2)) AS price,
+      |    CAST(EXTRACT(DOY FROM l_shipdate) % 24 AS BIGINT) AS t_hour
+      |  FROM lineitem
+      |  WHERE l_returnflag = 'R' AND EXTRACT(YEAR FROM l_shipdate) = 1997
+      |    AND EXTRACT(MONTH FROM l_shipdate) = 12
+      |  UNION ALL
+      |  SELECT l_partkey AS item, CAST(l_extendedprice AS DECIMAL(12,2)) AS price,
+      |    CAST(EXTRACT(DOY FROM l_shipdate) % 24 AS BIGINT) AS t_hour
+      |  FROM lineitem
+      |  WHERE l_returnflag = 'A' AND EXTRACT(YEAR FROM l_shipdate) = 1997
+      |    AND EXTRACT(MONTH FROM l_shipdate) = 12)
+      |SELECT p_brand, t_hour, CAST(SUM(price) AS DOUBLE) AS ext_price
+      |FROM tmp, part
+      |WHERE item = p_partkey
+      |GROUP BY p_brand, t_hour
+      |ORDER BY p_brand, t_hour""".stripMargin
+
+  // q73-shape: orders with 5-7 lines (HAVING band on a per-ticket count), joined back to customer.
+  private val q73 =
+    """WITH oc AS (
+      |  SELECT l_orderkey AS ticket, o_custkey AS cust, COUNT(*) AS cnt
+      |  FROM lineitem, orders
+      |  WHERE l_orderkey = o_orderkey AND o_orderstatus = 'F'
+      |    AND EXTRACT(YEAR FROM o_orderdate) = 1997
+      |  GROUP BY l_orderkey, o_custkey
+      |  HAVING COUNT(*) BETWEEN 5 AND 7)
+      |SELECT c_name, c_mktsegment, ticket, cnt
+      |FROM oc, customer
+      |WHERE cust = c_custkey
+      |ORDER BY c_name, ticket""".stripMargin
+
+  // q74-shape: year-over-year quantity growth self-join (q4 family, quantity measure, 1999-2000).
+  private val q74 =
+    """WITH year_total AS (
+      |  SELECT o_custkey AS cust, CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS yr,
+      |    SUM(CAST(l_quantity AS DECIMAL(12,2))) AS total, 'store' AS channel
+      |  FROM lineitem, orders
+      |  WHERE l_orderkey = o_orderkey AND l_returnflag = 'N'
+      |    AND EXTRACT(YEAR FROM o_orderdate) IN (1999, 2000)
+      |  GROUP BY o_custkey, EXTRACT(YEAR FROM o_orderdate)
+      |  UNION ALL
+      |  SELECT o_custkey AS cust, CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS yr,
+      |    SUM(CAST(l_quantity AS DECIMAL(12,2))) AS total, 'web' AS channel
+      |  FROM lineitem, orders
+      |  WHERE l_orderkey = o_orderkey AND l_returnflag = 'R'
+      |    AND EXTRACT(YEAR FROM o_orderdate) IN (1999, 2000)
+      |  GROUP BY o_custkey, EXTRACT(YEAR FROM o_orderdate))
+      |SELECT ts2.cust
+      |FROM year_total ts1, year_total ts2, year_total tw1, year_total tw2
+      |WHERE ts2.cust = ts1.cust AND ts1.cust = tw1.cust AND ts1.cust = tw2.cust
+      |  AND ts1.channel = 'store' AND ts2.channel = 'store'
+      |  AND tw1.channel = 'web' AND tw2.channel = 'web'
+      |  AND ts1.yr = 1999 AND ts2.yr = 2000 AND tw1.yr = 1999 AND tw2.yr = 2000
+      |  AND ts1.total > 0 AND tw1.total > 0
+      |  AND CAST(tw2.total AS DOUBLE) * CAST(ts1.total AS DOUBLE)
+      |    > CAST(ts2.total AS DOUBLE) * CAST(tw1.total AS DOUBLE)
+      |ORDER BY ts2.cust""".stripMargin
+
+  // q77-shape: per-store sales LEFT JOIN returns plus a storeless catalog branch, ROLLUP (channel, id).
+  private val q77 =
+    """WITH ss AS (
+      |  SELECT CAST(l_suppkey % 10 AS BIGINT) AS sid,
+      |    SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS sales,
+      |    SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2)))) AS profit
+      |  FROM lineitem WHERE l_returnflag = 'N' AND EXTRACT(YEAR FROM l_shipdate) = 1997
+      |  GROUP BY l_suppkey % 10),
+      |sr AS (
+      |  SELECT CAST(l_suppkey % 10 AS BIGINT) AS sid,
+      |    SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS returns_,
+      |    SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_discount AS DECIMAL(12,2))) AS profit_loss
+      |  FROM lineitem WHERE l_returnflag = 'R' AND EXTRACT(YEAR FROM l_shipdate) = 1997
+      |  GROUP BY l_suppkey % 10),
+      |cs AS (
+      |  SELECT SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS sales,
+      |    SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2)))) AS profit
+      |  FROM lineitem WHERE l_returnflag = 'A' AND l_linestatus = 'O'
+      |    AND EXTRACT(YEAR FROM l_shipdate) = 1997),
+      |cr AS (
+      |  SELECT SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS returns_,
+      |    SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_discount AS DECIMAL(12,2))) AS profit_loss
+      |  FROM lineitem WHERE l_returnflag = 'A' AND l_linestatus = 'F'
+      |    AND EXTRACT(YEAR FROM l_shipdate) = 1997)
+      |SELECT channel, sid,
+      |  CAST(SUM(sales) AS DOUBLE) AS sales,
+      |  CAST(SUM(returns_) AS DOUBLE) AS returns_,
+      |  CAST(SUM(profit) AS DOUBLE) AS profit
+      |FROM (
+      |  SELECT 'store channel' AS channel, ss.sid AS sid, ss.sales AS sales,
+      |    COALESCE(sr.returns_, CAST(0 AS DECIMAL(12,2))) AS returns_,
+      |    ss.profit - COALESCE(sr.profit_loss, CAST(0 AS DECIMAL(12,2))) AS profit
+      |  FROM ss LEFT JOIN sr ON ss.sid = sr.sid
+      |  UNION ALL
+      |  SELECT 'catalog channel' AS channel, CAST(-1 AS BIGINT) AS sid, cs.sales AS sales,
+      |    cr.returns_ AS returns_, cs.profit - cr.profit_loss AS profit
+      |  FROM cs, cr) x
+      |GROUP BY ROLLUP (channel, sid)
+      |ORDER BY channel NULLS FIRST, sid NULLS FIRST""".stripMargin
+
+  // q79-shape: per-visit amounts on a pseudo-weekday for half the stores, customer join outside the CTE.
+  private val q79 =
+    """WITH ms AS (
+      |  SELECT l_orderkey AS ticket, o_custkey AS cust, CAST(l_suppkey % 10 AS BIGINT) AS store,
+      |    SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_discount AS DECIMAL(12,2))) AS amt,
+      |    SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_tax AS DECIMAL(12,2)))) AS profit
+      |  FROM lineitem, orders
+      |  WHERE l_orderkey = o_orderkey AND l_returnflag = 'N'
+      |    AND EXTRACT(DOY FROM o_orderdate) % 7 = 1 AND EXTRACT(YEAR FROM o_orderdate) = 1997
+      |    AND l_suppkey % 10 < 5
+      |  GROUP BY l_orderkey, o_custkey, l_suppkey % 10)
+      |SELECT c_name, store, ticket, CAST(amt AS DOUBLE) AS amt, CAST(profit AS DOUBLE) AS profit
+      |FROM ms, customer
+      |WHERE cust = c_custkey
+      |ORDER BY c_name, store, ticket""".stripMargin
+
+  // q80-shape: three-channel sales/returns/profit with promo+price filters, ROLLUP (channel, brand).
+  private val q80 =
+    """WITH ssr AS (
+      |  SELECT p_brand,
+      |    SUM(CASE WHEN l_linestatus = 'O' THEN CAST(l_extendedprice AS DECIMAL(12,2)) ELSE CAST(0 AS DECIMAL(12,2)) END) AS sales,
+      |    SUM(CASE WHEN l_linestatus = 'F' THEN CAST(l_extendedprice AS DECIMAL(12,2)) ELSE CAST(0 AS DECIMAL(12,2)) END) AS returns_,
+      |    SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2)))) AS profit
+      |  FROM lineitem, part
+      |  WHERE l_partkey = p_partkey AND l_returnflag = 'N' AND l_discount <= 0.05
+      |    AND l_shipdate BETWEEN TIMESTAMP '1997-08-01 00:00:00' AND TIMESTAMP '1997-09-30 00:00:00'
+      |    AND p_retailprice > 950
+      |  GROUP BY p_brand),
+      |csr AS (
+      |  SELECT p_brand,
+      |    SUM(CASE WHEN l_linestatus = 'O' THEN CAST(l_extendedprice AS DECIMAL(12,2)) ELSE CAST(0 AS DECIMAL(12,2)) END) AS sales,
+      |    SUM(CASE WHEN l_linestatus = 'F' THEN CAST(l_extendedprice AS DECIMAL(12,2)) ELSE CAST(0 AS DECIMAL(12,2)) END) AS returns_,
+      |    SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2)))) AS profit
+      |  FROM lineitem, part
+      |  WHERE l_partkey = p_partkey AND l_returnflag = 'A' AND l_discount <= 0.05
+      |    AND l_shipdate BETWEEN TIMESTAMP '1997-08-01 00:00:00' AND TIMESTAMP '1997-09-30 00:00:00'
+      |    AND p_retailprice > 950
+      |  GROUP BY p_brand),
+      |wsr AS (
+      |  SELECT p_brand,
+      |    SUM(CASE WHEN l_linestatus = 'O' THEN CAST(l_extendedprice AS DECIMAL(12,2)) ELSE CAST(0 AS DECIMAL(12,2)) END) AS sales,
+      |    SUM(CASE WHEN l_linestatus = 'F' THEN CAST(l_extendedprice AS DECIMAL(12,2)) ELSE CAST(0 AS DECIMAL(12,2)) END) AS returns_,
+      |    SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2)))) AS profit
+      |  FROM lineitem, part
+      |  WHERE l_partkey = p_partkey AND l_returnflag = 'R' AND l_discount <= 0.05
+      |    AND l_shipdate BETWEEN TIMESTAMP '1997-08-01 00:00:00' AND TIMESTAMP '1997-09-30 00:00:00'
+      |    AND p_retailprice > 950
+      |  GROUP BY p_brand)
+      |SELECT channel, p_brand,
+      |  CAST(SUM(sales) AS DOUBLE) AS sales,
+      |  CAST(SUM(returns_) AS DOUBLE) AS returns_,
+      |  CAST(SUM(profit) AS DOUBLE) AS profit
+      |FROM (
+      |  SELECT 'store channel' AS channel, * FROM ssr
+      |  UNION ALL
+      |  SELECT 'catalog channel' AS channel, * FROM csr
+      |  UNION ALL
+      |  SELECT 'web channel' AS channel, * FROM wsr) x
+      |GROUP BY ROLLUP (channel, p_brand)
+      |ORDER BY channel NULLS FIRST, p_brand NULLS FIRST""".stripMargin
+
+  // q81-shape: catalog-return customers above 1.2x state average, address detail output (q30 sibling).
+  private val q81 =
+    """WITH ctr AS (
+      |  SELECT o_custkey AS ctr_cust, c_nationkey AS ctr_state,
+      |    SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 + CAST(l_tax AS DECIMAL(12,2)))) AS ctr_amt
+      |  FROM lineitem, orders, customer
+      |  WHERE l_orderkey = o_orderkey AND o_custkey = c_custkey AND l_returnflag = 'A'
+      |    AND EXTRACT(YEAR FROM o_orderdate) = 1998
+      |  GROUP BY o_custkey, c_nationkey)
+      |SELECT c_custkey, c_name, n_name, CAST(ctr1.ctr_amt AS DOUBLE) AS return_amt
+      |FROM ctr ctr1, customer, nation
+      |WHERE ctr1.ctr_cust = c_custkey AND c_nationkey = n_nationkey
+      |  AND CAST(ctr1.ctr_amt AS DOUBLE) * 5 > (
+      |    SELECT 6 * CAST(SUM(ctr2.ctr_amt) AS DOUBLE) / COUNT(*)
+      |    FROM ctr ctr2 WHERE ctr1.ctr_state = ctr2.ctr_state)
+      |ORDER BY c_custkey""".stripMargin
+
+  // q82-shape: item listing under a different price/size band with store-channel presence (q37 sibling).
+  private val q82 =
+    """SELECT p_partkey, p_name, CAST(p_retailprice AS DOUBLE) AS price
+      |FROM part
+      |WHERE p_retailprice BETWEEN 910 AND 950 AND p_size IN (5, 15, 25, 35, 45)
+      |  AND p_partkey IN (SELECT l_partkey FROM lineitem
+      |    WHERE l_quantity BETWEEN 20 AND 40
+      |      AND l_shipdate BETWEEN TIMESTAMP '1997-06-01 00:00:00' AND TIMESTAMP '1997-07-31 00:00:00')
+      |  AND p_partkey IN (SELECT l_partkey FROM lineitem
+      |    WHERE l_returnflag = 'N' AND EXTRACT(YEAR FROM l_shipdate) = 1997)
+      |GROUP BY p_partkey, p_name, p_retailprice
+      |ORDER BY p_partkey""".stripMargin
+
+  // q84-shape: chained dim lookup (region->nation->customer) with an income band and a returns semi-join.
+  private val q84 =
+    """SELECT c_custkey AS customer_id, c_name AS customer_name, r_name
+      |FROM customer, nation, region
+      |WHERE c_nationkey = n_nationkey AND n_regionkey = r_regionkey
+      |  AND r_name = 'EUROPE' AND c_acctbal BETWEEN 2000 AND 4000
+      |  AND c_custkey IN (SELECT o_custkey FROM orders, lineitem
+      |    WHERE o_orderkey = l_orderkey AND l_returnflag = 'R')
+      |ORDER BY customer_id""".stripMargin
+
+  // q85-shape: returns averaged per reason under doubly OR'd demographic and balance/discount bands.
+  private val q85 =
+    """SELECT o_orderpriority AS reason,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_discount AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_refund,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_tax AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_fee
+      |FROM lineitem, orders, customer
+      |WHERE l_orderkey = o_orderkey AND o_custkey = c_custkey AND l_returnflag = 'R'
+      |  AND EXTRACT(YEAR FROM o_orderdate) = 1997
+      |  AND ((c_mktsegment = 'BUILDING' AND l_quantity BETWEEN 1 AND 20)
+      |    OR (c_mktsegment = 'MACHINERY' AND l_quantity BETWEEN 21 AND 35)
+      |    OR (c_mktsegment = 'AUTOMOBILE' AND l_quantity BETWEEN 36 AND 50))
+      |  AND ((c_acctbal BETWEEN 0 AND 3000 AND l_discount <= 0.05)
+      |    OR (c_acctbal BETWEEN 3000 AND 9000 AND l_discount > 0.05))
+      |GROUP BY o_orderpriority
+      |ORDER BY reason""".stripMargin
+
+  // q86-shape: two-level ROLLUP with RANK inside each grouping level (lochierarchy) on the web channel.
+  private val q86 =
+    """SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS total_sum,
+      |  p_type, l_linestatus,
+      |  CAST(GROUPING(p_type) + GROUPING(l_linestatus) AS BIGINT) AS lochierarchy,
+      |  CAST(RANK() OVER (
+      |    PARTITION BY GROUPING(p_type) + GROUPING(l_linestatus),
+      |      CASE WHEN GROUPING(l_linestatus) = 0 THEN p_type END
+      |    ORDER BY SUM(CAST(l_extendedprice AS DECIMAL(12,2))) DESC) AS BIGINT) AS rank_within_parent
+      |FROM lineitem, part
+      |WHERE l_partkey = p_partkey AND l_returnflag = 'R' AND EXTRACT(YEAR FROM l_shipdate) = 1997
+      |GROUP BY ROLLUP (p_type, l_linestatus)
+      |ORDER BY lochierarchy DESC, p_type NULLS FIRST, l_linestatus NULLS FIRST, rank_within_parent""".stripMargin
+
+  // q91-shape: call-center net loss on returns for a month, demographic + balance filters.
+  private val q91 =
+    """SELECT s_name AS call_center,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_discount AS DECIMAL(12,2))) AS DOUBLE) AS net_loss
+      |FROM lineitem, orders, customer, supplier
+      |WHERE l_orderkey = o_orderkey AND o_custkey = c_custkey AND l_suppkey = s_suppkey
+      |  AND l_returnflag = 'R'
+      |  AND EXTRACT(YEAR FROM o_orderdate) = 1997 AND EXTRACT(MONTH FROM o_orderdate) = 11
+      |  AND c_mktsegment IN ('MACHINERY', 'FURNITURE') AND c_acctbal < 3000
+      |GROUP BY s_name
+      |ORDER BY call_center""".stripMargin
+
+  // q92-shape: excess discount: lines whose discount beats 1.3x the item's windowed average (correlated, cross-multiplied).
+  private val q92 =
+    """SELECT CAST(SUM(CAST(l1.l_discount AS DECIMAL(12,2)) * CAST(l1.l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS excess_discount
+      |FROM lineitem l1, part
+      |WHERE l1.l_partkey = p_partkey
+      |  AND p_brand IN ('Brand#1', 'Brand#2', 'Brand#3', 'Brand#4', 'Brand#5')
+      |  AND l1.l_shipdate BETWEEN TIMESTAMP '1997-01-01 00:00:00' AND TIMESTAMP '1997-03-31 00:00:00'
+      |  AND 10 * CAST(l1.l_discount AS DECIMAL(12,2)) *
+      |      (SELECT COUNT(*) FROM lineitem l2 WHERE l2.l_partkey = l1.l_partkey
+      |        AND l2.l_shipdate BETWEEN TIMESTAMP '1997-01-01 00:00:00' AND TIMESTAMP '1997-03-31 00:00:00')
+      |    > 13 * (SELECT SUM(CAST(l2.l_discount AS DECIMAL(12,2))) FROM lineitem l2
+      |        WHERE l2.l_partkey = l1.l_partkey
+      |          AND l2.l_shipdate BETWEEN TIMESTAMP '1997-01-01 00:00:00' AND TIMESTAMP '1997-03-31 00:00:00')""".stripMargin
+
+  // q94-shape: web shipping report: EXISTS other-warehouse line AND NOT EXISTS catalog'd order (q16 sibling).
+  private val q94 =
+    """SELECT CAST(COUNT(DISTINCT l1.l_orderkey) AS BIGINT) AS order_count,
+      |  CAST(SUM(CAST(l1.l_extendedprice AS DECIMAL(12,2)) * CAST(l1.l_tax AS DECIMAL(12,2))) AS DOUBLE) AS total_shipping_cost,
+      |  CAST(SUM(CAST(l1.l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l1.l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS total_net_profit
+      |FROM lineitem l1, orders
+      |WHERE l1.l_orderkey = o_orderkey AND o_orderstatus = 'F'
+      |  AND o_orderdate BETWEEN TIMESTAMP '1997-05-01 00:00:00' AND TIMESTAMP '1997-06-30 00:00:00'
+      |  AND EXISTS (SELECT 1 FROM lineitem l2 WHERE l2.l_orderkey = l1.l_orderkey
+      |    AND l2.l_suppkey % 5 <> l1.l_suppkey % 5)
+      |  AND NOT EXISTS (SELECT 1 FROM lineitem l3 WHERE l3.l_orderkey = l1.l_orderkey
+      |    AND l3.l_returnflag = 'A')""".stripMargin
+
+  // q96-shape: single scalar count at a pseudo-weekday x segment x quantity-band intersection.
+  private val q96 =
+    """SELECT CAST(COUNT(*) AS BIGINT) AS cnt
+      |FROM lineitem, orders, customer
+      |WHERE l_orderkey = o_orderkey AND o_custkey = c_custkey
+      |  AND EXTRACT(DOY FROM o_orderdate) % 7 = 3
+      |  AND c_mktsegment = 'HOUSEHOLD' AND l_quantity BETWEEN 5 AND 10
+      |  AND EXTRACT(YEAR FROM o_orderdate) = 1997""".stripMargin
+
+  // q99-shape: ship-lag buckets per month x priority on the catalog channel (q62 sibling).
+  private val q99 =
+    """SELECT CAST(EXTRACT(MONTH FROM o_orderdate) AS BIGINT) AS mon, o_orderpriority,
+      |  CAST(SUM(CASE WHEN l_shipdate <= o_orderdate + INTERVAL 30 DAY THEN 1 ELSE 0 END) AS BIGINT) AS d30,
+      |  CAST(SUM(CASE WHEN l_shipdate > o_orderdate + INTERVAL 30 DAY AND l_shipdate <= o_orderdate + INTERVAL 60 DAY THEN 1 ELSE 0 END) AS BIGINT) AS d60,
+      |  CAST(SUM(CASE WHEN l_shipdate > o_orderdate + INTERVAL 60 DAY AND l_shipdate <= o_orderdate + INTERVAL 90 DAY THEN 1 ELSE 0 END) AS BIGINT) AS d90,
+      |  CAST(SUM(CASE WHEN l_shipdate > o_orderdate + INTERVAL 90 DAY AND l_shipdate <= o_orderdate + INTERVAL 120 DAY THEN 1 ELSE 0 END) AS BIGINT) AS d120,
+      |  CAST(SUM(CASE WHEN l_shipdate > o_orderdate + INTERVAL 120 DAY THEN 1 ELSE 0 END) AS BIGINT) AS dmore
+      |FROM lineitem, orders
+      |WHERE l_orderkey = o_orderkey AND l_returnflag = 'A'
+      |  AND EXTRACT(YEAR FROM o_orderdate) = 1997
+      |GROUP BY EXTRACT(MONTH FROM o_orderdate), o_orderpriority
+      |ORDER BY mon, o_orderpriority""".stripMargin
+
   private val all: Map[String, String] = Map(
     "q_tpcds2" -> q2,
     "q_tpcds21" -> q21,
@@ -949,7 +1838,58 @@ object TpcdsQueries {
     "q_tpcds70" -> q70,
     "q_tpcds88" -> q88,
     "q_tpcds95" -> q95,
-    "q_tpcds97" -> q97
+    "q_tpcds97" -> q97,
+    "q_tpcds3" -> q3,
+    "q_tpcds6" -> q6,
+    "q_tpcds7" -> q7,
+    "q_tpcds8" -> q8,
+    "q_tpcds10" -> q10,
+    "q_tpcds11" -> q11,
+    "q_tpcds12" -> q12,
+    "q_tpcds13" -> q13,
+    "q_tpcds15" -> q15,
+    "q_tpcds16" -> q16,
+    "q_tpcds18" -> q18,
+    "q_tpcds19" -> q19,
+    "q_tpcds20" -> q20,
+    "q_tpcds25" -> q25,
+    "q_tpcds26" -> q26,
+    "q_tpcds27" -> q27,
+    "q_tpcds29" -> q29,
+    "q_tpcds30" -> q30,
+    "q_tpcds33" -> q33,
+    "q_tpcds37" -> q37,
+    "q_tpcds42" -> q42,
+    "q_tpcds43" -> q43,
+    "q_tpcds46" -> q46,
+    "q_tpcds52" -> q52,
+    "q_tpcds53" -> q53,
+    "q_tpcds54" -> q54,
+    "q_tpcds55" -> q55,
+    "q_tpcds56" -> q56,
+    "q_tpcds57" -> q57,
+    "q_tpcds60" -> q60,
+    "q_tpcds61" -> q61,
+    "q_tpcds62" -> q62,
+    "q_tpcds63" -> q63,
+    "q_tpcds68" -> q68,
+    "q_tpcds69" -> q69,
+    "q_tpcds71" -> q71,
+    "q_tpcds73" -> q73,
+    "q_tpcds74" -> q74,
+    "q_tpcds77" -> q77,
+    "q_tpcds79" -> q79,
+    "q_tpcds80" -> q80,
+    "q_tpcds81" -> q81,
+    "q_tpcds82" -> q82,
+    "q_tpcds84" -> q84,
+    "q_tpcds85" -> q85,
+    "q_tpcds86" -> q86,
+    "q_tpcds91" -> q91,
+    "q_tpcds92" -> q92,
+    "q_tpcds94" -> q94,
+    "q_tpcds96" -> q96,
+    "q_tpcds99" -> q99
   )
 
   val queries: Map[String, QFn] = all.map { case (name, sql) =>
