@@ -28,8 +28,11 @@ object Bench {
     // the headline total counts only the oracle-checked q_ queries; the
     // b_ bench-only entries report per-query but don't shift the bar
     val total = results.view.filterKeys(_.startsWith("q_")).values.sum
+    // self-describing provenance: the actual master/parallelism this run
+    // used (past rounds had to adjudicate whether a number came from
+    // local[8]-under-contention or the host's 32 cpus)
     val full =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","master":"${spark.sparkContext.master}","parallelism":${spark.sparkContext.defaultParallelism}}"""
     // Persist the full JSON to a file for ad-hoc inspection, but print
     // EXACTLY ONE JSON line: the driver parses stdout for a single
     // {"metric",...,"queries":{...}} object, and a second summary line made

@@ -672,13 +672,40 @@ object ConnectorDdl {
 
   /** Per-statement scratch checkpoint dir, reaped at JVM exit so
     * repeated smoke jobs don't accumulate state-store files in /tmp.
+    * ONE process-wide shutdown hook drains the queue — a hook (and
+    * Thread) per statement would accumulate unboundedly in a long-lived
+    * session issuing many INSERTs.
     */
+  private val scratchDirs =
+    new java.util.concurrent.ConcurrentLinkedQueue[java.nio.file.Path]()
+  private lazy val scratchHookInstalled: Boolean = {
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      var d = scratchDirs.poll()
+      while (d != null) {
+        graft.queries.Q.deleteRecursively(d)
+        d = scratchDirs.poll()
+      }
+    }))
+    true
+  }
   private def scratchCkpt(prefix: String): String = {
+    require(scratchHookInstalled)
     val dir = java.nio.file.Files.createTempDirectory(prefix)
-    Runtime.getRuntime.addShutdownHook(new Thread(() =>
-      graft.queries.Q.deleteRecursively(dir)))
+    scratchDirs.add(dir)
     dir.toString
   }
+
+  /** Upsert ordering column for INSERTs into a PRIMARY KEY table: the
+    * per-statement/per-batch sequence composed with a monotone
+    * intra-batch tiebreaker (struct ordering is lexicographic, so the
+    * batch seq dominates). Without the tiebreaker, an insert-only batch
+    * holding duplicate keys would pick its winner nondeterministically
+    * (every row shares one seq and mergeBatch's row_number sees ties).
+    */
+  private def ddlSeq(seq: Long): org.apache.spark.sql.Column =
+    org.apache.spark.sql.functions.struct(
+      lit(seq).as("batch"),
+      org.apache.spark.sql.functions.monotonically_increasing_id().as("off"))
 
   private val CdcFormats =
     Set("debezium-json", "canal-json", "maxwell-json", "ogg-json")
@@ -872,7 +899,7 @@ object ConnectorDdl {
         case "filesystem" if d.primaryKey.nonEmpty && !df.isStreaming =>
           val seq = d.insertSeq.incrementAndGet()
           graft.sources.UpsertSink.mergeBatch(spark,
-            df.withColumn("__ddl_seq", lit(seq)), d.primaryKey, "__ddl_seq",
+            df.withColumn("__ddl_seq", ddlSeq(seq)), d.primaryKey, "__ddl_seq",
             d.options("path"),
             d.options.getOrElse("sink.buckets", "8").toInt)
           graft.sources.UpsertSink.read(spark, d.options("path"))
@@ -900,7 +927,7 @@ object ConnectorDdl {
             .foreachBatch { (batch: DataFrame, _: Long) =>
               val seq = d.insertSeq.incrementAndGet()
               graft.sources.UpsertSink.mergeBatch(batch.sparkSession,
-                batch.withColumn("__ddl_seq", lit(seq)), pk, "__ddl_seq",
+                batch.withColumn("__ddl_seq", ddlSeq(seq)), pk, "__ddl_seq",
                 path, buckets)
               ()
             }

@@ -39,7 +39,20 @@ import org.apache.spark.unsafe.types.UTF8String
   * proto3 semantics preserved: zero/empty/false scalars are OMITTED on
   * encode and default-filled on decode; unknown field numbers are skipped
   * by wire type (forward compatibility); repeated numeric fields accept
-  * both packed and unpacked encodings on decode, as the spec requires.
+  * both packed and unpacked encodings on decode, as the spec requires;
+  * duplicate occurrences of a singular message field MERGE (the spec's
+  * rule: concatenating encodings merges the messages — occurrences are
+  * buffered and decoded as one span); a tag whose wire type contradicts
+  * the schema-declared type fails loudly (same IllegalArgumentException
+  * as truncation), never silently misparses the rest of the message.
+  *
+  * Integer wire-encoding hints (the reference's flink-protobuf type
+  * mapping carries sintN and (s)fixedN to the same Flink INT/BIGINT):
+  * a field-level metadata entry `pb.encoding` selects the wire form for
+  * IntegerType/LongType columns — absent/"varint" = intN (default),
+  * "zigzag" = sintN, "fixed" = (s)fixedN — on scalars and packed/
+  * unpacked repeated elements alike. Map entries stay intN (the
+  * converter's surface).
   *
   * Scale shape: both directions are pure per-row projections (no shuffle,
   * no state); `CodegenFallback` keeps them inside the projection operator
@@ -118,6 +131,33 @@ object ProtobufWire {
     out.write(bytes, 0, bytes.length)
   }
 
+  /** Field-metadata key selecting the integer wire form: "varint" (intN,
+    * the default), "zigzag" (sintN), "fixed" ((s)fixedN).
+    */
+  val EncodingKey = "pb.encoding"
+
+  private def encodingHint(f: StructField): String =
+    if (f.metadata.contains(EncodingKey)) f.metadata.getString(EncodingKey)
+    else "varint"
+
+  // zigzag (sintN): small negatives stay small on the wire
+  private def zig32(v: Int): Long =
+    ((v << 1) ^ (v >> 31)).toLong & 0xffffffffL
+  private def zig64(v: Long): Long = (v << 1) ^ (v >> 63)
+  private def unzig(v: Long): Long = (v >>> 1) ^ -(v & 1L)
+
+  /** The wire type the schema (plus encoding hint) demands for a field's
+    * single-value form; length-delimited types and packed arrays are 2.
+    */
+  private def scalarWire(dt: DataType, hint: String): Int = dt match {
+    case IntegerType => if (hint == "fixed") 5 else 0
+    case LongType => if (hint == "fixed") 1 else 0
+    case BooleanType => 0
+    case DoubleType => 1
+    case FloatType => 5
+    case _ => 2
+  }
+
   /** Encode one InternalRow as a proto3 message (field numbers = ordinal
     * position + 1; proto3 default values omitted).
     */
@@ -130,12 +170,20 @@ object ProtobufWire {
       if (!row.isNullAt(i)) f.dataType match {
         case IntegerType =>
           val v = row.getInt(i)
-          // negative int32 encodes as the sign-extended 64-bit varint
-          // (10 bytes) — the standard `int32` rule
-          if (v != 0) { writeTag(out, num, 0); writeVarint(out, v.toLong) }
+          // default `int32`: negative int32 encodes as the sign-extended
+          // 64-bit varint (10 bytes); hints select sint32 / (s)fixed32
+          if (v != 0) encodingHint(f) match {
+            case "zigzag" => writeTag(out, num, 0); writeVarint(out, zig32(v))
+            case "fixed" => writeTag(out, num, 5); writeFixed32(out, v)
+            case _ => writeTag(out, num, 0); writeVarint(out, v.toLong)
+          }
         case LongType =>
           val v = row.getLong(i)
-          if (v != 0L) { writeTag(out, num, 0); writeVarint(out, v) }
+          if (v != 0L) encodingHint(f) match {
+            case "zigzag" => writeTag(out, num, 0); writeVarint(out, zig64(v))
+            case "fixed" => writeTag(out, num, 1); writeFixed64(out, v)
+            case _ => writeTag(out, num, 0); writeVarint(out, v)
+          }
         case BooleanType =>
           if (row.getBoolean(i)) { writeTag(out, num, 0); writeVarint(out, 1L) }
         case DoubleType =>
@@ -157,7 +205,7 @@ object ProtobufWire {
           val b = row.getBinary(i)
           if (b.nonEmpty) writeLenDelim(out, num, b)
         case ArrayType(et, _) =>
-          encodeArray(out, num, row.getArray(i), et)
+          encodeArray(out, num, row.getArray(i), et, encodingHint(f))
         // proto3 map<K,V>: repeated message { K key = 1; V value = 2; }
         case MapType(kt, vt, _) =>
           val m = row.getMap(i)
@@ -219,7 +267,7 @@ object ProtobufWire {
   }
 
   private def encodeArray(out: ByteArrayOutputStream, num: Int,
-      arr: ArrayData, et: DataType): Unit = et match {
+      arr: ArrayData, et: DataType, hint: String): Unit = et match {
     // packed repeated numerics: ONE length-delimited payload. proto3
     // has no null — a NULL element folds to the type's default value
     // (0/false), preserving the array's cardinality on round-trip.
@@ -230,10 +278,22 @@ object ProtobufWire {
         while (j < arr.numElements()) {
           val isNull = arr.isNullAt(j)
           et match {
-            case IntegerType =>
-              writeVarint(body, if (isNull) 0L else arr.getInt(j).toLong)
-            case LongType =>
-              writeVarint(body, if (isNull) 0L else arr.getLong(j))
+            case IntegerType => hint match {
+              case "zigzag" =>
+                writeVarint(body, if (isNull) 0L else zig32(arr.getInt(j)))
+              case "fixed" =>
+                writeFixed32(body, if (isNull) 0 else arr.getInt(j))
+              case _ =>
+                writeVarint(body, if (isNull) 0L else arr.getInt(j).toLong)
+            }
+            case LongType => hint match {
+              case "zigzag" =>
+                writeVarint(body, if (isNull) 0L else zig64(arr.getLong(j)))
+              case "fixed" =>
+                writeFixed64(body, if (isNull) 0L else arr.getLong(j))
+              case _ =>
+                writeVarint(body, if (isNull) 0L else arr.getLong(j))
+            }
             case BooleanType =>
               writeVarint(body, if (!isNull && arr.getBoolean(j)) 1L else 0L)
             case DoubleType =>
@@ -375,56 +435,89 @@ object ProtobufWire {
       }
       i += 1
     }
+    // split singular submessages merge (the spec's rule: concatenating
+    // encodings merges the messages) — occurrences buffer raw bytes
+    // here and decode as ONE span at materialization
+    val structBufs = new Array[ByteArrayOutputStream](schema.length)
     while (r.hasMore) {
       val tag = r.readVarint()
       val num = (tag >>> 3).toInt
       val wire = (tag & 7).toInt
       val idx = num - 1
       if (idx < 0 || idx >= schema.length) r.skip(wire)
-      else schema.fields(idx).dataType match {
-        case IntegerType => values(idx) = r.readVarint().toInt
-        case LongType => values(idx) = r.readVarint()
-        case BooleanType => values(idx) = r.readVarint() != 0L
-        case DoubleType =>
-          values(idx) = java.lang.Double.longBitsToDouble(r.readFixed64())
-        case FloatType =>
-          values(idx) = java.lang.Float.intBitsToFloat(r.readFixed32())
-        case StringType => values(idx) = UTF8String.fromBytes(r.readBytes())
-        case BinaryType => values(idx) = r.readBytes()
-        case st: StructType => values(idx) = decodeMessage(r.sub(), st)
-        case MapType(kt, vt, _) =>
-          if (repeated(idx) == null)
-            repeated(idx) = scala.collection.mutable.ArrayBuffer.empty[Any]
-          // each entry is a mini message { key = 1; value = 2 } —
-          // decode with a synthetic 2-field schema; later duplicate
-          // keys win at materialization (proto3 map merge rule)
-          val entrySchema = StructType(Seq(
-            StructField("key", kt), StructField("value", vt)))
-          val entry = decodeMessage(r.sub(), entrySchema)
-          repeated(idx) += ((entry.get(0, kt), entry.get(1, vt)))
-        case ArrayType(et, _) =>
-          if (repeated(idx) == null)
-            repeated(idx) = scala.collection.mutable.ArrayBuffer.empty[Any]
-          val buf = repeated(idx)
-          et match {
-            case IntegerType | LongType | BooleanType | DoubleType | FloatType
-                if wire == 2 =>
-              // packed payload: decode elements until the span ends
-              val s = r.sub()
-              while (s.hasMore) buf += readScalar(s, et, packed = true)
-            case IntegerType | LongType | BooleanType | DoubleType | FloatType =>
-              buf += readScalar(r, et, packed = true) // unpacked numeric
-            case StringType => buf += UTF8String.fromBytes(r.readBytes())
-            case BinaryType => buf += r.readBytes()
-            case st: StructType => buf += decodeMessage(r.sub(), st)
-            case other => throw new IllegalArgumentException(
-              s"unsupported repeated type for protobuf: ${other.simpleString}")
+      else {
+        val f = schema.fields(idx)
+        val hint = encodingHint(f)
+        // wire-type contract: an in-schema tag whose wire type
+        // contradicts the declared type fails loudly (the same error
+        // class as truncation) instead of misparsing what follows
+        val wireOk = f.dataType match {
+          case ArrayType(et, _) => wire == 2 || wire == scalarWire(et, hint)
+          case dt => wire == scalarWire(dt, hint)
+        }
+        if (!wireOk) throw new IllegalArgumentException(
+          s"protobuf wire type $wire contradicts declared type " +
+            s"${f.dataType.simpleString} for field $num")
+        f.dataType match {
+          case IntegerType => values(idx) = hint match {
+            case "zigzag" => unzig(r.readVarint()).toInt
+            case "fixed" => r.readFixed32()
+            case _ => r.readVarint().toInt
           }
+          case LongType => values(idx) = hint match {
+            case "zigzag" => unzig(r.readVarint())
+            case "fixed" => r.readFixed64()
+            case _ => r.readVarint()
+          }
+          case BooleanType => values(idx) = r.readVarint() != 0L
+          case DoubleType =>
+            values(idx) = java.lang.Double.longBitsToDouble(r.readFixed64())
+          case FloatType =>
+            values(idx) = java.lang.Float.intBitsToFloat(r.readFixed32())
+          case StringType => values(idx) = UTF8String.fromBytes(r.readBytes())
+          case BinaryType => values(idx) = r.readBytes()
+          case _: StructType =>
+            if (structBufs(idx) == null)
+              structBufs(idx) = new ByteArrayOutputStream()
+            val b = r.readBytes()
+            structBufs(idx).write(b, 0, b.length)
+          case MapType(kt, vt, _) =>
+            if (repeated(idx) == null)
+              repeated(idx) = scala.collection.mutable.ArrayBuffer.empty[Any]
+            // each entry is a mini message { key = 1; value = 2 } —
+            // decode with a synthetic 2-field schema; later duplicate
+            // keys win at materialization (proto3 map merge rule)
+            val entrySchema = StructType(Seq(
+              StructField("key", kt), StructField("value", vt)))
+            val entry = decodeMessage(r.sub(), entrySchema)
+            repeated(idx) += ((entry.get(0, kt), entry.get(1, vt)))
+          case ArrayType(et, _) =>
+            if (repeated(idx) == null)
+              repeated(idx) = scala.collection.mutable.ArrayBuffer.empty[Any]
+            val buf = repeated(idx)
+            et match {
+              case IntegerType | LongType | BooleanType | DoubleType | FloatType
+                  if wire == 2 =>
+                // packed payload: decode elements until the span ends
+                val s = r.sub()
+                while (s.hasMore) buf += readScalar(s, et, hint)
+              case IntegerType | LongType | BooleanType | DoubleType | FloatType =>
+                buf += readScalar(r, et, hint) // unpacked numeric
+              case StringType => buf += UTF8String.fromBytes(r.readBytes())
+              case BinaryType => buf += r.readBytes()
+              case st: StructType => buf += decodeMessage(r.sub(), st)
+              case other => throw new IllegalArgumentException(
+                s"unsupported repeated type for protobuf: ${other.simpleString}")
+            }
+        }
       }
     }
     i = 0
     while (i < schema.length) {
       schema.fields(i).dataType match {
+        case st: StructType if structBufs(i) != null =>
+          val b = structBufs(i).toByteArray
+          values(i) = decodeMessage(new Reader(b, 0, b.length), st)
         case _: ArrayType =>
           values(i) = new GenericArrayData(
             Option(repeated(i)).map(_.toArray).getOrElse(Array.empty[Any]))
@@ -443,10 +536,18 @@ object ProtobufWire {
     InternalRow.fromSeq(values.toIndexedSeq)
   }
 
-  private def readScalar(r: Reader, et: DataType, packed: Boolean): Any =
+  private def readScalar(r: Reader, et: DataType, hint: String): Any =
     et match {
-      case IntegerType => r.readVarint().toInt
-      case LongType => r.readVarint()
+      case IntegerType => hint match {
+        case "zigzag" => unzig(r.readVarint()).toInt
+        case "fixed" => r.readFixed32()
+        case _ => r.readVarint().toInt
+      }
+      case LongType => hint match {
+        case "zigzag" => unzig(r.readVarint())
+        case "fixed" => r.readFixed64()
+        case _ => r.readVarint()
+      }
       case BooleanType => r.readVarint() != 0L
       case DoubleType => java.lang.Double.longBitsToDouble(r.readFixed64())
       case FloatType => java.lang.Float.intBitsToFloat(r.readFixed32())

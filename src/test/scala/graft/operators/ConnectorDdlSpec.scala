@@ -76,6 +76,23 @@ class ConnectorDdlSpec extends SparkSuite {
     assert(rows == Seq((1L, "a"), (2L, "b2"), (3L, "c")))
   }
 
+  test("PK upsert: duplicate keys INSIDE one statement resolve to the last row") {
+    // all rows of one INSERT share the statement seq; the intra-batch
+    // tiebreaker (monotonically increasing id inside the __ddl_seq
+    // struct) must make the LATER duplicate win deterministically
+    val dir = tmp("ddl_pk_dup") + "/t"
+    GraftSql.sql(spark,
+      s"""CREATE TABLE pkdup_t (k BIGINT, v STRING, PRIMARY KEY (k) NOT ENFORCED)
+         |WITH ('connector' = 'filesystem', 'path' = '$dir',
+         |      'format' = 'parquet')""".stripMargin)
+    GraftSql.sql(spark,
+      "INSERT INTO pkdup_t SELECT * FROM VALUES " +
+        "(1, 'first'), (1, 'second'), (1, 'third'), (2, 'x') AS t(k, v)")
+    val rows = GraftSql.sql(spark, "SELECT k, v FROM pkdup_t ORDER BY k")
+      .as[(Long, String)].collect().toSeq
+    assert(rows == Seq((1L, "third"), (2L, "x")))
+  }
+
   test("streaming INSERT INTO: source table with watermark drains to a sink") {
     val src = tmp("ddl_sjob_src")
     val dst = tmp("ddl_sjob_dst") + "/out"

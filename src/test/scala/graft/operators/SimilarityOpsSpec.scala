@@ -55,6 +55,28 @@ class SimilarityOpsSpec extends SparkSuite {
     assert(recall(ann1, exact) <= r)
   }
 
+  test("IVF multi-probe keeps recall >= 0.9 at 8x corpus scale") {
+    // b_sim_scale8 measures WALL TIME at 8x; this pins QUALITY at 8x:
+    // the same distribution grown 8x (same centers, 8x points per
+    // cluster), a deterministic query sample, ground truth by brute
+    // force over the full 8x corpus, same cell/probe config as the 1x
+    // recall assertion above.
+    val centerRng = new scala.util.Random(7)
+    val centers = Array.fill(Cells, Dim)(centerRng.nextGaussian())
+    val corpus8 = (0 until Cells * PerCluster * 8).map { i =>
+      val c = centers(i % Cells)
+      val rng = new scala.util.Random(1000 + i)
+      val v = c.map(x => (x + 0.15 * rng.nextGaussian()).toFloat)
+      (i.toLong, v, i % Cells)
+    }.toDF("vec_id", "embedding", "label")
+    val queries = corpus8.filter($"vec_id" % 107 === 0) // 24-query sample
+    val exact = SimilarityOps.bruteForceTopK(queries, corpus8, k = 5)
+    val ann = SimilarityOps.ivfTopK(queries, corpus8, k = 5,
+      nCells = Cells, nProbe = 2, dim = Dim)
+    val r = recall(ann, exact)
+    assert(r >= 0.9, s"recall at 8x corpus $r < 0.9")
+  }
+
   test("probing every cell degrades IVF to exact brute force") {
     val queries = corpus.filter($"vec_id" < 16)
     val exact = SimilarityOps.bruteForceTopK(queries, corpus, k = 5)

@@ -214,4 +214,81 @@ class ProtobufWireSpec extends SparkSuite {
       .select("m.*").head()
     assert(r.getSeq[Long](0) == Seq(5L, 400L))
   }
+
+  test("split singular submessages merge (proto3 concatenation rule)") {
+    // standard encoders may split one submessage across occurrences;
+    // the spec says the decode result equals decoding the concatenated
+    // payloads. occurrence 1 sets inner.x=1, occurrence 2 sets inner.y=2
+    val bytes = Array(0x0a, 0x02, 0x08, 0x01, 0x0a, 0x02, 0x10, 0x02)
+      .map(_.toByte)
+    val sch = StructType(Seq(StructField("a", StructType(Seq(
+      StructField("x", IntegerType), StructField("y", IntegerType))))))
+    val d = ProtobufWire.decodeRow(bytes, sch)
+    val inner = d.getStruct(0, 2)
+    assert(inner.getInt(0) == 1 && inner.getInt(1) == 2)
+    // a scalar set in BOTH occurrences: the later one wins
+    val bytes2 = Array(0x0a, 0x02, 0x08, 0x01, 0x0a, 0x02, 0x08, 0x05)
+      .map(_.toByte)
+    assert(ProtobufWire.decodeRow(bytes2, sch).getStruct(0, 2).getInt(0) == 5)
+  }
+
+  test("wire type contradicting the declared type fails loudly") {
+    // field 1 carries a length-delimited payload but the schema says
+    // BIGINT — must throw, not misparse the remaining bytes
+    val bytes = Array(0x0a, 0x03, 0x61, 0x62, 0x63).map(_.toByte)
+    val sch = StructType(Seq(StructField("l", LongType)))
+    val e = intercept[IllegalArgumentException] {
+      ProtobufWire.decodeRow(bytes, sch)
+    }
+    assert(e.getMessage.contains("contradicts declared type"))
+    // fixed-hinted int expects wire 5; a varint occurrence must throw
+    val zf = new MetadataBuilder()
+      .putString(ProtobufWire.EncodingKey, "fixed").build()
+    val schF = StructType(Seq(StructField("i", IntegerType, true, zf)))
+    val e2 = intercept[IllegalArgumentException] {
+      ProtobufWire.decodeRow(Array(0x08, 0x01).map(_.toByte), schF)
+    }
+    assert(e2.getMessage.contains("contradicts declared type"))
+  }
+
+  test("sint/fixed wire hints: three encodings of one logical column") {
+    import org.apache.spark.sql.catalyst.InternalRow
+    def m(enc: String) = new MetadataBuilder()
+      .putString(ProtobufWire.EncodingKey, enc).build()
+    val schVarint = StructType(Seq(
+      StructField("i", IntegerType), StructField("l", LongType)))
+    val schZig = StructType(Seq(
+      StructField("i", IntegerType, true, m("zigzag")),
+      StructField("l", LongType, true, m("zigzag"))))
+    val schFixed = StructType(Seq(
+      StructField("i", IntegerType, true, m("fixed")),
+      StructField("l", LongType, true, m("fixed"))))
+    val row = InternalRow(-2, -2L)
+    // canonical zigzag (docs: -2 → 3): both fields one byte each
+    val zb = ProtobufWire.encodeRow(row, schZig)
+    assert(zb.toSeq == Seq(0x08, 0x03, 0x10, 0x03).map(_.toByte))
+    // canonical fixed: wire 5 LE-4 for int32, wire 1 LE-8 for int64
+    val fb = ProtobufWire.encodeRow(row, schFixed)
+    assert(fb.toSeq == (Seq(0x0d, 0xfe, 0xff, 0xff, 0xff) ++ Seq(0x11) ++
+      Seq(0xfe) ++ Seq.fill(7)(0xff)).map(_.toByte))
+    // default int32/int64: ten-byte sign-extended varints
+    val vb = ProtobufWire.encodeRow(row, schVarint)
+    assert(vb.length == 22)
+    // each encoding round-trips to the same logical value
+    for ((b, s) <- Seq((vb, schVarint), (zb, schZig), (fb, schFixed))) {
+      val d = ProtobufWire.decodeRow(b, s)
+      assert(d.getInt(0) == -2 && d.getLong(1) == -2L)
+    }
+    // hints apply inside packed repeated payloads too
+    val schArr = StructType(Seq(StructField("xs",
+      ArrayType(IntegerType, containsNull = false), true, m("zigzag"))))
+    val arrRow = InternalRow(
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        Array[Any](-1, 2, -3)))
+    val ab = ProtobufWire.encodeRow(arrRow, schArr)
+    // packed span: tag 0a, len 3, zigzags 1, 4, 5
+    assert(ab.toSeq == Seq(0x0a, 0x03, 0x01, 0x04, 0x05).map(_.toByte))
+    assert(ProtobufWire.decodeRow(ab, schArr)
+      .getArray(0).toIntArray().toSeq == Seq(-1, 2, -3))
+  }
 }
