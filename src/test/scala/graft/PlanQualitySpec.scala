@@ -411,4 +411,42 @@ class PlanQualitySpec extends SparkSuite {
     assert(plan.contains("EqualTo(l_returnflag,"),
       s"channel filter must push to the scan: $plan")
   }
+
+  test("TPC-H q19 shape: disjunctive brackets stay a hash join, no cartesian") {
+    // the classic q19 trap: the equi-join key buried in OR arms degrades
+    // to a cartesian BNLJ over the fact table — our dialect text hoists
+    // it, and the plan must show a real equi-join with the bracket
+    // predicates evaluated post-join
+    val df = queries.SqlQueries.queries("q_sql_tpch19")(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString()
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"q19 must not degrade to a non-equi join: $plan")
+    assert(plan.contains("BroadcastHashJoin") ||
+      plan.contains("ShuffledHashJoin") || plan.contains("SortMergeJoin"),
+      s"q19 must plan an equi join: $plan")
+  }
+
+  test("TPC-H q6 shape: every predicate reaches the parquet scan") {
+    // single-scan query: at 100 TB the date/discount/quantity filters
+    // ARE the query — they must be data-source pushdowns, not a
+    // post-scan Filter over the full fact table
+    val df = queries.SqlQueries.queries("q_sql_tpch6")(spark, sf)
+    df.collect()
+    // formatted mode prints the scan's full PushedFilters list (the
+    // plan toString elides it at 100 chars)
+    val plan = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(plan.contains("PushedFilters:") &&
+      plan.contains("LessThan(l_quantity,24"),
+      s"quantity filter must push to the scan: $plan")
+    assert("GreaterThanOrEqual\\(l_shipdate".r.findFirstIn(plan).nonEmpty,
+      s"shipdate range must push to the scan: $plan")
+    // and column pruning: the scan reads the 4 referenced columns, not
+    // the full 11-column lineitem schema
+    assert(plan.contains("ReadSchema: struct<l_quantity:double," +
+      "l_extendedprice:double,l_discount:double,l_shipdate:timestamp_ntz>"),
+      s"scan must prune to the 4 referenced columns: $plan")
+  }
 }
