@@ -701,6 +701,13 @@ object ConnectorDdl {
     * batch seq dominates). Without the tiebreaker, an insert-only batch
     * holding duplicate keys would pick its winner nondeterministically
     * (every row shares one seq and mergeBatch's row_number sees ties).
+    * Caveat: the intra-batch tiebreaker is (partitionId, offset) order,
+    * so "last duplicate wins" within one INSERT follows the plan's
+    * partition layout, not statement text order, when a shuffle or
+    * nondeterministic repartition sits upstream — the same arrival-order
+    * semantics as the reference's SinkUpsertMaterializer
+    * (flink-table-runtime SinkUpsertMaterializer.java). Deterministic
+    * for a fixed plan over fixed files, which is what the specs pin.
     */
   private def ddlSeq(seq: Long): org.apache.spark.sql.Column =
     org.apache.spark.sql.functions.struct(

@@ -136,9 +136,18 @@ object ProtobufWire {
     */
   val EncodingKey = "pb.encoding"
 
+  private val ValidHints = Set("varint", "zigzag", "fixed")
+
   private def encodingHint(f: StructField): String =
-    if (f.metadata.contains(EncodingKey)) f.metadata.getString(EncodingKey)
-    else "varint"
+    if (f.metadata.contains(EncodingKey)) {
+      val h = f.metadata.getString(EncodingKey)
+      // fail loud on a typo'd hint ("sint", "sfixed", …) — silently
+      // falling through to varint would write/read the wrong wire form
+      require(ValidHints.contains(h),
+        s"invalid $EncodingKey '$h' on field '${f.name}': " +
+          s"expected one of ${ValidHints.mkString(", ")}")
+      h
+    } else "varint"
 
   // zigzag (sintN): small negatives stay small on the wire
   private def zig32(v: Int): Long =

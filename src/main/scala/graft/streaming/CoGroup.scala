@@ -1,7 +1,7 @@
 package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Encoders, Row}
-import org.apache.spark.sql.functions.{col, concat_ws, explode, floor, lit, sequence, struct, unix_millis}
+import org.apache.spark.sql.functions.{coalesce, col, concat_ws, explode, floor, lit, sequence, struct, unix_millis}
 import org.apache.spark.sql.streaming._
 import org.apache.spark.sql.types._
 
@@ -87,10 +87,16 @@ object CoGroup {
     val rightSchema = StructType(right.schema.fields.map(_.copy(nullable = true)))
 
     // key text: single keys cast to string; composite keys joined with
-    //  (never a key byte in practice) — no JSON anywhere
+    // \u0001 after NULL-SAFE encoding each component — concat_ws SKIPS
+    // null arguments, so without the coalesce-to-sentinel ("a", null)
+    // and (null, "a") would both encode to "a" and distinct keys would
+    // cogroup together. "\u0002NULL" is unambiguous because real values
+    // never contain \u0001/\u0002 bytes in practice and null is encoded
+    // positionally, keeping arity visible through the separators.
     def keyExpr(df: DataFrame) =
       if (keyCols.lengthCompare(1) == 0) col(keyCols.head).cast("string")
-      else concat_ws("", keyCols.map(c => col(c).cast("string")): _*)
+      else concat_ws("\u0001", keyCols.map(c =>
+        coalesce(col(c).cast("string"), lit("\u0002NULL"))): _*)
 
     def tag(df: DataFrame, side: Int): DataFrame = {
       val payload = struct(df.columns.map(col).toSeq: _*)

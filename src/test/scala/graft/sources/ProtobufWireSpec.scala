@@ -291,4 +291,21 @@ class ProtobufWireSpec extends SparkSuite {
     assert(ProtobufWire.decodeRow(ab, schArr)
       .getArray(0).toIntArray().toSeq == Seq(-1, 2, -3))
   }
+
+  test("unrecognized pb.encoding hint fails loudly, never silent varint") {
+    import org.apache.spark.sql.catalyst.InternalRow
+    // a typo'd hint ("sint" for "zigzag") silently falling back to
+    // varint would produce int32 wire format where sint32 was intended
+    val sch = StructType(Seq(StructField("i", IntegerType, true,
+      new MetadataBuilder()
+        .putString(ProtobufWire.EncodingKey, "sint").build())))
+    val e = intercept[IllegalArgumentException] {
+      ProtobufWire.encodeRow(InternalRow(-2), sch)
+    }
+    assert(e.getMessage.contains("sint") && e.getMessage.contains("zigzag"))
+    val d = intercept[IllegalArgumentException] {
+      ProtobufWire.decodeRow(Array[Byte](0x08, 0x03), sch)
+    }
+    assert(d.getMessage.contains("pb.encoding"))
+  }
 }

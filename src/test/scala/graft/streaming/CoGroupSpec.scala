@@ -124,6 +124,53 @@ class CoGroupSpec extends SparkSuite {
     }
   }
 
+  test("composite keys with null components stay distinct") {
+    // concat_ws skips nulls, so without null-safe component encoding
+    // ("a", null), (null, "a") and a separator-less neighbor would all
+    // encode to the same key text and cogroup together
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Int, java.sql.Timestamp, Long)]
+    val ev = input.toDS().toDF("id", "ts", "v")
+      .withColumn("k1", org.apache.spark.sql.functions
+        .when($"id" === 1, "a").otherwise(org.apache.spark.sql.functions
+          .when($"id" === 3, "a").cast("string")))
+      .withColumn("k2", org.apache.spark.sql.functions
+        .when($"id" === 2, "a").otherwise(org.apache.spark.sql.functions
+          .when($"id" === 3, "b").cast("string")))
+    // id=1 → ("a", null); id=2 → (null, "a"); id=3 → ("a", "b")
+    val left = ev.filter($"v" % 2 === 0)
+    val right = ev.filter($"v" % 2 === 1)
+    val outSchema = StructType(Seq(
+      StructField("k", StringType), StructField("n", LongType)))
+    val out = CoGroup.tumbling(left, right, Seq("k1", "k2"), "ts",
+      600000L, "0 seconds",
+      (key, _, ls, rs) => Iterator.single(new GenericRow(
+        Array[Any](key, (ls.length + rs.length).toLong))),
+      outSchema)
+    val name = "cogroup_nullkey_sink"
+    val ckpt = java.nio.file.Files.createTempDirectory("cogroup_nullkey")
+    val q = out.writeStream.format("memory").queryName(name)
+      .outputMode("append")
+      .option("checkpointLocation", ckpt.toString).start()
+    try {
+      input.addData(Seq((1, ts(1), 2L), (2, ts(2), 4L), (3, ts(3), 6L)))
+      q.processAllAvailable()
+      input.addData(Seq((0, ts(60), 0L)))
+      q.processAllAvailable()
+      val rows = spark.table(name).as[(String, Long)].collect()
+        .filter(_._2 > 0)
+      // three distinct non-empty groups, each with exactly one row —
+      // null-component keys never collide with each other or with ("a","b")
+      assert(rows.count(_._2 == 1L) >= 3,
+        s"expected 3 singleton groups, got ${rows.toSeq}")
+      assert(!rows.exists(_._2 > 1L),
+        s"null-component keys collided: ${rows.toSeq}")
+    } finally {
+      q.stop()
+      graft.queries.Q.deleteRecursively(ckpt)
+    }
+  }
+
   test("coGroup buffers sides with different schemas typed end-to-end") {
     // left and right carry DIFFERENT columns (the TaggedUnion point):
     // the union row holds two nullable structs, exactly one non-null,
