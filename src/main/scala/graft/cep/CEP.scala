@@ -36,6 +36,29 @@ object CEP {
     }
   }
 
+  /** Batch CEP timeout side output — the reference's
+    * `PatternStream.select(timeoutTag, timeoutFn, selectFn)` timed-out
+    * partial matches (flink-libraries/flink-cep/.../PatternStream.java,
+    * CepOperator timed-out pattern handling): anchor events that begin
+    * the pattern but whose `within` window closed without a complete
+    * match. `nowTs` is the watermark the timeouts are evaluated at;
+    * the default Long.MaxValue is the reference's end-of-bounded-input
+    * MAX_WATERMARK, which times out every pending partial. Pass the
+    * stream's max event time to reproduce a mid-stream watermark.
+    */
+  def batchTimeouts[E: Encoder](events: Dataset[E], keyFn: E => String,
+      tsFn: E => Long, pattern: Pattern[E],
+      nowTs: Long = Long.MaxValue): Dataset[E] = {
+    require(pattern.withinMs.isDefined,
+      "timeouts are only meaningful for patterns with `within`")
+    implicit val strEnc: Encoder[String] = Encoders.STRING
+    val nfa = new NFA[E](pattern, tsFn)
+    events.groupByKey(keyFn).flatMapGroups { (_, it) =>
+      val sorted = it.toIndexedSeq.sortBy(tsFn)
+      nfa.findTimeouts(sorted, nowTs).iterator
+    }
+  }
+
   /** One micro-batch step of the streaming buffer: merge the new rows
     * into the (already sorted) retained buffer, scan incrementally, trim
     * matched prefixes and expired events. Pure so the state-bound

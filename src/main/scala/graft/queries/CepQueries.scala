@@ -91,6 +91,32 @@ object CepQueries {
           |) ORDER BY user_id, start_id""".stripMargin)
     }),
 
+    // Timeout side output (the reference's PatternStream.select timeout
+    // variant / CepOperator timed-out partial matches): purchases that
+    // anchor the buy→err pattern but whose 2-hour within-window closed —
+    // at the watermark = the stream's max event time — without the
+    // strictly-next error arriving in time. The oracle restates: a
+    // purchase whose immediate successor is NOT an in-window error, with
+    // a window that closed before stream end.
+    "q_cep_timeout" -> ((s, dir) => {
+      import s.implicits._
+      val ev = t(s, dir, "events")
+        .select($"user_id", unix_micros(col("ts").cast(TimestampType)).as("ts"),
+          $"event_type", $"event_id")
+        .as[E]
+      val pat = Pattern.begin[E]("buy")(_.event_type == "purchase")
+        .next("err")(_.event_type == "error")
+        .within(7200L * 1000000L) // ts is epoch-micros
+      // the watermark timeouts are evaluated at: one scalar aggregate
+      // (the reference's end-of-input watermark position), not a data
+      // collect
+      val nowTs = ev.agg(max($"ts")).as[Long].head()
+      CEP.batchTimeouts[E](ev, e => e.user_id.toString, _.ts, pat, nowTs)
+        .map(e => (e.user_id, e.ts, e.event_id))
+        .toDF("user_id", "buy_ts", "buy_id")
+        .orderBy($"user_id", $"buy_ts")
+    }),
+
     // within-window variant: purchase strictly followed by an error no
     // later than 2 hours after it.
     "q_cep_within" -> ((s, dir) => {
@@ -151,6 +177,19 @@ object CepQueries {
         |FROM ($ordered)
         |WHERE event_type = 'purchase' AND next_type = 'error'
         |  AND next_ts <= ts + 7200000000
+        |ORDER BY user_id, buy_ts""".stripMargin,
+
+    // timed-out partials: purchases whose immediate successor is NOT an
+    // in-window error (COALESCE handles the stream-tail NULL lead — a
+    // final purchase is a timeout, not a filtered NULL), window closed
+    // strictly before the max event time
+    "q_cep_timeout" ->
+      s"""SELECT user_id, ts AS buy_ts, event_id AS buy_id
+        |FROM ($ordered)
+        |WHERE event_type = 'purchase'
+        |  AND NOT COALESCE(next_type = 'error' AND next_ts <= ts + 7200000000, FALSE)
+        |  AND ts + 7200000000 <
+        |    (SELECT MAX(epoch_us(make_timestamp(epoch_ns(ts) // 1000))) FROM events)
         |ORDER BY user_id, buy_ts""".stripMargin,
 
     // maximal strictly-decreasing runs via lag + gaps-and-islands: a row

@@ -125,6 +125,10 @@ object StreamQueries {
   case class Ev(event_id: Long, user_id: Long, ts: java.sql.Timestamp,
       event_type: String, value: Double)
 
+  /** Session-annotated event replayed into the session-coGroup phase. */
+  case class SessEv(user_id: Long, event_type: String, value: Double,
+      window_start: java.sql.Timestamp, window_time: java.sql.Timestamp)
+
   /** Change row fed to the upsert sink gate (kind renames to __rowkind). */
   case class UpsCh(user_id: Long, event_id: Long, value: Double,
       seq: Long, kind: Byte)
@@ -1088,6 +1092,84 @@ object StreamQueries {
         .orderBy($"window_start", $"user_id")
     }),
 
+    // Session-window coGroup — the CoGroup.sliding doc's session recipe
+    // made executable (the reference's session-gap CoGroupedStreams):
+    // session bounds come from SessionWindows.annotate over the UNION of
+    // both sides (the reference assigns session windows on the unified
+    // coGroup input, so one side's events extend the other side's
+    // sessions), then a tumbling CoGroup keyed by (user, window_start)
+    // hands both buffers of each CLOSED session to one callback — a
+    // session's rows all share one window_time, so the fire is exact.
+    // Phase 1 replays the union through annotate; its emitted rows
+    // replay into the coGroup (the collect is the usual MemoryStream
+    // feed, harness necessity). Oracle: batch gaps-and-islands sessions,
+    // per-side counts + exact cents, in one grouped pass.
+    "q_stream_cosession" -> ((s, dir) => {
+      import s.implicits._
+      implicit val sqlCtx = s.sqlContext
+      val rows = sortedEvents(s, dir)
+        .filter(e => (e.event_type == "click" || e.event_type == "purchase")
+          && e.user_id % 3 == 0)
+      val maxTs = rows.map(_.ts.getTime).max
+      val input = MemoryStream[Ev]
+      val annotated = SessionWindows.annotate(
+        input.toDS().toDF().withWatermark("ts", "1 hour"),
+        Seq("user_id"), "ts", "1 hour")
+      val sess = runToEnd(s, input, annotated,
+        chunks(rows, 2) :+ Seq(Ev(-1L, -1L,
+          new java.sql.Timestamp(maxTs + 3 * 3600000L), "flush", 0.0)),
+        rocks = true)
+      val annRows = sess.filter($"user_id" >= 0)
+        .select($"user_id", $"event_type", $"value", $"window_start",
+          $"window_time")
+        .as[SessEv].collect().toSeq
+        .sortBy(e => (e.window_time.getTime, e.user_id))
+      val input2 = MemoryStream[SessEv]
+      val ev2 = input2.toDS()
+      val clicks = ev2.filter($"event_type" === "click")
+        .select($"user_id", $"window_start", $"window_time", $"value")
+      val purchases = ev2.filter($"event_type" === "purchase")
+        .select($"user_id", $"window_start", $"window_time", $"value")
+      val outSchema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("window_start",
+          org.apache.spark.sql.types.TimestampType),
+        org.apache.spark.sql.types.StructField("user_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("n_clicks",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("n_purchases",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("sum_cents",
+          org.apache.spark.sql.types.LongType)))
+      val out = graft.streaming.CoGroup.tumbling(
+        clicks.toDF(), purchases.toDF(), Seq("user_id", "window_start"),
+        "window_time", 3600000L, "1 second",
+        (_, _, ls, rs) => {
+          val any = (ls ++ rs).head
+          def cents(r: org.apache.spark.sql.Row): Long =
+            (BigDecimal(java.lang.Double.toString(r.getAs[Double]("value")))
+              .setScale(2, BigDecimal.RoundingMode.HALF_UP) * 100).toLongExact
+          Iterator.single(new org.apache.spark.sql.catalyst.expressions.GenericRow(
+            Array[Any](any.getAs[java.sql.Timestamp]("window_start"),
+              any.getAs[Long]("user_id"),
+              ls.length.toLong, rs.length.toLong,
+              ls.map(cents).sum + rs.map(cents).sum)))
+        },
+        outSchema)
+      // the flush sentinel must SURVIVE the side filters (a type neither
+      // side keeps would never reach the union or advance the watermark,
+      // and the tail sessions' windows would never fire) — it rides the
+      // click side and is dropped by the user_id >= 0 filter at the end
+      val far = new java.sql.Timestamp(maxTs + 10L * 86400000L)
+      runToEnd(s, input2, out.toDF(),
+        chunks(annRows, 2) :+ Seq(SessEv(-1L, "click", 0.0, far, far)),
+        mode = "append", rocks = true)
+        .filter($"user_id" >= 0)
+        .select($"window_start".cast("timestamp_ntz").as("window_start"),
+          $"user_id", $"n_clicks", $"n_purchases", $"sum_cents")
+        .orderBy($"window_start", $"user_id")
+    }),
+
     // Event-time state-TTL dedup (StatefulOps.KeepFirstTtlProcessor —
     // the DeduplicateFunctionHelper + StateTtlConfig story made
     // deterministic): a user's "seen" mark expires after a 6-hour
@@ -1502,6 +1584,25 @@ object StreamQueries {
         |  CAST(COALESCE(p.n, 0) AS BIGINT) AS n_purchases,
         |  CAST(COALESCE(c.cents, 0) + COALESCE(p.cents, 0) AS BIGINT) AS sum_cents
         |FROM c FULL OUTER JOIN p ON c.w = p.w AND c.user_id = p.user_id
+        |ORDER BY window_start, user_id""".stripMargin,
+
+    // sessions over the union of both sides (1h gap), per-side counts +
+    // exact cents in one grouped pass; ties among equal timestamps don't
+    // affect the island assignment (diff 0 ≤ gap)
+    "q_stream_cosession" ->
+      """WITH e AS (SELECT user_id, make_timestamp(epoch_ns(ts) // 1000) AS ts, event_type, value
+        |           FROM events
+        |           WHERE event_type IN ('click', 'purchase') AND user_id % 3 = 0),
+        |m AS (SELECT user_id, ts, event_type, value,
+        |  CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts) <= INTERVAL 1 HOUR
+        |    THEN 0 ELSE 1 END AS new_s FROM e),
+        |s AS (SELECT user_id, ts, event_type, value,
+        |  SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid FROM m)
+        |SELECT MIN(ts) AS window_start, user_id,
+        |  CAST(COUNT(CASE WHEN event_type = 'click' THEN 1 END) AS BIGINT) AS n_clicks,
+        |  CAST(COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS BIGINT) AS n_purchases,
+        |  CAST(SUM(CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)) AS BIGINT) AS sum_cents
+        |FROM s GROUP BY user_id, sid
         |ORDER BY window_start, user_id""".stripMargin,
 
     // per-user gaps-and-islands firsts at the 6-hour gap — ms-truncated

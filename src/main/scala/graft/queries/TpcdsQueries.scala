@@ -119,6 +119,46 @@ object TpcdsQueries {
        |GROUP BY ROLLUP (channel, p_brand)
        |ORDER BY channel NULLS FIRST, p_brand NULLS FIRST""".stripMargin
 
+  // q14b-shape (the second arm of the reference's query14b.sql —
+  // TpcdsTestProgram runs 103 files, a/b arms as distinct queries): the
+  // same cross_items + avg_sales CTEs, but instead of the three-channel
+  // ROLLUP the b-arm equi-joins a this-year against a last-year grouped
+  // instance of ONE channel, each independently HAVING > average_sales.
+  private def q14bYear(alias: String, year: Int): String =
+    s"""(SELECT 'store' AS channel, p_brand,
+       |    SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_quantity AS DECIMAL(12,2))) AS sales,
+       |    COUNT(*) AS number_sales
+       |  FROM lineitem, part, orders
+       |  WHERE l_partkey = p_partkey AND l_orderkey = o_orderkey
+       |    AND l_returnflag = 'N'
+       |    AND EXTRACT(YEAR FROM o_orderdate) = $year
+       |    AND l_partkey IN (SELECT item FROM cross_items)
+       |  GROUP BY p_brand
+       |  HAVING CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE)
+       |         > (SELECT average_sales FROM avg_sales)) $alias""".stripMargin
+  private val q14b =
+    s"""WITH cross_items AS (
+       |  SELECT l_partkey AS item FROM lineitem WHERE l_returnflag = 'A'
+       |  INTERSECT
+       |  SELECT l_partkey FROM lineitem WHERE l_returnflag = 'N'
+       |  INTERSECT
+       |  SELECT l_partkey FROM lineitem WHERE l_returnflag = 'R'),
+       |avg_sales AS (
+       |  SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE)
+       |       / COUNT(*) AS average_sales
+       |  FROM lineitem)
+       |SELECT this_year.channel AS ty_channel, this_year.p_brand AS ty_brand,
+       |  CAST(this_year.sales AS DOUBLE) AS ty_sales,
+       |  CAST(this_year.number_sales AS BIGINT) AS ty_number_sales,
+       |  last_year.channel AS ly_channel, last_year.p_brand AS ly_brand,
+       |  CAST(last_year.sales AS DOUBLE) AS ly_sales,
+       |  CAST(last_year.number_sales AS BIGINT) AS ly_number_sales
+       |FROM
+       |${q14bYear("this_year", 1997)},
+       |${q14bYear("last_year", 1996)}
+       |WHERE this_year.p_brand = last_year.p_brand
+       |ORDER BY this_year.channel, this_year.p_brand""".stripMargin
+
   // q23-shape: frequent items (per-year count HAVING) + best customers
   // (spend above half the max customer spend — scalar MAX subquery,
   // exact decimal cross-multiplication), final-year sum over both INs.
@@ -145,6 +185,44 @@ object TpcdsQueries {
       |  AND l_partkey IN (SELECT item FROM frequent_items)
       |  AND o_custkey IN (SELECT o_custkey FROM best_customers)""".stripMargin
 
+  // q23b-shape (reference query23b.sql): same frequent_items +
+  // best_customers gating CTEs as the a-arm, but the b-arm's final
+  // SELECT is a UNION ALL of two channels grouped PER CUSTOMER with an
+  // ordered top-100, instead of the a-arm's single global sum. c_name
+  // is unique per customer, so ORDER BY c_name, channel totally orders
+  // the result and LIMIT is deterministic in both engines.
+  private def q23bChannel(flag: String): String =
+    s"""  SELECT c_name, '$flag' AS channel,
+       |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sales
+       |  FROM lineitem, orders, customer
+       |  WHERE l_orderkey = o_orderkey AND o_custkey = c_custkey
+       |    AND l_returnflag = '$flag'
+       |    AND EXTRACT(YEAR FROM o_orderdate) = 1997
+       |    AND l_partkey IN (SELECT item FROM frequent_items)
+       |    AND o_custkey IN (SELECT o_custkey FROM best_customers)
+       |  GROUP BY c_name""".stripMargin
+  private val q23b =
+    s"""WITH frequent_items AS (
+       |  SELECT l_partkey AS item
+       |  FROM lineitem, orders
+       |  WHERE l_orderkey = o_orderkey
+       |  GROUP BY l_partkey, EXTRACT(YEAR FROM o_orderdate)
+       |  HAVING COUNT(*) > 6),
+       |customer_sales AS (
+       |  SELECT o_custkey, SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_quantity AS DECIMAL(12,2))) AS csales
+       |  FROM lineitem, orders
+       |  WHERE l_orderkey = o_orderkey
+       |  GROUP BY o_custkey),
+       |best_customers AS (
+       |  SELECT o_custkey FROM customer_sales
+       |  WHERE 2 * csales > (SELECT MAX(csales) FROM customer_sales))
+       |SELECT c_name, channel, sales FROM (
+       |${q23bChannel("A")}
+       |  UNION ALL
+       |${q23bChannel("R")})
+       |ORDER BY c_name, channel
+       |LIMIT 100""".stripMargin
+
   // q24-shape: grouped CTE re-aggregated with a HAVING against a scalar
   // fraction of the CTE-wide total (sum·cnt > 3·total ⇔ sum > 3·avg).
   private val q24 =
@@ -161,6 +239,28 @@ object TpcdsQueries {
       |GROUP BY c_name, s_name
       |HAVING CAST(SUM(netpaid) AS DOUBLE) * (SELECT COUNT(*) FROM ssales)
       |     > 3 * (SELECT CAST(SUM(netpaid) AS DOUBLE) FROM ssales)
+      |ORDER BY c_name, s_name""".stripMargin
+
+  // q24b-shape (reference query24b.sql): the a/b arms share one ssales
+  // CTE and differ by the OUTER selection — the grouping carries the
+  // selective column (the reference's i_color, here l_returnflag) so the
+  // outer WHERE picks a different slice while the HAVING's scalar
+  // subqueries still range over the WHOLE unfiltered CTE. sum > 0.05·avg
+  // is cross-multiplied: 20·sum·cnt > total, on doubles of exact sums.
+  private val q24b =
+    """WITH ssales AS (
+      |  SELECT c_name, s_name, n_name, l_returnflag,
+      |    SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS netpaid
+      |  FROM lineitem, orders, customer, supplier, nation
+      |  WHERE l_orderkey = o_orderkey AND o_custkey = c_custkey
+      |    AND l_suppkey = s_suppkey AND s_nationkey = n_nationkey
+      |  GROUP BY c_name, s_name, n_name, l_returnflag)
+      |SELECT c_name, s_name, CAST(SUM(netpaid) AS DOUBLE) AS paid
+      |FROM ssales
+      |WHERE l_returnflag = 'A'
+      |GROUP BY c_name, s_name
+      |HAVING CAST(SUM(netpaid) AS DOUBLE) * 20 * (SELECT COUNT(*) FROM ssales)
+      |     > (SELECT CAST(SUM(netpaid) AS DOUBLE) FROM ssales)
       |ORDER BY c_name, s_name""".stripMargin
 
   // q31-shape: per-nation quarter-over-quarter growth compared across two
@@ -254,6 +354,37 @@ object TpcdsQueries {
       |  c2.mon AS mon2, c2.mean AS mean2, c2.stdev AS stdev2
       |FROM candidates c1, candidates c2
       |WHERE c1.l_suppkey = c2.l_suppkey AND c1.mon + 1 = c2.mon
+      |ORDER BY c1.l_suppkey, c1.mon""".stripMargin
+
+  // q39b-shape (reference query39b.sql): byte-identical to the a-arm
+  // except the extra coefficient-of-variation floor on the FIRST month
+  // (the reference's `inv1.cov > 1.5`; this data's cov tops out near
+  // 1.17, so the floor sits at 0.9 — cross-multiplied 10·stdev > 9·mean
+  // so the comparison runs on doubles of exact sums, never a ratio —
+  // keeping the b-arm a strict, non-empty subset of the a-arm pairs).
+  private val q39b =
+    """WITH inv AS (
+      |  SELECT l_suppkey, CAST(EXTRACT(MONTH FROM l_shipdate) AS BIGINT) AS mon,
+      |    COUNT(*) AS n,
+      |    SUM(CAST(l_quantity AS DECIMAL(12,2))) AS s,
+      |    SUM(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_quantity AS DECIMAL(12,2))) AS sq
+      |  FROM lineitem
+      |  WHERE EXTRACT(YEAR FROM l_shipdate) = 1997
+      |  GROUP BY l_suppkey, EXTRACT(MONTH FROM l_shipdate)
+      |  HAVING COUNT(*) > 1),
+      |stats AS (
+      |  SELECT l_suppkey, mon,
+      |    CAST(s AS DOUBLE) / n AS mean,
+      |    SQRT((n * CAST(sq AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)) / (n * (n - 1.0))) AS stdev
+      |  FROM inv),
+      |candidates AS (
+      |  SELECT l_suppkey, mon, mean, stdev FROM stats
+      |  WHERE mean > 0 AND 4 * stdev > 3 * mean)
+      |SELECT c1.l_suppkey, c1.mon AS mon1, c1.mean AS mean1, c1.stdev AS stdev1,
+      |  c2.mon AS mon2, c2.mean AS mean2, c2.stdev AS stdev2
+      |FROM candidates c1, candidates c2
+      |WHERE c1.l_suppkey = c2.l_suppkey AND c1.mon + 1 = c2.mon
+      |  AND 10 * c1.stdev > 9 * c1.mean
       |ORDER BY c1.l_suppkey, c1.mon""".stripMargin
 
   // q47-shape: monthly brand sales vs the yearly average (deviation filter
@@ -1825,12 +1956,16 @@ object TpcdsQueries {
     "q_tpcds4" -> q4,
     "q_tpcds9" -> q9,
     "q_tpcds14" -> q14,
+    "q_tpcds14b" -> q14b,
     "q_tpcds23" -> q23,
+    "q_tpcds23b" -> q23b,
     "q_tpcds24" -> q24,
+    "q_tpcds24b" -> q24b,
     "q_tpcds31" -> q31,
     "q_tpcds35" -> q35,
     "q_tpcds36" -> q36,
     "q_tpcds39" -> q39,
+    "q_tpcds39b" -> q39b,
     "q_tpcds47" -> q47,
     "q_tpcds49" -> q49,
     "q_tpcds51" -> q51,
