@@ -20,7 +20,12 @@ object Bench {
     val results = selected.map {
       case (name, fn) =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        try { fn(spark, sfDir).count() } catch { case e: Throwable =>
+          // stderr only — stdout must stay exactly one JSON line; a
+          // swallowed failure otherwise masquerades as a fast query
+          System.err.println(s"[bench] $name failed: $e")
+          -1L
+        }
         name -> (System.nanoTime() - t0) / 1e9
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }

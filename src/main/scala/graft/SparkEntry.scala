@@ -42,7 +42,7 @@ object SparkEntry {
     * family changes LSH candidate sets by design).
     */
   def benchOnly: Map[String, (SparkSession, String) => DataFrame] =
-    PipelineQueries.benchOnly
+    PipelineQueries.benchOnly ++ ScaleProbes.benchOnly
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a rows-only check.

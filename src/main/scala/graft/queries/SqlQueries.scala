@@ -416,7 +416,7 @@ object SqlQueries {
   @volatile private var hiveSession
       : Option[org.apache.spark.sql.SparkSession] = None
 
-  private val all: Map[String, String] = Map(
+  private[queries] val all: Map[String, String] = Map(
     "q_sql_groupingsets" -> groupingSets,
     "q_sql_groupingfn" -> groupingFn,
     "q_sql_recursive" -> recursiveCte,

@@ -1921,7 +1921,7 @@ object TpcdsQueries {
       |GROUP BY EXTRACT(MONTH FROM o_orderdate), o_orderpriority
       |ORDER BY mon, o_orderpriority""".stripMargin
 
-  private val all: Map[String, String] = Map(
+  private[queries] val all: Map[String, String] = Map(
     "q_tpcds2" -> q2,
     "q_tpcds21" -> q21,
     "q_tpcds22" -> q22,
