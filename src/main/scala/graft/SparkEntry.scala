@@ -26,6 +26,7 @@ object SparkEntry {
       (SqlQueries.queries, SqlQueries.oracles),
       (TpcdsQueries.queries, TpcdsQueries.oracles),
       (StreamQueries.queries, StreamQueries.oracles),
+      (FuzzQueries.queries, FuzzQueries.oracles),
       (IntegrationQueries.queries, IntegrationQueries.oracles)
     )
 

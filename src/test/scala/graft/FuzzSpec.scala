@@ -1,0 +1,51 @@
+package graft
+
+import graft.queries.FuzzGen
+
+/** The differential-fuzz generator (queries/FuzzGen) in CI form. The
+  * full ≥500-seed DuckDB differential runs via `graft.FuzzDump` +
+  * `dev/check.py` (python-side oracle — kept out of the sbt suite so
+  * the library test run stays JVM-only); this spec pins the properties
+  * that make that sweep trustworthy:
+  *
+  *   - the generator is a pure function of the seed (replayability);
+  *   - every generated query parses and executes on Spark;
+  *   - results are plan-configuration-invariant: the same query returns
+  *     the identical row multiset with AQE on and off (a proxy for the
+  *     engine-side half of the differential — a nondeterministic query
+  *     would diverge between configs long before it diverged between
+  *     engines).
+  */
+class FuzzSpec extends SparkSuite {
+
+  private val dir = "/root/testdata/sf0.001"
+  private val seeds = (1L to 60L) ++ Seq(1234L, 99999L)
+
+  test("generator is deterministic per seed") {
+    for (s <- Seq(1L, 17L, 4242L))
+      assert(FuzzGen.sql(s) == FuzzGen.sql(s))
+    // distinct seeds produce distinct queries (no degenerate collapse)
+    assert(seeds.map(FuzzGen.sql).distinct.length > seeds.length / 2)
+  }
+
+  test("seeded queries execute identically with AQE on and off") {
+    Tables.registerAll(spark, dir)
+    val aqe = "spark.sql.adaptive.enabled"
+    val prev = spark.conf.get(aqe)
+    try {
+      for (seed <- seeds) {
+        val sql = FuzzGen.sql(seed)
+        def run(): Seq[String] =
+          try spark.sql(sql).collect().map(_.toString).sorted.toSeq
+          catch { case e: Throwable =>
+            fail(s"seed $seed failed to execute: ${e.getMessage}\n$sql")
+          }
+        spark.conf.set(aqe, "true")
+        val a = run()
+        spark.conf.set(aqe, "false")
+        val b = run()
+        assert(a == b, s"seed $seed diverged between AQE configs:\n$sql")
+      }
+    } finally spark.conf.set(aqe, prev)
+  }
+}
