@@ -68,28 +68,37 @@ object StreamQueries {
     // must not tax the queries that don't need it.
     val trackConf =
       "spark.sql.streaming.stateStore.rocksdb.trackTotalNumberOfRows"
-    val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
-    val prevProvider =
-      s.conf.getOption("spark.sql.streaming.stateStore.providerClass")
-    val prevTrack = s.conf.getOption(trackConf)
-    def restore(key: String, prev: Option[String]): Unit = prev match {
-      case Some(p) => s.conf.set(key, p)
-      case None    => s.conf.unset(key)
-    }
-    s.conf.set("spark.sql.shuffle.partitions",
-      math.min(prevShuffle.toInt, 2).toString)
-    s.conf.set("spark.sql.streaming.stateStore.providerClass",
-      if (rocks) RocksProvider else HdfsProvider)
-    // replay state is tiny; per-commit row recounts are pure overhead
-    s.conf.set(trackConf, "false")
-    // changelog checkpointing: commit uploads the batch's delta instead
-    // of a full SST snapshot — replay-sized state pays snapshot cost per
-    // store per batch otherwise
-    val changelogConf =
-      "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled"
-    val prevChangelog = s.conf.getOption(changelogConf)
-    s.conf.set(changelogConf, "true")
-    val q =
+    // The session conf binds at query START, so the overrides are
+    // pinned only across the start() call. The whole set→start→restore
+    // window holds Q.streamConfLock: Bench can overlap independent
+    // replay gates (SPARK_GRAFT_STREAM_THREADS — serial by default, see
+    // the measured tradeoff in Bench.scala), and an unlocked window
+    // would let one gate capture another's temporary values as its
+    // "previous" state (worst case: a transformWithState gate starting
+    // on the HDFS provider and failing). Starts serialize; the long
+    // part — the micro-batch replay below — can overlap safely.
+    val q = Q.streamConfLock.synchronized {
+      val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
+      val prevProvider =
+        s.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+      val prevTrack = s.conf.getOption(trackConf)
+      def restore(key: String, prev: Option[String]): Unit = prev match {
+        case Some(p) => s.conf.set(key, p)
+        case None    => s.conf.unset(key)
+      }
+      s.conf.set("spark.sql.shuffle.partitions",
+        math.min(prevShuffle.toInt, 2).toString)
+      s.conf.set("spark.sql.streaming.stateStore.providerClass",
+        if (rocks) RocksProvider else HdfsProvider)
+      // replay state is tiny; per-commit row recounts are pure overhead
+      s.conf.set(trackConf, "false")
+      // changelog checkpointing: commit uploads the batch's delta instead
+      // of a full SST snapshot — replay-sized state pays snapshot cost per
+      // store per batch otherwise
+      val changelogConf =
+        "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled"
+      val prevChangelog = s.conf.getOption(changelogConf)
+      s.conf.set(changelogConf, "true")
       try out.writeStream.format("memory").queryName(name)
         .outputMode(mode)
         .option("checkpointLocation", ckpt.toString).start()
@@ -99,6 +108,7 @@ object StreamQueries {
         restore(trackConf, prevTrack)
         restore(changelogConf, prevChangelog)
       }
+    }
     try batches.foreach { b => input.addData(b); q.processAllAvailable() }
     finally {
       q.stop()
@@ -1226,16 +1236,18 @@ object StreamQueries {
       // checkpointing stays OFF so the offline statestore read sees
       // plain snapshots; checkpoint retained until JVM exit
       val ckpt1 = tmpDir("q_state_boot") + "/ckpt1"
-      val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
-      val prevProvider =
-        s.conf.getOption("spark.sql.streaming.stateStore.providerClass")
-      s.conf.set("spark.sql.shuffle.partitions", "2")
-      s.conf.set("spark.sql.streaming.stateStore.providerClass",
-        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
       val in1 = MemoryStream[StateBootstrap.BIn]
       val out1 = StateBootstrap.agg(in1.toDS(),
         s.emptyDataset(Encoders.product[StateBootstrap.BInit]))
-      val q1 =
+      // same locked set→start→restore window as runToEnd (Bench overlaps
+      // replay gates; see the comment there)
+      val q1 = Q.streamConfLock.synchronized {
+        val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
+        val prevProvider =
+          s.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+        s.conf.set("spark.sql.shuffle.partitions", "2")
+        s.conf.set("spark.sql.streaming.stateStore.providerClass",
+          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
         try out1.writeStream.format("memory")
           .queryName(s"qsb_${java.util.UUID.randomUUID().toString.replace("-", "")}")
           .outputMode("update")
@@ -1249,6 +1261,7 @@ object StreamQueries {
               s.conf.unset("spark.sql.streaming.stateStore.providerClass")
           }
         }
+      }
       try chunks(hist, 2).foreach { b => in1.addData(b); q1.processAllAvailable() }
       finally q1.stop()
       // the read→(identity-)rewrite→bootstrap leg; the spec drives a
