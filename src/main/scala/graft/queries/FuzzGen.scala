@@ -140,10 +140,14 @@ object FuzzGen {
         val (src, (_, fc, toName, tc)) = pick(r, fromCandidates)
         val to = tabs.find(_.name == toName).get
         val alias = s"t${insts.length}"
-        val left = r.nextInt(3) == 0 // 1/3 LEFT OUTER
-        val kw = if (left) "LEFT JOIN" else "JOIN"
+        // 1/8 FULL OUTER (both sides null-generating), 1/3 LEFT
+        val kind = r.nextInt(24)
+        val kw = if (kind < 3) "FULL JOIN"
+          else if (kind < 11) "LEFT JOIN" else "JOIN"
         sql += s"\n  $kw ${to.name} $alias ON ${src.alias}.$fc = $alias.$tc"
-        insts :+= Inst(to, alias, nullable = left || src.nullable)
+        if (kw == "FULL JOIN") insts = insts.map(i => i.copy(nullable = true))
+        insts :+= Inst(to, alias,
+          nullable = kw != "JOIN" || src.nullable)
       }
     }
     From(insts, sql)
@@ -188,7 +192,7 @@ object FuzzGen {
   // -------- predicates --------
 
   private def pred(r: Random, from: From, depth: Int): String = {
-    val leaf = r.nextInt(6) match {
+    val leaf = r.nextInt(8) match {
       case 0 =>
         val c = pick(r, from.insts.flatMap(_.cols("int")))
         val (lo, hi) = intRange(c.split('.').last)
@@ -217,6 +221,16 @@ object FuzzGen {
         if (nullable.isEmpty) s"(${intExpr(r, from, 1)} % 2) = 0"
         else s"${pick(r, pick(r, nullable).allCols.map(_._1))} IS ${if (r.nextBoolean()) "" else "NOT "}NULL"
       case 5 => s"(${intExpr(r, from, 1)} % ${2 + r.nextInt(5)}) = ${r.nextInt(2)}"
+      case 6 =>
+        // ts-vs-ts interval arithmetic (both engines: ts + INTERVAL n DAY)
+        val ts = from.insts.flatMap(_.cols("ts"))
+        if (ts.length < 2) s"(${intExpr(r, from, 1)} % 3) = 1"
+        else s"${ts.head} ${pick(r, Seq("<", ">"))} ${ts(1)} + INTERVAL ${1 + r.nextInt(90)} DAY"
+      case 7 =>
+        // IN list carrying a NULL member: ANSI three-valued logic — a
+        // non-match yields UNKNOWN, filtered identically by both engines
+        val c = pick(r, from.insts.flatMap(_.cols("int")))
+        s"$c IN (${1 + r.nextInt(500)}, ${1 + r.nextInt(500)}, NULL)"
       case _ => s"(${intExpr(r, from, 1)} % 2) = 0" // dec-less fallback
     }
     if (depth <= 0 || r.nextInt(2) == 0) leaf
@@ -269,10 +283,72 @@ object FuzzGen {
     }
     val aggs = (0 until (1 + r.nextInt(3))).map(i => agg(r, from, i))
     val where = if (r.nextInt(3) > 0) s"\nWHERE ${pred(r, from, 1)}" else ""
-    val having = if (r.nextInt(3) == 0) s"\nHAVING COUNT(*) > ${r.nextInt(4)}" else ""
-    s"""SELECT ${(keys.map(_._1) ++ aggs.map(_._1)).mkString(",\n  ")}
+    // 1/4 of the time a multi-level grouping (ROLLUP / CUBE / explicit
+    // GROUPING SETS) with GROUPING() markers in the output — the Expand
+    // surface; otherwise a plain GROUP BY with an occasional HAVING
+    val keyExprs = keys.map(_._3)
+    val grouping = if (nKeys >= 1 && r.nextInt(4) == 0) {
+      val kind = r.nextInt(3) match {
+        case 0 => s"ROLLUP (${keyExprs.mkString(", ")})"
+        case 1 => s"CUBE (${keyExprs.mkString(", ")})"
+        case 2 =>
+          val sets = (keyExprs.map(e => s"($e)") :+ "()").mkString(", ")
+          s"GROUPING SETS ($sets)"
+      }
+      Some(kind)
+    } else None
+    val gCols = grouping.toSeq.flatMap(_ => keyExprs.zipWithIndex.map {
+      case (e, i) => s"CAST(GROUPING($e) AS BIGINT) AS g_$i"
+    })
+    // Grouping-sets queries carry HAVING COUNT(*) > 0: over an EMPTY
+    // input ANSI (and DuckDB) emit one grand-total row for the () set
+    // with COUNT(*)=0, while Spark's Expand-based grouping sets emit no
+    // rows (found by seeds 204/349/380; pinned in FuzzSpec). The guard
+    // removes exactly that row on the ANSI side and nothing else — every
+    // group over a non-empty input has COUNT(*) >= 1.
+    val having =
+      if (grouping.isDefined) "\nHAVING COUNT(*) > 0"
+      else if (r.nextInt(3) == 0)
+        if (r.nextBoolean()) s"\nHAVING COUNT(*) > ${r.nextInt(4)}"
+        else s"\nHAVING MIN(${intExpr(r, from, 1)}) >= ${r.nextInt(3)}"
+      else ""
+    s"""SELECT ${(keys.map(_._1) ++ gCols ++ aggs.map(_._1)).mkString(",\n  ")}
        |FROM ${from.sql}$where
-       |GROUP BY ${keys.map(_._3).mkString(", ")}$having""".stripMargin
+       |GROUP BY ${grouping.getOrElse(keyExprs.mkString(", "))}$having""".stripMargin
+  }
+
+  /** SELECT DISTINCT over derived expressions (dedup semantics incl.
+    * NULL equality in DISTINCT — identical ANSI rules both engines).
+    */
+  private def distinctSelect(r: Random): String = {
+    val from = genFrom(r, maxTables = 3)
+    val es = Seq(
+      s"(${intExpr(r, from, 1)} % ${5 + r.nextInt(20)}) AS d_0",
+      s"SUBSTR(${strExpr(r, from, 1)}, 1, ${1 + r.nextInt(3)}) AS d_1")
+    s"""SELECT DISTINCT ${es.mkString(",\n  ")}
+       |FROM ${from.sql}
+       |WHERE ${pred(r, from, 1)}""".stripMargin
+  }
+
+  /** Derived-table join: a grouped subquery in FROM joined to a dim —
+    * aggregate-below-join placement both optimizers must agree on.
+    */
+  private def derivedJoin(r: Random): String = {
+    val inner = pick(r, Seq(
+      ("lineitem", "l_suppkey", "supplier", "s_suppkey", "s_name",
+        "l_quantity"),
+      ("orders", "o_custkey", "customer", "c_custkey", "c_name",
+        "o_totalprice")))
+    val (fact, fk, dim, dk, dname, measure) = inner
+    val t = tabs.find(_.name == fact).get
+    s"""SELECT d.$dname AS name, agg.n AS n,
+       |  agg.total AS total
+       |FROM (SELECT $fk AS k, COUNT(*) AS n,
+       |        CAST(SUM(CAST($measure AS DECIMAL(12,2))) AS DOUBLE) AS total
+       |      FROM $fact
+       |      WHERE ${predSingle(r, t)}
+       |      GROUP BY $fk) agg
+       |  ${if (r.nextBoolean()) "JOIN" else "LEFT JOIN"} $dim d ON agg.k = d.$dk""".stripMargin
   }
 
   /** Row-level select: PK columns + derived expressions, row-identified. */
@@ -311,7 +387,14 @@ object FuzzGen {
     }
     val op = pick(r, Seq("UNION", "UNION ALL", "INTERSECT", "EXCEPT",
       "INTERSECT ALL", "EXCEPT ALL"))
-    s"${branch()}\n$op\n${branch()}"
+    val two = s"${branch()}\n$op\n${branch()}"
+    // 1/4: a third branch under a second operator (left-assoc in both
+    // engines for same-precedence set ops; INTERSECT binds tighter in
+    // both per ANSI)
+    if (r.nextInt(4) == 0) {
+      val op2 = pick(r, Seq("UNION", "UNION ALL", "EXCEPT"))
+      s"$two\n$op2\n${branch()}"
+    } else two
   }
 
   /** Window functions over a unique in-partition sort key. */
@@ -326,12 +409,17 @@ object FuzzGen {
       case "customer" => pick(r, Seq("c_mktsegment", "c_nationkey"))
       case _ => pick(r, Seq("p_brand", "p_type", "(p_size % 5)"))
     }
-    val fn = r.nextInt(5) match {
+    val fn = r.nextInt(8) match {
       case 0 => s"CAST(ROW_NUMBER() OVER w AS BIGINT)"
       case 1 => s"CAST(RANK() OVER w AS BIGINT)"
       case 2 => s"CAST(DENSE_RANK() OVER w AS BIGINT)"
       case 3 => s"LAG(${base.pk.head}, 1) OVER w"
       case 4 => s"CAST(COUNT(*) OVER (PARTITION BY $partExpr) AS BIGINT)"
+      case 5 =>
+        // exact integer running sum over an explicit ROWS frame
+        s"CAST(SUM(${base.pk.head}) OVER (PARTITION BY $partExpr ORDER BY $pk ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)"
+      case 6 => s"CAST(NTILE(${2 + r.nextInt(4)}) OVER w AS BIGINT)"
+      case 7 => s"LEAD(${base.pk.head}, ${1 + r.nextInt(2)}, -1) OVER w"
     }
     s"""SELECT $pk, $partExpr AS part_key, $fn AS w_val
        |FROM ${base.name}
@@ -387,12 +475,14 @@ object FuzzGen {
   /** The generated query for a seed — a pure function of the seed. */
   def sql(seed: Long): String = {
     val r = new Random(seed)
-    val q = r.nextInt(10) match {
+    val q = r.nextInt(13) match {
       case 0 | 1 | 2 => aggJoin(r)
       case 3 | 4 => plainSelect(r)
       case 5 => setop(r)
       case 6 | 7 => window(r)
-      case _ => subquery(r)
+      case 8 | 9 => subquery(r)
+      case 10 => distinctSelect(r)
+      case 11 | 12 => derivedJoin(r)
     }
     q
   }

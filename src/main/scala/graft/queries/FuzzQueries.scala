@@ -14,10 +14,15 @@ import Q._
   */
 object FuzzQueries {
 
-  /** shape coverage: 1,14=setop; 2,21=IN; 3,8=plain; 4,6=aggjoin;
-    * 5,7=window; 9=exists; 11=scalar.
+  /** Shape coverage over the widened 13-arm grammar: 1=plain,
+    * 2=setop(+IN-NULL pred), 5=aggJoin, 6=plain(+FULL JOIN),
+    * 8=aggJoin ROLLUP, 10=aggJoin GROUPING SETS, 12=derivedJoin,
+    * 18=aggJoin CUBE, 20=DISTINCT, 21=IN-subquery, 24=EXISTS,
+    * 27=scalar subquery, 28=window, 30=window NTILE, 57=window ROWS
+    * frame, 60=three-branch setop.
     */
-  private val seeds = Seq(1L, 2L, 3L, 4L, 5L, 6L, 7L, 8L, 9L, 11L, 14L, 21L)
+  private val seeds = Seq(1L, 2L, 5L, 6L, 8L, 10L, 12L, 18L, 20L, 21L,
+    24L, 27L, 28L, 30L, 57L, 60L)
 
   private val all: Map[String, String] =
     seeds.map(s => s"q_fuzz_$s" -> FuzzGen.sql(s)).toMap

@@ -28,6 +28,25 @@ class FuzzSpec extends SparkSuite {
     assert(seeds.map(FuzzGen.sql).distinct.length > seeds.length / 2)
   }
 
+  test("pinned engine delta: grouping sets over empty input emit no grand-total row") {
+    // Found by the 500-seed differential sweep (seeds 204/349/380): for
+    // GROUP BY ROLLUP/CUBE/GROUPING SETS whose sets include (), ANSI —
+    // and DuckDB/PostgreSQL — emit one grand-total row with COUNT(*)=0
+    // even when the input is empty, exactly like a global aggregate.
+    // Spark implements grouping sets as Expand + group-by grouping-id,
+    // so an empty input has no groups and emits zero rows. The generator
+    // therefore guards every grouping-sets query with HAVING COUNT(*)>0,
+    // which removes exactly that row on the ANSI side and nothing else.
+    val rollup = spark.sql(
+      """SELECT (x % 2) AS k, GROUPING((x % 2)) AS g, COUNT(*) AS c
+        |FROM (SELECT 1 AS x WHERE false) GROUP BY ROLLUP((x % 2))""".stripMargin)
+    assert(rollup.collect().isEmpty, "Spark grouping-sets-over-empty emits rows now — drop the HAVING guard in FuzzGen and this pin")
+    // the global-aggregate sibling DOES emit its one row (the contrast
+    // that makes the grouping-sets behavior a delta, not a general rule)
+    val global = spark.sql("SELECT COUNT(*) AS c FROM (SELECT 1 AS x WHERE false)")
+    assert(global.collect().map(_.getLong(0)).toSeq == Seq(0L))
+  }
+
   test("seeded queries execute identically with AQE on and off") {
     Tables.registerAll(spark, dir)
     val aqe = "spark.sql.adaptive.enabled"
