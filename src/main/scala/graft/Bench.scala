@@ -39,7 +39,8 @@ object Bench {
     // turnaround matters more than the per-gate record.
     val streamThreads =
       sys.env.getOrElse("SPARK_GRAFT_STREAM_THREADS", "1").toInt
-    val streamNames = graft.queries.StreamQueries.queries.keySet
+    val streamNames = graft.queries.StreamQueries.queries.keySet ++
+      graft.queries.StreamFuzzQueries.queries.keySet
     val (streamQs, batchQs) =
       selected.partition { case (n, _) => streamNames.contains(n) }
     val batchResults = batchQs.map { case (n, f) => timed(n, f) }
@@ -54,11 +55,14 @@ object Bench {
         val futs = streamQs.toSeq.map { case (n, f) =>
           scala.concurrent.Future(timed(n, f))
         }
-        val rs = scala.concurrent.Await.result(
+        // shutdown in finally: the pool's threads are non-daemon, so a
+        // skipped shutdown (interrupt / fatal rethrown through Await)
+        // would leave the JVM alive with no JSON line — the driver
+        // would see a hang instead of a failed run
+        try scala.concurrent.Await.result(
           scala.concurrent.Future.sequence(futs),
           scala.concurrent.duration.Duration.Inf).toMap
-        pool.shutdown()
-        rs
+        finally pool.shutdown()
       }
     val results = batchResults ++ streamResults
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }

@@ -27,6 +27,7 @@ object SparkEntry {
       (TpcdsQueries.queries, TpcdsQueries.oracles),
       (StreamQueries.queries, StreamQueries.oracles),
       (FuzzQueries.queries, FuzzQueries.oracles),
+      (StreamFuzzQueries.queries, StreamFuzzQueries.oracles),
       (IntegrationQueries.queries, IntegrationQueries.oracles)
     )
 

@@ -3,7 +3,7 @@ package graft.queries
 import graft.Tables
 import Q._
 
-/** Twelve seeds from the differential fuzz generator ([[FuzzGen]])
+/** Sixteen seeds from the differential fuzz generator ([[FuzzGen]])
   * promoted to permanent driver-gated oracle rows — at least one per
   * grammar shape (set-op, IN-subquery, row-level select, aggregating
   * join, window, EXISTS, scalar subquery), so the generator surface is

@@ -180,6 +180,29 @@ object StreamQueries {
         .as[Ev].collect().toSeq.sortBy(e => (micros(e.ts), e.event_id))
     })
 
+  /** MemoryStream replay for a [[StreamFuzzGen.Case]]: (event-time,
+    * id)-sorted events stream through the case's filter → watermark →
+    * window aggregate in append mode; a far-future sentinel (user_id
+    * = -1 — every generated filter keeps it by construction) advances
+    * the watermark past the last real window so the tail flushes. The
+    * sentinel's own window never fires, so it leaves no output trace.
+    */
+  private[queries] def streamFuzzReplay(s: SparkSession, dir: String,
+      c: StreamFuzzGen.Case): DataFrame = {
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val rows = sortedEvents(s, dir)
+    val sentinel = Ev(-1L, -1L,
+      new java.sql.Timestamp(rows.last.ts.getTime + 10L * 86400000L),
+      "click", 0.0)
+    val input = MemoryStream[Ev]
+    val out = c(input.toDS().toDF().withWatermark("ts", "1 second"))
+    runToEnd(s, input, out, chunks(rows, 3) :+ Seq(sentinel),
+      mode = "append", rocks = false)
+      .select(col("window_start").cast("timestamp_ntz").as("window_start") +:
+        (c.keys.map(k => col(k._2)) ++ c.aggs.map(a => col(a._2))): _*)
+  }
+
   /** Streaming count-window replay (IntegrationQueries.q_stream_countwin
     * lives in that module's inventory; the harness internals live here):
     * events stream per user in (event-time, id) order, every full window

@@ -1,7 +1,7 @@
 package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Encoders, Row}
-import org.apache.spark.sql.functions.{coalesce, col, concat_ws, explode, floor, lit, sequence, struct, unix_millis}
+import org.apache.spark.sql.functions.{col, explode, floor, lit, sequence, struct, unix_millis}
 import org.apache.spark.sql.streaming._
 import org.apache.spark.sql.types._
 
@@ -86,17 +86,12 @@ object CoGroup {
     val leftSchema = StructType(left.schema.fields.map(_.copy(nullable = true)))
     val rightSchema = StructType(right.schema.fields.map(_.copy(nullable = true)))
 
-    // key text: single keys cast to string; composite keys joined with
-    // \u0001 after NULL-SAFE encoding each component — concat_ws SKIPS
-    // null arguments, so without the coalesce-to-sentinel ("a", null)
-    // and (null, "a") would both encode to "a" and distinct keys would
-    // cogroup together. "\u0002NULL" is unambiguous because real values
-    // never contain \u0001/\u0002 bytes in practice and null is encoded
-    // positionally, keeping arity visible through the separators.
-    def keyExpr(df: DataFrame) =
-      if (keyCols.lengthCompare(1) == 0) col(keyCols.head).cast("string")
-      else concat_ws("\u0001", keyCols.map(c =>
-        coalesce(col(c).cast("string"), lit("\u0002NULL"))): _*)
+    // key text: StreamKeys.text — single keys cast to string; composite
+    // keys encode as to_json(struct(...)), collision-free for arbitrary
+    // component values including nulls and separator bytes (shared with
+    // SessionWindows.annotate). Callbacks receive the key opaquely and
+    // never parse composite text, so the encoding is an internal detail.
+    def keyExpr(df: DataFrame) = StreamKeys.text(keyCols)
 
     def tag(df: DataFrame, side: Int): DataFrame = {
       val payload = struct(df.columns.map(col).toSeq: _*)

@@ -54,9 +54,7 @@ object SessionWindows {
     val gapMicros = gapIv.days * 86400000000L + gapIv.microseconds
     require(gapMicros > 0, s"session gap must be positive, got $gap")
 
-    val keyExpr =
-      if (partCols.lengthCompare(1) == 0) col(partCols.head).cast("string")
-      else to_json(struct(partCols.map(col): _*))
+    val keyExpr = StreamKeys.text(partCols)
     val inSchema = df.schema
     // no derived time column: casting tsCol would CLONE its event-time
     // watermark metadata and Spark rejects streams with two event-time

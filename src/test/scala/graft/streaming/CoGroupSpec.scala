@@ -124,20 +124,28 @@ class CoGroupSpec extends SparkSuite {
     }
   }
 
-  test("composite keys with null components stay distinct") {
-    // concat_ws skips nulls, so without null-safe component encoding
-    // ("a", null), (null, "a") and a separator-less neighbor would all
-    // encode to the same key text and cogroup together
+  test("composite keys with null or separator-bearing components stay distinct") {
+    // the composite key codec (StreamKeys.text, to_json-based) must keep
+    // distinct keys distinct for BOTH failure modes ad-hoc text codecs
+    // hit: null components (concat_ws skips nulls) and component values
+    // containing the would-be separator byte — ("a\u0001b", "c") vs
+    // ("a", "b\u0001c") collide under a \u0001-joined encoding
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Int, java.sql.Timestamp, Long)]
+    val sep = "\u0001"
     val ev = input.toDS().toDF("id", "ts", "v")
       .withColumn("k1", org.apache.spark.sql.functions
         .when($"id" === 1, "a").otherwise(org.apache.spark.sql.functions
-          .when($"id" === 3, "a").cast("string")))
+          .when($"id" === 3, "a")
+          .when($"id" === 4, s"a${sep}b")
+          .when($"id" === 5, "a").cast("string")))
       .withColumn("k2", org.apache.spark.sql.functions
         .when($"id" === 2, "a").otherwise(org.apache.spark.sql.functions
-          .when($"id" === 3, "b").cast("string")))
-    // id=1 → ("a", null); id=2 → (null, "a"); id=3 → ("a", "b")
+          .when($"id" === 3, "b")
+          .when($"id" === 4, "c")
+          .when($"id" === 5, s"b${sep}c").cast("string")))
+    // id=1 → ("a", null); id=2 → (null, "a"); id=3 → ("a", "b");
+    // id=4 → ("a\u0001b", "c"); id=5 → ("a", "b\u0001c")
     val left = ev.filter($"v" % 2 === 0)
     val right = ev.filter($"v" % 2 === 1)
     val outSchema = StructType(Seq(
@@ -153,18 +161,19 @@ class CoGroupSpec extends SparkSuite {
       .outputMode("append")
       .option("checkpointLocation", ckpt.toString).start()
     try {
-      input.addData(Seq((1, ts(1), 2L), (2, ts(2), 4L), (3, ts(3), 6L)))
+      input.addData(Seq((1, ts(1), 2L), (2, ts(2), 4L), (3, ts(3), 6L),
+        (4, ts(4), 8L), (5, ts(5), 10L)))
       q.processAllAvailable()
       input.addData(Seq((0, ts(60), 0L)))
       q.processAllAvailable()
       val rows = spark.table(name).as[(String, Long)].collect()
         .filter(_._2 > 0)
-      // three distinct non-empty groups, each with exactly one row —
-      // null-component keys never collide with each other or with ("a","b")
-      assert(rows.count(_._2 == 1L) >= 3,
-        s"expected 3 singleton groups, got ${rows.toSeq}")
+      // five distinct non-empty groups, each with exactly one row —
+      // neither null components nor separator-bearing values collide
+      assert(rows.count(_._2 == 1L) >= 5,
+        s"expected 5 singleton groups, got ${rows.toSeq}")
       assert(!rows.exists(_._2 > 1L),
-        s"null-component keys collided: ${rows.toSeq}")
+        s"composite keys collided: ${rows.toSeq}")
     } finally {
       q.stop()
       graft.queries.Q.deleteRecursively(ckpt)
