@@ -40,7 +40,8 @@ object Bench {
     val streamThreads =
       sys.env.getOrElse("SPARK_GRAFT_STREAM_THREADS", "1").toInt
     val streamNames = graft.queries.StreamQueries.queries.keySet ++
-      graft.queries.StreamFuzzQueries.queries.keySet
+      graft.queries.StreamFuzzQueries.queries.keySet ++
+      graft.queries.StreamQueries.benchOnly.keySet
     val (streamQs, batchQs) =
       selected.partition { case (n, _) => streamNames.contains(n) }
     val batchResults = batchQs.map { case (n, f) => timed(n, f) }

@@ -44,7 +44,8 @@ object SparkEntry {
     * family changes LSH candidate sets by design).
     */
   def benchOnly: Map[String, (SparkSession, String) => DataFrame] =
-    PipelineQueries.benchOnly ++ ScaleProbes.benchOnly
+    PipelineQueries.benchOnly ++ ScaleProbes.benchOnly ++
+      StreamQueries.benchOnly
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a rows-only check.

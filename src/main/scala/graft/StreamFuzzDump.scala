@@ -10,14 +10,18 @@ import java.nio.file.{Files, Paths}
   * (per-query parquet + oracle_sql.json with the case's DuckDB
   * restatement), so the comparison is the driver's own machinery.
   *
-  * Usage: runMain graft.StreamFuzzDump <sfDir> <outDir> [n=30] [seed0=1]
+  * Usage: runMain graft.StreamFuzzDump <sfDir> <outDir> [n=30] [seed0=1] [family=window]
   * then:  python3 dev/check.py <sfDir> <outDir>
+  * family selects the generator arm: window (windowed aggregates),
+  * session (SessionWindows annotation), retract (StatefulOps retract
+  * group agg), topn (RetractableTopN diffs), or all (n seeds of each).
   */
 object StreamFuzzDump {
   def main(args: Array[String]): Unit = {
     val (sfDir, outDir) = (args(0), args(1))
     val n = if (args.length > 2) args(2).toInt else 30
     val seed0 = if (args.length > 3) args(3).toLong else 1L
+    val family = if (args.length > 4) args(4) else "window"
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -28,18 +32,52 @@ object StreamFuzzDump {
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     var failed = 0
-    val oracle = (seed0 until seed0 + n).flatMap { seed =>
-      val name = s"q_fuzz_stream_$seed"
-      val c = graft.queries.StreamFuzzGen.gen(seed)
-      try {
-        graft.queries.StreamFuzzQueries.replay(spark, sfDir, c)
-          .coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
-        Some(name -> c.oracleSql)
-      } catch { case e: Throwable =>
-        failed += 1
-        System.err.println(s"[streamfuzz] $name failed on Spark: ${e.getMessage}")
-        None
+    // (name, result DataFrame thunk, oracle SQL) per seed and family
+    def arms(seed: Long): Seq[(String, () => org.apache.spark.sql.DataFrame, String)] = {
+      val w = {
+        val c = graft.queries.StreamFuzzGen.gen(seed)
+        (s"q_fuzz_stream_$seed",
+          () => graft.queries.StreamFuzzQueries.replay(spark, sfDir, c),
+          c.oracleSql)
       }
+      val se = {
+        val c = graft.queries.StreamFuzzGen.genSession(seed)
+        (s"q_fuzz_stream_s$seed",
+          () => graft.queries.StreamFuzzQueries.replaySession(spark, sfDir, c),
+          c.oracleSql)
+      }
+      val re = {
+        val c = graft.queries.StreamFuzzGen.genRetract(seed)
+        (s"q_fuzz_stream_r$seed",
+          () => graft.queries.StreamFuzzQueries.replayRetract(spark, sfDir, c),
+          c.oracleSql)
+      }
+      val tn = {
+        val c = graft.queries.StreamFuzzGen.genTopN(seed)
+        (s"q_fuzz_stream_t$seed",
+          () => graft.queries.StreamFuzzQueries.replayTopN(spark, sfDir, c),
+          c.oracleSql)
+      }
+      family match {
+        case "window"  => Seq(w)
+        case "session" => Seq(se)
+        case "retract" => Seq(re)
+        case "topn"    => Seq(tn)
+        case "all"     => Seq(w, se, re, tn)
+        case other => sys.error(s"unknown family '$other': " +
+          "expected window, session, retract, topn, all")
+      }
+    }
+    val oracle = (seed0 until seed0 + n).flatMap(arms).flatMap {
+      case (name, run, sql) =>
+        try {
+          run().coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+          Some(name -> sql)
+        } catch { case e: Throwable =>
+          failed += 1
+          System.err.println(s"[streamfuzz] $name failed on Spark: ${e.getMessage}")
+          None
+        }
     }
     def q(s: String): String = "\"" + s.flatMap {
       case '"'  => "\\\""
@@ -53,7 +91,8 @@ object StreamFuzzDump {
     val json = oracle.map { case (k, v) => s"${q(k)}: ${q(v)}" }
       .mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
-    println(s"[streamfuzz] dumped ${oracle.length} of $n cases " +
+    val total = n * (if (family == "all") 4 else 1)
+    println(s"[streamfuzz] dumped ${oracle.length} of $total $family cases " +
       s"($failed failed on Spark), seeds $seed0..${seed0 + n - 1}")
     spark.stop()
     if (failed > 0) sys.exit(1)

@@ -7,29 +7,37 @@ import org.apache.spark.sql.functions._
 
 /** Seeded random generator for STREAMING differential cases — the
   * streaming-side sibling of [[FuzzGen]] (which fuzzes the batch SQL
-  * surface). Each seed deterministically yields a windowed event-time
-  * aggregation over the `events` table: a shared filter, tumbling or
-  * hopping window, grouping keys, and exact aggregates.
+  * surface). Four independent families, each a pure function of the
+  * seed over the `events` table:
+  *   - [[gen]]: windowed event-time aggregations (tumble/hop, keys,
+  *     exact aggregates) — Spark's built-in incremental window path;
+  *   - [[genSession]]: SESSION-window annotation through
+  *     [[graft.streaming.SessionWindows]] (custom transformWithState);
+  *   - [[genRetract]]: retract group aggregation through
+  *     [[graft.streaming.StatefulOps]] (SUM / MIN / MAX arms);
+  *   - [[genTopN]]: retractable Top-N diffs through
+  *     [[graft.streaming.RetractableTopN]].
   *
-  * The same case drives three executions:
-  *   - STREAMING: MemoryStream replay → watermark → window aggregate in
-  *     append mode (the incremental, state-store-backed path);
-  *   - BATCH: the identical transform on the batch DataFrame (Spark's
-  *     one-shot path — `window()` works in both);
-  *   - ORACLE: a DuckDB restatement (time_bucket / UNNEST-of-starts)
-  *     for promoted permanent rows.
+  * Every case drives three executions:
+  *   - STREAMING: MemoryStream replay through the incremental,
+  *     state-store-backed operator;
+  *   - BATCH: the identical semantics on the batch frame (window() /
+  *     gaps-and-islands / GROUP BY survivors / ROW_NUMBER);
+  *   - ORACLE: a DuckDB restatement for promoted permanent rows.
   *
   * Divergence between the first two catches incremental-execution bugs
-  * (watermark handling, state eviction, window assignment) that no
-  * batch-only fuzz can reach; the third ties promoted seeds into the
-  * driver's cross-engine gate. Determinism conventions follow the
-  * hand-written stream gates: replay is (event-time, id)-sorted so no
-  * row is late, money flows as exact DECIMAL(12,2)/cents-BIGINT, and
-  * doubles appear only as a final cast of an exact decimal sum.
+  * (watermark handling, state eviction, window assignment, retraction
+  * arithmetic, rank cascades) that no batch-only fuzz can reach; the
+  * third ties promoted seeds into the driver's cross-engine gate.
+  * Determinism conventions follow the hand-written stream gates: replay
+  * is (event-time, id)-sorted so no row is late, money flows as exact
+  * DECIMAL(12,2)/cents-BIGINT, and doubles appear only as a final cast
+  * of an exact decimal sum.
   *
-  * Reference bar: the windowed-aggregation semantics under test are the
-  * reference's group-window operators
-  * (flink-table-runtime window aggregate operators; SURVEY §2.5).
+  * Reference bar: the semantics under test are the reference's
+  * group-window / session-window-TVF / GroupAggFunction /
+  * RetractableTopNFunction operators (flink-table-runtime; SURVEY
+  * §2.4–2.7).
   */
 object StreamFuzzGen {
 
@@ -94,6 +102,122 @@ object StreamFuzzGen {
     }
   }
 
+  /** A session-window case — exercises [[graft.streaming.SessionWindows]]
+    * (the transformWithState MergingWindowSet operator, not a Spark
+    * built-in): filtered events annotate per-row with their session's
+    * bounds under the generated partition keys and gap. Differential
+    * targets: the identical gaps-and-islands restatement on the batch
+    * frame (Spark window functions) and a DuckDB islands oracle.
+    */
+  case class SessionCase(
+      seed: Long,
+      filterSql: String,
+      keys: Seq[(String, String)], // (shared SQL expr, alias)
+      gapMinutes: Int) {
+
+    /** DuckDB gaps-and-islands restatement: a session break is a row
+      * whose gap from its predecessor (per key, (ts, event_id) order)
+      * exceeds the gap; running-sum of breaks numbers the islands; the
+      * island's MIN/MAX ts give the TVF bounds (end = max + gap).
+      */
+    def oracleSql: String = {
+      val kAlias = keys.map(_._2)
+      val kSel = keys.map { case (e, a) => s"$e AS $a" }.mkString(", ")
+      val part = kAlias.mkString(", ")
+      s"""WITH e AS (SELECT event_id, user_id,
+         |    make_timestamp(epoch_ns(ts) // 1000) AS ts, event_type, value
+         |  FROM events),
+         |f AS (SELECT $kSel, event_id, ts FROM e WHERE $filterSql),
+         |m AS (SELECT $part, event_id, ts,
+         |  CASE WHEN ts - lag(ts) OVER (PARTITION BY $part ORDER BY ts, event_id)
+         |         <= INTERVAL $gapMinutes MINUTE
+         |    THEN 0 ELSE 1 END AS new_s FROM f),
+         |s AS (SELECT $part, event_id, ts,
+         |  SUM(new_s) OVER (PARTITION BY $part ORDER BY ts, event_id
+         |    ROWS UNBOUNDED PRECEDING) AS sid FROM m)
+         |SELECT $part, event_id,
+         |  MIN(ts) OVER (PARTITION BY $part, sid) AS window_start,
+         |  MAX(ts) OVER (PARTITION BY $part, sid) + INTERVAL $gapMinutes MINUTE AS window_end
+         |FROM s""".stripMargin
+    }
+  }
+
+  /** A retract group-aggregation case — exercises
+    * [[graft.streaming.StatefulOps.RetractSumProcessor]] /
+    * [[graft.streaming.StatefulOps.RetractMinMaxProcessor]]: every
+    * filtered event INSERTs (key, value), then the rows matching the
+    * delete predicate RETRACT in a final batch; the emitted -U/+U/-D
+    * changelog folds to the aggregate over surviving rows only. A key
+    * whose rows all delete must vanish (RecordCounter -D), and a delete
+    * hitting the current MIN/MAX forces the recompute-from-counts path —
+    * both land randomly across seeds.
+    */
+  case class RetractCase(
+      seed: Long,
+      filterSql: String,
+      keySql: String, // STRING-valued shared expr
+      valueSql: String, // BIGINT-valued shared expr
+      deleteMod: Int,
+      deleteRes: Int,
+      op: String) { // sum | min | max
+
+    def aggSql: String = op match {
+      case "sum" => "CAST(SUM(v) AS BIGINT)" // DuckDB SUM(BIGINT)=HUGEINT
+      case "min" => "MIN(v)"
+      case "max" => "MAX(v)"
+    }
+
+    /** DuckDB restatement: the fold's fixed point IS a batch GROUP BY
+      * over inserts minus deletes.
+      */
+    def oracleSql: String =
+      s"""WITH e AS (SELECT event_id, user_id,
+         |    make_timestamp(epoch_ns(ts) // 1000) AS ts, event_type, value
+         |  FROM events),
+         |f AS (SELECT CAST($keySql AS STRING) AS k,
+         |    CAST($valueSql AS BIGINT) AS v, event_id
+         |  FROM e WHERE $filterSql),
+         |s AS (SELECT k, v FROM f WHERE NOT (event_id % $deleteMod = $deleteRes))
+         |SELECT k, $aggSql AS agg, COUNT(*) AS n FROM s GROUP BY k""".stripMargin
+  }
+
+  /** A retractable Top-N case — exercises
+    * [[graft.streaming.RetractableTopN]] (the UpdatableTopNFunction /
+    * RetractableTopNFunction analogue): filtered events INSERT
+    * (id, sort) per key, a random subset UPSERTs with a shifted sort
+    * (rank movement in/out of the visible top-n), a random subset
+    * DELETEs; the emitted top-n diff changelog folds to the final
+    * visible top-n — which must equal a batch ROW_NUMBER restatement
+    * with the operator's (sort ASC, id ASC) tie order.
+    */
+  case class TopNCase(
+      seed: Long,
+      filterSql: String,
+      keySql: String, // STRING-valued shared expr
+      sortSql: String, // BIGINT-valued shared expr
+      n: Int,
+      updMod: Int,
+      updRes: Int,
+      updDelta: Long,
+      delMod: Int,
+      delRes: Int) {
+
+    def oracleSql: String =
+      s"""WITH e AS (SELECT event_id, user_id,
+         |    make_timestamp(epoch_ns(ts) // 1000) AS ts, event_type, value
+         |  FROM events),
+         |f AS (SELECT CAST($keySql AS STRING) AS k, event_id AS id,
+         |    CAST($sortSql AS BIGINT) AS v
+         |  FROM e WHERE $filterSql),
+         |s AS (SELECT k, id,
+         |    CASE WHEN id % $updMod = $updRes THEN v - $updDelta ELSE v END AS v
+         |  FROM f WHERE NOT (id % $delMod = $delRes))
+         |SELECT k, id, v AS sort FROM (
+         |  SELECT k, id, v,
+         |    ROW_NUMBER() OVER (PARTITION BY k ORDER BY v, id) AS rn FROM s)
+         |WHERE rn <= $n""".stripMargin
+  }
+
   private val eventTypes =
     Seq("click", "purchase", "view", "signup", "error")
 
@@ -111,6 +235,26 @@ object StreamFuzzGen {
     z ^ (z >>> 31)
   }
 
+  /** Shared filter-arm pool (draw order is part of each family's seed
+    * contract — do not reorder arms).
+    */
+  private def basePredOf(r: Random): String = r.nextInt(4) match {
+    case 0 =>
+      val n = 1 + r.nextInt(3)
+      val types = r.shuffle(eventTypes).take(n).sorted
+      s"event_type IN (${types.map(t => s"'$t'").mkString(", ")})"
+    case 1 =>
+      val m = 2 + r.nextInt(5)
+      s"(user_id % $m) = ${r.nextInt(m)}"
+    case 2 =>
+      // events.value spans ~0–330 at every SF (same generator
+      // distribution); thresholds stay inside it so the arm keeps rows
+      s"CAST(value AS DECIMAL(12,2)) >= ${25 + r.nextInt(200)}.00"
+    case 3 =>
+      val m = 2 + r.nextInt(4)
+      s"((user_id % $m) = ${r.nextInt(m)} OR event_type = '${pick(r, eventTypes)}')"
+  }
+
   /** The case for a seed — a pure function of the seed. */
   def gen(seed: Long): Case = {
     val r = new Random(scramble(seed))
@@ -121,22 +265,7 @@ object StreamFuzzGen {
     // clause is semantically inert there. The sentinel's own window
     // never fires (nothing later advances the watermark past it), so it
     // never reaches output on the streaming side either.
-    val basePred = r.nextInt(4) match {
-      case 0 =>
-        val n = 1 + r.nextInt(3)
-        val types = r.shuffle(eventTypes).take(n).sorted
-        s"event_type IN (${types.map(t => s"'$t'").mkString(", ")})"
-      case 1 =>
-        val m = 2 + r.nextInt(5)
-        s"(user_id % $m) = ${r.nextInt(m)}"
-      case 2 =>
-        // events.value spans ~0–330 at every SF (same generator
-        // distribution); thresholds stay inside it so the arm keeps rows
-        s"CAST(value AS DECIMAL(12,2)) >= ${25 + r.nextInt(200)}.00"
-      case 3 =>
-        val m = 2 + r.nextInt(4)
-        s"((user_id % $m) = ${r.nextInt(m)} OR event_type = '${pick(r, eventTypes)}')"
-    }
+    val basePred = basePredOf(r)
     val filterSql = s"($basePred) OR user_id = -1"
 
     val keyPool = Seq(
@@ -170,5 +299,75 @@ object StreamFuzzGen {
     val aggs = r.shuffle(aggPool).take(nAggs).sortBy(_._2)
 
     Case(seed, filterSql, keys, winMin, slideMin, aggs)
+  }
+
+  /** The session case for a seed — a pure function of the seed. The
+    * family constant decorrelates it from `gen`'s draws at equal seeds.
+    */
+  def genSession(seed: Long): SessionCase = {
+    val r = new Random(scramble(seed ^ 0x5e5510aL))
+    // same sentinel contract as gen: OR user_id = -1 keeps the flush
+    // row alive through any filter; its session key is negative /
+    // "flush", disjoint from every real key, and the replay drops
+    // event_id < 0 from the output
+    val filterSql = s"(${basePredOf(r)}) OR user_id = -1"
+    val keys = r.nextInt(3) match {
+      case 0 => Seq(("user_id", "k_u"))
+      case 1 => Seq((s"(user_id % ${Seq(3, 5, 7)(r.nextInt(3))})", "k_m"))
+      case 2 => Seq(("user_id", "k_u"), ("event_type", "k_t"))
+    }
+    val gap = Seq(20, 45, 90)(r.nextInt(3))
+    SessionCase(seed, filterSql, keys, gap)
+  }
+
+  /** The retract case for a seed — a pure function of the seed. No
+    * sentinel clause: the retract replay is TimeMode.None (no
+    * watermark), so the filter is the bare arm.
+    */
+  def genRetract(seed: Long): RetractCase = {
+    val r = new Random(scramble(seed ^ 0x4e74ac7L))
+    val filterSql = basePredOf(r)
+    val keySql = r.nextInt(3) match {
+      case 0 => "event_type"
+      case 1 => s"CAST(user_id % ${Seq(3, 5, 7)(r.nextInt(3))} AS STRING)"
+      case 2 =>
+        s"CONCAT(event_type, '#', CAST(user_id % ${2 + r.nextInt(3)} AS STRING))"
+    }
+    val valueSql = r.nextInt(3) match {
+      case 0 => "event_id"
+      case 1 => "CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)" // cents
+      case 2 => "event_id - 100000" // negative-heavy sums/extremes
+    }
+    val deleteMod = 2 + r.nextInt(5)
+    val deleteRes = r.nextInt(deleteMod)
+    val op = Seq("sum", "min", "max")(r.nextInt(3))
+    RetractCase(seed, filterSql, keySql, valueSql, deleteMod, deleteRes, op)
+  }
+
+  /** The Top-N case for a seed — a pure function of the seed. */
+  def genTopN(seed: Long): TopNCase = {
+    val r = new Random(scramble(seed ^ 0x70b9e31L))
+    val filterSql = basePredOf(r)
+    val keySql = r.nextInt(3) match {
+      case 0 => "event_type"
+      case 1 => s"CAST(user_id % ${Seq(3, 5, 7)(r.nextInt(3))} AS STRING)"
+      case 2 =>
+        s"CONCAT(event_type, '#', CAST(user_id % ${2 + r.nextInt(3)} AS STRING))"
+    }
+    // cents sorts collide across rows — deliberate tie coverage for the
+    // operator's (sort, id) order; event_id sorts are unique
+    val sortSql = r.nextInt(3) match {
+      case 0 => "event_id"
+      case 1 => "CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)"
+      case 2 => "event_id - 100000"
+    }
+    val n = 1 + r.nextInt(5)
+    val updMod = 2 + r.nextInt(4)
+    val updRes = r.nextInt(updMod)
+    val updDelta = 100L + r.nextInt(5000)
+    val delMod = 2 + r.nextInt(5)
+    val delRes = r.nextInt(delMod)
+    TopNCase(seed, filterSql, keySql, sortSql, n,
+      updMod, updRes, updDelta, delMod, delRes)
   }
 }

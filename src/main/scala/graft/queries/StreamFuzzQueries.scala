@@ -3,14 +3,21 @@ package graft.queries
 import Q._
 
 /** Promoted permanent oracle rows from the STREAMING differential fuzz
-  * generator ([[StreamFuzzGen]]) — one seed per structural family
-  * (tumbling single-key, hopping, tumbling composite-key), selected
-  * deterministically as the FIRST seed exhibiting each shape so the
-  * choice is reproducible from the generator alone. Each row replays
-  * the events table through a MemoryStream into the case's windowed
-  * aggregate (StreamQueries.streamFuzzReplay) and is checked against
-  * the case's own DuckDB restatement — the driver-gated tie-in for the
-  * engine-vs-engine sweep in `StreamFuzzSpec` / `graft.StreamFuzzDump`.
+  * generator ([[StreamFuzzGen]]) — one seed per structural family,
+  * selected deterministically as the FIRST seed exhibiting each shape
+  * so the choice is reproducible from the generator alone:
+  *   - window aggregates (tumbling single-key, hopping, tumbling
+  *     composite-key) — `q_fuzz_stream_<seed>`;
+  *   - session-window annotation over SessionWindows (single- and
+  *     composite-key) — `q_fuzz_stream_s<seed>`;
+  *   - retract group aggregation over StatefulOps (SUM and MIN/MAX
+  *     arms) — `q_fuzz_stream_r<seed>`;
+  *   - retractable Top-N over RetractableTopN (unique-sort and
+  *     tie-bearing cents-sort arms) — `q_fuzz_stream_t<seed>`.
+  * Each row replays the events table through a MemoryStream into the
+  * case's operator and is checked against the case's own DuckDB
+  * restatement — the driver-gated tie-in for the engine-vs-engine
+  * sweeps in `StreamFuzzSpec` / `graft.StreamFuzzDump`.
   */
 object StreamFuzzQueries {
 
@@ -26,18 +33,77 @@ object StreamFuzzQueries {
 
   private val cases: Seq[StreamFuzzGen.Case] = seeds.map(StreamFuzzGen.gen)
 
-  val queries: Map[String, QFn] = cases.map { c =>
-    s"q_fuzz_stream_${c.seed}" -> ((s, dir) =>
-      StreamQueries.streamFuzzReplay(s, dir, c)): (String, QFn)
-  }.toMap
+  private def firstSessSeed(p: StreamFuzzGen.SessionCase => Boolean): Long =
+    (1L to 256L).find(s => p(StreamFuzzGen.genSession(s)))
+      .getOrElse(sys.error("no session seed in 1..256 matches the shape"))
+
+  private def firstRetSeed(p: StreamFuzzGen.RetractCase => Boolean): Long =
+    (1L to 256L).find(s => p(StreamFuzzGen.genRetract(s)))
+      .getOrElse(sys.error("no retract seed in 1..256 matches the shape"))
+
+  /** single-key and composite-key session shapes. */
+  private[queries] val sessSeeds: Seq[Long] = Seq(
+    firstSessSeed(_.keys.length == 1),
+    firstSessSeed(_.keys.length == 2)).distinct
+
+  /** one SUM and one MIN/MAX retract shape. */
+  private[queries] val retSeeds: Seq[Long] = Seq(
+    firstRetSeed(_.op == "sum"),
+    firstRetSeed(c => c.op != "sum")).distinct
+
+  private def firstTopNSeed(p: StreamFuzzGen.TopNCase => Boolean): Long =
+    (1L to 256L).find(s => p(StreamFuzzGen.genTopN(s)))
+      .getOrElse(sys.error("no topn seed in 1..256 matches the shape"))
+
+  /** one unique-sort and one tie-bearing (cents) top-n shape. */
+  private[queries] val topNSeeds: Seq[Long] = Seq(
+    firstTopNSeed(_.sortSql == "event_id"),
+    firstTopNSeed(_.sortSql.contains("DECIMAL"))).distinct
+
+  private val sessCases = sessSeeds.map(StreamFuzzGen.genSession)
+  private val retCases = retSeeds.map(StreamFuzzGen.genRetract)
+  private val topNCases = topNSeeds.map(StreamFuzzGen.genTopN)
+
+  val queries: Map[String, QFn] =
+    cases.map { c =>
+      s"q_fuzz_stream_${c.seed}" -> ((s, dir) =>
+        StreamQueries.streamFuzzReplay(s, dir, c)): (String, QFn)
+    }.toMap ++
+    sessCases.map { c =>
+      s"q_fuzz_stream_s${c.seed}" -> ((s, dir) =>
+        StreamQueries.streamSessionFuzzReplay(s, dir, c)): (String, QFn)
+    }.toMap ++
+    retCases.map { c =>
+      s"q_fuzz_stream_r${c.seed}" -> ((s, dir) =>
+        StreamQueries.streamRetractFuzzReplay(s, dir, c)): (String, QFn)
+    }.toMap ++
+    topNCases.map { c =>
+      s"q_fuzz_stream_t${c.seed}" -> ((s, dir) =>
+        StreamQueries.streamTopNFuzzReplay(s, dir, c)): (String, QFn)
+    }.toMap
 
   val oracles: Map[String, String] =
-    cases.map(c => s"q_fuzz_stream_${c.seed}" -> c.oracleSql).toMap
+    cases.map(c => s"q_fuzz_stream_${c.seed}" -> c.oracleSql).toMap ++
+    sessCases.map(c => s"q_fuzz_stream_s${c.seed}" -> c.oracleSql).toMap ++
+    retCases.map(c => s"q_fuzz_stream_r${c.seed}" -> c.oracleSql).toMap ++
+    topNCases.map(c => s"q_fuzz_stream_t${c.seed}" -> c.oracleSql).toMap
 
-  /** Public replay front door for the dev-side sweep
+  /** Public replay front doors for the dev-side sweep
     * (graft.StreamFuzzDump — outside this package).
     */
   def replay(s: org.apache.spark.sql.SparkSession, dir: String,
       c: StreamFuzzGen.Case): org.apache.spark.sql.DataFrame =
     StreamQueries.streamFuzzReplay(s, dir, c)
+
+  def replaySession(s: org.apache.spark.sql.SparkSession, dir: String,
+      c: StreamFuzzGen.SessionCase): org.apache.spark.sql.DataFrame =
+    StreamQueries.streamSessionFuzzReplay(s, dir, c)
+
+  def replayRetract(s: org.apache.spark.sql.SparkSession, dir: String,
+      c: StreamFuzzGen.RetractCase): org.apache.spark.sql.DataFrame =
+    StreamQueries.streamRetractFuzzReplay(s, dir, c)
+
+  def replayTopN(s: org.apache.spark.sql.SparkSession, dir: String,
+      c: StreamFuzzGen.TopNCase): org.apache.spark.sql.DataFrame =
+    StreamQueries.streamTopNFuzzReplay(s, dir, c)
 }

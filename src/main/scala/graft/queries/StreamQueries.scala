@@ -203,6 +203,169 @@ object StreamQueries {
         (c.keys.map(k => col(k._2)) ++ c.aggs.map(a => col(a._2))): _*)
   }
 
+  /** MemoryStream replay for a [[StreamFuzzGen.TopNCase]]: filtered
+    * events INSERT (id, sort) per key in two batches, the update-
+    * predicate rows UPSERT with sort − delta (rank movement across the
+    * visible boundary), the delete-predicate rows remove; the operator's
+    * top-n diff changelog folds to the final visible top-n per key.
+    */
+  private[queries] def streamTopNFuzzReplay(s: SparkSession, dir: String,
+      c: StreamFuzzGen.TopNCase): DataFrame = {
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    implicit val chEnc = Encoders.product[RetractableTopN.TopNChange]
+    val trips = t(s, dir, "events")
+      .filter(expr(c.filterSql))
+      .select(expr(s"CAST(${c.keySql} AS STRING)").as("k"),
+        col("event_id"), expr(s"CAST(${c.sortSql} AS BIGINT)").as("v"))
+      .as[(String, Long, Long)].collect().toSeq.sortBy(_._2)
+    val inserts = trips.map { case (k, id, v) =>
+      RetractableTopN.TopNChange(Changelog.Insert, k, id, v) }
+    val updates = trips.collect {
+      case (k, id, v) if id % c.updMod == c.updRes =>
+        RetractableTopN.TopNChange(Changelog.UpdateAfter, k, id,
+          v - c.updDelta) }
+    val deletes = trips.collect {
+      case (k, id, v) if id % c.delMod == c.delRes =>
+        RetractableTopN.TopNChange(Changelog.Delete, k, id, v) }
+    val input = MemoryStream[RetractableTopN.TopNChange]
+    val diffs = input.toDS().groupByKey(_.key)
+      .transformWithState(
+        new RetractableTopN.RetractableTopNProcessor(c.n),
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        org.apache.spark.sql.streaming.OutputMode.Update())
+    val batches = chunks(inserts, 2) ++
+      Seq(updates, deletes).filter(_.nonEmpty)
+    val sink = runToEnd(s, input, diffs.toDF(), batches, rocks = true)
+    foldChangelog(sink, "kind")
+      .select($"key".as("k"), $"id", $"sort")
+  }
+
+  /** Measured scale law for the stateful streaming path — the streaming
+    * sibling of [[ScaleProbes]] (batch TPC) and the dedup/ANN probes:
+    * the SAME session-window pipeline (SessionWindows.annotate, the
+    * heaviest custom transformWithState operator) replays at 1× and 8×
+    * event volume. Replicas shift `user_id` (`uid·factor + rep`), so the
+    * scale-up grows KEY BREADTH — 8× keys with per-key session history
+    * constant, the shape a production stream takes when traffic grows —
+    * while the micro-batch count stays fixed (same chunking). The base
+    * is the FULL events table (unlike q_stream_session's deterministic
+    * third) so that at 8× the per-row/state work dominates the
+    * ~2 s/gate micro-batch floor instead of drowning in it; the
+    * recorded measurement is the wall-time ratio between the `1` and
+    * `8` bench entries, read floor-inclusive. Correctness of the
+    * operator itself is gated by `q_stream_session` /
+    * `q_fuzz_stream_s*`.
+    */
+  private def sessionScaleProbe(s: SparkSession, dir: String,
+      factor: Int): DataFrame = {
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val base = sortedEvents(s, dir)
+    val rows =
+      if (factor == 1) base
+      else base.flatMap(e => (0 until factor).map(rep => e.copy(
+        event_id = e.event_id * factor + rep,
+        user_id = e.user_id * factor + rep)))
+    val maxTs = base.map(_.ts.getTime).max
+    val sentinel = Seq(Ev(-1L, -1L,
+      new java.sql.Timestamp(maxTs + 3L * 3600000L), "flush", 0.0))
+    val input = MemoryStream[Ev]
+    val annotated = SessionWindows.annotate(
+      input.toDS().toDF().withWatermark("ts", "1 hour"),
+      Seq("user_id"), "ts", "1 hour")
+    runToEnd(s, input, annotated, chunks(rows, 2) :+ sentinel, rocks = true)
+      .filter($"user_id" >= 0)
+      .agg(count(lit(1)).as("rows"))
+  }
+
+  /** Bench-only entries (no oracle BY DESIGN — the measurement is the
+    * 1×↔8× wall-time ratio; see [[sessionScaleProbe]]).
+    */
+  val benchOnly: Map[String, QFn] = Map(
+    "b_stream_scale1" -> ((s, dir) => sessionScaleProbe(s, dir, 1)),
+    "b_stream_scale8" -> ((s, dir) => sessionScaleProbe(s, dir, 8)))
+
+  /** MemoryStream replay for a [[StreamFuzzGen.SessionCase]]: derived
+    * key columns → filter → SessionWindows.annotate under the case's
+    * gap; a far-future sentinel (user_id = -1, every generated filter
+    * keeps it) lands the watermark past max+gap so every real session's
+    * timer fires; its own session key is disjoint from all real keys
+    * and its row drops on `event_id >= 0`.
+    */
+  private[queries] def streamSessionFuzzReplay(s: SparkSession, dir: String,
+      c: StreamFuzzGen.SessionCase): DataFrame = {
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val rows = sortedEvents(s, dir)
+    val maxTs = rows.last.ts.getTime
+    // wm delay 1h, session timers at max+gap: sentinel at
+    // max + gap + 3h puts the watermark ≥ max + gap + 2h — past every
+    // real session's close with margin
+    val sentinel = Ev(-1L, -1L,
+      new java.sql.Timestamp(maxTs + (c.gapMinutes + 180L) * 60000L),
+      "flush", 0.0)
+    val input = MemoryStream[Ev]
+    var df = input.toDS().toDF().withWatermark("ts", "1 hour")
+    c.keys.foreach { case (e, a) => df = df.withColumn(a, expr(e)) }
+    val annotated = SessionWindows.annotate(
+      df.filter(expr(c.filterSql)), c.keys.map(_._2), "ts",
+      s"${c.gapMinutes} minutes")
+    runToEnd(s, input, annotated, chunks(rows, 2) :+ Seq(sentinel),
+      rocks = true)
+      .filter(col("event_id") >= 0)
+      .select(c.keys.map(k => col(k._2)) ++ Seq(col("event_id"),
+        col("window_start").cast("timestamp_ntz").as("window_start"),
+        col("window_end").cast("timestamp_ntz").as("window_end")): _*)
+  }
+
+  /** MemoryStream replay for a [[StreamFuzzGen.RetractCase]]: every
+    * filtered event INSERTs its (key, value), the delete-predicate rows
+    * RETRACT in a final batch, and the emitted changelog folds to the
+    * end state — which must equal the batch aggregate over surviving
+    * rows (the case's DuckDB restatement).
+    */
+  private[queries] def streamRetractFuzzReplay(s: SparkSession, dir: String,
+      c: StreamFuzzGen.RetractCase): DataFrame = {
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    implicit val chEnc = Encoders.product[StatefulOps.Change[String, Long]]
+    val trips = t(s, dir, "events")
+      .filter(expr(c.filterSql))
+      .select(expr(s"CAST(${c.keySql} AS STRING)").as("k"),
+        expr(s"CAST(${c.valueSql} AS BIGINT)").as("v"), col("event_id"))
+      .as[(String, Long, Long)].collect().toSeq.sortBy(_._3)
+    val inserts = trips.map { case (k, v, _) =>
+      StatefulOps.Change(Changelog.Insert, k, v) }
+    val deletes = trips.collect {
+      case (k, v, id) if id % c.deleteMod == c.deleteRes =>
+        StatefulOps.Change(Changelog.Delete, k, v) }
+    val input = MemoryStream[StatefulOps.Change[String, Long]]
+    val batches = chunks(inserts, 2) ++
+      (if (deletes.nonEmpty) Seq(deletes) else Nil)
+    c.op match {
+      case "sum" =>
+        val changes = input.toDS().groupByKey(_.key)
+          .transformWithState(
+            new StatefulOps.RetractSumProcessor[String, Long](),
+            org.apache.spark.sql.streaming.TimeMode.None(),
+            org.apache.spark.sql.streaming.OutputMode.Update())
+        val sink = runToEnd(s, input, changes.toDF(), batches, rocks = true)
+        foldChangelog(sink.select($"kind", $"value.key".as("k"),
+          $"value.sum".as("agg"), $"value.count".as("n")), "kind")
+      case mm =>
+        val changes = input.toDS().groupByKey(_.key)
+          .transformWithState(
+            new StatefulOps.RetractMinMaxProcessor[String, Long](
+              isMax = mm == "max"),
+            org.apache.spark.sql.streaming.TimeMode.None(),
+            org.apache.spark.sql.streaming.OutputMode.Update())
+        val sink = runToEnd(s, input, changes.toDF(), batches, rocks = true)
+        foldChangelog(sink.select($"kind", $"value.key".as("k"),
+          $"value.extreme".as("agg"), $"value.count".as("n")), "kind")
+    }
+  }
+
   /** Streaming count-window replay (IntegrationQueries.q_stream_countwin
     * lives in that module's inventory; the harness internals live here):
     * events stream per user in (event-time, id) order, every full window

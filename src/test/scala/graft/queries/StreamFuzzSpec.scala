@@ -35,6 +35,128 @@ class StreamFuzzSpec extends SparkSuite {
     assert(shapes.exists(c => !c.isHop && c.keys.length == 2))
   }
 
+  test("session/retract generators are deterministic and cover their arms") {
+    for (s <- Seq(1L, 7L, 4242L)) {
+      assert(StreamFuzzGen.genSession(s) == StreamFuzzGen.genSession(s))
+      assert(StreamFuzzGen.genRetract(s) == StreamFuzzGen.genRetract(s))
+    }
+    val sess = (1L to 24L).map(StreamFuzzGen.genSession)
+    assert(sess.exists(_.keys.length == 1) && sess.exists(_.keys.length == 2))
+    assert(sess.map(_.gapMinutes).distinct.length > 1)
+    val ret = (1L to 24L).map(StreamFuzzGen.genRetract)
+    assert(Set("sum", "min", "max").subsetOf(ret.map(_.op).toSet))
+    assert(ret.map(_.keySql).distinct.length > 2)
+  }
+
+  test("incremental session annotation matches batch gaps-and-islands per seed") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val batchEv = Q.t(spark, dir, "events")
+      .select(col("event_id"), col("user_id"),
+        col("ts").cast("timestamp").as("ts"), col("event_type"),
+        col("value"))
+    for (seed <- 1L to 6L) {
+      val c = StreamFuzzGen.genSession(seed)
+      val gapMicros = c.gapMinutes * 60000000L
+      // batch restatement: same islands construction as the DuckDB
+      // oracle, in exact micros arithmetic
+      var f = batchEv
+      c.keys.foreach { case (e, a) => f = f.withColumn(a, expr(e)) }
+      f = f.filter(expr(c.filterSql))
+      val keyCols = c.keys.map(k => col(k._2))
+      val w = Window.partitionBy(keyCols: _*)
+        .orderBy(col("ts"), col("event_id"))
+      val m = f
+        .withColumn("__us", unix_micros(col("ts")))
+        .withColumn("__prev", lag(col("__us"), 1).over(w))
+        .withColumn("__new_s",
+          when(col("__prev").isNotNull &&
+            col("__us") - col("__prev") <= gapMicros, 0).otherwise(1))
+        .withColumn("__sid", sum(col("__new_s"))
+          .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      val w2 = Window.partitionBy(keyCols :+ col("__sid"): _*)
+      val expected = m.select(keyCols ++ Seq(col("event_id"),
+        timestamp_micros(min(col("__us")).over(w2)).as("window_start"),
+        timestamp_micros(max(col("__us")).over(w2) + gapMicros)
+          .as("window_end")): _*)
+        .collect().map(_.toString).sorted.toSeq
+      val actual = StreamQueries.streamSessionFuzzReplay(spark, dir, c)
+        .select(keyCols ++ Seq(col("event_id"),
+          col("window_start").cast("timestamp").as("window_start"),
+          col("window_end").cast("timestamp").as("window_end")): _*)
+        .collect().map(_.toString).sorted.toSeq
+      assert(actual == expected,
+        s"session seed $seed diverged: filter=${c.filterSql} " +
+          s"keys=${c.keys} gap=${c.gapMinutes}m " +
+          s"(batch=${expected.length} rows, stream=${actual.length})")
+    }
+  }
+
+  test("incremental retract aggregation matches batch group-by per seed") {
+    import org.apache.spark.sql.functions._
+    for (seed <- 1L to 10L) {
+      val c = StreamFuzzGen.genRetract(seed)
+      val aggCol = c.op match {
+        case "sum" => sum(col("v"))
+        case "min" => min(col("v"))
+        case "max" => max(col("v"))
+      }
+      val expected = Q.t(spark, dir, "events")
+        .filter(expr(c.filterSql))
+        .select(expr(s"CAST(${c.keySql} AS STRING)").as("k"),
+          expr(s"CAST(${c.valueSql} AS BIGINT)").as("v"), col("event_id"))
+        .filter(!(col("event_id") % c.deleteMod === c.deleteRes))
+        .groupBy(col("k"))
+        .agg(aggCol.as("agg"), count(lit(1)).as("n"))
+        .collect().map(_.toString).sorted.toSeq
+      val actual = StreamQueries.streamRetractFuzzReplay(spark, dir, c)
+        .collect().map(_.toString).sorted.toSeq
+      assert(actual == expected,
+        s"retract seed $seed diverged: op=${c.op} key=${c.keySql} " +
+          s"value=${c.valueSql} filter=${c.filterSql} " +
+          s"delete=id%${c.deleteMod}=${c.deleteRes} " +
+          s"(batch=${expected.length} rows, stream=${actual.length})")
+    }
+  }
+
+  test("topn generator is deterministic and covers its arms") {
+    for (s <- Seq(1L, 7L, 4242L))
+      assert(StreamFuzzGen.genTopN(s) == StreamFuzzGen.genTopN(s))
+    val cs = (1L to 24L).map(StreamFuzzGen.genTopN)
+    assert(cs.exists(_.sortSql == "event_id") &&
+      cs.exists(_.sortSql.contains("DECIMAL")))
+    assert(cs.map(_.n).distinct.length > 2)
+  }
+
+  test("incremental top-n diffs match batch row_number per seed") {
+    import org.apache.spark.sql.functions._
+    for (seed <- 1L to 10L) {
+      val c = StreamFuzzGen.genTopN(seed)
+      val batch = Q.t(spark, dir, "events")
+        .filter(expr(c.filterSql))
+        .select(expr(s"CAST(${c.keySql} AS STRING)").as("k"),
+          col("event_id").as("id"),
+          expr(s"CAST(${c.sortSql} AS BIGINT)").as("v"))
+        .filter(!(col("id") % c.delMod === c.delRes))
+        .withColumn("v", when(col("id") % c.updMod === c.updRes,
+          col("v") - c.updDelta).otherwise(col("v")))
+        .withColumn("rn", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy(col("k")).orderBy(col("v"), col("id"))))
+        .filter(col("rn") <= c.n)
+        .select(col("k"), col("id"), col("v").as("sort"))
+      val exp = batch.collect().map(_.toString).sorted.toSeq
+      val actual = StreamQueries.streamTopNFuzzReplay(spark, dir, c)
+        .collect().map(_.toString).sorted.toSeq
+      assert(actual == exp,
+        s"topn seed $seed diverged: n=${c.n} key=${c.keySql} " +
+          s"sort=${c.sortSql} filter=${c.filterSql} " +
+          s"upd=id%${c.updMod}=${c.updRes}-${c.updDelta} " +
+          s"del=id%${c.delMod}=${c.delRes} " +
+          s"(batch=${exp.length} rows, stream=${actual.length})")
+    }
+  }
+
   test("incremental streaming replay matches the one-shot batch plan per seed") {
     val batchEv = Q.t(spark, dir, "events")
       .select(col("event_id"), col("user_id"),
