@@ -14,7 +14,8 @@ import java.nio.file.{Files, Paths}
   * then:  python3 dev/check.py <sfDir> <outDir>
   * family selects the generator arm: window (windowed aggregates),
   * session (SessionWindows annotation), retract (StatefulOps retract
-  * group agg), topn (RetractableTopN diffs), or all (n seeds of each).
+  * group agg), topn (RetractableTopN diffs), cep (batch NFA patterns),
+  * or all (n seeds of each).
   */
 object StreamFuzzDump {
   def main(args: Array[String]): Unit = {
@@ -58,14 +59,21 @@ object StreamFuzzDump {
           () => graft.queries.StreamFuzzQueries.replayTopN(spark, sfDir, c),
           c.oracleSql)
       }
+      val ce = {
+        val c = graft.queries.CepFuzzGen.gen(seed)
+        (s"q_fuzz_cep_$seed",
+          () => graft.queries.StreamFuzzQueries.replayCep(spark, sfDir, c),
+          c.oracleSql)
+      }
       family match {
         case "window"  => Seq(w)
         case "session" => Seq(se)
         case "retract" => Seq(re)
         case "topn"    => Seq(tn)
-        case "all"     => Seq(w, se, re, tn)
+        case "cep"     => Seq(ce)
+        case "all"     => Seq(w, se, re, tn, ce)
         case other => sys.error(s"unknown family '$other': " +
-          "expected window, session, retract, topn, all")
+          "expected window, session, retract, topn, cep, all")
       }
     }
     val oracle = (seed0 until seed0 + n).flatMap(arms).flatMap {
@@ -91,7 +99,7 @@ object StreamFuzzDump {
     val json = oracle.map { case (k, v) => s"${q(k)}: ${q(v)}" }
       .mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
-    val total = n * (if (family == "all") 4 else 1)
+    val total = n * (if (family == "all") 5 else 1)
     println(s"[streamfuzz] dumped ${oracle.length} of $total $family cases " +
       s"($failed failed on Spark), seeds $seed0..${seed0 + n - 1}")
     spark.stop()

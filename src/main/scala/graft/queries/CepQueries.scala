@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
-import graft.cep.{CEP, MatchRecognize, Pattern}
+import graft.cep.{AfterMatchSkip, CEP, MatchRecognize, Pattern}
 import Q._
 
 /** MATCH_RECOGNIZE parity in batch form (StreamExecMatch/BatchExecMatch,
@@ -216,4 +216,36 @@ object CepQueries {
         |GROUP BY user_id, grp
         |ORDER BY user_id, start_id""".stripMargin
   )
+
+  /** Batch NFA run for a [[CepFuzzGen.Case]] — every start position
+    * tried (SkipToNext), so the match set is exactly the case's LEAD
+    * restatement. Output: (user_id, a_id, z_id) = ids of the first and
+    * last matched rows.
+    */
+  private[queries] def cepFuzzReplay(s: org.apache.spark.sql.SparkSession,
+      dir: String, c: CepFuzzGen.Case): org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    val ev = t(s, dir, "events")
+      .select($"user_id",
+        unix_micros(col("ts").cast(TimestampType)).as("ts"),
+        $"event_type", $"event_id",
+        expr("CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)")
+          .as("cents"))
+      .as[CepFuzzGen.CE]
+    val pat0 = Pattern.begin[CepFuzzGen.CE]("s0")(c.steps.head.fn)
+    val patN = c.steps.tail.zipWithIndex.foldLeft(pat0) {
+      case (p, (st, i)) => p.next(s"s${i + 1}")(st.fn)
+    }
+    val pat = c.withinMinutes
+      .map(m => patN.within(m * 60000000L)).getOrElse(patN)
+    val last = s"s${c.steps.length - 1}"
+    CEP.batch[CepFuzzGen.CE](ev, _.user_id.toString, _.ts, pat,
+        AfterMatchSkip.SkipToNext)
+      .map { m =>
+        val st = m.stages.toMap
+        (st("s0").head.user_id, st("s0").head.event_id,
+          st(last).head.event_id)
+      }
+      .toDF("user_id", "a_id", "z_id")
+  }
 }

@@ -13,7 +13,9 @@ import Q._
   *   - retract group aggregation over StatefulOps (SUM and MIN/MAX
   *     arms) — `q_fuzz_stream_r<seed>`;
   *   - retractable Top-N over RetractableTopN (unique-sort and
-  *     tie-bearing cents-sort arms) — `q_fuzz_stream_t<seed>`.
+  *     tie-bearing cents-sort arms) — `q_fuzz_stream_t<seed>`;
+  *   - CEP patterns over the batch NFA ([[CepFuzzGen]]: 2-step windowed
+  *     and 3-step shapes) — `q_fuzz_cep_<seed>`.
   * Each row replays the events table through a MemoryStream into the
   * case's operator and is checked against the case's own DuckDB
   * restatement — the driver-gated tie-in for the engine-vs-engine
@@ -60,9 +62,19 @@ object StreamFuzzQueries {
     firstTopNSeed(_.sortSql == "event_id"),
     firstTopNSeed(_.sortSql.contains("DECIMAL"))).distinct
 
+  private def firstCepSeed(p: CepFuzzGen.Case => Boolean): Long =
+    (1L to 256L).find(s => p(CepFuzzGen.gen(s)))
+      .getOrElse(sys.error("no cep seed in 1..256 matches the shape"))
+
+  /** one 2-step windowed and one 3-step CEP shape. */
+  private[queries] val cepSeeds: Seq[Long] = Seq(
+    firstCepSeed(c => c.steps.length == 2 && c.withinMinutes.isDefined),
+    firstCepSeed(_.steps.length == 3)).distinct
+
   private val sessCases = sessSeeds.map(StreamFuzzGen.genSession)
   private val retCases = retSeeds.map(StreamFuzzGen.genRetract)
   private val topNCases = topNSeeds.map(StreamFuzzGen.genTopN)
+  private val cepCases = cepSeeds.map(CepFuzzGen.gen)
 
   val queries: Map[String, QFn] =
     cases.map { c =>
@@ -80,13 +92,18 @@ object StreamFuzzQueries {
     topNCases.map { c =>
       s"q_fuzz_stream_t${c.seed}" -> ((s, dir) =>
         StreamQueries.streamTopNFuzzReplay(s, dir, c)): (String, QFn)
+    }.toMap ++
+    cepCases.map { c =>
+      s"q_fuzz_cep_${c.seed}" -> ((s, dir) =>
+        CepQueries.cepFuzzReplay(s, dir, c)): (String, QFn)
     }.toMap
 
   val oracles: Map[String, String] =
     cases.map(c => s"q_fuzz_stream_${c.seed}" -> c.oracleSql).toMap ++
     sessCases.map(c => s"q_fuzz_stream_s${c.seed}" -> c.oracleSql).toMap ++
     retCases.map(c => s"q_fuzz_stream_r${c.seed}" -> c.oracleSql).toMap ++
-    topNCases.map(c => s"q_fuzz_stream_t${c.seed}" -> c.oracleSql).toMap
+    topNCases.map(c => s"q_fuzz_stream_t${c.seed}" -> c.oracleSql).toMap ++
+    cepCases.map(c => s"q_fuzz_cep_${c.seed}" -> c.oracleSql).toMap
 
   /** Public replay front doors for the dev-side sweep
     * (graft.StreamFuzzDump — outside this package).
@@ -106,4 +123,8 @@ object StreamFuzzQueries {
   def replayTopN(s: org.apache.spark.sql.SparkSession, dir: String,
       c: StreamFuzzGen.TopNCase): org.apache.spark.sql.DataFrame =
     StreamQueries.streamTopNFuzzReplay(s, dir, c)
+
+  def replayCep(s: org.apache.spark.sql.SparkSession, dir: String,
+      c: CepFuzzGen.Case): org.apache.spark.sql.DataFrame =
+    CepQueries.cepFuzzReplay(s, dir, c)
 }
