@@ -20,11 +20,11 @@ object Bench {
     def timed(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
         : (String, Double) = {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case e: Throwable =>
-        // stderr only — stdout must stay exactly one JSON line; a
-        // swallowed failure otherwise masquerades as a fast query
+      try fn(spark, sfDir).count() catch { case e: Throwable =>
+        // stderr only — stdout must stay exactly one JSON line. The
+        // recorded duration is time-to-failure; the failure itself is
+        // visible in the driver's stderr, not in the JSON.
         System.err.println(s"[bench] $name failed: $e")
-        -1L
       }
       name -> (System.nanoTime() - t0) / 1e9
     }
@@ -39,9 +39,19 @@ object Bench {
     // turnaround matters more than the per-gate record.
     val streamThreads =
       sys.env.getOrElse("SPARK_GRAFT_STREAM_THREADS", "1").toInt
+    // overlap pool = gates whose streaming start() runs under
+    // Q.streamConfLock (StreamQueries.runToEnd): StreamQueries' own
+    // gates, the stream-fuzz rows, the b_stream_ probes, and the six
+    // IntegrationQueries entries that delegate to StreamQueries replay
+    // helpers. q_stream_filesrc / q_state_* / q_sink_upsert /
+    // q_sql_mattable_cont start their own queries WITHOUT the lock and
+    // must stay in the serial section — a concurrent start there could
+    // capture another gate's temporarily-set state-store conf.
     val streamNames = graft.queries.StreamQueries.queries.keySet ++
       graft.queries.StreamFuzzQueries.queries.keySet ++
-      graft.queries.StreamQueries.benchOnly.keySet
+      graft.queries.StreamQueries.benchOnly.keySet ++
+      Set("q_stream_countwin", "q_stream_countslide", "q_stream_sort",
+        "q_stream_semi", "q_stream_anti", "q_stream_broadcast")
     val (streamQs, batchQs) =
       selected.partition { case (n, _) => streamNames.contains(n) }
     val batchResults = batchQs.map { case (n, f) => timed(n, f) }

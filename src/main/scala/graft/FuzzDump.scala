@@ -1,7 +1,5 @@
 package graft
 
-import org.apache.spark.sql.SparkSession
-import java.nio.file.{Files, Paths}
 
 /** Differential-fuzzing dump: generate `n` seeded queries
   * (queries/FuzzGen), execute each on Spark, and write the same layout
@@ -19,14 +17,7 @@ object FuzzDump {
     val (sfDir, outDir) = (args(0), args(1))
     val n = if (args.length > 2) args(2).toInt else 500
     val seed0 = if (args.length > 3) args(3).toLong else 1L
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    val spark = DumpIO.session()
     new java.io.File(outDir).mkdirs()
     Tables.registerAll(spark, sfDir)
     var failed = 0
@@ -44,18 +35,7 @@ object FuzzDump {
         None
       }
     }
-    def q(s: String): String = "\"" + s.flatMap {
-      case '"'  => "\\\""
-      case '\\' => "\\\\"
-      case '\n' => "\\n"
-      case '\r' => "\\r"
-      case '\t' => "\\t"
-      case c if c < ' ' => f"\\u${c.toInt}%04x"
-      case c => c.toString
-    } + "\""
-    val json = oracle.map { case (k, v) => s"${q(k)}: ${q(v)}" }
-      .mkString("{", ",", "}")
-    Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    DumpIO.writeOracle(outDir, oracle)
     println(s"[fuzz] dumped ${oracle.length} of $n queries " +
       s"($failed failed on Spark), seeds $seed0..${seed0 + n - 1}")
     spark.stop()

@@ -1,7 +1,5 @@
 package graft
 
-import org.apache.spark.sql.SparkSession
-import java.nio.file.{Files, Paths}
 
 /** Streaming differential-fuzz dump — the cross-engine half of the
   * StreamFuzzGen layer (the engine-vs-engine half is `StreamFuzzSpec`).
@@ -23,43 +21,37 @@ object StreamFuzzDump {
     val n = if (args.length > 2) args(2).toInt else 30
     val seed0 = if (args.length > 3) args(3).toLong else 1L
     val family = if (args.length > 4) args(4) else "window"
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    val spark = DumpIO.session()
     new java.io.File(outDir).mkdirs()
     var failed = 0
-    // (name, result DataFrame thunk, oracle SQL) per seed and family
+    // (name, result DataFrame thunk, oracle SQL) per seed and family —
+    // only the selected families' cases are generated
     def arms(seed: Long): Seq[(String, () => org.apache.spark.sql.DataFrame, String)] = {
-      val w = {
+      def w = {
         val c = graft.queries.StreamFuzzGen.gen(seed)
         (s"q_fuzz_stream_$seed",
           () => graft.queries.StreamFuzzQueries.replay(spark, sfDir, c),
           c.oracleSql)
       }
-      val se = {
+      def se = {
         val c = graft.queries.StreamFuzzGen.genSession(seed)
         (s"q_fuzz_stream_s$seed",
           () => graft.queries.StreamFuzzQueries.replaySession(spark, sfDir, c),
           c.oracleSql)
       }
-      val re = {
+      def re = {
         val c = graft.queries.StreamFuzzGen.genRetract(seed)
         (s"q_fuzz_stream_r$seed",
           () => graft.queries.StreamFuzzQueries.replayRetract(spark, sfDir, c),
           c.oracleSql)
       }
-      val tn = {
+      def tn = {
         val c = graft.queries.StreamFuzzGen.genTopN(seed)
         (s"q_fuzz_stream_t$seed",
           () => graft.queries.StreamFuzzQueries.replayTopN(spark, sfDir, c),
           c.oracleSql)
       }
-      val ce = {
+      def ce = {
         val c = graft.queries.CepFuzzGen.gen(seed)
         (s"q_fuzz_cep_$seed",
           () => graft.queries.StreamFuzzQueries.replayCep(spark, sfDir, c),
@@ -87,18 +79,7 @@ object StreamFuzzDump {
           None
         }
     }
-    def q(s: String): String = "\"" + s.flatMap {
-      case '"'  => "\\\""
-      case '\\' => "\\\\"
-      case '\n' => "\\n"
-      case '\r' => "\\r"
-      case '\t' => "\\t"
-      case c if c < ' ' => f"\\u${c.toInt}%04x"
-      case c => c.toString
-    } + "\""
-    val json = oracle.map { case (k, v) => s"${q(k)}: ${q(v)}" }
-      .mkString("{", ",", "}")
-    Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    DumpIO.writeOracle(outDir, oracle)
     val total = n * (if (family == "all") 5 else 1)
     println(s"[streamfuzz] dumped ${oracle.length} of $total $family cases " +
       s"($failed failed on Spark), seeds $seed0..${seed0 + n - 1}")

@@ -96,14 +96,6 @@ object CepFuzzGen {
   private val eventTypes =
     Seq("click", "purchase", "view", "signup", "error")
 
-  /** SplitMix64 finalizer — see [[StreamFuzzGen.scramble]]. */
-  private def scramble(s: Long): Long = {
-    var z = s + 0x9E3779B97F4A7C15L
-    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
-    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
-    z ^ (z >>> 31)
-  }
-
   private def stepOf(r: Random): StepPred = r.nextInt(4) match {
     case 0 => TypeIs(eventTypes(r.nextInt(eventTypes.length)))
     case 1 =>
@@ -120,7 +112,7 @@ object CepFuzzGen {
 
   /** The case for a seed — a pure function of the seed. */
   def gen(seed: Long): Case = {
-    val r = new Random(scramble(seed ^ 0xcef0225L))
+    val r = new Random(StreamFuzzGen.scramble(seed ^ 0xcef0225L))
     val k = 2 + r.nextInt(2)
     val steps = Seq.fill(k)(stepOf(r))
     val within =

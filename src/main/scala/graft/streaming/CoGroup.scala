@@ -90,15 +90,17 @@ object CoGroup {
     // keys encode as to_json(struct(...)), collision-free for arbitrary
     // component values including nulls and separator bytes (shared with
     // SessionWindows.annotate). Callbacks receive the key opaquely and
-    // never parse composite text, so the encoding is an internal detail.
-    def keyExpr(df: DataFrame) = StreamKeys.text(keyCols)
+    // never parse composite text, so the encoding is an internal
+    // detail. One expression serves both sides — it only references the
+    // shared key column names.
+    val keyExpr = StreamKeys.text(keyCols)
 
     def tag(df: DataFrame, side: Int): DataFrame = {
       val payload = struct(df.columns.map(col).toSeq: _*)
       val (l, r) =
         if (side == 0) (payload.cast(leftSchema), lit(null).cast(rightSchema))
         else (lit(null).cast(leftSchema), payload.cast(rightSchema))
-      df.select(keyExpr(df).as("__key"), col(tsCol).as("__ts"),
+      df.select(keyExpr.as("__key"), col(tsCol).as("__ts"),
         lit(side).as("__side"), l.as("__l"), r.as("__r"))
     }
     // union of the two tagged shapes; the side structs travel typed so
