@@ -13,7 +13,7 @@ package graft
   * family selects the generator arm: window (windowed aggregates),
   * session (SessionWindows annotation), retract (StatefulOps retract
   * group agg), topn (RetractableTopN diffs), cep (batch NFA patterns),
-  * or all (n seeds of each).
+  * dedup (StatefulOps keep-first/last/TTL), or all (n seeds of each).
   */
 object StreamFuzzDump {
   def main(args: Array[String]): Unit = {
@@ -57,15 +57,22 @@ object StreamFuzzDump {
           () => graft.queries.StreamFuzzQueries.replayCep(spark, sfDir, c),
           c.oracleSql)
       }
+      def de = {
+        val c = graft.queries.StreamFuzzGen.genDedup(seed)
+        (s"q_fuzz_stream_d$seed",
+          () => graft.queries.StreamFuzzQueries.replayDedup(spark, sfDir, c),
+          c.oracleSql)
+      }
       family match {
         case "window"  => Seq(w)
         case "session" => Seq(se)
         case "retract" => Seq(re)
         case "topn"    => Seq(tn)
         case "cep"     => Seq(ce)
-        case "all"     => Seq(w, se, re, tn, ce)
+        case "dedup"   => Seq(de)
+        case "all"     => Seq(w, se, re, tn, ce, de)
         case other => sys.error(s"unknown family '$other': " +
-          "expected window, session, retract, topn, cep, all")
+          "expected window, session, retract, topn, cep, dedup, all")
       }
     }
     val oracle = (seed0 until seed0 + n).flatMap(arms).flatMap {
@@ -80,7 +87,7 @@ object StreamFuzzDump {
         }
     }
     DumpIO.writeOracle(outDir, oracle)
-    val total = n * (if (family == "all") 5 else 1)
+    val total = n * (if (family == "all") 6 else 1)
     println(s"[streamfuzz] dumped ${oracle.length} of $total $family cases " +
       s"($failed failed on Spark), seeds $seed0..${seed0 + n - 1}")
     spark.stop()

@@ -181,6 +181,49 @@ object StreamFuzzGen {
          |SELECT k, $aggSql AS agg, COUNT(*) AS n FROM s GROUP BY k""".stripMargin
   }
 
+  /** A streaming-dedup case — exercises the
+    * [[graft.streaming.StatefulOps]] dedup processors: keep-FIRST
+    * (insert-only firsts), keep-LAST (ChangelogNormalize retractions,
+    * folded to the final row per key), or keep-first under an
+    * EVENT-TIME TTL (per-key gaps-and-islands firsts). Replay arrives
+    * (ts, event_id)-sorted, so "first"/"last" restate as ROW_NUMBER
+    * over that order and the TTL mode as a LAG-gap island test.
+    */
+  case class DedupCase(
+      seed: Long,
+      filterSql: String,
+      keySql: String, // STRING-valued shared expr
+      mode: String, // first | last | first_ttl
+      ttlMinutes: Int) { // used by first_ttl only
+
+    def oracleSql: String = {
+      val f =
+        s"""WITH e AS (SELECT event_id, user_id,
+           |    make_timestamp(epoch_ns(ts) // 1000) AS ts, event_type, value
+           |  FROM events),
+           |f AS (SELECT CAST($keySql AS STRING) AS k, ts, event_id AS id
+           |  FROM e WHERE $filterSql)""".stripMargin
+      mode match {
+        case "first" =>
+          s"""$f
+             |SELECT k, id FROM (SELECT k, id,
+             |  ROW_NUMBER() OVER (PARTITION BY k ORDER BY ts, id) AS rn
+             |  FROM f) WHERE rn = 1""".stripMargin
+        case "last" =>
+          s"""$f
+             |SELECT k, id FROM (SELECT k, id,
+             |  ROW_NUMBER() OVER (PARTITION BY k ORDER BY ts DESC, id DESC) AS rn
+             |  FROM f) WHERE rn = 1""".stripMargin
+        case "first_ttl" =>
+          s"""$f
+             |SELECT k, id FROM (SELECT k, id, ts,
+             |  lag(ts) OVER (PARTITION BY k ORDER BY ts, id) AS prev
+             |  FROM f)
+             |WHERE prev IS NULL OR ts - prev > INTERVAL $ttlMinutes MINUTE""".stripMargin
+      }
+    }
+  }
+
   /** A retractable Top-N case — exercises
     * [[graft.streaming.RetractableTopN]] (the UpdatableTopNFunction /
     * RetractableTopNFunction analogue): filtered events INSERT
@@ -344,6 +387,22 @@ object StreamFuzzGen {
     val deleteRes = r.nextInt(deleteMod)
     val op = Seq("sum", "min", "max")(r.nextInt(3))
     RetractCase(seed, filterSql, keySql, valueSql, deleteMod, deleteRes, op)
+  }
+
+  /** The dedup case for a seed — a pure function of the seed. */
+  def genDedup(seed: Long): DedupCase = {
+    val r = new Random(scramble(seed ^ 0xded0b15L))
+    val filterSql = basePredOf(r)
+    val keySql = r.nextInt(3) match {
+      case 0 => "event_type"
+      case 1 => s"CAST(user_id % ${Seq(5, 11, 17)(r.nextInt(3))} AS STRING)"
+      case 2 =>
+        s"CONCAT(event_type, '#', CAST(user_id % ${2 + r.nextInt(3)} AS STRING))"
+    }
+    val mode = Seq("first", "last", "first_ttl")(r.nextInt(3))
+    // short gaps make islands plentiful at every SF
+    val ttl = Seq(10, 30, 90)(r.nextInt(3))
+    DedupCase(seed, filterSql, keySql, mode, ttl)
   }
 
   /** The Top-N case for a seed — a pure function of the seed. */

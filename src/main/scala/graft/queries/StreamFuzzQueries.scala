@@ -15,7 +15,9 @@ import Q._
   *   - retractable Top-N over RetractableTopN (unique-sort and
   *     tie-bearing cents-sort arms) — `q_fuzz_stream_t<seed>`;
   *   - CEP patterns over the batch NFA ([[CepFuzzGen]]: 2-step windowed
-  *     and 3-step shapes) — `q_fuzz_cep_<seed>`.
+  *     and 3-step shapes) — `q_fuzz_cep_<seed>`;
+  *   - streaming dedup over StatefulOps keep-first/keep-last/
+  *     event-time-TTL processors — `q_fuzz_stream_d<seed>`.
   * Each row replays the events table through a MemoryStream into the
   * case's operator and is checked against the case's own DuckDB
   * restatement — the driver-gated tie-in for the engine-vs-engine
@@ -62,6 +64,17 @@ object StreamFuzzQueries {
     firstTopNSeed(_.sortSql == "event_id"),
     firstTopNSeed(_.sortSql.contains("DECIMAL"))).distinct
 
+  private def firstDedupSeed(p: StreamFuzzGen.DedupCase => Boolean): Long =
+    (1L to 256L).find(s => p(StreamFuzzGen.genDedup(s)))
+      .getOrElse(sys.error("no dedup seed in 1..256 matches the shape"))
+
+  /** one keep-last and one event-time-TTL dedup shape (keep-first is
+    * the TTL mode's degenerate island and stays sweep-covered).
+    */
+  private[queries] val dedupSeeds: Seq[Long] = Seq(
+    firstDedupSeed(_.mode == "last"),
+    firstDedupSeed(_.mode == "first_ttl")).distinct
+
   private def firstCepSeed(p: CepFuzzGen.Case => Boolean): Long =
     (1L to 256L).find(s => p(CepFuzzGen.gen(s)))
       .getOrElse(sys.error("no cep seed in 1..256 matches the shape"))
@@ -75,6 +88,7 @@ object StreamFuzzQueries {
   private val retCases = retSeeds.map(StreamFuzzGen.genRetract)
   private val topNCases = topNSeeds.map(StreamFuzzGen.genTopN)
   private val cepCases = cepSeeds.map(CepFuzzGen.gen)
+  private val dedupCases = dedupSeeds.map(StreamFuzzGen.genDedup)
 
   val queries: Map[String, QFn] =
     cases.map { c =>
@@ -96,6 +110,10 @@ object StreamFuzzQueries {
     cepCases.map { c =>
       s"q_fuzz_cep_${c.seed}" -> ((s, dir) =>
         CepQueries.cepFuzzReplay(s, dir, c)): (String, QFn)
+    }.toMap ++
+    dedupCases.map { c =>
+      s"q_fuzz_stream_d${c.seed}" -> ((s, dir) =>
+        StreamQueries.streamDedupFuzzReplay(s, dir, c)): (String, QFn)
     }.toMap
 
   val oracles: Map[String, String] =
@@ -103,7 +121,8 @@ object StreamFuzzQueries {
     sessCases.map(c => s"q_fuzz_stream_s${c.seed}" -> c.oracleSql).toMap ++
     retCases.map(c => s"q_fuzz_stream_r${c.seed}" -> c.oracleSql).toMap ++
     topNCases.map(c => s"q_fuzz_stream_t${c.seed}" -> c.oracleSql).toMap ++
-    cepCases.map(c => s"q_fuzz_cep_${c.seed}" -> c.oracleSql).toMap
+    cepCases.map(c => s"q_fuzz_cep_${c.seed}" -> c.oracleSql).toMap ++
+    dedupCases.map(c => s"q_fuzz_stream_d${c.seed}" -> c.oracleSql).toMap
 
   /** Public replay front doors for the dev-side sweep
     * (graft.StreamFuzzDump — outside this package).
@@ -127,4 +146,8 @@ object StreamFuzzQueries {
   def replayCep(s: org.apache.spark.sql.SparkSession, dir: String,
       c: CepFuzzGen.Case): org.apache.spark.sql.DataFrame =
     CepQueries.cepFuzzReplay(s, dir, c)
+
+  def replayDedup(s: org.apache.spark.sql.SparkSession, dir: String,
+      c: StreamFuzzGen.DedupCase): org.apache.spark.sql.DataFrame =
+    StreamQueries.streamDedupFuzzReplay(s, dir, c)
 }

@@ -203,6 +203,66 @@ object StreamQueries {
         (c.keys.map(k => col(k._2)) ++ c.aggs.map(a => col(a._2))): _*)
   }
 
+  /** MemoryStream replay for a [[StreamFuzzGen.DedupCase]]: filtered
+    * events replay (ts, event_id)-sorted as TtlIn(key, ts, id) through
+    * the case's dedup processor. keep-first emits insert-only firsts;
+    * keep-last's -U/+U changelog folds to the final row per key;
+    * first_ttl runs on event time with a far-future sentinel key (its
+    * own key text, disjoint from every real CAST result) flushing the
+    * cleanup timers — its id is negative and drops from the output.
+    */
+  private[queries] def streamDedupFuzzReplay(s: SparkSession, dir: String,
+      c: StreamFuzzGen.DedupCase): DataFrame = {
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    implicit val ttlEnc = Encoders.product[StatefulOps.TtlIn]
+    val rows = t(s, dir, "events")
+      .filter(expr(c.filterSql))
+      .select(expr(s"CAST(${c.keySql} AS STRING)").as("k"),
+        col("ts").cast("timestamp").as("ts"), col("event_id"))
+      .as[(String, java.sql.Timestamp, Long)].collect().toSeq
+      .sortBy(t => (micros(t._2), t._3))
+      .map { case (k, ts, id) => StatefulOps.TtlIn(k, ts, id) }
+    val input = MemoryStream[StatefulOps.TtlIn]
+    c.mode match {
+      case "first" =>
+        val out = input.toDS().groupByKey(_.key)
+          .transformWithState(
+            new StatefulOps.KeepFirstProcessor[String, StatefulOps.TtlIn](
+              ttlEnc),
+            org.apache.spark.sql.streaming.TimeMode.None(),
+            org.apache.spark.sql.streaming.OutputMode.Update())
+        runToEnd(s, input, out.toDF(), chunks(rows, 2), rocks = true)
+          .select($"key".as("k"), $"id")
+      case "last" =>
+        val changes = input.toDS().groupByKey(_.key)
+          .transformWithState(
+            new StatefulOps.KeepLastProcessor[String, StatefulOps.TtlIn](
+              ttlEnc),
+            org.apache.spark.sql.streaming.TimeMode.None(),
+            org.apache.spark.sql.streaming.OutputMode.Update())
+        val sink = runToEnd(s, input, changes.toDF(), chunks(rows, 2),
+          rocks = true)
+        foldChangelog(sink.select($"kind", $"key".as("k"),
+          $"value.id".as("id")), "kind")
+      case "first_ttl" =>
+        val sentinel = StatefulOps.TtlIn(" flush",
+          new java.sql.Timestamp(rows.last.ts.getTime + 10L * 86400000L),
+          -1L)
+        val out = input.toDS().withWatermark("ts", "1 second")
+          .as[StatefulOps.TtlIn]
+          .groupByKey(_.key)
+          .transformWithState(
+            new StatefulOps.KeepFirstTtlProcessor(c.ttlMinutes * 60000L),
+            org.apache.spark.sql.streaming.TimeMode.EventTime(),
+            org.apache.spark.sql.streaming.OutputMode.Append())
+        runToEnd(s, input, out.toDF(), chunks(rows, 2) :+ Seq(sentinel),
+          mode = "append", rocks = true)
+          .filter($"id" >= 0)
+          .select($"key".as("k"), $"id")
+    }
+  }
+
   /** MemoryStream replay for a [[StreamFuzzGen.TopNCase]]: filtered
     * events INSERT (id, sort) per key in two batches, the update-
     * predicate rows UPSERT with sort − delta (rank movement across the

@@ -119,6 +119,51 @@ class StreamFuzzSpec extends SparkSuite {
     }
   }
 
+  test("dedup generator is deterministic and covers its arms") {
+    for (s <- Seq(1L, 7L, 4242L))
+      assert(StreamFuzzGen.genDedup(s) == StreamFuzzGen.genDedup(s))
+    val cs = (1L to 24L).map(StreamFuzzGen.genDedup)
+    assert(Set("first", "last", "first_ttl")
+      .subsetOf(cs.map(_.mode).toSet))
+    assert(cs.map(_.keySql).distinct.length > 2)
+  }
+
+  test("incremental dedup matches the batch row_number/islands restatement per seed") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    for (seed <- 1L to 10L) {
+      val c = StreamFuzzGen.genDedup(seed)
+      val f = Q.t(spark, dir, "events")
+        .filter(expr(c.filterSql))
+        .select(expr(s"CAST(${c.keySql} AS STRING)").as("k"),
+          col("ts").cast("timestamp").as("ts"), col("event_id").as("id"))
+      val w = Window.partitionBy(col("k")).orderBy(col("ts"), col("id"))
+      val batch = c.mode match {
+        case "first" =>
+          f.withColumn("rn", row_number().over(w))
+            .filter(col("rn") === 1).select(col("k"), col("id"))
+        case "last" =>
+          f.withColumn("rn", row_number().over(
+              Window.partitionBy(col("k"))
+                .orderBy(col("ts").desc, col("id").desc)))
+            .filter(col("rn") === 1).select(col("k"), col("id"))
+        case "first_ttl" =>
+          f.withColumn("prev", lag(unix_micros(col("ts")), 1).over(w))
+            .filter(col("prev").isNull ||
+              unix_micros(col("ts")) - col("prev") >
+                c.ttlMinutes * 60000000L)
+            .select(col("k"), col("id"))
+      }
+      val expected = batch.collect().map(_.toString).sorted.toSeq
+      val actual = StreamQueries.streamDedupFuzzReplay(spark, dir, c)
+        .collect().map(_.toString).sorted.toSeq
+      assert(actual == expected,
+        s"dedup seed $seed diverged: mode=${c.mode} key=${c.keySql} " +
+          s"filter=${c.filterSql} ttl=${c.ttlMinutes}m " +
+          s"(batch=${expected.length} rows, stream=${actual.length})")
+    }
+  }
+
   test("topn generator is deterministic and covers its arms") {
     for (s <- Seq(1L, 7L, 4242L))
       assert(StreamFuzzGen.genTopN(s) == StreamFuzzGen.genTopN(s))
