@@ -13,7 +13,9 @@ package graft
   * family selects the generator arm: window (windowed aggregates),
   * session (SessionWindows annotation), retract (StatefulOps retract
   * group agg), topn (RetractableTopN diffs), cep (batch NFA patterns),
-  * dedup (StatefulOps keep-first/last/TTL), or all (n seeds of each).
+  * dedup (StatefulOps keep-first/last/TTL), join (OuterJoin/SemiAntiJoin
+  * retraction joins), temporal (TemporalJoin as-of resolution), or all
+  * (n seeds of each).
   */
 object StreamFuzzDump {
   def main(args: Array[String]): Unit = {
@@ -63,6 +65,18 @@ object StreamFuzzDump {
           () => graft.queries.StreamFuzzQueries.replayDedup(spark, sfDir, c),
           c.oracleSql)
       }
+      def jo = {
+        val c = graft.queries.StreamFuzzGen.genJoin(seed)
+        (s"q_fuzz_stream_j$seed",
+          () => graft.queries.StreamFuzzQueries.replayJoin(spark, sfDir, c),
+          c.oracleSql)
+      }
+      def tj = {
+        val c = graft.queries.StreamFuzzGen.genTemporal(seed)
+        (s"q_fuzz_stream_tj$seed",
+          () => graft.queries.StreamFuzzQueries.replayTemporal(spark, sfDir, c),
+          c.oracleSql)
+      }
       family match {
         case "window"  => Seq(w)
         case "session" => Seq(se)
@@ -70,9 +84,12 @@ object StreamFuzzDump {
         case "topn"    => Seq(tn)
         case "cep"     => Seq(ce)
         case "dedup"   => Seq(de)
-        case "all"     => Seq(w, se, re, tn, ce, de)
+        case "join"    => Seq(jo)
+        case "temporal" => Seq(tj)
+        case "all"     => Seq(w, se, re, tn, ce, de, jo, tj)
         case other => sys.error(s"unknown family '$other': " +
-          "expected window, session, retract, topn, cep, dedup, all")
+          "expected window, session, retract, topn, cep, dedup, join, " +
+          "temporal, all")
       }
     }
     val oracle = (seed0 until seed0 + n).flatMap(arms).flatMap {
@@ -87,7 +104,7 @@ object StreamFuzzDump {
         }
     }
     DumpIO.writeOracle(outDir, oracle)
-    val total = n * (if (family == "all") 6 else 1)
+    val total = n * (if (family == "all") 8 else 1)
     println(s"[streamfuzz] dumped ${oracle.length} of $total $family cases " +
       s"($failed failed on Spark), seeds $seed0..${seed0 + n - 1}")
     spark.stop()

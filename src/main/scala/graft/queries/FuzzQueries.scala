@@ -27,13 +27,31 @@ object FuzzQueries {
   private val all: Map[String, String] =
     seeds.map(s => s"q_fuzz_$s" -> FuzzGen.sql(s)).toMap
 
+  private def firstUpsertSeed(p: UpsertFuzzGen.Case => Boolean): Long =
+    (1L to 256L).find(s => p(UpsertFuzzGen.gen(s)))
+      .getOrElse(sys.error("no upsert seed in 1..256 matches the shape"))
+
+  /** one single-PK and one composite-PK upsert shape ([[UpsertFuzzGen]]
+    * — the ConnectorDdl PK-merge route under randomized key collisions).
+    */
+  private[queries] val upsertSeeds: Seq[Long] = Seq(
+    firstUpsertSeed(!_.compositePk),
+    firstUpsertSeed(_.compositePk)).distinct
+
+  private val upsertCases = upsertSeeds.map(UpsertFuzzGen.gen)
+
   val queries: Map[String, QFn] = all.map { case (name, sql) =>
     name -> ((s, dir) => {
       Tables.registerAll(s, dir)
       s.sql(sql)
     }): (String, QFn)
-  }
+  } ++ upsertCases.map { c =>
+    s"q_fuzz_upsert_${c.seed}" -> ((s, _: String) =>
+      UpsertFuzzGen.replay(s, c)): (String, QFn)
+  }.toMap
 
-  // identical SQL text runs as the oracle (dialect-shared by design)
-  val oracles: Map[String, String] = all
+  // identical SQL text runs as the oracle (dialect-shared by design);
+  // the upsert rows restate their VALUES list per-key last-writer-wins
+  val oracles: Map[String, String] = all ++
+    upsertCases.map(c => s"q_fuzz_upsert_${c.seed}" -> c.oracleSql).toMap
 }

@@ -396,7 +396,12 @@ object IntegrationQueries {
       import s.implicits._
       implicit val sqlCtx = s.sqlContext
       import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      // deterministic quarter of the orders: the write→checkpoint→read
+      // cycle is exercised identically per row, and the subset keeps the
+      // replay-feed driver memory bounded as sf grows (same idiom as the
+      // q_stream_* gates; the predicate is mirrored in the oracle)
       val rows = t(s, dir, "orders")
+        .filter(col("o_orderkey") % 4 === 0)
         .select(col("o_orderstatus"), col("o_totalprice"))
         .as[(String, Double)].collect().toSeq
       val ckpt = tmpDir("q_state_reader") + "/ckpt"
@@ -540,7 +545,8 @@ object IntegrationQueries {
     "q_state_reader" ->
       s"""SELECT o_orderstatus, COUNT(*) AS n,
         |  ${dsumSql("o_totalprice")} AS sum_price
-        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+        |FROM orders WHERE o_orderkey % 4 = 0
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
 
     "q_join_lookup" ->
       """SELECT c_custkey, n_name FROM customer

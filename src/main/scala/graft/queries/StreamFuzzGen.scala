@@ -261,6 +261,107 @@ object StreamFuzzGen {
          |WHERE rn <= $n""".stripMargin
   }
 
+  /** A stream–stream join case — exercises
+    * [[graft.streaming.OuterJoin.OuterJoinProcessor]] (inner/left/right/
+    * full arms; the reference's StreamingJoinOperator null-pad /
+    * retract-pad-on-first-match / re-pad-on-last-retraction protocol) and
+    * [[graft.streaming.SemiAntiJoin.SemiAntiProcessor]] (semi/anti arms;
+    * right-count zero-boundary crossings). Events split by event_id
+    * parity into the two sides, each side filtered by its own arm; after
+    * the insert replay, the delete-predicate rows RETRACT (right side
+    * first, then left — semi/anti retract the right side only, as the
+    * operator's left input is append-only). The folded changelog must
+    * equal the batch join over surviving rows.
+    */
+  case class JoinCase(
+      seed: Long,
+      joinType: String, // inner | left | right | full | semi | anti
+      keySql: String, // STRING-valued shared expr (both sides)
+      leftFilterSql: String, // on top of event_id % 2 = 0
+      rightFilterSql: String, // on top of event_id % 2 = 1
+      lDelMod: Int,
+      lDelRes: Int,
+      rDelMod: Int,
+      rDelRes: Int) {
+
+    def isSemiAnti: Boolean = joinType == "semi" || joinType == "anti"
+
+    /** DuckDB restatement: the fold's fixed point IS the batch join over
+      * surviving rows. Semi/anti keep every left row (the operator's
+      * left input is append-only) and EXISTS/NOT-EXISTS over surviving
+      * right rows.
+      */
+    def oracleSql: String = {
+      val e = """WITH e AS (SELECT event_id, user_id,
+        |    make_timestamp(epoch_ns(ts) // 1000) AS ts, event_type, value
+        |  FROM events),""".stripMargin
+      val lDel =
+        if (isSemiAnti) ""
+        else s" AND NOT (event_id % $lDelMod = $lDelRes)"
+      val l = s"""l AS (SELECT CAST($keySql AS STRING) AS k, event_id AS l_id,
+        |    CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS l_cents
+        |  FROM e WHERE event_id % 2 = 0 AND ($leftFilterSql)$lDel),""".stripMargin
+      val r = s"""r AS (SELECT CAST($keySql AS STRING) AS k, event_id AS r_id
+        |  FROM e WHERE event_id % 2 = 1 AND ($rightFilterSql)
+        |    AND NOT (event_id % $rDelMod = $rDelRes))""".stripMargin
+      val body = joinType match {
+        case "inner" =>
+          "SELECT l.k AS k, l_id, l_cents, r_id FROM l JOIN r ON l.k = r.k"
+        case "left" =>
+          "SELECT l.k AS k, l_id, l_cents, r_id FROM l LEFT JOIN r ON l.k = r.k"
+        case "right" =>
+          "SELECT r.k AS k, l_id, l_cents, r_id FROM l RIGHT JOIN r ON l.k = r.k"
+        case "full" =>
+          "SELECT COALESCE(l.k, r.k) AS k, l_id, l_cents, r_id\nFROM l FULL JOIN r ON l.k = r.k"
+        case "semi" =>
+          "SELECT k, l_id FROM l WHERE EXISTS (SELECT 1 FROM r WHERE r.k = l.k)"
+        case "anti" =>
+          "SELECT k, l_id FROM l WHERE NOT EXISTS (SELECT 1 FROM r WHERE r.k = l.k)"
+      }
+      s"$e\n$l\n$r\n$body"
+    }
+  }
+
+  /** An event-time temporal/as-of join case — exercises
+    * [[graft.streaming.TemporalJoin.TemporalJoinProcessor]] (the
+    * reference's TemporalRowTimeJoinOperator versioned-map-state
+    * semantics): version-filter rows build per-key (ts → cents) version
+    * histories, probe-filter rows resolve watermark-driven against the
+    * version current at their timestamp. The operator keys versions at
+    * MILLISECOND granularity and last-write-wins on a (key, ms)
+    * collision, so the restatement dedupes versions to the latest
+    * (micro-ts, event_id) arrival per (key, ms) before the as-of match.
+    */
+  case class TemporalCase(
+      seed: Long,
+      keySql: String, // STRING-valued shared expr (both sides)
+      probeFilterSql: String,
+      versionFilterSql: String) {
+
+    /** DuckDB restatement via native ASOF LEFT JOIN over the deduped
+      * ms-granularity version table; unmatched probes carry the
+      * operator's (-1, -1) sentinel.
+      */
+    def oracleSql: String =
+      s"""WITH e AS (SELECT event_id, user_id,
+         |    make_timestamp(epoch_ns(ts) // 1000) AS ts, event_type, value
+         |  FROM events),
+         |p AS (SELECT CAST($keySql AS STRING) AS k, epoch_ms(ts) AS pms,
+         |    event_id AS probe_id
+         |  FROM e WHERE $probeFilterSql),
+         |v0 AS (SELECT CAST($keySql AS STRING) AS k, epoch_ms(ts) AS vms,
+         |    CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents,
+         |    ts, event_id
+         |  FROM e WHERE $versionFilterSql),
+         |v AS (SELECT k, vms, cents FROM (
+         |    SELECT k, vms, cents, ROW_NUMBER() OVER (
+         |      PARTITION BY k, vms ORDER BY ts DESC, event_id DESC) AS rn
+         |    FROM v0) WHERE rn = 1)
+         |SELECT p.k AS k, probe_id, COALESCE(v.vms, -1) AS v_ts,
+         |  COALESCE(v.cents, -1) AS v_cents
+         |FROM p ASOF LEFT JOIN v ON p.k = v.k AND p.pms >= v.vms""".stripMargin
+  }
+
   private val eventTypes =
     Seq("click", "purchase", "view", "signup", "error")
 
@@ -403,6 +504,46 @@ object StreamFuzzGen {
     // short gaps make islands plentiful at every SF
     val ttl = Seq(10, 30, 90)(r.nextInt(3))
     DedupCase(seed, filterSql, keySql, mode, ttl)
+  }
+
+  /** The join case for a seed — a pure function of the seed. Keys stay
+    * per-user (optionally refined by event_type) so per-key join fan-out
+    * is bounded by one user's events — the shape a keyed production join
+    * takes — rather than a modulus merging hundreds of users into one
+    * hot key.
+    */
+  def genJoin(seed: Long): JoinCase = {
+    val r = new Random(scramble(seed ^ 0x1015e7L))
+    val joinType =
+      Seq("inner", "left", "right", "full", "semi", "anti")(r.nextInt(6))
+    val keySql = r.nextInt(2) match {
+      case 0 => "CAST(user_id AS STRING)"
+      case 1 => "CONCAT(CAST(user_id AS STRING), '#', event_type)"
+    }
+    val leftFilterSql = basePredOf(r)
+    val rightFilterSql = basePredOf(r)
+    val lDelMod = 2 + r.nextInt(5)
+    val lDelRes = r.nextInt(lDelMod)
+    val rDelMod = 2 + r.nextInt(5)
+    val rDelRes = r.nextInt(rDelMod)
+    JoinCase(seed, joinType, keySql, leftFilterSql, rightFilterSql,
+      lDelMod, lDelRes, rDelMod, rDelRes)
+  }
+
+  /** The temporal case for a seed — a pure function of the seed. The
+    * mod-keyed arms merge several users' version histories into one key,
+    * interleaving independent version chains through one MapState.
+    */
+  def genTemporal(seed: Long): TemporalCase = {
+    val r = new Random(scramble(seed ^ 0x7e390a1L))
+    val keySql = r.nextInt(3) match {
+      case 0 => "CAST(user_id AS STRING)"
+      case 1 => s"CAST(user_id % ${Seq(7, 11)(r.nextInt(2))} AS STRING)"
+      case 2 => "CONCAT(CAST(user_id % 5 AS STRING), '#', event_type)"
+    }
+    val probeFilterSql = basePredOf(r)
+    val versionFilterSql = basePredOf(r)
+    TemporalCase(seed, keySql, probeFilterSql, versionFilterSql)
   }
 
   /** The Top-N case for a seed — a pure function of the seed. */

@@ -75,6 +75,29 @@ object StreamFuzzQueries {
     firstDedupSeed(_.mode == "last"),
     firstDedupSeed(_.mode == "first_ttl")).distinct
 
+  private def firstJoinSeed(p: StreamFuzzGen.JoinCase => Boolean): Long =
+    (1L to 256L).find(s => p(StreamFuzzGen.genJoin(s)))
+      .getOrElse(sys.error("no join seed in 1..256 matches the shape"))
+
+  /** one outer-family (full preferred — the widest retraction protocol),
+    * one semi, one anti join shape. A seed determines its joinType, so
+    * the three scans land on distinct seeds by construction.
+    */
+  private[queries] val joinSeeds: Seq[Long] = Seq(
+    firstJoinSeed(_.joinType == "full"),
+    firstJoinSeed(_.joinType == "semi"),
+    firstJoinSeed(_.joinType == "anti")).distinct
+
+  private def firstTemporalSeed(p: StreamFuzzGen.TemporalCase => Boolean): Long =
+    (1L to 256L).find(s => p(StreamFuzzGen.genTemporal(s)))
+      .getOrElse(sys.error("no temporal seed in 1..256 matches the shape"))
+
+  /** one merged-history (mod-keyed) temporal/as-of shape — the arm that
+    * interleaves several users' version chains through one MapState.
+    */
+  private[queries] val temporalSeeds: Seq[Long] = Seq(
+    firstTemporalSeed(_.keySql.contains("%"))).distinct
+
   private def firstCepSeed(p: CepFuzzGen.Case => Boolean): Long =
     (1L to 256L).find(s => p(CepFuzzGen.gen(s)))
       .getOrElse(sys.error("no cep seed in 1..256 matches the shape"))
@@ -89,6 +112,8 @@ object StreamFuzzQueries {
   private val topNCases = topNSeeds.map(StreamFuzzGen.genTopN)
   private val cepCases = cepSeeds.map(CepFuzzGen.gen)
   private val dedupCases = dedupSeeds.map(StreamFuzzGen.genDedup)
+  private val joinCases = joinSeeds.map(StreamFuzzGen.genJoin)
+  private val temporalCases = temporalSeeds.map(StreamFuzzGen.genTemporal)
 
   val queries: Map[String, QFn] =
     cases.map { c =>
@@ -114,6 +139,14 @@ object StreamFuzzQueries {
     dedupCases.map { c =>
       s"q_fuzz_stream_d${c.seed}" -> ((s, dir) =>
         StreamQueries.streamDedupFuzzReplay(s, dir, c)): (String, QFn)
+    }.toMap ++
+    joinCases.map { c =>
+      s"q_fuzz_stream_j${c.seed}" -> ((s, dir) =>
+        StreamQueries.streamJoinFuzzReplay(s, dir, c)): (String, QFn)
+    }.toMap ++
+    temporalCases.map { c =>
+      s"q_fuzz_stream_tj${c.seed}" -> ((s, dir) =>
+        StreamQueries.streamTemporalFuzzReplay(s, dir, c)): (String, QFn)
     }.toMap
 
   val oracles: Map[String, String] =
@@ -122,7 +155,9 @@ object StreamFuzzQueries {
     retCases.map(c => s"q_fuzz_stream_r${c.seed}" -> c.oracleSql).toMap ++
     topNCases.map(c => s"q_fuzz_stream_t${c.seed}" -> c.oracleSql).toMap ++
     cepCases.map(c => s"q_fuzz_cep_${c.seed}" -> c.oracleSql).toMap ++
-    dedupCases.map(c => s"q_fuzz_stream_d${c.seed}" -> c.oracleSql).toMap
+    dedupCases.map(c => s"q_fuzz_stream_d${c.seed}" -> c.oracleSql).toMap ++
+    joinCases.map(c => s"q_fuzz_stream_j${c.seed}" -> c.oracleSql).toMap ++
+    temporalCases.map(c => s"q_fuzz_stream_tj${c.seed}" -> c.oracleSql).toMap
 
   /** Public replay front doors for the dev-side sweep
     * (graft.StreamFuzzDump — outside this package).
@@ -150,4 +185,12 @@ object StreamFuzzQueries {
   def replayDedup(s: org.apache.spark.sql.SparkSession, dir: String,
       c: StreamFuzzGen.DedupCase): org.apache.spark.sql.DataFrame =
     StreamQueries.streamDedupFuzzReplay(s, dir, c)
+
+  def replayJoin(s: org.apache.spark.sql.SparkSession, dir: String,
+      c: StreamFuzzGen.JoinCase): org.apache.spark.sql.DataFrame =
+    StreamQueries.streamJoinFuzzReplay(s, dir, c)
+
+  def replayTemporal(s: org.apache.spark.sql.SparkSession, dir: String,
+      c: StreamFuzzGen.TemporalCase): org.apache.spark.sql.DataFrame =
+    StreamQueries.streamTemporalFuzzReplay(s, dir, c)
 }

@@ -246,7 +246,7 @@ object StreamQueries {
         foldChangelog(sink.select($"kind", $"key".as("k"),
           $"value.id".as("id")), "kind")
       case "first_ttl" =>
-        val sentinel = StatefulOps.TtlIn(" flush",
+        val sentinel = StatefulOps.TtlIn("\u0000flush",
           new java.sql.Timestamp(rows.last.ts.getTime + 10L * 86400000L),
           -1L)
         val out = input.toDS().withWatermark("ts", "1 second")
@@ -424,6 +424,140 @@ object StreamQueries {
         foldChangelog(sink.select($"kind", $"value.key".as("k"),
           $"value.extreme".as("agg"), $"value.count".as("n")), "kind")
     }
+  }
+
+  /** Tagged join envelope for [[streamJoinFuzzReplay]] (one MemoryStream
+    * carries both sides, the micro-batch two-input pattern).
+    */
+  case class JEnv(k: String, kind: Byte, isLeft: Boolean, id: Long,
+      cents: Long)
+
+  /** MemoryStream replay for a [[StreamFuzzGen.JoinCase]]: the parity
+    * split's filtered sides replay as inserts in two batches, then the
+    * delete-predicate rows retract (right batch, then left); the join
+    * processor's changelog folds to the end state — which must equal the
+    * batch join over surviving rows (the case's DuckDB restatement).
+    * Outer arms run [[graft.streaming.OuterJoin]] (both sides
+    * retractable); semi/anti run [[graft.streaming.SemiAntiJoin]]
+    * (append-only left, ±1 right counts).
+    */
+  private[queries] def streamJoinFuzzReplay(s: SparkSession, dir: String,
+      c: StreamFuzzGen.JoinCase): DataFrame = {
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val rows = t(s, dir, "events")
+      .select(expr(s"CAST(${c.keySql} AS STRING)").as("k"), col("event_id"),
+        expr("CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)")
+          .as("cents"),
+        expr(c.leftFilterSql).as("lf"), expr(c.rightFilterSql).as("rf"))
+      .as[(String, Long, Long, Boolean, Boolean)].collect().toSeq
+      .sortBy(_._2)
+    val lefts = rows.collect {
+      case (k, id, cents, lf, _) if id % 2 == 0 && lf => (k, id, cents) }
+    val rights = rows.collect {
+      case (k, id, _, _, rf) if id % 2 == 1 && rf => (k, id) }
+    if (c.isSemiAnti) {
+      import graft.streaming.SemiAntiJoin.{JoinInput, JoinOutput, SemiAntiProcessor}
+      implicit val outEnc = Encoders.product[JoinOutput]
+      val inserts = (lefts.map { case (k, id, _) =>
+          (id, JoinInput(k, isLeft = true, id, 1)) } ++
+        rights.map { case (k, id) =>
+          (id, JoinInput(k, isLeft = false, id, 1)) })
+        .sortBy(_._1).map(_._2)
+      val deletes = rights.collect {
+        case (k, id) if id % c.rDelMod == c.rDelRes =>
+          JoinInput(k, isLeft = false, id, -1) }
+      val input = MemoryStream[JoinInput]
+      val out = input.toDS().groupByKey(_.key)
+        .transformWithState(new SemiAntiProcessor(c.joinType == "semi"),
+          org.apache.spark.sql.streaming.TimeMode.None(),
+          org.apache.spark.sql.streaming.OutputMode.Update())
+      val sink = runToEnd(s, input, out.toDF(),
+        chunks(inserts, 2) ++ Seq(deletes).filter(_.nonEmpty), rocks = true)
+      foldChangelog(sink, "kind")
+        .select($"key".as("k"), $"id".as("l_id"))
+    } else {
+      val inserts = (lefts.map { case (k, id, cents) =>
+          JEnv(k, Changelog.Insert, isLeft = true, id, cents) } ++
+        rights.map { case (k, id) =>
+          JEnv(k, Changelog.Insert, isLeft = false, id, 0L) })
+        .sortBy(_.id)
+      val lDel = lefts.collect {
+        case (k, id, cents) if id % c.lDelMod == c.lDelRes =>
+          JEnv(k, Changelog.Delete, isLeft = true, id, cents) }
+      val rDel = rights.collect {
+        case (k, id) if id % c.rDelMod == c.rDelRes =>
+          JEnv(k, Changelog.Delete, isLeft = false, id, 0L) }
+      val jt = c.joinType match {
+        case "inner" => OuterJoin.Inner
+        case "left" => OuterJoin.LeftOuter
+        case "right" => OuterJoin.RightOuter
+        case "full" => OuterJoin.FullOuter
+      }
+      val input = MemoryStream[JEnv]
+      val ds = input.toDS()
+      val left = ds.filter(_.isLeft).map(e => (e.k, e.kind, (e.id, e.cents)))
+      val right = ds.filter(!_.isLeft).map(e => (e.k, e.kind, e.id))
+      val out = OuterJoin.outerJoin[String, (Long, Long), Long](
+        left, right, jt)
+      val sink = runToEnd(s, input, out.toDF(),
+        chunks(inserts, 2) ++ Seq(rDel, lDel).filter(_.nonEmpty),
+        rocks = true)
+      foldChangelog(sink.select($"kind", $"key".as("k"),
+        $"left._1".as("l_id"), $"left._2".as("l_cents"),
+        $"right".as("r_id")), "kind")
+    }
+  }
+
+  /** MemoryStream replay for a [[StreamFuzzGen.TemporalCase]]: probe and
+    * version rows union (micro-ts, event_id)-sorted into the temporal
+    * join processor's envelope stream; probes resolve watermark-driven
+    * against the version current at their (millisecond) timestamp. A
+    * far-future sentinel probe (probeId = -1, key disjoint from every
+    * real CAST/CONCAT result) pushes the watermark past the last real
+    * probe so the tail resolves; its own timestamp stays ahead of the
+    * final watermark, so it leaves no output trace — and its row is
+    * dropped on probe_id >= 0 regardless.
+    */
+  private[queries] def streamTemporalFuzzReplay(s: SparkSession, dir: String,
+      c: StreamFuzzGen.TemporalCase): DataFrame = {
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    import graft.streaming.TemporalJoin
+    implicit val outEnc = Encoders.product[TemporalJoin.AsOfMatch]
+    val rows = t(s, dir, "events")
+      .select(expr(s"CAST(${c.keySql} AS STRING)").as("k"),
+        col("ts").cast("timestamp").as("ts"), col("event_id"),
+        expr("CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)")
+          .as("cents"),
+        expr(c.probeFilterSql).as("pf"), expr(c.versionFilterSql).as("vf"))
+      .as[(String, java.sql.Timestamp, Long, Long, Boolean, Boolean)]
+      .collect().toSeq.sortBy(t => (micros(t._2), t._3))
+    val envs = rows.flatMap { case (k, ts, id, cents, pf, vf) =>
+      // a row matching both arms is BOTH a probe and a version (two
+      // envelopes, version first so same-position iteration order is
+      // deterministic; resolution is watermark-driven either way)
+      (if (vf) Seq(TemporalJoin.TemporalEvent(k, ts, isProbe = false, id, cents))
+       else Nil) ++
+      (if (pf) Seq(TemporalJoin.TemporalEvent(k, ts, isProbe = true, id, 0L))
+       else Nil)
+    }
+    val maxTs = rows.last._2.getTime
+    val sentinel = TemporalJoin.TemporalEvent(" flush",
+      new java.sql.Timestamp(maxTs + 10L * 86400000L), isProbe = true,
+      -1L, 0L)
+    val input = MemoryStream[TemporalJoin.TemporalEvent]
+    val out = input.toDS()
+      .withWatermark("eventTime", "1 hour")
+      .groupByKey(_.key)
+      .transformWithState(new TemporalJoin.TemporalJoinProcessor(),
+        org.apache.spark.sql.streaming.TimeMode.EventTime(),
+        org.apache.spark.sql.streaming.OutputMode.Append())
+    runToEnd(s, input, out.toDF(), chunks(envs, 3) :+ Seq(sentinel),
+      mode = "append", rocks = true)
+      .filter($"probeId" >= 0)
+      .select($"key".as("k"), $"probeId".as("probe_id"),
+        $"versionTs".as("v_ts"), $"value".as("v_cents"))
   }
 
   /** Streaming count-window replay (IntegrationQueries.q_stream_countwin

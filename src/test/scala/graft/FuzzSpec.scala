@@ -47,6 +47,46 @@ class FuzzSpec extends SparkSuite {
     assert(global.collect().map(_.getLong(0)).toSeq == Seq(0L))
   }
 
+  test("upsert generator is deterministic and covers its arms") {
+    import graft.queries.UpsertFuzzGen
+    for (s <- Seq(1L, 7L, 4242L))
+      assert(UpsertFuzzGen.gen(s) == UpsertFuzzGen.gen(s))
+    val cs = (1L to 24L).map(UpsertFuzzGen.gen)
+    assert(cs.exists(_.compositePk) && cs.exists(!_.compositePk))
+    assert(cs.map(_.stmts.length).distinct.length > 1)
+    // collisions must be the common case, or the fuzz tests nothing
+    assert(cs.forall { c =>
+      val keys = c.stmts.flatten.map(r => (r._1, r._2))
+      keys.distinct.length < keys.length
+    })
+  }
+
+  test("PK upsert route equals last-writer-wins restatement per seed") {
+    import graft.queries.UpsertFuzzGen
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    for (seed <- 1L to 6L) {
+      val c = UpsertFuzzGen.gen(seed)
+      val raw = c.stmts.zipWithIndex.flatMap { case (st, si) =>
+        st.zipWithIndex.map { case ((k1, k2, v), ri) =>
+          (k1, k2, v, si, ri) }
+      }
+      val w = Window.partitionBy(c.pk.map(col): _*)
+        .orderBy(col("s").desc, col("i").desc)
+      val expected = spark.createDataFrame(raw)
+        .toDF("k1", "k2", "v", "s", "i")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1).select("k1", "k2", "v")
+        .collect().map(_.toString).sorted.toSeq
+      val actual = UpsertFuzzGen.replay(spark, c)
+        .collect().map(_.toString).sorted.toSeq
+      assert(actual == expected,
+        s"upsert seed $seed diverged: pk=${c.pk} " +
+          s"stmts=${c.stmts.map(_.length)} " +
+          s"(restatement=${expected.length} rows, merged=${actual.length})")
+    }
+  }
+
   test("seeded queries execute identically with AQE on and off") {
     Tables.registerAll(spark, dir)
     val aqe = "spark.sql.adaptive.enabled"

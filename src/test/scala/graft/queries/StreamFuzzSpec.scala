@@ -202,6 +202,102 @@ class StreamFuzzSpec extends SparkSuite {
     }
   }
 
+  test("join generator is deterministic and covers its arms") {
+    for (s <- Seq(1L, 7L, 4242L))
+      assert(StreamFuzzGen.genJoin(s) == StreamFuzzGen.genJoin(s))
+    val cs = (1L to 48L).map(StreamFuzzGen.genJoin)
+    assert(Set("inner", "left", "right", "full", "semi", "anti")
+      .subsetOf(cs.map(_.joinType).toSet))
+    assert(cs.map(_.keySql).distinct.length == 2)
+    assert(cs.map(_.leftFilterSql).distinct.length > 4)
+  }
+
+  test("promoted join seeds cover full-outer, semi, and anti shapes") {
+    val shapes = StreamFuzzQueries.joinSeeds.map(StreamFuzzGen.genJoin)
+    assert(shapes.map(_.joinType).toSet == Set("full", "semi", "anti"))
+  }
+
+  test("incremental retraction join matches the batch join over survivors per seed") {
+    import org.apache.spark.sql.functions._
+    val ev = Q.t(spark, dir, "events")
+    for (seed <- 1L to 12L) {
+      val c = StreamFuzzGen.genJoin(seed)
+      val keyed = ev.withColumn("k", expr(s"CAST(${c.keySql} AS STRING)"))
+        .withColumn("cents",
+          expr("CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)"))
+      val lBase = keyed
+        .filter(col("event_id") % 2 === 0 && expr(c.leftFilterSql))
+      val l = (if (c.isSemiAnti) lBase
+        else lBase.filter(!(col("event_id") % c.lDelMod === c.lDelRes)))
+        .select(col("k"), col("event_id").as("l_id"),
+          col("cents").as("l_cents"))
+      val r = keyed
+        .filter(col("event_id") % 2 === 1 && expr(c.rightFilterSql))
+        .filter(!(col("event_id") % c.rDelMod === c.rDelRes))
+        .select(col("k"), col("event_id").as("r_id"))
+      val batch = c.joinType match {
+        case "semi" => l.join(r, Seq("k"), "left_semi").select("k", "l_id")
+        case "anti" => l.join(r, Seq("k"), "left_anti").select("k", "l_id")
+        case jt => l.join(r, Seq("k"), if (jt == "full") "full_outer" else jt)
+          .select("k", "l_id", "l_cents", "r_id")
+      }
+      val expected = batch.collect().map(_.toString).sorted.toSeq
+      val actual = StreamQueries.streamJoinFuzzReplay(spark, dir, c)
+        .collect().map(_.toString).sorted.toSeq
+      assert(actual == expected,
+        s"join seed $seed diverged: type=${c.joinType} key=${c.keySql} " +
+          s"lf=${c.leftFilterSql} rf=${c.rightFilterSql} " +
+          s"ldel=id%${c.lDelMod}=${c.lDelRes} rdel=id%${c.rDelMod}=${c.rDelRes} " +
+          s"(batch=${expected.length} rows, stream=${actual.length})")
+    }
+  }
+
+  test("temporal generator is deterministic and covers its arms") {
+    for (s <- Seq(1L, 7L, 4242L))
+      assert(StreamFuzzGen.genTemporal(s) == StreamFuzzGen.genTemporal(s))
+    val cs = (1L to 24L).map(StreamFuzzGen.genTemporal)
+    assert(cs.map(_.keySql).distinct.length == 3 ||
+      cs.map(_.keySql).distinct.length == 4) // %7 and %11 are two texts
+    assert(cs.exists(_.keySql.contains("%")) &&
+      cs.exists(!_.keySql.contains("%")))
+  }
+
+  test("watermark-driven temporal join matches the batch as-of restatement per seed") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val ev = Q.t(spark, dir, "events")
+    for (seed <- 1L to 8L) {
+      val c = StreamFuzzGen.genTemporal(seed)
+      val keyed = ev.withColumn("k", expr(s"CAST(${c.keySql} AS STRING)"))
+        .withColumn("tts", col("ts").cast("timestamp"))
+        .withColumn("ms", unix_millis(col("tts")))
+        .withColumn("cents",
+          expr("CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)"))
+      val probes = keyed.filter(expr(c.probeFilterSql))
+        .select(col("k"), col("ms"), col("event_id").as("probe_id"))
+      // operator keys versions at ms granularity, last (micro-ts, id)
+      // arrival winning a (key, ms) collision — dedup before the as-of
+      val versions = keyed.filter(expr(c.versionFilterSql))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("k"), col("ms"))
+            .orderBy(col("tts").desc, col("event_id").desc)))
+        .filter(col("rn") === 1)
+        .select(col("k"), col("ms"), col("cents"))
+      val expected = graft.operators.AsOfJoin.asOf(
+          probes, versions, "k", "ms", Seq("ms", "cents"))
+        .select(col("k"), col("probe_id"),
+          coalesce(col("r_ms"), lit(-1L)).as("v_ts"),
+          coalesce(col("r_cents"), lit(-1L)).as("v_cents"))
+        .collect().map(_.toString).sorted.toSeq
+      val actual = StreamQueries.streamTemporalFuzzReplay(spark, dir, c)
+        .collect().map(_.toString).sorted.toSeq
+      assert(actual == expected,
+        s"temporal seed $seed diverged: key=${c.keySql} " +
+          s"pf=${c.probeFilterSql} vf=${c.versionFilterSql} " +
+          s"(batch=${expected.length} rows, stream=${actual.length})")
+    }
+  }
+
   test("incremental streaming replay matches the one-shot batch plan per seed") {
     val batchEv = Q.t(spark, dir, "events")
       .select(col("event_id"), col("user_id"),
