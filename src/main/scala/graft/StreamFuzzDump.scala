@@ -14,8 +14,9 @@ package graft
   * session (SessionWindows annotation), retract (StatefulOps retract
   * group agg), topn (RetractableTopN diffs), cep (batch NFA patterns),
   * dedup (StatefulOps keep-first/last/TTL), join (OuterJoin/SemiAntiJoin
-  * retraction joins), temporal (TemporalJoin as-of resolution), or all
-  * (n seeds of each).
+  * retraction joins), temporal (TemporalJoin as-of resolution), cepq
+  * (NFA quantifier patterns), cepr (NFA relaxed-contiguity/negation
+  * patterns), or all (n seeds of each).
   */
 object StreamFuzzDump {
   def main(args: Array[String]): Unit = {
@@ -77,6 +78,18 @@ object StreamFuzzDump {
           () => graft.queries.StreamFuzzQueries.replayTemporal(spark, sfDir, c),
           c.oracleSql)
       }
+      def cq = {
+        val c = graft.queries.CepFuzzGen.genQuant(seed)
+        (s"q_fuzz_cepq_$seed",
+          () => graft.queries.StreamFuzzQueries.replayQuant(spark, sfDir, c),
+          c.oracleSql)
+      }
+      def cr = {
+        val c = graft.queries.CepFuzzGen.genRelaxed(seed)
+        (s"q_fuzz_cepr_$seed",
+          () => graft.queries.StreamFuzzQueries.replayRelaxed(spark, sfDir, c),
+          c.oracleSql)
+      }
       family match {
         case "window"  => Seq(w)
         case "session" => Seq(se)
@@ -86,10 +99,12 @@ object StreamFuzzDump {
         case "dedup"   => Seq(de)
         case "join"    => Seq(jo)
         case "temporal" => Seq(tj)
-        case "all"     => Seq(w, se, re, tn, ce, de, jo, tj)
+        case "cepq"    => Seq(cq)
+        case "cepr"    => Seq(cr)
+        case "all"     => Seq(w, se, re, tn, ce, de, jo, tj, cq, cr)
         case other => sys.error(s"unknown family '$other': " +
           "expected window, session, retract, topn, cep, dedup, join, " +
-          "temporal, all")
+          "temporal, cepq, cepr, all")
       }
     }
     val oracle = (seed0 until seed0 + n).flatMap(arms).flatMap {
@@ -104,7 +119,7 @@ object StreamFuzzDump {
         }
     }
     DumpIO.writeOracle(outDir, oracle)
-    val total = n * (if (family == "all") 8 else 1)
+    val total = n * (if (family == "all") 10 else 1)
     println(s"[streamfuzz] dumped ${oracle.length} of $total $family cases " +
       s"($failed failed on Spark), seeds $seed0..${seed0 + n - 1}")
     spark.stop()

@@ -30,27 +30,36 @@ object CepFuzzGen {
 
   /** One step predicate — a data value, so cases compare/replay
     * deterministically; `sql(suffix)` renders the SHARED restatement
-    * text for the step's LEAD offset and `fn` the NFA-side closure.
+    * text for the step's LEAD offset, `mrSql(v)` the MATCH_RECOGNIZE
+    * DEFINE text for pattern variable `v` (the front-door dual-run), and
+    * `fn` the NFA-side closure.
     */
   sealed trait StepPred {
     def sql(suffix: String): String
+    def mrSql(v: String): String
     def fn: CE => Boolean
   }
   final case class TypeIs(t: String) extends StepPred {
     def sql(suffix: String): String = s"event_type$suffix = '$t'"
+    def mrSql(v: String): String = s"$v.event_type = '$t'"
     def fn: CE => Boolean = _.event_type == t
   }
   final case class TypeIn(ts: Seq[String]) extends StepPred {
     def sql(suffix: String): String =
       s"event_type$suffix IN (${ts.map(t => s"'$t'").mkString(", ")})"
+    // the MR expression subset has no IN — the OR chain is equivalent
+    def mrSql(v: String): String =
+      ts.map(t => s"$v.event_type = '$t'").mkString("(", " OR ", ")")
     def fn: CE => Boolean = e => ts.contains(e.event_type)
   }
   final case class CentsGe(c: Long) extends StepPred {
     def sql(suffix: String): String = s"cents$suffix >= $c"
+    def mrSql(v: String): String = s"$v.cents >= $c"
     def fn: CE => Boolean = _.cents >= c
   }
   final case class IdMod(m: Long, r: Long) extends StepPred {
     def sql(suffix: String): String = s"(event_id$suffix % $m) = $r"
+    def mrSql(v: String): String = s"($v.event_id % $m) = $r"
     def fn: CE => Boolean = e => e.event_id % m == r
   }
 
@@ -93,6 +102,229 @@ object CepFuzzGen {
     }
   }
 
+  /** MATCH_RECOGNIZE rendering of a strict-contiguity [[Case]] — the SQL
+    * front door's text for the SAME pattern (PATTERN concatenation is
+    * strict row adjacency, exactly the Case's `next` chain), used by the
+    * per-seed API-vs-SQL dual-run in CepFuzzSpec. SKIP TO NEXT ROW
+    * mirrors the replay's AfterMatchSkip.SkipToNext.
+    */
+  def mrClause(c: Case): String = {
+    val vars = c.steps.indices.map(i => s"S$i")
+    val within = c.withinMinutes
+      .map(m => s"\nWITHIN INTERVAL '$m' MINUTE").getOrElse("")
+    val defines = c.steps.zip(vars)
+      .map { case (p, v) => s"$v AS ${p.mrSql(v)}" }
+    s"""PARTITION BY user_id
+       |ORDER BY ts, event_id
+       |MEASURES FIRST(${vars.head}.event_id) AS a_id,
+       |         LAST(${vars.last}.event_id) AS z_id
+       |ONE ROW PER MATCH
+       |AFTER MATCH SKIP TO NEXT ROW
+       |PATTERN (${vars.mkString(" ")})$within
+       |DEFINE ${defines.mkString(",\n       ")}""".stripMargin
+  }
+
+  /** The DuckDB-side normalized event CTE every restatement shares:
+    * micro-precision ts as BIGINT `us`, money as exact cents. The Spark
+    * spec passes its own prefix over the SAME body (dialect-shared by
+    * construction).
+    */
+  val duckCev: String =
+    """SELECT user_id, event_id,
+      |    epoch_us(make_timestamp(epoch_ns(ts) // 1000)) AS us,
+      |    event_type,
+      |    CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents
+      |  FROM events""".stripMargin
+
+  /** A quantifier case — fuzzes the NFA's repetition machinery
+    * (Pattern.java times:482 / optional:397 / oneOrMore:415 with
+    * consecutive:520 internal contiguity) beyond the strict 2–3-step
+    * [[Case]] family:
+    *   - `times`: A{n} B — n consecutive A-repetitions then B, LEAD-
+    *     restatable at fixed offsets;
+    *   - `optional`: A B? C — the greedy present-preferred branch with
+    *     backtracking to the absent branch when C fails AFTER a matching
+    *     B (the case a naive "B present iff B matches" restatement gets
+    *     wrong);
+    *   - `oneormore`: A+ B — greedy longest-run-first backtracking; the
+    *     emitted end is the LARGEST m ≤ runlen(anchor) with B at
+    *     anchor+m, restated as an islands + range-join computation
+    *     (no `within` on this arm so run length is window-free).
+    * All contiguity is strict, skip = SkipToNext (one greedy branch per
+    * anchor), so every arm stays exactly SQL-restatable — and the same
+    * pattern text runs through MATCH_RECOGNIZE (strict adjacency,
+    * consecutive quantifiers) for the front-door dual-run.
+    */
+  case class QuantCase(
+      seed: Long,
+      arm: String, // times | optional | oneormore
+      predA: StepPred,
+      predB: StepPred,
+      predC: StepPred, // optional arm only (the stage after B?)
+      n: Int, // times arm only
+      withinMinutes: Option[Int]) { // None on the oneormore arm
+
+    /** Restatement over a caller-supplied normalized CTE body (see
+      * [[duckCev]]); the text below the prefix is dialect-shared.
+      */
+    def restatement(cev: String): String = {
+      val winSql = "WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)"
+      arm match {
+        case "times" =>
+          val leads = (1 to n).flatMap { i =>
+            Seq(s"lead(event_type, $i) OVER w AS event_type_$i",
+              s"lead(event_id, $i) OVER w AS event_id_$i",
+              s"lead(cents, $i) OVER w AS cents_$i",
+              s"lead(us, $i) OVER w AS us_$i")
+          }
+          val preds = predA.sql("") +:
+            (1 until n).map(i => predA.sql(s"_$i")) :+ predB.sql(s"_$n")
+          val withinPred = withinMinutes.map(m =>
+            s"us_$n <= us + ${m * 60000000L}").toSeq
+          s"""WITH cev AS ($cev),
+             |o AS (SELECT user_id, event_id, us, event_type, cents,
+             |    ${leads.mkString(",\n    ")}
+             |  FROM cev
+             |  $winSql)
+             |SELECT user_id, event_id AS a_id, event_id_$n AS z_id
+             |FROM o
+             |WHERE ${(preds ++ withinPred).map(p => s"($p)").mkString("\n  AND ")}""".stripMargin
+        case "optional" =>
+          val leads = (1 to 2).flatMap { i =>
+            Seq(s"lead(event_type, $i) OVER w AS event_type_$i",
+              s"lead(event_id, $i) OVER w AS event_id_$i",
+              s"lead(cents, $i) OVER w AS cents_$i",
+              s"lead(us, $i) OVER w AS us_$i")
+          }
+          def inWin(i: Int) = withinMinutes
+            .map(m => s" AND us_$i <= us + ${m * 60000000L}").getOrElse("")
+          s"""WITH cev AS ($cev),
+             |o AS (SELECT user_id, event_id, us, event_type, cents,
+             |    ${leads.mkString(",\n    ")}
+             |  FROM cev
+             |  $winSql)
+             |SELECT user_id, a_id, z_id FROM (
+             |  SELECT user_id, event_id AS a_id,
+             |    CASE WHEN (${predB.sql("_1")}) AND (${predC.sql("_2")})${inWin(2)}
+             |           THEN event_id_2
+             |         WHEN (${predC.sql("_1")})${inWin(1)} THEN event_id_1
+             |    END AS z_id
+             |  FROM o WHERE (${predA.sql("")}))
+             |WHERE z_id IS NOT NULL""".stripMargin
+        case "oneormore" =>
+          s"""WITH cev AS ($cev),
+             |o AS (SELECT user_id, event_id,
+             |    (${predA.sql("")}) AS is_a, (${predB.sql("")}) AS is_b,
+             |    ROW_NUMBER() OVER w AS rn
+             |  FROM cev
+             |  $winSql),
+             |x AS (SELECT user_id, event_id, is_a, is_b, rn,
+             |    MIN(CASE WHEN NOT is_a THEN rn END) OVER (
+             |      PARTITION BY user_id ORDER BY rn
+             |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_nona,
+             |    MAX(rn) OVER (PARTITION BY user_id) AS max_rn
+             |  FROM o),
+             |anch AS (SELECT user_id, rn, event_id,
+             |    COALESCE(next_nona - 1, max_rn) AS run_end
+             |  FROM x WHERE is_a),
+             |m AS (SELECT anch.user_id AS user_id, anch.rn AS arn,
+             |    anch.event_id AS a_id, MAX(b.rn) AS z_rn
+             |  FROM anch JOIN x b ON b.user_id = anch.user_id AND b.is_b
+             |    AND b.rn > anch.rn AND b.rn <= anch.run_end + 1
+             |  GROUP BY anch.user_id, anch.rn, anch.event_id)
+             |SELECT m.user_id AS user_id, a_id, z.event_id AS z_id
+             |FROM m JOIN x z ON z.user_id = m.user_id AND z.rn = m.z_rn""".stripMargin
+      }
+    }
+
+    def oracleSql: String = restatement(duckCev)
+
+    /** MATCH_RECOGNIZE text for the same pattern (front-door dual-run). */
+    def mrClause: String = {
+      val (patText, defs) = arm match {
+        case "times" =>
+          (s"A{$n} B", Seq("A" -> predA, "B" -> predB))
+        case "optional" =>
+          ("A B? C", Seq("A" -> predA, "B" -> predB, "C" -> predC))
+        case "oneormore" =>
+          ("A+ B", Seq("A" -> predA, "B" -> predB))
+      }
+      val within = withinMinutes
+        .map(m => s"\nWITHIN INTERVAL '$m' MINUTE").getOrElse("")
+      val defines = defs.map { case (v, p) => s"$v AS ${p.mrSql(v)}" }
+      val lastVar = if (arm == "optional") "C" else "B"
+      s"""PARTITION BY user_id
+         |ORDER BY ts, event_id
+         |MEASURES FIRST(A.event_id) AS a_id,
+         |         LAST($lastVar.event_id) AS z_id
+         |ONE ROW PER MATCH
+         |AFTER MATCH SKIP TO NEXT ROW
+         |PATTERN ($patText)$within
+         |DEFINE ${defines.mkString(",\n       ")}""".stripMargin
+    }
+  }
+
+  /** A relaxed-contiguity / negation case — fuzzes the NFA's
+    * `followedBy` scan (Pattern.java followedBy:356) and the negative
+    * constraints (notNext:338, notFollowedBy:369) the hand-written rows
+    * exercise only at fixed shapes:
+    *   - A followedBy B: the first B at or after anchor+1 (deterministic
+    *     relaxed contiguity — B is the last stage, so first-match IS the
+    *     greedy branch);
+    *   - A notNext(N) B: the whole stage fails when the immediately
+    *     following event matches N;
+    *   - A notFollowedBy(N) B: the scan aborts at the first gap event
+    *     matching N and not B (a row matching BOTH is taken as B — the
+    *     predicate-order tie the restatement must preserve).
+    * Optional `within` caps the scan. Skip = SkipToNext.
+    */
+  case class RelaxedCase(
+      seed: Long,
+      predA: StepPred,
+      predB: StepPred,
+      neg: Option[(StepPred, Boolean)], // (N, strict = notNext)
+      withinMinutes: Option[Int]) {
+
+    def restatement(cev: String): String = {
+      val isN = neg.map { case (p, _) => s", (${p.sql("")}) AS is_n" }
+        .getOrElse("")
+      // notNext reads the immediately-following event through a lead
+      val n1 = neg.collect { case (_, true) =>
+        ", lead(CASE WHEN (" + neg.get._1.sql("") +
+          ") THEN 1 ELSE 0 END) OVER w AS n1" }.getOrElse("")
+      val nn = neg.collect { case (_, false) =>
+        """,
+          |    MIN(CASE WHEN is_n AND NOT is_b THEN rn END) OVER (
+          |      PARTITION BY user_id ORDER BY rn
+          |      ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS nn""".stripMargin }
+        .getOrElse("")
+      val negPred = neg match {
+        case Some((_, true)) => Seq("COALESCE(a.n1, 0) = 0")
+        case Some((_, false)) => Seq("(a.nn IS NULL OR a.nn > a.nb)")
+        case None => Nil
+      }
+      val withinPred = withinMinutes.map(m =>
+        s"b.us <= a.us + ${m * 60000000L}").toSeq
+      val conds = ("a.is_a" +: (negPred ++ withinPred)).mkString("\n  AND ")
+      s"""WITH cev AS ($cev),
+         |o AS (SELECT user_id, event_id, us,
+         |    (${predA.sql("")}) AS is_a, (${predB.sql("")}) AS is_b$isN$n1,
+         |    ROW_NUMBER() OVER w AS rn
+         |  FROM cev
+         |  WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+         |x AS (SELECT *,
+         |    MIN(CASE WHEN is_b THEN rn END) OVER (
+         |      PARTITION BY user_id ORDER BY rn
+         |      ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS nb$nn
+         |  FROM o)
+         |SELECT a.user_id AS user_id, a.event_id AS a_id, b.event_id AS z_id
+         |FROM x a JOIN x b ON b.user_id = a.user_id AND b.rn = a.nb
+         |WHERE $conds""".stripMargin
+    }
+
+    def oracleSql: String = restatement(duckCev)
+  }
+
   private val eventTypes =
     Seq("click", "purchase", "view", "signup", "error")
 
@@ -119,5 +351,50 @@ object CepFuzzGen {
       if (r.nextInt(3) == 0) None
       else Some(Seq(30, 60, 120, 240)(r.nextInt(4)))
     Case(seed, steps, within)
+  }
+
+  /** Loop-prone predicates (TypeIs/TypeIn/CentsGe hold for RUNS of
+    * adjacent events often enough that quantifier arms exercise real
+    * repetitions; IdMod rarely holds twice in a row, so it stays a
+    * B/C-position predicate).
+    */
+  private def runStepOf(r: Random): StepPred = r.nextInt(3) match {
+    case 0 => TypeIs(eventTypes(r.nextInt(eventTypes.length)))
+    case 1 =>
+      val n = 2 + r.nextInt(3)
+      TypeIn(r.shuffle(eventTypes).take(n).sorted)
+    case 2 => CentsGe((1 + r.nextInt(10)) * 2500L)
+  }
+
+  /** The quantifier case for a seed — a pure function of the seed. */
+  def genQuant(seed: Long): QuantCase = {
+    val r = new Random(StreamFuzzGen.scramble(seed ^ 0xcefc0a7L))
+    val arm = Seq("times", "optional", "oneormore")(r.nextInt(3))
+    val predA = runStepOf(r)
+    val predB = stepOf(r)
+    val predC = stepOf(r)
+    val n = 2 + r.nextInt(2)
+    val within = arm match {
+      case "oneormore" => None // keeps run length window-free (restatable)
+      case _ => if (r.nextInt(3) == 0) None
+        else Some(Seq(60, 120, 240)(r.nextInt(3)))
+    }
+    QuantCase(seed, arm, predA, predB, predC, n, within)
+  }
+
+  /** The relaxed/negation case for a seed — a pure function of the seed. */
+  def genRelaxed(seed: Long): RelaxedCase = {
+    val r = new Random(StreamFuzzGen.scramble(seed ^ 0xce1e1a8L))
+    val predA = stepOf(r)
+    val predB = stepOf(r)
+    val neg = r.nextInt(3) match {
+      case 0 => None
+      case 1 => Some((stepOf(r), true)) // notNext
+      case 2 => Some((stepOf(r), false)) // notFollowedBy
+    }
+    val within =
+      if (r.nextInt(3) == 0) None
+      else Some(Seq(60, 120, 240)(r.nextInt(3)))
+    RelaxedCase(seed, predA, predB, neg, within)
   }
 }

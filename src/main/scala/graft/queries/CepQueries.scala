@@ -217,6 +217,19 @@ object CepQueries {
         |ORDER BY user_id, start_id""".stripMargin
   )
 
+  /** The normalized typed events frame the CEP fuzz replays share. */
+  private[queries] def cepEvents(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.Dataset[CepFuzzGen.CE] = {
+    import s.implicits._
+    t(s, dir, "events")
+      .select($"user_id",
+        unix_micros(col("ts").cast(TimestampType)).as("ts"),
+        $"event_type", $"event_id",
+        expr("CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)")
+          .as("cents"))
+      .as[CepFuzzGen.CE]
+  }
+
   /** Batch NFA run for a [[CepFuzzGen.Case]] — every start position
     * tried (SkipToNext), so the match set is exactly the case's LEAD
     * restatement. Output: (user_id, a_id, z_id) = ids of the first and
@@ -225,13 +238,7 @@ object CepQueries {
   private[queries] def cepFuzzReplay(s: org.apache.spark.sql.SparkSession,
       dir: String, c: CepFuzzGen.Case): org.apache.spark.sql.DataFrame = {
     import s.implicits._
-    val ev = t(s, dir, "events")
-      .select($"user_id",
-        unix_micros(col("ts").cast(TimestampType)).as("ts"),
-        $"event_type", $"event_id",
-        expr("CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)")
-          .as("cents"))
-      .as[CepFuzzGen.CE]
+    val ev = cepEvents(s, dir)
     val pat0 = Pattern.begin[CepFuzzGen.CE]("s0")(c.steps.head.fn)
     val patN = c.steps.tail.zipWithIndex.foldLeft(pat0) {
       case (p, (st, i)) => p.next(s"s${i + 1}")(st.fn)
@@ -245,6 +252,66 @@ object CepQueries {
         val st = m.stages.toMap
         (st("s0").head.user_id, st("s0").head.event_id,
           st(last).head.event_id)
+      }
+      .toDF("user_id", "a_id", "z_id")
+  }
+
+  /** The Pattern-API pattern for a [[CepFuzzGen.QuantCase]] (shared by
+    * the batch replay and the spec's brute-force/MR dual-runs).
+    */
+  private[queries] def quantPattern(
+      c: CepFuzzGen.QuantCase): Pattern[CepFuzzGen.CE] = {
+    val a = Pattern.begin[CepFuzzGen.CE]("a")(c.predA.fn)
+    val pat = c.arm match {
+      case "times" =>
+        a.times(c.n).consecutive.next("b")(c.predB.fn)
+      case "optional" =>
+        a.next("b")(c.predB.fn).optional.next("c")(c.predC.fn)
+      case "oneormore" =>
+        a.oneOrMore.consecutive.next("b")(c.predB.fn)
+    }
+    c.withinMinutes.map(m => pat.within(m * 60000000L)).getOrElse(pat)
+  }
+
+  /** Batch NFA run for a [[CepFuzzGen.QuantCase]] (SkipToNext — one
+    * greedy branch per anchor). Output (user_id, a_id, z_id) = anchor id
+    * and last-consumed id.
+    */
+  private[queries] def cepQuantFuzzReplay(s: org.apache.spark.sql.SparkSession,
+      dir: String, c: CepFuzzGen.QuantCase): org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    CEP.batch[CepFuzzGen.CE](cepEvents(s, dir), _.user_id.toString, _.ts,
+        quantPattern(c), AfterMatchSkip.SkipToNext)
+      .map { m =>
+        val evs = m.stages.flatMap(_._2)
+        (evs.head.user_id, evs.head.event_id, evs.last.event_id)
+      }
+      .toDF("user_id", "a_id", "z_id")
+  }
+
+  /** The Pattern-API pattern for a [[CepFuzzGen.RelaxedCase]]. */
+  private[queries] def relaxedPattern(
+      c: CepFuzzGen.RelaxedCase): Pattern[CepFuzzGen.CE] = {
+    val a = Pattern.begin[CepFuzzGen.CE]("a")(c.predA.fn)
+    val withNeg = c.neg match {
+      case Some((n, true)) => a.notNext(n.fn)
+      case Some((n, false)) => a.notFollowedBy(n.fn)
+      case None => a
+    }
+    val pat = withNeg.followedBy("b")(c.predB.fn)
+    c.withinMinutes.map(m => pat.within(m * 60000000L)).getOrElse(pat)
+  }
+
+  /** Batch NFA run for a [[CepFuzzGen.RelaxedCase]] (SkipToNext). */
+  private[queries] def cepRelaxedFuzzReplay(s: org.apache.spark.sql.SparkSession,
+      dir: String, c: CepFuzzGen.RelaxedCase): org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    CEP.batch[CepFuzzGen.CE](cepEvents(s, dir), _.user_id.toString, _.ts,
+        relaxedPattern(c), AfterMatchSkip.SkipToNext)
+      .map { m =>
+        val st = m.stages.toMap
+        (st("a").head.user_id, st("a").head.event_id,
+          st("b").head.event_id)
       }
       .toDF("user_id", "a_id", "z_id")
   }

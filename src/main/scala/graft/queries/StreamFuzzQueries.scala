@@ -107,6 +107,26 @@ object StreamFuzzQueries {
     firstCepSeed(c => c.steps.length == 2 && c.withinMinutes.isDefined),
     firstCepSeed(_.steps.length == 3)).distinct
 
+  private def firstQuantSeed(p: CepFuzzGen.QuantCase => Boolean): Long =
+    (1L to 256L).find(s => p(CepFuzzGen.genQuant(s)))
+      .getOrElse(sys.error("no quant seed in 1..256 matches the shape"))
+
+  /** one fixed-times and one unbounded oneOrMore quantifier shape (a
+    * seed determines its arm, so the scans land on distinct seeds).
+    */
+  private[queries] val quantSeeds: Seq[Long] = Seq(
+    firstQuantSeed(_.arm == "times"),
+    firstQuantSeed(_.arm == "oneormore")).distinct
+
+  private def firstRelaxedSeed(p: CepFuzzGen.RelaxedCase => Boolean): Long =
+    (1L to 256L).find(s => p(CepFuzzGen.genRelaxed(s)))
+      .getOrElse(sys.error("no relaxed seed in 1..256 matches the shape"))
+
+  /** one notNext and one notFollowedBy negation shape. */
+  private[queries] val relaxedSeeds: Seq[Long] = Seq(
+    firstRelaxedSeed(_.neg.exists(_._2)),
+    firstRelaxedSeed(_.neg.exists(!_._2))).distinct
+
   private val sessCases = sessSeeds.map(StreamFuzzGen.genSession)
   private val retCases = retSeeds.map(StreamFuzzGen.genRetract)
   private val topNCases = topNSeeds.map(StreamFuzzGen.genTopN)
@@ -114,6 +134,8 @@ object StreamFuzzQueries {
   private val dedupCases = dedupSeeds.map(StreamFuzzGen.genDedup)
   private val joinCases = joinSeeds.map(StreamFuzzGen.genJoin)
   private val temporalCases = temporalSeeds.map(StreamFuzzGen.genTemporal)
+  private val quantCases = quantSeeds.map(CepFuzzGen.genQuant)
+  private val relaxedCases = relaxedSeeds.map(CepFuzzGen.genRelaxed)
 
   val queries: Map[String, QFn] =
     cases.map { c =>
@@ -147,6 +169,14 @@ object StreamFuzzQueries {
     temporalCases.map { c =>
       s"q_fuzz_stream_tj${c.seed}" -> ((s, dir) =>
         StreamQueries.streamTemporalFuzzReplay(s, dir, c)): (String, QFn)
+    }.toMap ++
+    quantCases.map { c =>
+      s"q_fuzz_cepq_${c.seed}" -> ((s, dir) =>
+        CepQueries.cepQuantFuzzReplay(s, dir, c)): (String, QFn)
+    }.toMap ++
+    relaxedCases.map { c =>
+      s"q_fuzz_cepr_${c.seed}" -> ((s, dir) =>
+        CepQueries.cepRelaxedFuzzReplay(s, dir, c)): (String, QFn)
     }.toMap
 
   val oracles: Map[String, String] =
@@ -157,7 +187,9 @@ object StreamFuzzQueries {
     cepCases.map(c => s"q_fuzz_cep_${c.seed}" -> c.oracleSql).toMap ++
     dedupCases.map(c => s"q_fuzz_stream_d${c.seed}" -> c.oracleSql).toMap ++
     joinCases.map(c => s"q_fuzz_stream_j${c.seed}" -> c.oracleSql).toMap ++
-    temporalCases.map(c => s"q_fuzz_stream_tj${c.seed}" -> c.oracleSql).toMap
+    temporalCases.map(c => s"q_fuzz_stream_tj${c.seed}" -> c.oracleSql).toMap ++
+    quantCases.map(c => s"q_fuzz_cepq_${c.seed}" -> c.oracleSql).toMap ++
+    relaxedCases.map(c => s"q_fuzz_cepr_${c.seed}" -> c.oracleSql).toMap
 
   /** Public replay front doors for the dev-side sweep
     * (graft.StreamFuzzDump — outside this package).
@@ -193,4 +225,12 @@ object StreamFuzzQueries {
   def replayTemporal(s: org.apache.spark.sql.SparkSession, dir: String,
       c: StreamFuzzGen.TemporalCase): org.apache.spark.sql.DataFrame =
     StreamQueries.streamTemporalFuzzReplay(s, dir, c)
+
+  def replayQuant(s: org.apache.spark.sql.SparkSession, dir: String,
+      c: CepFuzzGen.QuantCase): org.apache.spark.sql.DataFrame =
+    CepQueries.cepQuantFuzzReplay(s, dir, c)
+
+  def replayRelaxed(s: org.apache.spark.sql.SparkSession, dir: String,
+      c: CepFuzzGen.RelaxedCase): org.apache.spark.sql.DataFrame =
+    CepQueries.cepRelaxedFuzzReplay(s, dir, c)
 }

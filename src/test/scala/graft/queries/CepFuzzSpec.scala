@@ -30,6 +30,182 @@ class CepFuzzSpec extends SparkSuite {
     assert(arms.size >= 3, s"step arms drawn: $arms")
   }
 
+  /** Spark-side normalized CTE over the SAME dialect-shared restatement
+    * body the DuckDB oracle uses (CE.ts is already epoch-micros).
+    */
+  private def sparkCev: String = {
+    CepQueries.cepEvents(spark, dir).createOrReplaceTempView("cep_fuzz_ev")
+    "SELECT user_id, event_id, ts AS us, event_type, cents FROM cep_fuzz_ev"
+  }
+
+  test("quantifier generator is deterministic and covers its arms") {
+    for (s <- Seq(1L, 7L, 4242L))
+      assert(CepFuzzGen.genQuant(s) == CepFuzzGen.genQuant(s))
+    val cs = (1L to 24L).map(CepFuzzGen.genQuant)
+    assert(Set("times", "optional", "oneormore")
+      .subsetOf(cs.map(_.arm).toSet))
+    assert(cs.filter(_.arm == "times").map(_.n).distinct.length > 1)
+    assert(cs.filter(_.arm == "oneormore").forall(_.withinMinutes.isEmpty))
+  }
+
+  test("relaxed/negation generator is deterministic and covers its arms") {
+    for (s <- Seq(1L, 7L, 4242L))
+      assert(CepFuzzGen.genRelaxed(s) == CepFuzzGen.genRelaxed(s))
+    val cs = (1L to 24L).map(CepFuzzGen.genRelaxed)
+    assert(cs.exists(_.neg.isEmpty))
+    assert(cs.exists(_.neg.exists(_._2)) && cs.exists(_.neg.exists(!_._2)))
+    assert(cs.exists(_.withinMinutes.isEmpty) &&
+      cs.exists(_.withinMinutes.isDefined))
+  }
+
+  test("quantifier NFA matches equal the SQL restatement per seed") {
+    val cev = sparkCev
+    for (seed <- 1L to 12L) {
+      val c = CepFuzzGen.genQuant(seed)
+      val expected = spark.sql(c.restatement(cev))
+        .collect().map(_.toString).sorted.toSeq
+      val actual = CepQueries.cepQuantFuzzReplay(spark, dir, c)
+        .collect().map(_.toString).sorted.toSeq
+      assert(actual == expected,
+        s"quant seed $seed diverged: arm=${c.arm} n=${c.n} " +
+          s"A=${c.predA} B=${c.predB} C=${c.predC} " +
+          s"within=${c.withinMinutes} " +
+          s"(sql=${expected.length} rows, nfa=${actual.length})")
+    }
+  }
+
+  test("relaxed/negation NFA matches equal the SQL restatement per seed") {
+    val cev = sparkCev
+    for (seed <- 1L to 12L) {
+      val c = CepFuzzGen.genRelaxed(seed)
+      val expected = spark.sql(c.restatement(cev))
+        .collect().map(_.toString).sorted.toSeq
+      val actual = CepQueries.cepRelaxedFuzzReplay(spark, dir, c)
+        .collect().map(_.toString).sorted.toSeq
+      assert(actual == expected,
+        s"relaxed seed $seed diverged: A=${c.predA} B=${c.predB} " +
+          s"neg=${c.neg} within=${c.withinMinutes} " +
+          s"(sql=${expected.length} rows, nfa=${actual.length})")
+    }
+  }
+
+  /** Independent ground truth for strict quantifier semantics: per
+    * anchor, enumerate consumption-count vectors depth-first with larger
+    * counts first (greedy-with-backtracking BY DEFINITION — a descending-
+    * count scan, not the NFA's recursive extended/closed structure) and
+    * emit the first complete assignment. Strict contiguity makes the
+    * position of every consumed event a pure function of the counts, so
+    * the enumeration is exact.
+    */
+  private case class BUnit(pred: CepFuzzGen.CE => Boolean, min: Int, max: Int)
+
+  private def bruteStrict(events: IndexedSeq[CepFuzzGen.CE],
+      units: Seq[BUnit], within: Option[Long]): Seq[(Int, Int)] = {
+    def greedyAt(i: Int): Option[Int] = {
+      if (!units.head.pred(events(i))) return None
+      val deadline = within.map(events(i).ts + _)
+      def ok(j: Int) =
+        j < events.length && deadline.forall(events(j).ts <= _)
+      def rec(u: Int, pos: Int): Option[Int] = {
+        if (u == units.length) return Some(pos - 1)
+        val un = units(u)
+        // anchor unit: repetition 1 is the anchor itself (the NFA's
+        // begin-stage contract), so at least one rep is consumed there
+        val minC = if (u == 0) math.max(1, un.min) else un.min
+        var feasible = 0
+        while (feasible < un.max && ok(pos + feasible) &&
+          un.pred(events(pos + feasible))) feasible += 1
+        var cnt = feasible
+        while (cnt >= minC) {
+          rec(u + 1, pos + cnt) match {
+            case Some(e) => return Some(e)
+            case None =>
+          }
+          cnt -= 1
+        }
+        None
+      }
+      rec(0, i)
+    }
+    events.indices.flatMap(i => greedyAt(i).map(e => (i, e)))
+  }
+
+  test("NFA quantifier semantics equal brute-force enumeration on synthetic runs") {
+    import scala.util.Random
+    import graft.cep.{AfterMatchSkip, CEP, Contiguity, NFA, Pattern, Stage}
+    val types = Seq("a", "b", "c")
+    for (seed <- 1L to 40L) {
+      val r = new Random(StreamFuzzGen.scramble(seed ^ 0xb507eL))
+      // synthetic single-user run: dense repeats make quantifier loops
+      // and backtracking the common case
+      var ts = 0L
+      val events = IndexedSeq.tabulate(120) { i =>
+        ts += 1 + r.nextInt(5)
+        CepFuzzGen.CE(1L, ts, types(r.nextInt(3)), i.toLong,
+          r.nextInt(4) * 2500L)
+      }
+      def unitOf(first: Boolean): BUnit = {
+        val pred: CepFuzzGen.CE => Boolean = r.nextInt(3) match {
+          case 0 => val t = types(r.nextInt(3)); e => e.event_type == t
+          case 1 =>
+            val two = r.shuffle(types).take(2).toSet
+            e => two.contains(e.event_type)
+          case 2 => val c = r.nextInt(3) * 2500L; e => e.cents >= c
+        }
+        val min = (if (first) 1 else 0) + r.nextInt(2)
+        val max =
+          if (r.nextInt(4) == 0) Int.MaxValue
+          else math.max(1, min) + r.nextInt(3)
+        BUnit(pred, min, max)
+      }
+      val units = unitOf(first = true) +:
+        Seq.fill(1 + r.nextInt(2))(unitOf(first = false))
+      val within = if (r.nextInt(3) == 0) None else Some(20L + r.nextInt(60))
+      val pat0 = Pattern[CepFuzzGen.CE](
+        units.zipWithIndex.map { case (u, i) =>
+          Stage[CepFuzzGen.CE](s"s$i", u.pred, Contiguity.Strict,
+            u.min, u.max)
+        }.toVector,
+        withinMs = within)
+      val nfa = new NFA[CepFuzzGen.CE](pat0, _.ts)
+      val actual = nfa
+        .findMatches(events, 0, AfterMatchSkip.SkipToNext)
+        .map { case (s, e, _) => (s, e) }
+      // the anchor stage consumes its first repetition unconditionally,
+      // so a brute anchor whose unit-0 predicate fails is no anchor at
+      // all — bruteStrict mirrors that
+      val expected = bruteStrict(events, units, within)
+      assert(actual == expected,
+        s"brute seed $seed diverged: units=${units.map(u => (u.min, u.max))} " +
+          s"within=$within (brute=${expected.length}, nfa=${actual.length})")
+    }
+  }
+
+  test("MATCH_RECOGNIZE front door equals the Pattern-API NFA per seed") {
+    import graft.cep.MatchRecognize
+    val ev = CepQueries.cepEvents(spark, dir).toDF()
+    for (seed <- 1L to 10L) {
+      val c = CepFuzzGen.gen(seed)
+      val viaSql = MatchRecognize(ev, CepFuzzGen.mrClause(c))
+        .collect().map(_.toString).sorted.toSeq
+      val viaApi = CepQueries.cepFuzzReplay(spark, dir, c)
+        .collect().map(_.toString).sorted.toSeq
+      assert(viaApi == viaSql,
+        s"MR dual-run diverged at strict seed $seed: steps=${c.steps} " +
+          s"within=${c.withinMinutes} (sql=${viaSql.length}, api=${viaApi.length})")
+    }
+    for (seed <- 1L to 8L) {
+      val c = CepFuzzGen.genQuant(seed)
+      val viaSql = MatchRecognize(ev, c.mrClause)
+        .collect().map(_.toString).sorted.toSeq
+      val viaApi = CepQueries.cepQuantFuzzReplay(spark, dir, c)
+        .collect().map(_.toString).sorted.toSeq
+      assert(viaApi == viaSql,
+        s"MR dual-run diverged at quant seed $seed: arm=${c.arm} n=${c.n} " +
+          s"within=${c.withinMinutes} (sql=${viaSql.length}, api=${viaApi.length})")
+    }
+  }
+
   test("NFA matches equal the LEAD window restatement per seed") {
     for (seed <- 1L to 12L) {
       val c = CepFuzzGen.gen(seed)
