@@ -109,13 +109,27 @@ object ScaleProbes {
     frames.reduce(_ unionAll _)
   }
 
+  /** Second octave: ONE heavy shape (tpch18 — fact-side group-by HAVING
+    * feeding a semi join, the shape whose state grows fastest with the
+    * fact table) measured at 1×/8×/64×, so the 1×→8× law is checked for
+    * another ×8 on top. Kept to a single shape: the five-shape probes
+    * above already pin the law's breadth at 8×; this one pins its DEPTH
+    * (does sub-linear growth survive the second octave, or was 8× just
+    * hiding in constant factors?). Same in-plan replication, same
+    * no-flip asserts.
+    */
+  private def deepShape = Seq("tpch18" -> SqlQueries.all("q_sql_tpch18"))
+
   /** Bench-only entries (no oracle BY DESIGN — the measurement is the
-    * 1×↔8× wall-time ratio; correctness of each shape is already gated
-    * by its own oracle row at 1×).
+    * 1×↔8×(↔64×) wall-time ratios; correctness of each shape is already
+    * gated by its own oracle row at 1×).
     */
   val benchOnly: Map[String, QFn] = Map(
     "b_tpch_scale1" -> ((s, dir) => probe(s, dir, 1, tpchShapes)),
     "b_tpch_scale8" -> ((s, dir) => probe(s, dir, 8, tpchShapes)),
     "b_tpcds_scale1" -> ((s, dir) => probe(s, dir, 1, tpcdsShapes)),
-    "b_tpcds_scale8" -> ((s, dir) => probe(s, dir, 8, tpcdsShapes)))
+    "b_tpcds_scale8" -> ((s, dir) => probe(s, dir, 8, tpcdsShapes)),
+    "b_tpch18_scale1" -> ((s, dir) => probe(s, dir, 1, deepShape)),
+    "b_tpch18_scale8" -> ((s, dir) => probe(s, dir, 8, deepShape)),
+    "b_tpch18_scale64" -> ((s, dir) => probe(s, dir, 64, deepShape)))
 }

@@ -43,4 +43,17 @@ class ScaleProbesSpec extends SparkSuite {
     // the probe re-registered the originals on its way out
     assert(spark.table("lineitem").count() == base)
   }
+
+  test("64x second-octave probe runs without plan flips at sf0.001") {
+    Tables.registerAll(spark, dir)
+    val out = SparkEntry.benchOnly("b_tpch18_scale64")(spark, dir).collect()
+    assert(out.length == 1 && out.head.getLong(0) >= 0L,
+      s"b_tpch18_scale64 returned ${out.toSeq}")
+    // 64× replication really is 64-fold (the generator is factor-generic,
+    // but the second octave is the first caller above 8)
+    ScaleProbes.registerReplicated(spark, dir, 64)
+    try assert(spark.table("lineitem").count() ==
+      64 * Tables.load(spark, dir, "lineitem").count())
+    finally Tables.registerAll(spark, dir)
+  }
 }
