@@ -21,15 +21,21 @@ object CEP {
   case class CepMatch[E](key: String, startTs: Long, endTs: Long,
       stages: Seq[(String, Seq[E])])
 
-  /** Batch CEP over a bounded Dataset (BatchExecMatch parity). */
+  /** Batch CEP over a bounded Dataset (BatchExecMatch parity). `tieFn`
+    * orders same-timestamp events deterministically (the MATCH_RECOGNIZE
+    * front door's secondary ORDER BY column); the default keeps the
+    * arrival order the scan produced, which is fine only when timestamps
+    * are unique per key.
+    */
   def batch[E: Encoder](events: Dataset[E], keyFn: E => String,
       tsFn: E => Long, pattern: Pattern[E],
-      skip: AfterMatchSkip = AfterMatchSkip.SkipPastLastRow)(
+      skip: AfterMatchSkip = AfterMatchSkip.SkipPastLastRow,
+      tieFn: E => Long = (_: E) => 0L)(
       implicit outEnc: Encoder[CepMatch[E]]): Dataset[CepMatch[E]] = {
     implicit val strEnc: Encoder[String] = Encoders.STRING
     val nfa = new NFA[E](pattern, tsFn)
     events.groupByKey(keyFn).flatMapGroups { (key, it) =>
-      val sorted = it.toIndexedSeq.sortBy(tsFn)
+      val sorted = it.toIndexedSeq.sortBy(e => (tsFn(e), tieFn(e)))
       nfa.findMatches(sorted, 0, skip).iterator.map { case (s, e, m) =>
         CepMatch(key, tsFn(sorted(s)), tsFn(sorted(e)), m)
       }
@@ -48,13 +54,14 @@ object CEP {
     */
   def batchTimeouts[E: Encoder](events: Dataset[E], keyFn: E => String,
       tsFn: E => Long, pattern: Pattern[E],
-      nowTs: Long = Long.MaxValue): Dataset[E] = {
+      nowTs: Long = Long.MaxValue,
+      tieFn: E => Long = (_: E) => 0L): Dataset[E] = {
     require(pattern.withinMs.isDefined,
       "timeouts are only meaningful for patterns with `within`")
     implicit val strEnc: Encoder[String] = Encoders.STRING
     val nfa = new NFA[E](pattern, tsFn)
     events.groupByKey(keyFn).flatMapGroups { (_, it) =>
-      val sorted = it.toIndexedSeq.sortBy(tsFn)
+      val sorted = it.toIndexedSeq.sortBy(e => (tsFn(e), tieFn(e)))
       nfa.findTimeouts(sorted, nowTs).iterator
     }
   }

@@ -111,7 +111,8 @@ object CepQueries {
       // (the reference's end-of-input watermark position), not a data
       // collect
       val nowTs = ev.agg(max($"ts")).as[Long].head()
-      CEP.batchTimeouts[E](ev, e => e.user_id.toString, _.ts, pat, nowTs)
+      CEP.batchTimeouts[E](ev, e => e.user_id.toString, _.ts, pat, nowTs,
+        tieFn = _.event_id)
         .map(e => (e.user_id, e.ts, e.event_id))
         .toDF("user_id", "buy_ts", "buy_id")
         .orderBy($"user_id", $"buy_ts")
@@ -128,7 +129,8 @@ object CepQueries {
       val pat = Pattern.begin[E]("buy")(_.event_type == "purchase")
         .next("err")(_.event_type == "error")
         .within(7200L * 1000000L) // ts is epoch-micros
-      CEP.batch[E](ev, e => e.user_id.toString, _.ts, pat)
+      CEP.batch[E](ev, e => e.user_id.toString, _.ts, pat,
+        tieFn = _.event_id)
         .map(m => (m.stages.toMap.apply("buy").head.user_id, m.startTs, m.endTs))
         .toDF("user_id", "buy_ts", "err_ts")
         .orderBy($"user_id", $"buy_ts")
@@ -247,7 +249,7 @@ object CepQueries {
       .map(m => patN.within(m * 60000000L)).getOrElse(patN)
     val last = s"s${c.steps.length - 1}"
     CEP.batch[CepFuzzGen.CE](ev, _.user_id.toString, _.ts, pat,
-        AfterMatchSkip.SkipToNext)
+        AfterMatchSkip.SkipToNext, tieFn = _.event_id)
       .map { m =>
         val st = m.stages.toMap
         (st("s0").head.user_id, st("s0").head.event_id,
@@ -281,7 +283,7 @@ object CepQueries {
       dir: String, c: CepFuzzGen.QuantCase): org.apache.spark.sql.DataFrame = {
     import s.implicits._
     CEP.batch[CepFuzzGen.CE](cepEvents(s, dir), _.user_id.toString, _.ts,
-        quantPattern(c), AfterMatchSkip.SkipToNext)
+        quantPattern(c), AfterMatchSkip.SkipToNext, tieFn = _.event_id)
       .map { m =>
         val evs = m.stages.flatMap(_._2)
         (evs.head.user_id, evs.head.event_id, evs.last.event_id)
@@ -307,7 +309,7 @@ object CepQueries {
       dir: String, c: CepFuzzGen.RelaxedCase): org.apache.spark.sql.DataFrame = {
     import s.implicits._
     CEP.batch[CepFuzzGen.CE](cepEvents(s, dir), _.user_id.toString, _.ts,
-        relaxedPattern(c), AfterMatchSkip.SkipToNext)
+        relaxedPattern(c), AfterMatchSkip.SkipToNext, tieFn = _.event_id)
       .map { m =>
         val st = m.stages.toMap
         (st("a").head.user_id, st("a").head.event_id,

@@ -24,12 +24,7 @@ object IntegrationQueries {
   /** Per-run scratch dir for format round-trips, reaped at JVM exit so
     * repeated Verify/Bench runs don't accumulate tmp data.
     */
-  private def tmpDir(prefix: String): String = {
-    val dir = java.nio.file.Files.createTempDirectory(prefix)
-    Runtime.getRuntime.addShutdownHook(
-      new Thread(() => Q.deleteRecursively(dir)))
-    dir.toString
-  }
+  private def tmpDir(prefix: String): String = Q.scratchDir(prefix)
 
   val queries: Map[String, QFn] = Map(
 

@@ -51,4 +51,19 @@ object Q {
         .sortBy(-_.getNameCount)
         .foreach(java.nio.file.Files.deleteIfExists(_))
     } catch { case _: Throwable => () }
+
+  /** Per-run scratch dir reaped at JVM exit. ONE shutdown hook drains
+    * the queue — per-call hooks pin a Thread each in the JVM's hook set,
+    * which a long Bench/Verify session accumulates by the hundred.
+    */
+  private val scratchDirs =
+    new java.util.concurrent.ConcurrentLinkedQueue[java.nio.file.Path]()
+  private lazy val scratchHook: Unit = Runtime.getRuntime.addShutdownHook(
+    new Thread(() => scratchDirs.forEach(deleteRecursively(_))))
+  def scratchDir(prefix: String): String = {
+    scratchHook
+    val dir = java.nio.file.Files.createTempDirectory(prefix)
+    scratchDirs.add(dir)
+    dir.toString
+  }
 }

@@ -111,11 +111,13 @@ object StreamFuzzQueries {
     (1L to 256L).find(s => p(CepFuzzGen.genQuant(s)))
       .getOrElse(sys.error("no quant seed in 1..256 matches the shape"))
 
-  /** one fixed-times and one unbounded oneOrMore quantifier shape (a
-    * seed determines its arm, so the scans land on distinct seeds).
+  /** one fixed-times, one optional (the greedy backtrack-to-absent
+    * branch), and one unbounded oneOrMore quantifier shape (a seed
+    * determines its arm, so the scans land on distinct seeds).
     */
   private[queries] val quantSeeds: Seq[Long] = Seq(
     firstQuantSeed(_.arm == "times"),
+    firstQuantSeed(_.arm == "optional"),
     firstQuantSeed(_.arm == "oneormore")).distinct
 
   private def firstRelaxedSeed(p: CepFuzzGen.RelaxedCase => Boolean): Long =

@@ -143,16 +143,8 @@ object StreamQueries {
   case class UpsCh(user_id: Long, event_id: Long, value: Double,
       seq: Long, kind: Byte)
 
-  /** Per-run scratch dir reaped at JVM exit (same idiom as
-    * IntegrationQueries.tmpDir — repeated Verify/Bench runs must not
-    * accumulate table dirs in /tmp).
-    */
-  private def tmpDir(prefix: String): String = {
-    val dir = java.nio.file.Files.createTempDirectory(prefix)
-    Runtime.getRuntime.addShutdownHook(
-      new Thread(() => Q.deleteRecursively(dir)))
-    dir.toString
-  }
+  /** Per-run scratch dir reaped at JVM exit (shared hook — Q.scratchDir). */
+  private def tmpDir(prefix: String): String = Q.scratchDir(prefix)
 
   /** Epoch MICROS of a micros-precision timestamp (getTime carries the
     * millis; getNanos the sub-second — only its sub-milli part is new).
@@ -543,7 +535,7 @@ object StreamQueries {
        else Nil)
     }
     val maxTs = rows.last._2.getTime
-    val sentinel = TemporalJoin.TemporalEvent(" flush",
+    val sentinel = TemporalJoin.TemporalEvent("\u0000flush",
       new java.sql.Timestamp(maxTs + 10L * 86400000L), isProbe = true,
       -1L, 0L)
     val input = MemoryStream[TemporalJoin.TemporalEvent]

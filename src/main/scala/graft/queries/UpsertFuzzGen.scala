@@ -75,9 +75,7 @@ object UpsertFuzzGen {
     * merge into each other's state.
     */
   def replay(s: SparkSession, c: Case): DataFrame = {
-    val out = java.nio.file.Files.createTempDirectory("q_fuzz_upsert")
-    Runtime.getRuntime.addShutdownHook(
-      new Thread(() => Q.deleteRecursively(out)))
+    val out = Q.scratchDir("q_fuzz_upsert")
     val name = s"upfz_${c.seed}_${nameSeq.incrementAndGet()}"
     graft.GraftSql.sql(s,
       s"""CREATE TABLE $name (k1 BIGINT, k2 BIGINT, v BIGINT,
@@ -89,6 +87,11 @@ object UpsertFuzzGen {
       graft.GraftSql.sql(s,
         s"INSERT INTO $name SELECT * FROM VALUES ${values.mkString(", ")} AS t(k1, k2, v)")
     }
-    graft.GraftSql.sql(s, s"SELECT k1, k2, v FROM $name")
+    val result = graft.GraftSql.sql(s, s"SELECT k1, k2, v FROM $name")
+    // the result's analyzed plan holds the resolved parquet relation; the
+    // view name itself must not accumulate in the catalog across bench
+    // iterations (one fresh name per invocation)
+    s.catalog.dropTempView(name)
+    result
   }
 }
