@@ -552,6 +552,55 @@ object StreamQueries {
         $"versionTs".as("v_ts"), $"value".as("v_cents"))
   }
 
+  /** The SAME [[StreamFuzzGen.TemporalCase]] through the ROW-payload
+    * DataFrame front door ([[TemporalJoin.asOfStream]] →
+    * RowTemporalJoinProcessor — the path the SQL surface routes to)
+    * instead of the typed processor: probes and versions split from one
+    * MemoryStream into the two DataFrame sides. Output shape matches
+    * [[streamTemporalFuzzReplay]], so the spec can assert the two
+    * processors implement ONE semantics.
+    */
+  private[queries] def streamTemporalFuzzReplayRow(s: SparkSession,
+      dir: String, c: StreamFuzzGen.TemporalCase): DataFrame = {
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    import graft.streaming.TemporalJoin
+    val rows = t(s, dir, "events")
+      .select(expr(s"CAST(${c.keySql} AS STRING)").as("k"),
+        col("ts").cast("timestamp").as("ts"), col("event_id"),
+        expr("CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)")
+          .as("cents"),
+        expr(c.probeFilterSql).as("pf"), expr(c.versionFilterSql).as("vf"))
+      .as[(String, java.sql.Timestamp, Long, Long, Boolean, Boolean)]
+      .collect().toSeq.sortBy(t => (micros(t._2), t._3))
+    val envs = rows.flatMap { case (k, ts, id, cents, pf, vf) =>
+      (if (vf) Seq(TemporalJoin.TemporalEvent(k, ts, isProbe = false, id, cents))
+       else Nil) ++
+      (if (pf) Seq(TemporalJoin.TemporalEvent(k, ts, isProbe = true, id, 0L))
+       else Nil)
+    }
+    val maxTs = rows.last._2.getTime
+    val sentinel = TemporalJoin.TemporalEvent(" flush",
+      new java.sql.Timestamp(maxTs + 10L * 86400000L), isProbe = true,
+      -1L, 0L)
+    val input = MemoryStream[TemporalJoin.TemporalEvent]
+    val ds = input.toDS()
+    val probeSide = ds.filter(_.isProbe)
+      .select($"key".as("k"), $"eventTime".as("ts"),
+        $"probeId".as("probe_id"))
+    val versionSide = ds.filter(!_.isProbe)
+      .select($"key".as("k"), $"eventTime".as("ts"),
+        unix_millis($"eventTime").as("vms"), $"value".as("cents"))
+    val joined = TemporalJoin.asOfStream(probeSide, versionSide,
+      Seq("k"), "ts", Seq("vms", "cents"), watermarkDelay = "1 hour")
+    runToEnd(s, input, joined, chunks(envs, 3) :+ Seq(sentinel),
+      mode = "append", rocks = true)
+      .filter($"probe_id" >= 0)
+      .select($"k", $"probe_id",
+        coalesce($"r_vms", lit(-1L)).as("v_ts"),
+        coalesce($"r_cents", lit(-1L)).as("v_cents"))
+  }
+
   /** Streaming count-window replay (IntegrationQueries.q_stream_countwin
     * lives in that module's inventory; the harness internals live here):
     * events stream per user in (event-time, id) order, every full window

@@ -206,6 +206,54 @@ class CepFuzzSpec extends SparkSuite {
     }
   }
 
+  test("incremental streaming CEP equals the batch NFA per fuzz seed") {
+    import graft.cep.{AfterMatchSkip, CEP, Pattern}
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    // (ts, id)-sorted replay: CEP.stepSkip's stable merge then sees ties
+    // in id order, matching the batch tieFn = event_id convention
+    val evs = CepQueries.cepEvents(spark, dir).collect().toSeq
+      .sortBy(e => (e.ts, e.event_id))
+    for (seed <- 1L to 6L) {
+      val c = CepFuzzGen.gen(seed)
+      val pat0 = Pattern.begin[CepFuzzGen.CE]("s0")(c.steps.head.fn)
+      val patN = c.steps.tail.zipWithIndex.foldLeft(pat0) {
+        case (p, (st, i)) => p.next(s"s${i + 1}")(st.fn)
+      }
+      val pat = c.withinMinutes
+        .map(m => patN.within(m * 60000000L)).getOrElse(patN)
+      val last = s"s${c.steps.length - 1}"
+      val input = MemoryStream[CepFuzzGen.CE]
+      val matches = CEP.streaming[CepFuzzGen.CE](input.toDS(),
+          _.user_id.toString, _.ts, pat, maxBufferPerKey = Some(1 << 20),
+          skip = AfterMatchSkip.SkipToNext)
+        .map { m =>
+          val st = m.stages.toMap
+          (st("s0").head.user_id, st("s0").head.event_id,
+            st(last).head.event_id)
+        }.toDF("user_id", "a_id", "z_id")
+      val name = s"cepfz_${seed}_${System.nanoTime()}"
+      val ckpt = java.nio.file.Files.createTempDirectory("cepfz_ckpt")
+      val q = matches.writeStream.format("memory").queryName(name)
+        .outputMode("update").option("checkpointLocation", ckpt.toString)
+        .start()
+      val streamed =
+        try {
+          evs.grouped(math.max(1, evs.length / 3 + 1)).foreach { b =>
+            input.addData(b); q.processAllAvailable()
+          }
+          spark.table(name).collect().map(_.toString).sorted.toSeq
+        } finally { q.stop(); Q.deleteRecursively(ckpt) }
+      val batch = CepQueries.cepFuzzReplay(spark, dir, c)
+        .collect().map(_.toString).sorted.toSeq
+      assert(streamed == batch,
+        s"streaming CEP seed $seed diverged: steps=${c.steps} " +
+          s"within=${c.withinMinutes} " +
+          s"(batch=${batch.length}, streamed=${streamed.length})")
+    }
+  }
+
   test("NFA matches equal the LEAD window restatement per seed") {
     for (seed <- 1L to 12L) {
       val c = CepFuzzGen.gen(seed)

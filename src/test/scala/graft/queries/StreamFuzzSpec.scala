@@ -298,6 +298,24 @@ class StreamFuzzSpec extends SparkSuite {
     }
   }
 
+  test("Row-payload temporal front door equals the typed processor per seed") {
+    // one semantics, two processors: TemporalJoinProcessor (typed) and
+    // RowTemporalJoinProcessor (the DataFrame/SQL route) must agree on
+    // identical replays — buffering, ms-collision last-write-wins,
+    // resolve order, GC
+    for (seed <- 1L to 4L) {
+      val c = StreamFuzzGen.genTemporal(seed)
+      val typed = StreamQueries.streamTemporalFuzzReplay(spark, dir, c)
+        .collect().map(_.toString).sorted.toSeq
+      val row = StreamQueries.streamTemporalFuzzReplayRow(spark, dir, c)
+        .collect().map(_.toString).sorted.toSeq
+      assert(row == typed,
+        s"temporal row-path seed $seed diverged: key=${c.keySql} " +
+          s"pf=${c.probeFilterSql} vf=${c.versionFilterSql} " +
+          s"(typed=${typed.length} rows, row=${row.length})")
+    }
+  }
+
   test("incremental streaming replay matches the one-shot batch plan per seed") {
     val batchEv = Q.t(spark, dir, "events")
       .select(col("event_id"), col("user_id"),
