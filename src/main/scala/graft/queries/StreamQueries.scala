@@ -601,6 +601,57 @@ object StreamQueries {
         coalesce($"r_cents", lit(-1L)).as("v_cents"))
   }
 
+  /** The SAME [[StreamFuzzGen.TemporalCase]] through the BOUNDED-dim
+    * route ([[TemporalJoin.asOfStreamStatic]] — transformWithState
+    * initial state loading the full version history per key before the
+    * first batch): only probes stream; versions are a batch dim deduped
+    * to the operator's one-version-per-(key, ms) contract (latest
+    * (micro-ts, id) wins — the same rule the stream-stream arrival order
+    * produces). For an ascending replay the three temporal routes must
+    * agree row-for-row.
+    */
+  private[queries] def streamTemporalFuzzReplayStatic(s: SparkSession,
+      dir: String, c: StreamFuzzGen.TemporalCase): DataFrame = {
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    import graft.streaming.TemporalJoin
+    val rows = t(s, dir, "events")
+      .select(expr(s"CAST(${c.keySql} AS STRING)").as("k"),
+        col("ts").cast("timestamp").as("ts"), col("event_id"),
+        expr("CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)")
+          .as("cents"),
+        expr(c.probeFilterSql).as("pf"), expr(c.versionFilterSql).as("vf"))
+      .as[(String, java.sql.Timestamp, Long, Long, Boolean, Boolean)]
+      .collect().toSeq.sortBy(t => (micros(t._2), t._3))
+    val probes = rows.collect { case (k, ts, id, _, true, _) =>
+      TemporalJoin.TemporalEvent(k, ts, isProbe = true, id, 0L) }
+    // dim contract: one version per (key, ms) — latest (micro-ts, id)
+    val versions = rows.collect { case (k, ts, id, cents, _, true) =>
+      (k, ts, id, cents) }
+      .groupBy { case (k, ts, _, _) => (k, ts.getTime) }
+      .values.map(_.maxBy { case (_, ts, id, _) => (micros(ts), id) })
+      .toSeq
+    val versionsDf = versions
+      .map { case (k, ts, _, cents) => (k, ts, ts.getTime, cents) }
+      .toDF("k", "ts", "vms", "cents")
+    val maxTs = rows.last._2.getTime
+    val sentinel = TemporalJoin.TemporalEvent(" flush",
+      new java.sql.Timestamp(maxTs + 10L * 86400000L), isProbe = true,
+      -1L, 0L)
+    val input = MemoryStream[TemporalJoin.TemporalEvent]
+    val probeSide = input.toDS()
+      .select($"key".as("k"), $"eventTime".as("ts"),
+        $"probeId".as("probe_id"))
+    val joined = TemporalJoin.asOfStreamStatic(probeSide, versionsDf,
+      Seq("k"), "ts", Seq("vms", "cents"), watermarkDelay = "1 hour")
+    runToEnd(s, input, joined, chunks(probes, 3) :+ Seq(sentinel),
+      mode = "append", rocks = true)
+      .filter($"probe_id" >= 0)
+      .select($"k", $"probe_id",
+        coalesce($"r_vms", lit(-1L)).as("v_ts"),
+        coalesce($"r_cents", lit(-1L)).as("v_cents"))
+  }
+
   /** Streaming count-window replay (IntegrationQueries.q_stream_countwin
     * lives in that module's inventory; the harness internals live here):
     * events stream per user in (event-time, id) order, every full window

@@ -313,6 +313,14 @@ class StreamFuzzSpec extends SparkSuite {
         s"temporal row-path seed $seed diverged: key=${c.keySql} " +
           s"pf=${c.probeFilterSql} vf=${c.versionFilterSql} " +
           s"(typed=${typed.length} rows, row=${row.length})")
+      // third route: bounded-dim initial state (asOfStreamStatic) — for
+      // an ascending replay it must agree with the stream-stream runs
+      val static = StreamQueries.streamTemporalFuzzReplayStatic(spark, dir, c)
+        .collect().map(_.toString).sorted.toSeq
+      assert(static == typed,
+        s"temporal static-dim seed $seed diverged: key=${c.keySql} " +
+          s"pf=${c.probeFilterSql} vf=${c.versionFilterSql} " +
+          s"(typed=${typed.length} rows, static=${static.length})")
     }
   }
 
