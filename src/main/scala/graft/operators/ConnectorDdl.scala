@@ -671,29 +671,11 @@ object ConnectorDdl {
   }
 
   /** Per-statement scratch checkpoint dir, reaped at JVM exit so
-    * repeated smoke jobs don't accumulate state-store files in /tmp.
-    * ONE process-wide shutdown hook drains the queue — a hook (and
-    * Thread) per statement would accumulate unboundedly in a long-lived
-    * session issuing many INSERTs.
+    * repeated smoke jobs don't accumulate state-store files in /tmp
+    * (one process-wide hook — Q.scratchDir).
     */
-  private val scratchDirs =
-    new java.util.concurrent.ConcurrentLinkedQueue[java.nio.file.Path]()
-  private lazy val scratchHookInstalled: Boolean = {
-    Runtime.getRuntime.addShutdownHook(new Thread(() => {
-      var d = scratchDirs.poll()
-      while (d != null) {
-        graft.queries.Q.deleteRecursively(d)
-        d = scratchDirs.poll()
-      }
-    }))
-    true
-  }
-  private def scratchCkpt(prefix: String): String = {
-    require(scratchHookInstalled)
-    val dir = java.nio.file.Files.createTempDirectory(prefix)
-    scratchDirs.add(dir)
-    dir.toString
-  }
+  private def scratchCkpt(prefix: String): String =
+    graft.queries.Q.scratchDir(prefix)
 
   /** Upsert ordering column for INSERTs into a PRIMARY KEY table: the
     * per-statement/per-batch sequence composed with a monotone

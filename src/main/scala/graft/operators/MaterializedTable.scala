@@ -139,10 +139,7 @@ object MaterializedTable {
       val path = options.getOrElse("path", {
         // default storage is JVM-scoped scratch; reaped at exit so
         // repeated Verify/Bench runs don't accumulate materializations
-        val dir = java.nio.file.Files.createTempDirectory(s"mt_$name")
-        Runtime.getRuntime.addShutdownHook(new Thread(() =>
-          graft.queries.Q.deleteRecursively(dir)))
-        dir.toString + "/t"
+        graft.queries.Q.scratchDir(s"mt_$name") + "/t"
       })
       val probe = run(spark, query)
       val mode = Option(modeOrNull).map(_.toUpperCase).getOrElse(

@@ -477,9 +477,7 @@ object SqlQueries {
     // same front door.
     "q_sql_ddl_sink" -> ((s, dir) => {
       Tables.registerAll(s, dir)
-      val out = java.nio.file.Files.createTempDirectory("q_sql_ddl_sink")
-      Runtime.getRuntime.addShutdownHook(
-        new Thread(() => Q.deleteRecursively(out)))
+      val out = Q.scratchDir("q_sql_ddl_sink")
       graft.GraftSql.sql(s,
         s"""CREATE TABLE ddl_sink (l_returnflag STRING, sum_qty DOUBLE)
            |WITH ('connector' = 'filesystem', 'path' = '$out/t',
@@ -503,9 +501,7 @@ object SqlQueries {
     // the batch restatement over the same rows.
     "q_stream_upsert_route" -> ((s, dir) => {
       Tables.registerAll(s, dir)
-      val out = java.nio.file.Files.createTempDirectory("q_upsert_route")
-      Runtime.getRuntime.addShutdownHook(
-        new Thread(() => Q.deleteRecursively(out)))
+      val out = Q.scratchDir("q_upsert_route")
       Tables.load(s, dir, "events")
         .filter(org.apache.spark.sql.functions.col("event_id") % 2 === 0)
         .select("event_type", "value")
@@ -535,9 +531,7 @@ object SqlQueries {
     // equal the declarative aggregate.
     "q_sql_mattable" -> ((s, dir) => {
       Tables.registerAll(s, dir)
-      val out = java.nio.file.Files.createTempDirectory("q_sql_mattable")
-      Runtime.getRuntime.addShutdownHook(
-        new Thread(() => Q.deleteRecursively(out)))
+      val out = Q.scratchDir("q_sql_mattable")
       graft.GraftSql.sql(s,
         s"""CREATE MATERIALIZED TABLE mt_orders
            |WITH ('path' = '$out/t')
@@ -559,9 +553,7 @@ object SqlQueries {
     "q_sql_mattable_cont" -> ((s, dir) => {
       import org.apache.spark.sql.functions._
       Tables.registerAll(s, dir)
-      val out = java.nio.file.Files.createTempDirectory("q_sql_mtcont")
-      Runtime.getRuntime.addShutdownHook(
-        new Thread(() => Q.deleteRecursively(out)))
+      val out = Q.scratchDir("q_sql_mtcont")
       val src = s"$out/src"
       val ev = Tables.load(s, dir, "events")
         .select(col("event_id"), col("event_type"),
@@ -599,9 +591,7 @@ object SqlQueries {
     // equal the declarative restatement.
     "q_sql_dml" -> ((s, dir) => {
       Tables.registerAll(s, dir)
-      val out = java.nio.file.Files.createTempDirectory("q_sql_dml")
-      Runtime.getRuntime.addShutdownHook(
-        new Thread(() => Q.deleteRecursively(out)))
+      val out = Q.scratchDir("q_sql_dml")
       graft.GraftSql.sql(s,
         s"""CREATE TABLE dml_orders WITH ('connector' = 'filesystem',
            |  'path' = '$out/t', 'format' = 'parquet')
@@ -638,12 +628,10 @@ object SqlQueries {
           // a cached session bound to a STOPPED context must rebuild,
           // not serve dead-context errors forever
           hiveSession.filter(h => !h.sparkContext.isStopped).getOrElse {
-            val wh = java.nio.file.Files.createTempDirectory("q_sql_hive_wh")
-            val ms = java.nio.file.Files.createTempDirectory("q_sql_hive_ms")
-            Runtime.getRuntime.addShutdownHook(new Thread(() => {
-              Q.deleteRecursively(wh); Q.deleteRecursively(ms) }))
+            val wh = Q.scratchDir("q_sql_hive_wh")
+            val ms = Q.scratchDir("q_sql_hive_ms")
             val h = SparkSession.builder()
-              .config("spark.sql.warehouse.dir", wh.toString)
+              .config("spark.sql.warehouse.dir", wh)
               .config("javax.jdo.option.ConnectionURL",
                 s"jdbc:derby:;databaseName=$ms/db;create=true")
               .enableHiveSupport()
@@ -686,9 +674,7 @@ object SqlQueries {
     // diverge against the declarative oracle.
     "q_sql_ddl_part" -> ((s, dir) => {
       Tables.registerAll(s, dir)
-      val out = java.nio.file.Files.createTempDirectory("q_sql_ddl_part")
-      Runtime.getRuntime.addShutdownHook(
-        new Thread(() => Q.deleteRecursively(out)))
+      val out = Q.scratchDir("q_sql_ddl_part")
       graft.GraftSql.sql(s,
         s"""CREATE TABLE ddl_part (o_orderkey BIGINT, cents BIGINT,
            |  o_orderstatus STRING)

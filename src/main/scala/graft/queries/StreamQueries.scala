@@ -501,6 +501,33 @@ object StreamQueries {
     }
   }
 
+  /** Shared input extraction for the THREE temporal replays (typed,
+    * Row, static-dim): the case's (key, ts, event_id, cents, probe-arm,
+    * version-arm) rows sorted by (micro-ts, id), plus the far-future
+    * flush-probe sentinel (probeId = -1; NUL-prefixed key, disjoint from
+    * every CAST/CONCAT key the generator can produce). One extraction
+    * keeps the triple-path assertion honest: all routes replay literally
+    * the same input.
+    */
+  private def temporalCaseInput(s: SparkSession, dir: String,
+      c: StreamFuzzGen.TemporalCase)
+      : (Seq[(String, java.sql.Timestamp, Long, Long, Boolean, Boolean)],
+         graft.streaming.TemporalJoin.TemporalEvent) = {
+    import s.implicits._
+    val rows = t(s, dir, "events")
+      .select(expr(s"CAST(${c.keySql} AS STRING)").as("k"),
+        col("ts").cast("timestamp").as("ts"), col("event_id"),
+        expr("CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)")
+          .as("cents"),
+        expr(c.probeFilterSql).as("pf"), expr(c.versionFilterSql).as("vf"))
+      .as[(String, java.sql.Timestamp, Long, Long, Boolean, Boolean)]
+      .collect().toSeq.sortBy(t => (micros(t._2), t._3))
+    val sentinel = graft.streaming.TemporalJoin.TemporalEvent("\u0000flush",
+      new java.sql.Timestamp(rows.last._2.getTime + 10L * 86400000L),
+      isProbe = true, -1L, 0L)
+    (rows, sentinel)
+  }
+
   /** MemoryStream replay for a [[StreamFuzzGen.TemporalCase]]: probe and
     * version rows union (micro-ts, event_id)-sorted into the temporal
     * join processor's envelope stream; probes resolve watermark-driven
@@ -517,14 +544,7 @@ object StreamQueries {
     implicit val sqlCtx = s.sqlContext
     import graft.streaming.TemporalJoin
     implicit val outEnc = Encoders.product[TemporalJoin.AsOfMatch]
-    val rows = t(s, dir, "events")
-      .select(expr(s"CAST(${c.keySql} AS STRING)").as("k"),
-        col("ts").cast("timestamp").as("ts"), col("event_id"),
-        expr("CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)")
-          .as("cents"),
-        expr(c.probeFilterSql).as("pf"), expr(c.versionFilterSql).as("vf"))
-      .as[(String, java.sql.Timestamp, Long, Long, Boolean, Boolean)]
-      .collect().toSeq.sortBy(t => (micros(t._2), t._3))
+    val (rows, sentinel) = temporalCaseInput(s, dir, c)
     val envs = rows.flatMap { case (k, ts, id, cents, pf, vf) =>
       // a row matching both arms is BOTH a probe and a version (two
       // envelopes, version first so same-position iteration order is
@@ -534,10 +554,6 @@ object StreamQueries {
       (if (pf) Seq(TemporalJoin.TemporalEvent(k, ts, isProbe = true, id, 0L))
        else Nil)
     }
-    val maxTs = rows.last._2.getTime
-    val sentinel = TemporalJoin.TemporalEvent("\u0000flush",
-      new java.sql.Timestamp(maxTs + 10L * 86400000L), isProbe = true,
-      -1L, 0L)
     val input = MemoryStream[TemporalJoin.TemporalEvent]
     val out = input.toDS()
       .withWatermark("eventTime", "1 hour")
@@ -565,24 +581,13 @@ object StreamQueries {
     import s.implicits._
     implicit val sqlCtx = s.sqlContext
     import graft.streaming.TemporalJoin
-    val rows = t(s, dir, "events")
-      .select(expr(s"CAST(${c.keySql} AS STRING)").as("k"),
-        col("ts").cast("timestamp").as("ts"), col("event_id"),
-        expr("CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)")
-          .as("cents"),
-        expr(c.probeFilterSql).as("pf"), expr(c.versionFilterSql).as("vf"))
-      .as[(String, java.sql.Timestamp, Long, Long, Boolean, Boolean)]
-      .collect().toSeq.sortBy(t => (micros(t._2), t._3))
+    val (rows, sentinel) = temporalCaseInput(s, dir, c)
     val envs = rows.flatMap { case (k, ts, id, cents, pf, vf) =>
       (if (vf) Seq(TemporalJoin.TemporalEvent(k, ts, isProbe = false, id, cents))
        else Nil) ++
       (if (pf) Seq(TemporalJoin.TemporalEvent(k, ts, isProbe = true, id, 0L))
        else Nil)
     }
-    val maxTs = rows.last._2.getTime
-    val sentinel = TemporalJoin.TemporalEvent(" flush",
-      new java.sql.Timestamp(maxTs + 10L * 86400000L), isProbe = true,
-      -1L, 0L)
     val input = MemoryStream[TemporalJoin.TemporalEvent]
     val ds = input.toDS()
     val probeSide = ds.filter(_.isProbe)
@@ -615,14 +620,7 @@ object StreamQueries {
     import s.implicits._
     implicit val sqlCtx = s.sqlContext
     import graft.streaming.TemporalJoin
-    val rows = t(s, dir, "events")
-      .select(expr(s"CAST(${c.keySql} AS STRING)").as("k"),
-        col("ts").cast("timestamp").as("ts"), col("event_id"),
-        expr("CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)")
-          .as("cents"),
-        expr(c.probeFilterSql).as("pf"), expr(c.versionFilterSql).as("vf"))
-      .as[(String, java.sql.Timestamp, Long, Long, Boolean, Boolean)]
-      .collect().toSeq.sortBy(t => (micros(t._2), t._3))
+    val (rows, sentinel) = temporalCaseInput(s, dir, c)
     val probes = rows.collect { case (k, ts, id, _, true, _) =>
       TemporalJoin.TemporalEvent(k, ts, isProbe = true, id, 0L) }
     // dim contract: one version per (key, ms) — latest (micro-ts, id)
@@ -634,10 +632,6 @@ object StreamQueries {
     val versionsDf = versions
       .map { case (k, ts, _, cents) => (k, ts, ts.getTime, cents) }
       .toDF("k", "ts", "vms", "cents")
-    val maxTs = rows.last._2.getTime
-    val sentinel = TemporalJoin.TemporalEvent(" flush",
-      new java.sql.Timestamp(maxTs + 10L * 86400000L), isProbe = true,
-      -1L, 0L)
     val input = MemoryStream[TemporalJoin.TemporalEvent]
     val probeSide = input.toDS()
       .select($"key".as("k"), $"eventTime".as("ts"),

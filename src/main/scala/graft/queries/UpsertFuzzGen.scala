@@ -89,9 +89,9 @@ object UpsertFuzzGen {
     }
     val result = graft.GraftSql.sql(s, s"SELECT k1, k2, v FROM $name")
     // the result's analyzed plan holds the resolved parquet relation; the
-    // view name itself must not accumulate in the catalog across bench
-    // iterations (one fresh name per invocation)
-    s.catalog.dropTempView(name)
+    // per-invocation name must not accumulate in the catalog OR the DDL
+    // registry across bench iterations — DROP TABLE removes both
+    graft.GraftSql.sql(s, s"DROP TABLE $name")
     result
   }
 }
