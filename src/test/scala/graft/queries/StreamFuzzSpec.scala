@@ -252,6 +252,113 @@ class StreamFuzzSpec extends SparkSuite {
     }
   }
 
+  test("full-outer retraction join preserves duplicate-payload multiplicities per seed") {
+    // the oracle replays keep payloads unique (a net-count fold can't
+    // represent multisets), so the processor's duplicate-count paths —
+    // MapState cnt >= 2, emitN fan-out, willBeEmpty on (p, 1) — get
+    // their own differential here: duplicated inserts, single-copy
+    // deletes, and a driver-side multiset ground truth
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions._
+    import graft.streaming.{Changelog, OuterJoin}
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    for (seed <- 1L to 6L) {
+      val c = StreamFuzzGen.genJoin(seed).copy(joinType = "full")
+      val rows = Q.t(spark, dir, "events")
+        .select(expr(s"CAST(${c.keySql} AS STRING)").as("k"),
+          col("event_id"),
+          expr("CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)")
+            .as("cents"),
+          expr(c.leftFilterSql).as("lf"), expr(c.rightFilterSql).as("rf"))
+        .as[(String, Long, Long, Boolean, Boolean)].collect().toSeq
+        .sortBy(_._2)
+      // weights: duplicated rows insert twice; delete-predicate rows
+      // retract ONE copy (clamped — a delete of a never-surviving row
+      // is not generated)
+      def wOf(id: Long, dupMod: Long, dupRes: Long, delMod: Int,
+          delRes: Int): Int = {
+        val ins = if (id % dupMod == dupRes) 2 else 1
+        val del = if (id % delMod == delRes) 1 else 0
+        math.max(0, ins - del)
+      }
+      val lefts = rows.collect { case (k, id, cents, true, _)
+        if id % 2 == 0 => (k, id, cents) }
+      val rights = rows.collect { case (k, id, _, _, true)
+        if id % 2 == 1 => (k, id) }
+      val wl = lefts.map { case (k, id, cents) =>
+        (k, id, cents) -> wOf(id, 5, 2, c.lDelMod, c.lDelRes) }.toMap
+      val wr = rights.map { case (k, id) =>
+        (k, id) -> wOf(id, 7, 1, c.rDelMod, c.rDelRes) }.toMap
+      // ground truth multiset of (k, l_id, l_cents, r_id) -> multiplicity
+      val lByK = lefts.filter(wl(_) > 0).groupBy(_._1)
+      val rByK = rights.filter(wr(_) > 0).groupBy(_._1)
+      val expected = scala.collection.mutable.Map.empty[(String,
+        Option[(Long, Long)], Option[Long]), Long]
+      def bump(key: (String, Option[(Long, Long)], Option[Long]),
+          n: Long): Unit =
+        expected(key) = expected.getOrElse(key, 0L) + n
+      (lByK.keySet ++ rByK.keySet).foreach { k =>
+        val ls = lByK.getOrElse(k, Nil)
+        val rs = rByK.getOrElse(k, Nil)
+        if (rs.isEmpty) ls.foreach(l =>
+          bump((k, Some((l._2, l._3)), None), wl(l).toLong))
+        else if (ls.isEmpty) rs.foreach(r =>
+          bump((k, None, Some(r._2)), wr(r).toLong))
+        else for (l <- ls; r <- rs)
+          bump((k, Some((l._2, l._3)), Some(r._2)),
+            wl(l).toLong * wr(r).toLong)
+      }
+      // replay: inserts (dup rows twice) in two batches, then right
+      // deletes, then left deletes — one copy each
+      val inserts = (lefts.flatMap { case t @ (k, id, cents) =>
+          Seq.fill(if (id % 5 == 2) 2 else 1)((k, Changelog.Insert,
+            true, id, cents)) } ++
+        rights.flatMap { case (k, id) =>
+          Seq.fill(if (id % 7 == 1) 2 else 1)((k, Changelog.Insert,
+            false, id, 0L)) }).sortBy(_._4)
+      val rDel = rights.collect { case (k, id)
+        if id % c.rDelMod == c.rDelRes => (k, Changelog.Delete, false, id, 0L) }
+      val lDel = lefts.collect { case (k, id, cents)
+        if id % c.lDelMod == c.lDelRes => (k, Changelog.Delete, true, id, cents) }
+      val input = MemoryStream[(String, Byte, Boolean, Long, Long)]
+      val ds = input.toDS()
+      val left = ds.filter(_._3).map(r => (r._1, r._2, (r._4, r._5)))
+      val right = ds.filter(!_._3).map(r => (r._1, r._2, r._4))
+      val out = OuterJoin.outerJoin[String, (Long, Long), Long](
+        left, right, OuterJoin.FullOuter)
+      val name = s"jdup_${seed}_${System.nanoTime()}"
+      val ckpt = java.nio.file.Files.createTempDirectory("jdup_ckpt")
+      val q = out.toDF().writeStream.format("memory").queryName(name)
+        .outputMode("update").option("checkpointLocation", ckpt.toString)
+        .start()
+      val actual =
+        try {
+          val half = inserts.length / 2 + 1
+          (inserts.grouped(half).toSeq ++
+            Seq(rDel, lDel).filter(_.nonEmpty)).foreach { b =>
+            input.addData(b); q.processAllAvailable()
+          }
+          spark.table(name).collect().toSeq
+            .groupBy { r =>
+              val l = Option(r.getStruct(r.fieldIndex("left")))
+                .map(s0 => (s0.getLong(0), s0.getLong(1)))
+              val rr = if (r.isNullAt(r.fieldIndex("right"))) None
+                else Some(r.getLong(r.fieldIndex("right")))
+              (r.getString(r.fieldIndex("key")), l, rr)
+            }
+            .view.mapValues(_.map(r =>
+              if (Changelog.isAdd(r.getByte(r.fieldIndex("kind")))) 1L
+              else -1L).sum)
+            .filter(_._2 != 0L).toMap
+        } finally { q.stop(); Q.deleteRecursively(ckpt) }
+      assert(actual == expected.toMap,
+        s"dup-join seed $seed diverged: key=${c.keySql} " +
+          s"lf=${c.leftFilterSql} rf=${c.rightFilterSql} " +
+          s"(expected ${expected.size} distinct rows, got ${actual.size})")
+    }
+  }
+
   test("temporal generator is deterministic and covers its arms") {
     for (s <- Seq(1L, 7L, 4242L))
       assert(StreamFuzzGen.genTemporal(s) == StreamFuzzGen.genTemporal(s))
