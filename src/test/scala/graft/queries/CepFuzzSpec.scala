@@ -254,6 +254,41 @@ class CepFuzzSpec extends SparkSuite {
     }
   }
 
+  test("streaming MATCH_RECOGNIZE equals batch MATCH_RECOGNIZE per fuzz seed") {
+    import graft.cep.MatchRecognize
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val ev = CepQueries.cepEvents(spark, dir)
+    val evs = ev.collect().toSeq.sortBy(e => (e.ts, e.event_id))
+    def dual(clause: String, label: String): Unit = {
+      val batch = MatchRecognize(ev.toDF(), clause)
+        .collect().map(_.toString).sorted.toSeq
+      val input = MemoryStream[CepFuzzGen.CE]
+      val out = MatchRecognize.streaming(input.toDS().toDF(), clause,
+        maxBufferPerKey = Some(1 << 20))
+      val name = s"mrfz_${System.nanoTime()}"
+      val ckpt = java.nio.file.Files.createTempDirectory("mrfz_ckpt")
+      val q = out.writeStream.format("memory").queryName(name)
+        .outputMode("update").option("checkpointLocation", ckpt.toString)
+        .start()
+      val streamed =
+        try {
+          evs.grouped(math.max(1, evs.length / 3 + 1)).foreach { b =>
+            input.addData(b); q.processAllAvailable()
+          }
+          spark.table(name).collect().map(_.toString).sorted.toSeq
+        } finally { q.stop(); Q.deleteRecursively(ckpt) }
+      assert(streamed == batch,
+        s"streaming MR diverged at $label: " +
+          s"(batch=${batch.length}, streamed=${streamed.length})\n$clause")
+    }
+    for (seed <- 1L to 4L) dual(CepFuzzGen.mrClause(CepFuzzGen.gen(seed)),
+      s"strict seed $seed")
+    for (seed <- 1L to 4L) dual(CepFuzzGen.genQuant(seed).mrClause,
+      s"quant seed $seed")
+  }
+
   test("NFA matches equal the LEAD window restatement per seed") {
     for (seed <- 1L to 12L) {
       val c = CepFuzzGen.gen(seed)
