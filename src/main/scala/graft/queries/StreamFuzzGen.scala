@@ -322,6 +322,39 @@ object StreamFuzzGen {
     }
   }
 
+  /** An event-time INTERVAL-join case — exercises the stream–stream
+    * time-range join (the reference's IntervalJoinOperator,
+    * flink-streaming-java/.../co/IntervalJoinOperator.java; Spark's
+    * watermarked stream–stream inner join with a time-range condition):
+    * right rows join left rows with the same key whose timestamp lies in
+    * [l.ts + lo, l.ts + hi]. Bounds may be negative (backward-looking),
+    * span zero, or sit strictly forward — the generator draws all three.
+    */
+  case class IntervalCase(
+      seed: Long,
+      keySql: String,
+      leftFilterSql: String, // on top of event_id % 2 = 0
+      rightFilterSql: String, // on top of event_id % 2 = 1
+      loMinutes: Int,
+      hiMinutes: Int) {
+
+    /** DuckDB restatement: the same range join in exact micros. */
+    def oracleSql: String =
+      s"""WITH e AS (SELECT event_id, user_id,
+         |    make_timestamp(epoch_ns(ts) // 1000) AS ts, event_type, value
+         |  FROM events),
+         |l AS (SELECT CAST($keySql AS STRING) AS k, event_id AS l_id,
+         |    epoch_us(ts) AS us
+         |  FROM e WHERE event_id % 2 = 0 AND ($leftFilterSql)),
+         |r AS (SELECT CAST($keySql AS STRING) AS k, event_id AS r_id,
+         |    epoch_us(ts) AS us
+         |  FROM e WHERE event_id % 2 = 1 AND ($rightFilterSql))
+         |SELECT l.k AS k, l_id, r_id
+         |FROM l JOIN r ON l.k = r.k
+         |  AND r.us >= l.us + ${loMinutes * 60000000L}
+         |  AND r.us <= l.us + ${hiMinutes * 60000000L}""".stripMargin
+  }
+
   /** An event-time temporal/as-of join case — exercises
     * [[graft.streaming.TemporalJoin.TemporalJoinProcessor]] (the
     * reference's TemporalRowTimeJoinOperator versioned-map-state
@@ -528,6 +561,20 @@ object StreamFuzzGen {
     val rDelRes = r.nextInt(rDelMod)
     JoinCase(seed, joinType, keySql, leftFilterSql, rightFilterSql,
       lDelMod, lDelRes, rDelMod, rDelRes)
+  }
+
+  /** The interval case for a seed — a pure function of the seed. */
+  def genInterval(seed: Long): IntervalCase = {
+    val r = new Random(scramble(seed ^ 0x17e4a1L))
+    val keySql = r.nextInt(2) match {
+      case 0 => "CAST(user_id AS STRING)"
+      case 1 => "CONCAT(CAST(user_id AS STRING), '#', event_type)"
+    }
+    val leftFilterSql = basePredOf(r)
+    val rightFilterSql = basePredOf(r)
+    val lo = Seq(-120, -60, -30, 0, 15)(r.nextInt(5))
+    val hi = lo + Seq(15, 30, 60, 120)(r.nextInt(4))
+    IntervalCase(seed, keySql, leftFilterSql, rightFilterSql, lo, hi)
   }
 
   /** The temporal case for a seed — a pure function of the seed. The

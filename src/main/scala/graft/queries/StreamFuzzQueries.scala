@@ -88,6 +88,16 @@ object StreamFuzzQueries {
     firstJoinSeed(_.joinType == "semi"),
     firstJoinSeed(_.joinType == "anti")).distinct
 
+  private def firstIntervalSeed(p: StreamFuzzGen.IntervalCase => Boolean): Long =
+    (1L to 256L).find(s => p(StreamFuzzGen.genInterval(s)))
+      .getOrElse(sys.error("no interval seed in 1..256 matches the shape"))
+
+  /** one zero-spanning interval shape (lo < 0 < hi — rows joining both
+    * backward and forward, the bidirectional-buffer case).
+    */
+  private[queries] val intervalSeeds: Seq[Long] = Seq(
+    firstIntervalSeed(c => c.loMinutes < 0 && c.hiMinutes > 0)).distinct
+
   private def firstTemporalSeed(p: StreamFuzzGen.TemporalCase => Boolean): Long =
     (1L to 256L).find(s => p(StreamFuzzGen.genTemporal(s)))
       .getOrElse(sys.error("no temporal seed in 1..256 matches the shape"))
@@ -138,6 +148,7 @@ object StreamFuzzQueries {
   private val temporalCases = temporalSeeds.map(StreamFuzzGen.genTemporal)
   private val quantCases = quantSeeds.map(CepFuzzGen.genQuant)
   private val relaxedCases = relaxedSeeds.map(CepFuzzGen.genRelaxed)
+  private val intervalCases = intervalSeeds.map(StreamFuzzGen.genInterval)
 
   val queries: Map[String, QFn] =
     cases.map { c =>
@@ -179,6 +190,10 @@ object StreamFuzzQueries {
     relaxedCases.map { c =>
       s"q_fuzz_cepr_${c.seed}" -> ((s, dir) =>
         CepQueries.cepRelaxedFuzzReplay(s, dir, c)): (String, QFn)
+    }.toMap ++
+    intervalCases.map { c =>
+      s"q_fuzz_stream_iv${c.seed}" -> ((s, dir) =>
+        StreamQueries.streamIntervalFuzzReplay(s, dir, c)): (String, QFn)
     }.toMap
 
   val oracles: Map[String, String] =
@@ -191,7 +206,8 @@ object StreamFuzzQueries {
     joinCases.map(c => s"q_fuzz_stream_j${c.seed}" -> c.oracleSql).toMap ++
     temporalCases.map(c => s"q_fuzz_stream_tj${c.seed}" -> c.oracleSql).toMap ++
     quantCases.map(c => s"q_fuzz_cepq_${c.seed}" -> c.oracleSql).toMap ++
-    relaxedCases.map(c => s"q_fuzz_cepr_${c.seed}" -> c.oracleSql).toMap
+    relaxedCases.map(c => s"q_fuzz_cepr_${c.seed}" -> c.oracleSql).toMap ++
+    intervalCases.map(c => s"q_fuzz_stream_iv${c.seed}" -> c.oracleSql).toMap
 
   /** Public replay front doors for the dev-side sweep
     * (graft.StreamFuzzDump — outside this package).
@@ -235,4 +251,8 @@ object StreamFuzzQueries {
   def replayRelaxed(s: org.apache.spark.sql.SparkSession, dir: String,
       c: CepFuzzGen.RelaxedCase): org.apache.spark.sql.DataFrame =
     CepQueries.cepRelaxedFuzzReplay(s, dir, c)
+
+  def replayInterval(s: org.apache.spark.sql.SparkSession, dir: String,
+      c: StreamFuzzGen.IntervalCase): org.apache.spark.sql.DataFrame =
+    StreamQueries.streamIntervalFuzzReplay(s, dir, c)
 }

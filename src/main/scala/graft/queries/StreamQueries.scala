@@ -501,6 +501,48 @@ object StreamQueries {
     }
   }
 
+  /** Interval-join envelope for [[streamIntervalFuzzReplay]]. */
+  case class IvEnv(k: String, isLeft: Boolean, id: Long,
+      ts: java.sql.Timestamp)
+
+  /** MemoryStream replay for a [[StreamFuzzGen.IntervalCase]]: one
+    * watermarked stream splits into the two filtered sides, which join
+    * under the case's time-range condition (Spark's stream–stream inner
+    * join — the IntervalJoinOperator analogue, q_stream_interval's
+    * harness generalized). Inner joins emit eagerly on match, so the
+    * ascending replay needs no flush sentinel; the watermark + range
+    * condition exist to bound state, exactly as in production.
+    */
+  private[queries] def streamIntervalFuzzReplay(s: SparkSession,
+      dir: String, c: StreamFuzzGen.IntervalCase): DataFrame = {
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val rows = t(s, dir, "events")
+      .select(expr(s"CAST(${c.keySql} AS STRING)").as("k"),
+        col("event_id"), col("ts").cast("timestamp").as("ts"),
+        expr(c.leftFilterSql).as("lf"), expr(c.rightFilterSql).as("rf"))
+      .as[(String, Long, java.sql.Timestamp, Boolean, Boolean)]
+      .collect().toSeq.sortBy(t => (micros(t._3), t._2))
+      .collect {
+        case (k, id, ts, lf, _) if id % 2 == 0 && lf =>
+          IvEnv(k, isLeft = true, id, ts)
+        case (k, id, ts, _, rf) if id % 2 == 1 && rf =>
+          IvEnv(k, isLeft = false, id, ts)
+      }
+    val input = MemoryStream[IvEnv]
+    val ev = input.toDS().withWatermark("ts", "1 hour")
+    val lhs = ev.filter($"isLeft")
+      .select($"k".as("l_k"), $"id".as("l_id"), $"ts".as("l_ts"))
+    val rhs = ev.filter(!$"isLeft")
+      .select($"k".as("r_k"), $"id".as("r_id"), $"ts".as("r_ts"))
+    val joined = lhs.join(rhs,
+        $"l_k" === $"r_k" &&
+        expr(s"r_ts >= l_ts + INTERVAL '${c.loMinutes}' MINUTE") &&
+        expr(s"r_ts <= l_ts + INTERVAL '${c.hiMinutes}' MINUTE"))
+      .select($"l_k".as("k"), $"l_id", $"r_id")
+    runToEnd(s, input, joined, chunks(rows, 2), mode = "append")
+  }
+
   /** Shared input extraction for the THREE temporal replays (typed,
     * Row, static-dim): the case's (key, ts, event_id, cents, probe-arm,
     * version-arm) rows sorted by (micro-ts, id), plus the far-future

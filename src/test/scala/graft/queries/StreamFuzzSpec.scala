@@ -359,6 +359,44 @@ class StreamFuzzSpec extends SparkSuite {
     }
   }
 
+  test("interval generator is deterministic and covers its arms") {
+    for (s <- Seq(1L, 7L, 4242L))
+      assert(StreamFuzzGen.genInterval(s) == StreamFuzzGen.genInterval(s))
+    val cs = (1L to 24L).map(StreamFuzzGen.genInterval)
+    assert(cs.exists(c => c.loMinutes < 0 && c.hiMinutes <= 0))
+    assert(cs.exists(c => c.loMinutes < 0 && c.hiMinutes > 0))
+    assert(cs.exists(_.loMinutes >= 0))
+    assert(cs.forall(c => c.hiMinutes > c.loMinutes))
+  }
+
+  test("stream-stream interval join matches the batch range join per seed") {
+    import org.apache.spark.sql.functions._
+    val ev = Q.t(spark, dir, "events")
+    for (seed <- 1L to 8L) {
+      val c = StreamFuzzGen.genInterval(seed)
+      val keyed = ev.withColumn("k", expr(s"CAST(${c.keySql} AS STRING)"))
+        .withColumn("us", unix_micros(col("ts").cast("timestamp")))
+      val l = keyed.filter(col("event_id") % 2 === 0 && expr(c.leftFilterSql))
+        .select(col("k"), col("event_id").as("l_id"), col("us").as("l_us"))
+      val r = keyed.filter(col("event_id") % 2 === 1 && expr(c.rightFilterSql))
+        .select(col("k").as("r_k"), col("event_id").as("r_id"),
+          col("us").as("r_us"))
+      val expected = l.join(r,
+          col("k") === col("r_k") &&
+          col("r_us") >= col("l_us") + c.loMinutes * 60000000L &&
+          col("r_us") <= col("l_us") + c.hiMinutes * 60000000L)
+        .select(col("k"), col("l_id"), col("r_id"))
+        .collect().map(_.toString).sorted.toSeq
+      val actual = StreamQueries.streamIntervalFuzzReplay(spark, dir, c)
+        .collect().map(_.toString).sorted.toSeq
+      assert(actual == expected,
+        s"interval seed $seed diverged: key=${c.keySql} " +
+          s"lo=${c.loMinutes} hi=${c.hiMinutes} lf=${c.leftFilterSql} " +
+          s"rf=${c.rightFilterSql} " +
+          s"(batch=${expected.length} rows, stream=${actual.length})")
+    }
+  }
+
   test("temporal generator is deterministic and covers its arms") {
     for (s <- Seq(1L, 7L, 4242L))
       assert(StreamFuzzGen.genTemporal(s) == StreamFuzzGen.genTemporal(s))
