@@ -628,7 +628,11 @@ object MatchRecognize {
   /** Run a MATCH_RECOGNIZE clause over an unbounded keyed stream — the
     * StreamExecMatch path. As in the reference, the primary ORDER BY
     * column must be the event-time attribute (a TIMESTAMP or epoch
-    * numeric); rows buffer per key and matches emit incrementally via
+    * numeric). Same-timestamp ties resolve in ARRIVAL order (the
+    * reference CepOperator's contract for equal-time elements), not by
+    * the secondary ORDER BY columns the batch path honors — feed
+    * secondary-sorted input when tie order must match batch. Rows
+    * buffer per key and matches emit incrementally via
     * [[CEP.stepSkip]] (sorted-merge buffer, incremental scan,
     * within-horizon eviction). The state bound rule is CEP.streaming's:
     * the clause carries WITHIN or `maxBufferPerKey` caps the buffer.

@@ -233,18 +233,9 @@ class CepFuzzSpec extends SparkSuite {
           (st("s0").head.user_id, st("s0").head.event_id,
             st(last).head.event_id)
         }.toDF("user_id", "a_id", "z_id")
-      val name = s"cepfz_${seed}_${System.nanoTime()}"
-      val ckpt = java.nio.file.Files.createTempDirectory("cepfz_ckpt")
-      val q = matches.writeStream.format("memory").queryName(name)
-        .outputMode("update").option("checkpointLocation", ckpt.toString)
-        .start()
-      val streamed =
-        try {
-          evs.grouped(math.max(1, evs.length / 3 + 1)).foreach { b =>
-            input.addData(b); q.processAllAvailable()
-          }
-          spark.table(name).collect().map(_.toString).sorted.toSeq
-        } finally { q.stop(); Q.deleteRecursively(ckpt) }
+      val streamed = runStreamToTable(input, matches,
+          evs.grouped(math.max(1, evs.length / 3 + 1)).toSeq)
+        .map(_.toString).sorted
       val batch = CepQueries.cepFuzzReplay(spark, dir, c)
         .collect().map(_.toString).sorted.toSeq
       assert(streamed == batch,
@@ -267,18 +258,12 @@ class CepFuzzSpec extends SparkSuite {
       val input = MemoryStream[CepFuzzGen.CE]
       val out = MatchRecognize.streaming(input.toDS().toDF(), clause,
         maxBufferPerKey = Some(1 << 20))
-      val name = s"mrfz_${System.nanoTime()}"
-      val ckpt = java.nio.file.Files.createTempDirectory("mrfz_ckpt")
-      val q = out.writeStream.format("memory").queryName(name)
-        .outputMode("update").option("checkpointLocation", ckpt.toString)
-        .start()
-      val streamed =
-        try {
-          evs.grouped(math.max(1, evs.length / 3 + 1)).foreach { b =>
-            input.addData(b); q.processAllAvailable()
-          }
-          spark.table(name).collect().map(_.toString).sorted.toSeq
-        } finally { q.stop(); Q.deleteRecursively(ckpt) }
+      // (ts, id)-sorted replay: streaming MR resolves same-ts ties by
+      // ARRIVAL order (the reference CepOperator's contract), batch MR
+      // by the secondary ORDER BY — the sorted feed makes them coincide
+      val streamed = runStreamToTable(input, out,
+          evs.grouped(math.max(1, evs.length / 3 + 1)).toSeq)
+        .map(_.toString).sorted
       assert(streamed == batch,
         s"streaming MR diverged at $label: " +
           s"(batch=${batch.length}, streamed=${streamed.length})\n$clause")

@@ -327,31 +327,20 @@ class StreamFuzzSpec extends SparkSuite {
       val right = ds.filter(!_._3).map(r => (r._1, r._2, r._4))
       val out = OuterJoin.outerJoin[String, (Long, Long), Long](
         left, right, OuterJoin.FullOuter)
-      val name = s"jdup_${seed}_${System.nanoTime()}"
-      val ckpt = java.nio.file.Files.createTempDirectory("jdup_ckpt")
-      val q = out.toDF().writeStream.format("memory").queryName(name)
-        .outputMode("update").option("checkpointLocation", ckpt.toString)
-        .start()
-      val actual =
-        try {
-          val half = inserts.length / 2 + 1
-          (inserts.grouped(half).toSeq ++
-            Seq(rDel, lDel).filter(_.nonEmpty)).foreach { b =>
-            input.addData(b); q.processAllAvailable()
-          }
-          spark.table(name).collect().toSeq
-            .groupBy { r =>
-              val l = Option(r.getStruct(r.fieldIndex("left")))
-                .map(s0 => (s0.getLong(0), s0.getLong(1)))
-              val rr = if (r.isNullAt(r.fieldIndex("right"))) None
-                else Some(r.getLong(r.fieldIndex("right")))
-              (r.getString(r.fieldIndex("key")), l, rr)
-            }
-            .view.mapValues(_.map(r =>
-              if (Changelog.isAdd(r.getByte(r.fieldIndex("kind")))) 1L
-              else -1L).sum)
-            .filter(_._2 != 0L).toMap
-        } finally { q.stop(); Q.deleteRecursively(ckpt) }
+      val half = inserts.length / 2 + 1
+      val actual = runStreamToTable(input, out.toDF(),
+          inserts.grouped(half).toSeq ++ Seq(rDel, lDel).filter(_.nonEmpty))
+        .groupBy { r =>
+          val l = Option(r.getStruct(r.fieldIndex("left")))
+            .map(s0 => (s0.getLong(0), s0.getLong(1)))
+          val rr = if (r.isNullAt(r.fieldIndex("right"))) None
+            else Some(r.getLong(r.fieldIndex("right")))
+          (r.getString(r.fieldIndex("key")), l, rr)
+        }
+        .view.mapValues(_.map(r =>
+          if (Changelog.isAdd(r.getByte(r.fieldIndex("kind")))) 1L
+          else -1L).sum)
+        .filter(_._2 != 0L).toMap
       assert(actual == expected.toMap,
         s"dup-join seed $seed diverged: key=${c.keySql} " +
           s"lf=${c.leftFilterSql} rf=${c.rightFilterSql} " +
