@@ -16,8 +16,8 @@ package graft
   * dedup (StatefulOps keep-first/last/TTL), join (OuterJoin/SemiAntiJoin
   * retraction joins), temporal (TemporalJoin as-of resolution), cepq
   * (NFA quantifier patterns), cepr (NFA relaxed-contiguity/negation
-  * patterns), interval (stream–stream time-range join), or all (n seeds
-  * of each).
+  * patterns), interval (stream–stream time-range join), winjoin
+  * (windowed equi-join), or all (n seeds of each).
   */
 object StreamFuzzDump {
   def main(args: Array[String]): Unit = {
@@ -97,6 +97,12 @@ object StreamFuzzDump {
           () => graft.queries.StreamFuzzQueries.replayInterval(spark, sfDir, c),
           c.oracleSql)
       }
+      def wj = {
+        val c = graft.queries.StreamFuzzGen.genWinJoin(seed)
+        (s"q_fuzz_stream_wj$seed",
+          () => graft.queries.StreamFuzzQueries.replayWinJoin(spark, sfDir, c),
+          c.oracleSql)
+      }
       family match {
         case "window"  => Seq(w)
         case "session" => Seq(se)
@@ -109,10 +115,11 @@ object StreamFuzzDump {
         case "cepq"    => Seq(cq)
         case "cepr"    => Seq(cr)
         case "interval" => Seq(iv)
-        case "all"     => Seq(w, se, re, tn, ce, de, jo, tj, cq, cr, iv)
+        case "winjoin" => Seq(wj)
+        case "all"     => Seq(w, se, re, tn, ce, de, jo, tj, cq, cr, iv, wj)
         case other => sys.error(s"unknown family '$other': " +
           "expected window, session, retract, topn, cep, dedup, join, " +
-          "temporal, cepq, cepr, interval, all")
+          "temporal, cepq, cepr, interval, winjoin, all")
       }
     }
     val oracle = (seed0 until seed0 + n).flatMap(arms).flatMap {
@@ -127,7 +134,7 @@ object StreamFuzzDump {
         }
     }
     DumpIO.writeOracle(outDir, oracle)
-    val total = n * (if (family == "all") 11 else 1)
+    val total = n * (if (family == "all") 12 else 1)
     println(s"[streamfuzz] dumped ${oracle.length} of $total $family cases " +
       s"($failed failed on Spark), seeds $seed0..${seed0 + n - 1}")
     spark.stop()

@@ -355,6 +355,34 @@ object StreamFuzzGen {
          |  AND r.us <= l.us + ${hiMinutes * 60000000L}""".stripMargin
   }
 
+  /** A WINDOW-join case — exercises the windowed stream–stream equi-join
+    * (the reference's window join, WindowJoinOperator /
+    * StreamExecWindowJoin: both sides assigned to tumbling windows, rows
+    * join only within the same (window, key) slice). Restatement is the
+    * time_bucket equi-join — window() aligns minute windows to the epoch
+    * exactly as time_bucket does.
+    */
+  case class WinJoinCase(
+      seed: Long,
+      keySql: String,
+      leftFilterSql: String, // on top of event_id % 2 = 0
+      rightFilterSql: String, // on top of event_id % 2 = 1
+      winMinutes: Int) {
+
+    def oracleSql: String =
+      s"""WITH e AS (SELECT event_id, user_id,
+         |    make_timestamp(epoch_ns(ts) // 1000) AS ts, event_type, value
+         |  FROM events),
+         |l AS (SELECT time_bucket(INTERVAL $winMinutes MINUTE, ts) AS ws,
+         |    CAST($keySql AS STRING) AS k, event_id AS l_id
+         |  FROM e WHERE event_id % 2 = 0 AND ($leftFilterSql)),
+         |r AS (SELECT time_bucket(INTERVAL $winMinutes MINUTE, ts) AS ws,
+         |    CAST($keySql AS STRING) AS k, event_id AS r_id
+         |  FROM e WHERE event_id % 2 = 1 AND ($rightFilterSql))
+         |SELECT l.ws AS window_start, l.k AS k, l_id, r_id
+         |FROM l JOIN r ON l.ws = r.ws AND l.k = r.k""".stripMargin
+  }
+
   /** An event-time temporal/as-of join case — exercises
     * [[graft.streaming.TemporalJoin.TemporalJoinProcessor]] (the
     * reference's TemporalRowTimeJoinOperator versioned-map-state
@@ -575,6 +603,19 @@ object StreamFuzzGen {
     val lo = Seq(-120, -60, -30, 0, 15)(r.nextInt(5))
     val hi = lo + Seq(15, 30, 60, 120)(r.nextInt(4))
     IntervalCase(seed, keySql, leftFilterSql, rightFilterSql, lo, hi)
+  }
+
+  /** The window-join case for a seed — a pure function of the seed. */
+  def genWinJoin(seed: Long): WinJoinCase = {
+    val r = new Random(scramble(seed ^ 0x31d01aL))
+    val keySql = r.nextInt(2) match {
+      case 0 => "CAST(user_id AS STRING)"
+      case 1 => "CONCAT(CAST(user_id AS STRING), '#', event_type)"
+    }
+    val leftFilterSql = basePredOf(r)
+    val rightFilterSql = basePredOf(r)
+    val win = Seq(30, 60, 120)(r.nextInt(3))
+    WinJoinCase(seed, keySql, leftFilterSql, rightFilterSql, win)
   }
 
   /** The temporal case for a seed — a pure function of the seed. The

@@ -98,6 +98,16 @@ object StreamFuzzQueries {
   private[queries] val intervalSeeds: Seq[Long] = Seq(
     firstIntervalSeed(c => c.loMinutes < 0 && c.hiMinutes > 0)).distinct
 
+  private def firstWinJoinSeed(p: StreamFuzzGen.WinJoinCase => Boolean): Long =
+    (1L to 256L).find(s => p(StreamFuzzGen.genWinJoin(s)))
+      .getOrElse(sys.error("no winjoin seed in 1..256 matches the shape"))
+
+  /** one composite-key window-join shape (key = user#type — sparse
+    * per-window slices, the null-heavy side of the join space).
+    */
+  private[queries] val winJoinSeeds: Seq[Long] = Seq(
+    firstWinJoinSeed(_.keySql.contains("CONCAT"))).distinct
+
   private def firstTemporalSeed(p: StreamFuzzGen.TemporalCase => Boolean): Long =
     (1L to 256L).find(s => p(StreamFuzzGen.genTemporal(s)))
       .getOrElse(sys.error("no temporal seed in 1..256 matches the shape"))
@@ -149,6 +159,7 @@ object StreamFuzzQueries {
   private val quantCases = quantSeeds.map(CepFuzzGen.genQuant)
   private val relaxedCases = relaxedSeeds.map(CepFuzzGen.genRelaxed)
   private val intervalCases = intervalSeeds.map(StreamFuzzGen.genInterval)
+  private val winJoinCases = winJoinSeeds.map(StreamFuzzGen.genWinJoin)
 
   val queries: Map[String, QFn] =
     cases.map { c =>
@@ -194,6 +205,10 @@ object StreamFuzzQueries {
     intervalCases.map { c =>
       s"q_fuzz_stream_iv${c.seed}" -> ((s, dir) =>
         StreamQueries.streamIntervalFuzzReplay(s, dir, c)): (String, QFn)
+    }.toMap ++
+    winJoinCases.map { c =>
+      s"q_fuzz_stream_wj${c.seed}" -> ((s, dir) =>
+        StreamQueries.streamWinJoinFuzzReplay(s, dir, c)): (String, QFn)
     }.toMap
 
   val oracles: Map[String, String] =
@@ -207,7 +222,8 @@ object StreamFuzzQueries {
     temporalCases.map(c => s"q_fuzz_stream_tj${c.seed}" -> c.oracleSql).toMap ++
     quantCases.map(c => s"q_fuzz_cepq_${c.seed}" -> c.oracleSql).toMap ++
     relaxedCases.map(c => s"q_fuzz_cepr_${c.seed}" -> c.oracleSql).toMap ++
-    intervalCases.map(c => s"q_fuzz_stream_iv${c.seed}" -> c.oracleSql).toMap
+    intervalCases.map(c => s"q_fuzz_stream_iv${c.seed}" -> c.oracleSql).toMap ++
+    winJoinCases.map(c => s"q_fuzz_stream_wj${c.seed}" -> c.oracleSql).toMap
 
   /** Public replay front doors for the dev-side sweep
     * (graft.StreamFuzzDump — outside this package).
@@ -255,4 +271,8 @@ object StreamFuzzQueries {
   def replayInterval(s: org.apache.spark.sql.SparkSession, dir: String,
       c: StreamFuzzGen.IntervalCase): org.apache.spark.sql.DataFrame =
     StreamQueries.streamIntervalFuzzReplay(s, dir, c)
+
+  def replayWinJoin(s: org.apache.spark.sql.SparkSession, dir: String,
+      c: StreamFuzzGen.WinJoinCase): org.apache.spark.sql.DataFrame =
+    StreamQueries.streamWinJoinFuzzReplay(s, dir, c)
 }

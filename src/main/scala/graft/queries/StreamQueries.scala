@@ -543,6 +543,43 @@ object StreamQueries {
     runToEnd(s, input, joined, chunks(rows, 2), mode = "append")
   }
 
+  /** MemoryStream replay for a [[StreamFuzzGen.WinJoinCase]]: one
+    * watermarked stream splits into the two filtered sides, each side
+    * assigns tumbling windows, and rows join on (window_start, key) —
+    * q_stream_winjoin's harness generalized. Inner equi-joins emit
+    * eagerly on match; no sentinel needed.
+    */
+  private[queries] def streamWinJoinFuzzReplay(s: SparkSession,
+      dir: String, c: StreamFuzzGen.WinJoinCase): DataFrame = {
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val rows = t(s, dir, "events")
+      .select(expr(s"CAST(${c.keySql} AS STRING)").as("k"),
+        col("event_id"), col("ts").cast("timestamp").as("ts"),
+        expr(c.leftFilterSql).as("lf"), expr(c.rightFilterSql).as("rf"))
+      .as[(String, Long, java.sql.Timestamp, Boolean, Boolean)]
+      .collect().toSeq.sortBy(t => (micros(t._3), t._2))
+      .collect {
+        case (k, id, ts, lf, _) if id % 2 == 0 && lf =>
+          IvEnv(k, isLeft = true, id, ts)
+        case (k, id, ts, _, rf) if id % 2 == 1 && rf =>
+          IvEnv(k, isLeft = false, id, ts)
+      }
+    val input = MemoryStream[IvEnv]
+    val ev = input.toDS().withWatermark("ts", "1 hour")
+    val win = window(col("ts"), s"${c.winMinutes} minutes")
+      .getField("start")
+    val lhs = ev.filter($"isLeft")
+      .select(win.as("l_ws"), $"k".as("l_k"), $"id".as("l_id"))
+    val rhs = ev.filter(!$"isLeft")
+      .select(win.as("r_ws"), $"k".as("r_k"), $"id".as("r_id"))
+    val joined = lhs.join(rhs,
+        $"l_ws" === $"r_ws" && $"l_k" === $"r_k")
+      .select($"l_ws".cast("timestamp_ntz").as("window_start"),
+        $"l_k".as("k"), $"l_id", $"r_id")
+    runToEnd(s, input, joined, chunks(rows, 2), mode = "append")
+  }
+
   /** Shared input extraction for the THREE temporal replays (typed,
     * Row, static-dim): the case's (key, ts, event_id, cents, probe-arm,
     * version-arm) rows sorted by (micro-ts, id), plus the far-future

@@ -386,6 +386,41 @@ class StreamFuzzSpec extends SparkSuite {
     }
   }
 
+  test("window-join generator is deterministic and covers its arms") {
+    for (s <- Seq(1L, 7L, 4242L))
+      assert(StreamFuzzGen.genWinJoin(s) == StreamFuzzGen.genWinJoin(s))
+    val cs = (1L to 24L).map(StreamFuzzGen.genWinJoin)
+    assert(cs.map(_.winMinutes).distinct.length == 3)
+    assert(cs.exists(_.keySql.contains("CONCAT")) &&
+      cs.exists(!_.keySql.contains("CONCAT")))
+  }
+
+  test("windowed stream-stream join matches the batch window join per seed") {
+    import org.apache.spark.sql.functions._
+    val ev = Q.t(spark, dir, "events")
+    for (seed <- 1L to 8L) {
+      val c = StreamFuzzGen.genWinJoin(seed)
+      val keyed = ev.withColumn("k", expr(s"CAST(${c.keySql} AS STRING)"))
+        .withColumn("ws",
+          window(col("ts").cast("timestamp"), s"${c.winMinutes} minutes")
+            .getField("start").cast("timestamp_ntz"))
+      val l = keyed.filter(col("event_id") % 2 === 0 && expr(c.leftFilterSql))
+        .select(col("ws"), col("k"), col("event_id").as("l_id"))
+      val r = keyed.filter(col("event_id") % 2 === 1 && expr(c.rightFilterSql))
+        .select(col("ws"), col("k"), col("event_id").as("r_id"))
+      val expected = l.join(r, Seq("ws", "k"))
+        .select(col("ws").as("window_start"), col("k"), col("l_id"),
+          col("r_id"))
+        .collect().map(_.toString).sorted.toSeq
+      val actual = StreamQueries.streamWinJoinFuzzReplay(spark, dir, c)
+        .collect().map(_.toString).sorted.toSeq
+      assert(actual == expected,
+        s"winjoin seed $seed diverged: key=${c.keySql} win=${c.winMinutes}m " +
+          s"lf=${c.leftFilterSql} rf=${c.rightFilterSql} " +
+          s"(batch=${expected.length} rows, stream=${actual.length})")
+    }
+  }
+
   test("temporal generator is deterministic and covers its arms") {
     for (s <- Seq(1L, 7L, 4242L))
       assert(StreamFuzzGen.genTemporal(s) == StreamFuzzGen.genTemporal(s))
