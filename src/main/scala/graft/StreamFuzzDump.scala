@@ -17,7 +17,8 @@ package graft
   * retraction joins), temporal (TemporalJoin as-of resolution), cepq
   * (NFA quantifier patterns), cepr (NFA relaxed-contiguity/negation
   * patterns), interval (stream–stream time-range join), winjoin
-  * (windowed equi-join), or all (n seeds of each).
+  * (windowed equi-join), over (unbounded-preceding over-agg ROWS/RANGE),
+  * or all (n seeds of each).
   */
 object StreamFuzzDump {
   def main(args: Array[String]): Unit = {
@@ -103,6 +104,12 @@ object StreamFuzzDump {
           () => graft.queries.StreamFuzzQueries.replayWinJoin(spark, sfDir, c),
           c.oracleSql)
       }
+      def ov = {
+        val c = graft.queries.StreamFuzzGen.genOver(seed)
+        (s"q_fuzz_stream_ov$seed",
+          () => graft.queries.StreamFuzzQueries.replayOver(spark, sfDir, c),
+          c.oracleSql)
+      }
       family match {
         case "window"  => Seq(w)
         case "session" => Seq(se)
@@ -116,10 +123,11 @@ object StreamFuzzDump {
         case "cepr"    => Seq(cr)
         case "interval" => Seq(iv)
         case "winjoin" => Seq(wj)
-        case "all"     => Seq(w, se, re, tn, ce, de, jo, tj, cq, cr, iv, wj)
+        case "over"    => Seq(ov)
+        case "all"     => Seq(w, se, re, tn, ce, de, jo, tj, cq, cr, iv, wj, ov)
         case other => sys.error(s"unknown family '$other': " +
           "expected window, session, retract, topn, cep, dedup, join, " +
-          "temporal, cepq, cepr, interval, winjoin, all")
+          "temporal, cepq, cepr, interval, winjoin, over, all")
       }
     }
     val oracle = (seed0 until seed0 + n).flatMap(arms).flatMap {
@@ -134,7 +142,7 @@ object StreamFuzzDump {
         }
     }
     DumpIO.writeOracle(outDir, oracle)
-    val total = n * (if (family == "all") 12 else 1)
+    val total = n * (if (family == "all") 13 else 1)
     println(s"[streamfuzz] dumped ${oracle.length} of $total $family cases " +
       s"($failed failed on Spark), seeds $seed0..${seed0 + n - 1}")
     spark.stop()

@@ -383,6 +383,52 @@ object StreamFuzzGen {
          |FROM l JOIN r ON l.ws = r.ws AND l.k = r.k""".stripMargin
   }
 
+  /** A streaming OVER-aggregation case — exercises
+    * [[graft.streaming.ProcessOps.UnboundedPrecedingOverProcessor]] (the
+    * reference's RowTimeRowsUnboundedPrecedingFunction /
+    * RowTimeRangeUnboundedPrecedingFunction split): filtered rows emit
+    * watermark-driven in event-time order, each carrying the running
+    * SUM/COUNT from the start of its key. `rangeMode` draws the RANGE
+    * arm, where all rows sharing one (millisecond) timestamp accumulate
+    * FIRST and then emit the same aggregate — peers in the SQL RANGE
+    * frame sense, which is exactly how the restatement states it.
+    */
+  case class OverCase(
+      seed: Long,
+      keySql: String, // STRING-valued shared expr
+      filterSql: String,
+      valueSql: String, // BIGINT-valued shared expr
+      rangeMode: Boolean) {
+
+    def oracleSql: String = {
+      val base =
+        s"""WITH e AS (SELECT event_id, user_id,
+           |    make_timestamp(epoch_ns(ts) // 1000) AS ts, event_type, value
+           |  FROM events),
+           |f AS (SELECT CAST($keySql AS STRING) AS k, ts, event_id,
+           |    CAST($valueSql AS BIGINT) AS v
+           |  FROM e WHERE $filterSql)""".stripMargin
+      // CAST the windowed SUM: DuckDB's SUM(BIGINT) is HUGEINT, which
+      // reaches the compare as a float
+      if (rangeMode)
+        // RANGE peers = equal millisecond timestamp (the operator's
+        // buffer key); the default RANGE frame includes peers
+        s"""$base
+           |SELECT k, epoch_ms(ts) AS ts_ms, v,
+           |  CAST(SUM(v) OVER (PARTITION BY k ORDER BY epoch_ms(ts))
+           |    AS BIGINT) AS moving_sum,
+           |  COUNT(*) OVER (PARTITION BY k ORDER BY epoch_ms(ts)) AS n
+           |FROM f""".stripMargin
+      else
+        s"""$base
+           |SELECT k, epoch_ms(ts) AS ts_ms, v,
+           |  CAST(SUM(v) OVER (PARTITION BY k ORDER BY ts, event_id
+           |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS moving_sum,
+           |  ROW_NUMBER() OVER (PARTITION BY k ORDER BY ts, event_id) AS n
+           |FROM f""".stripMargin
+    }
+  }
+
   /** An event-time temporal/as-of join case — exercises
     * [[graft.streaming.TemporalJoin.TemporalJoinProcessor]] (the
     * reference's TemporalRowTimeJoinOperator versioned-map-state
@@ -603,6 +649,24 @@ object StreamFuzzGen {
     val lo = Seq(-120, -60, -30, 0, 15)(r.nextInt(5))
     val hi = lo + Seq(15, 30, 60, 120)(r.nextInt(4))
     IntervalCase(seed, keySql, leftFilterSql, rightFilterSql, lo, hi)
+  }
+
+  /** The streaming-OVER case for a seed — a pure function of the seed. */
+  def genOver(seed: Long): OverCase = {
+    val r = new Random(scramble(seed ^ 0x0e30a9L))
+    val keySql = r.nextInt(3) match {
+      case 0 => "event_type"
+      case 1 => s"CAST(user_id % ${Seq(3, 5, 7)(r.nextInt(3))} AS STRING)"
+      case 2 =>
+        s"CONCAT(event_type, '#', CAST(user_id % ${2 + r.nextInt(3)} AS STRING))"
+    }
+    val filterSql = basePredOf(r)
+    val valueSql = r.nextInt(3) match {
+      case 0 => "event_id"
+      case 1 => "CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)"
+      case 2 => "event_id - 100000" // negative-heavy running sums
+    }
+    OverCase(seed, keySql, filterSql, valueSql, rangeMode = r.nextInt(2) == 0)
   }
 
   /** The window-join case for a seed — a pure function of the seed. */

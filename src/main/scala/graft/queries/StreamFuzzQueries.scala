@@ -108,6 +108,17 @@ object StreamFuzzQueries {
   private[queries] val winJoinSeeds: Seq[Long] = Seq(
     firstWinJoinSeed(_.keySql.contains("CONCAT"))).distinct
 
+  private def firstOverSeed(p: StreamFuzzGen.OverCase => Boolean): Long =
+    (1L to 256L).find(s => p(StreamFuzzGen.genOver(s)))
+      .getOrElse(sys.error("no over seed in 1..256 matches the shape"))
+
+  /** one RANGE-mode streaming-over shape (peer groups accumulate before
+    * emitting — the arm the hand-written q_stream_over ROWS row leaves
+    * uncovered).
+    */
+  private[queries] val overSeeds: Seq[Long] = Seq(
+    firstOverSeed(_.rangeMode)).distinct
+
   private def firstTemporalSeed(p: StreamFuzzGen.TemporalCase => Boolean): Long =
     (1L to 256L).find(s => p(StreamFuzzGen.genTemporal(s)))
       .getOrElse(sys.error("no temporal seed in 1..256 matches the shape"))
@@ -160,6 +171,7 @@ object StreamFuzzQueries {
   private val relaxedCases = relaxedSeeds.map(CepFuzzGen.genRelaxed)
   private val intervalCases = intervalSeeds.map(StreamFuzzGen.genInterval)
   private val winJoinCases = winJoinSeeds.map(StreamFuzzGen.genWinJoin)
+  private val overCases = overSeeds.map(StreamFuzzGen.genOver)
 
   val queries: Map[String, QFn] =
     cases.map { c =>
@@ -209,6 +221,10 @@ object StreamFuzzQueries {
     winJoinCases.map { c =>
       s"q_fuzz_stream_wj${c.seed}" -> ((s, dir) =>
         StreamQueries.streamWinJoinFuzzReplay(s, dir, c)): (String, QFn)
+    }.toMap ++
+    overCases.map { c =>
+      s"q_fuzz_stream_ov${c.seed}" -> ((s, dir) =>
+        StreamQueries.streamOverFuzzReplay(s, dir, c)): (String, QFn)
     }.toMap
 
   val oracles: Map[String, String] =
@@ -223,7 +239,8 @@ object StreamFuzzQueries {
     quantCases.map(c => s"q_fuzz_cepq_${c.seed}" -> c.oracleSql).toMap ++
     relaxedCases.map(c => s"q_fuzz_cepr_${c.seed}" -> c.oracleSql).toMap ++
     intervalCases.map(c => s"q_fuzz_stream_iv${c.seed}" -> c.oracleSql).toMap ++
-    winJoinCases.map(c => s"q_fuzz_stream_wj${c.seed}" -> c.oracleSql).toMap
+    winJoinCases.map(c => s"q_fuzz_stream_wj${c.seed}" -> c.oracleSql).toMap ++
+    overCases.map(c => s"q_fuzz_stream_ov${c.seed}" -> c.oracleSql).toMap
 
   /** Public replay front doors for the dev-side sweep
     * (graft.StreamFuzzDump — outside this package).
@@ -275,4 +292,8 @@ object StreamFuzzQueries {
   def replayWinJoin(s: org.apache.spark.sql.SparkSession, dir: String,
       c: StreamFuzzGen.WinJoinCase): org.apache.spark.sql.DataFrame =
     StreamQueries.streamWinJoinFuzzReplay(s, dir, c)
+
+  def replayOver(s: org.apache.spark.sql.SparkSession, dir: String,
+      c: StreamFuzzGen.OverCase): org.apache.spark.sql.DataFrame =
+    StreamQueries.streamOverFuzzReplay(s, dir, c)
 }

@@ -580,6 +580,47 @@ object StreamQueries {
     runToEnd(s, input, joined, chunks(rows, 2), mode = "append")
   }
 
+  /** MemoryStream replay for a [[StreamFuzzGen.OverCase]]: filtered rows
+    * replay (micro-ts, id)-sorted as TimedIn(k, ts, v) through the
+    * unbounded-preceding over processor under the case's ROWS/RANGE
+    * mode; a far-future sentinel key flushes the tail (its own row never
+    * emits — the watermark never passes it — and drops on the key
+    * filter regardless). Intra-millisecond arrival order is the sorted
+    * replay's (micro-ts, id) order, which is exactly the restatement's
+    * ROWS ordering; RANGE mode emits per-ms peer groups, so intra-ms
+    * order doesn't reach the output at all.
+    */
+  private[queries] def streamOverFuzzReplay(s: SparkSession,
+      dir: String, c: StreamFuzzGen.OverCase): DataFrame = {
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    implicit val outEnc = Encoders.product[ProcessOps.OverOut]
+    val rows = t(s, dir, "events")
+      .filter(expr(c.filterSql))
+      .select(expr(s"CAST(${c.keySql} AS STRING)").as("k"),
+        col("ts").cast("timestamp").as("ts"), col("event_id"),
+        expr(s"CAST(${c.valueSql} AS BIGINT)").as("v"))
+      .as[(String, java.sql.Timestamp, Long, Long)]
+      .collect().toSeq.sortBy(t => (micros(t._2), t._3))
+      .map { case (k, ts, _, v) => ProcessOps.TimedIn(k, ts, v) }
+    val flushKey = "\u0000flush"
+    val sentinel = ProcessOps.TimedIn(flushKey,
+      new java.sql.Timestamp(rows.last.eventTime.getTime + 10L * 86400000L),
+      0L)
+    val input = MemoryStream[ProcessOps.TimedIn]
+    val out = input.toDS().withWatermark("eventTime", "1 hour")
+      .groupByKey(_.key)
+      .transformWithState(
+        new ProcessOps.UnboundedPrecedingOverProcessor(c.rangeMode),
+        org.apache.spark.sql.streaming.TimeMode.EventTime(),
+        org.apache.spark.sql.streaming.OutputMode.Append())
+    runToEnd(s, input, out.toDF(), chunks(rows, 2) :+ Seq(sentinel),
+      mode = "append", rocks = true)
+      .filter($"key" =!= flushKey)
+      .select($"key".as("k"), $"ts".as("ts_ms"), $"v",
+        $"movingSum".as("moving_sum"), $"n")
+  }
+
   /** Shared input extraction for the THREE temporal replays (typed,
     * Row, static-dim): the case's (key, ts, event_id, cents, probe-arm,
     * version-arm) rows sorted by (micro-ts, id), plus the far-future

@@ -421,6 +421,49 @@ class StreamFuzzSpec extends SparkSuite {
     }
   }
 
+  test("over generator is deterministic and covers its arms") {
+    for (s <- Seq(1L, 7L, 4242L))
+      assert(StreamFuzzGen.genOver(s) == StreamFuzzGen.genOver(s))
+    val cs = (1L to 24L).map(StreamFuzzGen.genOver)
+    assert(cs.exists(_.rangeMode) && cs.exists(!_.rangeMode))
+    assert(cs.map(_.keySql).distinct.length > 2)
+    assert(cs.exists(_.valueSql.contains("- 100000")))
+  }
+
+  test("streaming over-aggregation matches the batch window frame per seed") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val ev = Q.t(spark, dir, "events")
+    for (seed <- 1L to 8L) {
+      val c = StreamFuzzGen.genOver(seed)
+      val f = ev.filter(expr(c.filterSql))
+        .select(expr(s"CAST(${c.keySql} AS STRING)").as("k"),
+          col("ts").cast("timestamp").as("ts"), col("event_id"),
+          expr(s"CAST(${c.valueSql} AS BIGINT)").as("v"))
+        .withColumn("ts_ms", unix_millis(col("ts")))
+      val expected = (if (c.rangeMode) {
+        val w = Window.partitionBy(col("k")).orderBy(col("ts_ms"))
+        f.select(col("k"), col("ts_ms"), col("v"),
+          sum(col("v")).over(w).as("moving_sum"),
+          count(lit(1)).over(w).as("n"))
+      } else {
+        val w = Window.partitionBy(col("k"))
+          .orderBy(col("ts"), col("event_id"))
+        f.select(col("k"), col("ts_ms"), col("v"),
+          sum(col("v")).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+            .as("moving_sum"),
+          row_number().over(w).cast("long").as("n"))
+      }).collect().map(_.toString).sorted.toSeq
+      val actual = StreamQueries.streamOverFuzzReplay(spark, dir, c)
+        .collect().map(_.toString).sorted.toSeq
+      assert(actual == expected,
+        s"over seed $seed diverged: range=${c.rangeMode} key=${c.keySql} " +
+          s"value=${c.valueSql} filter=${c.filterSql} " +
+          s"(batch=${expected.length} rows, stream=${actual.length})")
+    }
+  }
+
   test("temporal generator is deterministic and covers its arms") {
     for (s <- Seq(1L, 7L, 4242L))
       assert(StreamFuzzGen.genTemporal(s) == StreamFuzzGen.genTemporal(s))
