@@ -27,16 +27,13 @@ object FuzzQueries {
   private val all: Map[String, String] =
     seeds.map(s => s"q_fuzz_$s" -> FuzzGen.sql(s)).toMap
 
-  private def firstUpsertSeed(p: UpsertFuzzGen.Case => Boolean): Long =
-    (1L to 256L).find(s => p(UpsertFuzzGen.gen(s)))
-      .getOrElse(sys.error("no upsert seed in 1..256 matches the shape"))
-
   /** one single-PK and one composite-PK upsert shape ([[UpsertFuzzGen]]
     * — the ConnectorDdl PK-merge route under randomized key collisions).
     */
   private[queries] val upsertSeeds: Seq[Long] = Seq(
-    firstUpsertSeed(!_.compositePk),
-    firstUpsertSeed(_.compositePk)).distinct
+    StreamFuzzQueries.firstSeedOf("upsert", UpsertFuzzGen.gen)(!_.compositePk),
+    StreamFuzzQueries.firstSeedOf("upsert", UpsertFuzzGen.gen)(_.compositePk))
+    .distinct
 
   private val upsertCases = upsertSeeds.map(UpsertFuzzGen.gen)
 

@@ -25,140 +25,97 @@ import Q._
   */
 object StreamFuzzQueries {
 
-  private def firstSeed(p: StreamFuzzGen.Case => Boolean): Long =
-    (1L to 256L).find(s => p(StreamFuzzGen.gen(s)))
-      .getOrElse(sys.error("no seed in 1..256 matches the shape"))
+  /** First seed in 1..256 whose generated case matches the shape — the
+    * deterministic promotion rule every family shares (reproducible
+    * from the generator alone).
+    */
+  private[queries] def firstSeedOf[C](label: String, gen: Long => C)(
+      p: C => Boolean): Long =
+    (1L to 256L).find(s => p(gen(s)))
+      .getOrElse(sys.error(s"no $label seed in 1..256 matches the shape"))
 
   /** tumble+1key, hop, tumble+2keys — deterministic shape scan. */
   private[queries] val seeds: Seq[Long] = Seq(
-    firstSeed(c => !c.isHop && c.keys.length == 1),
-    firstSeed(c => c.isHop),
-    firstSeed(c => !c.isHop && c.keys.length == 2)).distinct
+    firstSeedOf("window", StreamFuzzGen.gen)(c => !c.isHop && c.keys.length == 1),
+    firstSeedOf("window", StreamFuzzGen.gen)(c => c.isHop),
+    firstSeedOf("window", StreamFuzzGen.gen)(c => !c.isHop && c.keys.length == 2)).distinct
 
   private val cases: Seq[StreamFuzzGen.Case] = seeds.map(StreamFuzzGen.gen)
 
-  private def firstSessSeed(p: StreamFuzzGen.SessionCase => Boolean): Long =
-    (1L to 256L).find(s => p(StreamFuzzGen.genSession(s)))
-      .getOrElse(sys.error("no session seed in 1..256 matches the shape"))
-
-  private def firstRetSeed(p: StreamFuzzGen.RetractCase => Boolean): Long =
-    (1L to 256L).find(s => p(StreamFuzzGen.genRetract(s)))
-      .getOrElse(sys.error("no retract seed in 1..256 matches the shape"))
-
   /** single-key and composite-key session shapes. */
   private[queries] val sessSeeds: Seq[Long] = Seq(
-    firstSessSeed(_.keys.length == 1),
-    firstSessSeed(_.keys.length == 2)).distinct
+    firstSeedOf("session", StreamFuzzGen.genSession)(_.keys.length == 1),
+    firstSeedOf("session", StreamFuzzGen.genSession)(_.keys.length == 2)).distinct
 
   /** one SUM and one MIN/MAX retract shape. */
   private[queries] val retSeeds: Seq[Long] = Seq(
-    firstRetSeed(_.op == "sum"),
-    firstRetSeed(c => c.op != "sum")).distinct
-
-  private def firstTopNSeed(p: StreamFuzzGen.TopNCase => Boolean): Long =
-    (1L to 256L).find(s => p(StreamFuzzGen.genTopN(s)))
-      .getOrElse(sys.error("no topn seed in 1..256 matches the shape"))
+    firstSeedOf("retract", StreamFuzzGen.genRetract)(_.op == "sum"),
+    firstSeedOf("retract", StreamFuzzGen.genRetract)(c => c.op != "sum")).distinct
 
   /** one unique-sort and one tie-bearing (cents) top-n shape. */
   private[queries] val topNSeeds: Seq[Long] = Seq(
-    firstTopNSeed(_.sortSql == "event_id"),
-    firstTopNSeed(_.sortSql.contains("DECIMAL"))).distinct
-
-  private def firstDedupSeed(p: StreamFuzzGen.DedupCase => Boolean): Long =
-    (1L to 256L).find(s => p(StreamFuzzGen.genDedup(s)))
-      .getOrElse(sys.error("no dedup seed in 1..256 matches the shape"))
+    firstSeedOf("topn", StreamFuzzGen.genTopN)(_.sortSql == "event_id"),
+    firstSeedOf("topn", StreamFuzzGen.genTopN)(_.sortSql.contains("DECIMAL"))).distinct
 
   /** one keep-last and one event-time-TTL dedup shape (keep-first is
     * the TTL mode's degenerate island and stays sweep-covered).
     */
   private[queries] val dedupSeeds: Seq[Long] = Seq(
-    firstDedupSeed(_.mode == "last"),
-    firstDedupSeed(_.mode == "first_ttl")).distinct
-
-  private def firstJoinSeed(p: StreamFuzzGen.JoinCase => Boolean): Long =
-    (1L to 256L).find(s => p(StreamFuzzGen.genJoin(s)))
-      .getOrElse(sys.error("no join seed in 1..256 matches the shape"))
+    firstSeedOf("dedup", StreamFuzzGen.genDedup)(_.mode == "last"),
+    firstSeedOf("dedup", StreamFuzzGen.genDedup)(_.mode == "first_ttl")).distinct
 
   /** one outer-family (full preferred — the widest retraction protocol),
     * one semi, one anti join shape. A seed determines its joinType, so
     * the three scans land on distinct seeds by construction.
     */
   private[queries] val joinSeeds: Seq[Long] = Seq(
-    firstJoinSeed(_.joinType == "full"),
-    firstJoinSeed(_.joinType == "semi"),
-    firstJoinSeed(_.joinType == "anti")).distinct
-
-  private def firstIntervalSeed(p: StreamFuzzGen.IntervalCase => Boolean): Long =
-    (1L to 256L).find(s => p(StreamFuzzGen.genInterval(s)))
-      .getOrElse(sys.error("no interval seed in 1..256 matches the shape"))
+    firstSeedOf("join", StreamFuzzGen.genJoin)(_.joinType == "full"),
+    firstSeedOf("join", StreamFuzzGen.genJoin)(_.joinType == "semi"),
+    firstSeedOf("join", StreamFuzzGen.genJoin)(_.joinType == "anti")).distinct
 
   /** one zero-spanning interval shape (lo < 0 < hi — rows joining both
     * backward and forward, the bidirectional-buffer case).
     */
   private[queries] val intervalSeeds: Seq[Long] = Seq(
-    firstIntervalSeed(c => c.loMinutes < 0 && c.hiMinutes > 0)).distinct
-
-  private def firstWinJoinSeed(p: StreamFuzzGen.WinJoinCase => Boolean): Long =
-    (1L to 256L).find(s => p(StreamFuzzGen.genWinJoin(s)))
-      .getOrElse(sys.error("no winjoin seed in 1..256 matches the shape"))
+    firstSeedOf("interval", StreamFuzzGen.genInterval)(c => c.loMinutes < 0 && c.hiMinutes > 0)).distinct
 
   /** one composite-key window-join shape (key = user#type — sparse
     * per-window slices, the null-heavy side of the join space).
     */
   private[queries] val winJoinSeeds: Seq[Long] = Seq(
-    firstWinJoinSeed(_.keySql.contains("CONCAT"))).distinct
-
-  private def firstOverSeed(p: StreamFuzzGen.OverCase => Boolean): Long =
-    (1L to 256L).find(s => p(StreamFuzzGen.genOver(s)))
-      .getOrElse(sys.error("no over seed in 1..256 matches the shape"))
+    firstSeedOf("winjoin", StreamFuzzGen.genWinJoin)(_.keySql.contains("CONCAT"))).distinct
 
   /** one RANGE-mode streaming-over shape (peer groups accumulate before
     * emitting — the arm the hand-written q_stream_over ROWS row leaves
     * uncovered).
     */
   private[queries] val overSeeds: Seq[Long] = Seq(
-    firstOverSeed(_.rangeMode)).distinct
-
-  private def firstTemporalSeed(p: StreamFuzzGen.TemporalCase => Boolean): Long =
-    (1L to 256L).find(s => p(StreamFuzzGen.genTemporal(s)))
-      .getOrElse(sys.error("no temporal seed in 1..256 matches the shape"))
+    firstSeedOf("over", StreamFuzzGen.genOver)(_.rangeMode)).distinct
 
   /** one merged-history (mod-keyed) temporal/as-of shape — the arm that
     * interleaves several users' version chains through one MapState.
     */
   private[queries] val temporalSeeds: Seq[Long] = Seq(
-    firstTemporalSeed(_.keySql.contains("%"))).distinct
-
-  private def firstCepSeed(p: CepFuzzGen.Case => Boolean): Long =
-    (1L to 256L).find(s => p(CepFuzzGen.gen(s)))
-      .getOrElse(sys.error("no cep seed in 1..256 matches the shape"))
+    firstSeedOf("temporal", StreamFuzzGen.genTemporal)(_.keySql.contains("%"))).distinct
 
   /** one 2-step windowed and one 3-step CEP shape. */
   private[queries] val cepSeeds: Seq[Long] = Seq(
-    firstCepSeed(c => c.steps.length == 2 && c.withinMinutes.isDefined),
-    firstCepSeed(_.steps.length == 3)).distinct
-
-  private def firstQuantSeed(p: CepFuzzGen.QuantCase => Boolean): Long =
-    (1L to 256L).find(s => p(CepFuzzGen.genQuant(s)))
-      .getOrElse(sys.error("no quant seed in 1..256 matches the shape"))
+    firstSeedOf("cep", CepFuzzGen.gen)(c => c.steps.length == 2 && c.withinMinutes.isDefined),
+    firstSeedOf("cep", CepFuzzGen.gen)(_.steps.length == 3)).distinct
 
   /** one fixed-times, one optional (the greedy backtrack-to-absent
     * branch), and one unbounded oneOrMore quantifier shape (a seed
     * determines its arm, so the scans land on distinct seeds).
     */
   private[queries] val quantSeeds: Seq[Long] = Seq(
-    firstQuantSeed(_.arm == "times"),
-    firstQuantSeed(_.arm == "optional"),
-    firstQuantSeed(_.arm == "oneormore")).distinct
-
-  private def firstRelaxedSeed(p: CepFuzzGen.RelaxedCase => Boolean): Long =
-    (1L to 256L).find(s => p(CepFuzzGen.genRelaxed(s)))
-      .getOrElse(sys.error("no relaxed seed in 1..256 matches the shape"))
+    firstSeedOf("quant", CepFuzzGen.genQuant)(_.arm == "times"),
+    firstSeedOf("quant", CepFuzzGen.genQuant)(_.arm == "optional"),
+    firstSeedOf("quant", CepFuzzGen.genQuant)(_.arm == "oneormore")).distinct
 
   /** one notNext and one notFollowedBy negation shape. */
   private[queries] val relaxedSeeds: Seq[Long] = Seq(
-    firstRelaxedSeed(_.neg.exists(_._2)),
-    firstRelaxedSeed(_.neg.exists(!_._2))).distinct
+    firstSeedOf("relaxed", CepFuzzGen.genRelaxed)(_.neg.exists(_._2)),
+    firstSeedOf("relaxed", CepFuzzGen.genRelaxed)(_.neg.exists(!_._2))).distinct
 
   private val sessCases = sessSeeds.map(StreamFuzzGen.genSession)
   private val retCases = retSeeds.map(StreamFuzzGen.genRetract)

@@ -501,9 +501,30 @@ object StreamQueries {
     }
   }
 
-  /** Interval-join envelope for [[streamIntervalFuzzReplay]]. */
+  /** Two-sided join envelope for the interval/window join replays. */
   case class IvEnv(k: String, isLeft: Boolean, id: Long,
       ts: java.sql.Timestamp)
+
+  /** Shared input extraction for the two-sided time-join fuzz replays
+    * (interval + window join): derived key, (micro-ts, id)-sorted, split
+    * by event_id parity into the case's filtered sides.
+    */
+  private def sideSplitInput(s: SparkSession, dir: String, keySql: String,
+      leftFilterSql: String, rightFilterSql: String): Seq[IvEnv] = {
+    import s.implicits._
+    t(s, dir, "events")
+      .select(expr(s"CAST($keySql AS STRING)").as("k"),
+        col("event_id"), col("ts").cast("timestamp").as("ts"),
+        expr(leftFilterSql).as("lf"), expr(rightFilterSql).as("rf"))
+      .as[(String, Long, java.sql.Timestamp, Boolean, Boolean)]
+      .collect().toSeq.sortBy(t => (micros(t._3), t._2))
+      .collect {
+        case (k, id, ts, lf, _) if id % 2 == 0 && lf =>
+          IvEnv(k, isLeft = true, id, ts)
+        case (k, id, ts, _, rf) if id % 2 == 1 && rf =>
+          IvEnv(k, isLeft = false, id, ts)
+      }
+  }
 
   /** MemoryStream replay for a [[StreamFuzzGen.IntervalCase]]: one
     * watermarked stream splits into the two filtered sides, which join
@@ -517,18 +538,8 @@ object StreamQueries {
       dir: String, c: StreamFuzzGen.IntervalCase): DataFrame = {
     import s.implicits._
     implicit val sqlCtx = s.sqlContext
-    val rows = t(s, dir, "events")
-      .select(expr(s"CAST(${c.keySql} AS STRING)").as("k"),
-        col("event_id"), col("ts").cast("timestamp").as("ts"),
-        expr(c.leftFilterSql).as("lf"), expr(c.rightFilterSql).as("rf"))
-      .as[(String, Long, java.sql.Timestamp, Boolean, Boolean)]
-      .collect().toSeq.sortBy(t => (micros(t._3), t._2))
-      .collect {
-        case (k, id, ts, lf, _) if id % 2 == 0 && lf =>
-          IvEnv(k, isLeft = true, id, ts)
-        case (k, id, ts, _, rf) if id % 2 == 1 && rf =>
-          IvEnv(k, isLeft = false, id, ts)
-      }
+    val rows = sideSplitInput(s, dir, c.keySql,
+      c.leftFilterSql, c.rightFilterSql)
     val input = MemoryStream[IvEnv]
     val ev = input.toDS().withWatermark("ts", "1 hour")
     val lhs = ev.filter($"isLeft")
@@ -553,18 +564,8 @@ object StreamQueries {
       dir: String, c: StreamFuzzGen.WinJoinCase): DataFrame = {
     import s.implicits._
     implicit val sqlCtx = s.sqlContext
-    val rows = t(s, dir, "events")
-      .select(expr(s"CAST(${c.keySql} AS STRING)").as("k"),
-        col("event_id"), col("ts").cast("timestamp").as("ts"),
-        expr(c.leftFilterSql).as("lf"), expr(c.rightFilterSql).as("rf"))
-      .as[(String, Long, java.sql.Timestamp, Boolean, Boolean)]
-      .collect().toSeq.sortBy(t => (micros(t._3), t._2))
-      .collect {
-        case (k, id, ts, lf, _) if id % 2 == 0 && lf =>
-          IvEnv(k, isLeft = true, id, ts)
-        case (k, id, ts, _, rf) if id % 2 == 1 && rf =>
-          IvEnv(k, isLeft = false, id, ts)
-      }
+    val rows = sideSplitInput(s, dir, c.keySql,
+      c.leftFilterSql, c.rightFilterSql)
     val input = MemoryStream[IvEnv]
     val ev = input.toDS().withWatermark("ts", "1 hour")
     val win = window(col("ts"), s"${c.winMinutes} minutes")
@@ -603,6 +604,12 @@ object StreamQueries {
       .as[(String, java.sql.Timestamp, Long, Long)]
       .collect().toSeq.sortBy(t => (micros(t._2), t._3))
       .map { case (k, ts, _, v) => ProcessOps.TimedIn(k, ts, v) }
+    // a degenerate seed whose filter keeps no rows is vacuously correct
+    // (the oracle is empty too) — don't let rows.last throw
+    if (rows.isEmpty)
+      return s.emptyDataFrame
+        .select(lit("").as("k"), lit(0L).as("ts_ms"), lit(0L).as("v"),
+          lit(0L).as("moving_sum"), lit(0L).as("n"))
     val flushKey = "\u0000flush"
     val sentinel = ProcessOps.TimedIn(flushKey,
       new java.sql.Timestamp(rows.last.eventTime.getTime + 10L * 86400000L),
