@@ -679,6 +679,12 @@ object StreamFuzzGen {
     val leftFilterSql = basePredOf(r)
     val rightFilterSql = basePredOf(r)
     val win = Seq(30, 60, 120)(r.nextInt(3))
+    // the oracle equates DuckDB time_bucket (origin 2000-01-03, a Monday
+    // midnight) with Spark window() (epoch-aligned); the two agree only
+    // for widths dividing a whole day — a 7- or 25-minute width would
+    // silently misalign the restatement
+    require(1440 % win == 0,
+      s"window-join width $win must divide 1440 minutes (oracle alignment)")
     WinJoinCase(seed, keySql, leftFilterSql, rightFilterSql, win)
   }
 

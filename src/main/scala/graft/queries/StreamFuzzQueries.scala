@@ -117,6 +117,14 @@ object StreamFuzzQueries {
     firstSeedOf("relaxed", CepFuzzGen.genRelaxed)(_.neg.exists(_._2)),
     firstSeedOf("relaxed", CepFuzzGen.genRelaxed)(_.neg.exists(!_._2))).distinct
 
+  /** Deterministic stop/restart boundary for a recovery-arm seed: a
+    * batch index in 1..3 ([[StreamQueries.runToEnd]] clamps into the
+    * replay's actual batch range) — "random batch boundary", but a pure
+    * function of the seed so every run stops at the same place.
+    */
+  private[queries] def restartBoundary(seed: Long): Int =
+    1 + math.floorMod(StreamFuzzGen.scramble(seed ^ 0x4ec04e4L), 3L).toInt
+
   private val sessCases = sessSeeds.map(StreamFuzzGen.genSession)
   private val retCases = retSeeds.map(StreamFuzzGen.genRetract)
   private val topNCases = topNSeeds.map(StreamFuzzGen.genTopN)
@@ -182,7 +190,51 @@ object StreamFuzzQueries {
     overCases.map { c =>
       s"q_fuzz_stream_ov${c.seed}" -> ((s, dir) =>
         StreamQueries.streamOverFuzzReplay(s, dir, c)): (String, QFn)
-    }.toMap
+    }.toMap ++
+    recoverQueries
+
+  /** Checkpoint stop/restart RESUME rows (the reference's exactly-once
+    * guarantee across failures — CheckpointCoordinator barrier
+    * snapshots; Spark restated as WAL offsets + state-store restore):
+    * the same promoted fuzz cases replay with a seed-determined
+    * mid-replay stop() + restart from the checkpoint, and the resumed
+    * run's folded output must STILL equal the case's DuckDB
+    * restatement. One row per recovered-state shape: the full-outer
+    * join's retract-pad MapStates, the retract-agg accumulators, the
+    * temporal join's version MapState + watermark, and the built-in
+    * windowed aggregation's watermark + window state.
+    */
+  private lazy val recoverQueries: Map[String, QFn] = {
+    val j = joinCases.find(_.joinType == "full").get
+    val r = retCases.head
+    val tj = temporalCases.head
+    val w = cases.head
+    Map(
+      s"q_fuzz_recover_j${j.seed}" -> ((s, dir) =>
+        StreamQueries.streamJoinFuzzReplay(s, dir, j,
+          restartAfter = Some(restartBoundary(j.seed)))),
+      s"q_fuzz_recover_r${r.seed}" -> ((s, dir) =>
+        StreamQueries.streamRetractFuzzReplay(s, dir, r,
+          restartAfter = Some(restartBoundary(r.seed)))),
+      s"q_fuzz_recover_tj${tj.seed}" -> ((s, dir) =>
+        StreamQueries.streamTemporalFuzzReplay(s, dir, tj,
+          restartAfter = Some(restartBoundary(tj.seed)))),
+      s"q_fuzz_recover_w${w.seed}" -> ((s, dir) =>
+        StreamQueries.streamFuzzReplay(s, dir, w,
+          restartAfter = Some(restartBoundary(w.seed)))))
+  }
+
+  private lazy val recoverOracles: Map[String, String] = {
+    val j = joinCases.find(_.joinType == "full").get
+    val r = retCases.head
+    val tj = temporalCases.head
+    val w = cases.head
+    Map(
+      s"q_fuzz_recover_j${j.seed}" -> j.oracleSql,
+      s"q_fuzz_recover_r${r.seed}" -> r.oracleSql,
+      s"q_fuzz_recover_tj${tj.seed}" -> tj.oracleSql,
+      s"q_fuzz_recover_w${w.seed}" -> w.oracleSql)
+  }
 
   val oracles: Map[String, String] =
     cases.map(c => s"q_fuzz_stream_${c.seed}" -> c.oracleSql).toMap ++
@@ -197,7 +249,8 @@ object StreamFuzzQueries {
     relaxedCases.map(c => s"q_fuzz_cepr_${c.seed}" -> c.oracleSql).toMap ++
     intervalCases.map(c => s"q_fuzz_stream_iv${c.seed}" -> c.oracleSql).toMap ++
     winJoinCases.map(c => s"q_fuzz_stream_wj${c.seed}" -> c.oracleSql).toMap ++
-    overCases.map(c => s"q_fuzz_stream_ov${c.seed}" -> c.oracleSql).toMap
+    overCases.map(c => s"q_fuzz_stream_ov${c.seed}" -> c.oracleSql).toMap ++
+    recoverOracles
 
   /** Public replay front doors for the dev-side sweep
     * (graft.StreamFuzzDump — outside this package).

@@ -50,12 +50,84 @@ object StreamQueries {
     * final state). The per-run checkpoint directory is deleted after the
     * query stops — repeated verify/bench runs must not leak state-store
     * files into the temp dir.
+    *
+    * `restartAfter = Some(k)` exercises the CHECKPOINT RESUME path (the
+    * reference's core exactly-once guarantee — CheckpointCoordinator
+    * .java:102 barrier snapshots; Spark's WAL + state-store commit): the
+    * query stop()s cleanly after k batches and a NEW query start()s from
+    * the same checkpoint — state stores restore, the persisted watermark
+    * reloads, and the remaining batches replay through the resumed
+    * state. The pre-restart sink emissions (all committed — each feed
+    * runs processAllAvailable before the stop) union with the second
+    * run's sink, so a caller's changelog fold sees the complete
+    * emission history exactly as an external sink would have.
     */
-  private def runToEnd[T](s: SparkSession, input: MemoryStream[T],
+  private[queries] def runToEnd[T](s: SparkSession, input: MemoryStream[T],
       out: DataFrame, batches: Seq[Seq[T]],
-      mode: String = "update", rocks: Boolean = false): DataFrame = {
-    val name = s"qstream_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+      mode: String = "update", rocks: Boolean = false,
+      restartAfter: Option[Int] = None): DataFrame = {
     val ckpt = java.nio.file.Files.createTempDirectory("qstream_ckpt")
+    def freshName() =
+      s"qstream_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    restartAfter match {
+      case Some(k0) if batches.length >= 2 =>
+        // clamp to [1, n-1]: at least one batch on each side of the stop
+        val k = math.min(math.max(1, k0), batches.length - 1)
+        // The memory sink refuses checkpoint recovery (it is not
+        // fault-tolerant), so the restart arm writes through
+        // foreachBatch with a batchId-IDEMPOTENT buffer — the exact
+        // contract a transactional production sink implements for
+        // exactly-once: if recovery ever re-delivers a committed batch,
+        // the dedup absorbs it; a LOST batch still surfaces as missing
+        // rows in the differential.
+        val buf = new java.util.concurrent.ConcurrentLinkedQueue[
+          org.apache.spark.sql.Row]()
+        val seen = java.util.concurrent.ConcurrentHashMap
+          .newKeySet[java.lang.Long]()
+        val sinkFn: (DataFrame, Long) => Unit = (df, batchId) =>
+          if (seen.add(batchId)) df.collect().foreach(buf.add)
+        val q1 = startReplayQuery(s, out, freshName(), ckpt.toString, mode,
+          rocks, foreachBatch = Some(sinkFn))
+        try batches.take(k).foreach { b =>
+          input.addData(b); q1.processAllAvailable()
+        }
+        finally q1.stop()
+        val q2 = startReplayQuery(s, out, freshName(), ckpt.toString, mode,
+          rocks, foreachBatch = Some(sinkFn))
+        try batches.drop(k).foreach { b =>
+          input.addData(b); q2.processAllAvailable()
+        }
+        finally {
+          q2.stop()
+          Q.deleteRecursively(ckpt)
+        }
+        import scala.jdk.CollectionConverters._
+        s.createDataFrame(
+          new java.util.ArrayList(buf), out.schema)
+      case _ =>
+        val name = freshName()
+        val q = startReplayQuery(s, out, name, ckpt.toString, mode, rocks)
+        try batches.foreach { b => input.addData(b); q.processAllAvailable() }
+        finally {
+          q.stop()
+          Q.deleteRecursively(ckpt) // best-effort cleanup
+        }
+        s.table(name)
+    }
+  }
+
+  /** Start one replay query against `ckpt` with the harness's pinned
+    * per-query conf (see body comments). Shared by the straight-through
+    * (memory sink) and the stop/restart (foreachBatch — the memory sink
+    * can't recover a checkpoint) arms of [[runToEnd]].
+    */
+  private def startReplayQuery(s: SparkSession, out: DataFrame, name: String,
+      ckpt: String, mode: String, rocks: Boolean,
+      foreachBatch: Option[(DataFrame, Long) => Unit] = None)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    require(foreachBatch.isEmpty || mode != "complete",
+      "restart arm buffers per-batch emissions; complete mode would " +
+        "accumulate one full table per batch")
     // The replay's state fits a handful of partitions; a wide session
     // default (32 on the bench box) only multiplies per-micro-batch task
     // and state-store open/close overhead. The partition count binds at
@@ -77,7 +149,7 @@ object StreamQueries {
     // "previous" state (worst case: a transformWithState gate starting
     // on the HDFS provider and failing). Starts serialize; the long
     // part — the micro-batch replay below — can overlap safely.
-    val q = Q.streamConfLock.synchronized {
+    Q.streamConfLock.synchronized {
       val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
       val prevProvider =
         s.conf.getOption("spark.sql.streaming.stateStore.providerClass")
@@ -99,9 +171,14 @@ object StreamQueries {
         "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled"
       val prevChangelog = s.conf.getOption(changelogConf)
       s.conf.set(changelogConf, "true")
-      try out.writeStream.format("memory").queryName(name)
-        .outputMode(mode)
-        .option("checkpointLocation", ckpt.toString).start()
+      try {
+        val base = out.writeStream.outputMode(mode)
+          .option("checkpointLocation", ckpt)
+        foreachBatch match {
+          case Some(fn) => base.foreachBatch(fn).start()
+          case None => base.format("memory").queryName(name).start()
+        }
+      }
       finally {
         s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
         restore("spark.sql.streaming.stateStore.providerClass", prevProvider)
@@ -109,12 +186,6 @@ object StreamQueries {
         restore(changelogConf, prevChangelog)
       }
     }
-    try batches.foreach { b => input.addData(b); q.processAllAvailable() }
-    finally {
-      q.stop()
-      Q.deleteRecursively(ckpt) // best-effort cleanup
-    }
-    s.table(name)
   }
 
   /** Order-insensitive changelog fold to the end state: net count per
@@ -180,7 +251,7 @@ object StreamQueries {
     * sentinel's own window never fires, so it leaves no output trace.
     */
   private[queries] def streamFuzzReplay(s: SparkSession, dir: String,
-      c: StreamFuzzGen.Case): DataFrame = {
+      c: StreamFuzzGen.Case, restartAfter: Option[Int] = None): DataFrame = {
     import s.implicits._
     implicit val sqlCtx = s.sqlContext
     val rows = sortedEvents(s, dir)
@@ -190,7 +261,7 @@ object StreamQueries {
     val input = MemoryStream[Ev]
     val out = c(input.toDS().toDF().withWatermark("ts", "1 second"))
     runToEnd(s, input, out, chunks(rows, 3) :+ Seq(sentinel),
-      mode = "append", rocks = false)
+      mode = "append", rocks = false, restartAfter = restartAfter)
       .select(col("window_start").cast("timestamp_ntz").as("window_start") +:
         (c.keys.map(k => col(k._2)) ++ c.aggs.map(a => col(a._2))): _*)
   }
@@ -262,7 +333,8 @@ object StreamQueries {
     * top-n diff changelog folds to the final visible top-n per key.
     */
   private[queries] def streamTopNFuzzReplay(s: SparkSession, dir: String,
-      c: StreamFuzzGen.TopNCase): DataFrame = {
+      c: StreamFuzzGen.TopNCase,
+      restartAfter: Option[Int] = None): DataFrame = {
     import s.implicits._
     implicit val sqlCtx = s.sqlContext
     implicit val chEnc = Encoders.product[RetractableTopN.TopNChange]
@@ -288,7 +360,8 @@ object StreamQueries {
         org.apache.spark.sql.streaming.OutputMode.Update())
     val batches = chunks(inserts, 2) ++
       Seq(updates, deletes).filter(_.nonEmpty)
-    val sink = runToEnd(s, input, diffs.toDF(), batches, rocks = true)
+    val sink = runToEnd(s, input, diffs.toDF(), batches, rocks = true,
+      restartAfter = restartAfter)
     foldChangelog(sink, "kind")
       .select($"key".as("k"), $"id", $"sort")
   }
@@ -346,7 +419,8 @@ object StreamQueries {
     * and its row drops on `event_id >= 0`.
     */
   private[queries] def streamSessionFuzzReplay(s: SparkSession, dir: String,
-      c: StreamFuzzGen.SessionCase): DataFrame = {
+      c: StreamFuzzGen.SessionCase,
+      restartAfter: Option[Int] = None): DataFrame = {
     import s.implicits._
     implicit val sqlCtx = s.sqlContext
     val rows = sortedEvents(s, dir)
@@ -364,7 +438,7 @@ object StreamQueries {
       df.filter(expr(c.filterSql)), c.keys.map(_._2), "ts",
       s"${c.gapMinutes} minutes")
     runToEnd(s, input, annotated, chunks(rows, 2) :+ Seq(sentinel),
-      rocks = true)
+      rocks = true, restartAfter = restartAfter)
       .filter(col("event_id") >= 0)
       .select(c.keys.map(k => col(k._2)) ++ Seq(col("event_id"),
         col("window_start").cast("timestamp_ntz").as("window_start"),
@@ -378,7 +452,8 @@ object StreamQueries {
     * rows (the case's DuckDB restatement).
     */
   private[queries] def streamRetractFuzzReplay(s: SparkSession, dir: String,
-      c: StreamFuzzGen.RetractCase): DataFrame = {
+      c: StreamFuzzGen.RetractCase,
+      restartAfter: Option[Int] = None): DataFrame = {
     import s.implicits._
     implicit val sqlCtx = s.sqlContext
     implicit val chEnc = Encoders.product[StatefulOps.Change[String, Long]]
@@ -402,7 +477,8 @@ object StreamQueries {
             new StatefulOps.RetractSumProcessor[String, Long](),
             org.apache.spark.sql.streaming.TimeMode.None(),
             org.apache.spark.sql.streaming.OutputMode.Update())
-        val sink = runToEnd(s, input, changes.toDF(), batches, rocks = true)
+        val sink = runToEnd(s, input, changes.toDF(), batches, rocks = true,
+          restartAfter = restartAfter)
         foldChangelog(sink.select($"kind", $"value.key".as("k"),
           $"value.sum".as("agg"), $"value.count".as("n")), "kind")
       case mm =>
@@ -412,7 +488,8 @@ object StreamQueries {
               isMax = mm == "max"),
             org.apache.spark.sql.streaming.TimeMode.None(),
             org.apache.spark.sql.streaming.OutputMode.Update())
-        val sink = runToEnd(s, input, changes.toDF(), batches, rocks = true)
+        val sink = runToEnd(s, input, changes.toDF(), batches, rocks = true,
+          restartAfter = restartAfter)
         foldChangelog(sink.select($"kind", $"value.key".as("k"),
           $"value.extreme".as("agg"), $"value.count".as("n")), "kind")
     }
@@ -434,7 +511,8 @@ object StreamQueries {
     * (append-only left, ±1 right counts).
     */
   private[queries] def streamJoinFuzzReplay(s: SparkSession, dir: String,
-      c: StreamFuzzGen.JoinCase): DataFrame = {
+      c: StreamFuzzGen.JoinCase,
+      restartAfter: Option[Int] = None): DataFrame = {
     import s.implicits._
     implicit val sqlCtx = s.sqlContext
     val rows = t(s, dir, "events")
@@ -442,6 +520,9 @@ object StreamQueries {
         expr("CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)")
           .as("cents"),
         expr(c.leftFilterSql).as("lf"), expr(c.rightFilterSql).as("rf"))
+      // rows failing both side filters never replay — push the subset
+      // predicate into the scan instead of shipping them to the driver
+      .filter(col("lf") || col("rf"))
       .as[(String, Long, Long, Boolean, Boolean)].collect().toSeq
       .sortBy(_._2)
     val lefts = rows.collect {
@@ -465,7 +546,8 @@ object StreamQueries {
           org.apache.spark.sql.streaming.TimeMode.None(),
           org.apache.spark.sql.streaming.OutputMode.Update())
       val sink = runToEnd(s, input, out.toDF(),
-        chunks(inserts, 2) ++ Seq(deletes).filter(_.nonEmpty), rocks = true)
+        chunks(inserts, 2) ++ Seq(deletes).filter(_.nonEmpty), rocks = true,
+        restartAfter = restartAfter)
       foldChangelog(sink, "kind")
         .select($"key".as("k"), $"id".as("l_id"))
     } else {
@@ -494,7 +576,7 @@ object StreamQueries {
         left, right, jt)
       val sink = runToEnd(s, input, out.toDF(),
         chunks(inserts, 2) ++ Seq(rDel, lDel).filter(_.nonEmpty),
-        rocks = true)
+        rocks = true, restartAfter = restartAfter)
       foldChangelog(sink.select($"kind", $"key".as("k"),
         $"left._1".as("l_id"), $"left._2".as("l_cents"),
         $"right".as("r_id")), "kind")
@@ -516,6 +598,9 @@ object StreamQueries {
       .select(expr(s"CAST($keySql AS STRING)").as("k"),
         col("event_id"), col("ts").cast("timestamp").as("ts"),
         expr(leftFilterSql).as("lf"), expr(rightFilterSql).as("rf"))
+      // rows failing both side filters never replay — push the subset
+      // predicate into the scan instead of shipping them to the driver
+      .filter(col("lf") || col("rf"))
       .as[(String, Long, java.sql.Timestamp, Boolean, Boolean)]
       .collect().toSeq.sortBy(t => (micros(t._3), t._2))
       .collect {
@@ -666,7 +751,8 @@ object StreamQueries {
     * dropped on probe_id >= 0 regardless.
     */
   private[queries] def streamTemporalFuzzReplay(s: SparkSession, dir: String,
-      c: StreamFuzzGen.TemporalCase): DataFrame = {
+      c: StreamFuzzGen.TemporalCase,
+      restartAfter: Option[Int] = None): DataFrame = {
     import s.implicits._
     implicit val sqlCtx = s.sqlContext
     import graft.streaming.TemporalJoin
@@ -689,7 +775,7 @@ object StreamQueries {
         org.apache.spark.sql.streaming.TimeMode.EventTime(),
         org.apache.spark.sql.streaming.OutputMode.Append())
     runToEnd(s, input, out.toDF(), chunks(envs, 3) :+ Seq(sentinel),
-      mode = "append", rocks = true)
+      mode = "append", rocks = true, restartAfter = restartAfter)
       .filter($"probeId" >= 0)
       .select($"key".as("k"), $"probeId".as("probe_id"),
         $"versionTs".as("v_ts"), $"value".as("v_cents"))

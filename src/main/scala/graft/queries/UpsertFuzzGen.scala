@@ -87,11 +87,16 @@ object UpsertFuzzGen {
       graft.GraftSql.sql(s,
         s"INSERT INTO $name SELECT * FROM VALUES ${values.mkString(", ")} AS t(k1, k2, v)")
     }
+    // materialize BEFORE dropping the table: the drop must never be able
+    // to affect the returned frame, even if DROP TABLE ever gains file
+    // cleanup — and eager caching lets the scratch dir be reaped eagerly
+    // rather than queueing per-invocation parquet in /tmp for JVM exit
     val result = graft.GraftSql.sql(s, s"SELECT k1, k2, v FROM $name")
-    // the result's analyzed plan holds the resolved parquet relation; the
-    // per-invocation name must not accumulate in the catalog OR the DDL
-    // registry across bench iterations — DROP TABLE removes both
+      .localCheckpoint(eager = true)
+    // the per-invocation name must not accumulate in the catalog OR the
+    // DDL registry across bench iterations — DROP TABLE removes both
     graft.GraftSql.sql(s, s"DROP TABLE $name")
+    Q.deleteRecursively(java.nio.file.Paths.get(out))
     result
   }
 }

@@ -536,6 +536,55 @@ class StreamFuzzSpec extends SparkSuite {
     }
   }
 
+  test("checkpoint stop/restart resume: recovered state equals the uninterrupted run per seed") {
+    // the exactly-once contract across restarts (the reference's core
+    // checkpoint guarantee): stop() at a seed-determined batch boundary,
+    // restart from the checkpoint, and the union of pre- and post-restart
+    // emissions must fold to EXACTLY the uninterrupted run's output —
+    // state stores restored, watermark reloaded, no duplicates, no loss.
+    // One seed per recovered-state shape; the boundary varies with the
+    // seed (StreamFuzzQueries.restartBoundary), so across the set the
+    // stop lands both mid-insert and before the retract/sentinel batches.
+    def canon(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.collect().map(_.toString).sorted.toSeq
+    for (seed <- 1L to 2L) {
+      val b = Some(StreamFuzzQueries.restartBoundary(seed))
+      val jc = StreamFuzzGen.genJoin(seed)
+      assert(
+        canon(StreamQueries.streamJoinFuzzReplay(spark, dir, jc, b)) ==
+        canon(StreamQueries.streamJoinFuzzReplay(spark, dir, jc)),
+        s"join recovery seed $seed diverged (type=${jc.joinType}, stop=$b)")
+      val rc = StreamFuzzGen.genRetract(seed)
+      assert(
+        canon(StreamQueries.streamRetractFuzzReplay(spark, dir, rc, b)) ==
+        canon(StreamQueries.streamRetractFuzzReplay(spark, dir, rc)),
+        s"retract recovery seed $seed diverged (op=${rc.op}, stop=$b)")
+      val tc = StreamFuzzGen.genTemporal(seed)
+      assert(
+        canon(StreamQueries.streamTemporalFuzzReplay(spark, dir, tc, b)) ==
+        canon(StreamQueries.streamTemporalFuzzReplay(spark, dir, tc)),
+        s"temporal recovery seed $seed diverged (key=${tc.keySql}, stop=$b)")
+      val nc = StreamFuzzGen.genTopN(seed)
+      assert(
+        canon(StreamQueries.streamTopNFuzzReplay(spark, dir, nc, b)) ==
+        canon(StreamQueries.streamTopNFuzzReplay(spark, dir, nc)),
+        s"topn recovery seed $seed diverged (n=${nc.n}, stop=$b)")
+    }
+    // watermark-carrying shapes: the persisted watermark must reload on
+    // restart or the tail windows/sessions never flush (or flush twice)
+    val wc = StreamFuzzGen.gen(1L)
+    val wb = Some(StreamFuzzQueries.restartBoundary(1L))
+    assert(
+      canon(StreamQueries.streamFuzzReplay(spark, dir, wc, wb)) ==
+      canon(StreamQueries.streamFuzzReplay(spark, dir, wc)),
+      s"window-agg recovery diverged (win=${wc.winMinutes}m, stop=$wb)")
+    val sc = StreamFuzzGen.genSession(1L)
+    assert(
+      canon(StreamQueries.streamSessionFuzzReplay(spark, dir, sc, wb)) ==
+      canon(StreamQueries.streamSessionFuzzReplay(spark, dir, sc)),
+      s"session recovery diverged (gap=${sc.gapMinutes}m, stop=$wb)")
+  }
+
   test("incremental streaming replay matches the one-shot batch plan per seed") {
     val batchEv = Q.t(spark, dir, "events")
       .select(col("event_id"), col("user_id"),
