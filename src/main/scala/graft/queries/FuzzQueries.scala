@@ -37,6 +37,24 @@ object FuzzQueries {
 
   private val upsertCases = upsertSeeds.map(UpsertFuzzGen.gen)
 
+  /** One CDC-dialect fuzz row per parser the fixed `q_fmt_debezium`
+    * scenario leaves oracle-uncovered ([[CdcFuzzGen]]): canal on the
+    * first multi-row-batching seed (its `data`-array/partial-old path),
+    * maxwell and ogg on the first seeds distinct from it — all three
+    * decode a randomized PK-collision history and must fold to the
+    * DuckDB last-image restatement.
+    */
+  private[queries] val cdcSeeds: Map[String, Long] = {
+    val canal = StreamFuzzQueries.firstSeedOf("cdc", CdcFuzzGen.gen)(
+      _.canalBatchMax >= 2)
+    val maxwell = (1L to 256L).find(_ != canal).get
+    val ogg = (1L to 256L).find(s => s != canal && s != maxwell).get
+    Map("canal" -> canal, "maxwell" -> maxwell, "ogg" -> ogg)
+  }
+
+  private val cdcCases: Map[String, CdcFuzzGen.Case] =
+    cdcSeeds.map { case (d, seed) => d -> CdcFuzzGen.gen(seed) }
+
   val queries: Map[String, QFn] = all.map { case (name, sql) =>
     name -> ((s, dir) => {
       Tables.registerAll(s, dir)
@@ -45,10 +63,14 @@ object FuzzQueries {
   } ++ upsertCases.map { c =>
     s"q_fuzz_upsert_${c.seed}" -> ((s, _: String) =>
       UpsertFuzzGen.replay(s, c)): (String, QFn)
+  }.toMap ++ cdcCases.map { case (d, c) =>
+    s"q_fmt_$d" -> ((s, dir: String) =>
+      CdcFuzzGen.replay(s, dir, c, d)): (String, QFn)
   }.toMap
 
   // identical SQL text runs as the oracle (dialect-shared by design);
   // the upsert rows restate their VALUES list per-key last-writer-wins
   val oracles: Map[String, String] = all ++
-    upsertCases.map(c => s"q_fuzz_upsert_${c.seed}" -> c.oracleSql).toMap
+    upsertCases.map(c => s"q_fuzz_upsert_${c.seed}" -> c.oracleSql).toMap ++
+    cdcCases.map { case (d, c) => s"q_fmt_$d" -> c.oracleSql }.toMap
 }

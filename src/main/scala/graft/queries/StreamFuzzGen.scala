@@ -489,9 +489,10 @@ object StreamFuzzGen {
   }
 
   /** Shared filter-arm pool (draw order is part of each family's seed
-    * contract — do not reorder arms).
+    * contract — do not reorder arms). Package-visible: the CDC-dialect
+    * family ([[CdcFuzzGen]]) shares the pool.
     */
-  private def basePredOf(r: Random): String = r.nextInt(4) match {
+  private[queries] def basePredOf(r: Random): String = r.nextInt(4) match {
     case 0 =>
       val n = 1 + r.nextInt(3)
       val types = r.shuffle(eventTypes).take(n).sorted
