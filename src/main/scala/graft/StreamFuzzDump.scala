@@ -18,7 +18,10 @@ package graft
   * (NFA quantifier patterns), cepr (NFA relaxed-contiguity/negation
   * patterns), interval (stream–stream time-range join), winjoin
   * (windowed equi-join), over (unbounded-preceding over-agg ROWS/RANGE),
-  * or all (n seeds of each).
+  * ptjoin (proc-time temporal join, arrival-order restatement), cdc
+  * (CDC-dialect convergence — 4 parser runs per seed), recover
+  * (checkpoint stop/restart resume — 4 stateful arms per seed), or all
+  * (n seeds of each single-arm family + the cdc quad).
   */
 object StreamFuzzDump {
   def main(args: Array[String]): Unit = {
@@ -110,6 +113,44 @@ object StreamFuzzDump {
           () => graft.queries.StreamFuzzQueries.replayOver(spark, sfDir, c),
           c.oracleSql)
       }
+      def pt = {
+        val c = graft.queries.StreamFuzzGen.genPtJoin(seed)
+        (s"q_fuzz_stream_ptj$seed",
+          () => graft.queries.StreamFuzzQueries.replayPtJoin(spark, sfDir, c),
+          c.oracleSql)
+      }
+      // CDC-dialect convergence: the same simulated history through all
+      // four parsers, each against the case's one last-image oracle
+      def cdc = {
+        val c = graft.queries.CdcFuzzGen.gen(seed)
+        Seq("debezium", "canal", "maxwell", "ogg").map(d =>
+          (s"q_fuzz_cdc_${d}_$seed",
+            () => graft.queries.CdcFuzzGen.replay(spark, sfDir, c, d),
+            c.oracleSql))
+      }
+      // checkpoint stop/restart resume: the stateful families replayed
+      // with a seed-determined mid-replay stop() + restart, against the
+      // same oracles as their uninterrupted runs
+      def rec = {
+        val b = Some(graft.queries.StreamFuzzQueries.restartBoundary(seed))
+        val jc = graft.queries.StreamFuzzGen.genJoin(seed)
+        val rc = graft.queries.StreamFuzzGen.genRetract(seed)
+        val tc = graft.queries.StreamFuzzGen.genTemporal(seed)
+        val wc = graft.queries.StreamFuzzGen.gen(seed)
+        Seq(
+          (s"q_fuzz_recover_j$seed",
+            () => graft.queries.StreamFuzzQueries.replayJoin(spark, sfDir, jc, b),
+            jc.oracleSql),
+          (s"q_fuzz_recover_r$seed",
+            () => graft.queries.StreamFuzzQueries.replayRetract(spark, sfDir, rc, b),
+            rc.oracleSql),
+          (s"q_fuzz_recover_tj$seed",
+            () => graft.queries.StreamFuzzQueries.replayTemporal(spark, sfDir, tc, b),
+            tc.oracleSql),
+          (s"q_fuzz_recover_w$seed",
+            () => graft.queries.StreamFuzzQueries.replay(spark, sfDir, wc, b),
+            wc.oracleSql))
+      }
       family match {
         case "window"  => Seq(w)
         case "session" => Seq(se)
@@ -124,10 +165,15 @@ object StreamFuzzDump {
         case "interval" => Seq(iv)
         case "winjoin" => Seq(wj)
         case "over"    => Seq(ov)
-        case "all"     => Seq(w, se, re, tn, ce, de, jo, tj, cq, cr, iv, wj, ov)
+        case "ptjoin"  => Seq(pt)
+        case "cdc"     => cdc
+        case "recover" => rec
+        case "all"     =>
+          Seq(w, se, re, tn, ce, de, jo, tj, cq, cr, iv, wj, ov, pt) ++ cdc
         case other => sys.error(s"unknown family '$other': " +
           "expected window, session, retract, topn, cep, dedup, join, " +
-          "temporal, cepq, cepr, interval, winjoin, over, all")
+          "temporal, cepq, cepr, interval, winjoin, over, ptjoin, cdc, " +
+          "recover, all")
       }
     }
     val oracle = (seed0 until seed0 + n).flatMap(arms).flatMap {
@@ -142,7 +188,9 @@ object StreamFuzzDump {
         }
     }
     DumpIO.writeOracle(outDir, oracle)
-    val total = n * (if (family == "all") 13 else 1)
+    val total = n * (family match {
+      case "all" => 18; case "cdc" | "recover" => 4; case _ => 1
+    })
     println(s"[streamfuzz] dumped ${oracle.length} of $total $family cases " +
       s"($failed failed on Spark), seeds $seed0..${seed0 + n - 1}")
     spark.stop()

@@ -469,6 +469,64 @@ object StreamFuzzGen {
          |FROM p ASOF LEFT JOIN v ON p.k = v.k AND p.pms >= v.vms""".stripMargin
   }
 
+  /** A PROCESSING-TIME temporal-join case — exercises
+    * [[graft.streaming.ProcTimeJoin.joinTagged]] (the reference's
+    * TemporalProcessTimeJoinOperator: one ValueState version per key,
+    * probes join the version current AT ARRIVAL, no watermark). The
+    * fuzz replays ONE interleaved tagged stream in (micro-ts, event_id,
+    * version-before-probe) order, which pins the operator's
+    * element-order contract — so "processing time" restates EXACTLY as
+    * arrival index, no virtual clock needed: each probe must see the
+    * last version op strictly before it per key, a miss (or a
+    * delete-marked version op, which CLEARS the state) null-padding.
+    */
+  case class PtJoinCase(
+      seed: Long,
+      keySql: String, // STRING-valued shared expr (both arms)
+      probeFilterSql: String,
+      versionFilterSql: String,
+      delMod: Int,
+      delRes: Int) {
+
+    /** DuckDB restatement: tag version rows 0 and probe rows 1, order
+      * per key by (ts, event_id, tag) — the replay's exact feed order —
+      * and give each probe the latest preceding version op via
+      * LAST_VALUE ... IGNORE NULLS over the 1-PRECEDING frame. All
+      * three version attributes come from the same row (set together on
+      * every version op), so the three separate LAST_VALUEs agree; a
+      * delete-marked op clears to the (-1, -1) miss sentinel.
+      */
+    def oracleSql: String =
+      s"""WITH e AS (SELECT event_id, user_id,
+         |    make_timestamp(epoch_ns(ts) // 1000) AS ts, event_type, value
+         |  FROM events),
+         |tagged AS (
+         |  SELECT CAST($keySql AS STRING) AS k, ts, event_id, 0 AS tag,
+         |    FALSE AS is_probe,
+         |    (event_id % $delMod = $delRes) AS vdel, event_id AS vid,
+         |    CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS vcents
+         |  FROM e WHERE $versionFilterSql
+         |  UNION ALL
+         |  SELECT CAST($keySql AS STRING) AS k, ts, event_id, 1 AS tag,
+         |    TRUE, NULL, NULL, NULL
+         |  FROM e WHERE $probeFilterSql),
+         |w AS (SELECT k, event_id, is_probe,
+         |    LAST_VALUE(CASE WHEN NOT is_probe THEN vdel END IGNORE NULLS)
+         |      OVER pw AS p_vdel,
+         |    LAST_VALUE(CASE WHEN NOT is_probe THEN vid END IGNORE NULLS)
+         |      OVER pw AS p_vid,
+         |    LAST_VALUE(CASE WHEN NOT is_probe THEN vcents END IGNORE NULLS)
+         |      OVER pw AS p_vcents
+         |  FROM tagged
+         |  WINDOW pw AS (PARTITION BY k ORDER BY ts, event_id, tag
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
+         |SELECT k, event_id AS probe_id,
+         |  COALESCE(CASE WHEN p_vdel THEN NULL ELSE p_vid END, -1) AS v_id,
+         |  COALESCE(CASE WHEN p_vdel THEN NULL ELSE p_vcents END, -1)
+         |    AS v_cents
+         |FROM w WHERE is_probe""".stripMargin
+  }
+
   private val eventTypes =
     Seq("click", "purchase", "view", "signup", "error")
 
@@ -703,6 +761,24 @@ object StreamFuzzGen {
     val probeFilterSql = basePredOf(r)
     val versionFilterSql = basePredOf(r)
     TemporalCase(seed, keySql, probeFilterSql, versionFilterSql)
+  }
+
+  /** The proc-time join case for a seed — a pure function of the seed.
+    * Mod-keyed arms interleave several users' version chains through
+    * one ValueState; the delete arm lands clears between upserts.
+    */
+  def genPtJoin(seed: Long): PtJoinCase = {
+    val r = new Random(scramble(seed ^ 0x97901eL))
+    val keySql = r.nextInt(3) match {
+      case 0 => "CAST(user_id AS STRING)"
+      case 1 => s"CAST(user_id % ${Seq(7, 11)(r.nextInt(2))} AS STRING)"
+      case 2 => "CONCAT(CAST(user_id % 5 AS STRING), '#', event_type)"
+    }
+    val probeFilterSql = basePredOf(r)
+    val versionFilterSql = basePredOf(r)
+    val delMod = 3 + r.nextInt(5)
+    val delRes = r.nextInt(delMod)
+    PtJoinCase(seed, keySql, probeFilterSql, versionFilterSql, delMod, delRes)
   }
 
   /** The Top-N case for a seed — a pure function of the seed. */

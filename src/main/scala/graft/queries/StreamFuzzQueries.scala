@@ -98,6 +98,13 @@ object StreamFuzzQueries {
   private[queries] val temporalSeeds: Seq[Long] = Seq(
     firstSeedOf("temporal", StreamFuzzGen.genTemporal)(_.keySql.contains("%"))).distinct
 
+  /** one merged-history (mod-keyed) PROC-TIME join shape — several
+    * users' version chains through one ValueState, clears interleaving
+    * with upserts.
+    */
+  private[queries] val ptJoinSeeds: Seq[Long] = Seq(
+    firstSeedOf("ptjoin", StreamFuzzGen.genPtJoin)(_.keySql.contains("%"))).distinct
+
   /** one 2-step windowed and one 3-step CEP shape. */
   private[queries] val cepSeeds: Seq[Long] = Seq(
     firstSeedOf("cep", CepFuzzGen.gen)(c => c.steps.length == 2 && c.withinMinutes.isDefined),
@@ -122,7 +129,7 @@ object StreamFuzzQueries {
     * replay's actual batch range) — "random batch boundary", but a pure
     * function of the seed so every run stops at the same place.
     */
-  private[queries] def restartBoundary(seed: Long): Int =
+  def restartBoundary(seed: Long): Int =
     1 + math.floorMod(StreamFuzzGen.scramble(seed ^ 0x4ec04e4L), 3L).toInt
 
   private val sessCases = sessSeeds.map(StreamFuzzGen.genSession)
@@ -137,6 +144,7 @@ object StreamFuzzQueries {
   private val intervalCases = intervalSeeds.map(StreamFuzzGen.genInterval)
   private val winJoinCases = winJoinSeeds.map(StreamFuzzGen.genWinJoin)
   private val overCases = overSeeds.map(StreamFuzzGen.genOver)
+  private val ptJoinCases = ptJoinSeeds.map(StreamFuzzGen.genPtJoin)
 
   val queries: Map[String, QFn] =
     cases.map { c =>
@@ -190,6 +198,10 @@ object StreamFuzzQueries {
     overCases.map { c =>
       s"q_fuzz_stream_ov${c.seed}" -> ((s, dir) =>
         StreamQueries.streamOverFuzzReplay(s, dir, c)): (String, QFn)
+    }.toMap ++
+    ptJoinCases.map { c =>
+      s"q_fuzz_stream_ptj${c.seed}" -> ((s, dir) =>
+        StreamQueries.streamPtJoinFuzzReplay(s, dir, c)): (String, QFn)
     }.toMap ++
     recoverQueries
 
@@ -250,22 +262,25 @@ object StreamFuzzQueries {
     intervalCases.map(c => s"q_fuzz_stream_iv${c.seed}" -> c.oracleSql).toMap ++
     winJoinCases.map(c => s"q_fuzz_stream_wj${c.seed}" -> c.oracleSql).toMap ++
     overCases.map(c => s"q_fuzz_stream_ov${c.seed}" -> c.oracleSql).toMap ++
+    ptJoinCases.map(c => s"q_fuzz_stream_ptj${c.seed}" -> c.oracleSql).toMap ++
     recoverOracles
 
   /** Public replay front doors for the dev-side sweep
     * (graft.StreamFuzzDump — outside this package).
     */
   def replay(s: org.apache.spark.sql.SparkSession, dir: String,
-      c: StreamFuzzGen.Case): org.apache.spark.sql.DataFrame =
-    StreamQueries.streamFuzzReplay(s, dir, c)
+      c: StreamFuzzGen.Case,
+      restartAfter: Option[Int] = None): org.apache.spark.sql.DataFrame =
+    StreamQueries.streamFuzzReplay(s, dir, c, restartAfter)
 
   def replaySession(s: org.apache.spark.sql.SparkSession, dir: String,
       c: StreamFuzzGen.SessionCase): org.apache.spark.sql.DataFrame =
     StreamQueries.streamSessionFuzzReplay(s, dir, c)
 
   def replayRetract(s: org.apache.spark.sql.SparkSession, dir: String,
-      c: StreamFuzzGen.RetractCase): org.apache.spark.sql.DataFrame =
-    StreamQueries.streamRetractFuzzReplay(s, dir, c)
+      c: StreamFuzzGen.RetractCase,
+      restartAfter: Option[Int] = None): org.apache.spark.sql.DataFrame =
+    StreamQueries.streamRetractFuzzReplay(s, dir, c, restartAfter)
 
   def replayTopN(s: org.apache.spark.sql.SparkSession, dir: String,
       c: StreamFuzzGen.TopNCase): org.apache.spark.sql.DataFrame =
@@ -280,12 +295,14 @@ object StreamFuzzQueries {
     StreamQueries.streamDedupFuzzReplay(s, dir, c)
 
   def replayJoin(s: org.apache.spark.sql.SparkSession, dir: String,
-      c: StreamFuzzGen.JoinCase): org.apache.spark.sql.DataFrame =
-    StreamQueries.streamJoinFuzzReplay(s, dir, c)
+      c: StreamFuzzGen.JoinCase,
+      restartAfter: Option[Int] = None): org.apache.spark.sql.DataFrame =
+    StreamQueries.streamJoinFuzzReplay(s, dir, c, restartAfter)
 
   def replayTemporal(s: org.apache.spark.sql.SparkSession, dir: String,
-      c: StreamFuzzGen.TemporalCase): org.apache.spark.sql.DataFrame =
-    StreamQueries.streamTemporalFuzzReplay(s, dir, c)
+      c: StreamFuzzGen.TemporalCase,
+      restartAfter: Option[Int] = None): org.apache.spark.sql.DataFrame =
+    StreamQueries.streamTemporalFuzzReplay(s, dir, c, restartAfter)
 
   def replayQuant(s: org.apache.spark.sql.SparkSession, dir: String,
       c: CepFuzzGen.QuantCase): org.apache.spark.sql.DataFrame =
@@ -306,4 +323,8 @@ object StreamFuzzQueries {
   def replayOver(s: org.apache.spark.sql.SparkSession, dir: String,
       c: StreamFuzzGen.OverCase): org.apache.spark.sql.DataFrame =
     StreamQueries.streamOverFuzzReplay(s, dir, c)
+
+  def replayPtJoin(s: org.apache.spark.sql.SparkSession, dir: String,
+      c: StreamFuzzGen.PtJoinCase): org.apache.spark.sql.DataFrame =
+    StreamQueries.streamPtJoinFuzzReplay(s, dir, c)
 }

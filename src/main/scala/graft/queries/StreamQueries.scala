@@ -859,6 +859,62 @@ object StreamQueries {
         coalesce($"r_cents", lit(-1L)).as("v_cents"))
   }
 
+  /** Tagged proc-time envelope for [[streamPtJoinFuzzReplay]]: one
+    * MemoryStream carries version upserts/clears and probes so the
+    * cross-side arrival order is pinned (ProcTimeJoin.joinTagged's
+    * single-stream front door exists for exactly this).
+    */
+  case class PtEnv(k: String, isProbe: Boolean, kind: Byte, pid: Long,
+      vid: Long, vcents: Long)
+
+  /** MemoryStream replay for a [[StreamFuzzGen.PtJoinCase]]: the tagged
+    * stream replays in (micro-ts, event_id, version-before-probe) order
+    * through [[ProcTimeJoin.joinTagged]] — each probe joins the version
+    * current at its ARRIVAL (ValueState overwritten in element order,
+    * delete-marked version ops clearing it), which the case's oracle
+    * restates as a LAST_VALUE-over-preceding-arrivals window. No
+    * watermark, no sentinel: proc-time semantics are arrival semantics,
+    * and the ascending replay makes arrival order deterministic.
+    */
+  private[queries] def streamPtJoinFuzzReplay(s: SparkSession, dir: String,
+      c: StreamFuzzGen.PtJoinCase): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    implicit val sqlCtx = s.sqlContext
+    val rows = t(s, dir, "events")
+      .select(expr(s"CAST(${c.keySql} AS STRING)").as("k"),
+        col("ts").cast("timestamp").as("ts"), col("event_id"),
+        expr("CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)")
+          .as("cents"),
+        expr(c.probeFilterSql).as("pf"), expr(c.versionFilterSql).as("vf"))
+      .filter(col("pf") || col("vf"))
+      .as[(String, java.sql.Timestamp, Long, Long, Boolean, Boolean)]
+      .collect().toSeq.sortBy(t => (micros(t._2), t._3))
+    val envs = rows.flatMap { case (k, _, id, cents, pf, vf) =>
+      (if (vf) Seq(PtEnv(k, isProbe = false,
+        if (id % c.delMod == c.delRes) Changelog.Delete else Changelog.Insert,
+        -1L, id, cents)) else Nil) ++
+      (if (pf) Seq(PtEnv(k, isProbe = true, Changelog.Insert, id, 0L, 0L))
+       else Nil)
+    }
+    val leftSchema = StructType(Seq(
+      StructField("k", StringType), StructField("pid", LongType)))
+    val rightStruct = StructType(Seq(
+      StructField("vid", LongType), StructField("vcents", LongType)))
+    val input = MemoryStream[PtEnv]
+    val unioned = input.toDS().toDF()
+      .select($"k".as("__pj_key"), $"isProbe".as("__pj_probe"),
+        $"kind".as("__pj_kind"), struct($"k", $"pid").as("__pj_l"),
+        struct($"vid", $"vcents").as("__pj_r"))
+    val out = ProcTimeJoin.joinTagged(unioned, leftSchema, rightStruct,
+      leftOuter = true)
+    runToEnd(s, input, out.toDF(), chunks(envs, 3), mode = "append",
+      rocks = true)
+      .select($"k", $"pid".as("probe_id"),
+        coalesce($"r_vid", lit(-1L)).as("v_id"),
+        coalesce($"r_vcents", lit(-1L)).as("v_cents"))
+  }
+
   /** Streaming count-window replay (IntegrationQueries.q_stream_countwin
     * lives in that module's inventory; the harness internals live here):
     * events stream per user in (event-time, id) order, every full window

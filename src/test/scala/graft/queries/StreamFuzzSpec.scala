@@ -536,6 +536,60 @@ class StreamFuzzSpec extends SparkSuite {
     }
   }
 
+  test("proctime-join generator is deterministic and covers its arms") {
+    for (s <- Seq(1L, 7L, 4242L))
+      assert(StreamFuzzGen.genPtJoin(s) == StreamFuzzGen.genPtJoin(s))
+    val cs = (1L to 24L).map(StreamFuzzGen.genPtJoin)
+    assert(cs.exists(_.keySql.contains("%")) &&
+      cs.exists(!_.keySql.contains("%")))
+    assert(cs.map(c => (c.delMod, c.delRes)).distinct.length > 3)
+  }
+
+  test("arrival-order proctime join matches the last-preceding-version restatement per seed") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val ev = Q.t(spark, dir, "events")
+    for (seed <- 1L to 8L) {
+      val c = StreamFuzzGen.genPtJoin(seed)
+      val keyed = ev.withColumn("k", expr(s"CAST(${c.keySql} AS STRING)"))
+        .withColumn("tts", col("ts").cast("timestamp"))
+        .withColumn("cents",
+          expr("CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)"))
+      val versions = keyed.filter(expr(c.versionFilterSql))
+        .select(col("k"), col("tts"), col("event_id"), lit(0).as("tag"),
+          lit(false).as("is_probe"),
+          (col("event_id") % c.delMod === c.delRes).as("vdel"),
+          col("event_id").as("vid"), col("cents").as("vcents"))
+      val probes = keyed.filter(expr(c.probeFilterSql))
+        .select(col("k"), col("tts"), col("event_id"), lit(1).as("tag"),
+          lit(true).as("is_probe"), lit(null).cast("boolean").as("vdel"),
+          lit(null).cast("long").as("vid"), lit(null).cast("long").as("vcents"))
+      val w = Window.partitionBy(col("k"))
+        .orderBy(col("tts"), col("event_id"), col("tag"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      def lastV(cn: String) =
+        last(when(!col("is_probe"), col(cn)), ignoreNulls = true).over(w)
+      val expected = versions.union(probes)
+        .select(col("k"), col("event_id"), col("is_probe"),
+          lastV("vdel").as("p_vdel"), lastV("vid").as("p_vid"),
+          lastV("vcents").as("p_vcents"))
+        .filter(col("is_probe"))
+        .select(col("k"), col("event_id").as("probe_id"),
+          coalesce(when(col("p_vdel"), lit(null)).otherwise(col("p_vid")),
+            lit(-1L)).as("v_id"),
+          coalesce(when(col("p_vdel"), lit(null)).otherwise(col("p_vcents")),
+            lit(-1L)).as("v_cents"))
+        .collect().map(_.toString).sorted.toSeq
+      val actual = StreamQueries.streamPtJoinFuzzReplay(spark, dir, c)
+        .collect().map(_.toString).sorted.toSeq
+      assert(actual == expected,
+        s"ptjoin seed $seed diverged: key=${c.keySql} " +
+          s"pf=${c.probeFilterSql} vf=${c.versionFilterSql} " +
+          s"del=id%${c.delMod}=${c.delRes} " +
+          s"(batch=${expected.length} rows, stream=${actual.length})")
+    }
+  }
+
   test("checkpoint stop/restart resume: recovered state equals the uninterrupted run per seed") {
     // the exactly-once contract across restarts (the reference's core
     // checkpoint guarantee): stop() at a seed-determined batch boundary,
