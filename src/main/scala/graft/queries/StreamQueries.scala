@@ -65,7 +65,8 @@ object StreamQueries {
   private[queries] def runToEnd[T](s: SparkSession, input: MemoryStream[T],
       out: DataFrame, batches: Seq[Seq[T]],
       mode: String = "update", rocks: Boolean = false,
-      restartAfter: Option[Int] = None): DataFrame = {
+      restartAfter: Option[Int] = None,
+      foreachSink: Option[(DataFrame, Long) => Unit] = None): DataFrame = {
     val ckpt = java.nio.file.Files.createTempDirectory("qstream_ckpt")
     def freshName() =
       s"qstream_${java.util.UUID.randomUUID().toString.replace("-", "")}"
@@ -106,13 +107,17 @@ object StreamQueries {
           new java.util.ArrayList(buf), out.schema)
       case _ =>
         val name = freshName()
-        val q = startReplayQuery(s, out, name, ckpt.toString, mode, rocks)
+        val q = startReplayQuery(s, out, name, ckpt.toString, mode, rocks,
+          foreachBatch = foreachSink)
         try batches.foreach { b => input.addData(b); q.processAllAvailable() }
         finally {
           q.stop()
           Q.deleteRecursively(ckpt) // best-effort cleanup
         }
-        s.table(name)
+        // with a caller-provided foreachBatch sink (blackhole-count scale
+        // probes) nothing accumulates driver-side; the caller reads its
+        // own sink state
+        if (foreachSink.isDefined) s.emptyDataFrame else s.table(name)
     }
   }
 
@@ -399,17 +404,29 @@ object StreamQueries {
     val annotated = SessionWindows.annotate(
       input.toDS().toDF().withWatermark("ts", "1 hour"),
       Seq("user_id"), "ts", "1 hour")
-    runToEnd(s, input, annotated, chunks(rows, 2) :+ sentinel, rocks = true)
-      .filter($"user_id" >= 0)
-      .agg(count(lit(1)).as("rows"))
+    // blackhole-count sink (executor-side count per batch, summed on the
+    // driver): the probe measures the OPERATOR's scale law, and a memory
+    // sink at 64× was holding 6.4M annotated rows on the driver — sink
+    // cost, not operator cost, and super-linear in the recorded curve
+    val counter = new java.util.concurrent.atomic.LongAdder
+    runToEnd(s, input, annotated, chunks(rows, 2) :+ sentinel, rocks = true,
+      foreachSink = Some((df, _) =>
+        counter.add(df.filter(col("user_id") >= 0).count())))
+    Seq(counter.sum).toDF("rows")
   }
 
   /** Bench-only entries (no oracle BY DESIGN — the measurement is the
-    * 1×↔8× wall-time ratio; see [[sessionScaleProbe]]).
+    * 1×↔8×↔64× wall-time ratio; see [[sessionScaleProbe]]). The 64×
+    * point (6.4M events at sf0.1, 64× key breadth through one
+    * transformWithState session operator at the same fixed 2-partition
+    * replay parallelism) is the streaming sibling of b_tpch18_scale64 —
+    * it is SUPPOSED to take minutes; the law it measures is documented
+    * in docs/SCALE.md.
     */
   val benchOnly: Map[String, QFn] = Map(
     "b_stream_scale1" -> ((s, dir) => sessionScaleProbe(s, dir, 1)),
-    "b_stream_scale8" -> ((s, dir) => sessionScaleProbe(s, dir, 8)))
+    "b_stream_scale8" -> ((s, dir) => sessionScaleProbe(s, dir, 8)),
+    "b_stream_scale64" -> ((s, dir) => sessionScaleProbe(s, dir, 64)))
 
   /** MemoryStream replay for a [[StreamFuzzGen.SessionCase]]: derived
     * key columns → filter → SessionWindows.annotate under the case's
