@@ -20,8 +20,10 @@ package graft
   * (windowed equi-join), over (unbounded-preceding over-agg ROWS/RANGE),
   * ptjoin (proc-time temporal join, arrival-order restatement), cdc
   * (CDC-dialect convergence — 4 parser runs per seed), recover
-  * (checkpoint stop/restart resume — 4 stateful arms per seed), or all
-  * (n seeds of each single-arm family + the cdc quad).
+  * (checkpoint stop/restart resume — 4 stateful arms per seed),
+  * cumulate (CUMULATE TVF shapes), countwin (count windows tumbling +
+  * sliding), winrank (window top-n / window dedup), or all (n seeds of
+  * each single-arm family + the cdc quad).
   */
 object StreamFuzzDump {
   def main(args: Array[String]): Unit = {
@@ -151,6 +153,24 @@ object StreamFuzzDump {
             () => graft.queries.StreamFuzzQueries.replay(spark, sfDir, wc, b),
             wc.oracleSql))
       }
+      def cu = {
+        val c = graft.queries.WindowFuzzGen.genCumulate(seed)
+        (s"q_fuzz_stream_cu$seed",
+          () => graft.queries.WindowFuzzGen.replayCumulate(spark, sfDir, c),
+          c.oracleSql)
+      }
+      def cw = {
+        val c = graft.queries.WindowFuzzGen.genCountWin(seed)
+        (s"q_fuzz_stream_cw$seed",
+          () => graft.queries.StreamFuzzQueries.replayCountWin(spark, sfDir, c),
+          c.oracleSql)
+      }
+      def wr = {
+        val c = graft.queries.WindowFuzzGen.genWinRank(seed)
+        (s"q_fuzz_stream_wr$seed",
+          () => graft.queries.WindowFuzzGen.replayWinRank(spark, sfDir, c),
+          c.oracleSql)
+      }
       family match {
         case "window"  => Seq(w)
         case "session" => Seq(se)
@@ -168,12 +188,16 @@ object StreamFuzzDump {
         case "ptjoin"  => Seq(pt)
         case "cdc"     => cdc
         case "recover" => rec
+        case "cumulate" => Seq(cu)
+        case "countwin" => Seq(cw)
+        case "winrank" => Seq(wr)
         case "all"     =>
-          Seq(w, se, re, tn, ce, de, jo, tj, cq, cr, iv, wj, ov, pt) ++ cdc
+          Seq(w, se, re, tn, ce, de, jo, tj, cq, cr, iv, wj, ov, pt,
+            cu, cw, wr) ++ cdc
         case other => sys.error(s"unknown family '$other': " +
           "expected window, session, retract, topn, cep, dedup, join, " +
           "temporal, cepq, cepr, interval, winjoin, over, ptjoin, cdc, " +
-          "recover, all")
+          "recover, cumulate, countwin, winrank, all")
       }
     }
     val oracle = (seed0 until seed0 + n).flatMap(arms).flatMap {
@@ -189,7 +213,7 @@ object StreamFuzzDump {
     }
     DumpIO.writeOracle(outDir, oracle)
     val total = n * (family match {
-      case "all" => 18; case "cdc" | "recover" => 4; case _ => 1
+      case "all" => 21; case "cdc" | "recover" => 4; case _ => 1
     })
     println(s"[streamfuzz] dumped ${oracle.length} of $total $family cases " +
       s"($failed failed on Spark), seeds $seed0..${seed0 + n - 1}")

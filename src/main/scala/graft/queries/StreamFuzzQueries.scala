@@ -105,6 +105,24 @@ object StreamFuzzQueries {
   private[queries] val ptJoinSeeds: Seq[Long] = Seq(
     firstSeedOf("ptjoin", StreamFuzzGen.genPtJoin)(_.keySql.contains("%"))).distinct
 
+  /** one composite-key cumulate TVF shape (slice expansion × key
+    * product — the widest cumulate plan).
+    */
+  private[queries] val cumulateSeeds: Seq[Long] = Seq(
+    firstSeedOf("cumulate", WindowFuzzGen.genCumulate)(_.keys.length == 2)).distinct
+
+  /** one tumbling and one sliding count-window shape. */
+  private[queries] val countWinSeeds: Seq[Long] = Seq(
+    firstSeedOf("countwin", WindowFuzzGen.genCountWin)(!_.sliding),
+    firstSeedOf("countwin", WindowFuzzGen.genCountWin)(c =>
+      c.sliding && c.slide < c.size)).distinct
+
+  /** one window-topn and one window-dedup keep-last shape. */
+  private[queries] val winRankSeeds: Seq[Long] = Seq(
+    firstSeedOf("winrank", WindowFuzzGen.genWinRank)(_.mode == "topn"),
+    firstSeedOf("winrank", WindowFuzzGen.genWinRank)(c =>
+      c.mode == "dedup" && c.last)).distinct
+
   /** one 2-step windowed and one 3-step CEP shape. */
   private[queries] val cepSeeds: Seq[Long] = Seq(
     firstSeedOf("cep", CepFuzzGen.gen)(c => c.steps.length == 2 && c.withinMinutes.isDefined),
@@ -145,6 +163,9 @@ object StreamFuzzQueries {
   private val winJoinCases = winJoinSeeds.map(StreamFuzzGen.genWinJoin)
   private val overCases = overSeeds.map(StreamFuzzGen.genOver)
   private val ptJoinCases = ptJoinSeeds.map(StreamFuzzGen.genPtJoin)
+  private val cumulateCases = cumulateSeeds.map(WindowFuzzGen.genCumulate)
+  private val countWinCases = countWinSeeds.map(WindowFuzzGen.genCountWin)
+  private val winRankCases = winRankSeeds.map(WindowFuzzGen.genWinRank)
 
   val queries: Map[String, QFn] =
     cases.map { c =>
@@ -202,6 +223,18 @@ object StreamFuzzQueries {
     ptJoinCases.map { c =>
       s"q_fuzz_stream_ptj${c.seed}" -> ((s, dir) =>
         StreamQueries.streamPtJoinFuzzReplay(s, dir, c)): (String, QFn)
+    }.toMap ++
+    cumulateCases.map { c =>
+      s"q_fuzz_stream_cu${c.seed}" -> ((s, dir) =>
+        WindowFuzzGen.replayCumulate(s, dir, c)): (String, QFn)
+    }.toMap ++
+    countWinCases.map { c =>
+      s"q_fuzz_stream_cw${c.seed}" -> ((s, dir) =>
+        StreamQueries.streamCountWinFuzzReplay(s, dir, c)): (String, QFn)
+    }.toMap ++
+    winRankCases.map { c =>
+      s"q_fuzz_stream_wr${c.seed}" -> ((s, dir) =>
+        WindowFuzzGen.replayWinRank(s, dir, c)): (String, QFn)
     }.toMap ++
     recoverQueries
 
@@ -263,6 +296,9 @@ object StreamFuzzQueries {
     winJoinCases.map(c => s"q_fuzz_stream_wj${c.seed}" -> c.oracleSql).toMap ++
     overCases.map(c => s"q_fuzz_stream_ov${c.seed}" -> c.oracleSql).toMap ++
     ptJoinCases.map(c => s"q_fuzz_stream_ptj${c.seed}" -> c.oracleSql).toMap ++
+    cumulateCases.map(c => s"q_fuzz_stream_cu${c.seed}" -> c.oracleSql).toMap ++
+    countWinCases.map(c => s"q_fuzz_stream_cw${c.seed}" -> c.oracleSql).toMap ++
+    winRankCases.map(c => s"q_fuzz_stream_wr${c.seed}" -> c.oracleSql).toMap ++
     recoverOracles
 
   /** Public replay front doors for the dev-side sweep
@@ -327,4 +363,8 @@ object StreamFuzzQueries {
   def replayPtJoin(s: org.apache.spark.sql.SparkSession, dir: String,
       c: StreamFuzzGen.PtJoinCase): org.apache.spark.sql.DataFrame =
     StreamQueries.streamPtJoinFuzzReplay(s, dir, c)
+
+  def replayCountWin(s: org.apache.spark.sql.SparkSession, dir: String,
+      c: WindowFuzzGen.CountWinCase): org.apache.spark.sql.DataFrame =
+    StreamQueries.streamCountWinFuzzReplay(s, dir, c)
 }

@@ -932,6 +932,48 @@ object StreamQueries {
         coalesce($"r_vcents", lit(-1L)).as("v_cents"))
   }
 
+  /** MemoryStream replay for a [[WindowFuzzGen.CountWinCase]]: filtered
+    * events replay (micro-ts, id)-sorted per key through the tumbling
+    * [[StatefulOps.CountWindowProcessor]] (every FULL window of `size`
+    * rows emits its value sum; partial tails stay pending) or the
+    * sliding [[StatefulOps.CountSlideProcessor]] (fires at every
+    * `slide`-th row over the trailing `size`, partial heads allowed) —
+    * the reference's countWindow(size[, slide]) contracts under random
+    * keys/values/sizes, restated as ROW_NUMBER arithmetic.
+    */
+  private[queries] def streamCountWinFuzzReplay(s: SparkSession,
+      dir: String, c: WindowFuzzGen.CountWinCase): DataFrame = {
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    implicit val chEnc = Encoders.product[StatefulOps.Change[String, Long]]
+    val rows = t(s, dir, "events")
+      .filter(expr(c.filterSql))
+      .select(expr(s"CAST(${c.keySql} AS STRING)").as("k"),
+        col("ts").cast("timestamp").as("ts"), col("event_id"),
+        expr(s"CAST(${c.valueSql} AS BIGINT)").as("v"))
+      .as[(String, java.sql.Timestamp, Long, Long)]
+      .collect().toSeq.sortBy(t => (micros(t._2), t._3))
+      .map { case (k, _, _, v) => StatefulOps.Change(Changelog.Insert, k, v) }
+    val input = MemoryStream[StatefulOps.Change[String, Long]]
+    val out =
+      if (!c.sliding)
+        input.toDS().groupByKey(_.key)
+          .transformWithState(new StatefulOps.CountWindowProcessor(c.size),
+            org.apache.spark.sql.streaming.TimeMode.None(),
+            org.apache.spark.sql.streaming.OutputMode.Update())
+          .toDF().select($"key".as("k"), $"windowId".as("window_id"),
+            $"sum".as("sum_v"), $"n")
+      else
+        input.toDS().groupByKey(_.key)
+          .transformWithState(
+            new StatefulOps.CountSlideProcessor(c.size, c.slide),
+            org.apache.spark.sql.streaming.TimeMode.None(),
+            org.apache.spark.sql.streaming.OutputMode.Update())
+          .toDF().select($"key".as("k"), $"fireId".as("fire_id"),
+            $"sum".as("sum_v"), $"n")
+    runToEnd(s, input, out, chunks(rows, 2), rocks = true)
+  }
+
   /** Streaming count-window replay (IntegrationQueries.q_stream_countwin
     * lives in that module's inventory; the harness internals live here):
     * events stream per user in (event-time, id) order, every full window

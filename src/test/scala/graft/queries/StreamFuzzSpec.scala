@@ -536,6 +536,95 @@ class StreamFuzzSpec extends SparkSuite {
     }
   }
 
+  test("window-family generators are deterministic and cover their arms") {
+    for (s <- Seq(1L, 7L, 4242L)) {
+      assert(WindowFuzzGen.genCumulate(s) == WindowFuzzGen.genCumulate(s))
+      assert(WindowFuzzGen.genCountWin(s) == WindowFuzzGen.genCountWin(s))
+      assert(WindowFuzzGen.genWinRank(s) == WindowFuzzGen.genWinRank(s))
+    }
+    val cu = (1L to 24L).map(WindowFuzzGen.genCumulate)
+    assert(cu.exists(_.keys.length == 2) && cu.map(_.maxMinutes).distinct.length == 3)
+    val cw = (1L to 24L).map(WindowFuzzGen.genCountWin)
+    assert(cw.exists(_.sliding) && cw.exists(!_.sliding))
+    assert(cw.map(_.size).distinct.length > 3)
+    val wr = (1L to 24L).map(WindowFuzzGen.genWinRank)
+    assert(wr.exists(_.mode == "topn") && wr.exists(c => c.mode == "dedup" && c.last))
+  }
+
+  test("cumulate TVF matches the batch slice expansion per seed") {
+    import org.apache.spark.sql.functions._
+    val ev = Q.t(spark, dir, "events")
+      .withColumn("tts", col("ts").cast("timestamp"))
+    for (seed <- 1L to 8L) {
+      val c = WindowFuzzGen.genCumulate(seed)
+      // batch restatement: base tumble of maxSize, explode the slice
+      // ends, keep slices covering the row — q_window_cumulate's shape
+      var f = ev.filter(expr(c.filterSql))
+        .withColumn("window_start",
+          window(col("tts"), s"${c.maxMinutes} minutes").getField("start"))
+        .withColumn("window_end", explode(sequence(
+          col("window_start") + expr(s"INTERVAL ${c.stepMinutes} MINUTE"),
+          col("window_start") + expr(s"INTERVAL ${c.maxMinutes} MINUTE"),
+          expr(s"INTERVAL ${c.stepMinutes} MINUTE"))))
+        .filter(col("window_end") > col("tts"))
+      c.keys.foreach { case (e, a) => f = f.withColumn(a, expr(e)) }
+      val aggCols = c.aggs.map { case (e, a) => expr(e).as(a) }
+      val expected = f
+        .groupBy((Seq(col("window_start"), col("window_end")) ++
+          c.keys.map(k => col(k._2))): _*)
+        .agg(aggCols.head, aggCols.tail: _*)
+        .select((Seq(col("window_start").cast("string"),
+          col("window_end").cast("string")) ++
+          (c.keys.map(k => col(k._2)) ++ c.aggs.map(a => col(a._2)))): _*)
+        .collect().map(_.toString).sorted.toSeq
+      val actual = WindowFuzzGen.replayCumulate(spark, dir, c)
+        .select((Seq(col("window_start").cast("string"),
+          col("window_end").cast("string")) ++
+          (c.keys.map(k => col(k._2)) ++ c.aggs.map(a => col(a._2)))): _*)
+        .collect().map(_.toString).sorted.toSeq
+      assert(actual == expected,
+        s"cumulate seed $seed diverged: step=${c.stepMinutes} " +
+          s"max=${c.maxMinutes} keys=${c.keys} filter=${c.filterSql} " +
+          s"(batch=${expected.length} rows, tvf=${actual.length})")
+    }
+  }
+
+  test("streaming count windows match the row-number restatement per seed") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val ev = Q.t(spark, dir, "events")
+    for (seed <- 1L to 8L) {
+      val c = WindowFuzzGen.genCountWin(seed)
+      val f = ev.filter(expr(c.filterSql))
+        .select(expr(s"CAST(${c.keySql} AS STRING)").as("k"),
+          col("ts").cast("timestamp").as("tts"), col("event_id"),
+          expr(s"CAST(${c.valueSql} AS BIGINT)").as("v"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("k")).orderBy(col("tts"), col("event_id"))))
+      val expected = (if (!c.sliding)
+        f.withColumn("window_id", ((col("rn") - 1) / c.size).cast("long"))
+          .groupBy(col("k"), col("window_id"))
+          .agg(sum(col("v")).as("sum_v"), count(lit(1)).as("n"))
+          .filter(col("n") === c.size)
+      else {
+        val w = Window.partitionBy(col("k")).orderBy(col("rn"))
+          .rowsBetween(-(c.size - 1), Window.currentRow)
+        f.withColumn("sum_v", sum(col("v")).over(w))
+          .withColumn("n", count(lit(1)).over(w))
+          .filter(col("rn") % c.slide === 0)
+          .select(col("k"), (col("rn") / c.slide).cast("long").as("fire_id"),
+            col("sum_v"), col("n"))
+      }).collect().map(_.toString).sorted.toSeq
+      val actual = StreamQueries.streamCountWinFuzzReplay(spark, dir, c)
+        .collect().map(_.toString).sorted.toSeq
+      assert(actual == expected,
+        s"countwin seed $seed diverged: sliding=${c.sliding} " +
+          s"size=${c.size} slide=${c.slide} key=${c.keySql} " +
+          s"value=${c.valueSql} filter=${c.filterSql} " +
+          s"(batch=${expected.length} rows, stream=${actual.length})")
+    }
+  }
+
   test("proctime-join generator is deterministic and covers its arms") {
     for (s <- Seq(1L, 7L, 4242L))
       assert(StreamFuzzGen.genPtJoin(s) == StreamFuzzGen.genPtJoin(s))
