@@ -55,6 +55,20 @@ object FuzzQueries {
   private val cdcCases: Map[String, CdcFuzzGen.Case] =
     cdcSeeds.map { case (d, seed) => d -> CdcFuzzGen.gen(seed) }
 
+  /** one eviction-heavy (cacheSize 1) and one permanent-failure-bearing
+    * lookup-join shape ([[LookupFuzzGen]] — LRU cache + retry ladder
+    * over the deterministic fake store); the spec additionally runs
+    * every seed through the ordered/unordered ASYNC routes and asserts
+    * the three agree.
+    */
+  private[queries] val lookupSeeds: Seq[Long] = Seq(
+    StreamFuzzQueries.firstSeedOf("lookup", LookupFuzzGen.gen)(
+      _.cacheSize == 1),
+    StreamFuzzQueries.firstSeedOf("lookup", LookupFuzzGen.gen)(c =>
+      c.failMod > c.maxRetries + 1 && c.cacheSize > 1)).distinct
+
+  private val lookupCases = lookupSeeds.map(LookupFuzzGen.gen)
+
   val queries: Map[String, QFn] = all.map { case (name, sql) =>
     name -> ((s, dir) => {
       Tables.registerAll(s, dir)
@@ -66,11 +80,15 @@ object FuzzQueries {
   }.toMap ++ cdcCases.map { case (d, c) =>
     s"q_fmt_$d" -> ((s, dir: String) =>
       CdcFuzzGen.replay(s, dir, c, d)): (String, QFn)
+  }.toMap ++ lookupCases.map { c =>
+    s"q_fuzz_lookup_${c.seed}" -> ((s, dir: String) =>
+      LookupFuzzGen.replay(s, dir, c)): (String, QFn)
   }.toMap
 
   // identical SQL text runs as the oracle (dialect-shared by design);
   // the upsert rows restate their VALUES list per-key last-writer-wins
   val oracles: Map[String, String] = all ++
     upsertCases.map(c => s"q_fuzz_upsert_${c.seed}" -> c.oracleSql).toMap ++
-    cdcCases.map { case (d, c) => s"q_fmt_$d" -> c.oracleSql }.toMap
+    cdcCases.map { case (d, c) => s"q_fmt_$d" -> c.oracleSql }.toMap ++
+    lookupCases.map(c => s"q_fuzz_lookup_${c.seed}" -> c.oracleSql).toMap
 }
