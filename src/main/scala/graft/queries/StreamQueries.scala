@@ -87,24 +87,22 @@ object StreamQueries {
           .newKeySet[java.lang.Long]()
         val sinkFn: (DataFrame, Long) => Unit = (df, batchId) =>
           if (seen.add(batchId)) df.collect().foreach(buf.add)
-        val q1 = startReplayQuery(s, out, freshName(), ckpt.toString, mode,
-          rocks, foreachBatch = Some(sinkFn))
-        try batches.take(k).foreach { b =>
-          input.addData(b); q1.processAllAvailable()
-        }
-        finally q1.stop()
-        val q2 = startReplayQuery(s, out, freshName(), ckpt.toString, mode,
-          rocks, foreachBatch = Some(sinkFn))
-        try batches.drop(k).foreach { b =>
-          input.addData(b); q2.processAllAvailable()
-        }
-        finally {
-          q2.stop()
-          Q.deleteRecursively(ckpt)
-        }
-        import scala.jdk.CollectionConverters._
+        try {
+          val q1 = startReplayQuery(s, out, freshName(), ckpt.toString, mode,
+            rocks, foreachBatch = Some(sinkFn))
+          try batches.take(k).foreach { b =>
+            input.addData(b); q1.processAllAvailable()
+          }
+          finally q1.stop()
+          val q2 = startReplayQuery(s, out, freshName(), ckpt.toString, mode,
+            rocks, foreachBatch = Some(sinkFn))
+          try batches.drop(k).foreach { b =>
+            input.addData(b); q2.processAllAvailable()
+          }
+          finally q2.stop()
+        } finally Q.deleteRecursively(ckpt) // both legs: no ckpt leak on failure
         s.createDataFrame(
-          new java.util.ArrayList(buf), out.schema)
+          new java.util.ArrayList[org.apache.spark.sql.Row](buf), out.schema)
       case _ =>
         val name = freshName()
         val q = startReplayQuery(s, out, name, ckpt.toString, mode, rocks,
