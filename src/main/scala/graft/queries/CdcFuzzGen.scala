@@ -96,7 +96,19 @@ object CdcFuzzGen {
     * the consistency the dialect parsers' retractions are checked
     * against.
     */
-  private def simulate(s: SparkSession, dir: String, c: Case): Seq[Op] = {
+  /** Memoized per (dir, case): the history is a pure function of both,
+    * the testdata is immutable for a JVM's lifetime, and each case's
+    * history is decoded by FOUR dialect runs (spec convergence + sweep)
+    * that would otherwise repeat the filter+collect+sort each.
+    */
+  private val simCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, Case), Seq[Op]]()
+
+  private def simulate(s: SparkSession, dir: String, c: Case): Seq[Op] =
+    simCache.computeIfAbsent((dir, c), _ => simulateUncached(s, dir, c))
+
+  private def simulateUncached(s: SparkSession, dir: String,
+      c: Case): Seq[Op] = {
     import s.implicits._
     val rows = Q.t(s, dir, "events")
       .filter(expr(c.filterSql))

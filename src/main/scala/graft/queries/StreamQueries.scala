@@ -70,6 +70,10 @@ object StreamQueries {
     val ckpt = java.nio.file.Files.createTempDirectory("qstream_ckpt")
     def freshName() =
       s"qstream_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    // the restart arm substitutes its own buffering sink; a caller
+    // combining the two features would silently lose its sink otherwise
+    require(restartAfter.isEmpty || foreachSink.isEmpty,
+      "restartAfter and foreachSink cannot combine")
     restartAfter match {
       case Some(k0) if batches.length >= 2 =>
         // clamp to [1, n-1]: at least one batch on each side of the stop
