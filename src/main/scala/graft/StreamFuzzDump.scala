@@ -139,6 +139,8 @@ object StreamFuzzDump {
         val rc = graft.queries.StreamFuzzGen.genRetract(seed)
         val tc = graft.queries.StreamFuzzGen.genTemporal(seed)
         val wc = graft.queries.StreamFuzzGen.gen(seed)
+        val sc = graft.queries.StreamFuzzGen.genSession(seed)
+        val nc = graft.queries.StreamFuzzGen.genTopN(seed)
         Seq(
           (s"q_fuzz_recover_j$seed",
             () => graft.queries.StreamFuzzQueries.replayJoin(spark, sfDir, jc, b),
@@ -151,7 +153,17 @@ object StreamFuzzDump {
             tc.oracleSql),
           (s"q_fuzz_recover_w$seed",
             () => graft.queries.StreamFuzzQueries.replay(spark, sfDir, wc, b),
-            wc.oracleSql))
+            wc.oracleSql),
+          // session under a DOUBLE stop/restart (recovery from an
+          // already-recovered checkpoint — timer + watermark restore
+          // stacking) and top-n under a single one
+          (s"q_fuzz_recover_s$seed",
+            () => graft.queries.StreamFuzzQueries.replaySession(spark, sfDir,
+              sc, restartBoundaries = Seq(1, 2)),
+            sc.oracleSql),
+          (s"q_fuzz_recover_t$seed",
+            () => graft.queries.StreamFuzzQueries.replayTopN(spark, sfDir, nc, b),
+            nc.oracleSql))
       }
       def cu = {
         val c = graft.queries.WindowFuzzGen.genCumulate(seed)
@@ -213,7 +225,7 @@ object StreamFuzzDump {
     }
     DumpIO.writeOracle(outDir, oracle)
     val total = n * (family match {
-      case "all" => 21; case "cdc" | "recover" => 4; case _ => 1
+      case "all" => 21; case "cdc" => 4; case "recover" => 6; case _ => 1
     })
     println(s"[streamfuzz] dumped ${oracle.length} of $total $family cases " +
       s"($failed failed on Spark), seeds $seed0..${seed0 + n - 1}")

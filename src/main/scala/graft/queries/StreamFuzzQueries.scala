@@ -310,8 +310,11 @@ object StreamFuzzQueries {
     StreamQueries.streamFuzzReplay(s, dir, c, restartAfter)
 
   def replaySession(s: org.apache.spark.sql.SparkSession, dir: String,
-      c: StreamFuzzGen.SessionCase): org.apache.spark.sql.DataFrame =
-    StreamQueries.streamSessionFuzzReplay(s, dir, c)
+      c: StreamFuzzGen.SessionCase,
+      restartAfter: Option[Int] = None,
+      restartBoundaries: Seq[Int] = Nil): org.apache.spark.sql.DataFrame =
+    StreamQueries.streamSessionFuzzReplay(s, dir, c, restartAfter,
+      restartBoundaries)
 
   def replayRetract(s: org.apache.spark.sql.SparkSession, dir: String,
       c: StreamFuzzGen.RetractCase,
@@ -319,8 +322,9 @@ object StreamFuzzQueries {
     StreamQueries.streamRetractFuzzReplay(s, dir, c, restartAfter)
 
   def replayTopN(s: org.apache.spark.sql.SparkSession, dir: String,
-      c: StreamFuzzGen.TopNCase): org.apache.spark.sql.DataFrame =
-    StreamQueries.streamTopNFuzzReplay(s, dir, c)
+      c: StreamFuzzGen.TopNCase,
+      restartAfter: Option[Int] = None): org.apache.spark.sql.DataFrame =
+    StreamQueries.streamTopNFuzzReplay(s, dir, c, restartAfter)
 
   def replayCep(s: org.apache.spark.sql.SparkSession, dir: String,
       c: CepFuzzGen.Case): org.apache.spark.sql.DataFrame =

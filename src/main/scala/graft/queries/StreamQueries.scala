@@ -57,69 +57,73 @@ object StreamQueries {
     * query stop()s cleanly after k batches and a NEW query start()s from
     * the same checkpoint — state stores restore, the persisted watermark
     * reloads, and the remaining batches replay through the resumed
-    * state. The pre-restart sink emissions (all committed — each feed
-    * runs processAllAvailable before the stop) union with the second
-    * run's sink, so a caller's changelog fold sees the complete
-    * emission history exactly as an external sink would have.
+    * state. `restartBoundaries` generalizes to SEVERAL stop/restart
+    * cycles per replay (recovery from an already-recovered checkpoint —
+    * snapshot-plus-changelog restore stacking). The pre-restart sink
+    * emissions (all committed — each feed runs processAllAvailable
+    * before the stop) accumulate with every later leg's, so a caller's
+    * changelog fold sees the complete emission history exactly as an
+    * external sink would have.
     */
   private[queries] def runToEnd[T](s: SparkSession, input: MemoryStream[T],
       out: DataFrame, batches: Seq[Seq[T]],
       mode: String = "update", rocks: Boolean = false,
       restartAfter: Option[Int] = None,
+      restartBoundaries: Seq[Int] = Nil,
       foreachSink: Option[(DataFrame, Long) => Unit] = None): DataFrame = {
     val ckpt = java.nio.file.Files.createTempDirectory("qstream_ckpt")
     def freshName() =
       s"qstream_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    // clamp to [1, n-1] and dedup: at least one batch per leg
+    val bounds = (restartAfter.toSeq ++ restartBoundaries)
+      .map(k => math.min(math.max(1, k), batches.length - 1))
+      .distinct.sorted.filter(_ >= 1)
     // the restart arm substitutes its own buffering sink; a caller
     // combining the two features would silently lose its sink otherwise
-    require(restartAfter.isEmpty || foreachSink.isEmpty,
-      "restartAfter and foreachSink cannot combine")
-    restartAfter match {
-      case Some(k0) if batches.length >= 2 =>
-        // clamp to [1, n-1]: at least one batch on each side of the stop
-        val k = math.min(math.max(1, k0), batches.length - 1)
-        // The memory sink refuses checkpoint recovery (it is not
-        // fault-tolerant), so the restart arm writes through
-        // foreachBatch with a batchId-IDEMPOTENT buffer — the exact
-        // contract a transactional production sink implements for
-        // exactly-once: if recovery ever re-delivers a committed batch,
-        // the dedup absorbs it; a LOST batch still surfaces as missing
-        // rows in the differential.
-        val buf = new java.util.concurrent.ConcurrentLinkedQueue[
-          org.apache.spark.sql.Row]()
-        val seen = java.util.concurrent.ConcurrentHashMap
-          .newKeySet[java.lang.Long]()
-        val sinkFn: (DataFrame, Long) => Unit = (df, batchId) =>
-          if (seen.add(batchId)) df.collect().foreach(buf.add)
-        try {
-          val q1 = startReplayQuery(s, out, freshName(), ckpt.toString, mode,
+    require(bounds.isEmpty || foreachSink.isEmpty,
+      "restart boundaries and foreachSink cannot combine")
+    if (bounds.nonEmpty && batches.length >= 2) {
+      // The memory sink refuses checkpoint recovery (it is not
+      // fault-tolerant), so the restart arm writes through foreachBatch
+      // with a batchId-IDEMPOTENT buffer — the exact contract a
+      // transactional production sink implements for exactly-once: if
+      // recovery ever re-delivers a committed batch, the dedup absorbs
+      // it; a LOST batch still surfaces as missing rows in the
+      // differential.
+      val buf = new java.util.concurrent.ConcurrentLinkedQueue[
+        org.apache.spark.sql.Row]()
+      val seen = java.util.concurrent.ConcurrentHashMap
+        .newKeySet[java.lang.Long]()
+      val sinkFn: (DataFrame, Long) => Unit = (df, batchId) =>
+        if (seen.add(batchId)) df.collect().foreach(buf.add)
+      // legs: batch index ranges split at the boundaries
+      val cuts = 0 +: bounds :+ batches.length
+      try cuts.sliding(2).foreach { case Seq(from, to) =>
+        if (to > from) {
+          val q = startReplayQuery(s, out, freshName(), ckpt.toString, mode,
             rocks, foreachBatch = Some(sinkFn))
-          try batches.take(k).foreach { b =>
-            input.addData(b); q1.processAllAvailable()
+          try batches.slice(from, to).foreach { b =>
+            input.addData(b); q.processAllAvailable()
           }
-          finally q1.stop()
-          val q2 = startReplayQuery(s, out, freshName(), ckpt.toString, mode,
-            rocks, foreachBatch = Some(sinkFn))
-          try batches.drop(k).foreach { b =>
-            input.addData(b); q2.processAllAvailable()
-          }
-          finally q2.stop()
-        } finally Q.deleteRecursively(ckpt) // both legs: no ckpt leak on failure
-        s.createDataFrame(
-          new java.util.ArrayList[org.apache.spark.sql.Row](buf), out.schema)
-      case _ =>
-        val name = freshName()
-        val q = startReplayQuery(s, out, name, ckpt.toString, mode, rocks,
-          foreachBatch = foreachSink)
-        try batches.foreach { b => input.addData(b); q.processAllAvailable() }
-        finally {
-          q.stop()
-          Q.deleteRecursively(ckpt) // best-effort cleanup
+          finally q.stop()
         }
-        // with a caller-provided foreachBatch sink (blackhole-count scale
-        // probes) nothing accumulates driver-side; the caller reads its
-        // own sink state
-        if (foreachSink.isDefined) s.emptyDataFrame else s.table(name)
+      }
+      finally Q.deleteRecursively(ckpt) // every leg: no ckpt leak on failure
+      s.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](buf), out.schema)
+    } else {
+      val name = freshName()
+      val q = startReplayQuery(s, out, name, ckpt.toString, mode, rocks,
+        foreachBatch = foreachSink)
+      try batches.foreach { b => input.addData(b); q.processAllAvailable() }
+      finally {
+        q.stop()
+        Q.deleteRecursively(ckpt) // best-effort cleanup
+      }
+      // with a caller-provided foreachBatch sink (blackhole-count scale
+      // probes) nothing accumulates driver-side; the caller reads its
+      // own sink state
+      if (foreachSink.isDefined) s.emptyDataFrame else s.table(name)
     }
   }
 
@@ -439,7 +443,8 @@ object StreamQueries {
     */
   private[queries] def streamSessionFuzzReplay(s: SparkSession, dir: String,
       c: StreamFuzzGen.SessionCase,
-      restartAfter: Option[Int] = None): DataFrame = {
+      restartAfter: Option[Int] = None,
+      restartBoundaries: Seq[Int] = Nil): DataFrame = {
     import s.implicits._
     implicit val sqlCtx = s.sqlContext
     val rows = sortedEvents(s, dir)
@@ -457,7 +462,8 @@ object StreamQueries {
       df.filter(expr(c.filterSql)), c.keys.map(_._2), "ts",
       s"${c.gapMinutes} minutes")
     runToEnd(s, input, annotated, chunks(rows, 2) :+ Seq(sentinel),
-      rocks = true, restartAfter = restartAfter)
+      rocks = true, restartAfter = restartAfter,
+      restartBoundaries = restartBoundaries)
       .filter(col("event_id") >= 0)
       .select(c.keys.map(k => col(k._2)) ++ Seq(col("event_id"),
         col("window_start").cast("timestamp_ntz").as("window_start"),
@@ -531,7 +537,8 @@ object StreamQueries {
     */
   private[queries] def streamJoinFuzzReplay(s: SparkSession, dir: String,
       c: StreamFuzzGen.JoinCase,
-      restartAfter: Option[Int] = None): DataFrame = {
+      restartAfter: Option[Int] = None,
+      restartBoundaries: Seq[Int] = Nil): DataFrame = {
     import s.implicits._
     implicit val sqlCtx = s.sqlContext
     val rows = t(s, dir, "events")
@@ -566,7 +573,7 @@ object StreamQueries {
           org.apache.spark.sql.streaming.OutputMode.Update())
       val sink = runToEnd(s, input, out.toDF(),
         chunks(inserts, 2) ++ Seq(deletes).filter(_.nonEmpty), rocks = true,
-        restartAfter = restartAfter)
+        restartAfter = restartAfter, restartBoundaries = restartBoundaries)
       foldChangelog(sink, "kind")
         .select($"key".as("k"), $"id".as("l_id"))
     } else {
@@ -595,7 +602,8 @@ object StreamQueries {
         left, right, jt)
       val sink = runToEnd(s, input, out.toDF(),
         chunks(inserts, 2) ++ Seq(rDel, lDel).filter(_.nonEmpty),
-        rocks = true, restartAfter = restartAfter)
+        rocks = true, restartAfter = restartAfter,
+        restartBoundaries = restartBoundaries)
       foldChangelog(sink.select($"kind", $"key".as("k"),
         $"left._1".as("l_id"), $"left._2".as("l_cents"),
         $"right".as("r_id")), "kind")

@@ -726,6 +726,21 @@ class StreamFuzzSpec extends SparkSuite {
       canon(StreamQueries.streamSessionFuzzReplay(spark, dir, sc, wb)) ==
       canon(StreamQueries.streamSessionFuzzReplay(spark, dir, sc)),
       s"session recovery diverged (gap=${sc.gapMinutes}m, stop=$wb)")
+    // DOUBLE stop/restart: recovery from an already-recovered checkpoint
+    // (snapshot + changelog restore stacking) — every batch boundary is
+    // a stop, so both the join MapStates and the session timers +
+    // watermark restore twice before the final leg
+    val jc2 = StreamFuzzGen.genJoin(3L)
+    assert(
+      canon(StreamQueries.streamJoinFuzzReplay(spark, dir, jc2,
+        restartBoundaries = Seq(1, 2))) ==
+      canon(StreamQueries.streamJoinFuzzReplay(spark, dir, jc2)),
+      s"join double-restart diverged (type=${jc2.joinType})")
+    assert(
+      canon(StreamQueries.streamSessionFuzzReplay(spark, dir, sc,
+        restartBoundaries = Seq(1, 2))) ==
+      canon(StreamQueries.streamSessionFuzzReplay(spark, dir, sc)),
+      s"session double-restart diverged (gap=${sc.gapMinutes}m)")
   }
 
   test("incremental streaming replay matches the one-shot batch plan per seed") {
