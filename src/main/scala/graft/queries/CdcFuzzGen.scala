@@ -148,10 +148,15 @@ object CdcFuzzGen {
     fields.mkString("{", ",", "}")
   }
 
-  /** ogg op_ts: "yyyy-MM-dd HH:mm:ss.SSSSSS" from the op index. */
+  /** ogg op_ts: "yyyy-MM-dd HH:mm:ss.SSSSSS" from the op index, encoded
+    * at MILLISECOND granularity — the parser's `ts_ms` is unix_millis of
+    * this string, so a finer (micros) encoding would collide 1000 op
+    * indices onto one seq value and break the materialize route's
+    * last-image ordering.
+    */
   private def oggTs(i: Long): String = {
-    val sec = i / 1000000L
-    val us = i % 1000000L
+    val sec = i / 1000L
+    val us = (i % 1000L) * 1000L
     f"2024-01-01 ${sec / 3600}%02d:${sec / 60 % 60}%02d:${sec % 60}%02d.$us%06d"
   }
 
@@ -219,18 +224,41 @@ object CdcFuzzGen {
     * order-insensitive by construction, which is precisely what makes a
     * malformed retraction image observable.
     */
-  def replay(s: SparkSession, dir: String, c: Case,
+  private def parsed(s: SparkSession, dir: String, c: Case,
       dialect: String): DataFrame = {
     import s.implicits._
     val lines = render(simulate(s, dir, c), dialect, c)
     val raw = s.createDataset(lines).toDF("v")
-    val parsed = dialect match {
+    dialect match {
       case "debezium" => graft.sources.ChangelogJson.debezium(raw, "v", payload)
       case "canal" => graft.sources.ChangelogJson.canal(raw, "v", payload)
       case "maxwell" => graft.sources.ChangelogJson.maxwell(raw, "v", payload)
       case "ogg" => graft.sources.ChangelogJson.ogg(raw, "v", payload)
     }
-    parsed
+  }
+
+  /** The PRODUCTION consumer route: decode, then
+    * [[Changelog.materialize]] by primary key with the envelope's
+    * `ts_ms` as the seq — the same composition `q_fmt_debezium` ships.
+    * Valid for the one-op-per-envelope dialects (debezium/maxwell/ogg,
+    * where ts_ms is the unique op index after -U rows drop); canal's
+    * per-envelope ts cannot order rows WITHIN a batched `data` array —
+    * exactly as in real canal, where intra-envelope order is positional
+    * — so canal stays on the order-insensitive fold route only.
+    */
+  def replayMaterialized(s: SparkSession, dir: String, c: Case,
+      dialect: String): DataFrame = {
+    require(dialect != "canal",
+      "canal's per-envelope ts cannot seq intra-batch rows")
+    Changelog.materialize(parsed(s, dir, c, dialect), Seq("pk"), "ts_ms")
+      .select(col("pk"), col("ev"), col("cents"))
+      .orderBy(col("pk"))
+  }
+
+  def replay(s: SparkSession, dir: String, c: Case,
+      dialect: String): DataFrame = {
+    import s.implicits._
+    parsed(s, dir, c, dialect)
       .withColumn("__sign",
         when(col(Changelog.RowKindCol) === Changelog.Insert ||
           col(Changelog.RowKindCol) === Changelog.UpdateAfter, 1)

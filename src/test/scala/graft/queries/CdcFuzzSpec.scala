@@ -60,6 +60,16 @@ class CdcFuzzSpec extends SparkSuite {
             s"pkMod=${c.pkMod} del=ev%${c.delMod}=${c.delRes} " +
             s"batchMax=${c.canalBatchMax} " +
             s"(batch=${expected.length} rows, parsed=${actual.length})")
+        // production-consumer route (decode → Changelog.materialize by
+        // PK/seq) — one-op-per-envelope dialects only; see
+        // replayMaterialized's canal note
+        if (d != "canal") {
+          val mat = CdcFuzzGen.replayMaterialized(spark, dir, c, d)
+            .collect().map(_.toString).sorted.toSeq
+          assert(mat == expected,
+            s"cdc seed $seed dialect $d MATERIALIZE route diverged " +
+              s"(batch=${expected.length} rows, materialized=${mat.length})")
+        }
       }
     }
   }
