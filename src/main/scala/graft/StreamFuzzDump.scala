@@ -183,6 +183,12 @@ object StreamFuzzDump {
           () => graft.queries.WindowFuzzGen.replayWinRank(spark, sfDir, c),
           c.oracleSql)
       }
+      def lw = {
+        val c = graft.queries.StreamFuzzGen.genLateness(seed)
+        (s"q_fuzz_stream_lw$seed",
+          () => graft.queries.StreamFuzzQueries.replayLateness(spark, sfDir, c),
+          c.oracleSql)
+      }
       family match {
         case "window"  => Seq(w)
         case "session" => Seq(se)
@@ -203,13 +209,14 @@ object StreamFuzzDump {
         case "cumulate" => Seq(cu)
         case "countwin" => Seq(cw)
         case "winrank" => Seq(wr)
+        case "lateness" => Seq(lw)
         case "all"     =>
           Seq(w, se, re, tn, ce, de, jo, tj, cq, cr, iv, wj, ov, pt,
-            cu, cw, wr) ++ cdc
+            cu, cw, wr, lw) ++ cdc
         case other => sys.error(s"unknown family '$other': " +
           "expected window, session, retract, topn, cep, dedup, join, " +
           "temporal, cepq, cepr, interval, winjoin, over, ptjoin, cdc, " +
-          "recover, cumulate, countwin, winrank, all")
+          "recover, cumulate, countwin, winrank, lateness, all")
       }
     }
     val oracle = (seed0 until seed0 + n).flatMap(arms).flatMap {
@@ -225,7 +232,7 @@ object StreamFuzzDump {
     }
     DumpIO.writeOracle(outDir, oracle)
     val total = n * (family match {
-      case "all" => 21; case "cdc" => 4; case "recover" => 6; case _ => 1
+      case "all" => 22; case "cdc" => 4; case "recover" => 6; case _ => 1
     })
     println(s"[streamfuzz] dumped ${oracle.length} of $total $family cases " +
       s"($failed failed on Spark), seeds $seed0..${seed0 + n - 1}")

@@ -527,6 +527,73 @@ object StreamFuzzGen {
          |FROM w WHERE is_probe""".stripMargin
   }
 
+  /** An allowed-lateness window case — exercises
+    * [[graft.streaming.AllowedLateness.LatenessWindowProcessor]] (the
+    * reference's WindowedStream.allowedLateness + sideOutputLateData:
+    * fired windows stay alive for `lateness`, re-fire per allowed-late
+    * element, and route later elements to a side output): the filtered
+    * base replays ascending, then the resend-predicate rows REPLAY with
+    * fresh ids in one batch — each classifying, by exact ms arithmetic
+    * shared with the oracle, as allowed-late (window count +1 via
+    * -U/+U re-fire) or too-late (side-output row). The watermark delay
+    * D = window + lateness + slack inflates the engine watermark so the
+    * whole too-late band stays processor-visible; resent rows within 1 s
+    * of the engine-filter boundary are excluded on BOTH sides (the
+    * ms-truncated engine boundary is the one comparison the two engines
+    * can't share exactly).
+    */
+  case class LatenessCase(
+      seed: Long,
+      filterSql: String,
+      winMinutes: Int,
+      latenessMult: Int, // lateness = latenessMult * window
+      slackMult: Int, // slack = slackMult * window
+      reMod: Int,
+      reRes: Int) {
+
+    def windowMs: Long = winMinutes * 60000L
+    def latenessMs: Long = latenessMult * windowMs
+    def delayMs: Long = windowMs + latenessMs + slackMult * windowMs
+    def idOff: Long = 9000000L
+
+    def oracleSql: String = {
+      val w = windowMs
+      s"""WITH e AS (SELECT event_id, user_id,
+         |    make_timestamp(epoch_ns(ts) // 1000) AS ts, event_type, value
+         |  FROM events),
+         |f AS (SELECT event_id, event_type, ts, epoch_ms(ts) AS tms,
+         |    epoch_ms(time_bucket(INTERVAL $winMinutes MINUTE, ts)) AS ws
+         |  FROM e WHERE $filterSql),
+         |mx AS (SELECT epoch_ms(MAX(ts)) AS m FROM f),
+         |re AS (SELECT f.*, (ws <= m - ${w + latenessMs}) AS too_late
+         |  FROM f, mx
+         |  WHERE event_id % $reMod = $reRes AND tms >= m - $delayMs + 1000),
+         |counted AS (SELECT event_type, ws FROM f
+         |  UNION ALL SELECT event_type, ws FROM re WHERE NOT too_late)
+         |SELECT FALSE AS late, event_type, CAST(ws AS BIGINT) AS ws_ms,
+         |  COUNT(*) AS n, CAST(-1 AS BIGINT) AS id
+         |FROM counted GROUP BY 2, 3
+         |UNION ALL
+         |SELECT TRUE, event_type, CAST(ws AS BIGINT), CAST(-1 AS BIGINT),
+         |  event_id + $idOff
+         |FROM re WHERE too_late""".stripMargin
+    }
+  }
+
+  /** The lateness case for a seed — a pure function of the seed. Window
+    * widths divide a day (epoch-aligned buckets on both engines).
+    */
+  def genLateness(seed: Long): LatenessCase = {
+    val r = new Random(scramble(seed ^ 0x1a7e4e55L))
+    val filterSql = basePredOf(r)
+    val win = Seq(30, 60, 120)(r.nextInt(3))
+    val latenessMult = 1 + r.nextInt(3)
+    val slackMult = 1 + r.nextInt(2)
+    val reMod = 2 + r.nextInt(4)
+    val reRes = r.nextInt(reMod)
+    LatenessCase(seed, filterSql, win, latenessMult, slackMult, reMod, reRes)
+  }
+
   private val eventTypes =
     Seq("click", "purchase", "view", "signup", "error")
 

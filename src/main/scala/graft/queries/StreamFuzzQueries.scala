@@ -123,6 +123,12 @@ object StreamFuzzQueries {
     firstSeedOf("winrank", WindowFuzzGen.genWinRank)(c =>
       c.mode == "dedup" && c.last)).distinct
 
+  /** one wide-refire-band allowed-lateness shape (lateness ≥ 2 windows —
+    * several fired windows stay re-fireable at once).
+    */
+  private[queries] val latenessSeeds: Seq[Long] = Seq(
+    firstSeedOf("lateness", StreamFuzzGen.genLateness)(_.latenessMult >= 2)).distinct
+
   /** one 2-step windowed and one 3-step CEP shape. */
   private[queries] val cepSeeds: Seq[Long] = Seq(
     firstSeedOf("cep", CepFuzzGen.gen)(c => c.steps.length == 2 && c.withinMinutes.isDefined),
@@ -166,6 +172,7 @@ object StreamFuzzQueries {
   private val cumulateCases = cumulateSeeds.map(WindowFuzzGen.genCumulate)
   private val countWinCases = countWinSeeds.map(WindowFuzzGen.genCountWin)
   private val winRankCases = winRankSeeds.map(WindowFuzzGen.genWinRank)
+  private val latenessCases = latenessSeeds.map(StreamFuzzGen.genLateness)
 
   val queries: Map[String, QFn] =
     cases.map { c =>
@@ -236,6 +243,10 @@ object StreamFuzzQueries {
       s"q_fuzz_stream_wr${c.seed}" -> ((s, dir) =>
         WindowFuzzGen.replayWinRank(s, dir, c)): (String, QFn)
     }.toMap ++
+    latenessCases.map { c =>
+      s"q_fuzz_stream_lw${c.seed}" -> ((s, dir) =>
+        StreamQueries.streamLatenessFuzzReplay(s, dir, c)): (String, QFn)
+    }.toMap ++
     recoverQueries
 
   /** Checkpoint stop/restart RESUME rows (the reference's exactly-once
@@ -299,6 +310,7 @@ object StreamFuzzQueries {
     cumulateCases.map(c => s"q_fuzz_stream_cu${c.seed}" -> c.oracleSql).toMap ++
     countWinCases.map(c => s"q_fuzz_stream_cw${c.seed}" -> c.oracleSql).toMap ++
     winRankCases.map(c => s"q_fuzz_stream_wr${c.seed}" -> c.oracleSql).toMap ++
+    latenessCases.map(c => s"q_fuzz_stream_lw${c.seed}" -> c.oracleSql).toMap ++
     recoverOracles
 
   /** Public replay front doors for the dev-side sweep
@@ -371,4 +383,8 @@ object StreamFuzzQueries {
   def replayCountWin(s: org.apache.spark.sql.SparkSession, dir: String,
       c: WindowFuzzGen.CountWinCase): org.apache.spark.sql.DataFrame =
     StreamQueries.streamCountWinFuzzReplay(s, dir, c)
+
+  def replayLateness(s: org.apache.spark.sql.SparkSession, dir: String,
+      c: StreamFuzzGen.LatenessCase): org.apache.spark.sql.DataFrame =
+    StreamQueries.streamLatenessFuzzReplay(s, dir, c)
 }

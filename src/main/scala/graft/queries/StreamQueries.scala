@@ -886,6 +886,53 @@ object StreamQueries {
         coalesce($"r_cents", lit(-1L)).as("v_cents"))
   }
 
+  /** MemoryStream replay for a [[StreamFuzzGen.LatenessCase]]: the
+    * filtered base replays ascending in three batches, the resend rows
+    * (fresh ids, original timestamps, 1 s clear of the engine-filter
+    * boundary) follow in one batch — splitting into allowed-late
+    * re-fires and side-output rows inside the processor — and a
+    * far-future sentinel fires + cleans every remaining window. The
+    * folded changelog must equal the case's base+allowed-late counts
+    * plus the too-late side-output rows (its DuckDB restatement).
+    */
+  private[queries] def streamLatenessFuzzReplay(s: SparkSession,
+      dir: String, c: StreamFuzzGen.LatenessCase): DataFrame = {
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val rows = t(s, dir, "events")
+      .filter(expr(c.filterSql))
+      .select(col("event_type"), col("ts").cast("timestamp").as("ts"),
+        col("event_id"))
+      .as[(String, java.sql.Timestamp, Long)]
+      .collect().toSeq.sortBy(t => (micros(t._2), t._3))
+    if (rows.isEmpty)
+      return s.emptyDataFrame.select(lit(false).as("late"),
+        lit("").as("event_type"), lit(0L).as("ws_ms"), lit(0L).as("n"),
+        lit(0L).as("id"))
+    val ins = rows.map { case (ty, ts, id) =>
+      AllowedLateness.LWIn(ty, ts, id) }
+    val mMs = rows.last._2.getTime
+    val resend = rows.collect {
+      case (ty, ts, id)
+          if id % c.reMod == c.reRes &&
+            ts.getTime >= mMs - c.delayMs + 1000L =>
+        AllowedLateness.LWIn(ty, ts, id + c.idOff)
+    }
+    val sentinel = Seq(AllowedLateness.LWIn(" flush",
+      new java.sql.Timestamp(mMs + 10L * 86400000L), 0L))
+    val input = MemoryStream[AllowedLateness.LWIn]
+    val out = AllowedLateness.tumbleCounts(
+      input.toDS().withWatermark("eventTime", s"${c.delayMs} milliseconds"),
+      windowMs = c.windowMs, latenessMs = c.latenessMs, delayMs = c.delayMs)
+    val sink = runToEnd(s, input, out,
+      chunks(ins, 3) ++ Seq(resend).filter(_.nonEmpty) :+ sentinel,
+      rocks = true)
+    foldChangelog(sink, "kind")
+      .filter($"etype" =!= " flush")
+      .select($"late", $"etype".as("event_type"), $"ws".as("ws_ms"),
+        $"n", $"id")
+  }
+
   /** Tagged proc-time envelope for [[streamPtJoinFuzzReplay]]: one
     * MemoryStream carries version upserts/clears and probes so the
     * cross-side arrival order is pinned (ProcTimeJoin.joinTagged's

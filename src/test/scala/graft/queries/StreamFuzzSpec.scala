@@ -625,6 +625,52 @@ class StreamFuzzSpec extends SparkSuite {
     }
   }
 
+  test("lateness generator is deterministic and covers its arms") {
+    for (s <- Seq(1L, 7L, 4242L))
+      assert(StreamFuzzGen.genLateness(s) == StreamFuzzGen.genLateness(s))
+    val cs = (1L to 24L).map(StreamFuzzGen.genLateness)
+    assert(cs.map(_.winMinutes).distinct.length == 3)
+    assert(cs.exists(_.latenessMult >= 2) && cs.exists(_.slackMult == 2))
+  }
+
+  test("allowed-lateness refire/side-output matches the class restatement per seed") {
+    import org.apache.spark.sql.functions._
+    val ev = Q.t(spark, dir, "events")
+    for (seed <- 1L to 6L) {
+      val c = StreamFuzzGen.genLateness(seed)
+      val f = ev.filter(expr(c.filterSql))
+        .select(col("event_type"), col("ts").cast("timestamp").as("tts"),
+          col("event_id"))
+        .withColumn("tms", unix_millis(col("tts")))
+        .withColumn("ws", col("tms") - pmod(col("tms"), lit(c.windowMs)))
+      val m = f.agg(max(col("tms"))).collect()(0).getLong(0)
+      val re = f.filter(col("event_id") % c.reMod === c.reRes &&
+          col("tms") >= m - c.delayMs + 1000L)
+        .withColumn("too_late",
+          col("ws") <= m - c.windowMs - c.latenessMs)
+      val counts = f.select(col("event_type"), col("ws"))
+        .union(re.filter(!col("too_late"))
+          .select(col("event_type"), col("ws")))
+        .groupBy(col("event_type"), col("ws"))
+        .agg(count(lit(1)).as("n"))
+        .select(lit(false).as("late"), col("event_type"),
+          col("ws").as("ws_ms"), col("n"), lit(-1L).as("id"))
+      val lateRows = re.filter(col("too_late"))
+        .select(lit(true).as("late"), col("event_type"),
+          col("ws").as("ws_ms"), lit(-1L).as("n"),
+          (col("event_id") + c.idOff).as("id"))
+      val expected = counts.union(lateRows)
+        .collect().map(_.toString).sorted.toSeq
+      val actual = StreamQueries.streamLatenessFuzzReplay(spark, dir, c)
+        .collect().map(_.toString).sorted.toSeq
+      assert(actual == expected,
+        s"lateness seed $seed diverged: win=${c.winMinutes}m " +
+          s"lat=${c.latenessMult}w slack=${c.slackMult}w " +
+          s"re=id%${c.reMod}=${c.reRes} filter=${c.filterSql} " +
+          s"(batch=${expected.length} rows, stream=${actual.length})")
+    }
+  }
+
   test("proctime-join generator is deterministic and covers its arms") {
     for (s <- Seq(1L, 7L, 4242L))
       assert(StreamFuzzGen.genPtJoin(s) == StreamFuzzGen.genPtJoin(s))
