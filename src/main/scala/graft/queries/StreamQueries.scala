@@ -918,7 +918,7 @@ object StreamQueries {
             ts.getTime >= mMs - c.delayMs + 1000L =>
         AllowedLateness.LWIn(ty, ts, id + c.idOff)
     }
-    val sentinel = Seq(AllowedLateness.LWIn(" flush",
+    val sentinel = Seq(AllowedLateness.LWIn("\u0000flush",
       new java.sql.Timestamp(mMs + 10L * 86400000L), 0L))
     val input = MemoryStream[AllowedLateness.LWIn]
     val out = AllowedLateness.tumbleCounts(
@@ -928,7 +928,7 @@ object StreamQueries {
       chunks(ins, 3) ++ Seq(resend).filter(_.nonEmpty) :+ sentinel,
       rocks = true)
     foldChangelog(sink, "kind")
-      .filter($"etype" =!= " flush")
+      .filter($"etype" =!= "\u0000flush")
       .select($"late", $"etype".as("event_type"), $"ws".as("ws_ms"),
         $"n", $"id")
   }
