@@ -189,6 +189,12 @@ object StreamFuzzDump {
           () => graft.queries.StreamFuzzQueries.replayLateness(spark, sfDir, c),
           c.oracleSql)
       }
+      def cg = {
+        val c = graft.queries.StreamFuzzGen.genCoGroup(seed)
+        (s"q_fuzz_stream_cg$seed",
+          () => graft.queries.StreamFuzzQueries.replayCoGroup(spark, sfDir, c),
+          c.oracleSql)
+      }
       family match {
         case "window"  => Seq(w)
         case "session" => Seq(se)
@@ -210,13 +216,14 @@ object StreamFuzzDump {
         case "countwin" => Seq(cw)
         case "winrank" => Seq(wr)
         case "lateness" => Seq(lw)
+        case "cogroup" => Seq(cg)
         case "all"     =>
           Seq(w, se, re, tn, ce, de, jo, tj, cq, cr, iv, wj, ov, pt,
-            cu, cw, wr, lw) ++ cdc
+            cu, cw, wr, lw, cg) ++ cdc
         case other => sys.error(s"unknown family '$other': " +
           "expected window, session, retract, topn, cep, dedup, join, " +
           "temporal, cepq, cepr, interval, winjoin, over, ptjoin, cdc, " +
-          "recover, cumulate, countwin, winrank, lateness, all")
+          "recover, cumulate, countwin, winrank, lateness, cogroup, all")
       }
     }
     val oracle = (seed0 until seed0 + n).flatMap(arms).flatMap {
@@ -232,7 +239,7 @@ object StreamFuzzDump {
     }
     DumpIO.writeOracle(outDir, oracle)
     val total = n * (family match {
-      case "all" => 22; case "cdc" => 4; case "recover" => 6; case _ => 1
+      case "all" => 23; case "cdc" => 4; case "recover" => 6; case _ => 1
     })
     println(s"[streamfuzz] dumped ${oracle.length} of $total $family cases " +
       s"($failed failed on Spark), seeds $seed0..${seed0 + n - 1}")

@@ -527,6 +527,87 @@ object StreamFuzzGen {
          |FROM w WHERE is_probe""".stripMargin
   }
 
+  /** A windowed coGroup case — exercises [[graft.streaming.CoGroup]]
+    * (the reference's CoGroupedStreams TaggedUnion → one keyed shuffle →
+    * per-(key, window) buffers fired together by an event-time timer):
+    * the parity split's filtered sides coGroup under a tumbling or
+    * sliding window, the callback emitting ONE row per (key, window)
+    * fire with both sides' aggregates — including one-sided keys, the
+    * semantic that distinguishes coGroup from a join. Restatement: each
+    * side aggregates per (window, key), FULL-joined.
+    */
+  case class CoGroupCase(
+      seed: Long,
+      keySql: String, // STRING-valued shared expr (both sides)
+      leftFilterSql: String, // on top of event_id % 2 = 0
+      rightFilterSql: String, // on top of event_id % 2 = 1
+      winMinutes: Int,
+      slideMinutes: Int) { // == winMinutes for tumbling
+
+    def isSliding: Boolean = slideMinutes != winMinutes
+
+    def oracleSql: String = {
+      val e = """WITH e AS (SELECT event_id, user_id,
+        |    make_timestamp(epoch_ns(ts) // 1000) AS ts, event_type, value
+        |  FROM events),""".stripMargin
+      def side(name: String, parity: Int, f: String) =
+        s"""$name AS (SELECT CAST($keySql AS STRING) AS k, ts,
+           |    event_id AS id,
+           |    CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents
+           |  FROM e WHERE event_id % 2 = $parity AND ($f)),""".stripMargin
+      def agg(name: String, src: String, aggSel: String) =
+        if (!isSliding)
+          s"""$name AS (SELECT time_bucket(INTERVAL $winMinutes MINUTE, ts)
+             |    AS ws, k, COUNT(*) AS n, $aggSel
+             |  FROM $src GROUP BY 1, 2)""".stripMargin
+        else {
+          val nCover = winMinutes / slideMinutes
+          val starts = (0 until nCover).map(j =>
+            s"time_bucket(INTERVAL $slideMinutes MINUTE, ts) - INTERVAL ${j * slideMinutes} MINUTE")
+          s"""$name AS (SELECT ws, k, COUNT(*) AS n, $aggSel
+             |  FROM $src, UNNEST([${starts.mkString(",\n    ")}]) AS u(ws)
+             |  GROUP BY 1, 2)""".stripMargin
+        }
+      s"""$e
+         |${side("l", 0, leftFilterSql)}
+         |${side("r", 1, rightFilterSql)}
+         |${agg("lw", "l", "CAST(SUM(cents) AS BIGINT) AS c")},
+         |${agg("rw", "r", "MAX(id) AS m")}
+         |SELECT COALESCE(lw.ws, rw.ws) AS window_start,
+         |  COALESCE(lw.k, rw.k) AS k,
+         |  CAST(COALESCE(lw.n, 0) AS BIGINT) AS l_n,
+         |  CAST(COALESCE(rw.n, 0) AS BIGINT) AS r_n,
+         |  CAST(COALESCE(lw.c, 0) AS BIGINT) AS l_cents,
+         |  CAST(COALESCE(rw.m, -1) AS BIGINT) AS r_max_id
+         |FROM lw FULL JOIN rw ON lw.ws = rw.ws AND lw.k = rw.k""".stripMargin
+    }
+  }
+
+  /** The coGroup case for a seed — a pure function of the seed. Window
+    * widths divide a day; slides divide the width (bucket alignment).
+    */
+  def genCoGroup(seed: Long): CoGroupCase = {
+    val r = new Random(scramble(seed ^ 0xc0640bL))
+    val keySql = r.nextInt(3) match {
+      case 0 => "CAST(user_id AS STRING)"
+      case 1 => s"CAST(user_id % ${Seq(7, 11)(r.nextInt(2))} AS STRING)"
+      case 2 => "CONCAT(CAST(user_id AS STRING), '#', event_type)"
+    }
+    val leftFilterSql = basePredOf(r)
+    val rightFilterSql = basePredOf(r)
+    val (win, slide) =
+      if (r.nextInt(2) == 0) { // sliding
+        val w = Seq(60, 120)(r.nextInt(2))
+        (w, Seq(w / 2, w / 3)(r.nextInt(2)))
+      } else {
+        val w = Seq(30, 60, 120)(r.nextInt(3))
+        (w, w)
+      }
+    require(1440 % win == 0 && win % slide == 0,
+      s"coGroup win=$win/slide=$slide must align buckets")
+    CoGroupCase(seed, keySql, leftFilterSql, rightFilterSql, win, slide)
+  }
+
   /** An allowed-lateness window case — exercises
     * [[graft.streaming.AllowedLateness.LatenessWindowProcessor]] (the
     * reference's WindowedStream.allowedLateness + sideOutputLateData:

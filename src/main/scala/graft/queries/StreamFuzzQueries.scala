@@ -129,6 +129,13 @@ object StreamFuzzQueries {
   private[queries] val latenessSeeds: Seq[Long] = Seq(
     firstSeedOf("lateness", StreamFuzzGen.genLateness)(_.latenessMult >= 2)).distinct
 
+  /** one sliding-window coGroup shape (each record buffered in
+    * size/slide window instances — the multi-assignment arm the hand
+    * rows cover only at fixed shapes).
+    */
+  private[queries] val coGroupSeeds: Seq[Long] = Seq(
+    firstSeedOf("cogroup", StreamFuzzGen.genCoGroup)(_.isSliding)).distinct
+
   /** one 2-step windowed and one 3-step CEP shape. */
   private[queries] val cepSeeds: Seq[Long] = Seq(
     firstSeedOf("cep", CepFuzzGen.gen)(c => c.steps.length == 2 && c.withinMinutes.isDefined),
@@ -173,6 +180,7 @@ object StreamFuzzQueries {
   private val countWinCases = countWinSeeds.map(WindowFuzzGen.genCountWin)
   private val winRankCases = winRankSeeds.map(WindowFuzzGen.genWinRank)
   private val latenessCases = latenessSeeds.map(StreamFuzzGen.genLateness)
+  private val coGroupCases = coGroupSeeds.map(StreamFuzzGen.genCoGroup)
 
   val queries: Map[String, QFn] =
     cases.map { c =>
@@ -247,6 +255,10 @@ object StreamFuzzQueries {
       s"q_fuzz_stream_lw${c.seed}" -> ((s, dir) =>
         StreamQueries.streamLatenessFuzzReplay(s, dir, c)): (String, QFn)
     }.toMap ++
+    coGroupCases.map { c =>
+      s"q_fuzz_stream_cg${c.seed}" -> ((s, dir) =>
+        StreamQueries.streamCoGroupFuzzReplay(s, dir, c)): (String, QFn)
+    }.toMap ++
     recoverQueries
 
   /** Checkpoint stop/restart RESUME rows (the reference's exactly-once
@@ -311,6 +323,7 @@ object StreamFuzzQueries {
     countWinCases.map(c => s"q_fuzz_stream_cw${c.seed}" -> c.oracleSql).toMap ++
     winRankCases.map(c => s"q_fuzz_stream_wr${c.seed}" -> c.oracleSql).toMap ++
     latenessCases.map(c => s"q_fuzz_stream_lw${c.seed}" -> c.oracleSql).toMap ++
+    coGroupCases.map(c => s"q_fuzz_stream_cg${c.seed}" -> c.oracleSql).toMap ++
     recoverOracles
 
   /** Public replay front doors for the dev-side sweep
@@ -387,4 +400,8 @@ object StreamFuzzQueries {
   def replayLateness(s: org.apache.spark.sql.SparkSession, dir: String,
       c: StreamFuzzGen.LatenessCase): org.apache.spark.sql.DataFrame =
     StreamQueries.streamLatenessFuzzReplay(s, dir, c)
+
+  def replayCoGroup(s: org.apache.spark.sql.SparkSession, dir: String,
+      c: StreamFuzzGen.CoGroupCase): org.apache.spark.sql.DataFrame =
+    StreamQueries.streamCoGroupFuzzReplay(s, dir, c)
 }

@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.queries.Q._
 import graft.cep.{CEP, Pattern}
-import graft.streaming.{AllowedLateness, Changelog, OuterJoin, ProcTimeJoin, ProcessOps, RetractableTopN, SessionWindows, StatefulOps, StreamingRank, TemporalJoin}
+import graft.streaming.{AllowedLateness, Changelog, CoGroup, OuterJoin, ProcTimeJoin, ProcessOps, RetractableTopN, SessionWindows, StatefulOps, StreamingRank, TemporalJoin}
 
 /** Streaming oracle parity — driver-visible proof that the stateful
   * streaming operators produce the SAME table a batch query does, through
@@ -931,6 +931,81 @@ object StreamQueries {
       .filter($"etype" =!= "\u0000flush")
       .select($"late", $"etype".as("event_type"), $"ws".as("ws_ms"),
         $"n", $"id")
+  }
+
+  /** Two-sided envelope for [[streamCoGroupFuzzReplay]]. */
+  case class CgEnv(k: String, isLeft: Boolean, ts: java.sql.Timestamp,
+      id: Long, cents: Long)
+
+  /** MemoryStream replay for a [[StreamFuzzGen.CoGroupCase]]: one
+    * watermarked stream splits into the parity sides, which coGroup
+    * under the case's tumbling or sliding window
+    * ([[graft.streaming.CoGroup]]); the callback emits ONE row per
+    * (key, window) fire carrying both sides' aggregates — one-sided
+    * fires included. A far-future left-side sentinel (disjoint key)
+    * flushes the tail windows; its own window never fires.
+    */
+  private[queries] def streamCoGroupFuzzReplay(s: SparkSession,
+      dir: String, c: StreamFuzzGen.CoGroupCase): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.types._
+    implicit val sqlCtx = s.sqlContext
+    val rows = t(s, dir, "events")
+      .select(expr(s"CAST(${c.keySql} AS STRING)").as("k"), col("event_id"),
+        col("ts").cast("timestamp").as("ts"),
+        expr("CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)")
+          .as("cents"),
+        expr(c.leftFilterSql).as("lf"), expr(c.rightFilterSql).as("rf"))
+      .filter(col("lf") || col("rf"))
+      .as[(String, Long, java.sql.Timestamp, Long, Boolean, Boolean)]
+      .collect().toSeq.sortBy(t => (micros(t._3), t._2))
+      .collect {
+        case (k, id, ts, cents, lf, _) if id % 2 == 0 && lf =>
+          CgEnv(k, isLeft = true, ts, id, cents)
+        case (k, id, ts, cents, _, rf) if id % 2 == 1 && rf =>
+          CgEnv(k, isLeft = false, ts, id, cents)
+      }
+    if (rows.isEmpty)
+      return s.emptyDataFrame.select(
+        lit(null).cast("timestamp_ntz").as("window_start"),
+        lit("").as("k"), lit(0L).as("l_n"), lit(0L).as("r_n"),
+        lit(0L).as("l_cents"), lit(0L).as("r_max_id"))
+    val sentinel = CgEnv("\u0000flush", isLeft = true,
+      new java.sql.Timestamp(rows.last.ts.getTime + 10L * 86400000L),
+      -1L, 0L)
+    val input = MemoryStream[CgEnv]
+    val ev = input.toDS()
+    val lhs = ev.filter(_.isLeft).toDF()
+      .select($"k", $"ts", $"id", $"cents")
+    val rhs = ev.filter(!_.isLeft).toDF()
+      .select($"k", $"ts", $"id", $"cents")
+    val outSchema = StructType(Seq(
+      StructField("window_start", TimestampType),
+      StructField("k", StringType),
+      StructField("l_n", LongType), StructField("r_n", LongType),
+      StructField("l_cents", LongType), StructField("r_max_id", LongType)))
+    val fn = (key: String, winStart: Long,
+        ls: Seq[org.apache.spark.sql.Row],
+        rs: Seq[org.apache.spark.sql.Row]) =>
+      Iterator.single(
+        new org.apache.spark.sql.catalyst.expressions.GenericRow(Array[Any](
+          new java.sql.Timestamp(winStart), key,
+          ls.length.toLong, rs.length.toLong,
+          ls.map(_.getAs[Long]("cents")).sum,
+          if (rs.isEmpty) -1L else rs.map(_.getAs[Long]("id")).max)))
+    val out =
+      if (!c.isSliding)
+        CoGroup.tumbling(lhs, rhs, Seq("k"), "ts",
+          c.winMinutes * 60000L, "1 second", fn, outSchema)
+      else
+        CoGroup.sliding(lhs, rhs, Seq("k"), "ts",
+          c.winMinutes * 60000L, c.slideMinutes * 60000L, "1 second",
+          fn, outSchema)
+    runToEnd(s, input, out, chunks(rows, 2) :+ Seq(sentinel),
+      mode = "append", rocks = true)
+      .filter($"k" =!= "\u0000flush")
+      .select($"window_start".cast("timestamp_ntz").as("window_start"),
+        $"k", $"l_n", $"r_n", $"l_cents", $"r_max_id")
   }
 
   /** Tagged proc-time envelope for [[streamPtJoinFuzzReplay]]: one

@@ -625,6 +625,57 @@ class StreamFuzzSpec extends SparkSuite {
     }
   }
 
+  test("cogroup generator is deterministic and covers its arms") {
+    for (s <- Seq(1L, 7L, 4242L))
+      assert(StreamFuzzGen.genCoGroup(s) == StreamFuzzGen.genCoGroup(s))
+    val cs = (1L to 24L).map(StreamFuzzGen.genCoGroup)
+    assert(cs.exists(_.isSliding) && cs.exists(!_.isSliding))
+    assert(cs.map(_.keySql).distinct.length > 2)
+  }
+
+  test("windowed coGroup matches the two-sided full-join restatement per seed") {
+    import org.apache.spark.sql.functions._
+    val ev = Q.t(spark, dir, "events")
+    for (seed <- 1L to 6L) {
+      val c = StreamFuzzGen.genCoGroup(seed)
+      val keyed = ev.withColumn("k", expr(s"CAST(${c.keySql} AS STRING)"))
+        .withColumn("tts", col("ts").cast("timestamp"))
+        .withColumn("cents",
+          expr("CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)"))
+      def windows(df: org.apache.spark.sql.DataFrame) =
+        if (!c.isSliding)
+          df.withColumn("ws",
+            window(col("tts"), s"${c.winMinutes} minutes")
+              .getField("start").cast("timestamp_ntz"))
+        else
+          df.withColumn("w", window(col("tts"), s"${c.winMinutes} minutes",
+              s"${c.slideMinutes} minutes"))
+            .withColumn("ws", col("w.start").cast("timestamp_ntz"))
+      val lw = windows(keyed
+          .filter(col("event_id") % 2 === 0 && expr(c.leftFilterSql)))
+        .groupBy(col("ws"), col("k"))
+        .agg(count(lit(1)).as("l_n0"), sum(col("cents")).as("l_c0"))
+      val rw = windows(keyed
+          .filter(col("event_id") % 2 === 1 && expr(c.rightFilterSql)))
+        .groupBy(col("ws"), col("k"))
+        .agg(count(lit(1)).as("r_n0"), max(col("event_id")).as("r_m0"))
+      val expected = lw.join(rw, Seq("ws", "k"), "full_outer")
+        .select(col("ws").as("window_start"), col("k"),
+          coalesce(col("l_n0"), lit(0L)).as("l_n"),
+          coalesce(col("r_n0"), lit(0L)).as("r_n"),
+          coalesce(col("l_c0"), lit(0L)).as("l_cents"),
+          coalesce(col("r_m0"), lit(-1L)).as("r_max_id"))
+        .collect().map(_.toString).sorted.toSeq
+      val actual = StreamQueries.streamCoGroupFuzzReplay(spark, dir, c)
+        .collect().map(_.toString).sorted.toSeq
+      assert(actual == expected,
+        s"cogroup seed $seed diverged: key=${c.keySql} " +
+          s"win=${c.winMinutes}/${c.slideMinutes}m lf=${c.leftFilterSql} " +
+          s"rf=${c.rightFilterSql} " +
+          s"(batch=${expected.length} rows, stream=${actual.length})")
+    }
+  }
+
   test("lateness generator is deterministic and covers its arms") {
     for (s <- Seq(1L, 7L, 4242L))
       assert(StreamFuzzGen.genLateness(s) == StreamFuzzGen.genLateness(s))
