@@ -96,16 +96,26 @@ object CdcFuzzGen {
     * the consistency the dialect parsers' retractions are checked
     * against.
     */
-  /** Memoized per (dir, case): the history is a pure function of both,
-    * the testdata is immutable for a JVM's lifetime, and each case's
-    * history is decoded by FOUR dialect runs (spec convergence + sweep)
-    * that would otherwise repeat the filter+collect+sort each.
+  /** Memoized for the LAST (dir, case) only: the history is a pure
+    * function of both, and each case's history is decoded by FOUR
+    * consecutive dialect runs (spec convergence + sweep) that would
+    * otherwise repeat the filter+collect+sort each. A single-entry
+    * cache captures that whole win; an unbounded map would retain one
+    * multi-MB op history per sweep seed for the JVM's lifetime.
     */
-  private val simCache =
-    new java.util.concurrent.ConcurrentHashMap[(String, Case), Seq[Op]]()
+  private val lastSim = new java.util.concurrent.atomic.AtomicReference[
+    ((String, Case), Seq[Op])]()
 
-  private def simulate(s: SparkSession, dir: String, c: Case): Seq[Op] =
-    simCache.computeIfAbsent((dir, c), _ => simulateUncached(s, dir, c))
+  private def simulate(s: SparkSession, dir: String, c: Case): Seq[Op] = {
+    val key = (dir, c)
+    val cached = lastSim.get()
+    if (cached != null && cached._1 == key) cached._2
+    else {
+      val ops = simulateUncached(s, dir, c)
+      lastSim.set((key, ops))
+      ops
+    }
+  }
 
   private def simulateUncached(s: SparkSession, dir: String,
       c: Case): Seq[Op] = {
@@ -155,6 +165,9 @@ object CdcFuzzGen {
     * last-image ordering.
     */
   private def oggTs(i: Long): String = {
+    // one day of ms-indices before the fixed-date hour field overflows
+    // into an unparseable "24:..." — fail fast, never corrupt the seq
+    require(i < 86400000L, s"ogg op index $i overflows the op_ts day")
     val sec = i / 1000L
     val us = (i % 1000L) * 1000L
     f"2024-01-01 ${sec / 3600}%02d:${sec / 60 % 60}%02d:${sec % 60}%02d.$us%06d"

@@ -684,10 +684,11 @@ object StreamFuzzGen {
     * LCG step, so ADJACENT raw seeds produce correlated first draws —
     * with a power-of-two bound (which reads the high bits) seeds 1..30
     * all drew the same filter arm before this mix. Shared by every
-    * seeded fuzz generator (here and [[CepFuzzGen]]) so the seed
-    * contract can't silently diverge between families.
+    * seeded fuzz generator and spec (here, [[CepFuzzGen]], the wire-codec
+    * fuzz) so the seed contract can't silently diverge between families —
+    * public, not duplicated.
     */
-  private[queries] def scramble(s: Long): Long = {
+  def scramble(s: Long): Long = {
     var z = s + 0x9E3779B97F4A7C15L
     z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
     z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL

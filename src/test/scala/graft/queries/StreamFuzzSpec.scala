@@ -694,7 +694,14 @@ class StreamFuzzSpec extends SparkSuite {
           col("event_id"))
         .withColumn("tms", unix_millis(col("tts")))
         .withColumn("ws", col("tms") - pmod(col("tms"), lit(c.windowMs)))
-      val m = f.agg(max(col("tms"))).collect()(0).getLong(0)
+      // a filter matching zero rows is vacuously correct on all routes
+      // (replay and oracle both yield empty) — don't NPE on the null agg
+      val mRow = f.agg(max(col("tms"))).collect()(0)
+      if (mRow.isNullAt(0)) {
+        assert(StreamQueries.streamLatenessFuzzReplay(spark, dir, c)
+          .collect().isEmpty)
+      } else {
+      val m = mRow.getLong(0)
       val re = f.filter(col("event_id") % c.reMod === c.reRes &&
           col("tms") >= m - c.delayMs + 1000L)
         .withColumn("too_late",
@@ -719,6 +726,7 @@ class StreamFuzzSpec extends SparkSuite {
           s"lat=${c.latenessMult}w slack=${c.slackMult}w " +
           s"re=id%${c.reMod}=${c.reRes} filter=${c.filterSql} " +
           s"(batch=${expected.length} rows, stream=${actual.length})")
+      }
     }
   }
 

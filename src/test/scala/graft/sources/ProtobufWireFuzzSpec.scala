@@ -28,12 +28,8 @@ import graft.SparkSuite
   */
 class ProtobufWireFuzzSpec extends SparkSuite {
 
-  private def scramble(s: Long): Long = {
-    var z = s + 0x9E3779B97F4A7C15L
-    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
-    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
-    z ^ (z >>> 31)
-  }
+  private def scramble(s: Long): Long =
+    graft.queries.StreamFuzzGen.scramble(s)
 
   private def hintMeta(h: String) =
     new MetadataBuilder().putString(ProtobufWire.EncodingKey, h).build()
