@@ -277,6 +277,8 @@ object StreamFuzzQueries {
     val r = retCases.head
     val tj = temporalCases.head
     val w = cases.head
+    val se = sessCases.head
+    val tn = topNCases.head
     Map(
       s"q_fuzz_recover_j${j.seed}" -> ((s, dir) =>
         StreamQueries.streamJoinFuzzReplay(s, dir, j,
@@ -289,7 +291,15 @@ object StreamFuzzQueries {
           restartAfter = Some(restartBoundary(tj.seed)))),
       s"q_fuzz_recover_w${w.seed}" -> ((s, dir) =>
         StreamQueries.streamFuzzReplay(s, dir, w,
-          restartAfter = Some(restartBoundary(w.seed)))))
+          restartAfter = Some(restartBoundary(w.seed)))),
+      // DOUBLE stop/restart — recovery from an already-recovered
+      // checkpoint, session timers + watermark restoring twice
+      s"q_fuzz_recover_s${se.seed}" -> ((s, dir) =>
+        StreamQueries.streamSessionFuzzReplay(s, dir, se,
+          restartBoundaries = Seq(1, 2))),
+      s"q_fuzz_recover_t${tn.seed}" -> ((s, dir) =>
+        StreamQueries.streamTopNFuzzReplay(s, dir, tn,
+          restartAfter = Some(restartBoundary(tn.seed)))))
   }
 
   private lazy val recoverOracles: Map[String, String] = {
@@ -297,11 +307,15 @@ object StreamFuzzQueries {
     val r = retCases.head
     val tj = temporalCases.head
     val w = cases.head
+    val se = sessCases.head
+    val tn = topNCases.head
     Map(
       s"q_fuzz_recover_j${j.seed}" -> j.oracleSql,
       s"q_fuzz_recover_r${r.seed}" -> r.oracleSql,
       s"q_fuzz_recover_tj${tj.seed}" -> tj.oracleSql,
-      s"q_fuzz_recover_w${w.seed}" -> w.oracleSql)
+      s"q_fuzz_recover_w${w.seed}" -> w.oracleSql,
+      s"q_fuzz_recover_s${se.seed}" -> se.oracleSql,
+      s"q_fuzz_recover_t${tn.seed}" -> tn.oracleSql)
   }
 
   val oracles: Map[String, String] =
