@@ -18,9 +18,11 @@ package graft
   * (NFA quantifier patterns), cepr (NFA relaxed-contiguity/negation
   * patterns), interval (stream–stream time-range join), winjoin
   * (windowed equi-join), over (unbounded-preceding over-agg ROWS/RANGE),
-  * ptjoin (proc-time temporal join, arrival-order restatement), cdc
+  * boundedover (ROWS/RANGE BOUNDED-preceding over-agg — the retract
+  * path), ptjoin (proc-time temporal join, arrival-order restatement), cdc
   * (CDC-dialect convergence — 4 parser runs per seed), recover
-  * (checkpoint stop/restart resume — 4 stateful arms per seed),
+  * (checkpoint stop/restart resume — 8 stateful arms per seed incl.
+  * CEP partial-match and allowed-lateness state),
   * cumulate (CUMULATE TVF shapes), countwin (count windows tumbling +
   * sliding), winrank (window top-n / window dedup), or all (n seeds of
   * each single-arm family + the cdc quad).
@@ -115,6 +117,12 @@ object StreamFuzzDump {
           () => graft.queries.StreamFuzzQueries.replayOver(spark, sfDir, c),
           c.oracleSql)
       }
+      def ob = {
+        val c = graft.queries.StreamFuzzGen.genBoundedOver(seed)
+        (s"q_fuzz_stream_ovb$seed",
+          () => graft.queries.StreamFuzzQueries.replayBoundedOver(spark, sfDir, c),
+          c.oracleSql)
+      }
       def pt = {
         val c = graft.queries.StreamFuzzGen.genPtJoin(seed)
         (s"q_fuzz_stream_ptj$seed",
@@ -163,7 +171,23 @@ object StreamFuzzDump {
             sc.oracleSql),
           (s"q_fuzz_recover_t$seed",
             () => graft.queries.StreamFuzzQueries.replayTopN(spark, sfDir, nc, b),
-            nc.oracleSql))
+            nc.oracleSql),
+          // CEP NFA partial-match buffer + allowed-lateness alive-window
+          // state, restored mid-replay
+          {
+            val cc = graft.queries.CepFuzzGen.gen(seed)
+            (s"q_fuzz_recover_c$seed",
+              () => graft.queries.StreamFuzzQueries.replayCepStream(
+                spark, sfDir, cc, b),
+              cc.oracleSql)
+          },
+          {
+            val lc = graft.queries.StreamFuzzGen.genLateness(seed)
+            (s"q_fuzz_recover_lw$seed",
+              () => graft.queries.StreamFuzzQueries.replayLateness(
+                spark, sfDir, lc, b),
+              lc.oracleSql)
+          })
       }
       def cu = {
         val c = graft.queries.WindowFuzzGen.genCumulate(seed)
@@ -209,6 +233,7 @@ object StreamFuzzDump {
         case "interval" => Seq(iv)
         case "winjoin" => Seq(wj)
         case "over"    => Seq(ov)
+        case "boundedover" => Seq(ob)
         case "ptjoin"  => Seq(pt)
         case "cdc"     => cdc
         case "recover" => rec
@@ -218,12 +243,13 @@ object StreamFuzzDump {
         case "lateness" => Seq(lw)
         case "cogroup" => Seq(cg)
         case "all"     =>
-          Seq(w, se, re, tn, ce, de, jo, tj, cq, cr, iv, wj, ov, pt,
+          Seq(w, se, re, tn, ce, de, jo, tj, cq, cr, iv, wj, ov, ob, pt,
             cu, cw, wr, lw, cg) ++ cdc
         case other => sys.error(s"unknown family '$other': " +
           "expected window, session, retract, topn, cep, dedup, join, " +
-          "temporal, cepq, cepr, interval, winjoin, over, ptjoin, cdc, " +
-          "recover, cumulate, countwin, winrank, lateness, cogroup, all")
+          "temporal, cepq, cepr, interval, winjoin, over, boundedover, " +
+          "ptjoin, cdc, recover, cumulate, countwin, winrank, lateness, " +
+          "cogroup, all")
       }
     }
     val oracle = (seed0 until seed0 + n).flatMap(arms).flatMap {
@@ -239,7 +265,7 @@ object StreamFuzzDump {
     }
     DumpIO.writeOracle(outDir, oracle)
     val total = n * (family match {
-      case "all" => 23; case "cdc" => 4; case "recover" => 6; case _ => 1
+      case "all" => 24; case "cdc" => 4; case "recover" => 8; case _ => 1
     })
     println(s"[streamfuzz] dumped ${oracle.length} of $total $family cases " +
       s"($failed failed on Spark), seeds $seed0..${seed0 + n - 1}")

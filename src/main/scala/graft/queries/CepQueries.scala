@@ -258,6 +258,46 @@ object CepQueries {
       .toDF("user_id", "a_id", "z_id")
   }
 
+  /** STREAMING NFA replay for a [[CepFuzzGen.Case]] with an optional
+    * checkpoint stop/restart — the recovery arm for the CEP partial-match
+    * state (the reference checkpoints the NFA's SharedBuffer in
+    * CepOperator.java:82; here the CepProcessor's buffer ListState +
+    * emitted-hash MapState must restore mid-replay). The (ts, id)-sorted
+    * events replay in four micro-batches through [[CEP.streaming]] under
+    * SkipToNext (the batch replay's convention), so the resumed run's
+    * sink must equal the SAME LEAD restatement `cepFuzzReplay` is gated
+    * on — a lost or doubled partial match surfaces as a missing or
+    * duplicated (a_id, z_id) row.
+    */
+  private[queries] def cepStreamFuzzReplay(s: org.apache.spark.sql.SparkSession,
+      dir: String, c: CepFuzzGen.Case,
+      restartAfter: Option[Int] = None): org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val evs = cepEvents(s, dir).collect().toSeq
+      .sortBy(e => (e.ts, e.event_id))
+    val pat0 = Pattern.begin[CepFuzzGen.CE]("s0")(c.steps.head.fn)
+    val patN = c.steps.tail.zipWithIndex.foldLeft(pat0) {
+      case (p, (st, i)) => p.next(s"s${i + 1}")(st.fn)
+    }
+    val pat = c.withinMinutes
+      .map(m => patN.within(m * 60000000L)).getOrElse(patN)
+    val last = s"s${c.steps.length - 1}"
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[CepFuzzGen.CE]
+    val matches = CEP.streaming[CepFuzzGen.CE](input.toDS(),
+        _.user_id.toString, _.ts, pat, maxBufferPerKey = Some(1 << 20),
+        skip = AfterMatchSkip.SkipToNext)
+      .map { m =>
+        val st = m.stages.toMap
+        (st("s0").head.user_id, st("s0").head.event_id,
+          st(last).head.event_id)
+      }.toDF("user_id", "a_id", "z_id")
+    StreamQueries.runToEnd(s, input, matches,
+      evs.grouped(math.max(1, evs.length / 4 + 1)).toSeq,
+      rocks = true, restartAfter = restartAfter)
+  }
+
   /** The Pattern-API pattern for a [[CepFuzzGen.QuantCase]] (shared by
     * the batch replay and the spec's brute-force/MR dual-runs).
     */

@@ -40,15 +40,23 @@ object FuzzQueries {
   /** One CDC-dialect fuzz row per parser the fixed `q_fmt_debezium`
     * scenario leaves oracle-uncovered ([[CdcFuzzGen]]): canal on the
     * first multi-row-batching seed (its `data`-array/partial-old path),
-    * maxwell and ogg on the first seeds distinct from it — all three
-    * decode a randomized PK-collision history and must fold to the
-    * DuckDB last-image restatement.
+    * maxwell on the first DEEP-chain seed distinct from it (small pkMod
+    * — long insert→update*→delete→re-insert histories, so the
+    * partial-old changed-fields merge is exercised many times per key),
+    * ogg on the first deep-chain seed with the densest delete cadence
+    * (delMod 2 — delete/re-insert alternation, the op-type path) — all
+    * three decode a randomized PK-collision history and must fold to
+    * the DuckDB last-image restatement.
     */
   private[queries] val cdcSeeds: Map[String, Long] = {
     val canal = StreamFuzzQueries.firstSeedOf("cdc", CdcFuzzGen.gen)(
       _.canalBatchMax >= 2)
-    val maxwell = (1L to 256L).find(_ != canal).get
-    val ogg = (1L to 256L).find(s => s != canal && s != maxwell).get
+    val maxwell = (1L to 256L).find(s =>
+      s != canal && CdcFuzzGen.gen(s).pkMod <= 7).get
+    val ogg = (1L to 256L).find { s =>
+      val c = CdcFuzzGen.gen(s)
+      s != canal && s != maxwell && c.pkMod <= 7 && c.delMod == 2
+    }.get
     Map("canal" -> canal, "maxwell" -> maxwell, "ogg" -> ogg)
   }
 

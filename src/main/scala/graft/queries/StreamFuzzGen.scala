@@ -429,6 +429,61 @@ object StreamFuzzGen {
     }
   }
 
+  /** A BOUNDED-preceding streaming OVER-aggregation case — exercises
+    * [[graft.streaming.ProcessOps.RowsBoundedOverProcessor]] /
+    * [[graft.streaming.ProcessOps.RangeBoundedOverProcessor]] (the
+    * reference's RowTimeRowsBoundedPrecedingFunction /
+    * RowTimeRangeBoundedPrecedingFunction — accumulator + retract-row
+    * state, NOT a re-sum per row): filtered rows emit watermark-driven
+    * in event-time order, each carrying the trailing-frame SUM/COUNT.
+    * The restatements are the exact SQL frames, dialect-shared:
+    * `ROWS BETWEEN n-1 PRECEDING AND CURRENT ROW` over (ts, event_id)
+    * order for the ROWS arm; `RANGE BETWEEN x PRECEDING AND CURRENT
+    * ROW` over the millisecond timestamp (the operator's buffer key —
+    * peers = equal ms, horizon inclusive) for the RANGE arm. A wrong
+    * retraction (a row never leaving the frame, or leaving twice)
+    * diverges from the frame restatement immediately.
+    */
+  case class BoundedOverCase(
+      seed: Long,
+      keySql: String, // STRING-valued shared expr
+      filterSql: String,
+      valueSql: String, // BIGINT-valued shared expr
+      rangeMode: Boolean,
+      nRows: Int, // ROWS arm frame size (n-1 PRECEDING .. CURRENT ROW)
+      rangeMs: Long) { // RANGE arm trailing horizon, ms, inclusive
+
+    def oracleSql: String = {
+      val base =
+        s"""WITH e AS (SELECT event_id, user_id,
+           |    make_timestamp(epoch_ns(ts) // 1000) AS ts, event_type, value
+           |  FROM events),
+           |f AS (SELECT CAST($keySql AS STRING) AS k, ts, event_id,
+           |    CAST($valueSql AS BIGINT) AS v
+           |  FROM e WHERE $filterSql)""".stripMargin
+      // CAST the windowed SUM: DuckDB's SUM(BIGINT) is HUGEINT, which
+      // reaches the compare as a float
+      if (rangeMode)
+        s"""$base
+           |SELECT k, epoch_ms(ts) AS ts_ms, v,
+           |  CAST(SUM(v) OVER (PARTITION BY k ORDER BY epoch_ms(ts)
+           |    RANGE BETWEEN $rangeMs PRECEDING AND CURRENT ROW)
+           |    AS BIGINT) AS moving_sum,
+           |  COUNT(*) OVER (PARTITION BY k ORDER BY epoch_ms(ts)
+           |    RANGE BETWEEN $rangeMs PRECEDING AND CURRENT ROW) AS n
+           |FROM f""".stripMargin
+      else
+        s"""$base
+           |SELECT k, epoch_ms(ts) AS ts_ms, v,
+           |  CAST(SUM(v) OVER (PARTITION BY k ORDER BY ts, event_id
+           |    ROWS BETWEEN ${nRows - 1} PRECEDING AND CURRENT ROW)
+           |    AS BIGINT) AS moving_sum,
+           |  COUNT(*) OVER (PARTITION BY k ORDER BY ts, event_id
+           |    ROWS BETWEEN ${nRows - 1} PRECEDING AND CURRENT ROW) AS n
+           |FROM f""".stripMargin
+    }
+  }
+
   /** An event-time temporal/as-of join case — exercises
     * [[graft.streaming.TemporalJoin.TemporalJoinProcessor]] (the
     * reference's TemporalRowTimeJoinOperator versioned-map-state
@@ -875,6 +930,33 @@ object StreamFuzzGen {
       case 2 => "event_id - 100000" // negative-heavy running sums
     }
     OverCase(seed, keySql, filterSql, valueSql, rangeMode = r.nextInt(2) == 0)
+  }
+
+  /** The BOUNDED-preceding streaming-over case for a seed — a pure
+    * function of the seed. Frame sizes are drawn small enough that
+    * retraction happens constantly (nRows ≤ 6; range horizons well
+    * under the events table's time span), so the accumulator's
+    * retract path is the hot path, not a corner.
+    */
+  def genBoundedOver(seed: Long): BoundedOverCase = {
+    val r = new Random(scramble(seed ^ 0xb0de40eL))
+    val keySql = r.nextInt(3) match {
+      case 0 => "event_type"
+      case 1 => s"CAST(user_id % ${Seq(3, 5, 7)(r.nextInt(3))} AS STRING)"
+      case 2 =>
+        s"CONCAT(event_type, '#', CAST(user_id % ${2 + r.nextInt(3)} AS STRING))"
+    }
+    val filterSql = basePredOf(r)
+    val valueSql = r.nextInt(3) match {
+      case 0 => "event_id"
+      case 1 => "CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)"
+      case 2 => "event_id - 100000" // negative-heavy running sums
+    }
+    val rangeMode = r.nextInt(2) == 0
+    val nRows = 2 + r.nextInt(5)
+    val rangeMs = Seq(30000L, 120000L, 600000L, 3600000L)(r.nextInt(4))
+    BoundedOverCase(seed, keySql, filterSql, valueSql, rangeMode, nRows,
+      rangeMs)
   }
 
   /** The window-join case for a seed — a pure function of the seed. */

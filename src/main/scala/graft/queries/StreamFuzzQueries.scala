@@ -92,6 +92,15 @@ object StreamFuzzQueries {
   private[queries] val overSeeds: Seq[Long] = Seq(
     firstSeedOf("over", StreamFuzzGen.genOver)(_.rangeMode)).distinct
 
+  /** one ROWS-frame and one RANGE-frame BOUNDED-preceding over shape —
+    * the retract-path arms the unbounded `q_fuzz_stream_ov*` rows never
+    * reach (their accumulator only grows).
+    */
+  private[queries] val boundedOverSeeds: Seq[Long] = Seq(
+    firstSeedOf("boundedover", StreamFuzzGen.genBoundedOver)(!_.rangeMode),
+    firstSeedOf("boundedover", StreamFuzzGen.genBoundedOver)(_.rangeMode))
+    .distinct
+
   /** one merged-history (mod-keyed) temporal/as-of shape — the arm that
     * interleaves several users' version chains through one MapState.
     */
@@ -175,6 +184,8 @@ object StreamFuzzQueries {
   private val intervalCases = intervalSeeds.map(StreamFuzzGen.genInterval)
   private val winJoinCases = winJoinSeeds.map(StreamFuzzGen.genWinJoin)
   private val overCases = overSeeds.map(StreamFuzzGen.genOver)
+  private val boundedOverCases =
+    boundedOverSeeds.map(StreamFuzzGen.genBoundedOver)
   private val ptJoinCases = ptJoinSeeds.map(StreamFuzzGen.genPtJoin)
   private val cumulateCases = cumulateSeeds.map(WindowFuzzGen.genCumulate)
   private val countWinCases = countWinSeeds.map(WindowFuzzGen.genCountWin)
@@ -235,6 +246,10 @@ object StreamFuzzQueries {
       s"q_fuzz_stream_ov${c.seed}" -> ((s, dir) =>
         StreamQueries.streamOverFuzzReplay(s, dir, c)): (String, QFn)
     }.toMap ++
+    boundedOverCases.map { c =>
+      s"q_fuzz_stream_ovb${c.seed}" -> ((s, dir) =>
+        StreamQueries.streamBoundedOverFuzzReplay(s, dir, c)): (String, QFn)
+    }.toMap ++
     ptJoinCases.map { c =>
       s"q_fuzz_stream_ptj${c.seed}" -> ((s, dir) =>
         StreamQueries.streamPtJoinFuzzReplay(s, dir, c)): (String, QFn)
@@ -269,8 +284,10 @@ object StreamFuzzQueries {
     * run's folded output must STILL equal the case's DuckDB
     * restatement. One row per recovered-state shape: the full-outer
     * join's retract-pad MapStates, the retract-agg accumulators, the
-    * temporal join's version MapState + watermark, and the built-in
-    * windowed aggregation's watermark + window state.
+    * temporal join's version MapState + watermark, the built-in
+    * windowed aggregation's watermark + window state, the CEP NFA's
+    * partial-match buffer, and the allowed-lateness operator's
+    * alive-window + fired-pane states.
     */
   private lazy val recoverQueries: Map[String, QFn] = {
     val j = joinCases.find(_.joinType == "full").get
@@ -279,7 +296,21 @@ object StreamFuzzQueries {
     val w = cases.head
     val se = sessCases.head
     val tn = topNCases.head
+    val ce = cepCases.head // windowed 2-step: NFA partial-match buffer
+    val lw = latenessCases.head // alive-window + fired-pane MapStates
     Map(
+      // NFA partial-match recovery: the CepProcessor's buffer ListState
+      // + emitted-hash MapState restore mid-replay (the reference
+      // checkpoints the SharedBuffer in CepOperator.java:82)
+      s"q_fuzz_recover_c${ce.seed}" -> ((s, dir) =>
+        CepQueries.cepStreamFuzzReplay(s, dir, ce,
+          restartAfter = Some(restartBoundary(ce.seed)))),
+      // allowed-lateness recovery: alive windows, fired-pane images, and
+      // the persisted watermark restore — a lost pane image re-fires
+      // wrong -U rows, a lost watermark re-admits dropped late rows
+      s"q_fuzz_recover_lw${lw.seed}" -> ((s, dir) =>
+        StreamQueries.streamLatenessFuzzReplay(s, dir, lw,
+          restartAfter = Some(restartBoundary(lw.seed)))),
       s"q_fuzz_recover_j${j.seed}" -> ((s, dir) =>
         StreamQueries.streamJoinFuzzReplay(s, dir, j,
           restartAfter = Some(restartBoundary(j.seed)))),
@@ -309,7 +340,11 @@ object StreamFuzzQueries {
     val w = cases.head
     val se = sessCases.head
     val tn = topNCases.head
+    val ce = cepCases.head
+    val lw = latenessCases.head
     Map(
+      s"q_fuzz_recover_c${ce.seed}" -> ce.oracleSql,
+      s"q_fuzz_recover_lw${lw.seed}" -> lw.oracleSql,
       s"q_fuzz_recover_j${j.seed}" -> j.oracleSql,
       s"q_fuzz_recover_r${r.seed}" -> r.oracleSql,
       s"q_fuzz_recover_tj${tj.seed}" -> tj.oracleSql,
@@ -332,6 +367,8 @@ object StreamFuzzQueries {
     intervalCases.map(c => s"q_fuzz_stream_iv${c.seed}" -> c.oracleSql).toMap ++
     winJoinCases.map(c => s"q_fuzz_stream_wj${c.seed}" -> c.oracleSql).toMap ++
     overCases.map(c => s"q_fuzz_stream_ov${c.seed}" -> c.oracleSql).toMap ++
+    boundedOverCases.map(c =>
+      s"q_fuzz_stream_ovb${c.seed}" -> c.oracleSql).toMap ++
     ptJoinCases.map(c => s"q_fuzz_stream_ptj${c.seed}" -> c.oracleSql).toMap ++
     cumulateCases.map(c => s"q_fuzz_stream_cu${c.seed}" -> c.oracleSql).toMap ++
     countWinCases.map(c => s"q_fuzz_stream_cw${c.seed}" -> c.oracleSql).toMap ++
@@ -403,6 +440,11 @@ object StreamFuzzQueries {
       c: StreamFuzzGen.OverCase): org.apache.spark.sql.DataFrame =
     StreamQueries.streamOverFuzzReplay(s, dir, c)
 
+  def replayBoundedOver(s: org.apache.spark.sql.SparkSession, dir: String,
+      c: StreamFuzzGen.BoundedOverCase,
+      restartAfter: Option[Int] = None): org.apache.spark.sql.DataFrame =
+    StreamQueries.streamBoundedOverFuzzReplay(s, dir, c, restartAfter)
+
   def replayPtJoin(s: org.apache.spark.sql.SparkSession, dir: String,
       c: StreamFuzzGen.PtJoinCase): org.apache.spark.sql.DataFrame =
     StreamQueries.streamPtJoinFuzzReplay(s, dir, c)
@@ -412,8 +454,14 @@ object StreamFuzzQueries {
     StreamQueries.streamCountWinFuzzReplay(s, dir, c)
 
   def replayLateness(s: org.apache.spark.sql.SparkSession, dir: String,
-      c: StreamFuzzGen.LatenessCase): org.apache.spark.sql.DataFrame =
-    StreamQueries.streamLatenessFuzzReplay(s, dir, c)
+      c: StreamFuzzGen.LatenessCase,
+      restartAfter: Option[Int] = None): org.apache.spark.sql.DataFrame =
+    StreamQueries.streamLatenessFuzzReplay(s, dir, c, restartAfter)
+
+  def replayCepStream(s: org.apache.spark.sql.SparkSession, dir: String,
+      c: CepFuzzGen.Case,
+      restartAfter: Option[Int] = None): org.apache.spark.sql.DataFrame =
+    CepQueries.cepStreamFuzzReplay(s, dir, c, restartAfter)
 
   def replayCoGroup(s: org.apache.spark.sql.SparkSession, dir: String,
       c: StreamFuzzGen.CoGroupCase): org.apache.spark.sql.DataFrame =

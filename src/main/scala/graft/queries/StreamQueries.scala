@@ -74,15 +74,19 @@ object StreamQueries {
     val ckpt = java.nio.file.Files.createTempDirectory("qstream_ckpt")
     def freshName() =
       s"qstream_${java.util.UUID.randomUUID().toString.replace("-", "")}"
-    // clamp to [1, n-1] and dedup: at least one batch per leg
-    val bounds = (restartAfter.toSeq ++ restartBoundaries)
-      .map(k => math.min(math.max(1, k), batches.length - 1))
-      .distinct.sorted.filter(_ >= 1)
+    // clamp to [1, n-1] and dedup: at least one batch per leg. A
+    // single-batch replay has no interior boundary to stop at, so the
+    // restart request degenerates to the straight-through arm.
+    val bounds =
+      if (batches.length < 2) Nil
+      else (restartAfter.toSeq ++ restartBoundaries)
+        .map(k => math.min(math.max(1, k), batches.length - 1))
+        .distinct.sorted
     // the restart arm substitutes its own buffering sink; a caller
     // combining the two features would silently lose its sink otherwise
     require(bounds.isEmpty || foreachSink.isEmpty,
       "restart boundaries and foreachSink cannot combine")
-    if (bounds.nonEmpty && batches.length >= 2) {
+    if (bounds.nonEmpty) {
       // The memory sink refuses checkpoint recovery (it is not
       // fault-tolerant), so the restart arm writes through foreachBatch
       // with a batchId-IDEMPOTENT buffer — the exact contract a
@@ -704,15 +708,45 @@ object StreamQueries {
     * order doesn't reach the output at all.
     */
   private[queries] def streamOverFuzzReplay(s: SparkSession,
-      dir: String, c: StreamFuzzGen.OverCase): DataFrame = {
+      dir: String, c: StreamFuzzGen.OverCase): DataFrame =
+    overFuzzReplay(s, dir, c.keySql, c.filterSql, c.valueSql,
+      new ProcessOps.UnboundedPrecedingOverProcessor(c.rangeMode))
+
+  /** MemoryStream replay for a [[StreamFuzzGen.BoundedOverCase]]: the
+    * same envelope/sentinel shape as the unbounded replay, through the
+    * ROWS- or RANGE-bounded processor (accumulator + retract-row state)
+    * under the case's frame. `restartAfter` threads the checkpoint
+    * stop/resume arm — the retained-frame ValueStates and the input
+    * buffer MapState must restore mid-replay.
+    */
+  private[queries] def streamBoundedOverFuzzReplay(s: SparkSession,
+      dir: String, c: StreamFuzzGen.BoundedOverCase,
+      restartAfter: Option[Int] = None): DataFrame = {
+    val proc: ProcessOps.BufferedOverProcessor =
+      if (c.rangeMode) new ProcessOps.RangeBoundedOverProcessor(c.rangeMs)
+      else new ProcessOps.RowsBoundedOverProcessor(c.nRows)
+    overFuzzReplay(s, dir, c.keySql, c.filterSql, c.valueSql, proc,
+      restartAfter)
+  }
+
+  /** Shared over-aggregate replay body (see the callers' docs): filtered
+    * rows replay (micro-ts, id)-sorted as TimedIn(k, ts, v) through the
+    * given buffered over processor; a far-future sentinel key flushes
+    * the tail (its own row never emits — the watermark never passes it —
+    * and drops on the key filter regardless).
+    */
+  private def overFuzzReplay(s: SparkSession, dir: String, keySql: String,
+      filterSql: String, valueSql: String,
+      proc: ProcessOps.BufferedOverProcessor,
+      restartAfter: Option[Int] = None): DataFrame = {
     import s.implicits._
     implicit val sqlCtx = s.sqlContext
     implicit val outEnc = Encoders.product[ProcessOps.OverOut]
     val rows = t(s, dir, "events")
-      .filter(expr(c.filterSql))
-      .select(expr(s"CAST(${c.keySql} AS STRING)").as("k"),
+      .filter(expr(filterSql))
+      .select(expr(s"CAST($keySql AS STRING)").as("k"),
         col("ts").cast("timestamp").as("ts"), col("event_id"),
-        expr(s"CAST(${c.valueSql} AS BIGINT)").as("v"))
+        expr(s"CAST($valueSql AS BIGINT)").as("v"))
       .as[(String, java.sql.Timestamp, Long, Long)]
       .collect().toSeq.sortBy(t => (micros(t._2), t._3))
       .map { case (k, ts, _, v) => ProcessOps.TimedIn(k, ts, v) }
@@ -729,12 +763,11 @@ object StreamQueries {
     val input = MemoryStream[ProcessOps.TimedIn]
     val out = input.toDS().withWatermark("eventTime", "1 hour")
       .groupByKey(_.key)
-      .transformWithState(
-        new ProcessOps.UnboundedPrecedingOverProcessor(c.rangeMode),
+      .transformWithState(proc,
         org.apache.spark.sql.streaming.TimeMode.EventTime(),
         org.apache.spark.sql.streaming.OutputMode.Append())
     runToEnd(s, input, out.toDF(), chunks(rows, 2) :+ Seq(sentinel),
-      mode = "append", rocks = true)
+      mode = "append", rocks = true, restartAfter = restartAfter)
       .filter($"key" =!= flushKey)
       .select($"key".as("k"), $"ts".as("ts_ms"), $"v",
         $"movingSum".as("moving_sum"), $"n")
@@ -896,7 +929,8 @@ object StreamQueries {
     * plus the too-late side-output rows (its DuckDB restatement).
     */
   private[queries] def streamLatenessFuzzReplay(s: SparkSession,
-      dir: String, c: StreamFuzzGen.LatenessCase): DataFrame = {
+      dir: String, c: StreamFuzzGen.LatenessCase,
+      restartAfter: Option[Int] = None): DataFrame = {
     import s.implicits._
     implicit val sqlCtx = s.sqlContext
     val rows = t(s, dir, "events")
@@ -926,7 +960,7 @@ object StreamQueries {
       windowMs = c.windowMs, latenessMs = c.latenessMs, delayMs = c.delayMs)
     val sink = runToEnd(s, input, out,
       chunks(ins, 3) ++ Seq(resend).filter(_.nonEmpty) :+ sentinel,
-      rocks = true)
+      rocks = true, restartAfter = restartAfter)
     foldChangelog(sink, "kind")
       .filter($"etype" =!= "\u0000flush")
       .select($"late", $"etype".as("event_type"), $"ws".as("ws_ms"),

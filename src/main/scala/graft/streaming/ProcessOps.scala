@@ -46,88 +46,11 @@ object ProcessOps {
     }
   }
 
-  /** Streaming ROWS-bounded over-aggregate — semantics of
-    * RowTimeRowsBoundedPrecedingFunction.java:57: per key, for each input
-    * row emit the running sum over the last `nRows` rows (ROWS BETWEEN
-    * n-1 PRECEDING AND CURRENT ROW) in event order. State = the bounded
-    * row buffer, exactly the reference's retained-rows state.
-    */
-  case class OverIn(key: String, ts: Long, v: Long)
   case class OverOut(key: String, ts: Long, v: Long, movingSum: Long, n: Long)
   case class OverBuf(items: Seq[Long])
-
-  class RowsBoundedOverProcessor(nRows: Int)
-      extends StatefulProcessor[String, OverIn, OverOut] {
-    @transient private var buf: ValueState[OverBuf] = _
-    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
-      buf = getHandle.getValueState[OverBuf]("window",
-        Encoders.product[OverBuf], TTLConfig.NONE)
-    override def handleInputRows(key: String, rows: Iterator[OverIn],
-        timerValues: TimerValues): Iterator[OverOut] = {
-      var cur: Seq[Long] = if (buf.exists()) buf.get().items else Nil
-      val out = rows.toSeq.sortBy(_.ts).map { r =>
-        cur = (cur :+ r.v).takeRight(nRows)
-        OverOut(r.key, r.ts, r.v, cur.sum, cur.length.toLong)
-      }
-      buf.update(OverBuf(cur))
-      out.iterator
-    }
-  }
-
-  /** Streaming RANGE-bounded over-aggregate — semantics of
-    * RowTimeRangeBoundedPrecedingFunction.java:56: for each row, the sum
-    * over rows of the same key within the trailing event-time range
-    * (RANGE BETWEEN x PRECEDING AND CURRENT ROW). State = the retained
-    * (ts, value) buffer; rows behind the current row's range horizon are
-    * evicted as it advances (the reference's cleanup-timer analogue).
-    */
-  class RangeBoundedOverProcessor(rangeMs: Long)
-      extends StatefulProcessor[String, OverIn, OverOut] {
-    @transient private var buf: ValueState[RangeBuf] = _
-    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
-      buf = getHandle.getValueState[RangeBuf]("range",
-        Encoders.product[RangeBuf], TTLConfig.NONE)
-    override def handleInputRows(key: String, rows: Iterator[OverIn],
-        timerValues: TimerValues): Iterator[OverOut] = {
-      var cur: Seq[(Long, Long)] =
-        if (buf.exists()) buf.get().ts.zip(buf.get().vs) else Nil
-      val out = rows.toSeq.sortBy(_.ts).map { r =>
-        cur = (cur :+ (r.ts, r.v)).filter { case (t, _) => t >= r.ts - rangeMs }
-        OverOut(r.key, r.ts, r.v, cur.map(_._2).sum, cur.length.toLong)
-      }
-      buf.update(RangeBuf(cur.map(_._1), cur.map(_._2)))
-      out.iterator
-    }
-  }
   case class RangeBuf(ts: Seq[Long], vs: Seq[Long])
 
-  /** Streaming UNBOUNDED PRECEDING over-aggregate — semantics of
-    * AbstractRowTimeUnboundedPrecedingOver.java:51 (and the ROWS/RANGE
-    * split of RowTimeRowsUnboundedPrecedingFunction /
-    * RowTimeRangeUnboundedPrecedingFunction): out-of-order rows are
-    * buffered in MapState[ts → rows]; when the watermark passes a
-    * timestamp the buffered rows are emitted in event-time order, each
-    * carrying the running aggregate from the start of the partition. The
-    * accumulator (ValueState) persists forever — that is what "unbounded
-    * preceding" means — while the row buffer is bounded by watermark lag
-    * and is drained on every emission (the reference's cleanupTimestamp
-    * logic).
-    *
-    * Timers are COALESCED: one live timer per key at the smallest
-    * unprocessed timestamp, re-armed after each drain. A timer per
-    * distinct timestamp (the naive translation of the reference, whose
-    * timer service dedupes and fires each exactly once) makes every
-    * watermark advance call handleExpiredTimer once per buffered
-    * timestamp, each call scanning the whole remaining buffer — O(T²)
-    * state-store reads per key per batch.
-    *
-    * `rangeMode = false` → ROWS semantics (each row its own incremental
-    * sum, insertion order within a timestamp); `rangeMode = true` → RANGE
-    * semantics (all rows of one timestamp accumulate first, then emit
-    * with the same aggregate, RowTimeRangeUnboundedPrecedingFunction:47).
-    * Rows at or behind the watermark on arrival are late and dropped
-    * (the reference's numLateRecordsDropped counter path).
-    */
+  /** One timestamp's buffered values, arrival order. */
   case class TsRows(vs: Seq[Long])
 
   /** Event-time input envelope: transformWithState(TimeMode.EventTime)
@@ -136,25 +59,52 @@ object ProcessOps {
     */
   case class TimedIn(key: String, eventTime: java.sql.Timestamp, v: Long)
 
-  class UnboundedPrecedingOverProcessor(rangeMode: Boolean)
+  /** Shared machinery for the event-time over-aggregate processors —
+    * the row buffer + coalesced-timer skeleton all three frame kinds
+    * (unbounded, ROWS-bounded, RANGE-bounded) use identically in the
+    * reference (AbstractRowTimeUnboundedPrecedingOver.java:51,
+    * RowTimeRowsBoundedPrecedingFunction.java:57,
+    * RowTimeRangeBoundedPrecedingFunction.java:56 all keep a
+    * MapState[ts → rows] input buffer drained by event-time timers):
+    * out-of-order rows buffer in MapState keyed at millisecond
+    * timestamps; when the watermark passes a timestamp, the buffered
+    * rows are processed in event-time order (arrival order within one
+    * timestamp) by the subclass's frame logic. Rows at or behind the
+    * watermark on arrival are late and dropped (the reference's
+    * numLateRecordsDropped path).
+    */
+  abstract class BufferedOverProcessor
       extends StatefulProcessor[String, TimedIn, OverOut] {
     @transient private var buf: MapState[Long, TsRows] = _
-    @transient private var acc: ValueState[Long] = _ // running sum
-    @transient private var cnt: ValueState[Long] = _ // running count
     @transient private var ptimer: ValueState[Long] = _ // smallest live timer
 
-    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+    /** Frame-specific state init (the base states are already bound). */
+    protected def initFrameState(): Unit
+
+    /** Process ALL rows of one due timestamp (arrival order) and emit
+      * their output rows — the frame decides how the aggregate advances
+      * and what peers see.
+      */
+    protected def processTimestamp(key: String, ts: Long, vs: Seq[Long],
+        out: scala.collection.mutable.ArrayBuffer[OverOut]): Unit
+
+    final override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
       buf = getHandle.getMapState[Long, TsRows]("buffer",
         Encoders.scalaLong, Encoders.product[TsRows], TTLConfig.NONE)
-      acc = getHandle.getValueState[Long]("acc", Encoders.scalaLong, TTLConfig.NONE)
-      cnt = getHandle.getValueState[Long]("cnt", Encoders.scalaLong, TTLConfig.NONE)
       ptimer = getHandle.getValueState[Long]("ptimer",
         Encoders.scalaLong, TTLConfig.NONE)
+      initFrameState()
     }
 
     /** Arm a timer at `ts` unless one at or below it is already live.
       * Invariant: whenever the buffer is non-empty, a live timer exists
-      * at or below the smallest buffered timestamp.
+      * at or below the smallest buffered timestamp. Timers are COALESCED:
+      * one live timer per key, re-armed after each drain — a timer per
+      * distinct timestamp (the naive translation of the reference, whose
+      * timer service dedupes and fires each exactly once) makes every
+      * watermark advance call handleExpiredTimer once per buffered
+      * timestamp, each call scanning the whole remaining buffer — O(T²)
+      * state-store reads per key per batch.
       */
     private def arm(ts: Long): Unit = {
       val cur = if (ptimer.exists()) ptimer.get() else Long.MaxValue
@@ -167,7 +117,7 @@ object ProcessOps {
       }
     }
 
-    override def handleInputRows(key: String, rows: Iterator[TimedIn],
+    final override def handleInputRows(key: String, rows: Iterator[TimedIn],
         timerValues: TimerValues): Iterator[OverOut] = {
       val wm = timerValues.getCurrentWatermarkInMs()
       var minNew = Long.MaxValue
@@ -183,31 +133,142 @@ object ProcessOps {
       Iterator.empty
     }
 
-    override def handleExpiredTimer(key: String, timerValues: TimerValues,
+    final override def handleExpiredTimer(key: String,
+        timerValues: TimerValues,
         expiredTimerInfo: ExpiredTimerInfo): Iterator[OverOut] = {
       val wm = timerValues.getCurrentWatermarkInMs()
       val all = buf.iterator().map(_._1).toArray.sorted
       val due = all.takeWhile(_ <= wm)
-      var a = if (acc.exists()) acc.get() else 0L
-      var n = if (cnt.exists()) cnt.get() else 0L
       val out = scala.collection.mutable.ArrayBuffer.empty[OverOut]
       due.foreach { ts =>
-        val vs = buf.getValue(ts).vs
-        if (rangeMode) {
-          vs.foreach { v => a += v; n += 1 }
-          vs.foreach { v => out += OverOut(key, ts, v, a, n) }
-        } else vs.foreach { v =>
-          a += v; n += 1
-          out += OverOut(key, ts, v, a, n)
-        }
+        processTimestamp(key, ts, buf.getValue(ts).vs, out)
         buf.removeKey(ts)
       }
-      acc.update(a)
-      cnt.update(n)
       // re-arm for the earliest still-buffered timestamp (all > wm here)
       ptimer.clear()
       if (due.length < all.length) arm(all(due.length))
       out.iterator
+    }
+  }
+
+  /** Streaming UNBOUNDED PRECEDING over-aggregate (see the class
+    * scaladoc above for the buffering contract). The accumulator
+    * (ValueState) persists forever — that is what "unbounded preceding"
+    * means — while the row buffer is bounded by watermark lag and is
+    * drained on every emission (the reference's cleanupTimestamp logic).
+    *
+    * `rangeMode = false` → ROWS semantics (each row its own incremental
+    * sum, insertion order within a timestamp); `rangeMode = true` → RANGE
+    * semantics (all rows of one timestamp accumulate first, then emit
+    * with the same aggregate, RowTimeRangeUnboundedPrecedingFunction:47).
+    */
+  class UnboundedPrecedingOverProcessor(rangeMode: Boolean)
+      extends BufferedOverProcessor {
+    @transient private var acc: ValueState[Long] = _ // running sum
+    @transient private var cnt: ValueState[Long] = _ // running count
+
+    override protected def initFrameState(): Unit = {
+      acc = getHandle.getValueState[Long]("acc", Encoders.scalaLong, TTLConfig.NONE)
+      cnt = getHandle.getValueState[Long]("cnt", Encoders.scalaLong, TTLConfig.NONE)
+    }
+
+    override protected def processTimestamp(key: String, ts: Long,
+        vs: Seq[Long],
+        out: scala.collection.mutable.ArrayBuffer[OverOut]): Unit = {
+      var a = if (acc.exists()) acc.get() else 0L
+      var n = if (cnt.exists()) cnt.get() else 0L
+      if (rangeMode) {
+        vs.foreach { v => a += v; n += 1 }
+        vs.foreach { v => out += OverOut(key, ts, v, a, n) }
+      } else vs.foreach { v =>
+        a += v; n += 1
+        out += OverOut(key, ts, v, a, n)
+      }
+      acc.update(a)
+      cnt.update(n)
+    }
+  }
+
+  /** Streaming ROWS-bounded over-aggregate — semantics of
+    * RowTimeRowsBoundedPrecedingFunction.java:57: per key, each row
+    * emits the running sum over the last `nRows` rows (ROWS BETWEEN
+    * n-1 PRECEDING AND CURRENT ROW) in event-time order, arrival order
+    * within one timestamp. State beyond the input buffer = the running
+    * accumulator plus the retained last ≤ nRows values — exactly the
+    * reference's accumulator + retract-row state (it retracts the row
+    * falling out of the frame instead of re-summing the window).
+    */
+  class RowsBoundedOverProcessor(nRows: Int) extends BufferedOverProcessor {
+    require(nRows >= 1, s"ROWS frame needs nRows >= 1, got $nRows")
+    @transient private var acc: ValueState[Long] = _
+    @transient private var retained: ValueState[OverBuf] = _
+
+    override protected def initFrameState(): Unit = {
+      acc = getHandle.getValueState[Long]("acc", Encoders.scalaLong, TTLConfig.NONE)
+      retained = getHandle.getValueState[OverBuf]("window",
+        Encoders.product[OverBuf], TTLConfig.NONE)
+    }
+
+    override protected def processTimestamp(key: String, ts: Long,
+        vs: Seq[Long],
+        out: scala.collection.mutable.ArrayBuffer[OverOut]): Unit = {
+      var a = if (acc.exists()) acc.get() else 0L
+      var keep = if (retained.exists()) retained.get().items else Nil
+      vs.foreach { v =>
+        a += v
+        keep = keep :+ v
+        if (keep.length > nRows) { // retract the row leaving the frame
+          a -= keep.head
+          keep = keep.tail
+        }
+        out += OverOut(key, ts, v, a, keep.length.toLong)
+      }
+      acc.update(a)
+      retained.update(OverBuf(keep))
+    }
+  }
+
+  /** Streaming RANGE-bounded over-aggregate — semantics of
+    * RowTimeRangeBoundedPrecedingFunction.java:56: each row emits the
+    * sum over same-key rows within the trailing event-time range
+    * (RANGE BETWEEN x PRECEDING AND CURRENT ROW, lower bound inclusive).
+    * All rows of one timestamp are RANGE peers: they accumulate first
+    * and emit the same aggregate — the reference adds the whole
+    * per-timestamp input list to the accumulator before emitting.
+    * State beyond the input buffer = the accumulator plus the retained
+    * (ts, value) rows still inside the horizon; rows behind it are
+    * retracted as the frame advances (the reference's retract loop over
+    * the expired map keys).
+    */
+  class RangeBoundedOverProcessor(rangeMs: Long)
+      extends BufferedOverProcessor {
+    require(rangeMs >= 0, s"RANGE frame needs rangeMs >= 0, got $rangeMs")
+    @transient private var acc: ValueState[Long] = _
+    @transient private var retained: ValueState[RangeBuf] = _
+
+    override protected def initFrameState(): Unit = {
+      acc = getHandle.getValueState[Long]("acc", Encoders.scalaLong, TTLConfig.NONE)
+      retained = getHandle.getValueState[RangeBuf]("range",
+        Encoders.product[RangeBuf], TTLConfig.NONE)
+    }
+
+    override protected def processTimestamp(key: String, ts: Long,
+        vs: Seq[Long],
+        out: scala.collection.mutable.ArrayBuffer[OverOut]): Unit = {
+      var a = if (acc.exists()) acc.get() else 0L
+      var keep: Seq[(Long, Long)] =
+        if (retained.exists()) retained.get().ts.zip(retained.get().vs)
+        else Nil
+      // peers accumulate first (same-timestamp rows share the frame)
+      vs.foreach { v => a += v }
+      keep = keep ++ vs.map(ts -> _)
+      // retract rows behind the inclusive horizon ts - rangeMs
+      val (evict, alive) = keep.partition(_._1 < ts - rangeMs)
+      evict.foreach { case (_, v) => a -= v }
+      keep = alive
+      vs.foreach { v => out += OverOut(key, ts, v, a, keep.length.toLong) }
+      acc.update(a)
+      retained.update(RangeBuf(keep.map(_._1), keep.map(_._2)))
     }
   }
 

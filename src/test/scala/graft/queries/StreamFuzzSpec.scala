@@ -464,6 +464,51 @@ class StreamFuzzSpec extends SparkSuite {
     }
   }
 
+  test("bounded-over generator is deterministic and covers its arms") {
+    for (s <- Seq(1L, 7L, 4242L))
+      assert(StreamFuzzGen.genBoundedOver(s) == StreamFuzzGen.genBoundedOver(s))
+    val cs = (1L to 24L).map(StreamFuzzGen.genBoundedOver)
+    assert(cs.exists(_.rangeMode) && cs.exists(!_.rangeMode))
+    assert(cs.map(_.nRows).distinct.length > 2)
+    assert(cs.map(_.rangeMs).distinct.length > 2)
+    assert(cs.map(_.keySql).distinct.length > 2)
+  }
+
+  test("bounded-preceding streaming over matches the batch frame per seed") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val ev = Q.t(spark, dir, "events")
+    for (seed <- 1L to 8L) {
+      val c = StreamFuzzGen.genBoundedOver(seed)
+      val f = ev.filter(expr(c.filterSql))
+        .select(expr(s"CAST(${c.keySql} AS STRING)").as("k"),
+          col("ts").cast("timestamp").as("ts"), col("event_id"),
+          expr(s"CAST(${c.valueSql} AS BIGINT)").as("v"))
+        .withColumn("ts_ms", unix_millis(col("ts")))
+      val expected = (if (c.rangeMode) {
+        val w = Window.partitionBy(col("k")).orderBy(col("ts_ms"))
+          .rangeBetween(-c.rangeMs, 0)
+        f.select(col("k"), col("ts_ms"), col("v"),
+          sum(col("v")).over(w).as("moving_sum"),
+          count(lit(1)).over(w).as("n"))
+      } else {
+        val w = Window.partitionBy(col("k"))
+          .orderBy(col("ts"), col("event_id"))
+          .rowsBetween(-(c.nRows - 1).toLong, 0)
+        f.select(col("k"), col("ts_ms"), col("v"),
+          sum(col("v")).over(w).as("moving_sum"),
+          count(lit(1)).over(w).as("n"))
+      }).collect().map(_.toString).sorted.toSeq
+      val actual = StreamQueries.streamBoundedOverFuzzReplay(spark, dir, c)
+        .collect().map(_.toString).sorted.toSeq
+      assert(actual == expected,
+        s"bounded over seed $seed diverged: range=${c.rangeMode} " +
+          s"n=${c.nRows} horizon=${c.rangeMs}ms key=${c.keySql} " +
+          s"value=${c.valueSql} filter=${c.filterSql} " +
+          s"(batch=${expected.length} rows, stream=${actual.length})")
+    }
+  }
+
   test("temporal generator is deterministic and covers its arms") {
     for (s <- Seq(1L, 7L, 4242L))
       assert(StreamFuzzGen.genTemporal(s) == StreamFuzzGen.genTemporal(s))
@@ -831,6 +876,22 @@ class StreamFuzzSpec extends SparkSuite {
       canon(StreamQueries.streamSessionFuzzReplay(spark, dir, sc, wb)) ==
       canon(StreamQueries.streamSessionFuzzReplay(spark, dir, sc)),
       s"session recovery diverged (gap=${sc.gapMinutes}m, stop=$wb)")
+    // CEP: the NFA's partial-match buffer (CepProcessor buffer ListState
+    // + emitted-hash MapState) must restore — a lost partial match drops
+    // the a_id row whose tail arrives after the restart
+    val cc = CepFuzzGen.gen(1L)
+    assert(
+      canon(CepQueries.cepStreamFuzzReplay(spark, dir, cc, wb)) ==
+      canon(CepQueries.cepStreamFuzzReplay(spark, dir, cc)),
+      s"CEP recovery diverged (steps=${cc.steps.length}, stop=$wb)")
+    // allowed-lateness: alive windows, fired-pane images, and the
+    // persisted watermark restore — a lost pane image re-fires wrong -U
+    // rows, a lost watermark re-admits dropped late rows
+    val lc = StreamFuzzGen.genLateness(1L)
+    assert(
+      canon(StreamQueries.streamLatenessFuzzReplay(spark, dir, lc, wb)) ==
+      canon(StreamQueries.streamLatenessFuzzReplay(spark, dir, lc)),
+      s"lateness recovery diverged (mult=${lc.latenessMult}, stop=$wb)")
     // DOUBLE stop/restart: recovery from an already-recovered checkpoint
     // (snapshot + changelog restore stacking) — every batch boundary is
     // a stop, so both the join MapStates and the session timers +
@@ -846,6 +907,35 @@ class StreamFuzzSpec extends SparkSuite {
         restartBoundaries = Seq(1, 2))) ==
       canon(StreamQueries.streamSessionFuzzReplay(spark, dir, sc)),
       s"session double-restart diverged (gap=${sc.gapMinutes}m)")
+  }
+
+  test("checkpoint resume survives a different session shuffle-partition default") {
+    // Stateful queries cannot change the state-store partition count
+    // across a checkpoint restore; the replay harness pins 2 at every
+    // leg (startReplayQuery's per-query override), which this assert
+    // insures: a resumed leg started under a DIFFERENT session default
+    // must still restore and produce the uninterrupted run's output.
+    // If a future harness edit lets the session default leak into a
+    // restarted leg, the resume either fails (partition mismatch) or
+    // diverges — both caught here.
+    def canon(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.collect().map(_.toString).sorted.toSeq
+    val rc = StreamFuzzGen.genRetract(1L)
+    val expected =
+      canon(StreamQueries.streamRetractFuzzReplay(spark, dir, rc))
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try {
+      spark.conf.set("spark.sql.shuffle.partitions", "1")
+      assert(
+        canon(StreamQueries.streamRetractFuzzReplay(spark, dir, rc,
+          Some(1))) == expected,
+        "resume under session default 1 diverged")
+      spark.conf.set("spark.sql.shuffle.partitions", "7")
+      assert(
+        canon(StreamQueries.streamRetractFuzzReplay(spark, dir, rc,
+          Some(2))) == expected,
+        "resume under session default 7 diverged")
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
   }
 
   test("incremental streaming replay matches the one-shot batch plan per seed") {
