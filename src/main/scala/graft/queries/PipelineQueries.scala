@@ -62,6 +62,11 @@ object PipelineQueries {
     // holds, quadratic = a bucket degenerated.
     "b_dedup_scale1" -> ((s, dir) => dedupScale(s, dir, 1)),
     "b_dedup_scale8" -> ((s, dir) => dedupScale(s, dir, 8)),
+    // Third octave: does the 1×→8× law survive another ×8, or was 8×
+    // hiding in constant factors? Same linear-candidate replica corpus
+    // (per-replica token in every shingle — candidate cliques cannot
+    // form across replicas), same banded plan. SUPPOSED to take ~1 min.
+    "b_dedup_scale64" -> ((s, dir) => dedupScale(s, dir, 64)),
 
     // ANN scale-law probe: the SAME IVF assign→probe→score→rank plan
     // over a 1× and an 8× corpus (replicated vectors land in the same
@@ -69,7 +74,10 @@ object PipelineQueries {
     // linearly; the centroid model stays O(nCells·dim) broadcast).
     // Near-linear wall ratio = the multi-probe scan holds at scale.
     "b_sim_scale1" -> ((s, dir) => simScale(s, dir, 1)),
-    "b_sim_scale8" -> ((s, dir) => simScale(s, dir, 8)))
+    "b_sim_scale8" -> ((s, dir) => simScale(s, dir, 8)),
+    // Third octave for the ANN law (recall at 64× is pinned separately
+    // in SimilarityOpsSpec — this measures wall time only).
+    "b_sim_scale64" -> ((s, dir) => simScale(s, dir, 64)))
 
   /** The q_sim_ann pipeline over a `factor`-times replicated corpus,
     * reduced to its result cardinality + rank checksum.

@@ -77,6 +77,27 @@ class SimilarityOpsSpec extends SparkSuite {
     assert(r >= 0.9, s"recall at 8x corpus $r < 0.9")
   }
 
+  test("IVF multi-probe keeps recall >= 0.9 at 64x corpus scale") {
+    // the third octave of the quality law (b_sim_scale64 measures wall
+    // time): same distribution grown 64x — 20,480 vectors, 8 clusters —
+    // deterministic 24-query sample, ground truth by brute force over
+    // the full 64x corpus, same cell/probe config as 1x and 8x
+    val centerRng = new scala.util.Random(7)
+    val centers = Array.fill(Cells, Dim)(centerRng.nextGaussian())
+    val corpus64 = (0 until Cells * PerCluster * 64).map { i =>
+      val c = centers(i % Cells)
+      val rng = new scala.util.Random(1000 + i)
+      val v = c.map(x => (x + 0.15 * rng.nextGaussian()).toFloat)
+      (i.toLong, v, i % Cells)
+    }.toDF("vec_id", "embedding", "label")
+    val queries = corpus64.filter($"vec_id" % 853 === 0) // 25-query sample
+    val exact = SimilarityOps.bruteForceTopK(queries, corpus64, k = 5)
+    val ann = SimilarityOps.ivfTopK(queries, corpus64, k = 5,
+      nCells = Cells, nProbe = 2, dim = Dim)
+    val r = recall(ann, exact)
+    assert(r >= 0.9, s"recall at 64x corpus $r < 0.9")
+  }
+
   test("probing every cell degrades IVF to exact brute force") {
     val queries = corpus.filter($"vec_id" < 16)
     val exact = SimilarityOps.bruteForceTopK(queries, corpus, k = 5)
