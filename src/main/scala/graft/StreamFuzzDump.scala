@@ -24,8 +24,9 @@ package graft
   * (checkpoint stop/restart resume — 8 stateful arms per seed incl.
   * CEP partial-match and allowed-lateness state),
   * cumulate (CUMULATE TVF shapes), countwin (count windows tumbling +
-  * sliding), winrank (window top-n / window dedup), or all (n seeds of
-  * each single-arm family + the cdc quad).
+  * sliding), winrank (window top-n / window dedup), lookupttl (lookup
+  * cache expire-after-write/-access staleness vs a versioned store), or
+  * all (n seeds of each single-arm family + the cdc quad).
   */
 object StreamFuzzDump {
   def main(args: Array[String]): Unit = {
@@ -219,6 +220,12 @@ object StreamFuzzDump {
           () => graft.queries.StreamFuzzQueries.replayCoGroup(spark, sfDir, c),
           c.oracleSql)
       }
+      def lt = {
+        val c = graft.queries.LookupFuzzGen.genTtl(seed)
+        (s"q_fuzz_lookup_ttl$seed",
+          () => graft.queries.LookupFuzzGen.replayTtl(spark, sfDir, c),
+          c.oracleSql)
+      }
       family match {
         case "window"  => Seq(w)
         case "session" => Seq(se)
@@ -242,14 +249,15 @@ object StreamFuzzDump {
         case "winrank" => Seq(wr)
         case "lateness" => Seq(lw)
         case "cogroup" => Seq(cg)
+        case "lookupttl" => Seq(lt)
         case "all"     =>
           Seq(w, se, re, tn, ce, de, jo, tj, cq, cr, iv, wj, ov, ob, pt,
-            cu, cw, wr, lw, cg) ++ cdc
+            cu, cw, wr, lw, cg, lt) ++ cdc
         case other => sys.error(s"unknown family '$other': " +
           "expected window, session, retract, topn, cep, dedup, join, " +
           "temporal, cepq, cepr, interval, winjoin, over, boundedover, " +
           "ptjoin, cdc, recover, cumulate, countwin, winrank, lateness, " +
-          "cogroup, all")
+          "cogroup, lookupttl, all")
       }
     }
     val oracle = (seed0 until seed0 + n).flatMap(arms).flatMap {
@@ -265,7 +273,7 @@ object StreamFuzzDump {
     }
     DumpIO.writeOracle(outDir, oracle)
     val total = n * (family match {
-      case "all" => 24; case "cdc" => 4; case "recover" => 8; case _ => 1
+      case "all" => 25; case "cdc" => 4; case "recover" => 8; case _ => 1
     })
     println(s"[streamfuzz] dumped ${oracle.length} of $total $family cases " +
       s"($failed failed on Spark), seeds $seed0..${seed0 + n - 1}")

@@ -25,6 +25,33 @@ object LookupJoin {
     def close(): Unit = {}
   }
 
+  /** Clock the cache's TTL is measured on (DefaultLookupCache.java:64,129
+    * in flink-table-common — the reference likewise injects a Guava Ticker
+    * so expiry is testable without wall-clock sleeps). Production uses
+    * [[SystemTicker]]; the differential fuzz injects a [[RowTicker]] so
+    * every expiry decision is a pure function of the row sequence.
+    */
+  trait Ticker extends Serializable {
+    /** Advanced once per input row, before its lookup. */
+    def advance(): Unit = ()
+    def now(): Long
+  }
+
+  /** Wall-clock nanos — the production TTL clock. */
+  object SystemTicker extends Ticker {
+    def now(): Long = System.nanoTime()
+  }
+
+  /** Deterministic per-partition logical clock: tick = rows processed so
+    * far in this partition (first row = tick 0). Shared by the fuzz's
+    * versioned store so served-stale values are exactly restatable.
+    */
+  final class RowTicker extends Ticker {
+    private var t = -1L
+    override def advance(): Unit = t += 1
+    def now(): Long = t
+  }
+
   /** Retry wrapper (RetryableLookupFunctionDelegator parity): retry a
     * miss/failure up to `maxRetries` times — for lookups against eventually
     * -consistent stores.
@@ -44,25 +71,49 @@ object LookupJoin {
       }
     }
 
+  private final class Entry[V](var write: Long, var access: Long,
+      var v: Option[V])
+
   /** Left lookup join: each row keeps its lookup result (None for a miss).
     * One `open()` per partition; an LRU cache bounds lookups per partition.
+    *
+    * TTLs mirror the reference's DefaultLookupCache (flink-table-common
+    * DefaultLookupCache.java:55-56, 119-123): `expireAfterWrite` serves a
+    * cached — possibly STALE — value until its write is `ttl` old, then
+    * re-looks-up; `expireAfterAccess` resets the timer on every served
+    * hit. Both are measured on `ticker` (wall-clock by default). Each
+    * partition has its own cache and clock — at scale there is no
+    * cross-executor coordination to become a bottleneck, and staleness is
+    * bounded per partition exactly as the reference bounds it per task.
     */
   def lookupJoin[T, K, V](ds: Dataset[T], keyFn: T => K,
-      fn: LookupFunction[K, V], cacheSize: Int = 10000)(
+      fn: LookupFunction[K, V], cacheSize: Int = 10000,
+      expireAfterWrite: Long = Long.MaxValue,
+      expireAfterAccess: Long = Long.MaxValue,
+      ticker: Ticker = SystemTicker)(
       implicit outEnc: Encoder[(T, Option[V])]): Dataset[(T, Option[V])] = {
+    val hasTtl =
+      expireAfterWrite != Long.MaxValue || expireAfterAccess != Long.MaxValue
     ds.mapPartitions { rows =>
       fn.open()
-      val cache = new java.util.LinkedHashMap[K, Option[V]](16, 0.75f, true) {
-        override def removeEldestEntry(e: java.util.Map.Entry[K, Option[V]]): Boolean =
+      val cache = new java.util.LinkedHashMap[K, Entry[V]](16, 0.75f, true) {
+        override def removeEldestEntry(e: java.util.Map.Entry[K, Entry[V]]): Boolean =
           size() > cacheSize
       }
       val it = rows.map { row =>
+        if (hasTtl) ticker.advance()
         val k = keyFn(row)
         val cached = cache.get(k)
-        val v = if (cached != null) cached
-        else {
+        val now = if (hasTtl) ticker.now() else 0L
+        val expired = cached != null && hasTtl &&
+          (now - cached.write >= expireAfterWrite ||
+            now - cached.access >= expireAfterAccess)
+        val v = if (cached != null && !expired) {
+          cached.access = now
+          cached.v
+        } else {
           val r = fn.lookup(k)
-          cache.put(k, r)
+          cache.put(k, new Entry(now, now, r))
           r
         }
         (row, v)

@@ -77,6 +77,19 @@ object FuzzQueries {
 
   private val lookupCases = lookupSeeds.map(LookupFuzzGen.gen)
 
+  /** one write-mode stale-heavy (ttl spans version periods — served-stale
+    * hits are frequent) and one access-mode cache-TTL shape
+    * ([[LookupFuzzGen.TtlCase]] — the DefaultLookupCache staleness-window
+    * semantics vs the chain/islands restatements).
+    */
+  private[queries] val lookupTtlSeeds: Seq[Long] = Seq(
+    StreamFuzzQueries.firstSeedOf("lookupttl", LookupFuzzGen.genTtl)(c =>
+      !c.accessMode && c.ttl > c.versionPeriod),
+    StreamFuzzQueries.firstSeedOf("lookupttl", LookupFuzzGen.genTtl)(
+      _.accessMode)).distinct
+
+  private val lookupTtlCases = lookupTtlSeeds.map(LookupFuzzGen.genTtl)
+
   val queries: Map[String, QFn] = all.map { case (name, sql) =>
     name -> ((s, dir) => {
       Tables.registerAll(s, dir)
@@ -91,6 +104,9 @@ object FuzzQueries {
   }.toMap ++ lookupCases.map { c =>
     s"q_fuzz_lookup_${c.seed}" -> ((s, dir: String) =>
       LookupFuzzGen.replay(s, dir, c)): (String, QFn)
+  }.toMap ++ lookupTtlCases.map { c =>
+    s"q_fuzz_lookup_ttl${c.seed}" -> ((s, dir: String) =>
+      LookupFuzzGen.replayTtl(s, dir, c)): (String, QFn)
   }.toMap
 
   // identical SQL text runs as the oracle (dialect-shared by design);
@@ -98,5 +114,7 @@ object FuzzQueries {
   val oracles: Map[String, String] = all ++
     upsertCases.map(c => s"q_fuzz_upsert_${c.seed}" -> c.oracleSql).toMap ++
     cdcCases.map { case (d, c) => s"q_fmt_$d" -> c.oracleSql }.toMap ++
-    lookupCases.map(c => s"q_fuzz_lookup_${c.seed}" -> c.oracleSql).toMap
+    lookupCases.map(c => s"q_fuzz_lookup_${c.seed}" -> c.oracleSql).toMap ++
+    lookupTtlCases.map(c =>
+      s"q_fuzz_lookup_ttl${c.seed}" -> c.oracleSql).toMap
 }

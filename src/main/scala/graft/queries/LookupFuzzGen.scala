@@ -68,6 +68,132 @@ object LookupFuzzGen {
       cacheSize)
   }
 
+  /** A cache-TTL staleness case — fuzzes the lookup cache's
+    * expire-after-write / expire-after-access semantics
+    * (flink-table-common DefaultLookupCache.java:55-56: values are served
+    * STALE within the TTL window and re-fetched after it) against a
+    * VERSIONED store whose value advances with logical time. The TTL
+    * clock is a [[graft.operators.LookupJoin.RowTicker]] (tick = probe
+    * index) shared by cache and store — the reference injects a Ticker
+    * for the same reason (DefaultLookupCache.java:64,129) — and the probe
+    * stream runs event_id-sorted in ONE partition, so which version each
+    * probe observes is a pure function of the sequence:
+    *   - write mode: probe at tick t served from the last cache WRITE w,
+    *     where w re-arms only when t - w >= ttl (a sequential chain — the
+    *     oracle is a recursive CTE);
+    *   - access mode: every served hit re-arms the timer, so a write
+    *     happens exactly when the gap from the key's previous probe is
+    *     >= ttl (gaps-and-islands — plain window SQL).
+    * Values render the version (`k*31+7 + 1000*(w/versionPeriod)`), so a
+    * cache serving a fresher or older image than the documented staleness
+    * window diverges immediately. The single-partition feed is gate
+    * plumbing only — production runs one cache+clock per partition, which
+    * is exactly the reference's per-task staleness bound.
+    */
+  case class TtlCase(
+      seed: Long,
+      filterSql: String,
+      keyMod: Int,
+      dimMod: Int,
+      dimRes: Int,
+      ttl: Long,
+      versionPeriod: Long,
+      accessMode: Boolean) {
+
+    private def header: String =
+      s"""e AS (SELECT event_id, user_id,
+         |    make_timestamp(epoch_ns(ts) // 1000) AS ts, event_type, value
+         |  FROM events),
+         |p AS (SELECT event_id, user_id % $keyMod AS k,
+         |    row_number() OVER (ORDER BY event_id) - 1 AS tick
+         |  FROM e WHERE $filterSql)""".stripMargin
+
+    private def render(k: String, w: String): String =
+      s"""CASE WHEN $k % $dimMod = $dimRes THEN -1
+         |       ELSE $k * 31 + 7 + 1000 * ($w // $versionPeriod) END AS v""".stripMargin
+
+    def oracleSql: String =
+      if (accessMode)
+        s"""WITH $header,
+           |g AS (SELECT event_id, k, tick,
+           |    CASE WHEN lag(tick) OVER pk IS NULL
+           |           OR tick - lag(tick) OVER pk >= $ttl THEN tick END AS reset
+           |  FROM p WINDOW pk AS (PARTITION BY k ORDER BY tick)),
+           |w AS (SELECT event_id, k,
+           |    MAX(reset) OVER (PARTITION BY k ORDER BY tick) AS wtick
+           |  FROM g)
+           |SELECT event_id, k, ${render("k", "wtick")}
+           |FROM w""".stripMargin
+      else
+        s"""WITH RECURSIVE $header,
+           |occ AS (SELECT k, tick,
+           |    row_number() OVER (PARTITION BY k ORDER BY tick) AS j
+           |  FROM p),
+           |chain AS (
+           |  SELECT k, tick, j, tick AS w FROM occ WHERE j = 1
+           |  UNION ALL
+           |  SELECT o.k, o.tick, o.j,
+           |    CASE WHEN o.tick - c.w < $ttl THEN c.w ELSE o.tick END
+           |  FROM occ o JOIN chain c ON o.k = c.k AND o.j = c.j + 1)
+           |SELECT p.event_id, p.k, ${render("p.k", "c.w")}
+           |FROM p JOIN chain c ON c.k = p.k AND c.tick = p.tick""".stripMargin
+  }
+
+  /** The TTL case for a seed — a pure function of the seed. Small keyMod
+    * keeps per-key probe gaps well under AND over every ttl choice, so
+    * both served-stale hits and expiry re-fetches occur; ttl and
+    * versionPeriod are drawn independently so the stale-serving window
+    * spans version boundaries (ttl > period) on some seeds and sits
+    * inside one (ttl < period) on others.
+    */
+  def genTtl(seed: Long): TtlCase = {
+    val r = new Random(StreamFuzzGen.scramble(seed ^ 0x100771L))
+    val filterSql = StreamFuzzGen.basePredOf(r)
+    val keyMod = Seq(7, 23, 63)(r.nextInt(3))
+    val dimMod = 3 + r.nextInt(4)
+    val dimRes = r.nextInt(dimMod)
+    val ttl = Seq(8L, 32L, 128L)(r.nextInt(3))
+    val versionPeriod = Seq(16L, 64L)(r.nextInt(2))
+    val accessMode = r.nextBoolean()
+    TtlCase(seed, filterSql, keyMod, dimMod, dimRes, ttl, versionPeriod,
+      accessMode)
+  }
+
+  /** The versioned store: value carries the version current at CALL time
+    * (the shared ticker), so whatever the cache serves later reveals the
+    * tick it was fetched at.
+    */
+  private class VersionedStore(c: TtlCase, ticker: LookupJoin.RowTicker)
+      extends LookupJoin.LookupFunction[Long, Long] {
+    override def lookup(k: Long): Option[Long] =
+      if (k % c.dimMod == c.dimRes) None // miss class: version-invisible
+      else Some(k * 31 + 7 + 1000L * (ticker.now() / c.versionPeriod))
+  }
+
+  /** TTL replay: the versioned store through [[LookupJoin.lookupJoin]]
+    * with the seed's expire-after-write OR expire-after-access TTL on the
+    * shared row ticker. cacheSize is unbounded-in-practice so LRU
+    * eviction (covered by the base family) stays out of the chain the
+    * oracle restates.
+    */
+  def replayTtl(s: SparkSession, dir: String, c: TtlCase): DataFrame = {
+    import s.implicits._
+    val ticker = new LookupJoin.RowTicker
+    val probes = Q.t(s, dir, "events")
+      .filter(expr(c.filterSql))
+      .select(col("event_id"), (col("user_id") % c.keyMod).as("k"))
+      .repartition(1).sortWithinPartitions("event_id")
+      .as[(Long, Long)]
+    LookupJoin.lookupJoin[(Long, Long), Long, Long](
+        probes, _._2, new VersionedStore(c, ticker),
+        cacheSize = 1 << 20,
+        expireAfterWrite = if (c.accessMode) Long.MaxValue else c.ttl,
+        expireAfterAccess = if (c.accessMode) c.ttl else Long.MaxValue,
+        ticker = ticker)
+      .map { case ((id, k), v) => (id, k, v.getOrElse(-1L)) }
+      .toDF("event_id", "k", "v")
+  }
+
   /** The deterministic fake store (see object scaladoc). Per-key call
     * counters are per-instance (one per partition after closure
     * deserialization on the sync route; shared across a partition's

@@ -35,6 +35,75 @@ class LookupFuzzSpec extends SparkSuite {
     assert(shapes.exists(c => c.failMod > c.maxRetries + 1))
   }
 
+  test("ttl generator is deterministic and covers its arms") {
+    for (s <- Seq(1L, 7L, 4242L))
+      assert(LookupFuzzGen.genTtl(s) == LookupFuzzGen.genTtl(s))
+    val cs = (1L to 24L).map(LookupFuzzGen.genTtl)
+    assert(cs.exists(_.accessMode) && cs.exists(!_.accessMode))
+    assert(cs.exists(c => c.ttl > c.versionPeriod) &&
+      cs.exists(c => c.ttl < c.versionPeriod))
+    assert(cs.map(_.ttl).distinct.length == 3)
+  }
+
+  /** Reference simulator for the documented TTL semantics — the chain the
+    * oracle SQL restates, independently coded (sequential fold here,
+    * recursive CTE / islands there).
+    */
+  private def simulateTtl(rows: Seq[(Long, Long)],
+      c: LookupFuzzGen.TtlCase): Seq[(Long, Long, Long)] = {
+    val st = scala.collection.mutable.Map[Long, (Long, Long)]() // k -> (write, access)
+    rows.zipWithIndex.map { case ((id, k), i) =>
+      val t = i.toLong
+      val w = st.get(k) match {
+        case Some((write, access))
+            if (if (c.accessMode) t - access < c.ttl else t - write < c.ttl) =>
+          st(k) = (write, t)
+          write
+        case _ =>
+          st(k) = (t, t)
+          t
+      }
+      val v = if (k % c.dimMod == c.dimRes) -1L
+        else k * 31 + 7 + 1000L * (w / c.versionPeriod)
+      (id, k, v)
+    }
+  }
+
+  test("ttl lookup replay serves exactly the documented staleness window per seed") {
+    var staleServes = 0
+    for (seed <- 1L to 8L) {
+      val c = LookupFuzzGen.genTtl(seed)
+      val probes = Q.t(spark, dir, "events")
+        .filter(expr(c.filterSql))
+        .select(col("event_id"), (col("user_id") % c.keyMod).as("k"))
+        .orderBy("event_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      val expected = simulateTtl(probes, c)
+      val actual = LookupFuzzGen.replayTtl(spark, dir, c)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .toSeq
+      assert(actual.sorted == expected.sorted,
+        s"ttl seed $seed diverged: mode=${if (c.accessMode) "access" else "write"} " +
+          s"ttl=${c.ttl} period=${c.versionPeriod} keyMod=${c.keyMod} " +
+          s"(expected=${expected.length}, got=${actual.length})")
+      // a STALE serve is a hit whose write tick sits in an older version
+      // period than the probe's own tick — the observable the arm exists
+      // to gate
+      expected.zipWithIndex.foreach { case ((_, k, v), i) =>
+        if (v != -1 && (v - (k * 31 + 7)) / 1000 != i / c.versionPeriod)
+          staleServes += 1
+      }
+    }
+    assert(staleServes > 0,
+      "no seed in 1..8 ever served a stale version — the arm is degenerate")
+  }
+
+  test("promoted ttl seeds pin one write-mode stale-heavy and one access-mode shape") {
+    val shapes = FuzzQueries.lookupTtlSeeds.map(LookupFuzzGen.genTtl)
+    assert(shapes.exists(c => !c.accessMode && c.ttl > c.versionPeriod))
+    assert(shapes.exists(_.accessMode))
+  }
+
   test("sync, ordered-async, and unordered-async lookup routes match the closed form per seed") {
     for (seed <- 1L to 6L) {
       val c = LookupFuzzGen.gen(seed)
