@@ -264,6 +264,46 @@ object CepFuzzGen {
     }
   }
 
+  /** A windowed-quantifier case — the `within` × quantifier interaction
+    * (`A+ B`, `A{m,n} B`, `A{n} B`, each under WITHIN) that the
+    * [[QuantCase]] islands restatement cannot express: the window caps
+    * the greedy run length as a function of the ANCHOR's timestamp, so
+    * the consumed-count vector depends on the anchor and no fixed-offset
+    * or islands SQL is valid (the reason genQuant's oneormore arm is
+    * windowless). The oracle is the spec's brute-force descending-count
+    * DFS enumerator — independent ground truth already cross-validated
+    * against the NFA on synthetic runs — applied per user to the real
+    * events table; the MATCH_RECOGNIZE front door dual-runs the same
+    * pattern text. CI-only by design: there is no SQL restatement to
+    * hand DuckDB (recorded in SURVEY §5).
+    */
+  case class WinQuantCase(
+      seed: Long,
+      predA: StepPred,
+      predB: StepPred,
+      minA: Int,
+      maxA: Int, // Int.MaxValue = unbounded (A+)
+      withinMinutes: Int) {
+
+    /** MATCH_RECOGNIZE text (front-door dual-run). */
+    def mrClause: String = {
+      val q =
+        if (maxA == Int.MaxValue) "+"
+        else if (minA == maxA) s"{$minA}"
+        else s"{$minA,$maxA}"
+      s"""PARTITION BY user_id
+         |ORDER BY ts, event_id
+         |MEASURES FIRST(A.event_id) AS a_id,
+         |         LAST(B.event_id) AS z_id
+         |ONE ROW PER MATCH
+         |AFTER MATCH SKIP TO NEXT ROW
+         |PATTERN (A$q B)
+         |WITHIN INTERVAL '$withinMinutes' MINUTE
+         |DEFINE A AS ${predA.mrSql("A")},
+         |       B AS ${predB.mrSql("B")}""".stripMargin
+    }
+  }
+
   /** A relaxed-contiguity / negation case — fuzzes the NFA's
     * `followedBy` scan (Pattern.java followedBy:356) and the negative
     * constraints (notNext:338, notFollowedBy:369) the hand-written rows
@@ -380,6 +420,27 @@ object CepFuzzGen {
         else Some(Seq(60, 120, 240)(r.nextInt(3)))
     }
     QuantCase(seed, arm, predA, predB, predC, n, within)
+  }
+
+  /** The windowed-quantifier case for a seed — a pure function of the
+    * seed. Unbounded repetition only pairs with minA = 1 (`A+`) so every
+    * arm renders in the MR pattern grammar (`{m,}` is not SQL). Window
+    * sizes are tuned to the data: per-user inter-event gaps in testdata
+    * run p10/50/90 ≈ 66/460/1425 MINUTES, so 240/720/1440-min windows
+    * admit real multi-step chains while still capping most greedy runs —
+    * the spec asserts both that matches exist and that the cap binds.
+    */
+  def genWinQuant(seed: Long): WinQuantCase = {
+    val r = new Random(StreamFuzzGen.scramble(seed ^ 0xce714fL))
+    val predA = runStepOf(r)
+    val predB = stepOf(r)
+    val (minA, maxA) = r.nextInt(3) match {
+      case 0 => (1, Int.MaxValue)
+      case 1 => val m = 1 + r.nextInt(2); (m, m + 1 + r.nextInt(2))
+      case 2 => val n = 2 + r.nextInt(2); (n, n)
+    }
+    val within = Seq(240, 720, 1440)(r.nextInt(3))
+    WinQuantCase(seed, predA, predB, minA, maxA, within)
   }
 
   /** The relaxed/negation case for a seed — a pure function of the seed. */

@@ -331,6 +331,35 @@ object CepQueries {
       .toDF("user_id", "a_id", "z_id")
   }
 
+  /** The Pattern-API pattern for a [[CepFuzzGen.WinQuantCase]] (shared
+    * by the batch replay and the spec's brute-force/MR dual-runs).
+    */
+  private[queries] def winQuantPattern(
+      c: CepFuzzGen.WinQuantCase): Pattern[CepFuzzGen.CE] = {
+    val a = Pattern.begin[CepFuzzGen.CE]("a")(c.predA.fn)
+    val q =
+      if (c.maxA == Int.MaxValue) a.oneOrMore.consecutive
+      else if (c.minA == c.maxA) a.times(c.minA).consecutive
+      else a.times(c.minA, c.maxA).consecutive
+    q.next("b")(c.predB.fn).within(c.withinMinutes * 60000000L)
+  }
+
+  /** Batch NFA run for a [[CepFuzzGen.WinQuantCase]] (SkipToNext).
+    * Output (user_id, a_id, z_id) = anchor id and last-consumed id.
+    */
+  private[queries] def cepWinQuantFuzzReplay(
+      s: org.apache.spark.sql.SparkSession, dir: String,
+      c: CepFuzzGen.WinQuantCase): org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    CEP.batch[CepFuzzGen.CE](cepEvents(s, dir), _.user_id.toString, _.ts,
+        winQuantPattern(c), AfterMatchSkip.SkipToNext, tieFn = _.event_id)
+      .map { m =>
+        val evs = m.stages.flatMap(_._2)
+        (evs.head.user_id, evs.head.event_id, evs.last.event_id)
+      }
+      .toDF("user_id", "a_id", "z_id")
+  }
+
   /** The Pattern-API pattern for a [[CepFuzzGen.RelaxedCase]]. */
   private[queries] def relaxedPattern(
       c: CepFuzzGen.RelaxedCase): Pattern[CepFuzzGen.CE] = {

@@ -130,6 +130,105 @@ class CepFuzzSpec extends SparkSuite {
     events.indices.flatMap(i => greedyAt(i).map(e => (i, e)))
   }
 
+  test("windowed-quantifier generator is deterministic and covers its arms") {
+    for (s <- Seq(1L, 7L, 4242L))
+      assert(CepFuzzGen.genWinQuant(s) == CepFuzzGen.genWinQuant(s))
+    val cs = (1L to 24L).map(CepFuzzGen.genWinQuant)
+    assert(cs.exists(_.maxA == Int.MaxValue), "no A+ arm drawn")
+    assert(cs.exists(c => c.maxA != Int.MaxValue && c.minA < c.maxA),
+      "no A{m,n} range arm drawn")
+    assert(cs.exists(c => c.minA == c.maxA), "no exact A{n} arm drawn")
+    assert(cs.map(_.withinMinutes).distinct.length == 3)
+  }
+
+  /** The within × quantifier interaction ([[CepFuzzGen.WinQuantCase]]):
+    * the window caps the greedy run as a function of the anchor, so no
+    * islands/LEAD restatement exists — the oracle is [[bruteStrict]]
+    * (cross-validated against the NFA on synthetic runs below), applied
+    * per user to the real events table.
+    */
+  test("windowed quantifier NFA equals the brute-force enumerator on real data per seed") {
+    val byUser = CepQueries.cepEvents(spark, dir).collect()
+      .groupBy(_.user_id)
+      .map { case (u, es) =>
+        u -> es.sortBy(e => (e.ts, e.event_id)).toIndexedSeq }
+    var nonEmpty = 0
+    var windowBound = 0
+    for (seed <- 1L to 16L) {
+      val c = CepFuzzGen.genWinQuant(seed)
+      val units = Seq(BUnit(c.predA.fn, c.minA, c.maxA),
+        BUnit(c.predB.fn, 1, 1))
+      val within = Some(c.withinMinutes * 60000000L)
+      def brute(w: Option[Long]) = byUser.toSeq.flatMap { case (u, es) =>
+        bruteStrict(es, units, w).map { case (i, j) =>
+          (u, es(i).event_id, es(j).event_id) }
+      }.sorted
+      val expected = brute(within)
+      if (expected.nonEmpty) nonEmpty += 1
+      if (expected != brute(None)) windowBound += 1
+      val actual = CepQueries.cepWinQuantFuzzReplay(spark, dir, c)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .toSeq.sorted
+      assert(actual == expected,
+        s"winquant seed $seed diverged: A=${c.predA} {${c.minA},${c.maxA}} " +
+          s"B=${c.predB} within=${c.withinMinutes}m " +
+          s"(brute=${expected.length}, nfa=${actual.length})")
+    }
+    assert(nonEmpty >= 8,
+      s"only $nonEmpty of 16 windowed-quantifier seeds produced matches")
+    assert(windowBound > 0,
+      "the within cap never changed any seed's match set — the arm is degenerate")
+  }
+
+  test("windowed quantifier MATCH_RECOGNIZE front door equals the NFA per seed") {
+    import graft.cep.MatchRecognize
+    val ev = CepQueries.cepEvents(spark, dir).toDF()
+    for (seed <- 1L to 8L) {
+      val c = CepFuzzGen.genWinQuant(seed)
+      val viaSql = MatchRecognize(ev, c.mrClause)
+        .collect().map(_.toString).sorted.toSeq
+      val viaApi = CepQueries.cepWinQuantFuzzReplay(spark, dir, c)
+        .collect().map(_.toString).sorted.toSeq
+      assert(viaApi == viaSql,
+        s"MR dual-run diverged at winquant seed $seed: A=${c.predA} " +
+          s"{${c.minA},${c.maxA}} B=${c.predB} within=${c.withinMinutes}m " +
+          s"(sql=${viaSql.length}, api=${viaApi.length})")
+    }
+  }
+
+  test("incremental streaming CEP equals the batch NFA per windowed-quantifier seed") {
+    import graft.cep.{AfterMatchSkip, CEP}
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val evs = CepQueries.cepEvents(spark, dir).collect().toSeq
+      .sortBy(e => (e.ts, e.event_id))
+    // quantifier loops + within exercise the streaming NFA's partial-match
+    // pruning (a window-expired loop branch must drop, not linger or
+    // complete) — the strict-seed streaming dual-run can't reach that
+    for (seed <- 1L to 4L) {
+      val c = CepFuzzGen.genWinQuant(seed)
+      val input = MemoryStream[CepFuzzGen.CE]
+      val matches = CEP.streaming[CepFuzzGen.CE](input.toDS(),
+          _.user_id.toString, _.ts, CepQueries.winQuantPattern(c),
+          maxBufferPerKey = Some(1 << 20),
+          skip = AfterMatchSkip.SkipToNext)
+        .map { m =>
+          val es = m.stages.flatMap(_._2)
+          (es.head.user_id, es.head.event_id, es.last.event_id)
+        }.toDF("user_id", "a_id", "z_id")
+      val streamed = runStreamToTable(input, matches,
+          evs.grouped(math.max(1, evs.length / 3 + 1)).toSeq)
+        .map(_.toString).sorted
+      val batch = CepQueries.cepWinQuantFuzzReplay(spark, dir, c)
+        .collect().map(_.toString).sorted.toSeq
+      assert(streamed == batch,
+        s"streaming winquant seed $seed diverged: A=${c.predA} " +
+          s"{${c.minA},${c.maxA}} B=${c.predB} within=${c.withinMinutes}m " +
+          s"(batch=${batch.length}, streamed=${streamed.length})")
+    }
+  }
+
   test("NFA quantifier semantics equal brute-force enumeration on synthetic runs") {
     import scala.util.Random
     import graft.cep.{AfterMatchSkip, CEP, Contiguity, NFA, Pattern, Stage}
