@@ -25,7 +25,8 @@ package graft
   * CEP partial-match and allowed-lateness state),
   * cumulate (CUMULATE TVF shapes), countwin (count windows tumbling +
   * sliding), winrank (window top-n / window dedup), lookupttl (lookup
-  * cache expire-after-write/-access staleness vs a versioned store), or
+  * cache expire-after-write/-access staleness vs a versioned store),
+  * lookupfull (FULL-cache periodic-reload snapshot semantics), or
   * all (n seeds of each single-arm family + the cdc quad).
   */
 object StreamFuzzDump {
@@ -226,6 +227,12 @@ object StreamFuzzDump {
           () => graft.queries.LookupFuzzGen.replayTtl(spark, sfDir, c),
           c.oracleSql)
       }
+      def lf = {
+        val c = graft.queries.LookupFuzzGen.genFull(seed)
+        (s"q_fuzz_lookup_full$seed",
+          () => graft.queries.LookupFuzzGen.replayFull(spark, sfDir, c),
+          c.oracleSql)
+      }
       family match {
         case "window"  => Seq(w)
         case "session" => Seq(se)
@@ -250,14 +257,15 @@ object StreamFuzzDump {
         case "lateness" => Seq(lw)
         case "cogroup" => Seq(cg)
         case "lookupttl" => Seq(lt)
+        case "lookupfull" => Seq(lf)
         case "all"     =>
           Seq(w, se, re, tn, ce, de, jo, tj, cq, cr, iv, wj, ov, ob, pt,
-            cu, cw, wr, lw, cg, lt) ++ cdc
+            cu, cw, wr, lw, cg, lt, lf) ++ cdc
         case other => sys.error(s"unknown family '$other': " +
           "expected window, session, retract, topn, cep, dedup, join, " +
           "temporal, cepq, cepr, interval, winjoin, over, boundedover, " +
           "ptjoin, cdc, recover, cumulate, countwin, winrank, lateness, " +
-          "cogroup, lookupttl, all")
+          "cogroup, lookupttl, lookupfull, all")
       }
     }
     val oracle = (seed0 until seed0 + n).flatMap(arms).flatMap {
@@ -273,7 +281,7 @@ object StreamFuzzDump {
     }
     DumpIO.writeOracle(outDir, oracle)
     val total = n * (family match {
-      case "all" => 25; case "cdc" => 4; case "recover" => 8; case _ => 1
+      case "all" => 26; case "cdc" => 4; case "recover" => 8; case _ => 1
     })
     println(s"[streamfuzz] dumped ${oracle.length} of $total $family cases " +
       s"($failed failed on Spark), seeds $seed0..${seed0 + n - 1}")

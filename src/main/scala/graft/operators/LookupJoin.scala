@@ -74,6 +74,49 @@ object LookupJoin {
   private final class Entry[V](var write: Long, var access: Long,
       var v: Option[V])
 
+  /** Bulk loader for the FULL-cache mode (the reference's CacheLoader,
+    * flink-table-runtime .../lookup/fullcache/CacheLoader.java): loads
+    * the entire dimension relation; per-row lookups never touch the
+    * backend.
+    */
+  trait AllLoader[K, V] extends Serializable {
+    def loadAll(): Map[K, V]
+  }
+
+  /** FULL-cache lookup join — the reference's ALL cache mode
+    * (LookupFullCache.java:39 + PeriodicCacheReloadTrigger.java:43): the
+    * whole dimension loads per partition on the first row and RELOADS
+    * whenever `ticker` crosses a `reloadEvery` boundary (a wall-clock
+    * period in production; the fuzz's row ticker makes every reload
+    * tick — and therefore every served snapshot — a pure function of
+    * the row sequence). Between reloads each row is served from the
+    * snapshot: misses stay misses and values stay stale until the next
+    * reload, the documented ALL-cache contract. One snapshot per
+    * partition is the reference's own replication unit (one per task);
+    * for a static dim that fits in memory a broadcast join is the right
+    * plan — this operator exists for the periodic-refresh case.
+    */
+  def lookupJoinFullCache[T, K, V](ds: Dataset[T], keyFn: T => K,
+      loader: AllLoader[K, V], reloadEvery: Long = Long.MaxValue,
+      ticker: Ticker = SystemTicker)(
+      implicit outEnc: Encoder[(T, Option[V])]): Dataset[(T, Option[V])] = {
+    ds.mapPartitions { rows =>
+      var snapshot: Map[K, V] = null
+      var epoch = -1L
+      rows.map { row =>
+        ticker.advance()
+        val e =
+          if (reloadEvery == Long.MaxValue) 0L
+          else ticker.now() / reloadEvery
+        if (snapshot == null || e != epoch) {
+          snapshot = loader.loadAll()
+          epoch = e
+        }
+        (row, snapshot.get(keyFn(row)))
+      }
+    }
+  }
+
   /** Left lookup join: each row keeps its lookup result (None for a miss).
     * One `open()` per partition; an LRU cache bounds lookups per partition.
     *

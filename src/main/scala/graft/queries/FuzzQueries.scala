@@ -90,6 +90,17 @@ object FuzzQueries {
 
   private val lookupTtlCases = lookupTtlSeeds.map(LookupFuzzGen.genTtl)
 
+  /** one FULL-cache (ALL mode) shape whose reload period spans store
+    * versions — the snapshot is served deeply stale between reloads
+    * ([[LookupFuzzGen.FullCase]], LookupFullCache periodic-reload
+    * semantics).
+    */
+  private[queries] val lookupFullSeeds: Seq[Long] = Seq(
+    StreamFuzzQueries.firstSeedOf("lookupfull", LookupFuzzGen.genFull)(c =>
+      c.reloadEvery > c.versionPeriod))
+
+  private val lookupFullCases = lookupFullSeeds.map(LookupFuzzGen.genFull)
+
   val queries: Map[String, QFn] = all.map { case (name, sql) =>
     name -> ((s, dir) => {
       Tables.registerAll(s, dir)
@@ -107,6 +118,9 @@ object FuzzQueries {
   }.toMap ++ lookupTtlCases.map { c =>
     s"q_fuzz_lookup_ttl${c.seed}" -> ((s, dir: String) =>
       LookupFuzzGen.replayTtl(s, dir, c)): (String, QFn)
+  }.toMap ++ lookupFullCases.map { c =>
+    s"q_fuzz_lookup_full${c.seed}" -> ((s, dir: String) =>
+      LookupFuzzGen.replayFull(s, dir, c)): (String, QFn)
   }.toMap
 
   // identical SQL text runs as the oracle (dialect-shared by design);
@@ -116,5 +130,7 @@ object FuzzQueries {
     cdcCases.map { case (d, c) => s"q_fmt_$d" -> c.oracleSql }.toMap ++
     lookupCases.map(c => s"q_fuzz_lookup_${c.seed}" -> c.oracleSql).toMap ++
     lookupTtlCases.map(c =>
-      s"q_fuzz_lookup_ttl${c.seed}" -> c.oracleSql).toMap
+      s"q_fuzz_lookup_ttl${c.seed}" -> c.oracleSql).toMap ++
+    lookupFullCases.map(c =>
+      s"q_fuzz_lookup_full${c.seed}" -> c.oracleSql).toMap
 }

@@ -159,6 +159,92 @@ object LookupFuzzGen {
       accessMode)
   }
 
+  /** A FULL-cache (ALL mode) case — fuzzes
+    * [[graft.operators.LookupJoin.lookupJoinFullCache]]'s
+    * snapshot-and-periodic-reload semantics (LookupFullCache.java:39,
+    * PeriodicCacheReloadTrigger.java:43): the whole dimension loads at
+    * the first row of every `reloadEvery`-tick epoch, so with the shared
+    * row ticker each reload lands exactly at tick `epoch * reloadEvery`
+    * and every probe is served the version loaded there — closed-form
+    * restatable, no chain: `version(tick) = (tick / RE * RE) / VP`.
+    * Misses (keys the loader omits) never consult a backend — the
+    * ALL-cache contract.
+    */
+  case class FullCase(
+      seed: Long,
+      filterSql: String,
+      keyMod: Int,
+      dimMod: Int,
+      dimRes: Int,
+      reloadEvery: Long,
+      versionPeriod: Long) {
+
+    def oracleSql: String =
+      s"""WITH e AS (SELECT event_id, user_id,
+         |    make_timestamp(epoch_ns(ts) // 1000) AS ts, event_type, value
+         |  FROM events),
+         |p AS (SELECT event_id, user_id % $keyMod AS k,
+         |    row_number() OVER (ORDER BY event_id) - 1 AS tick
+         |  FROM e WHERE $filterSql)
+         |SELECT event_id, k,
+         |  CASE WHEN k % $dimMod = $dimRes THEN -1
+         |       ELSE k * 31 + 7
+         |            + 1000 * ((tick // $reloadEvery * $reloadEvery)
+         |                      // $versionPeriod) END AS v
+         |FROM p""".stripMargin
+  }
+
+  /** The full-cache case for a seed — a pure function of the seed.
+    * reloadEvery and versionPeriod are drawn independently, so some
+    * seeds pin a snapshot across several store versions (reload slower
+    * than the store changes — deep staleness) and others reload
+    * mid-version (fresh serves).
+    */
+  def genFull(seed: Long): FullCase = {
+    val r = new Random(StreamFuzzGen.scramble(seed ^ 0x100f77L))
+    val filterSql = StreamFuzzGen.basePredOf(r)
+    val keyMod = Seq(7, 23, 63)(r.nextInt(3))
+    val dimMod = 3 + r.nextInt(4)
+    val dimRes = r.nextInt(dimMod)
+    val reloadEvery = Seq(16L, 64L, 256L)(r.nextInt(3))
+    val versionPeriod = Seq(32L, 128L)(r.nextInt(2))
+    FullCase(seed, filterSql, keyMod, dimMod, dimRes, reloadEvery,
+      versionPeriod)
+  }
+
+  /** The versioned bulk loader: the snapshot's values carry the version
+    * current at LOAD time, so every probe reveals which reload it was
+    * served from.
+    */
+  private class VersionedLoader(c: FullCase, ticker: LookupJoin.RowTicker)
+      extends LookupJoin.AllLoader[Long, Long] {
+    def loadAll(): Map[Long, Long] = {
+      val ver = ticker.now() / c.versionPeriod
+      (0L until c.keyMod)
+        .filter(_ % c.dimMod != c.dimRes) // miss class: absent from dim
+        .map(k => k -> (k * 31 + 7 + 1000L * ver)).toMap
+    }
+  }
+
+  /** Full-cache replay: the versioned loader through
+    * [[LookupJoin.lookupJoinFullCache]] on the shared row ticker,
+    * single-partition sorted feed as in [[replayTtl]].
+    */
+  def replayFull(s: SparkSession, dir: String, c: FullCase): DataFrame = {
+    import s.implicits._
+    val ticker = new LookupJoin.RowTicker
+    val probes = Q.t(s, dir, "events")
+      .filter(expr(c.filterSql))
+      .select(col("event_id"), (col("user_id") % c.keyMod).as("k"))
+      .repartition(1).sortWithinPartitions("event_id")
+      .as[(Long, Long)]
+    LookupJoin.lookupJoinFullCache[(Long, Long), Long, Long](
+        probes, _._2, new VersionedLoader(c, ticker),
+        reloadEvery = c.reloadEvery, ticker = ticker)
+      .map { case ((id, k), v) => (id, k, v.getOrElse(-1L)) }
+      .toDF("event_id", "k", "v")
+  }
+
   /** The versioned store: value carries the version current at CALL time
     * (the shared ticker), so whatever the cache serves later reveals the
     * tick it was fetched at.

@@ -98,6 +98,55 @@ class LookupFuzzSpec extends SparkSuite {
       "no seed in 1..8 ever served a stale version — the arm is degenerate")
   }
 
+  test("full-cache generator is deterministic and covers its arms") {
+    for (s <- Seq(1L, 7L, 4242L))
+      assert(LookupFuzzGen.genFull(s) == LookupFuzzGen.genFull(s))
+    val cs = (1L to 24L).map(LookupFuzzGen.genFull)
+    assert(cs.exists(c => c.reloadEvery > c.versionPeriod) &&
+      cs.exists(c => c.reloadEvery < c.versionPeriod))
+    assert(cs.map(_.reloadEvery).distinct.length == 3)
+  }
+
+  test("full-cache replay serves exactly the reload-pinned snapshot per seed") {
+    var staleServes = 0
+    for (seed <- 1L to 8L) {
+      val c = LookupFuzzGen.genFull(seed)
+      val probes = Q.t(spark, dir, "events")
+        .filter(expr(c.filterSql))
+        .select(col("event_id"), (col("user_id") % c.keyMod).as("k"))
+        .orderBy("event_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      // closed form: the snapshot serving tick i was loaded at the first
+      // tick of i's reload epoch
+      val expected = probes.zipWithIndex.map { case ((id, k), i) =>
+        val v = if (k % c.dimMod == c.dimRes) -1L
+          else k * 31 + 7 +
+            1000L * (i / c.reloadEvery * c.reloadEvery / c.versionPeriod)
+        (id, k, v)
+      }
+      val actual = LookupFuzzGen.replayFull(spark, dir, c)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .toSeq
+      assert(actual.sorted == expected.sorted,
+        s"full-cache seed $seed diverged: reload=${c.reloadEvery} " +
+          s"period=${c.versionPeriod} keyMod=${c.keyMod} " +
+          s"(expected=${expected.length}, got=${actual.length})")
+      // stale serve = snapshot version older than the store's version at
+      // the probe's own tick
+      expected.zipWithIndex.foreach { case ((_, k, v), i) =>
+        if (v != -1 && (v - (k * 31 + 7)) / 1000 != i / c.versionPeriod)
+          staleServes += 1
+      }
+    }
+    assert(staleServes > 0,
+      "no seed in 1..8 ever served a stale snapshot — the arm is degenerate")
+  }
+
+  test("promoted full-cache seed pins a reload-spans-versions shape") {
+    val shapes = FuzzQueries.lookupFullSeeds.map(LookupFuzzGen.genFull)
+    assert(shapes.exists(c => c.reloadEvery > c.versionPeriod))
+  }
+
   test("promoted ttl seeds pin one write-mode stale-heavy and one access-mode shape") {
     val shapes = FuzzQueries.lookupTtlSeeds.map(LookupFuzzGen.genTtl)
     assert(shapes.exists(c => !c.accessMode && c.ttl > c.versionPeriod))
