@@ -283,14 +283,18 @@ object CepFuzzGen {
       predB: StepPred,
       minA: Int,
       maxA: Int, // Int.MaxValue = unbounded (A+)
-      withinMinutes: Int) {
+      withinMinutes: Int,
+      // greedy = longest-count-first (SQL default); reluctant (A+? —
+      // NFA.scala orders closed before extended branches) = shortest
+      greedy: Boolean = true) {
 
     /** MATCH_RECOGNIZE text (front-door dual-run). */
     def mrClause: String = {
-      val q =
+      val q0 =
         if (maxA == Int.MaxValue) "+"
         else if (minA == maxA) s"{$minA}"
         else s"{$minA,$maxA}"
+      val q = if (greedy) q0 else s"$q0?"
       s"""PARTITION BY user_id
          |ORDER BY ts, event_id
          |MEASURES FIRST(A.event_id) AS a_id,
@@ -440,7 +444,9 @@ object CepFuzzGen {
       case 2 => val n = 2 + r.nextInt(2); (n, n)
     }
     val within = Seq(240, 720, 1440)(r.nextInt(3))
-    WinQuantCase(seed, predA, predB, minA, maxA, within)
+    // a third of the seeds flip to the RELUCTANT branch order (A+? etc.)
+    val greedy = r.nextInt(3) != 0
+    WinQuantCase(seed, predA, predB, minA, maxA, within, greedy)
   }
 
   /** The relaxed/negation case for a seed — a pure function of the seed. */

@@ -337,10 +337,11 @@ object CepQueries {
   private[queries] def winQuantPattern(
       c: CepFuzzGen.WinQuantCase): Pattern[CepFuzzGen.CE] = {
     val a = Pattern.begin[CepFuzzGen.CE]("a")(c.predA.fn)
-    val q =
+    val q0 =
       if (c.maxA == Int.MaxValue) a.oneOrMore.consecutive
       else if (c.minA == c.maxA) a.times(c.minA).consecutive
       else a.times(c.minA, c.maxA).consecutive
+    val q = if (c.greedy) q0 else q0.reluctant
     q.next("b")(c.predB.fn).within(c.withinMinutes * 60000000L)
   }
 

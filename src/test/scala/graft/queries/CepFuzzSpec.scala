@@ -97,7 +97,8 @@ class CepFuzzSpec extends SparkSuite {
     * position of every consumed event a pure function of the counts, so
     * the enumeration is exact.
     */
-  private case class BUnit(pred: CepFuzzGen.CE => Boolean, min: Int, max: Int)
+  private case class BUnit(pred: CepFuzzGen.CE => Boolean, min: Int,
+      max: Int, greedy: Boolean = true)
 
   private def bruteStrict(events: IndexedSeq[CepFuzzGen.CE],
       units: Seq[BUnit], within: Option[Long]): Seq[(Int, Int)] = {
@@ -115,13 +116,16 @@ class CepFuzzSpec extends SparkSuite {
         var feasible = 0
         while (feasible < un.max && ok(pos + feasible) &&
           un.pred(events(pos + feasible))) feasible += 1
-        var cnt = feasible
-        while (cnt >= minC) {
-          rec(u + 1, pos + cnt) match {
+        // greedy = largest count first; reluctant = smallest first (the
+        // NFA orders closed branches before extended ones)
+        val counts =
+          if (un.greedy) feasible to minC by -1 else minC to feasible
+        val it = counts.iterator
+        while (it.hasNext) {
+          rec(u + 1, pos + it.next()) match {
             case Some(e) => return Some(e)
             case None =>
           }
-          cnt -= 1
         }
         None
       }
@@ -139,6 +143,10 @@ class CepFuzzSpec extends SparkSuite {
       "no A{m,n} range arm drawn")
     assert(cs.exists(c => c.minA == c.maxA), "no exact A{n} arm drawn")
     assert(cs.map(_.withinMinutes).distinct.length == 3)
+    assert(cs.exists(_.greedy) && cs.exists(!_.greedy),
+      "greedy and reluctant arms must both draw")
+    assert(cs.exists(c => !c.greedy && c.minA < c.maxA),
+      "no reluctant arm with a real count range drawn")
   }
 
   /** The within × quantifier interaction ([[CepFuzzGen.WinQuantCase]]):
@@ -156,7 +164,7 @@ class CepFuzzSpec extends SparkSuite {
     var windowBound = 0
     for (seed <- 1L to 16L) {
       val c = CepFuzzGen.genWinQuant(seed)
-      val units = Seq(BUnit(c.predA.fn, c.minA, c.maxA),
+      val units = Seq(BUnit(c.predA.fn, c.minA, c.maxA, c.greedy),
         BUnit(c.predB.fn, 1, 1))
       val within = Some(c.withinMinutes * 60000000L)
       def brute(w: Option[Long]) = byUser.toSeq.flatMap { case (u, es) =>
@@ -255,7 +263,7 @@ class CepFuzzSpec extends SparkSuite {
         val max =
           if (r.nextInt(4) == 0) Int.MaxValue
           else math.max(1, min) + r.nextInt(3)
-        BUnit(pred, min, max)
+        BUnit(pred, min, max, greedy = r.nextInt(3) != 0)
       }
       val units = unitOf(first = true) +:
         Seq.fill(1 + r.nextInt(2))(unitOf(first = false))
@@ -263,7 +271,7 @@ class CepFuzzSpec extends SparkSuite {
       val pat0 = Pattern[CepFuzzGen.CE](
         units.zipWithIndex.map { case (u, i) =>
           Stage[CepFuzzGen.CE](s"s$i", u.pred, Contiguity.Strict,
-            u.min, u.max)
+            u.min, u.max, greedyLoop = u.greedy)
         }.toVector,
         withinMs = within)
       val nfa = new NFA[CepFuzzGen.CE](pat0, _.ts)
