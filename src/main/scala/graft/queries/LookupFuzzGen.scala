@@ -212,6 +212,23 @@ object LookupFuzzGen {
       versionPeriod)
   }
 
+  /** The event_id-sorted SINGLE-PARTITION probe feed the ticker families
+    * share: one partition makes the shared row ticker the global logical
+    * clock, so each probe's tick equals its sorted index (the oracles'
+    * `row_number() - 1`). Gate plumbing only — production runs one cache
+    * and clock per partition.
+    */
+  private[queries] def sortedProbes(s: SparkSession, dir: String,
+      filterSql: String, keyMod: Int)
+      : org.apache.spark.sql.Dataset[(Long, Long)] = {
+    import s.implicits._
+    Q.t(s, dir, "events")
+      .filter(expr(filterSql))
+      .select(col("event_id"), (col("user_id") % keyMod).as("k"))
+      .repartition(1).sortWithinPartitions("event_id")
+      .as[(Long, Long)]
+  }
+
   /** The versioned bulk loader: the snapshot's values carry the version
     * current at LOAD time, so every probe reveals which reload it was
     * served from.
@@ -233,13 +250,9 @@ object LookupFuzzGen {
   def replayFull(s: SparkSession, dir: String, c: FullCase): DataFrame = {
     import s.implicits._
     val ticker = new LookupJoin.RowTicker
-    val probes = Q.t(s, dir, "events")
-      .filter(expr(c.filterSql))
-      .select(col("event_id"), (col("user_id") % c.keyMod).as("k"))
-      .repartition(1).sortWithinPartitions("event_id")
-      .as[(Long, Long)]
     LookupJoin.lookupJoinFullCache[(Long, Long), Long, Long](
-        probes, _._2, new VersionedLoader(c, ticker),
+        sortedProbes(s, dir, c.filterSql, c.keyMod), _._2,
+        new VersionedLoader(c, ticker),
         reloadEvery = c.reloadEvery, ticker = ticker)
       .map { case ((id, k), v) => (id, k, v.getOrElse(-1L)) }
       .toDF("event_id", "k", "v")
@@ -265,13 +278,9 @@ object LookupFuzzGen {
   def replayTtl(s: SparkSession, dir: String, c: TtlCase): DataFrame = {
     import s.implicits._
     val ticker = new LookupJoin.RowTicker
-    val probes = Q.t(s, dir, "events")
-      .filter(expr(c.filterSql))
-      .select(col("event_id"), (col("user_id") % c.keyMod).as("k"))
-      .repartition(1).sortWithinPartitions("event_id")
-      .as[(Long, Long)]
     LookupJoin.lookupJoin[(Long, Long), Long, Long](
-        probes, _._2, new VersionedStore(c, ticker),
+        sortedProbes(s, dir, c.filterSql, c.keyMod), _._2,
+        new VersionedStore(c, ticker),
         cacheSize = 1 << 20,
         expireAfterWrite = if (c.accessMode) Long.MaxValue else c.ttl,
         expireAfterAccess = if (c.accessMode) c.ttl else Long.MaxValue,

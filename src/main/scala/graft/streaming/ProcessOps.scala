@@ -81,9 +81,21 @@ object ProcessOps {
     /** Frame-specific state init (the base states are already bound). */
     protected def initFrameState(): Unit
 
+    /** Load the frame's accumulator state ONCE before a drain — the due
+      * loop below runs over every timestamp the watermark released, and
+      * per-timestamp ValueState round-trips would multiply state-store
+      * I/O by the drain length (the same O(T) blowup the timer
+      * coalescing above exists to avoid).
+      */
+    protected def beginDrain(): Unit
+
+    /** Persist the frame's accumulator state ONCE after a drain. */
+    protected def endDrain(): Unit
+
     /** Process ALL rows of one due timestamp (arrival order) and emit
       * their output rows — the frame decides how the aggregate advances
-      * and what peers see.
+      * and what peers see. Runs between [[beginDrain]] and [[endDrain]];
+      * frame state lives in instance fields for the drain's duration.
       */
     protected def processTimestamp(key: String, ts: Long, vs: Seq[Long],
         out: scala.collection.mutable.ArrayBuffer[OverOut]): Unit
@@ -140,9 +152,13 @@ object ProcessOps {
       val all = buf.iterator().map(_._1).toArray.sorted
       val due = all.takeWhile(_ <= wm)
       val out = scala.collection.mutable.ArrayBuffer.empty[OverOut]
-      due.foreach { ts =>
-        processTimestamp(key, ts, buf.getValue(ts).vs, out)
-        buf.removeKey(ts)
+      if (due.nonEmpty) {
+        beginDrain()
+        due.foreach { ts =>
+          processTimestamp(key, ts, buf.getValue(ts).vs, out)
+          buf.removeKey(ts)
+        }
+        endDrain()
       }
       // re-arm for the earliest still-buffered timestamp (all > wm here)
       ptimer.clear()
@@ -166,17 +182,27 @@ object ProcessOps {
       extends BufferedOverProcessor {
     @transient private var acc: ValueState[Long] = _ // running sum
     @transient private var cnt: ValueState[Long] = _ // running count
+    private var a = 0L // drain-scoped copies of the two states
+    private var n = 0L
 
     override protected def initFrameState(): Unit = {
       acc = getHandle.getValueState[Long]("acc", Encoders.scalaLong, TTLConfig.NONE)
       cnt = getHandle.getValueState[Long]("cnt", Encoders.scalaLong, TTLConfig.NONE)
     }
 
+    override protected def beginDrain(): Unit = {
+      a = if (acc.exists()) acc.get() else 0L
+      n = if (cnt.exists()) cnt.get() else 0L
+    }
+
+    override protected def endDrain(): Unit = {
+      acc.update(a)
+      cnt.update(n)
+    }
+
     override protected def processTimestamp(key: String, ts: Long,
         vs: Seq[Long],
         out: scala.collection.mutable.ArrayBuffer[OverOut]): Unit = {
-      var a = if (acc.exists()) acc.get() else 0L
-      var n = if (cnt.exists()) cnt.get() else 0L
       if (rangeMode) {
         vs.foreach { v => a += v; n += 1 }
         vs.foreach { v => out += OverOut(key, ts, v, a, n) }
@@ -184,8 +210,6 @@ object ProcessOps {
         a += v; n += 1
         out += OverOut(key, ts, v, a, n)
       }
-      acc.update(a)
-      cnt.update(n)
     }
   }
 
@@ -202,6 +226,8 @@ object ProcessOps {
     require(nRows >= 1, s"ROWS frame needs nRows >= 1, got $nRows")
     @transient private var acc: ValueState[Long] = _
     @transient private var retained: ValueState[OverBuf] = _
+    private var a = 0L // drain-scoped copies of the two states
+    private var keep: Seq[Long] = Nil
 
     override protected def initFrameState(): Unit = {
       acc = getHandle.getValueState[Long]("acc", Encoders.scalaLong, TTLConfig.NONE)
@@ -209,11 +235,19 @@ object ProcessOps {
         Encoders.product[OverBuf], TTLConfig.NONE)
     }
 
+    override protected def beginDrain(): Unit = {
+      a = if (acc.exists()) acc.get() else 0L
+      keep = if (retained.exists()) retained.get().items else Nil
+    }
+
+    override protected def endDrain(): Unit = {
+      acc.update(a)
+      retained.update(OverBuf(keep))
+    }
+
     override protected def processTimestamp(key: String, ts: Long,
         vs: Seq[Long],
         out: scala.collection.mutable.ArrayBuffer[OverOut]): Unit = {
-      var a = if (acc.exists()) acc.get() else 0L
-      var keep = if (retained.exists()) retained.get().items else Nil
       vs.foreach { v =>
         a += v
         keep = keep :+ v
@@ -223,8 +257,6 @@ object ProcessOps {
         }
         out += OverOut(key, ts, v, a, keep.length.toLong)
       }
-      acc.update(a)
-      retained.update(OverBuf(keep))
     }
   }
 
@@ -245,6 +277,8 @@ object ProcessOps {
     require(rangeMs >= 0, s"RANGE frame needs rangeMs >= 0, got $rangeMs")
     @transient private var acc: ValueState[Long] = _
     @transient private var retained: ValueState[RangeBuf] = _
+    private var a = 0L // drain-scoped copies of the two states
+    private var keep: Seq[(Long, Long)] = Nil
 
     override protected def initFrameState(): Unit = {
       acc = getHandle.getValueState[Long]("acc", Encoders.scalaLong, TTLConfig.NONE)
@@ -252,13 +286,20 @@ object ProcessOps {
         Encoders.product[RangeBuf], TTLConfig.NONE)
     }
 
+    override protected def beginDrain(): Unit = {
+      a = if (acc.exists()) acc.get() else 0L
+      keep = if (retained.exists()) retained.get().ts.zip(retained.get().vs)
+        else Nil
+    }
+
+    override protected def endDrain(): Unit = {
+      acc.update(a)
+      retained.update(RangeBuf(keep.map(_._1), keep.map(_._2)))
+    }
+
     override protected def processTimestamp(key: String, ts: Long,
         vs: Seq[Long],
         out: scala.collection.mutable.ArrayBuffer[OverOut]): Unit = {
-      var a = if (acc.exists()) acc.get() else 0L
-      var keep: Seq[(Long, Long)] =
-        if (retained.exists()) retained.get().ts.zip(retained.get().vs)
-        else Nil
       // peers accumulate first (same-timestamp rows share the frame)
       vs.foreach { v => a += v }
       keep = keep ++ vs.map(ts -> _)
@@ -267,8 +308,6 @@ object ProcessOps {
       evict.foreach { case (_, v) => a -= v }
       keep = alive
       vs.foreach { v => out += OverOut(key, ts, v, a, keep.length.toLong) }
-      acc.update(a)
-      retained.update(RangeBuf(keep.map(_._1), keep.map(_._2)))
     }
   }
 

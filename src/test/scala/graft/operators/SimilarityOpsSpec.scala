@@ -80,7 +80,7 @@ class SimilarityOpsSpec extends SparkSuite {
   test("IVF multi-probe keeps recall >= 0.9 at 64x corpus scale") {
     // the third octave of the quality law (b_sim_scale64 measures wall
     // time): same distribution grown 64x — 20,480 vectors, 8 clusters —
-    // deterministic 24-query sample, ground truth by brute force over
+    // deterministic 25-query sample, ground truth by brute force over
     // the full 64x corpus, same cell/probe config as 1x and 8x
     val centerRng = new scala.util.Random(7)
     val centers = Array.fill(Cells, Dim)(centerRng.nextGaussian())

@@ -73,11 +73,9 @@ class LookupFuzzSpec extends SparkSuite {
     var staleServes = 0
     for (seed <- 1L to 8L) {
       val c = LookupFuzzGen.genTtl(seed)
-      val probes = Q.t(spark, dir, "events")
-        .filter(expr(c.filterSql))
-        .select(col("event_id"), (col("user_id") % c.keyMod).as("k"))
-        .orderBy("event_id")
-        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      // single-partition sorted feed → collect preserves tick order
+      val probes = LookupFuzzGen
+        .sortedProbes(spark, dir, c.filterSql, c.keyMod).collect().toSeq
       val expected = simulateTtl(probes, c)
       val actual = LookupFuzzGen.replayTtl(spark, dir, c)
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
@@ -111,11 +109,8 @@ class LookupFuzzSpec extends SparkSuite {
     var staleServes = 0
     for (seed <- 1L to 8L) {
       val c = LookupFuzzGen.genFull(seed)
-      val probes = Q.t(spark, dir, "events")
-        .filter(expr(c.filterSql))
-        .select(col("event_id"), (col("user_id") % c.keyMod).as("k"))
-        .orderBy("event_id")
-        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      val probes = LookupFuzzGen
+        .sortedProbes(spark, dir, c.filterSql, c.keyMod).collect().toSeq
       // closed form: the snapshot serving tick i was loaded at the first
       // tick of i's reload epoch
       val expected = probes.zipWithIndex.map { case ((id, k), i) =>
