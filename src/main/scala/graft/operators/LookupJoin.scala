@@ -100,6 +100,10 @@ object LookupJoin {
       loader: AllLoader[K, V], reloadEvery: Long = Long.MaxValue,
       ticker: Ticker = SystemTicker)(
       implicit outEnc: Encoder[(T, Option[V])]): Dataset[(T, Option[V])] = {
+    // fail on the driver: 0 would divide-by-zero per row inside the
+    // executor, negative values produce nonsense epochs
+    require(reloadEvery > 0,
+      s"reloadEvery must be positive (ticker units), got $reloadEvery")
     ds.mapPartitions { rows =>
       var snapshot: Map[K, V] = null
       var epoch = -1L
@@ -124,7 +128,10 @@ object LookupJoin {
     * DefaultLookupCache.java:55-56, 119-123): `expireAfterWrite` serves a
     * cached — possibly STALE — value until its write is `ttl` old, then
     * re-looks-up; `expireAfterAccess` resets the timer on every served
-    * hit. Both are measured on `ticker` (wall-clock by default). Each
+    * hit. Both are in RAW TICKER UNITS — NANOSECONDS under the default
+    * [[SystemTicker]] (use `java.time.Duration.toNanos`, as the
+    * reference's Duration-typed DefaultLookupCache builder converts
+    * internally), row ticks under the fuzz's [[RowTicker]]. Each
     * partition has its own cache and clock — at scale there is no
     * cross-executor coordination to become a bottleneck, and staleness is
     * bounded per partition exactly as the reference bounds it per task.
@@ -161,11 +168,13 @@ object LookupJoin {
         }
         (row, v)
       }
-      // close() after the iterator drains
+      // close() ONCE after the iterator drains (repeated hasNext calls
+      // on an exhausted iterator must not re-invoke close)
       new Iterator[(T, Option[V])] {
+        private var closed = false
         def hasNext: Boolean = {
           val h = it.hasNext
-          if (!h) fn.close()
+          if (!h && !closed) { closed = true; fn.close() }
           h
         }
         def next(): (T, Option[V]) = it.next()

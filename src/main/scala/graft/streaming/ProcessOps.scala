@@ -48,7 +48,6 @@ object ProcessOps {
 
   case class OverOut(key: String, ts: Long, v: Long, movingSum: Long, n: Long)
   case class OverBuf(items: Seq[Long])
-  case class RangeBuf(ts: Seq[Long], vs: Seq[Long])
 
   /** One timestamp's buffered values, arrival order. */
   case class TsRows(vs: Seq[Long])
@@ -267,47 +266,70 @@ object ProcessOps {
     * All rows of one timestamp are RANGE peers: they accumulate first
     * and emit the same aggregate — the reference adds the whole
     * per-timestamp input list to the accumulator before emitting.
-    * State beyond the input buffer = the accumulator plus the retained
-    * (ts, value) rows still inside the horizon; rows behind it are
-    * retracted as the frame advances (the reference's retract loop over
-    * the expired map keys).
+    *
+    * State beyond the input buffer = the accumulator + retained-row
+    * count (two ValueStates, one load/store per drain via the
+    * beginDrain/endDrain contract) plus the retained rows themselves in
+    * MapState keyed by timestamp — the reference's own idiom (its
+    * inputState MapState doubles as the retained frame; expired keys are
+    * retracted and removed as the frame advances). Relative to a
+    * single-ValueState frame blob, per-drain state I/O on the rows is
+    * O(inserted + evicted) writes/removes + one key scan, instead of
+    * re-serializing the whole O(horizon × per-key rate) frame — the
+    * wide-RANGE × high-rate case where the blob became the per-key hot
+    * spot. Eviction never scans values: due timestamps drain in
+    * ascending order, so the horizon advances monotonically and expired
+    * keys pop off the head of the drain-scoped sorted key index.
     */
   class RangeBoundedOverProcessor(rangeMs: Long)
       extends BufferedOverProcessor {
     require(rangeMs >= 0, s"RANGE frame needs rangeMs >= 0, got $rangeMs")
     @transient private var acc: ValueState[Long] = _
-    @transient private var retained: ValueState[RangeBuf] = _
-    private var a = 0L // drain-scoped copies of the two states
-    private var keep: Seq[(Long, Long)] = Nil
+    @transient private var cnt: ValueState[Long] = _
+    @transient private var retained: MapState[Long, TsRows] = _
+    private var a = 0L // drain-scoped copies of the small states
+    private var n = 0L
+    // drain-scoped ascending index of retained timestamps
+    private var keepTs: scala.collection.mutable.ArrayDeque[Long] = _
 
     override protected def initFrameState(): Unit = {
       acc = getHandle.getValueState[Long]("acc", Encoders.scalaLong, TTLConfig.NONE)
-      retained = getHandle.getValueState[RangeBuf]("range",
-        Encoders.product[RangeBuf], TTLConfig.NONE)
+      cnt = getHandle.getValueState[Long]("cnt", Encoders.scalaLong, TTLConfig.NONE)
+      retained = getHandle.getMapState[Long, TsRows]("range",
+        Encoders.scalaLong, Encoders.product[TsRows], TTLConfig.NONE)
     }
 
     override protected def beginDrain(): Unit = {
       a = if (acc.exists()) acc.get() else 0L
-      keep = if (retained.exists()) retained.get().ts.zip(retained.get().vs)
-        else Nil
+      n = if (cnt.exists()) cnt.get() else 0L
+      // keys only — retained VALUES are read just for evicted entries
+      keepTs = scala.collection.mutable.ArrayDeque.from(
+        retained.keys().toArray[Long].sorted)
     }
 
     override protected def endDrain(): Unit = {
       acc.update(a)
-      retained.update(RangeBuf(keep.map(_._1), keep.map(_._2)))
+      cnt.update(n)
     }
 
     override protected def processTimestamp(key: String, ts: Long,
         vs: Seq[Long],
         out: scala.collection.mutable.ArrayBuffer[OverOut]): Unit = {
-      // peers accumulate first (same-timestamp rows share the frame)
-      vs.foreach { v => a += v }
-      keep = keep ++ vs.map(ts -> _)
+      // peers accumulate first (same-timestamp rows share the frame).
+      // `ts` is fresh: retained keys are all ≤ a prior watermark < ts
+      // (a re-arrival at a drained timestamp is late and was dropped),
+      // so the append keeps the index ascending
+      vs.foreach { v => a += v; n += 1 }
+      retained.updateValue(ts, TsRows(vs))
+      keepTs.append(ts)
       // retract rows behind the inclusive horizon ts - rangeMs
-      val (evict, alive) = keep.partition(_._1 < ts - rangeMs)
-      evict.foreach { case (_, v) => a -= v }
-      keep = alive
-      vs.foreach { v => out += OverOut(key, ts, v, a, keep.length.toLong) }
+      while (keepTs.nonEmpty && keepTs.head < ts - rangeMs) {
+        val e = keepTs.removeHead()
+        val evicted = retained.getValue(e).vs
+        evicted.foreach { v => a -= v; n -= 1 }
+        retained.removeKey(e)
+      }
+      vs.foreach { v => out += OverOut(key, ts, v, a, n) }
     }
   }
 
