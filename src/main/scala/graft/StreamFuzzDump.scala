@@ -26,8 +26,12 @@ package graft
   * cumulate (CUMULATE TVF shapes), countwin (count windows tumbling +
   * sliding), winrank (window top-n / window dedup), lookupttl (lookup
   * cache expire-after-write/-access staleness vs a versioned store),
-  * lookupfull (FULL-cache periodic-reload snapshot semantics), or
-  * all (n seeds of each single-arm family + the cdc quad).
+  * lookupfull (FULL-cache periodic-reload snapshot semantics), cepany
+  * (followedByAny match multiplicity under NO SKIP — 2-step join
+  * restatement), wmidle (watermark idleness — stalled sources released
+  * from the combined-clock min), wmalign (watermark alignment pacing —
+  * pause/resume must not change results), or all (n seeds of each
+  * single-arm family + the cdc quad).
   */
 object StreamFuzzDump {
   def main(args: Array[String]): Unit = {
@@ -233,6 +237,29 @@ object StreamFuzzDump {
           () => graft.queries.LookupFuzzGen.replayFull(spark, sfDir, c),
           c.oracleSql)
       }
+      def wi = {
+        val c = graft.queries.StreamFuzzGen.genIdle(seed)
+        (s"q_fuzz_stream_wi$seed",
+          () => graft.queries.StreamFuzzQueries.replayIdle(spark, sfDir, c),
+          c.oracleSql)
+      }
+      def wa = {
+        val c = graft.queries.StreamFuzzGen.genWmAlign(seed)
+        (s"q_fuzz_stream_wa$seed",
+          () => graft.queries.StreamFuzzQueries.replayWmAlign(spark, sfDir, c),
+          c.oracleSql)
+      }
+      // match-multiplicity (followedByAny under NO SKIP): only the
+      // 2-step arm is SQL-restatable, so non-any2 draws re-shape to
+      // any2 with the seed's own predicates (deterministic); the any3/
+      // comb arms are enumerator-gated in CepFuzzSpec by design
+      def ca = {
+        val c0 = graft.queries.CepFuzzGen.genAny(seed)
+        val c = if (c0.arm == "any2") c0 else c0.copy(arm = "any2")
+        (s"q_fuzz_cepany_$seed",
+          () => graft.queries.StreamFuzzQueries.replayAny(spark, sfDir, c),
+          c.oracleSql)
+      }
       family match {
         case "window"  => Seq(w)
         case "session" => Seq(se)
@@ -258,14 +285,17 @@ object StreamFuzzDump {
         case "cogroup" => Seq(cg)
         case "lookupttl" => Seq(lt)
         case "lookupfull" => Seq(lf)
+        case "cepany"  => Seq(ca)
+        case "wmidle"  => Seq(wi)
+        case "wmalign" => Seq(wa)
         case "all"     =>
           Seq(w, se, re, tn, ce, de, jo, tj, cq, cr, iv, wj, ov, ob, pt,
-            cu, cw, wr, lw, cg, lt, lf) ++ cdc
+            cu, cw, wr, lw, cg, lt, lf, ca, wi, wa) ++ cdc
         case other => sys.error(s"unknown family '$other': " +
           "expected window, session, retract, topn, cep, dedup, join, " +
           "temporal, cepq, cepr, interval, winjoin, over, boundedover, " +
           "ptjoin, cdc, recover, cumulate, countwin, winrank, lateness, " +
-          "cogroup, lookupttl, lookupfull, all")
+          "cogroup, lookupttl, lookupfull, cepany, wmidle, wmalign, all")
       }
     }
     val oracle = (seed0 until seed0 + n).flatMap(arms).flatMap {
@@ -281,7 +311,7 @@ object StreamFuzzDump {
     }
     DumpIO.writeOracle(outDir, oracle)
     val total = n * (family match {
-      case "all" => 26; case "cdc" => 4; case "recover" => 8; case _ => 1
+      case "all" => 29; case "cdc" => 4; case "recover" => 8; case _ => 1
     })
     println(s"[streamfuzz] dumped ${oracle.length} of $total $family cases " +
       s"($failed failed on Spark), seeds $seed0..${seed0 + n - 1}")

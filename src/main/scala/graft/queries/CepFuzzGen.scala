@@ -308,6 +308,87 @@ object CepFuzzGen {
     }
   }
 
+  /** A match-MULTIPLICITY case — the NFA's non-deterministic branching
+    * modes under AFTER MATCH SKIP: NO SKIP, the one semantic axis the
+    * other CEP families never reach (they all run deterministic
+    * contiguity under SkipToNext, where every anchor yields exactly one
+    * branch). Here the match SET itself multiplies:
+    *   - `any2`: `A followedByAny B` (Pattern.java followedByAny:387 —
+    *     non-deterministic relaxed contiguity): EVERY in-window B after
+    *     an anchor is its own match, so the match set is exactly the
+    *     (anchor, later-B) join — the restatable shape, promoted to a
+    *     driver oracle row;
+    *   - `any3`: `A followedByAny B followedBy C` — the Any fan-out
+    *     propagating through a deterministic closing stage (each B
+    *     branch takes the FIRST in-window C after it that completes);
+    *   - `comb`: `A followedBy B{m,n}.allowCombinations followedBy C`
+    *     (Pattern.java allowCombinations:632): repetitions after the
+    *     first branch over every order-preserving combination, and
+    *     allowCombinations implies RELUCTANT counting, so the count
+    *     range [m,n] branches too — the reluctant × combinations
+    *     interaction.
+    * `within` is mandatory: it bounds the branch fan-out (and the
+    * streaming buffer). any3/comb have no SQL restatement — their
+    * oracle is the spec's all-branches enumerator (CI-only, like the
+    * windowed-quantifier arm).
+    */
+  case class AnyCase(
+      seed: Long,
+      arm: String, // any2 | any3 | comb
+      predA: StepPred,
+      predB: StepPred,
+      predC: StepPred, // any3 / comb closing stage
+      minB: Int,
+      maxB: Int, // comb arm's loop count range
+      withinMinutes: Int) {
+
+    /** any2 restatement — dialect-shared (plain join, runs on DuckDB
+      * and Spark unchanged): NO SKIP emits every candidate branch per
+      * anchor, so the match set is every (A-row, later in-window B-row)
+      * pair per user; "later" is the NFA's (ts, event_id) scan order.
+      */
+    def restatement(cev: String): String = {
+      require(arm == "any2", s"only any2 is SQL-restatable, got $arm")
+      s"""WITH cev AS ($cev),
+         |av AS (SELECT * FROM cev WHERE ${predA.sql("")}),
+         |bv AS (SELECT * FROM cev WHERE ${predB.sql("")})
+         |SELECT av.user_id AS user_id, av.event_id AS a_id, bv.event_id AS z_id
+         |FROM av JOIN bv ON bv.user_id = av.user_id
+         |  AND (bv.us > av.us OR (bv.us = av.us AND bv.event_id > av.event_id))
+         |  AND bv.us <= av.us + ${withinMinutes * 60000000L}""".stripMargin
+    }
+
+    def oracleSql: String = restatement(duckCev)
+  }
+
+  /** The multiplicity case for a seed — a pure function of the seed.
+    * Windows draw from the same set the winquant family tuned to the
+    * testdata's inter-event gaps (p10/50/90 ≈ 66/460/1425 minutes):
+    * wide enough that anchors often see SEVERAL candidates (the whole
+    * point is branch fan-out ≥ 2), narrow enough to cap it.
+    */
+  def genAny(seed: Long): AnyCase = {
+    val r = new Random(StreamFuzzGen.scramble(seed ^ 0xa27b4eL))
+    val arm = Seq("any2", "any3", "comb")(r.nextInt(3))
+    val predA = stepOf(r)
+    // the comb arm needs DENSE B-candidates: a repetition ≥ 2 only gets
+    // a combination choice when the window holds more matching events
+    // than the count consumes, so B draws from the widest predicates
+    // (3-4 of 5 types, or a low cents floor)
+    val predB =
+      if (arm != "comb") stepOf(r)
+      else if (r.nextInt(2) == 0)
+        TypeIn(r.shuffle(eventTypes).take(3 + r.nextInt(2)).sorted)
+      else CentsGe((1 + r.nextInt(5)) * 2500L)
+    val predC = stepOf(r)
+    val minB = 1 + r.nextInt(2)
+    val maxB = minB + r.nextInt(2)
+    val within =
+      if (arm == "comb") Seq(1440, 2880, 4320)(r.nextInt(3))
+      else Seq(480, 1440, 2880)(r.nextInt(3))
+    AnyCase(seed, arm, predA, predB, predC, minB, maxB, within)
+  }
+
   /** A relaxed-contiguity / negation case — fuzzes the NFA's
     * `followedBy` scan (Pattern.java followedBy:356) and the negative
     * constraints (notNext:338, notFollowedBy:369) the hand-written rows

@@ -361,6 +361,42 @@ object CepQueries {
       .toDF("user_id", "a_id", "z_id")
   }
 
+  /** The Pattern-API pattern for a [[CepFuzzGen.AnyCase]] (shared by
+    * the batch/streaming replays and the spec's all-branches
+    * enumerator dual-runs).
+    */
+  private[queries] def anyPattern(
+      c: CepFuzzGen.AnyCase): Pattern[CepFuzzGen.CE] = {
+    val a = Pattern.begin[CepFuzzGen.CE]("a")(c.predA.fn)
+    val pat = c.arm match {
+      case "any2" => a.followedByAny("b")(c.predB.fn)
+      case "any3" =>
+        a.followedByAny("b")(c.predB.fn).followedBy("c")(c.predC.fn)
+      case "comb" =>
+        a.followedBy("b")(c.predB.fn).times(c.minB, c.maxB)
+          .allowCombinations.followedBy("c")(c.predC.fn)
+    }
+    pat.within(c.withinMinutes * 60000000L)
+  }
+
+  /** Batch NFA run for a [[CepFuzzGen.AnyCase]] under NO SKIP — every
+    * branch of every anchor emits (the match-multiplicity surface).
+    * Output (user_id, a_id, z_id) = anchor id and last-consumed id;
+    * for the promoted any2 row each branch is a distinct (a, b) pair so
+    * the projection is duplicate-free and joins the driver's oracle.
+    */
+  private[queries] def cepAnyFuzzReplay(s: org.apache.spark.sql.SparkSession,
+      dir: String, c: CepFuzzGen.AnyCase): org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    CEP.batch[CepFuzzGen.CE](cepEvents(s, dir), _.user_id.toString, _.ts,
+        anyPattern(c), AfterMatchSkip.NoSkip, tieFn = _.event_id)
+      .map { m =>
+        val evs = m.stages.flatMap(_._2)
+        (evs.head.user_id, evs.head.event_id, evs.last.event_id)
+      }
+      .toDF("user_id", "a_id", "z_id")
+  }
+
   /** The Pattern-API pattern for a [[CepFuzzGen.RelaxedCase]]. */
   private[queries] def relaxedPattern(
       c: CepFuzzGen.RelaxedCase): Pattern[CepFuzzGen.CE] = {

@@ -730,6 +730,133 @@ object StreamFuzzGen {
     LatenessCase(seed, filterSql, win, latenessMult, slackMult, reMod, reRes)
   }
 
+  /** A watermark-IDLENESS case — exercises [[graft.streaming.WatermarkMux]]
+    * (the reference's WatermarkStrategy.withIdleness:147 over
+    * WatermarkOutputMultiplexer): users split into `nSources` source
+    * partitions by `user_id % nSources`; each STALLED source stops
+    * sending at its cutoff (a sixteenth of the event-time span), the
+    * rest run to the end. Rounds are equal TIME SLICES of the span, so
+    * an active source appears in every round until its data ends (never
+    * spuriously idle) and a stalled source is silent from its cutoff
+    * slice on — marked idle after `idleTimeoutRounds` rounds and
+    * released from the combined-watermark min. The sentinel that closes
+    * the tail windows goes ONLY to unstalled sources: if idle marking
+    * were broken, the stalled source's last timestamp would pin the
+    * clock forever and every window past the cutoff would be MISSING
+    * from the output — the restatement (tumble counts over exactly the
+    * sent rows) is the bite.
+    *
+    * Validity (asserted per seed in the spec, not assumed): every
+    * active source occupies every slice up to its data end, and every
+    * stalled source is silent for ≥ idleTimeoutRounds rounds before the
+    * sentinel — together these guarantee no row is ever late under the
+    * combined clock, which is what makes the sent-rows restatement
+    * exact. Window widths divide a day; the cutoff compare is
+    * multiplication-only integer arithmetic (shared exactly by both
+    * engines).
+    */
+  case class IdleCase(
+      seed: Long,
+      nSources: Int,
+      cutoffs: Vector[Option[Int]], // per source, in sixteenths of span
+      delayMinutes: Int, // bounded out-of-orderness of the partial wms
+      idleTimeoutRounds: Int,
+      winMinutes: Int,
+      rounds: Int) {
+
+    def windowUs: Long = winMinutes * 60000000L
+
+    /** Sent-rows predicate over (user_id, us, mn, mx) — dialect-shared. */
+    def sentPredSql: String = cutoffs.zipWithIndex.map {
+      case (Some(c), j) =>
+        s"(user_id % $nSources = $j AND us * 16 < mn * 16 + (mx - mn) * $c)"
+      case (None, j) => s"(user_id % $nSources = $j)"
+    }.mkString("(", " OR ", ")")
+
+    /** Restatement over a caller-supplied normalized CTE producing
+      * (user_id, us, event_type); the text below the prefix is
+      * dialect-shared (no division, no time_bucket — window starts are
+      * epoch-micros BIGINTs).
+      */
+    def restatement(cev: String): String =
+      s"""WITH e AS ($cev),
+         |c AS (SELECT MIN(us) AS mn, MAX(us) AS mx FROM e)
+         |SELECT us - (us % $windowUs) AS ws_us, event_type, COUNT(*) AS n
+         |FROM e, c
+         |WHERE $sentPredSql
+         |GROUP BY 1, 2
+         |ORDER BY 1, 2""".stripMargin
+
+    def oracleSql: String = restatement(
+      "SELECT user_id, epoch_ns(ts) // 1000 AS us, event_type FROM events")
+  }
+
+  /** The idleness case for a seed — a pure function of the seed. The
+    * bounds keep the validity guarantees structural: cutoffs ≤ 10/16
+    * with rounds ≥ 6 leave every stalled source ≥ 2 silent rounds
+    * before the sentinel, so idleTimeoutRounds ≤ 2 always trips.
+    */
+  def genIdle(seed: Long): IdleCase = {
+    val r = new Random(scramble(seed ^ 0x1d7e5a3L))
+    val nSources = 2 + r.nextInt(2)
+    // at least one stalled and one unstalled source
+    val stalledIdx = r.nextInt(nSources)
+    val cutoffs = Vector.tabulate(nSources) { j =>
+      if (j == stalledIdx || r.nextInt(3) == 0) Some(4 + r.nextInt(7))
+      else None
+    }
+    val fixed =
+      if (cutoffs.forall(_.isDefined))
+        cutoffs.updated((stalledIdx + 1) % nSources, None)
+      else cutoffs
+    val delay = Seq(0, 10, 30)(r.nextInt(3))
+    val k = 1 + r.nextInt(2)
+    val win = Seq(30, 60, 90, 120, 240)(r.nextInt(5))
+    val rounds = 6 + r.nextInt(3)
+    IdleCase(seed, nSources, fixed, delay, k, win, rounds)
+  }
+
+  /** A watermark-ALIGNMENT case — exercises
+    * [[graft.streaming.WatermarkMux.alignRounds]] (the reference's
+    * WatermarkStrategy.withWatermarkAlignment:168 — the source
+    * coordinator pauses splits that run more than maxDrift ahead of the
+    * group minimum): an UNBALANCED split (the fast source carries 1/mod
+    * of the users, so its event-time advances ~mod× faster per released
+    * row) drains under a randomized drift cap and round size, then
+    * replays through the stamped-clock tumble operator. Alignment must
+    * change PACING only: a lost, duplicated, or clock-outrun row
+    * diverges the counts from the full-tumble restatement.
+    */
+  case class WmAlignCase(
+      seed: Long,
+      mod: Int, // fast source = user_id % mod == 0
+      driftDiv: Int, // maxDrift = span / driftDiv
+      roundsDiv: Int, // rowsPerRound = max(1, slowRows / roundsDiv)
+      winMinutes: Int) {
+
+    def windowUs: Long = winMinutes * 60000000L
+
+    def restatement(cev: String): String =
+      s"""WITH e AS ($cev)
+         |SELECT us - (us % $windowUs) AS ws_us, event_type, COUNT(*) AS n
+         |FROM e
+         |GROUP BY 1, 2
+         |ORDER BY 1, 2""".stripMargin
+
+    def oracleSql: String = restatement(
+      "SELECT user_id, epoch_ns(ts) // 1000 AS us, event_type FROM events")
+  }
+
+  /** The alignment case for a seed — a pure function of the seed. */
+  def genWmAlign(seed: Long): WmAlignCase = {
+    val r = new Random(scramble(seed ^ 0xa119a4e7L))
+    val mod = 3 + r.nextInt(3)
+    val driftDiv = Seq(6, 10, 20)(r.nextInt(3))
+    val roundsDiv = 4 + r.nextInt(5)
+    val win = Seq(30, 60, 90, 120, 240)(r.nextInt(5))
+    WmAlignCase(seed, mod, driftDiv, roundsDiv, win)
+  }
+
   private val eventTypes =
     Seq("click", "purchase", "view", "signup", "error")
 

@@ -164,6 +164,27 @@ object StreamFuzzQueries {
     firstSeedOf("relaxed", CepFuzzGen.genRelaxed)(_.neg.exists(_._2)),
     firstSeedOf("relaxed", CepFuzzGen.genRelaxed)(_.neg.exists(!_._2))).distinct
 
+  /** one 2-step followedByAny multiplicity shape (the SQL-restatable
+    * arm — NO SKIP emits every candidate branch per anchor; any3/comb
+    * stay enumerator-gated in CepFuzzSpec by design).
+    */
+  private[queries] val anySeeds: Seq[Long] = Seq(
+    firstSeedOf("cepany", CepFuzzGen.genAny)(_.arm == "any2"))
+
+  /** one delayed idleness shape (delay > 0 — the partial-watermark
+    * arithmetic and the idle release both in play) for the
+    * WatermarkMux combined-clock family.
+    */
+  private[queries] val idleSeeds: Seq[Long] = Seq(
+    firstSeedOf("wmidle", StreamFuzzGen.genIdle)(c =>
+      c.delayMinutes > 0 && c.idleTimeoutRounds == 2))
+
+  /** one tight-drift alignment shape (span/20 — pausing dominates the
+    * pacing) for the alignRounds family.
+    */
+  private[queries] val wmAlignSeeds: Seq[Long] = Seq(
+    firstSeedOf("wmalign", StreamFuzzGen.genWmAlign)(_.driftDiv == 20))
+
   /** Deterministic stop/restart boundary for a recovery-arm seed: a
     * batch index in 1..3 ([[StreamQueries.runToEnd]] clamps into the
     * replay's actual batch range) — "random batch boundary", but a pure
@@ -181,6 +202,9 @@ object StreamFuzzQueries {
   private val temporalCases = temporalSeeds.map(StreamFuzzGen.genTemporal)
   private val quantCases = quantSeeds.map(CepFuzzGen.genQuant)
   private val relaxedCases = relaxedSeeds.map(CepFuzzGen.genRelaxed)
+  private val anyCases = anySeeds.map(CepFuzzGen.genAny)
+  private val idleCases = idleSeeds.map(StreamFuzzGen.genIdle)
+  private val wmAlignCases = wmAlignSeeds.map(StreamFuzzGen.genWmAlign)
   private val intervalCases = intervalSeeds.map(StreamFuzzGen.genInterval)
   private val winJoinCases = winJoinSeeds.map(StreamFuzzGen.genWinJoin)
   private val overCases = overSeeds.map(StreamFuzzGen.genOver)
@@ -233,6 +257,18 @@ object StreamFuzzQueries {
     relaxedCases.map { c =>
       s"q_fuzz_cepr_${c.seed}" -> ((s, dir) =>
         CepQueries.cepRelaxedFuzzReplay(s, dir, c)): (String, QFn)
+    }.toMap ++
+    anyCases.map { c =>
+      s"q_fuzz_cepany_${c.seed}" -> ((s, dir) =>
+        CepQueries.cepAnyFuzzReplay(s, dir, c)): (String, QFn)
+    }.toMap ++
+    idleCases.map { c =>
+      s"q_fuzz_stream_wi${c.seed}" -> ((s, dir) =>
+        StreamQueries.streamIdleFuzzReplay(s, dir, c)): (String, QFn)
+    }.toMap ++
+    wmAlignCases.map { c =>
+      s"q_fuzz_stream_wa${c.seed}" -> ((s, dir) =>
+        StreamQueries.streamWmAlignFuzzReplay(s, dir, c)): (String, QFn)
     }.toMap ++
     intervalCases.map { c =>
       s"q_fuzz_stream_iv${c.seed}" -> ((s, dir) =>
@@ -364,6 +400,10 @@ object StreamFuzzQueries {
     temporalCases.map(c => s"q_fuzz_stream_tj${c.seed}" -> c.oracleSql).toMap ++
     quantCases.map(c => s"q_fuzz_cepq_${c.seed}" -> c.oracleSql).toMap ++
     relaxedCases.map(c => s"q_fuzz_cepr_${c.seed}" -> c.oracleSql).toMap ++
+    anyCases.map(c => s"q_fuzz_cepany_${c.seed}" -> c.oracleSql).toMap ++
+    idleCases.map(c => s"q_fuzz_stream_wi${c.seed}" -> c.oracleSql).toMap ++
+    wmAlignCases.map(c =>
+      s"q_fuzz_stream_wa${c.seed}" -> c.oracleSql).toMap ++
     intervalCases.map(c => s"q_fuzz_stream_iv${c.seed}" -> c.oracleSql).toMap ++
     winJoinCases.map(c => s"q_fuzz_stream_wj${c.seed}" -> c.oracleSql).toMap ++
     overCases.map(c => s"q_fuzz_stream_ov${c.seed}" -> c.oracleSql).toMap ++
@@ -427,6 +467,18 @@ object StreamFuzzQueries {
   def replayRelaxed(s: org.apache.spark.sql.SparkSession, dir: String,
       c: CepFuzzGen.RelaxedCase): org.apache.spark.sql.DataFrame =
     CepQueries.cepRelaxedFuzzReplay(s, dir, c)
+
+  def replayAny(s: org.apache.spark.sql.SparkSession, dir: String,
+      c: CepFuzzGen.AnyCase): org.apache.spark.sql.DataFrame =
+    CepQueries.cepAnyFuzzReplay(s, dir, c)
+
+  def replayIdle(s: org.apache.spark.sql.SparkSession, dir: String,
+      c: StreamFuzzGen.IdleCase): org.apache.spark.sql.DataFrame =
+    StreamQueries.streamIdleFuzzReplay(s, dir, c)
+
+  def replayWmAlign(s: org.apache.spark.sql.SparkSession, dir: String,
+      c: StreamFuzzGen.WmAlignCase): org.apache.spark.sql.DataFrame =
+    StreamQueries.streamWmAlignFuzzReplay(s, dir, c)
 
   def replayInterval(s: org.apache.spark.sql.SparkSession, dir: String,
       c: StreamFuzzGen.IntervalCase): org.apache.spark.sql.DataFrame =

@@ -967,6 +967,92 @@ object StreamQueries {
         $"n", $"id")
   }
 
+  /** MemoryStream replay for a [[StreamFuzzGen.IdleCase]]: the sent
+    * rows (stalled sources truncated at their cutoffs) replay in equal
+    * TIME-SLICE rounds through [[graft.streaming.WatermarkMux.stamp]] —
+    * the combined idleness-aware clock — into the stamped-clock tumble
+    * operator; the closing sentinel goes only to UNSTALLED sources, so
+    * the tail windows close only if idle marking actually released the
+    * stalled sources from the watermark min. Output window starts are
+    * epoch-micros BIGINTs (ms buckets × 1000 — widths divide a day, so
+    * both engines' buckets align).
+    */
+  private[queries] def streamIdleFuzzReplay(s: SparkSession, dir: String,
+      c: StreamFuzzGen.IdleCase): DataFrame = {
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val rows = sortedEvents(s, dir)
+    val mn = micros(rows.head.ts)
+    val mx = micros(rows.last.ts)
+    def srcOf(e: Ev): Int = Math.floorMod(e.user_id, c.nSources.toLong).toInt
+    def sent(e: Ev): Boolean = c.cutoffs(srcOf(e)) match {
+      case Some(cut) => micros(e.ts) * 16 < mn * 16 + (mx - mn) * cut
+      case None => true
+    }
+    val span = mx - mn + 1
+    def sliceOf(e: Ev): Int =
+      math.min(c.rounds - 1, ((micros(e.ts) - mn) * c.rounds / span).toInt)
+    val rounds: Seq[Seq[(Int, (String, Long))]] = (0 until c.rounds).map { r =>
+      rows.filter(e => sent(e) && sliceOf(e) == r)
+        .map(e => (srcOf(e), (e.event_type, e.ts.getTime)))
+    }
+    val sentinelTs = rows.last.ts.getTime + 10L * 86400000L
+    val sentinelRound = c.cutoffs.zipWithIndex.collect {
+      case (None, j) => (j, ("sentinel", sentinelTs)) }
+    val allRounds = rounds ++ Seq(sentinelRound,
+      Seq.empty[(Int, (String, Long))])
+    val input = MemoryStream[graft.streaming.WatermarkMux.MuxIn]
+    val out = graft.streaming.WatermarkMux.idleTumbleCounts(
+      input.toDS(), windowMs = c.winMinutes * 60000L)
+    runToEnd(s, input, out,
+      graft.streaming.WatermarkMux.stamp(allRounds,
+        delayMs = c.delayMinutes * 60000L,
+        idleTimeoutRounds = c.idleTimeoutRounds),
+      mode = "append", rocks = true)
+      .filter($"etype" =!= "sentinel")
+      .select(($"ws" * 1000L).as("ws_us"), $"etype".as("event_type"), $"n")
+      .orderBy($"ws_us", $"event_type")
+  }
+
+  /** MemoryStream replay for a [[StreamFuzzGen.WmAlignCase]]: the
+    * unbalanced split drains through
+    * [[graft.streaming.WatermarkMux.alignRounds]] under the case's
+    * drift cap and round size, then replays through the stamped-clock
+    * tumble operator (no idleness — alignment only paces). The folded
+    * counts must equal the full tumble restatement: pausing may reorder
+    * rounds, never lose, duplicate, or outrun a row.
+    */
+  private[queries] def streamWmAlignFuzzReplay(s: SparkSession, dir: String,
+      c: StreamFuzzGen.WmAlignCase): DataFrame = {
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val rows = sortedEvents(s, dir)
+    val fast = rows.filter(e => Math.floorMod(e.user_id, c.mod.toLong) == 0L)
+      .map(e => (e.event_type, e.ts.getTime)).toVector
+    val slow = rows.filter(e => Math.floorMod(e.user_id, c.mod.toLong) != 0L)
+      .map(e => (e.event_type, e.ts.getTime)).toVector
+    val spanMs = (rows.last.ts.getTime - rows.head.ts.getTime).max(1L)
+    val rounds = graft.streaming.WatermarkMux.alignRounds(
+      Map(0 -> fast, 1 -> slow), (r: (String, Long)) => r._2,
+      maxDriftMs = spanMs / c.driftDiv,
+      rowsPerRound =
+        (math.min(fast.size, slow.size) / c.roundsDiv).max(1))
+    val sentinelTs = rows.last.ts.getTime + 10L * 86400000L
+    val allRounds = rounds ++ Seq(
+      Seq((0, ("sentinel", sentinelTs)), (1, ("sentinel", sentinelTs))),
+      Seq.empty[(Int, (String, Long))])
+    val input = MemoryStream[graft.streaming.WatermarkMux.MuxIn]
+    val out = graft.streaming.WatermarkMux.idleTumbleCounts(
+      input.toDS(), windowMs = c.winMinutes * 60000L)
+    runToEnd(s, input, out,
+      graft.streaming.WatermarkMux.stamp(allRounds, delayMs = 0L,
+        idleTimeoutRounds = 1000000),
+      mode = "append", rocks = true)
+      .filter($"etype" =!= "sentinel")
+      .select(($"ws" * 1000L).as("ws_us"), $"etype".as("event_type"), $"n")
+      .orderBy($"ws_us", $"event_type")
+  }
+
   /** Two-sided envelope for [[streamCoGroupFuzzReplay]]. */
   case class CgEnv(k: String, isLeft: Boolean, ts: java.sql.Timestamp,
       id: Long, cents: Long)

@@ -237,6 +237,276 @@ class CepFuzzSpec extends SparkSuite {
     }
   }
 
+  /** Branch-keeping unit for the match-multiplicity families: `any`
+    * stages (followedByAny — EVERY candidate position branches, every
+    * repetition), `comb` stages (allowCombinations — deterministic
+    * first repetition, every candidate branches from the second on,
+    * reluctant count branching), and deterministic relaxed stages
+    * (the first candidate that admits a completion — the backtracking
+    * contract; valid here only for single-repetition units, which is
+    * all the generated shapes use them for).
+    */
+  private case class AnyUnit(pred: CepFuzzGen.CE => Boolean, min: Int,
+      max: Int, any: Boolean = false, comb: Boolean = false)
+
+  /** ALL complete matches per anchor as per-unit consumed-index
+    * vectors — independent ground truth for NO SKIP multiplicity: a
+    * slot-walking enumerator over explicit candidate index sets with an
+    * admits-completion probe for deterministic slots, not the NFA's
+    * closed/extended recursion. Branch ORDER is irrelevant (NoSkip
+    * emits the whole set; callers compare sorted).
+    */
+  private def bruteAll(events: IndexedSeq[CepFuzzGen.CE],
+      units: Seq[AnyUnit], withinUs: Long): Seq[Vector[Vector[Int]]] = {
+    val out = Seq.newBuilder[Vector[Vector[Int]]]
+    for (anchor <- events.indices if units.head.pred(events(anchor))) {
+      val deadline = events(anchor).ts + withinUs
+      def candidates(u: AnyUnit, from: Int): Seq[Int] =
+        (from until events.length)
+          .filter(i => events(i).ts <= deadline && u.pred(events(i)))
+      def rec(u: Int, cnt: Int, pos: Int, done: Vector[Vector[Int]],
+          cur: Vector[Int]): Seq[Vector[Vector[Int]]] = {
+        val unit = units(u)
+        val minReps = if (u == 0) math.max(1, unit.min) else unit.min
+        val closed: Seq[Vector[Vector[Int]]] =
+          if (cnt < minReps) Nil
+          else if (u == units.length - 1) Seq(done :+ cur)
+          else rec(u + 1, 0, pos, done :+ cur, Vector.empty)
+        val extended: Seq[Vector[Vector[Int]]] =
+          if (cnt >= unit.max) Nil
+          else {
+            val cs = candidates(unit, pos)
+            if (unit.any || (unit.comb && cnt >= 1))
+              cs.flatMap(i => rec(u, cnt + 1, i + 1, done, cur :+ i))
+            else cs.iterator
+              .map(i => rec(u, cnt + 1, i + 1, done, cur :+ i))
+              .find(_.nonEmpty).getOrElse(Nil)
+          }
+        closed ++ extended
+      }
+      out ++= rec(0, 1, anchor + 1, Vector.empty, Vector(anchor))
+    }
+    out.result()
+  }
+
+  /** The [[AnyUnit]] rendering of a generated [[CepFuzzGen.AnyCase]]. */
+  private def anyUnits(c: CepFuzzGen.AnyCase): Seq[AnyUnit] = c.arm match {
+    case "any2" => Seq(AnyUnit(c.predA.fn, 1, 1),
+      AnyUnit(c.predB.fn, 1, 1, any = true))
+    case "any3" => Seq(AnyUnit(c.predA.fn, 1, 1),
+      AnyUnit(c.predB.fn, 1, 1, any = true), AnyUnit(c.predC.fn, 1, 1))
+    case "comb" => Seq(AnyUnit(c.predA.fn, 1, 1),
+      AnyUnit(c.predB.fn, c.minB, c.maxB, comb = true),
+      AnyUnit(c.predC.fn, 1, 1))
+  }
+
+  test("multiplicity generator is deterministic and covers its arms") {
+    for (s <- Seq(1L, 7L, 4242L))
+      assert(CepFuzzGen.genAny(s) == CepFuzzGen.genAny(s))
+    val cs = (1L to 24L).map(CepFuzzGen.genAny)
+    assert(Set("any2", "any3", "comb").subsetOf(cs.map(_.arm).toSet))
+    assert(cs.map(_.withinMinutes).distinct.length >= 3)
+    assert(cs.exists(c => c.arm == "comb" && c.minB < c.maxB),
+      "no comb arm with a real count range drawn (the reluctant × " +
+        "combinations interaction)")
+  }
+
+  /** NO SKIP match multiplicity ([[CepFuzzGen.AnyCase]]): the NFA's
+    * full branch set — compared as complete per-stage consumed-id
+    * signatures, not (start, end) projections, because multiplicity is
+    * exactly what projections collapse — must equal [[bruteAll]] per
+    * user on the real events table, with no duplicate emissions.
+    */
+  test("followedByAny/allowCombinations NFA equals the all-branches enumerator per seed") {
+    import graft.cep.{AfterMatchSkip, CEP}
+    import spark.implicits._
+    val byUser = CepQueries.cepEvents(spark, dir).collect()
+      .groupBy(_.user_id)
+      .map { case (u, es) =>
+        u -> es.sortBy(e => (e.ts, e.event_id)).toIndexedSeq }
+    var nonEmpty = 0
+    var multiplied = 0
+    var combGrew = 0
+    for (seed <- 1L to 16L) {
+      val c = CepFuzzGen.genAny(seed)
+      val units = anyUnits(c)
+      val withinUs = c.withinMinutes * 60000000L
+      val names = Seq("a", "b", "c")
+      def sig(u: Long, m: Seq[(String, Seq[Long])]): String =
+        s"u=$u;" + m.map { case (n, ids) => s"$n:${ids.mkString(",")}" }
+          .mkString(";")
+      val expected = byUser.toSeq.flatMap { case (u, es) =>
+        bruteAll(es, units, withinUs).map { vs =>
+          sig(u, vs.zipWithIndex.map { case (idx, i) =>
+            names(i) -> idx.map(j => es(j).event_id) })
+        }
+      }.sorted
+      val actual = CEP.batch[CepFuzzGen.CE](
+          CepQueries.cepEvents(spark, dir), _.user_id.toString, _.ts,
+          CepQueries.anyPattern(c), AfterMatchSkip.NoSkip,
+          tieFn = _.event_id)
+        .collect().map { m =>
+          sig(m.stages.flatMap(_._2).head.user_id,
+            m.stages.map { case (n, es) => n -> es.map(_.event_id) })
+        }.sorted.toSeq
+      assert(actual.distinct.length == actual.length,
+        s"cepany seed $seed double-emitted a branch (arm=${c.arm})")
+      assert(actual == expected,
+        s"cepany seed $seed diverged: arm=${c.arm} A=${c.predA} " +
+          s"B=${c.predB}{${c.minB},${c.maxB}} C=${c.predC} " +
+          s"within=${c.withinMinutes}m " +
+          s"(brute=${expected.length}, nfa=${actual.length})")
+      if (expected.nonEmpty) {
+        nonEmpty += 1
+        val anchors = expected.map(_.split(";").take(2).mkString(";"))
+          .distinct.length
+        if (expected.length > anchors) multiplied += 1
+      }
+      if (c.arm == "comb") {
+        // combinations must actually multiply the set on some seed —
+        // compare against the same pattern WITHOUT combinations
+        // (reluctant counting retained, repetitions deterministic)
+        val plain = byUser.toSeq.map { case (_, es) =>
+          bruteAll(es, anyUnits(c).map(u =>
+            if (u.comb) u.copy(comb = false) else u), withinUs).length
+        }.sum
+        if (expected.length > plain) combGrew += 1
+      }
+    }
+    assert(nonEmpty >= 6,
+      s"only $nonEmpty of 16 multiplicity seeds produced matches")
+    assert(multiplied > 0,
+      "no seed ever emitted two branches for one anchor — the arm is degenerate")
+    assert(combGrew > 0,
+      "allowCombinations never grew any seed's match set over the " +
+        "deterministic-repetition baseline")
+  }
+
+  test("any2 NFA matches equal the SQL join restatement per seed") {
+    val cev = sparkCev
+    for (seed <- 1L to 16L) {
+      val c0 = CepFuzzGen.genAny(seed)
+      val c = if (c0.arm == "any2") c0 else c0.copy(arm = "any2")
+      val expected = spark.sql(c.restatement(cev))
+        .collect().map(_.toString).sorted.toSeq
+      val actual = CepQueries.cepAnyFuzzReplay(spark, dir, c)
+        .collect().map(_.toString).sorted.toSeq
+      assert(actual == expected,
+        s"any2 seed $seed diverged: A=${c.predA} B=${c.predB} " +
+          s"within=${c.withinMinutes}m " +
+          s"(sql=${expected.length} rows, nfa=${actual.length})")
+    }
+  }
+
+  test("incremental streaming CEP equals the batch NFA per multiplicity seed") {
+    import graft.cep.{AfterMatchSkip, CEP}
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val evs = CepQueries.cepEvents(spark, dir).collect().toSeq
+      .sortBy(e => (e.ts, e.event_id))
+    // NoSkip + Any branching exercises the streaming buffer's
+    // emitted-identity dedup across re-scans (stepSkip's independent-
+    // anchor regime) — a lost identity double-emits, an over-broad one
+    // suppresses a genuinely new branch
+    for (seed <- 1L to 4L) {
+      val c = CepFuzzGen.genAny(seed)
+      val input = MemoryStream[CepFuzzGen.CE]
+      val matches = CEP.streaming[CepFuzzGen.CE](input.toDS(),
+          _.user_id.toString, _.ts, CepQueries.anyPattern(c),
+          maxBufferPerKey = Some(1 << 20),
+          skip = AfterMatchSkip.NoSkip)
+        .map { m =>
+          val es = m.stages.flatMap(_._2)
+          (es.head.user_id,
+            m.stages.map { case (n, ss) =>
+              s"$n:${ss.map(_.event_id).mkString(",")}" }.mkString(";"))
+        }.toDF("user_id", "sig")
+      val streamed = runStreamToTable(input, matches,
+          evs.grouped(math.max(1, evs.length / 3 + 1)).toSeq)
+        .map(_.toString).sorted
+      val batch = CEP.batch[CepFuzzGen.CE](
+          CepQueries.cepEvents(spark, dir), _.user_id.toString, _.ts,
+          CepQueries.anyPattern(c), AfterMatchSkip.NoSkip,
+          tieFn = _.event_id)
+        .map { m =>
+          val es = m.stages.flatMap(_._2)
+          (es.head.user_id,
+            m.stages.map { case (n, ss) =>
+              s"$n:${ss.map(_.event_id).mkString(",")}" }.mkString(";"))
+        }.toDF("user_id", "sig")
+        .collect().map(_.toString).sorted.toSeq
+      assert(streamed == batch,
+        s"streaming cepany seed $seed diverged: arm=${c.arm} " +
+          s"(batch=${batch.length}, streamed=${streamed.length})")
+    }
+  }
+
+  test("NFA multiplicity equals all-branches enumeration on synthetic dense runs") {
+    import scala.util.Random
+    import graft.cep.{AfterMatchSkip, Contiguity, NFA, Pattern, Stage}
+    val types = Seq("a", "b", "c")
+    for (seed <- 1L to 40L) {
+      val r = new Random(StreamFuzzGen.scramble(seed ^ 0xa11b7aL))
+      var ts = 0L
+      val events = IndexedSeq.tabulate(80) { i =>
+        ts += 1 + r.nextInt(5)
+        CepFuzzGen.CE(1L, ts, types(r.nextInt(3)), i.toLong,
+          r.nextInt(4) * 2500L)
+      }
+      def predOf(): CepFuzzGen.CE => Boolean = r.nextInt(3) match {
+        case 0 => val t = types(r.nextInt(3)); e => e.event_type == t
+        case 1 =>
+          val two = r.shuffle(types).take(2).toSet
+          e => two.contains(e.event_type)
+        case 2 => val c = r.nextInt(3) * 2500L; e => e.cents >= c
+      }
+      // unit 0: single-rep anchor or a comb loop (begin cannot be Any);
+      // later units: any single/loop, comb loop, or deterministic
+      // single-rep — deterministic units stay single-rep (the
+      // enumerator's documented validity domain)
+      def unitOf(first: Boolean): AnyUnit = {
+        val p = predOf()
+        r.nextInt(if (first) 2 else 3) match {
+          case 0 => AnyUnit(p, 1, 1)
+          case 1 =>
+            val m = 1 + r.nextInt(2)
+            AnyUnit(p, m, m + r.nextInt(2), comb = true)
+          case 2 =>
+            val m = 1 + r.nextInt(2)
+            AnyUnit(p, m, m + r.nextInt(2), any = true)
+        }
+      }
+      val units = unitOf(first = true) +:
+        Seq.fill(1 + r.nextInt(2))(unitOf(first = false))
+      val withinTicks = 12L + r.nextInt(19)
+      val pat = Pattern[CepFuzzGen.CE](
+        units.zipWithIndex.map { case (u, i) =>
+          Stage[CepFuzzGen.CE](s"s$i", u.pred,
+            if (u.any) Contiguity.AnyRelaxed else Contiguity.Relaxed,
+            u.min, u.max,
+            // any/comb units branch (reluctant order — order is
+            // irrelevant under NoSkip, branching is not)
+            greedyLoop = !(u.any || u.comb), combinations = u.comb)
+        }.toVector,
+        withinMs = Some(withinTicks))
+      val nfa = new NFA[CepFuzzGen.CE](pat, _.ts)
+      def sigs(ms: Seq[Vector[Vector[Int]]]): Seq[String] =
+        ms.map(_.map(_.mkString(",")).mkString(";")).sorted
+      val actual = nfa.findMatches(events, 0, AfterMatchSkip.NoSkip)
+        .map { case (_, _, m) =>
+          // map consumed events back to indices via event_id (== index)
+          m.toVector.map(_._2.toVector.map(_.event_id.toInt))
+        }
+      val expected = bruteAll(events, units, withinTicks)
+      assert(sigs(actual) == sigs(expected),
+        s"multiplicity brute seed $seed diverged: " +
+          s"units=${units.map(u => (u.min, u.max, u.any, u.comb))} " +
+          s"within=$withinTicks " +
+          s"(brute=${expected.length}, nfa=${actual.length})")
+    }
+  }
+
   test("NFA quantifier semantics equal brute-force enumeration on synthetic runs") {
     import scala.util.Random
     import graft.cep.{AfterMatchSkip, CEP, Contiguity, NFA, Pattern, Stage}

@@ -721,6 +721,149 @@ class StreamFuzzSpec extends SparkSuite {
     }
   }
 
+  test("watermark idleness/alignment generators are deterministic and cover their arms") {
+    for (s <- Seq(1L, 7L, 4242L)) {
+      assert(StreamFuzzGen.genIdle(s) == StreamFuzzGen.genIdle(s))
+      assert(StreamFuzzGen.genWmAlign(s) == StreamFuzzGen.genWmAlign(s))
+    }
+    val ids = (1L to 24L).map(StreamFuzzGen.genIdle)
+    assert(ids.forall(c => c.cutoffs.exists(_.isDefined) &&
+      c.cutoffs.exists(_.isEmpty)),
+      "every idle case needs a stalled AND an unstalled source")
+    assert(ids.exists(_.nSources == 2) && ids.exists(_.nSources == 3))
+    assert(ids.exists(_.delayMinutes > 0) && ids.exists(_.delayMinutes == 0))
+    assert(ids.map(_.idleTimeoutRounds).distinct.length == 2)
+    assert(ids.map(_.winMinutes).distinct.length >= 3)
+    val als = (1L to 24L).map(StreamFuzzGen.genWmAlign)
+    assert(als.map(_.mod).distinct.length == 3)
+    assert(als.map(_.driftDiv).distinct.length == 3)
+  }
+
+  /** The combined idleness-aware clock ([[StreamFuzzGen.IdleCase]]):
+    * stalled sources must be released from the watermark min — the
+    * sentinel goes only to UNSTALLED sources, so every window past a
+    * stall closes only through the idle path. The restatement (tumble
+    * counts over exactly the sent rows) is valid only under the
+    * structural no-late guarantee, so the validity preconditions are
+    * ASSERTED per seed, not assumed.
+    */
+  test("watermark idleness combined clock matches the sent-rows restatement per seed") {
+    import org.apache.spark.sql.functions._
+    Q.t(spark, dir, "events").createOrReplaceTempView("wm_fuzz_ev")
+    val sparkCev = "SELECT user_id, unix_micros(CAST(ts AS TIMESTAMP)) " +
+      "AS us, event_type FROM wm_fuzz_ev"
+    val evs = Q.t(spark, dir, "events")
+      .select(col("user_id"),
+        unix_micros(col("ts").cast("timestamp")).as("us"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._2)
+    val mn = evs.head._2
+    val mx = evs.last._2
+    val span = mx - mn + 1
+    // the promoted seed rides along so its validity preconditions are
+    // asserted, not just its sf0.01 oracle outcome observed
+    for (seed <- (1L to 4L) ++ StreamFuzzQueries.idleSeeds) {
+      val c = StreamFuzzGen.genIdle(seed)
+      // validity: every source occupies every time slice up to its data
+      // end (never spuriously idle mid-stream), and every stalled
+      // source is silent ≥ idleTimeoutRounds rounds before the sentinel
+      val occupancy = Array.fill(c.nSources, c.rounds)(false)
+      evs.foreach { case (u, us) =>
+        val j = Math.floorMod(u, c.nSources.toLong).toInt
+        val sentRow = c.cutoffs(j) match {
+          case Some(cut) => us * 16 < mn * 16 + (mx - mn) * cut
+          case None => true
+        }
+        if (sentRow) {
+          val slice = math.min(c.rounds - 1,
+            ((us - mn) * c.rounds / span).toInt)
+          occupancy(j)(slice) = true
+        }
+      }
+      for (j <- 0 until c.nSources) {
+        val last = occupancy(j).lastIndexOf(true)
+        assert(last >= 0, s"idle seed $seed: source $j sent nothing")
+        assert((0 to last).forall(occupancy(j)),
+          s"idle seed $seed: source $j has an empty mid-stream slice — " +
+            "the case would be spuriously idle and the restatement invalid")
+        if (c.cutoffs(j).isDefined)
+          assert(c.rounds - 1 - last >= c.idleTimeoutRounds,
+            s"idle seed $seed: stalled source $j has only " +
+              s"${c.rounds - 1 - last} silent rounds before the sentinel " +
+              s"(< ${c.idleTimeoutRounds}) — idleness would never trip")
+      }
+      val expected = spark.sql(c.restatement(sparkCev))
+        .collect().map(_.toString).sorted.toSeq
+      // bite: some expected window must START past a stalled cutoff —
+      // it can only close because idleness released the stalled source
+      val stallCut = c.cutoffs.flatten
+        .map(cut => mn + (mx - mn) * cut / 16).min
+      assert(spark.sql(c.restatement(sparkCev))
+        .filter(col("ws_us") > stallCut).count() > 0,
+        s"idle seed $seed: no window past the stall — idleness untested")
+      val actual = StreamQueries.streamIdleFuzzReplay(spark, dir, c)
+        .collect().map(_.toString).sorted.toSeq
+      assert(actual == expected,
+        s"idle seed $seed diverged: sources=${c.nSources} " +
+          s"cutoffs=${c.cutoffs} delay=${c.delayMinutes}m " +
+          s"k=${c.idleTimeoutRounds} win=${c.winMinutes}m " +
+          s"rounds=${c.rounds} " +
+          s"(batch=${expected.length} rows, stream=${actual.length})")
+    }
+  }
+
+  /** Alignment pacing ([[StreamFuzzGen.WmAlignCase]]): pause/resume
+    * must change WHEN rows are released, never WHAT comes out — and the
+    * pause must actually occur, or the arm degenerates to a plain
+    * replay.
+    */
+  test("watermark alignment pacing matches the full-tumble restatement per seed") {
+    import org.apache.spark.sql.functions._
+    Q.t(spark, dir, "events").createOrReplaceTempView("wm_fuzz_ev")
+    val sparkCev = "SELECT user_id, unix_micros(CAST(ts AS TIMESTAMP)) " +
+      "AS us, event_type FROM wm_fuzz_ev"
+    var paused = 0
+    for (seed <- 1L to 3L) {
+      val c = StreamFuzzGen.genWmAlign(seed)
+      val expected = spark.sql(c.restatement(sparkCev))
+        .collect().map(_.toString).sorted.toSeq
+      val actual = StreamQueries.streamWmAlignFuzzReplay(spark, dir, c)
+        .collect().map(_.toString).sorted.toSeq
+      assert(actual == expected,
+        s"align seed $seed diverged: mod=${c.mod} drift=span/${c.driftDiv} " +
+          s"roundsDiv=${c.roundsDiv} win=${c.winMinutes}m " +
+          s"(batch=${expected.length} rows, stream=${actual.length})")
+      // pausing guard: recompute the pacing and look for a round where
+      // a source with rows remaining released less than the cap
+      val rows = Q.t(spark, dir, "events")
+        .select(col("user_id"),
+          col("ts").cast("timestamp").as("ts"), col("event_id"))
+        .collect().map(r => (r.getLong(0),
+          r.getTimestamp(1).getTime, r.getLong(2)))
+        .sortBy(t => (t._2, t._3))
+      val fast = rows.filter(t => Math.floorMod(t._1, c.mod.toLong) == 0L)
+        .map(_._2).toVector
+      val slow = rows.filter(t => Math.floorMod(t._1, c.mod.toLong) != 0L)
+        .map(_._2).toVector
+      val spanMs = (rows.last._2 - rows.head._2).max(1L)
+      val cap = (math.min(fast.size, slow.size) / c.roundsDiv).max(1)
+      val rounds = graft.streaming.WatermarkMux.alignRounds(
+        Map(0 -> fast, 1 -> slow), (t: Long) => t,
+        maxDriftMs = spanMs / c.driftDiv, rowsPerRound = cap)
+      val remaining = scala.collection.mutable.Map(
+        0 -> fast.size, 1 -> slow.size)
+      rounds.foreach { r =>
+        val bySrc = r.groupBy(_._1).view.mapValues(_.size).toMap
+        Seq(0, 1).foreach { j =>
+          val released = bySrc.getOrElse(j, 0)
+          remaining(j) -= released
+          if (released < cap && remaining(j) > 0) paused += 1
+        }
+      }
+    }
+    assert(paused > 0,
+      "alignment never paused any source on any seed — the arm is degenerate")
+  }
+
   test("lateness generator is deterministic and covers its arms") {
     for (s <- Seq(1L, 7L, 4242L))
       assert(StreamFuzzGen.genLateness(s) == StreamFuzzGen.genLateness(s))

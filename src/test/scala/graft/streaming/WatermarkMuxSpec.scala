@@ -128,6 +128,131 @@ class WatermarkMuxSpec extends SparkSuite {
     assert(pinned.isEmpty)
   }
 
+  test("mux fuzz: combined watermark equals an independent per-round simulator") {
+    import scala.util.Random
+    for (seed <- 1L to 60L) {
+      val r = new Random(graft.queries.StreamFuzzGen.scramble(seed ^ 0x33a4e1L))
+      val n = 2 + r.nextInt(3)
+      val delay = Seq(0L, 10L, 50L)(r.nextInt(3))
+      val k = 1 + r.nextInt(3)
+      val rounds = 8 + r.nextInt(8)
+      // random forward walks; each source observed with prob ~0.55 —
+      // long gaps (idle + resume) and never-observed sources both draw
+      val tsOf = Array.fill(n)(0L)
+      val obs: Seq[Map[Int, Long]] = (1 to rounds).map { _ =>
+        (0 until n).flatMap { j =>
+          if (r.nextInt(100) < 55) {
+            tsOf(j) += 1 + r.nextInt(200)
+            Some(j -> tsOf(j))
+          } else None
+        }.toMap
+      }
+      // independent simulator: activity from rounds-since-last-
+      // observation bookkeeping, combined as a running max over
+      // not-all-idle round candidates — no SourceWm state machine
+      val lastObs = Array.fill(n)(0)
+      val maxTs = Array.fill(n)(Long.MinValue)
+      var combined = Long.MinValue
+      var m = init(0 until n, delay, k)
+      obs.zipWithIndex.foreach { case (o, i) =>
+        val round = i + 1
+        o.foreach { case (j, t) =>
+          lastObs(j) = round
+          maxTs(j) = math.max(maxTs(j), t)
+        }
+        val active = (0 until n).filter(j => round - lastObs(j) < k)
+        if (active.nonEmpty) {
+          val cand = active.map(j =>
+            if (maxTs(j) == Long.MinValue) Long.MinValue
+            else maxTs(j) - delay).min
+          combined = math.max(combined, cand)
+        }
+        m = m.advance(o)
+        assert(m.combined == combined,
+          s"mux seed $seed round $round: mux=${m.combined} sim=$combined " +
+            s"(n=$n delay=$delay k=$k obs=$o)")
+      }
+    }
+  }
+
+  /** Randomized resume/drop coverage for the stamped-clock operator:
+    * sources go idle and RESUME with rows behind the advanced combined
+    * clock — the closed-window drop path no generated end-to-end family
+    * reaches (their validity guarantees exclude drops by construction).
+    * The oracle is a survivors model computed directly from the batch
+    * structure: a row survives iff its window end is still ahead of the
+    * engine watermark at its batch (= previous round's stamp − 1 ms),
+    * and a window fires iff its end is behind the final watermark.
+    */
+  test("stamped-clock operator under random idles and resumes equals the survivors model") {
+    import scala.util.Random
+    val W = 1000L
+    var droppedTotal = 0
+    for (seed <- 1L to 6L) {
+      val r = new Random(graft.queries.StreamFuzzGen.scramble(seed ^ 0x77d20bL))
+      val n = 2 + r.nextInt(2)
+      val k = 1 + r.nextInt(2)
+      val rounds = 8 + r.nextInt(4)
+      val types = Seq("a", "b", "c")
+      // positive base + a warm round where EVERY source emits: the
+      // combined clock never stamps the 0 floor, so no row is ever
+      // engine-late (wmTs stamps stay strictly above the engine
+      // watermark — the real families guarantee this structurally via
+      // slice occupancy) and every drop is the PROCESSOR's closed-
+      // window rule, which is what the survivors model states
+      val tsOf = Array.fill(n)(10000L)
+      val warmRound: Seq[(Int, (String, Long))] = (0 until n).map { j =>
+        tsOf(j) += r.nextInt(200)
+        (j, (types(r.nextInt(3)), tsOf(j)))
+      }
+      val dataRounds: Seq[Seq[(Int, (String, Long))]] =
+        warmRound +: (1 to rounds).map { _ =>
+        (0 until n).flatMap { j =>
+          if (r.nextInt(100) < 55) {
+            (0 until 1 + r.nextInt(2)).map { _ =>
+              // mostly forward, sometimes barely ahead of the OLD max —
+              // after an idle gap these land behind the advanced clock
+              tsOf(j) += (if (r.nextInt(3) == 0) 1L else 300L + r.nextInt(800))
+              (j, (types(r.nextInt(3)), tsOf(j)))
+            }
+          } else Seq.empty
+        }
+      }
+      val sentinelTs = tsOf.max + 100000L
+      val allRounds = dataRounds ++ Seq(
+        (0 until n).map(j => (j, ("zfin", sentinelTs))),
+        Seq.empty[(Int, (String, Long))])
+      val stamped = stamp(allRounds, delayMs = 0L, idleTimeoutRounds = k)
+      // survivors model over the stamped batches
+      val stamps = stamped.map(b =>
+        b.headOption.map(_.wmTs.getTime).getOrElse(Long.MinValue))
+      def wmBefore(i: Int): Long =
+        if (i == 0) 0L
+        else math.max(0L, stamps.take(i).max - 1L)
+      val finalWm = math.max(0L, stamps.max - 1L)
+      val survivors = stamped.zipWithIndex.flatMap { case (b, i) =>
+        b.filter { row =>
+          val ws = row.ts.getTime - Math.floorMod(row.ts.getTime, W)
+          ws + W > wmBefore(i)
+        }
+      }
+      droppedTotal += stamped.map(_.size).sum - survivors.size
+      val expected = survivors
+        .filter(_.etype != "zfin")
+        .groupBy(row => (row.etype,
+          row.ts.getTime - Math.floorMod(row.ts.getTime, W)))
+        .collect { case ((et, ws), rows) if ws + W <= finalWm =>
+          MuxWin(et, ws, rows.size.toLong) }
+        .toSet
+      val actual = runWindows(stamped).filterNot(_.etype == "zfin").toSet
+      assert(actual == expected,
+        s"resume seed $seed diverged (n=$n k=$k rounds=$rounds): " +
+          s"expected=${expected.size} windows, got=${actual.size}")
+    }
+    assert(droppedTotal > 0,
+      "no seed ever dropped a closed-window row — the resume arm is degenerate")
+  }
+
   test("closed-window late row is dropped, open windows fire exactly once") {
     val rounds = Seq(
       Seq((0, ("a", 100L))),
