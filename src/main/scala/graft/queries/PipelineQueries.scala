@@ -68,6 +68,19 @@ object PipelineQueries {
     // form across replicas), same banded plan. SUPPOSED to take ~1 min.
     "b_dedup_scale64" -> ((s, dir) => dedupScale(s, dir, 64)),
 
+    // Scale-law probe for near-dup CLUSTERING (Large-Star/Small-Star
+    // over Iterate — the one LLM-pipeline stage whose 100 TB risk is
+    // ROUND COUNT × shuffle width, not candidate blowup): the SAME
+    // q_dedup_cluster mixed topology (decade 4-chains, century stars,
+    // doubling cross-links) replicated into DISJOINT id spaces, so
+    // component sizes and graph diameter stay FIXED as the edge count
+    // grows — components must never merge across replicas, or the probe
+    // would measure a deeper graph, not a bigger one. Expected law:
+    // wall near-linear in edges with an IDENTICAL round count per
+    // factor (fixed diameter ⇒ fixed star rounds).
+    "b_cluster_scale1" -> ((s, dir) => clusterScale(s, dir, 1)),
+    "b_cluster_scale8" -> ((s, dir) => clusterScale(s, dir, 8)),
+
     // ANN scale-law probe: the SAME IVF assign→probe→score→rank plan
     // over a 1× and an 8× corpus (replicated vectors land in the same
     // cells, so probed-cell sizes — the per-query work — grow exactly
@@ -78,6 +91,37 @@ object PipelineQueries {
     // Third octave for the ANN law (recall at 64× is pinned separately
     // in SimilarityOpsSpec — this measures wall time only).
     "b_sim_scale64" -> ((s, dir) => simScale(s, dir, 64)))
+
+  /** The q_dedup_cluster star-contraction run over a replicated edge
+    * set: every replica gets an id offset far above any derived id, so
+    * replica subgraphs are DISJOINT — fixed component sizes and fixed
+    * graph DIAMETER (hence a fixed star-round count), linearly growing
+    * component count. Both factors share a ×200 base densifier (the
+    * sf0.1 documents table yields only ~1.7k edges — too few to measure
+    * shuffle growth against the per-round fixed cost), so scale1 ≈
+    * 350k edges and scale8 ≈ 2.8M. Reduced to node/cluster counts +
+    * an id checksum.
+    */
+  private def clusterScale(s: org.apache.spark.sql.SparkSession,
+      dir: String, factor: Int): org.apache.spark.sql.DataFrame = {
+    val d = t(s, dir, "documents").select(col("doc_id"))
+    val chain = d.filter(col("doc_id") % 10 < 3)
+      .select(col("doc_id").as("id_a"), (col("doc_id") + 1).as("id_b"))
+    val star = d.filter(col("doc_id") % 100 >= 95)
+      .select(col("doc_id").as("id_a"),
+        (col("doc_id") - col("doc_id") % 100).as("id_b"))
+    val cross = d.filter(col("doc_id") < 50 && col("doc_id") % 7 === 0)
+      .select(col("doc_id").as("id_a"), (col("doc_id") * 2).as("id_b"))
+    val base = chain.union(star).union(cross)
+    val edges = base.crossJoin(
+        s.range(factor * 200L).toDF("rep").hint("broadcast"))
+      .select((col("id_a") + col("rep") * 100000000L).as("id_a"),
+        (col("id_b") + col("rep") * 100000000L).as("id_b"))
+    DedupOps.dupClusters(edges)
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("cluster_id")).as("n_clusters"),
+        sum(col("doc_id")).cast("long").as("id_sum"))
+  }
 
   /** The q_sim_ann pipeline over a `factor`-times replicated corpus,
     * reduced to its result cardinality + rank checksum.
