@@ -28,6 +28,19 @@ class OperatorSpec extends SparkSuite {
     assert(CountingLookup.calls.get() <= 20)
   }
 
+  test("lookup join closes the function exactly once per partition") {
+    // the drain-detect wrapper must not re-invoke close() on repeated
+    // hasNext calls against the exhausted iterator (collect() and many
+    // consumers probe hasNext more than once at the end)
+    val ds = spark.range(0, 20).map(_.toLong).repartition(2)
+    CloseCountingLookup.closes.set(0)
+    val out = LookupJoin.lookupJoin[Long, Long, String](
+      ds, identity, new CloseCountingLookup).collect()
+    assert(out.length == 20)
+    assert(CloseCountingLookup.closes.get() == 2,
+      s"expected one close per partition, got ${CloseCountingLookup.closes.get()}")
+  }
+
   test("lookup retry wrapper retries failures") {
     val flaky = new LookupJoin.LookupFunction[Long, String] {
       override def lookup(key: Long): Option[String] = {
@@ -125,6 +138,12 @@ class CountingLookup extends LookupJoin.LookupFunction[Long, String] {
 object CountingLookup { val calls = new AtomicInteger(0) }
 
 object OperatorSpecState { val attempts = new AtomicInteger(0) }
+
+class CloseCountingLookup extends LookupJoin.LookupFunction[Long, String] {
+  override def lookup(key: Long): Option[String] = Some(s"v$key")
+  override def close(): Unit = { CloseCountingLookup.closes.incrementAndGet(); () }
+}
+object CloseCountingLookup { val closes = new AtomicInteger(0) }
 
 class SlowDouble extends AsyncOps.AsyncFunction[Long, Long] {
   override def invoke(in: Long)(implicit ec: ExecutionContext): Future[Long] =
