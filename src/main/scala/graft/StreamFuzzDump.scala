@@ -28,7 +28,8 @@ package graft
   * cache expire-after-write/-access staleness vs a versioned store),
   * lookupfull (FULL-cache periodic-reload snapshot semantics), cepany
   * (followedByAny match multiplicity under NO SKIP — 2-step join
-  * restatement), wmidle (watermark idleness — stalled sources released
+  * restatement), cepto (CEP timeout side output — disjoint-type chains,
+  * LEAD restatement), wmidle (watermark idleness — stalled sources released
   * from the combined-clock min), wmalign (watermark alignment pacing —
   * pause/resume must not change results), or all (n seeds of each
   * single-arm family + the cdc quad).
@@ -237,6 +238,12 @@ object StreamFuzzDump {
           () => graft.queries.LookupFuzzGen.replayFull(spark, sfDir, c),
           c.oracleSql)
       }
+      def ct = {
+        val c = graft.queries.CepFuzzGen.genTimeout(seed)
+        (s"q_fuzz_cepto_$seed",
+          () => graft.queries.StreamFuzzQueries.replayTimeout(spark, sfDir, c),
+          c.oracleSql)
+      }
       def wi = {
         val c = graft.queries.StreamFuzzGen.genIdle(seed)
         (s"q_fuzz_stream_wi$seed",
@@ -286,16 +293,18 @@ object StreamFuzzDump {
         case "lookupttl" => Seq(lt)
         case "lookupfull" => Seq(lf)
         case "cepany"  => Seq(ca)
+        case "cepto"   => Seq(ct)
         case "wmidle"  => Seq(wi)
         case "wmalign" => Seq(wa)
         case "all"     =>
           Seq(w, se, re, tn, ce, de, jo, tj, cq, cr, iv, wj, ov, ob, pt,
-            cu, cw, wr, lw, cg, lt, lf, ca, wi, wa) ++ cdc
+            cu, cw, wr, lw, cg, lt, lf, ca, ct, wi, wa) ++ cdc
         case other => sys.error(s"unknown family '$other': " +
           "expected window, session, retract, topn, cep, dedup, join, " +
           "temporal, cepq, cepr, interval, winjoin, over, boundedover, " +
           "ptjoin, cdc, recover, cumulate, countwin, winrank, lateness, " +
-          "cogroup, lookupttl, lookupfull, cepany, wmidle, wmalign, all")
+          "cogroup, lookupttl, lookupfull, cepany, cepto, wmidle, " +
+          "wmalign, all")
       }
     }
     val oracle = (seed0 until seed0 + n).flatMap(arms).flatMap {
@@ -311,7 +320,7 @@ object StreamFuzzDump {
     }
     DumpIO.writeOracle(outDir, oracle)
     val total = n * (family match {
-      case "all" => 29; case "cdc" => 4; case "recover" => 8; case _ => 1
+      case "all" => 30; case "cdc" => 4; case "recover" => 8; case _ => 1
     })
     println(s"[streamfuzz] dumped ${oracle.length} of $total $family cases " +
       s"($failed failed on Spark), seeds $seed0..${seed0 + n - 1}")

@@ -389,6 +389,61 @@ object CepFuzzGen {
     AnyCase(seed, arm, predA, predB, predC, minB, maxB, within)
   }
 
+  /** A TIMEOUT side-output case — fuzzes [[graft.cep.NFA.findTimeouts]]
+    * (the reference's PatternStream.select timeout variant /
+    * CepOperator timed-out partial matches), which the single hand row
+    * `q_cep_timeout` pins at one fixed shape: anchors that begin a
+    * strict-next chain but whose `within` window closed — at nowTs =
+    * the stream's max event time — without completing. Steps carry
+    * pairwise-DISJOINT TypeIs predicates, so a step-0 row can never be
+    * consumed as a LATER element of someone else's match and the
+    * covered-span subtraction is provably irrelevant — the timeout set
+    * restates as pure LEAD SQL: pred0 rows whose chain does NOT
+    * complete in-window and whose window closed strictly before the
+    * global max timestamp. (The covered/overlapping-predicate path is
+    * fuzzed separately in CepFuzzSpec against an independent
+    * sequential simulator — that arm has no SQL restatement.)
+    */
+  case class TimeoutCase(
+      seed: Long,
+      types: Seq[String], // k = 2 or 3 pairwise-distinct event types
+      withinMinutes: Int) {
+
+    def oracleSql: String = restatement(duckCev)
+
+    def restatement(cev: String): String = {
+      val k = types.length
+      val w = withinMinutes * 60000000L
+      val leads = (1 until k).flatMap { i =>
+        Seq(s"lead(event_type, $i) OVER win AS event_type_$i",
+          s"lead(us, $i) OVER win AS us_$i")
+      }
+      val chain = (1 until k).map(i => s"event_type_$i = '${types(i)}'") :+
+        s"us_${k - 1} <= us + $w"
+      s"""WITH cev AS ($cev),
+         |o AS (SELECT user_id, event_id, us, event_type,
+         |    ${leads.mkString(",\n    ")}
+         |  FROM cev
+         |  WINDOW win AS (PARTITION BY user_id ORDER BY us, event_id)),
+         |m AS (SELECT MAX(us) AS mx FROM cev)
+         |SELECT user_id, event_id AS a_id
+         |FROM o, m
+         |WHERE event_type = '${types.head}'
+         |  AND NOT COALESCE(${chain.map(c => s"($c)").mkString(" AND ")}, FALSE)
+         |  AND us + $w < mx
+         |ORDER BY user_id, a_id""".stripMargin
+    }
+  }
+
+  /** The timeout case for a seed — a pure function of the seed. */
+  def genTimeout(seed: Long): TimeoutCase = {
+    val r = new Random(StreamFuzzGen.scramble(seed ^ 0x70c9a11L))
+    val k = 2 + r.nextInt(2)
+    val types = r.shuffle(eventTypes).take(k)
+    val within = Seq(30, 60, 120, 240)(r.nextInt(4))
+    TimeoutCase(seed, types, within)
+  }
+
   /** A relaxed-contiguity / negation case — fuzzes the NFA's
     * `followedBy` scan (Pattern.java followedBy:356) and the negative
     * constraints (notNext:338, notFollowedBy:369) the hand-written rows

@@ -397,6 +397,33 @@ object CepQueries {
       .toDF("user_id", "a_id", "z_id")
   }
 
+  /** The Pattern-API pattern for a [[CepFuzzGen.TimeoutCase]]. */
+  private[queries] def timeoutPattern(
+      c: CepFuzzGen.TimeoutCase): Pattern[CepFuzzGen.CE] = {
+    val head +: rest = c.types
+    val pat = rest.zipWithIndex.foldLeft(
+        Pattern.begin[CepFuzzGen.CE]("s0")(_.event_type == head)) {
+      case (p, (t, i)) => p.next(s"s${i + 1}")(_.event_type == t)
+    }
+    pat.within(c.withinMinutes * 60000000L)
+  }
+
+  /** Batch timeout side output for a [[CepFuzzGen.TimeoutCase]]:
+    * anchors whose within-window closed at nowTs = the stream's max
+    * event time without a complete match ([[CEP.batchTimeouts]]).
+    */
+  private[queries] def cepTimeoutFuzzReplay(
+      s: org.apache.spark.sql.SparkSession, dir: String,
+      c: CepFuzzGen.TimeoutCase): org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    val ev = cepEvents(s, dir)
+    val nowTs = ev.agg(max($"ts")).as[Long].head()
+    CEP.batchTimeouts[CepFuzzGen.CE](ev, _.user_id.toString, _.ts,
+        timeoutPattern(c), nowTs, tieFn = _.event_id)
+      .map(e => (e.user_id, e.event_id))
+      .toDF("user_id", "a_id")
+  }
+
   /** The Pattern-API pattern for a [[CepFuzzGen.RelaxedCase]]. */
   private[queries] def relaxedPattern(
       c: CepFuzzGen.RelaxedCase): Pattern[CepFuzzGen.CE] = {

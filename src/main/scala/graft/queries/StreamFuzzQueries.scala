@@ -171,6 +171,12 @@ object StreamFuzzQueries {
   private[queries] val anySeeds: Seq[Long] = Seq(
     firstSeedOf("cepany", CepFuzzGen.genAny)(_.arm == "any2"))
 
+  /** one 3-step timeout side-output shape (the longest partial-match
+    * chains — anchors can get two steps in and still time out).
+    */
+  private[queries] val timeoutSeeds: Seq[Long] = Seq(
+    firstSeedOf("cepto", CepFuzzGen.genTimeout)(_.types.length == 3))
+
   /** one delayed idleness shape (delay > 0 — the partial-watermark
     * arithmetic and the idle release both in play) for the
     * WatermarkMux combined-clock family.
@@ -203,6 +209,7 @@ object StreamFuzzQueries {
   private val quantCases = quantSeeds.map(CepFuzzGen.genQuant)
   private val relaxedCases = relaxedSeeds.map(CepFuzzGen.genRelaxed)
   private val anyCases = anySeeds.map(CepFuzzGen.genAny)
+  private val timeoutCases = timeoutSeeds.map(CepFuzzGen.genTimeout)
   private val idleCases = idleSeeds.map(StreamFuzzGen.genIdle)
   private val wmAlignCases = wmAlignSeeds.map(StreamFuzzGen.genWmAlign)
   private val intervalCases = intervalSeeds.map(StreamFuzzGen.genInterval)
@@ -261,6 +268,10 @@ object StreamFuzzQueries {
     anyCases.map { c =>
       s"q_fuzz_cepany_${c.seed}" -> ((s, dir) =>
         CepQueries.cepAnyFuzzReplay(s, dir, c)): (String, QFn)
+    }.toMap ++
+    timeoutCases.map { c =>
+      s"q_fuzz_cepto_${c.seed}" -> ((s, dir) =>
+        CepQueries.cepTimeoutFuzzReplay(s, dir, c)): (String, QFn)
     }.toMap ++
     idleCases.map { c =>
       s"q_fuzz_stream_wi${c.seed}" -> ((s, dir) =>
@@ -401,6 +412,7 @@ object StreamFuzzQueries {
     quantCases.map(c => s"q_fuzz_cepq_${c.seed}" -> c.oracleSql).toMap ++
     relaxedCases.map(c => s"q_fuzz_cepr_${c.seed}" -> c.oracleSql).toMap ++
     anyCases.map(c => s"q_fuzz_cepany_${c.seed}" -> c.oracleSql).toMap ++
+    timeoutCases.map(c => s"q_fuzz_cepto_${c.seed}" -> c.oracleSql).toMap ++
     idleCases.map(c => s"q_fuzz_stream_wi${c.seed}" -> c.oracleSql).toMap ++
     wmAlignCases.map(c =>
       s"q_fuzz_stream_wa${c.seed}" -> c.oracleSql).toMap ++
@@ -471,6 +483,10 @@ object StreamFuzzQueries {
   def replayAny(s: org.apache.spark.sql.SparkSession, dir: String,
       c: CepFuzzGen.AnyCase): org.apache.spark.sql.DataFrame =
     CepQueries.cepAnyFuzzReplay(s, dir, c)
+
+  def replayTimeout(s: org.apache.spark.sql.SparkSession, dir: String,
+      c: CepFuzzGen.TimeoutCase): org.apache.spark.sql.DataFrame =
+    CepQueries.cepTimeoutFuzzReplay(s, dir, c)
 
   def replayIdle(s: org.apache.spark.sql.SparkSession, dir: String,
       c: StreamFuzzGen.IdleCase): org.apache.spark.sql.DataFrame =

@@ -507,6 +507,243 @@ class CepFuzzSpec extends SparkSuite {
     }
   }
 
+  test("timeout generator is deterministic and covers its arms") {
+    for (s <- Seq(1L, 7L, 4242L))
+      assert(CepFuzzGen.genTimeout(s) == CepFuzzGen.genTimeout(s))
+    val cs = (1L to 24L).map(CepFuzzGen.genTimeout)
+    assert(cs.exists(_.types.length == 2) && cs.exists(_.types.length == 3))
+    assert(cs.forall(c => c.types.distinct.length == c.types.length),
+      "timeout steps must be pairwise-disjoint types")
+    assert(cs.map(_.withinMinutes).distinct.length == 4)
+  }
+
+  /** Timeout side output ([[CepFuzzGen.TimeoutCase]] — disjoint-type
+    * chains, so the covered-span subtraction is provably irrelevant and
+    * the timeout set is pure LEAD SQL): anchors whose window closed at
+    * nowTs = max event time without completing.
+    */
+  test("timeout side output equals the LEAD restatement per seed") {
+    val cev = sparkCev
+    var withTimeouts = 0
+    var openWindowBit = 0
+    for (seed <- 1L to 12L) {
+      val c = CepFuzzGen.genTimeout(seed)
+      val expected = spark.sql(c.restatement(cev))
+        .collect().map(_.toString).sorted.toSeq
+      val actual = CepQueries.cepTimeoutFuzzReplay(spark, dir, c)
+        .collect().map(_.toString).sorted.toSeq
+      assert(actual == expected,
+        s"timeout seed $seed diverged: types=${c.types} " +
+          s"within=${c.withinMinutes}m " +
+          s"(sql=${expected.length} rows, nfa=${actual.length})")
+      if (expected.nonEmpty) withTimeouts += 1
+      // the nowTs bite: some anchor must be excluded ONLY because its
+      // window is still open at the stream's max event time
+      val openOnly = spark.sql(
+        s"""WITH cev AS ($cev), m AS (SELECT MAX(us) AS mx FROM cev)
+           |SELECT COUNT(*) FROM cev, m
+           |WHERE event_type = '${c.types.head}'
+           |  AND us + ${c.withinMinutes * 60000000L} >= mx""".stripMargin)
+        .collect().head.getLong(0)
+      if (openOnly > 0) openWindowBit += 1
+    }
+    assert(withTimeouts >= 8,
+      s"only $withTimeouts of 12 timeout seeds produced timeouts")
+    assert(openWindowBit > 0,
+      "no seed ever had a still-open tail window — the nowTs condition is untested")
+  }
+
+  /** The covered-span path of findTimeouts — anchors consumed INSIDE
+    * another match are not timeouts even when their own chain fails —
+    * needs OVERLAPPING step predicates (a step-0 row doubling as a
+    * later element), which the disjoint-type restatement excludes by
+    * construction. Oracle: an independent sequential simulator (greedy
+    * left-to-right span scan + per-anchor chain check), applied per
+    * user, on the general-predicate strict [[CepFuzzGen.Case]] family.
+    */
+  test("timeout covered-span semantics equal a sequential simulator under overlapping predicates") {
+    import graft.cep.CEP
+    import org.apache.spark.sql.functions.max
+    import spark.implicits._
+    val byUser = CepQueries.cepEvents(spark, dir).collect()
+      .groupBy(_.user_id)
+      .map { case (u, es) =>
+        u -> es.sortBy(e => (e.ts, e.event_id)).toIndexedSeq }
+    val nowTs = byUser.values.flatMap(_.map(_.ts)).max
+    var coveredBit = 0
+    for (seed <- 1L to 12L) {
+      val c0 = CepFuzzGen.gen(seed)
+      val withinMs = c0.withinMinutes.getOrElse(120) * 60000000L
+      val preds = c0.steps.map(_.fn)
+      val k = preds.length
+      def complete(es: IndexedSeq[CepFuzzGen.CE], i: Int): Boolean =
+        i + k <= es.length &&
+          (0 until k).forall(j => preds(j)(es(i + j))) &&
+          es(i + k - 1).ts <= es(i).ts + withinMs
+      val expected = byUser.toSeq.flatMap { case (u, es) =>
+        // greedy skip-past-last-row span scan (the simulator side of
+        // the covered set — an array walk, not the NFA)
+        val covered = Array.fill(es.length)(false)
+        var j = 0
+        while (j < es.length) {
+          if (complete(es, j)) {
+            (j until j + k).foreach(covered(_) = true)
+            j += k
+          } else j += 1
+        }
+        es.indices.filter { i =>
+          !covered(i) && preds.head(es(i)) &&
+            es(i).ts + withinMs < nowTs && !complete(es, i)
+        }.map(i => (u, es(i).event_id))
+      }.sorted
+      // covered must bite on some seed: a pred0 row inside a span whose
+      // own chain fails and whose window closed — the case the naive
+      // "pred0 and not complete" restatement would wrongly emit
+      val naiveExtra = byUser.toSeq.flatMap { case (u, es) =>
+        val covered = Array.fill(es.length)(false)
+        var j = 0
+        while (j < es.length) {
+          if (complete(es, j)) { (j until j + k).foreach(covered(_) = true); j += k }
+          else j += 1
+        }
+        es.indices.filter { i =>
+          covered(i) && preds.head(es(i)) &&
+            es(i).ts + withinMs < nowTs && !complete(es, i)
+        }
+      }
+      if (naiveExtra.nonEmpty) coveredBit += 1
+      val pat0 = graft.cep.Pattern.begin[CepFuzzGen.CE]("s0")(preds.head)
+      val pat = preds.tail.zipWithIndex.foldLeft(pat0) {
+        case (p, (f, i)) => p.next(s"s${i + 1}")(f)
+      }.within(withinMs)
+      val actual = CEP.batchTimeouts[CepFuzzGen.CE](
+          CepQueries.cepEvents(spark, dir), _.user_id.toString, _.ts,
+          pat, nowTs, tieFn = _.event_id)
+        .map(e => (e.user_id, e.event_id))
+        .collect().toSeq.sorted
+      assert(actual == expected,
+        s"timeout covered seed $seed diverged: steps=${c0.steps} " +
+          s"within=${withinMs / 60000000L}m " +
+          s"(sim=${expected.length}, nfa=${actual.length})")
+    }
+    assert(coveredBit > 0,
+      "no seed ever had a covered non-completing anchor — the covered path is untested")
+  }
+
+  /** The after-match JUMP strategies (SKIP TO FIRST/LAST `v` — the one
+    * skip axis whose batch semantics had no independent ground truth;
+    * the streaming property spec only pins streamed == batch): on
+    * strict single-branch chains `A B{n} C` every consumed position is
+    * a pure function of the anchor, so a sequential scan simulator
+    * (emit + jump arithmetic on an array walk) states the entire scan —
+    * which anchors are ever visited is exactly what the jump changes.
+    * The resume position (buffer-trim contract for streaming) is
+    * compared too, and the SQL front door's AFTER MATCH SKIP TO
+    * FIRST/LAST clauses dual-run the same pattern text.
+    */
+  test("after-match jump strategies equal a sequential scan simulator per seed") {
+    import scala.util.Random
+    import graft.cep.{AfterMatchSkip, MatchRecognize, NFA, Pattern}
+    val byUser = CepQueries.cepEvents(spark, dir).collect()
+      .groupBy(_.user_id)
+      .map { case (u, es) =>
+        u -> es.sortBy(e => (e.ts, e.event_id)).toIndexedSeq }
+    val ev = CepQueries.cepEvents(spark, dir).toDF()
+    var jumpsDiffered = 0
+    for (seed <- 1L to 10L) {
+      val r = new Random(StreamFuzzGen.scramble(seed ^ 0x5c1b70L))
+      val predA = CepFuzzGen.TypeIn(
+        r.shuffle(Seq("click", "purchase", "view", "signup", "error"))
+          .take(2 + r.nextInt(2)).sorted)
+      val predB = CepFuzzGen.CentsGe((1 + r.nextInt(8)) * 2500L)
+      val predC = CepFuzzGen.CentsGe((1 + r.nextInt(8)) * 2500L)
+      val n = 1 + r.nextInt(3)
+      val withinMs =
+        if (r.nextInt(3) == 0) None else Some(Seq(240, 720, 1440)(r.nextInt(3)) * 60000000L)
+      val k = n + 2
+      val pat0 = Pattern.begin[CepFuzzGen.CE]("a")(predA.fn)
+        .next("b")(predB.fn).times(n).consecutive
+        .next("c")(predC.fn)
+      val pat = withinMs.map(pat0.within).getOrElse(pat0)
+      val nfa = new NFA[CepFuzzGen.CE](pat, _.ts)
+      def complete(es: IndexedSeq[CepFuzzGen.CE], i: Int): Boolean =
+        i + k <= es.length && predA.fn(es(i)) &&
+          (1 to n).forall(j => predB.fn(es(i + j))) &&
+          predC.fn(es(i + k - 1)) &&
+          withinMs.forall(w => es(i + k - 1).ts <= es(i).ts + w)
+      val strategies: Seq[(String, AfterMatchSkip, Int => Int)] = Seq(
+        ("pastLast", AfterMatchSkip.SkipPastLastRow, (s: Int) => s + k),
+        ("toNext", AfterMatchSkip.SkipToNext, (s: Int) => s + 1),
+        ("noSkip", AfterMatchSkip.NoSkip, (s: Int) => s + 1),
+        ("firstB", AfterMatchSkip.SkipToFirst("b"), (s: Int) => s + 1),
+        ("lastB", AfterMatchSkip.SkipToLast("b"),
+          (s: Int) => math.max(s + n, s + 1)),
+        ("firstC", AfterMatchSkip.SkipToFirst("c"), (s: Int) => s + k - 1))
+      val perStrategy = strategies.map { case (label, skip, jump) =>
+        val sim = byUser.toSeq.map { case (u, es) =>
+          val out = Seq.newBuilder[(Long, Long, Long)]
+          var start = 0
+          var lastJump = 0
+          while (start < es.length) {
+            if (complete(es, start)) {
+              out += ((u, es(start).event_id, es(start + k - 1).event_id))
+              start = jump(start)
+              lastJump = start
+            } else start += 1
+          }
+          (out.result(), u -> lastJump)
+        }
+        val simMatches = sim.flatMap(_._1).sorted
+        val simResume = sim.map(_._2).toMap
+        val gotPerUser = byUser.toSeq.map { case (u, es) =>
+          val (ms, resume) = nfa.findMatchesResume(es, 0, skip)
+          (ms.map { case (s, e, _) =>
+            (u, es(s).event_id, es(e).event_id) }, u -> resume)
+        }
+        val got = gotPerUser.flatMap(_._1).sorted
+        assert(got == simMatches,
+          s"jump seed $seed [$label] diverged: n=$n within=$withinMs " +
+            s"(sim=${simMatches.length}, nfa=${got.length})")
+        gotPerUser.foreach { case (_, (u, resume)) =>
+          assert(resume == simResume(u),
+            s"jump seed $seed [$label] resume diverged for user $u: " +
+              s"sim=${simResume(u)} nfa=$resume")
+        }
+        label -> simMatches
+      }.toMap
+      // the jump must BITE somewhere: firstC/lastB admit overlapping
+      // re-anchors that pastLast suppresses — on some seed the match
+      // sets must actually differ across strategies
+      if (perStrategy.values.toSeq.distinct.length > 1) jumpsDiffered += 1
+      // MR front door: the same pattern text under SKIP TO FIRST/LAST
+      for ((mrSkip, apiLabel) <- Seq("SKIP TO FIRST B" -> "firstB",
+        "SKIP TO LAST B" -> "lastB", "SKIP PAST LAST ROW" -> "pastLast")) {
+        val within = withinMs
+          .map(w => s"\nWITHIN INTERVAL '${w / 60000000L}' MINUTE")
+          .getOrElse("")
+        val clause =
+          s"""PARTITION BY user_id
+             |ORDER BY ts, event_id
+             |MEASURES FIRST(A.event_id) AS a_id,
+             |         LAST(C.event_id) AS z_id
+             |ONE ROW PER MATCH
+             |AFTER MATCH $mrSkip
+             |PATTERN (A B{$n} C)$within
+             |DEFINE A AS ${predA.mrSql("A")},
+             |       B AS ${predB.mrSql("B")},
+             |       C AS ${predC.mrSql("C")}""".stripMargin
+        val viaSql = MatchRecognize(ev, clause)
+          .collect().map(r0 => (r0.getLong(0), r0.getLong(1), r0.getLong(2)))
+          .sorted.toSeq
+        assert(viaSql == perStrategy(apiLabel),
+          s"jump seed $seed MR [$mrSkip] diverged " +
+            s"(sim=${perStrategy(apiLabel).length}, sql=${viaSql.length})")
+      }
+    }
+    assert(jumpsDiffered > 0,
+      "no seed ever produced different match sets across jump strategies — the arm is degenerate")
+  }
+
   test("NFA quantifier semantics equal brute-force enumeration on synthetic runs") {
     import scala.util.Random
     import graft.cep.{AfterMatchSkip, CEP, Contiguity, NFA, Pattern, Stage}
