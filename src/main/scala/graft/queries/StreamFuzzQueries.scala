@@ -17,7 +17,13 @@ import Q._
   *   - CEP patterns over the batch NFA ([[CepFuzzGen]]: 2-step windowed
   *     and 3-step shapes) — `q_fuzz_cep_<seed>`;
   *   - streaming dedup over StatefulOps keep-first/keep-last/
-  *     event-time-TTL processors — `q_fuzz_stream_d<seed>`.
+  *     event-time-TTL processors — `q_fuzz_stream_d<seed>`;
+  *   - and the later-round families listed with their seed scans below
+  *     (joins/temporal/interval/window joins, over-aggs bounded and
+  *     unbounded, cumulate/count/rank windows, lateness, coGroup,
+  *     lookup cache modes, CEP quantifiers/negation/multiplicity/
+  *     timeouts, watermark idleness/alignment, and the checkpoint
+  *     stop/restart recovery battery).
   * Each row replays the events table through a MemoryStream into the
   * case's operator and is checked against the case's own DuckDB
   * restatement — the driver-gated tie-in for the engine-vs-engine
