@@ -25,9 +25,15 @@ class NFA[E](pattern: Pattern[E], timestampOf: E => Long) extends Serializable {
 
   /** Timed-out partial matches (the reference's CEP timeout side output,
     * PatternStream.select timeout variant / CepOperator timed-out
-    * patterns): anchor events that begin a pattern but whose
-    * within-window closed (relative to `nowTs`) without a complete
-    * match. Only meaningful for patterns with `within`.
+    * patterns): anchor events whose within-window closed (relative to
+    * `nowTs`) while a partial match from that anchor was STILL PENDING.
+    * The reference's NFA.java advanceTime prunes and emits exactly the
+    * computation states alive at window expiry — a partial killed
+    * earlier by a contiguity violation (strict `next` seeing a
+    * mismatching immediate event, or a notNext/notFollowedBy stop
+    * state) is discarded silently and produces NO timeout. Anchors
+    * consumed inside a complete match are pruned by the after-match
+    * skip, not timed out. Only meaningful for patterns with `within`.
     */
   def findTimeouts(events: IndexedSeq[E], nowTs: Long): Seq[E] =
     pattern.withinMs match {
@@ -40,10 +46,84 @@ class NFA[E](pattern: Pattern[E], timestampOf: E => Long) extends Serializable {
             !covered.contains(i) &&
               pattern.stages.head.predicate(events(i)) &&
               timestampOf(events(i)) + w < nowTs &&
-              matchesAt(events, i).isEmpty
+              matchesAt(events, i).isEmpty &&
+              partialAlive(events, i)
           }
           .map(events)
     }
+
+  /** True iff some INCOMPLETE computation-state branch anchored at
+    * `start` is still pending when the anchor's within-window closes —
+    * the aliveness half of the reference's timeout condition. Mirrors
+    * [[matchesAt]]'s branch structure with kill/pend outcomes instead
+    * of consumed indices:
+    *   - strict contiguity: an in-window mismatching immediate event
+    *     KILLS the branch (no timeout); the needed event being absent
+    *     or beyond the window leaves it PENDING (timeout);
+    *   - relaxed contiguity: mismatching gap events are ignored, so the
+    *     branch pends unless a stop state (notFollowedBy gap guard)
+    *     kills it; the first in-window match is taken deterministically;
+    *   - non-deterministic relaxed (followedByAny / allowCombinations):
+    *     the ignore edge exists on matches too, so the waiting branch
+    *     pends to expiry unless a stop state blocks the scan first;
+    *   - a branch reaching past the last stage completed (or, under a
+    *     terminal notFollowedBy, resolves at window close as a match or
+    *     a silent discard) — never a timeout.
+    */
+  private def partialAlive(events: IndexedSeq[E], start: Int): Boolean = {
+    val deadline = pattern.withinMs.map(w => timestampOf(events(start)) + w)
+    def inWindow(i: Int): Boolean =
+      deadline.forall(d => timestampOf(events(i)) <= d)
+
+    def stageAlive(si: Int, ei: Int): Boolean =
+      si < pattern.stages.length && repAlive(si, 0, ei)
+
+    def repAlive(si: Int, count: Int, at: Int): Boolean = {
+      val st = pattern.stages(si)
+      def closed: Boolean =
+        count >= st.minTimes && stageAlive(si + 1, at)
+      def extended: Boolean = {
+        val gapNot = if (count == 0) st.notBefore else None
+        if (count >= st.maxTimes) false
+        else (if (st.combinations && count >= 1) Contiguity.AnyRelaxed
+              else st.contiguity) match {
+          case Contiguity.Strict =>
+            if (at >= events.length || !inWindow(at)) true // pending
+            else if (gapNot.exists { case (p, strict) =>
+              strict && p(events(at)) }) false // notNext stop: killed
+            else if (count >= 1 && st.until.exists(_(events(at)))) false
+            else if (st.predicate(events(at))) repAlive(si, count + 1, at + 1)
+            else false // strict mismatch: killed
+          case Contiguity.Relaxed =>
+            val relaxedNot = gapNot.collect { case (p, false) => p }
+            var i = at
+            while (i < events.length && inWindow(i)) {
+              if (st.predicate(events(i))) return repAlive(si, count + 1, i + 1)
+              if (relaxedNot.exists(_(events(i))) ||
+                  (count >= 1 && st.until.exists(_(events(i))))) return false
+              i += 1
+            }
+            true // scan ran out of window: pending at expiry
+          case Contiguity.AnyRelaxed =>
+            val relaxedNot = gapNot.collect { case (p, false) => p }
+            var i = at
+            while (i < events.length && inWindow(i)) {
+              if (st.predicate(events(i)) && repAlive(si, count + 1, i + 1))
+                return true
+              if (!st.predicate(events(i)) &&
+                  (relaxedNot.exists(_(events(i))) ||
+                   (count >= 1 && st.until.exists(_(events(i)))))) return false
+              i += 1
+            }
+            true // the ignore-edge waiting branch pends to expiry
+        }
+      }
+      extended || closed
+    }
+
+    if (!pattern.stages.head.predicate(events(start))) false
+    else repAlive(0, 1, start + 1)
+  }
 
   /** Matches over `events` (assumed time-ordered) under the given
     * after-match skip strategy; `from` skips anchors before that index —

@@ -391,18 +391,24 @@ object CepFuzzGen {
 
   /** A TIMEOUT side-output case — fuzzes [[graft.cep.NFA.findTimeouts]]
     * (the reference's PatternStream.select timeout variant /
-    * CepOperator timed-out partial matches), which the single hand row
-    * `q_cep_timeout` pins at one fixed shape: anchors that begin a
-    * strict-next chain but whose `within` window closed — at nowTs =
-    * the stream's max event time — without completing. Steps carry
+    * CepOperator timed-out partial matches — NFA.java advanceTime
+    * emits exactly the partial matches STILL PENDING at window expiry),
+    * which the single hand row `q_cep_timeout` pins at one fixed
+    * shape: anchors that begin a strict-next chain and whose `within`
+    * window closed — at nowTs = the stream's max event time — while
+    * the chain was still waiting for its next event. Under strict
+    * `next` a mismatching in-window immediate event KILLS the partial
+    * match (no timeout); only a chain that dies of TIME — the needed
+    * next event absent or beyond the window — times out. Steps carry
     * pairwise-DISJOINT TypeIs predicates, so a step-0 row can never be
     * consumed as a LATER element of someone else's match and the
     * covered-span subtraction is provably irrelevant — the timeout set
-    * restates as pure LEAD SQL: pred0 rows whose chain does NOT
-    * complete in-window and whose window closed strictly before the
-    * global max timestamp. (The covered/overlapping-predicate path is
-    * fuzzed separately in CepFuzzSpec against an independent
-    * sequential simulator — that arm has no SQL restatement.)
+    * restates as pure LEAD SQL: pred0 rows with some matched in-window
+    * prefix whose NEXT needed event is absent-or-late, window closed
+    * strictly before the global max timestamp. (The covered/
+    * overlapping-predicate path is fuzzed separately in CepFuzzSpec
+    * against an independent sequential simulator — that arm has no SQL
+    * restatement.)
     */
   case class TimeoutCase(
       seed: Long,
@@ -418,8 +424,17 @@ object CepFuzzGen {
         Seq(s"lead(event_type, $i) OVER win AS event_type_$i",
           s"lead(us, $i) OVER win AS us_$i")
       }
-      val chain = (1 until k).map(i => s"event_type_$i = '${types(i)}'") :+
-        s"us_${k - 1} <= us + $w"
+      // pending-at-expiry: some prefix 1..j matched strictly in-window
+      // and the (j+1)-th needed event is absent or beyond the window
+      // (j = 0: the anchor alone). A completed chain falsifies every
+      // arm (its us_i are all non-NULL and in-window); a killed chain
+      // (in-window mismatching immediate event) falsifies the gap term.
+      val arms = (0 until k - 1).map { j =>
+        val prefix = (1 to j).map(i =>
+          s"(event_type_$i = '${types(i)}' AND us_$i <= us + $w)")
+        val gap = s"(us_${j + 1} IS NULL OR us_${j + 1} > us + $w)"
+        (prefix :+ gap).mkString("(", " AND ", ")")
+      }
       s"""WITH cev AS ($cev),
          |o AS (SELECT user_id, event_id, us, event_type,
          |    ${leads.mkString(",\n    ")}
@@ -429,7 +444,7 @@ object CepFuzzGen {
          |SELECT user_id, event_id AS a_id
          |FROM o, m
          |WHERE event_type = '${types.head}'
-         |  AND NOT COALESCE(${chain.map(c => s"($c)").mkString(" AND ")}, FALSE)
+         |  AND (${arms.mkString("\n    OR ")})
          |  AND us + $w < mx
          |ORDER BY user_id, a_id""".stripMargin
     }

@@ -92,12 +92,15 @@ object CepQueries {
     }),
 
     // Timeout side output (the reference's PatternStream.select timeout
-    // variant / CepOperator timed-out partial matches): purchases that
-    // anchor the buy→err pattern but whose 2-hour within-window closed —
-    // at the watermark = the stream's max event time — without the
-    // strictly-next error arriving in time. The oracle restates: a
-    // purchase whose immediate successor is NOT an in-window error, with
-    // a window that closed before stream end.
+    // variant / CepOperator timed-out partial matches — NFA.java
+    // advanceTime emits only partials still PENDING at window expiry):
+    // purchases that anchor the buy→err pattern and whose 2-hour
+    // within-window closed — at the watermark = the stream's max event
+    // time — while still WAITING for a successor. An in-window
+    // mismatching successor kills the partial under strict `next` (no
+    // timeout). The oracle restates: a purchase whose immediate
+    // successor is absent or beyond the window, window closed before
+    // stream end.
     "q_cep_timeout" -> ((s, dir) => {
       import s.implicits._
       val ev = t(s, dir, "events")
@@ -181,15 +184,18 @@ object CepQueries {
         |  AND next_ts <= ts + 7200000000
         |ORDER BY user_id, buy_ts""".stripMargin,
 
-    // timed-out partials: purchases whose immediate successor is NOT an
-    // in-window error (COALESCE handles the stream-tail NULL lead — a
-    // final purchase is a timeout, not a filtered NULL), window closed
-    // strictly before the max event time
+    // timed-out partials (reference semantics — NFA.java advanceTime
+    // emits only partial matches still PENDING at window expiry):
+    // purchases whose strictly-next event is absent or beyond the
+    // window. An in-window mismatching successor KILLS the partial
+    // under strict `next` — no timeout; an in-window error completes
+    // the match — no timeout either. Window closed strictly before the
+    // max event time.
     "q_cep_timeout" ->
       s"""SELECT user_id, ts AS buy_ts, event_id AS buy_id
         |FROM ($ordered)
         |WHERE event_type = 'purchase'
-        |  AND NOT COALESCE(next_type = 'error' AND next_ts <= ts + 7200000000, FALSE)
+        |  AND (next_ts IS NULL OR next_ts > ts + 7200000000)
         |  AND ts + 7200000000 <
         |    (SELECT MAX(epoch_us(make_timestamp(epoch_ns(ts) // 1000))) FROM events)
         |ORDER BY user_id, buy_ts""".stripMargin,

@@ -520,12 +520,15 @@ class CepFuzzSpec extends SparkSuite {
   /** Timeout side output ([[CepFuzzGen.TimeoutCase]] — disjoint-type
     * chains, so the covered-span subtraction is provably irrelevant and
     * the timeout set is pure LEAD SQL): anchors whose window closed at
-    * nowTs = max event time without completing.
+    * nowTs = max event time while the chain was still PENDING — the
+    * reference's alive-at-expiry rule (an in-window mismatching
+    * immediate event KILLS a strict-next partial: no timeout).
     */
   test("timeout side output equals the LEAD restatement per seed") {
     val cev = sparkCev
     var withTimeouts = 0
     var openWindowBit = 0
+    var killBit = 0
     for (seed <- 1L to 12L) {
       val c = CepFuzzGen.genTimeout(seed)
       val expected = spark.sql(c.restatement(cev))
@@ -546,11 +549,32 @@ class CepFuzzSpec extends SparkSuite {
            |  AND us + ${c.withinMinutes * 60000000L} >= mx""".stripMargin)
         .collect().head.getLong(0)
       if (openOnly > 0) openWindowBit += 1
+      // the kill-rule bite: some anchor must be excluded ONLY because a
+      // mismatching in-window immediate event killed its partial — the
+      // anchors the pre-r18 "every non-completing expired anchor"
+      // semantics wrongly emitted
+      val w = c.withinMinutes * 60000000L
+      val killed = spark.sql(
+        s"""WITH cev AS ($cev),
+           |o AS (SELECT user_id, us, event_type,
+           |    lead(event_type) OVER (PARTITION BY user_id
+           |      ORDER BY us, event_id) AS t1,
+           |    lead(us) OVER (PARTITION BY user_id
+           |      ORDER BY us, event_id) AS u1
+           |  FROM cev),
+           |m AS (SELECT MAX(us) AS mx FROM cev)
+           |SELECT COUNT(*) FROM o, m
+           |WHERE event_type = '${c.types.head}' AND us + $w < mx
+           |  AND u1 <= us + $w AND t1 <> '${c.types(1)}'""".stripMargin)
+        .collect().head.getLong(0)
+      if (killed > 0) killBit += 1
     }
-    assert(withTimeouts >= 8,
+    assert(withTimeouts >= 6,
       s"only $withTimeouts of 12 timeout seeds produced timeouts")
     assert(openWindowBit > 0,
       "no seed ever had a still-open tail window — the nowTs condition is untested")
+    assert(killBit > 0,
+      "no seed ever had a strict-kill-excluded anchor — the kill rule is untested")
   }
 
   /** The covered-span path of findTimeouts — anchors consumed INSIDE
@@ -580,6 +604,21 @@ class CepFuzzSpec extends SparkSuite {
         i + k <= es.length &&
           (0 until k).forall(j => preds(j)(es(i + j))) &&
           es(i + k - 1).ts <= es(i).ts + withinMs
+      // alive-at-expiry walk (the r18 reference-semantics rule): the
+      // strict chain from anchor i PENDS iff it walks some prefix and
+      // the next needed event is absent or beyond the window; an
+      // in-window mismatching event KILLS it (no timeout)
+      def pending(es: IndexedSeq[CepFuzzGen.CE], i: Int): Boolean = {
+        var j = 1
+        while (j < k) {
+          val idx = i + j
+          if (idx >= es.length || es(idx).ts > es(i).ts + withinMs)
+            return true // waiting at expiry
+          if (!preds(j)(es(idx))) return false // strict kill
+          j += 1
+        }
+        false // complete
+      }
       val expected = byUser.toSeq.flatMap { case (u, es) =>
         // greedy skip-past-last-row span scan (the simulator side of
         // the covered set — an array walk, not the NFA)
@@ -593,7 +632,8 @@ class CepFuzzSpec extends SparkSuite {
         }
         es.indices.filter { i =>
           !covered(i) && preds.head(es(i)) &&
-            es(i).ts + withinMs < nowTs && !complete(es, i)
+            es(i).ts + withinMs < nowTs && !complete(es, i) &&
+            pending(es, i)
         }.map(i => (u, es(i).event_id))
       }.sorted
       // covered must bite on some seed: a pred0 row inside a span whose
@@ -608,7 +648,8 @@ class CepFuzzSpec extends SparkSuite {
         }
         es.indices.filter { i =>
           covered(i) && preds.head(es(i)) &&
-            es(i).ts + withinMs < nowTs && !complete(es, i)
+            es(i).ts + withinMs < nowTs && !complete(es, i) &&
+            pending(es, i)
         }
       }
       if (naiveExtra.nonEmpty) coveredBit += 1
