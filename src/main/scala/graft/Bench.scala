@@ -95,6 +95,12 @@ object Bench {
     // b_ bench-only entries report per-query but don't shift the bar —
     // and carry their own total so the two pools are separable at a
     // glance (the probe pool is dominated by the deliberate 64× octaves)
+    // every non-probe key must be an oracle-checked q_ entry: a future
+    // third prefix slipping into the registry would otherwise silently
+    // inflate the headline instead of being excluded
+    require(queryResults.keys.forall(_.startsWith("q_")),
+      s"non-q_ keys in the headline pool: " +
+        queryResults.keys.filterNot(_.startsWith("q_")).mkString(","))
     val total = queryResults.values.sum
     val probeTotal = probeResults.values.sum
     // self-describing provenance: the actual master/parallelism this run

@@ -43,6 +43,16 @@ object StreamFuzzDump {
     val spark = DumpIO.session()
     new java.io.File(outDir).mkdirs()
     var failed = 0
+    var skippedInvalid = 0
+    // (user_id, epoch-micros) pairs for the wmidle validity gate —
+    // loaded once, only if a wi arm is in play
+    lazy val idleRows: Seq[(Long, Long)] = {
+      import org.apache.spark.sql.functions.{col, unix_micros}
+      graft.queries.Q.t(spark, sfDir, "events")
+        .select(col("user_id"),
+          unix_micros(col("ts").cast("timestamp")).as("us"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    }
     // (name, result DataFrame thunk, oracle SQL) per seed and family —
     // only the selected families' cases are generated
     def arms(seed: Long): Seq[(String, () => org.apache.spark.sql.DataFrame, String)] = {
@@ -244,11 +254,25 @@ object StreamFuzzDump {
           () => graft.queries.StreamFuzzQueries.replayTimeout(spark, sfDir, c),
           c.oracleSql)
       }
-      def wi = {
+      // wmidle's sent-rows restatement is only exact when the seed's
+      // occupancy/silent-rounds preconditions hold on the actual data
+      // (the same IdleCase.invalidReason gate the spec asserts) — an
+      // invalid seed would surface as a FALSE engine-vs-oracle
+      // divergence in a sweep, so it is skipped with a note instead
+      def wi: Seq[(String, () => org.apache.spark.sql.DataFrame, String)] = {
         val c = graft.queries.StreamFuzzGen.genIdle(seed)
-        (s"q_fuzz_stream_wi$seed",
-          () => graft.queries.StreamFuzzQueries.replayIdle(spark, sfDir, c),
-          c.oracleSql)
+        c.invalidReason(idleRows) match {
+          case Some(reason) =>
+            skippedInvalid += 1
+            System.err.println(
+              s"[streamfuzz] q_fuzz_stream_wi$seed skipped (invalid seed: " +
+                s"$reason)")
+            Nil
+          case None =>
+            Seq((s"q_fuzz_stream_wi$seed",
+              () => graft.queries.StreamFuzzQueries.replayIdle(spark, sfDir, c),
+              c.oracleSql))
+        }
       }
       def wa = {
         val c = graft.queries.StreamFuzzGen.genWmAlign(seed)
@@ -294,11 +318,11 @@ object StreamFuzzDump {
         case "lookupfull" => Seq(lf)
         case "cepany"  => Seq(ca)
         case "cepto"   => Seq(ct)
-        case "wmidle"  => Seq(wi)
+        case "wmidle"  => wi
         case "wmalign" => Seq(wa)
         case "all"     =>
           Seq(w, se, re, tn, ce, de, jo, tj, cq, cr, iv, wj, ov, ob, pt,
-            cu, cw, wr, lw, cg, lt, lf, ca, ct, wi, wa) ++ cdc
+            cu, cw, wr, lw, cg, lt, lf, ca, ct, wa) ++ wi ++ cdc
         case other => sys.error(s"unknown family '$other': " +
           "expected window, session, retract, topn, cep, dedup, join, " +
           "temporal, cepq, cepr, interval, winjoin, over, boundedover, " +
@@ -321,9 +345,10 @@ object StreamFuzzDump {
     DumpIO.writeOracle(outDir, oracle)
     val total = n * (family match {
       case "all" => 30; case "cdc" => 4; case "recover" => 8; case _ => 1
-    })
+    }) - skippedInvalid
     println(s"[streamfuzz] dumped ${oracle.length} of $total $family cases " +
-      s"($failed failed on Spark), seeds $seed0..${seed0 + n - 1}")
+      s"($failed failed on Spark, $skippedInvalid invalid wmidle seeds " +
+      s"skipped), seeds $seed0..${seed0 + n - 1}")
     spark.stop()
     if (failed > 0) sys.exit(1)
   }

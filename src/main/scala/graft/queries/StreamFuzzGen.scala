@@ -789,6 +789,51 @@ object StreamFuzzGen {
 
     def oracleSql: String = restatement(
       "SELECT user_id, epoch_ns(ts) // 1000 AS us, event_type FROM events")
+
+    /** Data-dependent validity check — Some(reason) when this case's
+      * occupancy/silent-rounds preconditions fail on the actual rows
+      * ((user_id, us epoch-micros) pairs), None when the restatement is
+      * exact. The generator's bounds make validity LIKELY, not certain
+      * (a sparse source can still leave a mid-stream slice empty), so
+      * every consumer that trusts the oracle — the spec's seeds, the
+      * promoted row, and StreamFuzzDump's arbitrary sweep ranges — must
+      * run this first: an invalid seed diverges from its oracle by
+      * construction, not because the engine is wrong.
+      */
+    def invalidReason(rows: Iterable[(Long, Long)]): Option[String] = {
+      if (rows.isEmpty) return Some("no rows")
+      var mn = Long.MaxValue
+      var mx = Long.MinValue
+      rows.foreach { case (_, us) =>
+        if (us < mn) mn = us
+        if (us > mx) mx = us
+      }
+      val span = mx - mn + 1
+      val occupancy = Array.fill(nSources, rounds)(false)
+      rows.foreach { case (u, us) =>
+        val j = Math.floorMod(u, nSources.toLong).toInt
+        val sent = cutoffs(j) match {
+          case Some(cut) => us * 16 < mn * 16 + (mx - mn) * cut
+          case None => true
+        }
+        if (sent) {
+          val slice = math.min(rounds - 1, ((us - mn) * rounds / span).toInt)
+          occupancy(j)(slice) = true
+        }
+      }
+      (0 until nSources).iterator.map { j =>
+        val last = occupancy(j).lastIndexOf(true)
+        if (last < 0) Some(s"source $j sent nothing")
+        else if (!(0 to last).forall(occupancy(j)))
+          Some(s"source $j has an empty mid-stream slice — " +
+            "spuriously idle, restatement invalid")
+        else if (cutoffs(j).isDefined && rounds - 1 - last < idleTimeoutRounds)
+          Some(s"stalled source $j has only ${rounds - 1 - last} silent " +
+            s"rounds before the sentinel (< $idleTimeoutRounds) — " +
+            "idleness would never trip")
+        else None
+      }.collectFirst { case Some(r) => r }
+    }
   }
 
   /** The idleness case for a seed — a pure function of the seed. The

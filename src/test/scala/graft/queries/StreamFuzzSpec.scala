@@ -766,31 +766,10 @@ class StreamFuzzSpec extends SparkSuite {
       // validity: every source occupies every time slice up to its data
       // end (never spuriously idle mid-stream), and every stalled
       // source is silent ≥ idleTimeoutRounds rounds before the sentinel
-      val occupancy = Array.fill(c.nSources, c.rounds)(false)
-      evs.foreach { case (u, us) =>
-        val j = Math.floorMod(u, c.nSources.toLong).toInt
-        val sentRow = c.cutoffs(j) match {
-          case Some(cut) => us * 16 < mn * 16 + (mx - mn) * cut
-          case None => true
-        }
-        if (sentRow) {
-          val slice = math.min(c.rounds - 1,
-            ((us - mn) * c.rounds / span).toInt)
-          occupancy(j)(slice) = true
-        }
-      }
-      for (j <- 0 until c.nSources) {
-        val last = occupancy(j).lastIndexOf(true)
-        assert(last >= 0, s"idle seed $seed: source $j sent nothing")
-        assert((0 to last).forall(occupancy(j)),
-          s"idle seed $seed: source $j has an empty mid-stream slice — " +
-            "the case would be spuriously idle and the restatement invalid")
-        if (c.cutoffs(j).isDefined)
-          assert(c.rounds - 1 - last >= c.idleTimeoutRounds,
-            s"idle seed $seed: stalled source $j has only " +
-              s"${c.rounds - 1 - last} silent rounds before the sentinel " +
-              s"(< ${c.idleTimeoutRounds}) — idleness would never trip")
-      }
+      // — the shared IdleCase.invalidReason check StreamFuzzDump's wi
+      // arm also gates on
+      val invalid = c.invalidReason(evs)
+      assert(invalid.isEmpty, s"idle seed $seed: ${invalid.getOrElse("")}")
       val expected = spark.sql(c.restatement(sparkCev))
         .collect().map(_.toString).sorted.toSeq
       // bite: some expected window must START past a stalled cutoff —
