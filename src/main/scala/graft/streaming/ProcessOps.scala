@@ -272,14 +272,17 @@ object ProcessOps {
     * beginDrain/endDrain contract) plus the retained rows themselves in
     * MapState keyed by timestamp — the reference's own idiom (its
     * inputState MapState doubles as the retained frame; expired keys are
-    * retracted and removed as the frame advances). Relative to a
+    * retracted and removed as the frame advances) — plus a PERSISTED
+    * ascending index of the retained timestamps (one small ValueState,
+    * the reference's sortedTimestamps analogue). Relative to a
     * single-ValueState frame blob, per-drain state I/O on the rows is
-    * O(inserted + evicted) writes/removes + one key scan, instead of
-    * re-serializing the whole O(horizon × per-key rate) frame — the
-    * wide-RANGE × high-rate case where the blob became the per-key hot
-    * spot. Eviction never scans values: due timestamps drain in
-    * ascending order, so the horizon advances monotonically and expired
-    * keys pop off the head of the drain-scoped sorted key index.
+    * O(inserted + evicted) writes/removes; the index costs one
+    * contiguous value read + write per drain instead of the prior
+    * full MapState KEY enumeration (O(retained) separate point reads —
+    * the residual term at wide-RANGE × high-rate). Eviction never scans
+    * values: due timestamps drain in ascending order, so the horizon
+    * advances monotonically and expired keys pop off the head of the
+    * index.
     */
   class RangeBoundedOverProcessor(rangeMs: Long)
       extends BufferedOverProcessor {
@@ -287,6 +290,7 @@ object ProcessOps {
     @transient private var acc: ValueState[Long] = _
     @transient private var cnt: ValueState[Long] = _
     @transient private var retained: MapState[Long, TsRows] = _
+    @transient private var idx: ValueState[OverBuf] = _ // ascending ts index
     private var a = 0L // drain-scoped copies of the small states
     private var n = 0L
     // drain-scoped ascending index of retained timestamps
@@ -297,19 +301,29 @@ object ProcessOps {
       cnt = getHandle.getValueState[Long]("cnt", Encoders.scalaLong, TTLConfig.NONE)
       retained = getHandle.getMapState[Long, TsRows]("range",
         Encoders.scalaLong, Encoders.product[TsRows], TTLConfig.NONE)
+      idx = getHandle.getValueState[OverBuf]("rangeIdx",
+        Encoders.product[OverBuf], TTLConfig.NONE)
     }
 
     override protected def beginDrain(): Unit = {
       a = if (acc.exists()) acc.get() else 0L
       n = if (cnt.exists()) cnt.get() else 0L
-      // keys only — retained VALUES are read just for evicted entries
-      keepTs = scala.collection.mutable.ArrayDeque.from(
-        retained.keys().toArray[Long].sorted)
+      keepTs =
+        if (idx.exists())
+          scala.collection.mutable.ArrayDeque.from(idx.get().items)
+        else if (!retained.exists())
+          scala.collection.mutable.ArrayDeque.empty[Long]
+        else
+          // belt-and-braces rebuild (index lost but rows present — no
+          // normal lifecycle reaches here; a checkpoint restores both)
+          scala.collection.mutable.ArrayDeque.from(
+            retained.keys().toArray[Long].sorted)
     }
 
     override protected def endDrain(): Unit = {
       acc.update(a)
       cnt.update(n)
+      idx.update(OverBuf(keepTs.toSeq))
     }
 
     override protected def processTimestamp(key: String, ts: Long,
