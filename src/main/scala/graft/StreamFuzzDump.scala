@@ -31,8 +31,10 @@ package graft
   * restatement), cepto (CEP timeout side output — disjoint-type chains,
   * LEAD restatement), wmidle (watermark idleness — stalled sources released
   * from the combined-clock min), wmalign (watermark alignment pacing —
-  * pause/resume must not change results), or all (n seeds of each
-  * single-arm family + the cdc quad).
+  * pause/resume must not change results), broadcast (broadcast-state
+  * rules map — control PUT/REMOVEs interleaving with data rows in
+  * arrival order), or all (n seeds of each single-arm family + the cdc
+  * quad).
   */
 object StreamFuzzDump {
   def main(args: Array[String]): Unit = {
@@ -280,6 +282,12 @@ object StreamFuzzDump {
           () => graft.queries.StreamFuzzQueries.replayWmAlign(spark, sfDir, c),
           c.oracleSql)
       }
+      def bc = {
+        val c = graft.queries.StreamFuzzGen.genBroadcast(seed)
+        (s"q_fuzz_stream_bc$seed",
+          () => graft.queries.StreamFuzzQueries.replayBroadcast(spark, sfDir, c),
+          c.oracleSql)
+      }
       // match-multiplicity (followedByAny under NO SKIP): only the
       // 2-step arm is SQL-restatable, so non-any2 draws re-shape to
       // any2 with the seed's own predicates (deterministic); the any3/
@@ -320,15 +328,16 @@ object StreamFuzzDump {
         case "cepto"   => Seq(ct)
         case "wmidle"  => wi
         case "wmalign" => Seq(wa)
+        case "broadcast" => Seq(bc)
         case "all"     =>
           Seq(w, se, re, tn, ce, de, jo, tj, cq, cr, iv, wj, ov, ob, pt,
-            cu, cw, wr, lw, cg, lt, lf, ca, ct, wa) ++ wi ++ cdc
+            cu, cw, wr, lw, cg, lt, lf, ca, ct, wa, bc) ++ wi ++ cdc
         case other => sys.error(s"unknown family '$other': " +
           "expected window, session, retract, topn, cep, dedup, join, " +
           "temporal, cepq, cepr, interval, winjoin, over, boundedover, " +
           "ptjoin, cdc, recover, cumulate, countwin, winrank, lateness, " +
           "cogroup, lookupttl, lookupfull, cepany, cepto, wmidle, " +
-          "wmalign, all")
+          "wmalign, broadcast, all")
       }
     }
     val oracle = (seed0 until seed0 + n).flatMap(arms).flatMap {
@@ -344,7 +353,7 @@ object StreamFuzzDump {
     }
     DumpIO.writeOracle(outDir, oracle)
     val total = n * (family match {
-      case "all" => 30; case "cdc" => 4; case "recover" => 8; case _ => 1
+      case "all" => 31; case "cdc" => 4; case "recover" => 8; case _ => 1
     }) - skippedInvalid
     println(s"[streamfuzz] dumped ${oracle.length} of $total $family cases " +
       s"($failed failed on Spark, $skippedInvalid invalid wmidle seeds " +

@@ -902,6 +902,116 @@ object StreamFuzzGen {
     WmAlignCase(seed, mod, driftDiv, roundsDiv, win)
   }
 
+  /** A BROADCAST-STATE case — exercises
+    * [[graft.streaming.ConnectedStreams.BroadcastRulesProcessor]] (the
+    * reference's KeyedBroadcastProcessFunction rules pattern — a
+    * control stream PUTs/REMOVEs named rules in broadcast MapState;
+    * data rows are evaluated against every live rule): events matching
+    * `ctrlFilterSql` become control ops (rule name = event_id mod
+    * `nRules`, REMOVE when event_id mod `delMod` hits `delRes`, else
+    * PUT with version = event_id and a value-colliding threshold);
+    * events matching `dataFilterSql` are data rows. Both replay as ONE
+    * interleaved tagged stream in (ts, event_id, control-before-data)
+    * order, so the order-sensitive surface the hand row under-covers —
+    * rule updates interleaving with data rows — is exactly what each
+    * seed randomizes, and "processing time" restates as arrival index
+    * (the genPtJoin discipline). The coarse key expressions put MANY
+    * users behind one rule key: data crosses rule boundaries.
+    */
+  case class BcCase(
+      seed: Long,
+      keySql: String, // coarse STRING-valued rule-key expr (both arms)
+      ctrlFilterSql: String,
+      dataFilterSql: String,
+      nRules: Int,
+      delMod: Int,
+      delRes: Int) {
+
+    /** Rule-name SQL list for the restatement's probe cross join. */
+    private def namesSql: String =
+      (0 until nRules).map(i => s"SELECT 'r$i' AS rule")
+        .mkString(" UNION ALL ")
+
+    /** Restatement over a caller-supplied normalized CTE producing
+      * (event_id, user_id, ts TIMESTAMP, event_type, value); the text
+      * below the prefix is dialect-shared. Each data row × rule name
+      * takes the LAST preceding control op for that rule on the (ts,
+      * event_id, control-before-data) arrival timeline; it passes when
+      * that op is a live PUT and the row's cents exceed the threshold;
+      * a row passing nothing emits the `__none` sentinel.
+      */
+    def restatement(cev: String): String =
+      s"""WITH e AS ($cev),
+         |ctrl AS (SELECT CAST($keySql AS STRING) AS k, ts, event_id,
+         |    CONCAT('r', CAST(event_id % $nRules AS STRING)) AS rule,
+         |    (event_id % $delMod = $delRes) AS is_del,
+         |    event_id AS version,
+         |    CAST((1 + event_id % 9) * 2500 AS BIGINT) AS thr
+         |  FROM e WHERE $ctrlFilterSql),
+         |names AS ($namesSql),
+         |dat AS (SELECT CAST($keySql AS STRING) AS k, ts, event_id,
+         |    CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents
+         |  FROM e WHERE $dataFilterSql),
+         |timeline AS (
+         |  SELECT k, rule, ts, event_id, 0 AS tag, FALSE AS is_probe,
+         |    is_del, version, thr, CAST(NULL AS BIGINT) AS cents,
+         |    CAST(NULL AS BIGINT) AS data_id
+         |  FROM ctrl
+         |  UNION ALL
+         |  SELECT dat.k, names.rule, ts, event_id, 1, TRUE,
+         |    CAST(NULL AS BOOLEAN), CAST(NULL AS BIGINT),
+         |    CAST(NULL AS BIGINT), cents, event_id
+         |  FROM dat CROSS JOIN names),
+         |tpos AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY k, rule
+         |    ORDER BY ts, event_id, tag) AS opos
+         |  FROM timeline),
+         |lastop AS (SELECT k, rule, is_probe, cents, data_id,
+         |    MAX(CASE WHEN NOT is_probe THEN opos END) OVER (
+         |      PARTITION BY k, rule ORDER BY opos
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS lp
+         |  FROM tpos),
+         |p AS (SELECT l.k, l.data_id, l.rule, c.version AS p_ver,
+         |    c.thr AS p_thr,
+         |    (COALESCE(c.is_del, TRUE) = FALSE AND l.cents > c.thr) AS pass
+         |  FROM lastop l LEFT JOIN tpos c
+         |    ON c.k = l.k AND c.rule = l.rule AND c.opos = l.lp
+         |  WHERE l.is_probe)
+         |SELECT k, data_id, rule AS rule_name, p_ver AS version,
+         |  p_thr AS thr_cents
+         |FROM p WHERE pass
+         |UNION ALL
+         |SELECT k, data_id, '__none' AS rule_name,
+         |  CAST(-1 AS BIGINT) AS version, CAST(-1 AS BIGINT) AS thr_cents
+         |FROM p GROUP BY k, data_id
+         |HAVING MAX(CASE WHEN pass THEN 1 ELSE 0 END) = 0
+         |ORDER BY k, data_id, rule_name""".stripMargin
+
+    def oracleSql: String = restatement(
+      """SELECT event_id, user_id,
+        |    make_timestamp(epoch_ns(ts) // 1000) AS ts, event_type, value
+        |  FROM events""".stripMargin)
+  }
+
+  /** The broadcast-state case for a seed — a pure function of the seed.
+    * Keys are deliberately COARSE (mod buckets or event_type) so one
+    * rule key aggregates many users' data rows; thresholds collide
+    * with the cents distribution so pass/fail flips per rule.
+    */
+  def genBroadcast(seed: Long): BcCase = {
+    val r = new Random(scramble(seed ^ 0xb40adca5L))
+    val keySql = r.nextInt(3) match {
+      case 0 => s"CAST(user_id % ${Seq(5, 7, 11)(r.nextInt(3))} AS STRING)"
+      case 1 => "event_type"
+      case 2 => s"CONCAT(event_type, '#', CAST(user_id % 3 AS STRING))"
+    }
+    val ctrlFilterSql = basePredOf(r)
+    val dataFilterSql = basePredOf(r)
+    val nRules = 2 + r.nextInt(3)
+    val delMod = 3 + r.nextInt(4)
+    val delRes = r.nextInt(delMod)
+    BcCase(seed, keySql, ctrlFilterSql, dataFilterSql, nRules, delMod, delRes)
+  }
+
   private val eventTypes =
     Seq("click", "purchase", "view", "signup", "error")
 

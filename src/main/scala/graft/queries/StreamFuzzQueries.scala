@@ -197,6 +197,14 @@ object StreamFuzzQueries {
   private[queries] val wmAlignSeeds: Seq[Long] = Seq(
     firstSeedOf("wmalign", StreamFuzzGen.genWmAlign)(_.driftDiv == 20))
 
+  /** one mod-keyed broadcast-state shape (many users behind one rule
+    * key — data crossing rule boundaries, the order-sensitive surface
+    * the hand row under-covers).
+    */
+  private[queries] val broadcastSeeds: Seq[Long] = Seq(
+    firstSeedOf("broadcast", StreamFuzzGen.genBroadcast)(c =>
+      c.keySql.contains("%") && c.nRules >= 3))
+
   /** Deterministic stop/restart boundary for a recovery-arm seed: a
     * batch index in 1..3 ([[StreamQueries.runToEnd]] clamps into the
     * replay's actual batch range) — "random batch boundary", but a pure
@@ -218,6 +226,7 @@ object StreamFuzzQueries {
   private val timeoutCases = timeoutSeeds.map(CepFuzzGen.genTimeout)
   private val idleCases = idleSeeds.map(StreamFuzzGen.genIdle)
   private val wmAlignCases = wmAlignSeeds.map(StreamFuzzGen.genWmAlign)
+  private val broadcastCases = broadcastSeeds.map(StreamFuzzGen.genBroadcast)
   private val intervalCases = intervalSeeds.map(StreamFuzzGen.genInterval)
   private val winJoinCases = winJoinSeeds.map(StreamFuzzGen.genWinJoin)
   private val overCases = overSeeds.map(StreamFuzzGen.genOver)
@@ -286,6 +295,10 @@ object StreamFuzzQueries {
     wmAlignCases.map { c =>
       s"q_fuzz_stream_wa${c.seed}" -> ((s, dir) =>
         StreamQueries.streamWmAlignFuzzReplay(s, dir, c)): (String, QFn)
+    }.toMap ++
+    broadcastCases.map { c =>
+      s"q_fuzz_stream_bc${c.seed}" -> ((s, dir) =>
+        StreamQueries.streamBroadcastFuzzReplay(s, dir, c)): (String, QFn)
     }.toMap ++
     intervalCases.map { c =>
       s"q_fuzz_stream_iv${c.seed}" -> ((s, dir) =>
@@ -422,6 +435,8 @@ object StreamFuzzQueries {
     idleCases.map(c => s"q_fuzz_stream_wi${c.seed}" -> c.oracleSql).toMap ++
     wmAlignCases.map(c =>
       s"q_fuzz_stream_wa${c.seed}" -> c.oracleSql).toMap ++
+    broadcastCases.map(c =>
+      s"q_fuzz_stream_bc${c.seed}" -> c.oracleSql).toMap ++
     intervalCases.map(c => s"q_fuzz_stream_iv${c.seed}" -> c.oracleSql).toMap ++
     winJoinCases.map(c => s"q_fuzz_stream_wj${c.seed}" -> c.oracleSql).toMap ++
     overCases.map(c => s"q_fuzz_stream_ov${c.seed}" -> c.oracleSql).toMap ++
@@ -501,6 +516,10 @@ object StreamFuzzQueries {
   def replayWmAlign(s: org.apache.spark.sql.SparkSession, dir: String,
       c: StreamFuzzGen.WmAlignCase): org.apache.spark.sql.DataFrame =
     StreamQueries.streamWmAlignFuzzReplay(s, dir, c)
+
+  def replayBroadcast(s: org.apache.spark.sql.SparkSession, dir: String,
+      c: StreamFuzzGen.BcCase): org.apache.spark.sql.DataFrame =
+    StreamQueries.streamBroadcastFuzzReplay(s, dir, c)
 
   def replayInterval(s: org.apache.spark.sql.SparkSession, dir: String,
       c: StreamFuzzGen.IntervalCase): org.apache.spark.sql.DataFrame =

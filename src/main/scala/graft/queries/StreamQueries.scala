@@ -1184,6 +1184,51 @@ object StreamQueries {
         coalesce($"r_vcents", lit(-1L)).as("v_cents"))
   }
 
+  /** MemoryStream replay for a [[StreamFuzzGen.BcCase]]: the tagged
+    * control/data stream replays in (ts, event_id, control-before-data)
+    * order through [[ConnectedStreams.BroadcastRulesProcessor]] — each
+    * data row is evaluated against the rules map exactly as of its
+    * ARRIVAL (control PUT/REMOVEs applied strictly in element order),
+    * which the case's oracle restates per (key, rule) as the last
+    * preceding control op on the arrival timeline. No watermark, no
+    * sentinel: broadcast-state evaluation is arrival semantics, and the
+    * ascending replay makes arrival order deterministic.
+    */
+  private[queries] def streamBroadcastFuzzReplay(s: SparkSession,
+      dir: String, c: StreamFuzzGen.BcCase): DataFrame = {
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    import graft.streaming.ConnectedStreams
+    implicit val envEnc = Encoders.product[ConnectedStreams.RuleEnv]
+    implicit val outEnc = Encoders.product[ConnectedStreams.RuleMatch]
+    val rows = t(s, dir, "events")
+      .select(expr(s"CAST(${c.keySql} AS STRING)").as("k"),
+        col("ts").cast("timestamp").as("ts"), col("event_id"),
+        expr("CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)")
+          .as("cents"),
+        expr(c.ctrlFilterSql).as("cf"), expr(c.dataFilterSql).as("df"))
+      .filter(col("cf") || col("df"))
+      .as[(String, java.sql.Timestamp, Long, Long, Boolean, Boolean)]
+      .collect().toSeq.sortBy(t => (micros(t._2), t._3))
+    val envs = rows.flatMap { case (k, _, id, cents, cf, df) =>
+      (if (cf) Seq(ConnectedStreams.RuleEnv(k, isCtrl = true,
+        s"r${id % c.nRules}", isDel = id % c.delMod == c.delRes,
+        version = id, thrCents = (1 + id % 9) * 2500L,
+        dataId = -1L, cents = 0L)) else Nil) ++
+      (if (df) Seq(ConnectedStreams.RuleEnv(k, isCtrl = false, rule = "",
+        isDel = false, version = 0L, thrCents = 0L,
+        dataId = id, cents = cents)) else Nil)
+    }
+    val input = MemoryStream[ConnectedStreams.RuleEnv]
+    val out = input.toDS().groupByKey(_.key)
+      .transformWithState(new ConnectedStreams.BroadcastRulesProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        org.apache.spark.sql.streaming.OutputMode.Append())
+    runToEnd(s, input, out.toDF(), chunks(envs, 3), mode = "append",
+      rocks = true)
+      .select($"k", $"data_id", $"rule_name", $"version", $"thr_cents")
+  }
+
   /** MemoryStream replay for a [[WindowFuzzGen.CountWinCase]]: filtered
     * events replay (micro-ts, id)-sorted per key through the tumbling
     * [[StatefulOps.CountWindowProcessor]] (every FULL window of `size`

@@ -951,6 +951,122 @@ class StreamFuzzSpec extends SparkSuite {
     }
   }
 
+  test("broadcast-state generator is deterministic and covers its arms") {
+    for (s <- Seq(1L, 7L, 4242L))
+      assert(StreamFuzzGen.genBroadcast(s) == StreamFuzzGen.genBroadcast(s))
+    val cs = (1L to 24L).map(StreamFuzzGen.genBroadcast)
+    assert(cs.exists(_.keySql.contains("%")) &&
+      cs.exists(_.keySql == "event_type"),
+      "key arms must cover both mod buckets and event_type")
+    assert(cs.map(_.nRules).distinct.length == 3)
+    assert(cs.map(c => (c.delMod, c.delRes)).distinct.length > 3)
+  }
+
+  /** Broadcast-state rules map ([[StreamFuzzGen.BcCase]] — the
+    * reference's KeyedBroadcastProcessFunction pattern): control
+    * PUT/REMOVEs interleaving with data rows in arrival order, each
+    * data row reading the rules map exactly as of its arrival. The
+    * expected side is an independent DataFrame restatement (per-(key,
+    * rule) last-preceding-op window over the tagged timeline — not the
+    * processor's map mutation), and the case's dialect-shared SQL
+    * restatement must agree with it, pinning the DuckDB oracle text.
+    * Four data-dependent bites must each fire on some seed: an
+    * explicit REMOVE read by a later data row, a data row passing ≥ 2
+    * rules at once, a `__none` sentinel, and a rule whose version was
+    * overwritten between reads.
+    */
+  test("broadcast-state rules map matches the last-preceding-op restatement per seed") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val ev = Q.t(spark, dir, "events")
+    ev.createOrReplaceTempView("bc_fuzz_ev")
+    val sparkCev = "SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts," +
+      " event_type, value FROM bc_fuzz_ev"
+    var delBite = 0
+    var multiBite = 0
+    var noneBite = 0
+    var overwriteBite = 0
+    for (seed <- (1L to 6L) ++ StreamFuzzQueries.broadcastSeeds) {
+      val c = StreamFuzzGen.genBroadcast(seed)
+      val keyed = ev.withColumn("k", expr(s"CAST(${c.keySql} AS STRING)"))
+        .withColumn("tts", col("ts").cast("timestamp"))
+        .withColumn("cents",
+          expr("CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)"))
+      val ctrl = keyed.filter(expr(c.ctrlFilterSql))
+        .select(col("k"), col("tts"), col("event_id"), lit(0).as("tag"),
+          lit(false).as("is_probe"),
+          concat(lit("r"), (col("event_id") % c.nRules).cast("string"))
+            .as("rule"),
+          (col("event_id") % c.delMod === c.delRes).as("is_del"),
+          col("event_id").as("version"),
+          ((col("event_id") % 9 + lit(1L)) * 2500L).as("thr"),
+          lit(null).cast("long").as("dcents"),
+          lit(null).cast("long").as("data_id"))
+      val names = (0 until c.nRules).map(i => s"r$i").toDF("rule")
+      val dat = keyed.filter(expr(c.dataFilterSql))
+        .select(col("k"), col("tts"), col("event_id"), col("cents"))
+        .crossJoin(names)
+        .select(col("k"), col("tts"), col("event_id"), lit(1).as("tag"),
+          lit(true).as("is_probe"), col("rule"),
+          lit(null).cast("boolean").as("is_del"),
+          lit(null).cast("long").as("version"),
+          lit(null).cast("long").as("thr"),
+          col("cents").as("dcents"), col("event_id").as("data_id"))
+      val w = Window.partitionBy(col("k"), col("rule"))
+        .orderBy(col("tts"), col("event_id"), col("tag"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      def lastV(cn: String) =
+        last(when(!col("is_probe"), col(cn)), ignoreNulls = true).over(w)
+      val probed = ctrl.unionByName(dat)
+        .select(col("k"), col("rule"), col("is_probe"), col("dcents"),
+          col("data_id"), lastV("is_del").as("p_del"),
+          lastV("version").as("p_ver"), lastV("thr").as("p_thr"))
+        .filter(col("is_probe"))
+        .withColumn("pass",
+          coalesce(col("p_del"), lit(true)) === false &&
+            col("dcents") > col("p_thr"))
+        .cache()
+      val passRows = probed.filter(col("pass"))
+        .select(col("k"), col("data_id"), col("rule").as("rule_name"),
+          col("p_ver").as("version"), col("p_thr").as("thr_cents"))
+      val noneRows = probed.groupBy(col("k"), col("data_id"))
+        .agg(max(when(col("pass"), 1).otherwise(0)).as("np"))
+        .filter(col("np") === 0)
+        .select(col("k"), col("data_id"), lit("__none").as("rule_name"),
+          lit(-1L).as("version"), lit(-1L).as("thr_cents"))
+      val expected = passRows.unionByName(noneRows)
+        .collect().map(_.toString).sorted.toSeq
+      if (probed.filter(col("p_del") === true).count() > 0) delBite += 1
+      if (passRows.groupBy("data_id").count()
+          .filter(col("count") >= 2).count() > 0) multiBite += 1
+      if (noneRows.limit(1).count() > 0) noneBite += 1
+      if (passRows.groupBy("k", "rule_name")
+          .agg(countDistinct("version").as("nv"))
+          .filter(col("nv") >= 2).count() > 0) overwriteBite += 1
+      probed.unpersist()
+      // the dialect-shared SQL restatement (the DuckDB oracle text) must
+      // agree with the independent DataFrame restatement
+      val sqlSide = spark.sql(c.restatement(sparkCev))
+        .collect().map(_.toString).sorted.toSeq
+      assert(sqlSide == expected,
+        s"broadcast seed $seed: SQL restatement diverged from the " +
+          s"DataFrame restatement (${sqlSide.length} vs ${expected.length})")
+      val actual = StreamQueries.streamBroadcastFuzzReplay(spark, dir, c)
+        .collect().map(_.toString).sorted.toSeq
+      assert(actual == expected,
+        s"broadcast seed $seed diverged: key=${c.keySql} " +
+          s"cf=${c.ctrlFilterSql} df=${c.dataFilterSql} " +
+          s"rules=${c.nRules} del=id%${c.delMod}=${c.delRes} " +
+          s"(batch=${expected.length} rows, stream=${actual.length})")
+    }
+    assert(delBite > 0, "no seed ever read an explicit REMOVE — untested")
+    assert(multiBite > 0, "no data row ever passed ≥2 rules — untested")
+    assert(noneBite > 0, "no __none sentinel ever emitted — untested")
+    assert(overwriteBite > 0,
+      "no rule version was ever overwritten between reads — untested")
+  }
+
   test("checkpoint stop/restart resume: recovered state equals the uninterrupted run per seed") {
     // the exactly-once contract across restarts (the reference's core
     // checkpoint guarantee): stop() at a seed-determined batch boundary,
