@@ -21,8 +21,8 @@ package graft
   * boundedover (ROWS/RANGE BOUNDED-preceding over-agg — the retract
   * path), ptjoin (proc-time temporal join, arrival-order restatement), cdc
   * (CDC-dialect convergence — 4 parser runs per seed), recover
-  * (checkpoint stop/restart resume — 8 stateful arms per seed incl.
-  * CEP partial-match and allowed-lateness state),
+  * (checkpoint stop/restart resume — 9 stateful arms per seed incl.
+  * CEP partial-match, allowed-lateness, and Top-1 champion state),
   * cumulate (CUMULATE TVF shapes), countwin (count windows tumbling +
   * sliding), winrank (window top-n / window dedup), lookupttl (lookup
   * cache expire-after-write/-access staleness vs a versioned store),
@@ -33,8 +33,10 @@ package graft
   * from the combined-clock min), wmalign (watermark alignment pacing —
   * pause/resume must not change results), broadcast (broadcast-state
   * rules map — control PUT/REMOVEs interleaving with data rows in
-  * arrival order), or all (n seeds of each single-arm family + the cdc
-  * quad).
+  * arrival order), tsort (temporal sort — scrambled chunks re-emitted
+  * in exact (quantized ts, arrival) order, sequence-stamped), t1 (Fast
+  * Top-1 champion / append First-N counter states), or all (n seeds of
+  * each single-arm family + the cdc quad).
   */
 object StreamFuzzDump {
   def main(args: Array[String]): Unit = {
@@ -206,6 +208,15 @@ object StreamFuzzDump {
               () => graft.queries.StreamFuzzQueries.replayLateness(
                 spark, sfDir, lc, b),
               lc.oracleSql)
+          },
+          // Fast Top-1 / First-N: single-record (or counter-only) state
+          // restored mid-replay — the smallest recovery shape
+          {
+            val c1 = graft.queries.StreamFuzzGen.genT1(seed)
+            (s"q_fuzz_recover_top$seed",
+              () => graft.queries.StreamFuzzQueries.replayT1(
+                spark, sfDir, c1, b),
+              c1.oracleSql)
           })
       }
       def cu = {
@@ -288,6 +299,18 @@ object StreamFuzzDump {
           () => graft.queries.StreamFuzzQueries.replayBroadcast(spark, sfDir, c),
           c.oracleSql)
       }
+      def ts = {
+        val c = graft.queries.StreamFuzzGen.genTsort(seed)
+        (s"q_fuzz_stream_ts$seed",
+          () => graft.queries.StreamFuzzQueries.replayTsort(spark, sfDir, c),
+          c.oracleSql)
+      }
+      def t1 = {
+        val c = graft.queries.StreamFuzzGen.genT1(seed)
+        (s"q_fuzz_stream_top$seed",
+          () => graft.queries.StreamFuzzQueries.replayT1(spark, sfDir, c),
+          c.oracleSql)
+      }
       // match-multiplicity (followedByAny under NO SKIP): only the
       // 2-step arm is SQL-restatable, so non-any2 draws re-shape to
       // any2 with the seed's own predicates (deterministic); the any3/
@@ -329,15 +352,17 @@ object StreamFuzzDump {
         case "wmidle"  => wi
         case "wmalign" => Seq(wa)
         case "broadcast" => Seq(bc)
+        case "tsort"   => Seq(ts)
+        case "t1"      => Seq(t1)
         case "all"     =>
           Seq(w, se, re, tn, ce, de, jo, tj, cq, cr, iv, wj, ov, ob, pt,
-            cu, cw, wr, lw, cg, lt, lf, ca, ct, wa, bc) ++ wi ++ cdc
+            cu, cw, wr, lw, cg, lt, lf, ca, ct, wa, bc, ts, t1) ++ wi ++ cdc
         case other => sys.error(s"unknown family '$other': " +
           "expected window, session, retract, topn, cep, dedup, join, " +
           "temporal, cepq, cepr, interval, winjoin, over, boundedover, " +
           "ptjoin, cdc, recover, cumulate, countwin, winrank, lateness, " +
           "cogroup, lookupttl, lookupfull, cepany, cepto, wmidle, " +
-          "wmalign, broadcast, all")
+          "wmalign, broadcast, tsort, t1, all")
       }
     }
     val oracle = (seed0 until seed0 + n).flatMap(arms).flatMap {
@@ -353,7 +378,7 @@ object StreamFuzzDump {
     }
     DumpIO.writeOracle(outDir, oracle)
     val total = n * (family match {
-      case "all" => 31; case "cdc" => 4; case "recover" => 8; case _ => 1
+      case "all" => 33; case "cdc" => 4; case "recover" => 9; case _ => 1
     }) - skippedInvalid
     println(s"[streamfuzz] dumped ${oracle.length} of $total $family cases " +
       s"($failed failed on Spark, $skippedInvalid invalid wmidle seeds " +

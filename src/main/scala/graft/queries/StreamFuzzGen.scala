@@ -992,6 +992,144 @@ object StreamFuzzGen {
         |  FROM events""".stripMargin)
   }
 
+  /** A TEMPORAL-SORT case — exercises
+    * [[graft.streaming.TemporalSort]] (the reference's
+    * StreamExecTemporalSort / RowTimeSortOperator: watermark-ordered
+    * re-emission, arrival order within equal timestamps) chained into
+    * a per-key emission-sequence stamper, so emission ORDER becomes a
+    * checkable VALUE. Event times are QUANTIZED to `quantMinutes`
+    * buckets — many rows share one buffered timestamp, the
+    * per-timestamp list-append path — and each of the 3 contiguous
+    * replay chunks is SCRAMBLED by the shared (id·131) mod 997 hash,
+    * bounded disorder the sort must undo. The expected sequence is
+    * ROW_NUMBER over (quantized ts, chunk, hash, id): a dropped,
+    * duplicated, or out-of-order emission shifts every later seq.
+    */
+  case class TsortCase(
+      seed: Long,
+      filterSql: String,
+      keySql: String, // STRING-valued shared expr
+      quantMinutes: Int,
+      delayMinutes: Int) {
+
+    def quantUs: Long = quantMinutes * 60000000L
+
+    /** Restatement over a caller-supplied normalized CTE producing
+      * (event_id, user_id, us epoch-micros, event_type, value); the
+      * text below the prefix is dialect-shared. Chunk boundaries mirror
+      * the replay's chunks(rows, 3) = ceil(n/3)-sized groups; FLOOR of
+      * double division is exact at these magnitudes in both engines.
+      */
+    def restatement(cev: String): String =
+      s"""WITH e AS ($cev),
+         |f AS (SELECT CAST($keySql AS STRING) AS k, event_id, us
+         |  FROM e WHERE $filterSql),
+         |q AS (SELECT k, event_id, us - us % $quantUs AS qus,
+         |    ROW_NUMBER() OVER (ORDER BY us, event_id) AS rn
+         |  FROM f),
+         |n AS (SELECT GREATEST(CAST(CEIL(COUNT(*) / 3.0) AS BIGINT), 1)
+         |    AS csz FROM f),
+         |c AS (SELECT k, event_id, qus,
+         |    CAST(FLOOR((rn - 1) / csz) AS BIGINT) AS chunk
+         |  FROM q, n)
+         |SELECT k, event_id AS id, CAST(ROW_NUMBER() OVER (PARTITION BY k
+         |    ORDER BY qus, chunk, (event_id * 131) % 997, event_id)
+         |  AS BIGINT) AS seq
+         |FROM c
+         |ORDER BY k, id""".stripMargin
+
+    def oracleSql: String = restatement(
+      """SELECT event_id, user_id, epoch_ns(ts) // 1000 AS us,
+        |    event_type, value
+        |  FROM events""".stripMargin)
+  }
+
+  /** The temporal-sort case for a seed — a pure function of the seed. */
+  def genTsort(seed: Long): TsortCase = {
+    val r = new Random(scramble(seed ^ 0x50b27a7eL))
+    val filterSql = basePredOf(r)
+    val keySql = r.nextInt(3) match {
+      case 0 => "CAST(user_id AS STRING)"
+      case 1 => s"CAST(user_id % ${Seq(7, 11)(r.nextInt(2))} AS STRING)"
+      case 2 => "CONCAT(CAST(user_id % 5 AS STRING), '#', event_type)"
+    }
+    val quant = Seq(1, 5, 15)(r.nextInt(3))
+    val delay = Seq(30, 60, 120)(r.nextInt(3))
+    TsortCase(seed, filterSql, keySql, quant, delay)
+  }
+
+  /** A FAST TOP-1 / APPEND FIRST-N case — exercises
+    * [[graft.streaming.StatefulOps.FastTop1Processor]] (the
+    * reference's FastTop1Function: ONE (sort, id) champion per key,
+    * -U/+U dethronings) and
+    * [[graft.streaming.StatefulOps.AppendOnlyFirstNProcessor]]
+    * (AppendOnlyFirstNFunction: the first n arrivals per key, counter
+    * state only) under random keys, filters, sorts (incl. tie-bearing
+    * cents), and n. Folded changelog restates as ROW_NUMBER() = 1 over
+    * (sort, id), or ≤ n over arrival (us, id).
+    */
+  case class T1Case(
+      seed: Long,
+      arm: String, // "top1" | "firstn"
+      filterSql: String,
+      keySql: String,
+      sortSql: String, // top1 arm only
+      n: Int) { // firstn arm only
+
+    /** Restatement over a caller-supplied normalized CTE producing
+      * (event_id, user_id, us epoch-micros, event_type, value).
+      */
+    def restatement(cev: String): String =
+      if (arm == "top1")
+        s"""WITH e AS ($cev),
+           |f AS (SELECT CAST($keySql AS STRING) AS k, event_id,
+           |    CAST($sortSql AS BIGINT) AS srt
+           |  FROM e WHERE $filterSql)
+           |SELECT k, event_id AS id, srt
+           |FROM (SELECT k, event_id, srt, ROW_NUMBER() OVER (
+           |    PARTITION BY k ORDER BY srt, event_id) AS rn FROM f)
+           |WHERE rn = 1
+           |ORDER BY k, id""".stripMargin
+      else
+        s"""WITH e AS ($cev),
+           |f AS (SELECT CAST($keySql AS STRING) AS k, event_id, us
+           |  FROM e WHERE $filterSql)
+           |SELECT k, event_id AS id, us AS srt
+           |FROM (SELECT k, event_id, us, ROW_NUMBER() OVER (
+           |    PARTITION BY k ORDER BY us, event_id) AS rn FROM f)
+           |WHERE rn <= $n
+           |ORDER BY k, id""".stripMargin
+
+    def oracleSql: String = restatement(
+      """SELECT event_id, user_id, epoch_ns(ts) // 1000 AS us,
+        |    event_type, value
+        |  FROM events""".stripMargin)
+  }
+
+  /** The Top-1/First-N case for a seed — a pure function of the seed. */
+  def genT1(seed: Long): T1Case = {
+    val r = new Random(scramble(seed ^ 0x7a51f00dL))
+    val arm = if (r.nextInt(2) == 0) "top1" else "firstn"
+    val filterSql = basePredOf(r)
+    val keySql = r.nextInt(3) match {
+      case 0 => "event_type"
+      case 1 => s"CAST(user_id % ${Seq(3, 5, 7)(r.nextInt(3))} AS STRING)"
+      case 2 =>
+        s"CONCAT(event_type, '#', CAST(user_id % ${2 + r.nextInt(3)} AS STRING))"
+    }
+    // cents and mod-bucket sorts collide across rows — deliberate
+    // (sort, id) tiebreak coverage for the champion compare (the mod
+    // arm guarantees dense ties, incl. at the minimum); event_id sorts
+    // are unique
+    val sortSql = r.nextInt(3) match {
+      case 0 => "event_id"
+      case 1 => "CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)"
+      case 2 => "(event_id % 50) * 100"
+    }
+    val n = 1 + r.nextInt(5)
+    T1Case(seed, arm, filterSql, keySql, sortSql, n)
+  }
+
   /** The broadcast-state case for a seed — a pure function of the seed.
     * Keys are deliberately COARSE (mod buckets or event_type) so one
     * rule key aggregates many users' data rows; thresholds collide

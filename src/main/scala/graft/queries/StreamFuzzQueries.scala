@@ -205,6 +205,22 @@ object StreamFuzzQueries {
     firstSeedOf("broadcast", StreamFuzzGen.genBroadcast)(c =>
       c.keySql.contains("%") && c.nRules >= 3))
 
+  /** one coarse-quantization merged-key temporal-sort shape (≥5-minute
+    * tie buckets over a mod key — the widest per-timestamp buffer
+    * lists, where arrival-order emission is most load-bearing).
+    */
+  private[queries] val tsortSeeds: Seq[Long] = Seq(
+    firstSeedOf("tsort", StreamFuzzGen.genTsort)(c =>
+      c.quantMinutes >= 5 && c.keySql.contains("%")))
+
+  /** one tie-bearing (cents-sort) Fast Top-1 shape and one append
+    * First-N shape (counter-only state).
+    */
+  private[queries] val t1Seeds: Seq[Long] = Seq(
+    firstSeedOf("t1", StreamFuzzGen.genT1)(c =>
+      c.arm == "top1" && c.sortSql.contains("DECIMAL")),
+    firstSeedOf("t1", StreamFuzzGen.genT1)(_.arm == "firstn")).distinct
+
   /** Deterministic stop/restart boundary for a recovery-arm seed: a
     * batch index in 1..3 ([[StreamQueries.runToEnd]] clamps into the
     * replay's actual batch range) — "random batch boundary", but a pure
@@ -227,6 +243,8 @@ object StreamFuzzQueries {
   private val idleCases = idleSeeds.map(StreamFuzzGen.genIdle)
   private val wmAlignCases = wmAlignSeeds.map(StreamFuzzGen.genWmAlign)
   private val broadcastCases = broadcastSeeds.map(StreamFuzzGen.genBroadcast)
+  private val tsortCases = tsortSeeds.map(StreamFuzzGen.genTsort)
+  private val t1Cases = t1Seeds.map(StreamFuzzGen.genT1)
   private val intervalCases = intervalSeeds.map(StreamFuzzGen.genInterval)
   private val winJoinCases = winJoinSeeds.map(StreamFuzzGen.genWinJoin)
   private val overCases = overSeeds.map(StreamFuzzGen.genOver)
@@ -299,6 +317,14 @@ object StreamFuzzQueries {
     broadcastCases.map { c =>
       s"q_fuzz_stream_bc${c.seed}" -> ((s, dir) =>
         StreamQueries.streamBroadcastFuzzReplay(s, dir, c)): (String, QFn)
+    }.toMap ++
+    tsortCases.map { c =>
+      s"q_fuzz_stream_ts${c.seed}" -> ((s, dir) =>
+        StreamQueries.streamTsortFuzzReplay(s, dir, c)): (String, QFn)
+    }.toMap ++
+    t1Cases.map { c =>
+      s"q_fuzz_stream_top${c.seed}" -> ((s, dir) =>
+        StreamQueries.streamT1FuzzReplay(s, dir, c)): (String, QFn)
     }.toMap ++
     intervalCases.map { c =>
       s"q_fuzz_stream_iv${c.seed}" -> ((s, dir) =>
@@ -396,7 +422,16 @@ object StreamFuzzQueries {
           restartBoundaries = Seq(1, 2))),
       s"q_fuzz_recover_t${tn.seed}" -> ((s, dir) =>
         StreamQueries.streamTopNFuzzReplay(s, dir, tn,
-          restartAfter = Some(restartBoundary(tn.seed)))))
+          restartAfter = Some(restartBoundary(tn.seed)))),
+      // Fast Top-1's SINGLE-RECORD champion ValueState — a distinct
+      // recovery shape from RetractableTopN's sorted-map state: a lost
+      // champion re-emits +I without -U and the fold breaks
+      {
+        val t1 = t1Cases.find(_.arm == "top1").get
+        s"q_fuzz_recover_top${t1.seed}" -> ((s, dir) =>
+          StreamQueries.streamT1FuzzReplay(s, dir, t1,
+            restartAfter = Some(restartBoundary(t1.seed)))): (String, QFn)
+      })
   }
 
   private lazy val recoverOracles: Map[String, String] = {
@@ -416,7 +451,10 @@ object StreamFuzzQueries {
       s"q_fuzz_recover_tj${tj.seed}" -> tj.oracleSql,
       s"q_fuzz_recover_w${w.seed}" -> w.oracleSql,
       s"q_fuzz_recover_s${se.seed}" -> se.oracleSql,
-      s"q_fuzz_recover_t${tn.seed}" -> tn.oracleSql)
+      s"q_fuzz_recover_t${tn.seed}" -> tn.oracleSql) ++ {
+      val t1 = t1Cases.find(_.arm == "top1").get
+      Map(s"q_fuzz_recover_top${t1.seed}" -> t1.oracleSql)
+    }
   }
 
   val oracles: Map[String, String] =
@@ -437,6 +475,10 @@ object StreamFuzzQueries {
       s"q_fuzz_stream_wa${c.seed}" -> c.oracleSql).toMap ++
     broadcastCases.map(c =>
       s"q_fuzz_stream_bc${c.seed}" -> c.oracleSql).toMap ++
+    tsortCases.map(c =>
+      s"q_fuzz_stream_ts${c.seed}" -> c.oracleSql).toMap ++
+    t1Cases.map(c =>
+      s"q_fuzz_stream_top${c.seed}" -> c.oracleSql).toMap ++
     intervalCases.map(c => s"q_fuzz_stream_iv${c.seed}" -> c.oracleSql).toMap ++
     winJoinCases.map(c => s"q_fuzz_stream_wj${c.seed}" -> c.oracleSql).toMap ++
     overCases.map(c => s"q_fuzz_stream_ov${c.seed}" -> c.oracleSql).toMap ++
@@ -520,6 +562,15 @@ object StreamFuzzQueries {
   def replayBroadcast(s: org.apache.spark.sql.SparkSession, dir: String,
       c: StreamFuzzGen.BcCase): org.apache.spark.sql.DataFrame =
     StreamQueries.streamBroadcastFuzzReplay(s, dir, c)
+
+  def replayTsort(s: org.apache.spark.sql.SparkSession, dir: String,
+      c: StreamFuzzGen.TsortCase): org.apache.spark.sql.DataFrame =
+    StreamQueries.streamTsortFuzzReplay(s, dir, c)
+
+  def replayT1(s: org.apache.spark.sql.SparkSession, dir: String,
+      c: StreamFuzzGen.T1Case,
+      restartAfter: Option[Int] = None): org.apache.spark.sql.DataFrame =
+    StreamQueries.streamT1FuzzReplay(s, dir, c, restartAfter)
 
   def replayInterval(s: org.apache.spark.sql.SparkSession, dir: String,
       c: StreamFuzzGen.IntervalCase): org.apache.spark.sql.DataFrame =

@@ -1229,6 +1229,98 @@ object StreamQueries {
       .select($"k", $"data_id", $"rule_name", $"version", $"thr_cents")
   }
 
+  /** Quantized-timestamp row for [[streamTsortFuzzReplay]]. */
+  case class TsRow(k: String, qts: java.sql.Timestamp, id: Long)
+
+  /** MemoryStream replay for a [[StreamFuzzGen.TsortCase]]: filtered
+    * events, event times QUANTIZED to the case's bucket, replay as 3
+    * contiguous ascending chunks each SCRAMBLED by the shared
+    * (id·131) mod 997 hash — bounded disorder inside every micro-batch
+    * that [[graft.streaming.TemporalSort]] must undo, while chunk
+    * contiguity keeps every row ahead of the advancing watermark (no
+    * row is late by construction). The sorted output chains into the
+    * per-key [[graft.streaming.TemporalSort.SeqStampProcessor]]; the
+    * emitted (k, id, seq) set must equal ROW_NUMBER over (quantized
+    * ts, chunk, hash, id) — arrival order within equal timestamps is
+    * the reference's RowTimeSortOperator contract, and the stamper
+    * makes it a hashable value.
+    */
+  private[queries] def streamTsortFuzzReplay(s: SparkSession, dir: String,
+      c: StreamFuzzGen.TsortCase): DataFrame = {
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    implicit val stampEnc =
+      Encoders.product[graft.streaming.TemporalSort.SeqStamped]
+    val quantMs = c.quantMinutes * 60000L
+    val rows = t(s, dir, "events").filter(expr(c.filterSql))
+      .select(expr(s"CAST(${c.keySql} AS STRING)").as("k"),
+        col("ts").cast("timestamp").as("ts"), col("event_id"))
+      .as[(String, java.sql.Timestamp, Long)]
+      .collect().toSeq.sortBy(t => (micros(t._2), t._3))
+      .map { case (k, ts, id) =>
+        TsRow(k, new java.sql.Timestamp(
+          ts.getTime - Math.floorMod(ts.getTime, quantMs)), id)
+      }
+    val batches = chunks(rows, 3)
+      .map(_.sortBy(r => ((r.id * 131) % 997, r.id)))
+    val maxQ = rows.map(_.qts.getTime).max
+    val sentinel = Seq(TsRow("\u0000flush", new java.sql.Timestamp(
+      maxQ + c.delayMinutes * 60000L + 2 * quantMs), -1L))
+    val input = MemoryStream[TsRow]
+    val watermarked = input.toDS()
+      .withWatermark("qts", s"${c.delayMinutes} minutes").as[TsRow]
+    val sortedOut = graft.streaming.TemporalSort.sorted[String, TsRow](
+      watermarked, _.k, _.qts.getTime)
+    val stamped = sortedOut.groupByKey(_.k)
+      .transformWithState(
+        new graft.streaming.TemporalSort.SeqStampProcessor[TsRow](_.id),
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        org.apache.spark.sql.streaming.OutputMode.Update())
+    runToEnd(s, input, stamped.toDF(), batches :+ sentinel, rocks = true)
+      .filter($"k" =!= "\u0000flush")
+      .select($"k", $"id", $"seq")
+  }
+
+  /** MemoryStream replay for a [[StreamFuzzGen.T1Case]]: filtered
+    * events replay (ts, id)-sorted per key through
+    * [[StatefulOps.FastTop1Processor]] (top1 arm — one champion
+    * ValueState per key, -U/+U dethronings) or
+    * [[StatefulOps.AppendOnlyFirstNProcessor]] (firstn arm — counter
+    * state only); the folded changelog must equal the batch
+    * ROW_NUMBER restatement. `restartAfter` threads the top1 arm's
+    * single-record state through the checkpoint stop/restart battery.
+    */
+  private[queries] def streamT1FuzzReplay(s: SparkSession, dir: String,
+      c: StreamFuzzGen.T1Case,
+      restartAfter: Option[Int] = None): DataFrame = {
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    implicit val chEnc =
+      Encoders.product[StatefulOps.Change[String, StatefulOps.Ranked]]
+    val rows = t(s, dir, "events").filter(expr(c.filterSql))
+      .select(expr(s"CAST(${c.keySql} AS STRING)").as("k"),
+        col("ts").cast("timestamp").as("ts"), col("event_id"),
+        expr(s"CAST(${c.sortSql} AS BIGINT)").as("srt"))
+      .as[(String, java.sql.Timestamp, Long, Long)]
+      .collect().toSeq.sortBy(t => (micros(t._2), t._3))
+      .map { case (k, ts, id, srt) =>
+        StatefulOps.Ranked(k, id,
+          if (c.arm == "top1") srt else micros(ts))
+      }
+    val input = MemoryStream[StatefulOps.Ranked]
+    val out = input.toDS().groupByKey(_.key)
+      .transformWithState(
+        if (c.arm == "top1") new StatefulOps.FastTop1Processor
+        else new StatefulOps.AppendOnlyFirstNProcessor(c.n),
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        org.apache.spark.sql.streaming.OutputMode.Update())
+    val sink = runToEnd(s, input, out.toDF(), chunks(rows, 3),
+      rocks = true, restartAfter = restartAfter)
+    foldChangelog(sink, "kind")
+      .select($"value.key".as("k"), $"value.id".as("id"),
+        $"value.sort".as("srt"))
+  }
+
   /** MemoryStream replay for a [[WindowFuzzGen.CountWinCase]]: filtered
     * events replay (micro-ts, id)-sorted per key through the tumbling
     * [[StatefulOps.CountWindowProcessor]] (every FULL window of `size`

@@ -100,6 +100,31 @@ object TemporalSort {
         new TemporalSortProcessor[K, V](tsOf, implicitly[Encoder[V]]),
         TimeMode.EventTime(), OutputMode.Append())
 
+  case class SeqStamped(k: String, id: Long, seq: Long)
+
+  /** Per-key emission-sequence stamper: every row the upstream sort
+    * emits gets the key's running count. Chained after [[sorted]] it
+    * turns emission ORDER into a checkable VALUE — row i's seq must
+    * equal its rank in exact (ts, arrival) order, so ANY out-of-order,
+    * duplicated, or dropped emission shifts some seq and breaks an
+    * oracle hash. Stronger than [[OrderAuditProcessor]]'s violation
+    * counter, which only sees adjacent descending-ts pairs.
+    */
+  class SeqStampProcessor[V](idOf: V => Long)
+      extends StatefulProcessor[String, V, SeqStamped] {
+    @transient private var n: ValueState[Long] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      n = getHandle.getValueState[Long]("seq",
+        Encoders.scalaLong, TTLConfig.NONE)
+    override def handleInputRows(key: String, rows: Iterator[V],
+        timerValues: TimerValues): Iterator[SeqStamped] = {
+      var c = if (n.exists()) n.get() else 0L
+      val out = rows.map { v => c += 1; SeqStamped(key, idOf(v), c) }.toVector
+      n.update(c)
+      out.iterator
+    }
+  }
+
   case class OrderAudit(key: String, n: Long, violations: Long)
 
   /** Downstream order auditor: consumes a (supposedly) time-ordered

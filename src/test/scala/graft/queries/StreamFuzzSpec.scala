@@ -1067,6 +1067,140 @@ class StreamFuzzSpec extends SparkSuite {
       "no rule version was ever overwritten between reads — untested")
   }
 
+  test("temporal-sort generator is deterministic and covers its arms") {
+    for (s <- Seq(1L, 7L, 4242L))
+      assert(StreamFuzzGen.genTsort(s) == StreamFuzzGen.genTsort(s))
+    val cs = (1L to 24L).map(StreamFuzzGen.genTsort)
+    assert(cs.map(_.quantMinutes).distinct.length == 3)
+    assert(cs.map(_.delayMinutes).distinct.length == 3)
+    assert(cs.exists(_.keySql.contains("%")))
+  }
+
+  /** Temporal sort ([[StreamFuzzGen.TsortCase]] — the reference's
+    * RowTimeSortOperator): scrambled chunks must re-emit in exact
+    * (quantized ts, arrival) order, stamped into a per-key sequence the
+    * restatement states as ROW_NUMBER. Two data-dependent bites must
+    * fire on some seed: a batch that actually contains an out-of-order
+    * timestamp pair (the sort has work to undo), and a quantized tie
+    * group spanning ≥ 2 chunks (one buffered timestamp accumulating
+    * across micro-batches).
+    */
+  test("temporal sort re-emits scrambled chunks in exact order per seed") {
+    import org.apache.spark.sql.functions._
+    Q.t(spark, dir, "events").createOrReplaceTempView("tsort_fuzz_ev")
+    val sparkCev = "SELECT event_id, user_id, " +
+      "unix_micros(CAST(ts AS TIMESTAMP)) AS us, event_type, value " +
+      "FROM tsort_fuzz_ev"
+    var disorderBite = 0
+    var spanBite = 0
+    for (seed <- (1L to 4L) ++ StreamFuzzQueries.tsortSeeds) {
+      val c = StreamFuzzGen.genTsort(seed)
+      // mirror the replay's batch construction to assert the bites
+      val quantUs = c.quantUs
+      val rows = spark.sql(s"SELECT CAST(${c.keySql} AS STRING) AS k, " +
+          s"us, event_id FROM ($sparkCev) WHERE ${c.filterSql}")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+        .sortBy(t => (t._2, t._3)).toSeq
+      val csz = math.max(1, math.ceil(rows.length.toDouble / 3).toInt)
+      val batches = rows.grouped(csz).toSeq
+        .map(_.sortBy(t => ((t._3 * 131) % 997, t._3)))
+      if (batches.exists(b => b.sliding(2).exists(p =>
+        p.length == 2 && p(0)._2 - p(0)._2 % quantUs >
+          p(1)._2 - p(1)._2 % quantUs))) disorderBite += 1
+      val groupChunks = rows.zipWithIndex.groupBy { case ((k, us, _), _) =>
+        (k, us - us % quantUs) }
+        .values.map(_.map(_._2 / csz).distinct.length)
+      if (groupChunks.exists(_ >= 2)) spanBite += 1
+      val expected = spark.sql(c.restatement(sparkCev))
+        .collect().map(_.toString).sorted.toSeq
+      val actual = StreamQueries.streamTsortFuzzReplay(spark, dir, c)
+        .collect().map(_.toString).sorted.toSeq
+      assert(actual == expected,
+        s"tsort seed $seed diverged: key=${c.keySql} f=${c.filterSql} " +
+          s"quant=${c.quantMinutes}m delay=${c.delayMinutes}m " +
+          s"(batch=${expected.length} rows, stream=${actual.length})")
+    }
+    assert(disorderBite > 0,
+      "no batch ever contained an out-of-order pair — the sort is untested")
+    assert(spanBite > 0,
+      "no tie group ever spanned two chunks — cross-batch buffering untested")
+  }
+
+  test("top1/firstn generator is deterministic and covers its arms") {
+    for (s <- Seq(1L, 7L, 4242L))
+      assert(StreamFuzzGen.genT1(s) == StreamFuzzGen.genT1(s))
+    val cs = (1L to 24L).map(StreamFuzzGen.genT1)
+    assert(cs.exists(_.arm == "top1") && cs.exists(_.arm == "firstn"))
+    assert(cs.exists(c => c.arm == "top1" && c.sortSql.contains("DECIMAL")))
+    assert(cs.map(_.n).distinct.length >= 3)
+  }
+
+  /** Fast Top-1 / append First-N ([[StreamFuzzGen.T1Case]] — the
+    * reference's FastTop1Function champion state and
+    * AppendOnlyFirstNFunction counter state): folded changelogs must
+    * equal the ROW_NUMBER restatements. Three bites must fire across
+    * the sweep: a champion DETHRONED mid-replay (-U/+U path), a sort
+    * TIE resolved by id, and a key truncated by the First-N counter.
+    */
+  test("fast top1/firstn matches the row_number restatement per seed") {
+    import org.apache.spark.sql.functions._
+    Q.t(spark, dir, "events").createOrReplaceTempView("t1_fuzz_ev")
+    val sparkCev = "SELECT event_id, user_id, " +
+      "unix_micros(CAST(ts AS TIMESTAMP)) AS us, event_type, value " +
+      "FROM t1_fuzz_ev"
+    var dethroneBite = 0
+    var tieBite = 0
+    var truncBite = 0
+    // the bites are pure data facts (no engine run) — scan a wider seed
+    // range than the replay differential so each fires somewhere
+    for (seed <- (1L to 16L) ++ StreamFuzzQueries.t1Seeds) {
+      val c = StreamFuzzGen.genT1(seed)
+      if (c.arm == "top1") {
+        // dethroning: the eventual champion is not the first arrival
+        val n = spark.sql(
+          s"""WITH f AS (SELECT CAST(${c.keySql} AS STRING) AS k,
+             |    event_id, us, CAST(${c.sortSql} AS BIGINT) AS srt
+             |  FROM ($sparkCev) WHERE ${c.filterSql}),
+             |r AS (SELECT k,
+             |    MIN_BY(event_id, STRUCT(srt, event_id)) AS champ,
+             |    MIN_BY(event_id, STRUCT(us, event_id)) AS first
+             |  FROM f GROUP BY k)
+             |SELECT COUNT(*) FROM r WHERE champ <> first""".stripMargin)
+          .collect().head.getLong(0)
+        if (n > 0) dethroneBite += 1
+        val ties = spark.sql(
+          s"""WITH f AS (SELECT CAST(${c.keySql} AS STRING) AS k,
+             |    CAST(${c.sortSql} AS BIGINT) AS srt
+             |  FROM ($sparkCev) WHERE ${c.filterSql}),
+             |m AS (SELECT k, MIN(srt) AS ms FROM f GROUP BY k)
+             |SELECT COUNT(*) FROM f JOIN m ON f.k = m.k AND f.srt = m.ms
+             |GROUP BY f.k HAVING COUNT(*) >= 2""".stripMargin).count()
+        if (ties > 0) tieBite += 1
+      } else {
+        val over = spark.sql(
+          s"""SELECT CAST(${c.keySql} AS STRING) AS k, COUNT(*) AS n
+             |FROM ($sparkCev) WHERE ${c.filterSql}
+             |GROUP BY 1 HAVING COUNT(*) > ${c.n}""".stripMargin).count()
+        if (over > 0) truncBite += 1
+      }
+      // the engine differential runs on the head of the range + the
+      // promoted seeds (each replay is a full streaming query)
+      if (seed <= 6L || StreamFuzzQueries.t1Seeds.contains(seed)) {
+        val expected = spark.sql(c.restatement(sparkCev))
+          .collect().map(_.toString).sorted.toSeq
+        val actual = StreamQueries.streamT1FuzzReplay(spark, dir, c)
+          .collect().map(_.toString).sorted.toSeq
+        assert(actual == expected,
+          s"t1 seed $seed diverged: arm=${c.arm} key=${c.keySql} " +
+            s"f=${c.filterSql} sort=${c.sortSql} n=${c.n} " +
+            s"(batch=${expected.length} rows, stream=${actual.length})")
+      }
+    }
+    assert(dethroneBite > 0, "no champion was ever dethroned — untested")
+    assert(tieBite > 0, "no sort tie ever occurred — tiebreak untested")
+    assert(truncBite > 0, "no key exceeded n — First-N truncation untested")
+  }
+
   test("checkpoint stop/restart resume: recovered state equals the uninterrupted run per seed") {
     // the exactly-once contract across restarts (the reference's core
     // checkpoint guarantee): stop() at a seed-determined batch boundary,
