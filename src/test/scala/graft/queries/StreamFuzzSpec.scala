@@ -801,7 +801,11 @@ class StreamFuzzSpec extends SparkSuite {
     val sparkCev = "SELECT user_id, unix_micros(CAST(ts AS TIMESTAMP)) " +
       "AS us, event_type FROM wm_fuzz_ev"
     var paused = 0
-    for (seed <- 1L to 3L) {
+    // the promoted seed rides along so its drift-cap bite is asserted,
+    // not just its oracle outcome observed (it is chosen for the
+    // COARSEST round split — cheapest bench shape that still pauses)
+    for (seed <- (1L to 3L) ++
+        StreamFuzzQueries.wmAlignSeeds.filterNot(1L to 3L contains _)) {
       val c = StreamFuzzGen.genWmAlign(seed)
       val expected = spark.sql(c.restatement(sparkCev))
         .collect().map(_.toString).sorted.toSeq
@@ -830,14 +834,21 @@ class StreamFuzzSpec extends SparkSuite {
         maxDriftMs = spanMs / c.driftDiv, rowsPerRound = cap)
       val remaining = scala.collection.mutable.Map(
         0 -> fast.size, 1 -> slow.size)
+      var seedPaused = 0
       rounds.foreach { r =>
         val bySrc = r.groupBy(_._1).view.mapValues(_.size).toMap
         Seq(0, 1).foreach { j =>
           val released = bySrc.getOrElse(j, 0)
           remaining(j) -= released
-          if (released < cap && remaining(j) > 0) paused += 1
+          if (released < cap && remaining(j) > 0) seedPaused += 1
         }
       }
+      paused += seedPaused
+      // the promoted seed must ITSELF pause — its coarse round split is
+      // chosen for bench cost, and this is the proof it kept the bite
+      if (StreamFuzzQueries.wmAlignSeeds.contains(seed))
+        assert(seedPaused > 0,
+          s"promoted align seed $seed never paused — degenerate promotion")
     }
     assert(paused > 0,
       "alignment never paused any source on any seed — the arm is degenerate")
