@@ -70,7 +70,8 @@ object StreamQueries {
       mode: String = "update", rocks: Boolean = false,
       restartAfter: Option[Int] = None,
       restartBoundaries: Seq[Int] = Nil,
-      foreachSink: Option[(DataFrame, Long) => Unit] = None): DataFrame = {
+      foreachSink: Option[(DataFrame, Long) => Unit] = None,
+      shufflePartitions: Int = 2): DataFrame = {
     val ckpt = java.nio.file.Files.createTempDirectory("qstream_ckpt")
     def freshName() =
       s"qstream_${java.util.UUID.randomUUID().toString.replace("-", "")}"
@@ -105,7 +106,8 @@ object StreamQueries {
       try cuts.sliding(2).foreach { case Seq(from, to) =>
         if (to > from) {
           val q = startReplayQuery(s, out, freshName(), ckpt.toString, mode,
-            rocks, foreachBatch = Some(sinkFn))
+            rocks, foreachBatch = Some(sinkFn),
+            shufflePartitions = shufflePartitions)
           try batches.slice(from, to).foreach { b =>
             input.addData(b); q.processAllAvailable()
           }
@@ -118,7 +120,7 @@ object StreamQueries {
     } else {
       val name = freshName()
       val q = startReplayQuery(s, out, name, ckpt.toString, mode, rocks,
-        foreachBatch = foreachSink)
+        foreachBatch = foreachSink, shufflePartitions = shufflePartitions)
       try batches.foreach { b => input.addData(b); q.processAllAvailable() }
       finally {
         q.stop()
@@ -138,7 +140,8 @@ object StreamQueries {
     */
   private def startReplayQuery(s: SparkSession, out: DataFrame, name: String,
       ckpt: String, mode: String, rocks: Boolean,
-      foreachBatch: Option[(DataFrame, Long) => Unit] = None)
+      foreachBatch: Option[(DataFrame, Long) => Unit] = None,
+      shufflePartitions: Int = 2)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     require(foreachBatch.isEmpty || mode != "complete",
       "restart arm buffers per-batch emissions; complete mode would " +
@@ -173,8 +176,12 @@ object StreamQueries {
         case Some(p) => s.conf.set(key, p)
         case None    => s.conf.unset(key)
       }
+      // default cap 2: replay state fits a handful of partitions and a
+      // wider store only multiplies open/close overhead. The sharded
+      // scale probes RAISE this — at 64x key breadth the 2-partition
+      // store is the bottleneck and sharding is the production lever.
       s.conf.set("spark.sql.shuffle.partitions",
-        math.min(prevShuffle.toInt, 2).toString)
+        math.min(prevShuffle.toInt, shufflePartitions).toString)
       s.conf.set("spark.sql.streaming.stateStore.providerClass",
         if (rocks) RocksProvider else HdfsProvider)
       // replay state is tiny; per-commit row recounts are pure overhead
@@ -398,7 +405,7 @@ object StreamQueries {
     * `q_fuzz_stream_s*`.
     */
   private def sessionScaleProbe(s: SparkSession, dir: String,
-      factor: Int): DataFrame = {
+      factor: Int, shards: Int = 2): DataFrame = {
     import s.implicits._
     implicit val sqlCtx = s.sqlContext
     val base = sortedEvents(s, dir)
@@ -421,7 +428,8 @@ object StreamQueries {
     val counter = new java.util.concurrent.atomic.LongAdder
     runToEnd(s, input, annotated, chunks(rows, 2) :+ sentinel, rocks = true,
       foreachSink = Some((df, _) =>
-        counter.add(df.filter(col("user_id") >= 0).count())))
+        counter.add(df.filter(col("user_id") >= 0).count())),
+      shufflePartitions = shards)
     Seq(counter.sum).toDF("rows")
   }
 
@@ -436,7 +444,13 @@ object StreamQueries {
   val benchOnly: Map[String, QFn] = Map(
     "b_stream_scale1" -> ((s, dir) => sessionScaleProbe(s, dir, 1)),
     "b_stream_scale8" -> ((s, dir) => sessionScaleProbe(s, dir, 8)),
-    "b_stream_scale64" -> ((s, dir) => sessionScaleProbe(s, dir, 64)))
+    "b_stream_scale64" -> ((s, dir) => sessionScaleProbe(s, dir, 64)),
+    // the production lever demonstrated: the SAME 64x probe with the
+    // state store sharded over 8 partitions instead of 2 — the 64x-keys
+    // store stops being the bottleneck and the 1x->64x ratio closes
+    // toward linear (measured in docs/SCALE.md)
+    "b_stream_scale64_sharded" ->
+      ((s, dir) => sessionScaleProbe(s, dir, 64, shards = 8)))
 
   /** MemoryStream replay for a [[StreamFuzzGen.SessionCase]]: derived
     * key columns → filter → SessionWindows.annotate under the case's
