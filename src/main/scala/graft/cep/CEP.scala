@@ -45,9 +45,14 @@ object CEP {
   /** Batch CEP timeout side output — the reference's
     * `PatternStream.select(timeoutTag, timeoutFn, selectFn)` timed-out
     * partial matches (flink-libraries/flink-cep/.../PatternStream.java,
-    * CepOperator timed-out pattern handling): anchor events that begin
-    * the pattern but whose `within` window closed without a complete
-    * match. `nowTs` is the watermark the timeouts are evaluated at;
+    * CepOperator timed-out pattern handling): anchor events whose
+    * `within` window closed while a partial match was STILL PENDING —
+    * the reference's alive-at-expiry rule (NFA.java advanceTime). A
+    * partial killed earlier by a contiguity violation (strict `next`
+    * seeing a mismatching in-window event, or a notNext/notFollowedBy
+    * stop state) is discarded silently and produces NO timeout — see
+    * [[graft.cep.NFA.findTimeouts]]. `nowTs` is the watermark the
+    * timeouts are evaluated at;
     * the default Long.MaxValue is the reference's end-of-bounded-input
     * MAX_WATERMARK, which times out every pending partial. Pass the
     * stream's max event time to reproduce a mid-stream watermark.

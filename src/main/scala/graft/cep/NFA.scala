@@ -85,12 +85,18 @@ class NFA[E](pattern: Pattern[E], timestampOf: E => Long) extends Serializable {
       def extended: Boolean = {
         val gapNot = if (count == 0) st.notBefore else None
         if (count >= st.maxTimes) false
+        // notNext stop state: the immediately following IN-WINDOW event
+        // matching the forbidden predicate kills the branch under EVERY
+        // contiguity (matchesAt applies the same guard before the
+        // contiguity dispatch); an out-of-window forbidden event arrives
+        // after the watermark expired the window — timeout fires first
+        else if (at < events.length && inWindow(at) &&
+            gapNot.exists { case (p, strict) => strict && p(events(at)) })
+          false
         else (if (st.combinations && count >= 1) Contiguity.AnyRelaxed
               else st.contiguity) match {
           case Contiguity.Strict =>
             if (at >= events.length || !inWindow(at)) true // pending
-            else if (gapNot.exists { case (p, strict) =>
-              strict && p(events(at)) }) false // notNext stop: killed
             else if (count >= 1 && st.until.exists(_(events(at)))) false
             else if (st.predicate(events(at))) repAlive(si, count + 1, at + 1)
             else false // strict mismatch: killed

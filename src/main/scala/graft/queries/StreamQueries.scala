@@ -180,8 +180,15 @@ object StreamQueries {
       // wider store only multiplies open/close overhead. The sharded
       // scale probes RAISE this — at 64x key breadth the 2-partition
       // store is the bottleneck and sharding is the production lever.
-      s.conf.set("spark.sql.shuffle.partitions",
-        math.min(prevShuffle.toInt, shufflePartitions).toString)
+      val effectiveShards = math.min(prevShuffle.toInt, shufflePartitions)
+      // a clamped shard request must be self-describing: a sharded probe
+      // recorded on a narrow host would otherwise carry its 8-shard
+      // label over an under-sharded measurement
+      if (effectiveShards < shufflePartitions)
+        System.err.println(s"[runToEnd] requested $shufflePartitions " +
+          s"shuffle partitions clamped to $effectiveShards " +
+          "(session default is narrower)")
+      s.conf.set("spark.sql.shuffle.partitions", effectiveShards.toString)
       s.conf.set("spark.sql.streaming.stateStore.providerClass",
         if (rocks) RocksProvider else HdfsProvider)
       // replay state is tiny; per-commit row recounts are pure overhead

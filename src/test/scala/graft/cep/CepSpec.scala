@@ -192,6 +192,22 @@ class CepSpec extends SparkSuite {
     assert(nfa(p).findTimeouts(seq, nowTs = 26).map(_.v) == Seq(1L, 4L))
   }
 
+  test("a notNext stop state kills the partial: no timeout") {
+    // alive-at-expiry under a RELAXED stage guarded by notNext: the
+    // in-window immediate N discards the partial match silently (the
+    // reference's stop state), while a neutral gap event leaves it
+    // pending — only the pending anchor reaches the timeout output
+    val p = Pattern.begin[Ev]("a")(_.kind == "A")
+      .notNext(_.kind == "N")
+      .followedBy("b")(_.kind == "B").within(5)
+    val seq = IndexedSeq(
+      Ev("k", 0, "A", 1),   // killed: N@1 is the immediate next event
+      Ev("k", 1, "N", 2),
+      Ev("k", 10, "A", 3),  // pends: X ignored by relaxed scan, no B
+      Ev("k", 11, "X", 4))
+    assert(nfa(p).findTimeouts(seq, nowTs = 20).map(_.v) == Seq(3L))
+  }
+
   test("batch CEP finds matches per key over unsorted input") {
     val p = Pattern.begin[Ev]("fail")(_.kind == "F").times(2)
       .followedBy("ok")(_.kind == "S")
