@@ -21,8 +21,9 @@ package graft
   * boundedover (ROWS/RANGE BOUNDED-preceding over-agg — the retract
   * path), ptjoin (proc-time temporal join, arrival-order restatement), cdc
   * (CDC-dialect convergence — 4 parser runs per seed), recover
-  * (checkpoint stop/restart resume — 9 stateful arms per seed incl.
-  * CEP partial-match, allowed-lateness, and Top-1 champion state),
+  * (checkpoint stop/restart resume — 11 stateful arms per seed incl.
+  * CEP partial-match, allowed-lateness, Top-1 champion, broadcast
+  * rules-map, and temporal-sort buffer+timer state),
   * cumulate (CUMULATE TVF shapes), countwin (count windows tumbling +
   * sliding), winrank (window top-n / window dedup), lookupttl (lookup
   * cache expire-after-write/-access staleness vs a versioned store),
@@ -217,6 +218,22 @@ object StreamFuzzDump {
               () => graft.queries.StreamFuzzQueries.replayT1(
                 spark, sfDir, c1, b),
               c1.oracleSql)
+          },
+          // broadcast rules MAP restored mid-replay
+          {
+            val cb = graft.queries.StreamFuzzGen.genBroadcast(seed)
+            (s"q_fuzz_recover_bc$seed",
+              () => graft.queries.StreamFuzzQueries.replayBroadcast(
+                spark, sfDir, cb, b),
+              cb.oracleSql)
+          },
+          // temporal sort buffer + coalesced timer restored mid-replay
+          {
+            val cs = graft.queries.StreamFuzzGen.genTsort(seed)
+            (s"q_fuzz_recover_ts$seed",
+              () => graft.queries.StreamFuzzQueries.replayTsort(
+                spark, sfDir, cs, b),
+              cs.oracleSql)
           })
       }
       def cu = {
@@ -378,7 +395,7 @@ object StreamFuzzDump {
     }
     DumpIO.writeOracle(outDir, oracle)
     val total = n * (family match {
-      case "all" => 33; case "cdc" => 4; case "recover" => 9; case _ => 1
+      case "all" => 33; case "cdc" => 4; case "recover" => 11; case _ => 1
     }) - skippedInvalid
     println(s"[streamfuzz] dumped ${oracle.length} of $total $family cases " +
       s"($failed failed on Spark, $skippedInvalid invalid wmidle seeds " +

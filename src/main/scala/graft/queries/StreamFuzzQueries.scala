@@ -438,6 +438,24 @@ object StreamFuzzQueries {
         s"q_fuzz_recover_top${t1.seed}" -> ((s, dir) =>
           StreamQueries.streamT1FuzzReplay(s, dir, t1,
             restartAfter = Some(restartBoundary(t1.seed)))): (String, QFn)
+      },
+      // broadcast rules MAP restored mid-replay: a lost PUT/REMOVE
+      // makes every later data row read a stale rules image
+      {
+        val bc = broadcastCases.head
+        s"q_fuzz_recover_bc${bc.seed}" -> ((s, dir) =>
+          StreamQueries.streamBroadcastFuzzReplay(s, dir, bc,
+            restartAfter = Some(restartBoundary(bc.seed)))): (String, QFn)
+      },
+      // temporal sort's buffered-rows MapState + COALESCED timer
+      // (ptimer ValueState + registered event-time timer) restored
+      // mid-replay: a lost buffer drops rows, a lost timer never
+      // drains them, a re-armed-too-high timer emits out of order
+      {
+        val tc = tsortCases.head
+        s"q_fuzz_recover_ts${tc.seed}" -> ((s, dir) =>
+          StreamQueries.streamTsortFuzzReplay(s, dir, tc,
+            restartAfter = Some(restartBoundary(tc.seed)))): (String, QFn)
       })
   }
 
@@ -460,7 +478,11 @@ object StreamFuzzQueries {
       s"q_fuzz_recover_s${se.seed}" -> se.oracleSql,
       s"q_fuzz_recover_t${tn.seed}" -> tn.oracleSql) ++ {
       val t1 = t1Cases.find(_.arm == "top1").get
-      Map(s"q_fuzz_recover_top${t1.seed}" -> t1.oracleSql)
+      Map(s"q_fuzz_recover_top${t1.seed}" -> t1.oracleSql,
+        s"q_fuzz_recover_bc${broadcastCases.head.seed}" ->
+          broadcastCases.head.oracleSql,
+        s"q_fuzz_recover_ts${tsortCases.head.seed}" ->
+          tsortCases.head.oracleSql)
     }
   }
 
@@ -567,12 +589,14 @@ object StreamFuzzQueries {
     StreamQueries.streamWmAlignFuzzReplay(s, dir, c)
 
   def replayBroadcast(s: org.apache.spark.sql.SparkSession, dir: String,
-      c: StreamFuzzGen.BcCase): org.apache.spark.sql.DataFrame =
-    StreamQueries.streamBroadcastFuzzReplay(s, dir, c)
+      c: StreamFuzzGen.BcCase,
+      restartAfter: Option[Int] = None): org.apache.spark.sql.DataFrame =
+    StreamQueries.streamBroadcastFuzzReplay(s, dir, c, restartAfter)
 
   def replayTsort(s: org.apache.spark.sql.SparkSession, dir: String,
-      c: StreamFuzzGen.TsortCase): org.apache.spark.sql.DataFrame =
-    StreamQueries.streamTsortFuzzReplay(s, dir, c)
+      c: StreamFuzzGen.TsortCase,
+      restartAfter: Option[Int] = None): org.apache.spark.sql.DataFrame =
+    StreamQueries.streamTsortFuzzReplay(s, dir, c, restartAfter)
 
   def replayT1(s: org.apache.spark.sql.SparkSession, dir: String,
       c: StreamFuzzGen.T1Case,

@@ -1216,7 +1216,8 @@ object StreamQueries {
     * ascending replay makes arrival order deterministic.
     */
   private[queries] def streamBroadcastFuzzReplay(s: SparkSession,
-      dir: String, c: StreamFuzzGen.BcCase): DataFrame = {
+      dir: String, c: StreamFuzzGen.BcCase,
+      restartAfter: Option[Int] = None): DataFrame = {
     import s.implicits._
     implicit val sqlCtx = s.sqlContext
     import graft.streaming.ConnectedStreams
@@ -1246,7 +1247,7 @@ object StreamQueries {
         org.apache.spark.sql.streaming.TimeMode.None(),
         org.apache.spark.sql.streaming.OutputMode.Append())
     runToEnd(s, input, out.toDF(), chunks(envs, 3), mode = "append",
-      rocks = true)
+      rocks = true, restartAfter = restartAfter)
       .select($"k", $"data_id", $"rule_name", $"version", $"thr_cents")
   }
 
@@ -1267,7 +1268,8 @@ object StreamQueries {
     * makes it a hashable value.
     */
   private[queries] def streamTsortFuzzReplay(s: SparkSession, dir: String,
-      c: StreamFuzzGen.TsortCase): DataFrame = {
+      c: StreamFuzzGen.TsortCase,
+      restartAfter: Option[Int] = None): DataFrame = {
     import s.implicits._
     implicit val sqlCtx = s.sqlContext
     implicit val stampEnc =
@@ -1297,7 +1299,8 @@ object StreamQueries {
         new graft.streaming.TemporalSort.SeqStampProcessor[TsRow](_.id),
         org.apache.spark.sql.streaming.TimeMode.None(),
         org.apache.spark.sql.streaming.OutputMode.Update())
-    runToEnd(s, input, stamped.toDF(), batches :+ sentinel, rocks = true)
+    runToEnd(s, input, stamped.toDF(), batches :+ sentinel, rocks = true,
+      restartAfter = restartAfter)
       .filter($"k" =!= "\u0000flush")
       .select($"k", $"id", $"seq")
   }
