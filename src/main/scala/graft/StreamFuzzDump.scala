@@ -11,8 +11,14 @@ package graft
   * Usage: runMain graft.StreamFuzzDump <sfDir> <outDir> [n=30] [seed0=1] [family=window]
   * then:  python3 dev/check.py <sfDir> <outDir>
   * family selects the generator arm: window (windowed aggregates),
-  * session (SessionWindows annotation), retract (StatefulOps retract
-  * group agg), topn (RetractableTopN diffs), cep (batch NFA patterns),
+  * session (SessionWindows annotation), sessiondyn (built-in
+  * session_window with a PER-ROW dynamic gap expression vs a
+  * running-max-of-ends islands restatement), retract (StatefulOps retract
+  * group agg), minibatch (the retract case's SUM arm through the
+  * mini-batch emission protocol — one -U/+U step per key per batch),
+  * distinct (split COUNT(DISTINCT) — (group, value % buckets) shards
+  * folded by the final-stage signed sum),
+  * topn (RetractableTopN diffs), cep (batch NFA patterns),
   * dedup (StatefulOps keep-first/last/TTL), join (OuterJoin/SemiAntiJoin
   * retraction joins), temporal (TemporalJoin as-of resolution), cepq
   * (NFA quantifier patterns), cepr (NFA relaxed-contiguity/negation
@@ -21,9 +27,11 @@ package graft
   * boundedover (ROWS/RANGE BOUNDED-preceding over-agg — the retract
   * path), ptjoin (proc-time temporal join, arrival-order restatement), cdc
   * (CDC-dialect convergence — 4 parser runs per seed), recover
-  * (checkpoint stop/restart resume — 11 stateful arms per seed incl.
+  * (checkpoint stop/restart resume — 12 stateful arms per seed incl.
   * CEP partial-match, allowed-lateness, Top-1 champion, broadcast
-  * rules-map, and temporal-sort buffer+timer state),
+  * rules-map, temporal-sort buffer+timer state, and the state-surgery
+  * resume leg), surgery (savepoint read→point-read→rewrite→bootstrap
+  * resume — StateReader/StateBootstrap seeded end-to-end),
   * cumulate (CUMULATE TVF shapes), countwin (count windows tumbling +
   * sliding), winrank (window top-n / window dedup), lookupttl (lookup
   * cache expire-after-write/-access staleness vs a versioned store),
@@ -73,10 +81,38 @@ object StreamFuzzDump {
           () => graft.queries.StreamFuzzQueries.replaySession(spark, sfDir, c),
           c.oracleSql)
       }
+      def sd = {
+        val c = graft.queries.StreamFuzzGen.genSessionDyn(seed)
+        (s"q_fuzz_stream_sd$seed",
+          () => graft.queries.StreamFuzzQueries.replaySessionDyn(spark, sfDir, c),
+          c.oracleSql)
+      }
+      def sg = {
+        val c = graft.queries.StreamFuzzGen.genSurgery(seed)
+        (s"q_fuzz_surgery_$seed",
+          () => graft.queries.StreamFuzzQueries.replaySurgery(spark, sfDir, c),
+          c.oracleSql)
+      }
       def re = {
         val c = graft.queries.StreamFuzzGen.genRetract(seed)
         (s"q_fuzz_stream_r$seed",
           () => graft.queries.StreamFuzzQueries.replayRetract(spark, sfDir, c),
+          c.oracleSql)
+      }
+      // mini-batch emission protocol: the retract case forced to its SUM
+      // arm, replayed with one -U/+U step per key per micro-batch — the
+      // folded end state must still match the same batch restatement
+      def mb = {
+        val c = graft.queries.StreamFuzzGen.genRetract(seed).copy(op = "sum")
+        (s"q_fuzz_stream_mb$seed",
+          () => graft.queries.StreamFuzzQueries.replayRetract(spark, sfDir, c,
+            miniBatch = true),
+          c.oracleSql)
+      }
+      def cd = {
+        val c = graft.queries.StreamFuzzGen.genDistinct(seed)
+        (s"q_fuzz_stream_cd$seed",
+          () => graft.queries.StreamFuzzQueries.replayDistinct(spark, sfDir, c),
           c.oracleSql)
       }
       def tn = {
@@ -234,6 +270,17 @@ object StreamFuzzDump {
               () => graft.queries.StreamFuzzQueries.replayTsort(
                 spark, sfDir, cs, b),
               cs.oracleSql)
+          },
+          // state surgery: phase 2 (the query RESUMED from a rewritten
+          // offline bootstrap) additionally stopped and restarted — the
+          // initial-state handoff must survive checkpoint recovery
+          // without re-applying the bootstrap
+          {
+            val cg = graft.queries.StreamFuzzGen.genSurgery(seed)
+            (s"q_fuzz_recover_sb$seed",
+              () => graft.queries.StreamFuzzQueries.replaySurgery(
+                spark, sfDir, cg, b),
+              cg.oracleSql)
           })
       }
       def cu = {
@@ -342,7 +389,11 @@ object StreamFuzzDump {
       family match {
         case "window"  => Seq(w)
         case "session" => Seq(se)
+        case "sessiondyn" => Seq(sd)
+        case "surgery" => Seq(sg)
         case "retract" => Seq(re)
+        case "minibatch" => Seq(mb)
+        case "distinct"  => Seq(cd)
         case "topn"    => Seq(tn)
         case "cep"     => Seq(ce)
         case "dedup"   => Seq(de)
@@ -372,14 +423,16 @@ object StreamFuzzDump {
         case "tsort"   => Seq(ts)
         case "t1"      => Seq(t1)
         case "all"     =>
-          Seq(w, se, re, tn, ce, de, jo, tj, cq, cr, iv, wj, ov, ob, pt,
-            cu, cw, wr, lw, cg, lt, lf, ca, ct, wa, bc, ts, t1) ++ wi ++ cdc
+          Seq(w, se, sd, sg, re, mb, cd, tn, ce, de, jo, tj, cq, cr, iv, wj,
+            ov, ob, pt, cu, cw, wr, lw, cg, lt, lf, ca, ct, wa, bc, ts,
+            t1) ++ wi ++ cdc
         case other => sys.error(s"unknown family '$other': " +
-          "expected window, session, retract, topn, cep, dedup, join, " +
-          "temporal, cepq, cepr, interval, winjoin, over, boundedover, " +
-          "ptjoin, cdc, recover, cumulate, countwin, winrank, lateness, " +
-          "cogroup, lookupttl, lookupfull, cepany, cepto, wmidle, " +
-          "wmalign, broadcast, tsort, t1, all")
+          "expected window, session, sessiondyn, surgery, retract, " +
+          "minibatch, distinct, topn, cep, dedup, join, temporal, cepq, " +
+          "cepr, interval, winjoin, over, boundedover, ptjoin, cdc, " +
+          "recover, cumulate, countwin, winrank, lateness, cogroup, " +
+          "lookupttl, lookupfull, cepany, cepto, wmidle, wmalign, " +
+          "broadcast, tsort, t1, all")
       }
     }
     val oracle = (seed0 until seed0 + n).flatMap(arms).flatMap {
@@ -395,7 +448,7 @@ object StreamFuzzDump {
     }
     DumpIO.writeOracle(outDir, oracle)
     val total = n * (family match {
-      case "all" => 33; case "cdc" => 4; case "recover" => 11; case _ => 1
+      case "all" => 37; case "cdc" => 4; case "recover" => 12; case _ => 1
     }) - skippedInvalid
     println(s"[streamfuzz] dumped ${oracle.length} of $total $family cases " +
       s"($failed failed on Spark, $skippedInvalid invalid wmidle seeds " +

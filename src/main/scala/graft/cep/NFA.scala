@@ -93,11 +93,18 @@ class NFA[E](pattern: Pattern[E], timestampOf: E => Long) extends Serializable {
         else if (at < events.length && inWindow(at) &&
             gapNot.exists { case (p, strict) => strict && p(events(at)) })
           false
+        // until stop state at the immediately-following event: matchesAt
+        // blocks the extension pre-dispatch (until wins even when the
+        // event ALSO matches the loop predicate — matchesAt:223), so the
+        // branch is killed, not pending, under every contiguity. An
+        // out-of-window until event arrives after expiry: timeout first.
+        else if (count >= 1 && at < events.length && inWindow(at) &&
+            st.until.exists(_(events(at))))
+          false
         else (if (st.combinations && count >= 1) Contiguity.AnyRelaxed
               else st.contiguity) match {
           case Contiguity.Strict =>
             if (at >= events.length || !inWindow(at)) true // pending
-            else if (count >= 1 && st.until.exists(_(events(at)))) false
             else if (st.predicate(events(at))) repAlive(si, count + 1, at + 1)
             else false // strict mismatch: killed
           case Contiguity.Relaxed =>

@@ -496,16 +496,18 @@ object SqlQueries {
     // (ConnectorDdl's streaming PK branch; the reference's
     // FlinkChangelogModeInferenceProgram → upsert materialization): the
     // update stream routes through the keyed merge batch-by-batch
-    // (one-file triggers force several micro-batches, so later merges
-    // must overwrite earlier key versions), and the read-back equals
-    // the batch restatement over the same rows.
+    // (one-file triggers force a SECOND micro-batch, so its merge must
+    // overwrite the first batch's key versions — two batches carry the
+    // full cross-boundary PK-collision bite at half the r18 cost, the
+    // same chunk-halving the replay gates got in r11), and the
+    // read-back equals the batch restatement over the same rows.
     "q_stream_upsert_route" -> ((s, dir) => {
       Tables.registerAll(s, dir)
       val out = Q.scratchDir("q_upsert_route")
       Tables.load(s, dir, "events")
         .filter(org.apache.spark.sql.functions.col("event_id") % 2 === 0)
         .select("event_type", "value")
-        .repartition(4).write.mode("overwrite").parquet(s"$out/src")
+        .repartition(2).write.mode("overwrite").parquet(s"$out/src")
       graft.GraftSql.sql(s,
         s"""CREATE TABLE uproute_src (event_type STRING, value DOUBLE)
            |WITH ('connector' = 'filesystem', 'path' = '$out/src',

@@ -142,6 +142,76 @@ object StreamFuzzGen {
     }
   }
 
+  /** A DYNAMIC-GAP session case — the reference's
+    * SessionWindowTimeGapExtractor / SESSION TVF with a per-row gap
+    * expression (flink-table-runtime SessionWindowAssigner
+    * withDynamicGap): each row opens a candidate window
+    * [ts, ts + gap(row)) and overlapping candidates merge (strict-less
+    * boundary: a row starting exactly at the running end opens a NEW
+    * session). Runs Spark's built-in `session_window(ts, gapExpr)` —
+    * streaming aggregate shape under a watermark — against a
+    * gaps-and-islands restatement whose island break is a running MAX
+    * of per-row ends.
+    */
+  case class SessionDynCase(
+      seed: Long,
+      filterSql: String,
+      keySql: String, // STRING-valued shared expr
+      gapSql: String) { // INT minutes per row, shared dialect
+
+    def oracleSql: String =
+      s"""WITH e AS (SELECT event_id, user_id,
+         |    make_timestamp(epoch_ns(ts) // 1000) AS ts, event_type, value
+         |  FROM events),
+         |f AS (SELECT CAST($keySql AS STRING) AS k, event_id, ts,
+         |    CAST($gapSql AS BIGINT) AS gapm
+         |  FROM e WHERE $filterSql),
+         |w AS (SELECT k, event_id, ts,
+         |    ts + gapm * INTERVAL 1 MINUTE AS w_end FROM f),
+         |m AS (SELECT k, event_id, ts, w_end,
+         |  CASE WHEN ts < MAX(w_end) OVER (PARTITION BY k ORDER BY ts, event_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+         |    THEN 0 ELSE 1 END AS brk FROM w),
+         |s AS (SELECT k, event_id, ts, w_end,
+         |  SUM(brk) OVER (PARTITION BY k ORDER BY ts, event_id
+         |    ROWS UNBOUNDED PRECEDING) AS sid FROM m)
+         |SELECT k, MIN(ts) AS window_start, MAX(w_end) AS window_end,
+         |  COUNT(*) AS n, CAST(SUM(event_id) AS BIGINT) AS sum_id
+         |FROM s GROUP BY k, sid""".stripMargin
+  }
+
+  /** The dynamic-gap session case for a seed — a pure function of the
+    * seed. The sentinel contract matches [[genSession]]: `OR user_id =
+    * -1` keeps the flush row through every filter, and gap draws guard
+    * against NULL/zero gaps (CASE arms and modulo bases are total).
+    */
+  def genSessionDyn(seed: Long): SessionDynCase = {
+    val r = new Random(scramble(seed ^ 0xd16a9e55L))
+    val filterSql = s"(${basePredOf(r)}) OR user_id = -1"
+    val keySql = r.nextInt(3) match {
+      case 0 => "event_type"
+      case 1 => s"CAST(user_id % ${Seq(3, 5, 7)(r.nextInt(3))} AS STRING)"
+      case 2 =>
+        s"CONCAT(event_type, '#', CAST(user_id % ${2 + r.nextInt(3)} AS STRING))"
+    }
+    val gapSql = r.nextInt(3) match {
+      case 0 =>
+        val n = 1 + r.nextInt(3)
+        val types = r.shuffle(eventTypes).take(n).sorted
+        val short = Seq(10, 15, 20)(r.nextInt(3))
+        val long = Seq(45, 60, 90)(r.nextInt(3))
+        s"CASE WHEN event_type IN (${types.map(t => s"'$t'").mkString(", ")}) " +
+          s"THEN $short ELSE $long END"
+      case 1 =>
+        s"${10 + r.nextInt(20)} + (user_id % ${2 + r.nextInt(3)}) * ${15 + r.nextInt(30)}"
+      case 2 =>
+        val thr = 25 + r.nextInt(200)
+        s"CASE WHEN CAST(value AS DECIMAL(12,2)) >= $thr.00 " +
+          s"THEN ${60 + r.nextInt(60)} ELSE ${10 + r.nextInt(20)} END"
+    }
+    SessionDynCase(seed, filterSql, keySql, gapSql)
+  }
+
   /** A retract group-aggregation case — exercises
     * [[graft.streaming.StatefulOps.RetractSumProcessor]] /
     * [[graft.streaming.StatefulOps.RetractMinMaxProcessor]]: every
@@ -179,6 +249,129 @@ object StreamFuzzGen {
          |  FROM e WHERE $filterSql),
          |s AS (SELECT k, v FROM f WHERE NOT (event_id % $deleteMod = $deleteRes))
          |SELECT k, $aggSql AS agg, COUNT(*) AS n FROM s GROUP BY k""".stripMargin
+  }
+
+  /** A split-COUNT(DISTINCT) case — exercises
+    * [[graft.streaming.StatefulOps.SplitDistinctProcessor]], the
+    * reference's SplitAggregateRule partial/final rewrite
+    * (flink-table-planner FlinkStreamRuleSets.scala:352): filtered
+    * events insert (group, value) pairs sharded over
+    * (group, value % buckets) composite keys, a delete batch retracts
+    * the delete-predicate rows, and the signed fold of the partial
+    * operator's shard-count changelog per group must equal the batch
+    * COUNT(DISTINCT) over survivors. `valueSql` draws include coarse
+    * moduli so duplicated values are guaranteed — retracting ONE copy
+    * of a duplicated value must NOT shrink the distinct set (the value
+    * multiplicity bite).
+    */
+  case class DistinctCase(
+      seed: Long,
+      filterSql: String,
+      groupSql: String, // STRING-valued shared expr
+      valueSql: String, // BIGINT-valued shared expr
+      buckets: Int,
+      deleteMod: Int,
+      deleteRes: Int) {
+
+    def oracleSql: String =
+      s"""WITH e AS (SELECT event_id, user_id,
+         |    make_timestamp(epoch_ns(ts) // 1000) AS ts, event_type, value
+         |  FROM events),
+         |f AS (SELECT CAST($groupSql AS STRING) AS g,
+         |    CAST($valueSql AS BIGINT) AS v, event_id
+         |  FROM e WHERE $filterSql),
+         |s AS (SELECT g, v FROM f WHERE NOT (event_id % $deleteMod = $deleteRes))
+         |SELECT g, COUNT(DISTINCT v) AS n_distinct FROM s GROUP BY g""".stripMargin
+  }
+
+  /** The split-distinct case for a seed — a pure function of the seed. */
+  def genDistinct(seed: Long): DistinctCase = {
+    val r = new Random(scramble(seed ^ 0xd157c7L))
+    val filterSql = basePredOf(r)
+    val groupSql = r.nextInt(3) match {
+      case 0 => "event_type"
+      case 1 => s"CAST(user_id % ${Seq(3, 5, 7)(r.nextInt(3))} AS STRING)"
+      case 2 =>
+        s"CONCAT(event_type, '#', CAST(user_id % ${2 + r.nextInt(3)} AS STRING))"
+    }
+    // coarse moduli guarantee duplicated values (multiplicity bite);
+    // the user_id arm keeps full cardinality for the sharding bite
+    val valueSql = r.nextInt(3) match {
+      case 0 => "user_id"
+      case 1 => s"user_id % ${Seq(7, 13, 29)(r.nextInt(3))}"
+      case 2 => s"event_id % ${50 + r.nextInt(200)}"
+    }
+    val buckets = Seq(4, 8, 16)(r.nextInt(3))
+    val deleteMod = 2 + r.nextInt(5)
+    val deleteRes = r.nextInt(deleteMod)
+    DistinctCase(seed, filterSql, groupSql, valueSql, buckets, deleteMod,
+      deleteRes)
+  }
+
+  /** A state-SURGERY case — the offline savepoint read→rewrite→resume
+    * loop of the reference's State Processor API
+    * (flink-state-processing-api SavepointReader.java:59 /
+    * SavepointWriter, OperatorTransformation.bootstrapWith), seeded:
+    * phase 1 streams the pre-cutoff slice of filtered events through
+    * the keyed running aggregate and STOPS with a retained checkpoint;
+    * the checkpoint's "acc" state reads back offline (plus a welded
+    * POINT-read of one key that must agree), a seeded per-key REWRITE
+    * mutates the cents of matching keys, and phase 2 — a fresh query
+    * bootstrapped from the rewritten frame — continues over the
+    * post-cutoff slice. Final running totals must equal batch totals
+    * over ALL events (+ the rewrite delta exactly for pre-cutoff-active
+    * matching keys) for every key active after the cutoff: lost,
+    * doubled, stale, or un-rewritten bootstrap state each diverge.
+    */
+  case class SurgeryCase(
+      seed: Long,
+      filterSql: String,
+      keySql: String, // STRING-valued shared expr
+      cutNum: Int, cutDen: Int, // cutoff = min + (max-min)*num/den (µs)
+      rwMod: Int, rwRes: Int, // rewrite keys with length(k) % mod = res
+      rwDelta: Long) { // cents added to rewritten keys
+
+    /** The rewrite predicate over a key column — shared dialect. */
+    def rewritePred(colName: String): String =
+      s"length($colName) % $rwMod = $rwRes"
+
+    def oracleSql: String =
+      s"""WITH e AS (SELECT event_id, user_id,
+         |    make_timestamp(epoch_ns(ts) // 1000) AS ts, event_type, value
+         |  FROM events),
+         |f AS (SELECT CAST($keySql AS STRING) AS k,
+         |    CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents,
+         |    epoch_us(ts) AS us
+         |  FROM e WHERE $filterSql),
+         |c AS (SELECT MIN(us) + ((MAX(us) - MIN(us)) * $cutNum) // $cutDen
+         |    AS cut FROM f),
+         |tot AS (SELECT k, COUNT(*) AS n, SUM(cents) AS cents
+         |  FROM f GROUP BY k),
+         |prek AS (SELECT DISTINCT k FROM f, c WHERE us < cut),
+         |postk AS (SELECT DISTINCT k FROM f, c WHERE us >= cut)
+         |SELECT t.k, t.n, CAST(t.cents +
+         |    CASE WHEN p.k IS NOT NULL AND ${rewritePred("t.k")}
+         |      THEN $rwDelta ELSE 0 END AS BIGINT) AS sum_cents
+         |FROM tot t
+         |JOIN postk q ON t.k = q.k
+         |LEFT JOIN prek p ON t.k = p.k""".stripMargin
+  }
+
+  /** The surgery case for a seed — a pure function of the seed. */
+  def genSurgery(seed: Long): SurgeryCase = {
+    val r = new Random(scramble(seed ^ 0x5a9e47L))
+    val filterSql = basePredOf(r)
+    val keySql = r.nextInt(3) match {
+      case 0 => "event_type"
+      case 1 => s"CAST(user_id % ${Seq(3, 5, 7)(r.nextInt(3))} AS STRING)"
+      case 2 =>
+        s"CONCAT(event_type, '#', CAST(user_id % ${2 + r.nextInt(3)} AS STRING))"
+    }
+    val (num, den) = Seq((1, 3), (1, 2), (2, 3))(r.nextInt(3))
+    val rwMod = 2 + r.nextInt(2)
+    val rwRes = r.nextInt(rwMod)
+    val rwDelta = (1 + r.nextInt(9)) * 1000L
+    SurgeryCase(seed, filterSql, keySql, num, den, rwMod, rwRes, rwDelta)
   }
 
   /** A streaming-dedup case — exercises the

@@ -53,10 +53,45 @@ object StreamFuzzQueries {
     firstSeedOf("session", StreamFuzzGen.genSession)(_.keys.length == 1),
     firstSeedOf("session", StreamFuzzGen.genSession)(_.keys.length == 2)).distinct
 
+  /** one dynamic-gap session shape whose gap expression actually varies
+    * per row (a CASE or modulo arm — constant-gap draws are the fixed
+    * family's territory).
+    */
+  private[queries] val sessDynSeeds: Seq[Long] = Seq(
+    firstSeedOf("sessiondyn", StreamFuzzGen.genSessionDyn)(c =>
+      c.gapSql.contains("CASE") && c.keySql != "event_type"))
+
+  /** one composite-key state-surgery shape (CONCAT keys carry MIXED
+    * string lengths, so the length-parity rewrite hits some keys and
+    * spares others — both branches of the savepoint rewrite land).
+    */
+  private[queries] val surgerySeeds: Seq[Long] = Seq(
+    firstSeedOf("surgery", StreamFuzzGen.genSurgery)(c =>
+      c.keySql.contains("CONCAT") && c.rwMod == 2))
+
   /** one SUM and one MIN/MAX retract shape. */
   private[queries] val retSeeds: Seq[Long] = Seq(
     firstSeedOf("retract", StreamFuzzGen.genRetract)(_.op == "sum"),
     firstSeedOf("retract", StreamFuzzGen.genRetract)(c => c.op != "sum")).distinct
+
+  /** the natural SUM retract seed, re-run through the MINI-BATCH
+    * emission protocol (one -U/+U step per key per micro-batch instead
+    * of per record — MiniBatchGroupAggFunction semantics): the same
+    * case, the same oracle, a pure emission-protocol differential
+    * against `q_fuzz_stream_r` + the batch restatement.
+    */
+  private[queries] val mbSeeds: Seq[Long] = Seq(
+    firstSeedOf("retract", StreamFuzzGen.genRetract)(_.op == "sum"))
+
+  /** one coarse-value split-distinct shape (duplicated values — the
+    * retract-one-copy multiplicity bite) and one full-cardinality
+    * shape (maximum shard breadth across the value % buckets keys).
+    */
+  private[queries] val cdSeeds: Seq[Long] = Seq(
+    firstSeedOf("distinct", StreamFuzzGen.genDistinct)(c =>
+      c.valueSql.contains("%") && c.groupSql != "event_type"),
+    firstSeedOf("distinct", StreamFuzzGen.genDistinct)(_.valueSql == "user_id")
+  ).distinct
 
   /** one unique-sort and one tie-bearing (cents) top-n shape. */
   private[queries] val topNSeeds: Seq[Long] = Seq(
@@ -237,7 +272,12 @@ object StreamFuzzQueries {
     1 + math.floorMod(StreamFuzzGen.scramble(seed ^ 0x4ec04e4L), 3L).toInt
 
   private val sessCases = sessSeeds.map(StreamFuzzGen.genSession)
+  private val sessDynCases = sessDynSeeds.map(StreamFuzzGen.genSessionDyn)
+  private val surgeryCases = surgerySeeds.map(StreamFuzzGen.genSurgery)
   private val retCases = retSeeds.map(StreamFuzzGen.genRetract)
+  private val mbCases = mbSeeds.map(s =>
+    StreamFuzzGen.genRetract(s).copy(op = "sum"))
+  private val cdCases = cdSeeds.map(StreamFuzzGen.genDistinct)
   private val topNCases = topNSeeds.map(StreamFuzzGen.genTopN)
   private val cepCases = cepSeeds.map(CepFuzzGen.gen)
   private val dedupCases = dedupSeeds.map(StreamFuzzGen.genDedup)
@@ -273,9 +313,26 @@ object StreamFuzzQueries {
       s"q_fuzz_stream_s${c.seed}" -> ((s, dir) =>
         StreamQueries.streamSessionFuzzReplay(s, dir, c)): (String, QFn)
     }.toMap ++
+    sessDynCases.map { c =>
+      s"q_fuzz_stream_sd${c.seed}" -> ((s, dir) =>
+        StreamQueries.streamSessionDynFuzzReplay(s, dir, c)): (String, QFn)
+    }.toMap ++
+    surgeryCases.map { c =>
+      s"q_fuzz_surgery_${c.seed}" -> ((s, dir) =>
+        StreamQueries.streamSurgeryFuzzReplay(s, dir, c)): (String, QFn)
+    }.toMap ++
     retCases.map { c =>
       s"q_fuzz_stream_r${c.seed}" -> ((s, dir) =>
         StreamQueries.streamRetractFuzzReplay(s, dir, c)): (String, QFn)
+    }.toMap ++
+    mbCases.map { c =>
+      s"q_fuzz_stream_mb${c.seed}" -> ((s, dir) =>
+        StreamQueries.streamRetractFuzzReplay(s, dir, c,
+          miniBatch = true)): (String, QFn)
+    }.toMap ++
+    cdCases.map { c =>
+      s"q_fuzz_stream_cd${c.seed}" -> ((s, dir) =>
+        StreamQueries.streamDistinctFuzzReplay(s, dir, c)): (String, QFn)
     }.toMap ++
     topNCases.map { c =>
       s"q_fuzz_stream_t${c.seed}" -> ((s, dir) =>
@@ -456,6 +513,17 @@ object StreamFuzzQueries {
         s"q_fuzz_recover_ts${tc.seed}" -> ((s, dir) =>
           StreamQueries.streamTsortFuzzReplay(s, dir, tc,
             restartAfter = Some(restartBoundary(tc.seed)))): (String, QFn)
+      },
+      // state surgery's RESUME leg restarted mid-replay: the query
+      // bootstrapped from a rewritten offline savepoint stops at a
+      // batch boundary and recovers — the initial-state handoff must
+      // not re-apply on restart (a re-applied bootstrap doubles the
+      // rewritten accumulators; a dropped one loses them)
+      {
+        val sg = surgeryCases.head
+        s"q_fuzz_recover_sb${sg.seed}" -> ((s, dir) =>
+          StreamQueries.streamSurgeryFuzzReplay(s, dir, sg,
+            restartAfter = Some(restartBoundary(sg.seed)))): (String, QFn)
       })
   }
 
@@ -482,7 +550,9 @@ object StreamFuzzQueries {
         s"q_fuzz_recover_bc${broadcastCases.head.seed}" ->
           broadcastCases.head.oracleSql,
         s"q_fuzz_recover_ts${tsortCases.head.seed}" ->
-          tsortCases.head.oracleSql)
+          tsortCases.head.oracleSql,
+        s"q_fuzz_recover_sb${surgeryCases.head.seed}" ->
+          surgeryCases.head.oracleSql)
     }
   }
 
@@ -497,6 +567,12 @@ object StreamFuzzQueries {
     temporalCases.map(c => s"q_fuzz_stream_tj${c.seed}" -> c.oracleSql).toMap ++
     quantCases.map(c => s"q_fuzz_cepq_${c.seed}" -> c.oracleSql).toMap ++
     relaxedCases.map(c => s"q_fuzz_cepr_${c.seed}" -> c.oracleSql).toMap ++
+    mbCases.map(c => s"q_fuzz_stream_mb${c.seed}" -> c.oracleSql).toMap ++
+    cdCases.map(c => s"q_fuzz_stream_cd${c.seed}" -> c.oracleSql).toMap ++
+    sessDynCases.map(c =>
+      s"q_fuzz_stream_sd${c.seed}" -> c.oracleSql).toMap ++
+    surgeryCases.map(c =>
+      s"q_fuzz_surgery_${c.seed}" -> c.oracleSql).toMap ++
     anyCases.map(c => s"q_fuzz_cepany_${c.seed}" -> c.oracleSql).toMap ++
     timeoutCases.map(c => s"q_fuzz_cepto_${c.seed}" -> c.oracleSql).toMap ++
     idleCases.map(c => s"q_fuzz_stream_wi${c.seed}" -> c.oracleSql).toMap ++
@@ -538,8 +614,24 @@ object StreamFuzzQueries {
 
   def replayRetract(s: org.apache.spark.sql.SparkSession, dir: String,
       c: StreamFuzzGen.RetractCase,
+      restartAfter: Option[Int] = None,
+      miniBatch: Boolean = false): org.apache.spark.sql.DataFrame =
+    StreamQueries.streamRetractFuzzReplay(s, dir, c, restartAfter, miniBatch)
+
+  def replayDistinct(s: org.apache.spark.sql.SparkSession, dir: String,
+      c: StreamFuzzGen.DistinctCase,
       restartAfter: Option[Int] = None): org.apache.spark.sql.DataFrame =
-    StreamQueries.streamRetractFuzzReplay(s, dir, c, restartAfter)
+    StreamQueries.streamDistinctFuzzReplay(s, dir, c, restartAfter)
+
+  def replaySessionDyn(s: org.apache.spark.sql.SparkSession, dir: String,
+      c: StreamFuzzGen.SessionDynCase,
+      restartAfter: Option[Int] = None): org.apache.spark.sql.DataFrame =
+    StreamQueries.streamSessionDynFuzzReplay(s, dir, c, restartAfter)
+
+  def replaySurgery(s: org.apache.spark.sql.SparkSession, dir: String,
+      c: StreamFuzzGen.SurgeryCase,
+      restartAfter: Option[Int] = None): org.apache.spark.sql.DataFrame =
+    StreamQueries.streamSurgeryFuzzReplay(s, dir, c, restartAfter)
 
   def replayTopN(s: org.apache.spark.sql.SparkSession, dir: String,
       c: StreamFuzzGen.TopNCase,

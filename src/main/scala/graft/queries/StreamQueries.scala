@@ -495,6 +495,137 @@ object StreamQueries {
         col("window_end").cast("timestamp_ntz").as("window_end")): _*)
   }
 
+  /** MemoryStream replay for a [[StreamFuzzGen.SessionDynCase]]:
+    * filtered events aggregate under Spark's built-in
+    * `session_window(ts, gapExpr)` with a PER-ROW gap (the reference's
+    * SessionWindowTimeGapExtractor / dynamic-gap SESSION TVF), in
+    * append mode so only CLOSED sessions emit; a far-future sentinel
+    * (user_id = -1, every generated filter keeps it; its key is
+    * disjoint and its gap may even be non-positive — Spark drops such
+    * rows from the aggregate, the watermark advances regardless) lands
+    * the watermark past every real session's end. The sentinel's own
+    * session, when it exists, is the only one with a negative id sum.
+    */
+  private[queries] def streamSessionDynFuzzReplay(s: SparkSession, dir: String,
+      c: StreamFuzzGen.SessionDynCase,
+      restartAfter: Option[Int] = None): DataFrame = {
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val rows = sortedEvents(s, dir)
+    val maxTs = rows.last.ts.getTime
+    // gap draws cap at 161 minutes; +360 puts the watermark (1h delay)
+    // past max + gap for every arm with margin
+    val sentinel = Ev(-1L, -1L,
+      new java.sql.Timestamp(maxTs + 360L * 60000L), "flush", 0.0)
+    val input = MemoryStream[Ev]
+    val df = input.toDS().toDF().withWatermark("ts", "1 hour")
+      .filter(expr(c.filterSql))
+      .withColumn("k", expr(s"CAST(${c.keySql} AS STRING)"))
+      .withColumn("gap_m", expr(s"CAST((${c.gapSql}) AS INT)"))
+    val agg = df
+      .groupBy(col("k"),
+        // session_window's dynamic gap must be CalendarIntervalType
+        session_window(col("ts"), expr("make_interval(0, 0, 0, 0, 0, gap_m, 0)")))
+      .agg(count(lit(1)).as("n"),
+        sum($"event_id").cast("long").as("sum_id"))
+      .select($"k",
+        $"session_window.start".cast("timestamp_ntz").as("window_start"),
+        $"session_window.end".cast("timestamp_ntz").as("window_end"),
+        $"n", $"sum_id")
+    runToEnd(s, input, agg, chunks(rows, 2) :+ Seq(sentinel),
+      mode = "append", rocks = true, restartAfter = restartAfter)
+      .filter($"sum_id" >= 0)
+  }
+
+  /** Two-phase replay for a [[StreamFuzzGen.SurgeryCase]] — the seeded
+    * savepoint read→rewrite→resume loop (State Processor API shapes,
+    * randomized): phase 1 runs the pre-cutoff slice through
+    * [[graft.streaming.StateBootstrap.agg]] with a retained checkpoint
+    * and stops; the checkpoint's "acc" state reads back offline, ONE
+    * key is additionally point-read ([[graft.streaming.StateReader]])
+    * and must agree with the bulk read; the seeded rewrite bumps
+    * matching keys' cents declaratively; phase 2 bootstraps a fresh
+    * query from the rewritten frame and streams the post-cutoff slice
+    * (optionally through the restart battery). The argmax fold of the
+    * running totals must equal the case's batch restatement.
+    */
+  private[queries] def streamSurgeryFuzzReplay(s: SparkSession, dir: String,
+      c: StreamFuzzGen.SurgeryCase,
+      restartAfter: Option[Int] = None): DataFrame = {
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    import graft.streaming.{StateBootstrap, StateReader}
+    val trips = t(s, dir, "events").filter(expr(c.filterSql))
+      .select(expr(s"CAST(${c.keySql} AS STRING)").as("k"),
+        expr("CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)").as("cents"),
+        // ts arrives TIMESTAMP_NTZ; the session is pinned UTC, so the
+        // cast is epoch-identical to the oracle's epoch_us
+        expr("unix_micros(CAST(ts AS TIMESTAMP))").as("us"), col("event_id"))
+      .as[(String, Long, Long, Long)].collect().toSeq.sortBy(_._4)
+    val usAll = trips.map(_._3)
+    val cut = usAll.min + (usAll.max - usAll.min) * c.cutNum / c.cutDen
+    val hist = trips.collect {
+      case (k, ce, us, _) if us < cut => StateBootstrap.BIn(k, ce) }
+    val rest = trips.collect {
+      case (k, ce, us, _) if us >= cut => StateBootstrap.BIn(k, ce) }
+    // phase 1 — same conf contract as q_state_bootstrap: RocksDB for
+    // transformWithState, changelog checkpointing off so the offline
+    // statestore read sees plain snapshots, checkpoint retained
+    val ckpt1 = tmpDir(s"q_fuzz_surgery_${c.seed}") + "/ckpt1"
+    val in1 = MemoryStream[StateBootstrap.BIn]
+    val out1 = StateBootstrap.agg(in1.toDS(),
+      s.emptyDataset(Encoders.product[StateBootstrap.BInit]))
+    val q1 = Q.streamConfLock.synchronized {
+      val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
+      val prevProvider =
+        s.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+      s.conf.set("spark.sql.shuffle.partitions", "2")
+      s.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      try out1.writeStream.format("memory")
+        .queryName(s"qsf_${java.util.UUID.randomUUID().toString.replace("-", "")}")
+        .outputMode("update")
+        .option("checkpointLocation", ckpt1).start()
+      finally {
+        s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+        prevProvider match {
+          case Some(p) =>
+            s.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+          case None =>
+            s.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        }
+      }
+    }
+    try chunks(hist, 2).foreach { b => in1.addData(b); q1.processAllAvailable() }
+    finally q1.stop()
+    val boot = StateBootstrap.readAccState(s, ckpt1)
+    // welded point-read: the queryable-state path must agree with the
+    // bulk savepoint read for a probe key (smallest, deterministic)
+    boot.collect().toSeq.sortBy(_.key).headOption.foreach { pr =>
+      val got = StateReader.point(s, ckpt1, "acc", pr.key)
+        .select(col("value.n"), col("value.cents")).collect()
+      require(got.length == 1 && got(0).getLong(0) == pr.n &&
+        got(0).getLong(1) == pr.cents,
+        s"state point-read diverged for key ${pr.key}: " +
+          s"bulk=(${pr.n},${pr.cents}) point=${got.toSeq}")
+    }
+    // the seeded rewrite, declarative (one projection over the frame)
+    implicit val initEnc = Encoders.product[StateBootstrap.BInit]
+    val rewritten = boot.toDF()
+      .withColumn("cents",
+        when(expr(c.rewritePred("key")), col("cents") + c.rwDelta)
+          .otherwise(col("cents")))
+      .as[StateBootstrap.BInit]
+    val in2 = MemoryStream[StateBootstrap.BIn]
+    val out2 = StateBootstrap.agg(in2.toDS(), rewritten)
+    val sink = runToEnd(s, in2, out2, chunks(rest, 2), rocks = true,
+      restartAfter = restartAfter)
+    // n is strictly monotone per key: the final state is the argmax row
+    sink.groupBy($"key".as("k"))
+      .agg(max(struct($"n", $"cents")).as("m"))
+      .select($"k", $"m.n".as("n"), $"m.cents".as("sum_cents"))
+  }
+
   /** MemoryStream replay for a [[StreamFuzzGen.RetractCase]]: every
     * filtered event INSERTs its (key, value), the delete-predicate rows
     * RETRACT in a final batch, and the emitted changelog folds to the
@@ -503,7 +634,8 @@ object StreamQueries {
     */
   private[queries] def streamRetractFuzzReplay(s: SparkSession, dir: String,
       c: StreamFuzzGen.RetractCase,
-      restartAfter: Option[Int] = None): DataFrame = {
+      restartAfter: Option[Int] = None,
+      miniBatch: Boolean = false): DataFrame = {
     import s.implicits._
     implicit val sqlCtx = s.sqlContext
     implicit val chEnc = Encoders.product[StatefulOps.Change[String, Long]]
@@ -520,11 +652,13 @@ object StreamQueries {
     val input = MemoryStream[StatefulOps.Change[String, Long]]
     val batches = chunks(inserts, 2) ++
       (if (deletes.nonEmpty) Seq(deletes) else Nil)
+    require(!miniBatch || c.op == "sum",
+      "mini-batch emission is a RetractSumProcessor mode; force op=sum")
     c.op match {
       case "sum" =>
         val changes = input.toDS().groupByKey(_.key)
           .transformWithState(
-            new StatefulOps.RetractSumProcessor[String, Long](),
+            new StatefulOps.RetractSumProcessor[String, Long](miniBatch),
             org.apache.spark.sql.streaming.TimeMode.None(),
             org.apache.spark.sql.streaming.OutputMode.Update())
         val sink = runToEnd(s, input, changes.toDF(), batches, rocks = true,
@@ -543,6 +677,47 @@ object StreamQueries {
         foldChangelog(sink.select($"kind", $"value.key".as("k"),
           $"value.extreme".as("agg"), $"value.count".as("n")), "kind")
     }
+  }
+
+  /** MemoryStream replay for a [[StreamFuzzGen.DistinctCase]]: filtered
+    * events INSERT (group, value) pairs keyed by the COMPOSITE
+    * (group, value % buckets) shard — the split-distinct shape — the
+    * delete-predicate rows RETRACT in a final batch, and the signed
+    * fold of [[StatefulOps.SplitDistinctProcessor]]'s shard-count
+    * changelog per GROUP (the final-stage SUM) must equal the batch
+    * COUNT(DISTINCT) over surviving rows. A group whose distinct set
+    * empties folds to 0 and drops, matching the oracle's GROUP BY over
+    * survivors.
+    */
+  private[queries] def streamDistinctFuzzReplay(s: SparkSession, dir: String,
+      c: StreamFuzzGen.DistinctCase,
+      restartAfter: Option[Int] = None): DataFrame = {
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val trips = t(s, dir, "events")
+      .filter(expr(c.filterSql))
+      .select(expr(s"CAST(${c.groupSql} AS STRING)").as("g"),
+        expr(s"CAST(${c.valueSql} AS BIGINT)").as("v"), col("event_id"))
+      .as[(String, Long, Long)].collect().toSeq.sortBy(_._3)
+    def shard(v: Long): Int = math.floorMod(v, c.buckets.toLong).toInt
+    val inserts = trips.map { case (g, v, _) =>
+      StatefulOps.SplitIn(g, shard(v), v, Changelog.Insert) }
+    val deletes = trips.collect {
+      case (g, v, id) if id % c.deleteMod == c.deleteRes =>
+        StatefulOps.SplitIn(g, shard(v), v, Changelog.Delete) }
+    val input = MemoryStream[StatefulOps.SplitIn]
+    val out = input.toDS().groupByKey(r => s"${r.group}|${r.bucket}")
+      .transformWithState(new StatefulOps.SplitDistinctProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        org.apache.spark.sql.streaming.OutputMode.Update())
+    val sink = runToEnd(s, input, out.toDF(),
+      chunks(inserts, 2) ++ (if (deletes.nonEmpty) Seq(deletes) else Nil),
+      rocks = true, restartAfter = restartAfter)
+    sink.groupBy($"key".as("g"))
+      .agg(sum(when(col("kind") === Changelog.Insert ||
+          col("kind") === Changelog.UpdateAfter, $"value")
+        .otherwise(-$"value")).as("n_distinct"))
+      .filter($"n_distinct" > 0)
   }
 
   /** Tagged join envelope for [[streamJoinFuzzReplay]] (one MemoryStream

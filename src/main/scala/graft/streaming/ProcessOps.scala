@@ -290,7 +290,9 @@ object ProcessOps {
     @transient private var acc: ValueState[Long] = _
     @transient private var cnt: ValueState[Long] = _
     @transient private var retained: MapState[Long, TsRows] = _
-    @transient private var idx: ValueState[OverBuf] = _ // ascending ts index
+    // ascending ts index; protected so the rebuild-path spec can subclass
+    // and withhold it between drains (ProcessOpsSpec)
+    @transient protected var idx: ValueState[OverBuf] = _
     private var a = 0L // drain-scoped copies of the small states
     private var n = 0L
     // drain-scoped ascending index of retained timestamps

@@ -208,6 +208,27 @@ class CepSpec extends SparkSuite {
     assert(nfa(p).findTimeouts(seq, nowTs = 20).map(_.v) == Seq(3L))
   }
 
+  test("until at the immediate next event kills a relaxed loop: no timeout") {
+    // The event right after the anchor matches BOTH the loop predicate
+    // and the until condition. matchesAt blocks the extension
+    // pre-dispatch (until wins at the candidate position), so the only
+    // surviving branch closes into the strict-`next` tail, which the
+    // same event kills — the anchor's partial is DEAD, not pending, and
+    // must not reach the timeout output. (The AU event itself also
+    // anchors a partial that pends with no further events: it DOES time
+    // out, pinning that aliveness and kill are decided per-anchor.)
+    val p = Pattern.begin[Ev]("a")(_.v >= 0).oneOrMore
+      .until(_.kind == "AU")
+      .next("b")(_.kind == "B").within(5)
+    val seq = IndexedSeq(
+      Ev("k", 0, "A", 1),   // killed: AU blocks the loop, then kills b's strict next
+      Ev("k", 1, "AU", 2))  // pends as its own anchor: nothing follows
+    assert(nfa(p).findTimeouts(seq, nowTs = 20).map(_.v) == Seq(2L))
+    // sanity: with a neutral gap event instead, the first anchor pends too
+    val neutral = IndexedSeq(Ev("k", 0, "A", 1), Ev("k", 1, "A", 2))
+    assert(nfa(p).findTimeouts(neutral, nowTs = 20).map(_.v) == Seq(1L, 2L))
+  }
+
   test("batch CEP finds matches per key over unsorted input") {
     val p = Pattern.begin[Ev]("fail")(_.kind == "F").times(2)
       .followedBy("ok")(_.kind == "S")

@@ -119,6 +119,160 @@ class StreamFuzzSpec extends SparkSuite {
     }
   }
 
+  test("sessiondyn generator is deterministic and covers its arms") {
+    for (s <- Seq(1L, 7L, 4242L))
+      assert(StreamFuzzGen.genSessionDyn(s) == StreamFuzzGen.genSessionDyn(s))
+    val cs = (1L to 24L).map(StreamFuzzGen.genSessionDyn)
+    assert(cs.exists(_.gapSql.contains("CASE WHEN event_type")))
+    assert(cs.exists(_.gapSql.contains("user_id %")))
+    assert(cs.exists(_.gapSql.contains("CAST(value")))
+  }
+
+  test("dynamic-gap session windows match the running-max-ends islands per seed") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    for (seed <- 1L to 6L) {
+      val c = StreamFuzzGen.genSessionDyn(seed)
+      // islands restatement: break when ts >= running MAX of prior
+      // per-row ends ([start, end) windows merge on strict overlap)
+      val f = Q.t(spark, dir, "events")
+        .filter(expr(c.filterSql))
+        .select(expr(s"CAST(${c.keySql} AS STRING)").as("k"),
+          col("event_id"), col("ts"),
+          expr(s"CAST((${c.gapSql}) AS INT)").as("gapm"))
+        .withColumn("w_end", expr("ts + make_dt_interval(0, 0, gapm, 0)"))
+      val w = Window.partitionBy("k").orderBy("ts", "event_id")
+      val expected = f
+        .withColumn("prev_end",
+          max("w_end").over(w.rowsBetween(Window.unboundedPreceding, -1)))
+        .withColumn("brk",
+          when(col("ts") < col("prev_end"), 0).otherwise(1))
+        .withColumn("sid",
+          sum("brk").over(w.rowsBetween(Window.unboundedPreceding, 0)))
+        .groupBy("k", "sid")
+        .agg(min("ts").as("ws"), max("w_end").as("we"),
+          count(lit(1)).as("n"), sum("event_id").cast("long").as("sum_id"))
+        .select(col("k"), col("ws").cast("timestamp_ntz").as("window_start"),
+          col("we").cast("timestamp_ntz").as("window_end"),
+          col("n"), col("sum_id"))
+        .collect().map(_.toString).sorted.toSeq
+      val actual = StreamQueries.streamSessionDynFuzzReplay(spark, dir, c)
+        .collect().map(_.toString).sorted.toSeq
+      assert(actual == expected,
+        s"sessiondyn seed $seed diverged: key=${c.keySql} gap=${c.gapSql} " +
+          s"filter=${c.filterSql} " +
+          s"(batch=${expected.length} rows, stream=${actual.length})")
+    }
+  }
+
+  test("surgery generator is deterministic and covers its arms") {
+    for (s <- Seq(1L, 7L, 4242L))
+      assert(StreamFuzzGen.genSurgery(s) == StreamFuzzGen.genSurgery(s))
+    val cs = (1L to 24L).map(StreamFuzzGen.genSurgery)
+    assert(cs.exists(_.keySql.contains("CONCAT")))
+    assert(cs.map(c => (c.cutNum, c.cutDen)).distinct.size > 1)
+    assert(cs.map(_.rwMod).distinct.size > 1)
+  }
+
+  test("state surgery read→rewrite→resume matches the batch restatement per seed") {
+    import org.apache.spark.sql.functions._
+    def restate(c: StreamFuzzGen.SurgeryCase): Seq[String] = {
+      val f = Q.t(spark, dir, "events").filter(expr(c.filterSql))
+        .select(expr(s"CAST(${c.keySql} AS STRING)").as("k"),
+          expr("CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)")
+            .as("cents"),
+          expr("unix_micros(CAST(ts AS TIMESTAMP))").as("us"))
+      val mm = f.agg(min("us").as("mn"), max("us").as("mx")).head
+      val cut = mm.getLong(0) +
+        (mm.getLong(1) - mm.getLong(0)) * c.cutNum / c.cutDen
+      val tot = f.groupBy("k")
+        .agg(count(lit(1)).as("n"), sum("cents").as("cents"))
+      val prek = f.filter(col("us") < cut).select("k").distinct()
+        .withColumn("pre", lit(1))
+      val postk = f.filter(col("us") >= cut).select("k").distinct()
+      tot.join(postk, "k").join(prek, Seq("k"), "left")
+        .withColumn("sum_cents", (col("cents") +
+          when(col("pre").isNotNull && expr(c.rewritePred("k")), c.rwDelta)
+            .otherwise(0L)).cast("long"))
+        .select("k", "n", "sum_cents")
+        .collect().map(_.toString).sorted.toSeq
+    }
+    for (seed <- 1L to 4L) {
+      val c = StreamFuzzGen.genSurgery(seed)
+      val actual = StreamQueries.streamSurgeryFuzzReplay(spark, dir, c)
+        .collect().map(_.toString).sorted.toSeq
+      assert(actual == restate(c),
+        s"surgery seed $seed diverged: key=${c.keySql} " +
+          s"cut=${c.cutNum}/${c.cutDen} " +
+          s"rewrite=len%${c.rwMod}=${c.rwRes}+${c.rwDelta}")
+    }
+    // the recovery leg: phase 2 stopped at its interior batch boundary
+    // and resumed — the bootstrap must not re-apply on restart
+    val c1 = StreamFuzzGen.genSurgery(1L)
+    val rec = StreamQueries.streamSurgeryFuzzReplay(spark, dir, c1,
+        restartAfter = Some(1))
+      .collect().map(_.toString).sorted.toSeq
+    assert(rec == restate(c1), "surgery recovery arm diverged")
+  }
+
+  test("mini-batch emission folds to the same end state per seed") {
+    import org.apache.spark.sql.functions._
+    // the retract case's SUM arm through the mini-batch protocol (one
+    // -U/+U step per key per micro-batch): the folded changelog must
+    // equal the batch group-by — and hence the per-record route, which
+    // the sweep above pins to the same restatement
+    for (seed <- 1L to 8L) {
+      val c = StreamFuzzGen.genRetract(seed).copy(op = "sum")
+      val expected = Q.t(spark, dir, "events")
+        .filter(expr(c.filterSql))
+        .select(expr(s"CAST(${c.keySql} AS STRING)").as("k"),
+          expr(s"CAST(${c.valueSql} AS BIGINT)").as("v"), col("event_id"))
+        .filter(!(col("event_id") % c.deleteMod === c.deleteRes))
+        .groupBy(col("k"))
+        .agg(sum(col("v")).as("agg"), count(lit(1)).as("n"))
+        .collect().map(_.toString).sorted.toSeq
+      val actual = StreamQueries.streamRetractFuzzReplay(spark, dir, c,
+          miniBatch = true)
+        .collect().map(_.toString).sorted.toSeq
+      assert(actual == expected,
+        s"mini-batch seed $seed diverged: key=${c.keySql} " +
+          s"value=${c.valueSql} filter=${c.filterSql} " +
+          s"delete=id%${c.deleteMod}=${c.deleteRes} " +
+          s"(batch=${expected.length} rows, stream=${actual.length})")
+    }
+  }
+
+  test("distinct generator is deterministic and covers its arms") {
+    for (s <- Seq(1L, 7L, 4242L))
+      assert(StreamFuzzGen.genDistinct(s) == StreamFuzzGen.genDistinct(s))
+    val cs = (1L to 24L).map(StreamFuzzGen.genDistinct)
+    assert(cs.exists(_.valueSql.contains("%"))) // duplicated-value arm
+    assert(cs.exists(_.valueSql == "user_id"))  // full-cardinality arm
+    assert(cs.map(_.buckets).distinct.size > 1)
+  }
+
+  test("split count-distinct matches the batch count-distinct per seed") {
+    import org.apache.spark.sql.functions._
+    for (seed <- 1L to 10L) {
+      val c = StreamFuzzGen.genDistinct(seed)
+      val expected = Q.t(spark, dir, "events")
+        .filter(expr(c.filterSql))
+        .select(expr(s"CAST(${c.groupSql} AS STRING)").as("g"),
+          expr(s"CAST(${c.valueSql} AS BIGINT)").as("v"), col("event_id"))
+        .filter(!(col("event_id") % c.deleteMod === c.deleteRes))
+        .groupBy(col("g"))
+        .agg(countDistinct(col("v")).as("n_distinct"))
+        .collect().map(_.toString).sorted.toSeq
+      val actual = StreamQueries.streamDistinctFuzzReplay(spark, dir, c)
+        .collect().map(_.toString).sorted.toSeq
+      assert(actual == expected,
+        s"distinct seed $seed diverged: group=${c.groupSql} " +
+          s"value=${c.valueSql} buckets=${c.buckets} " +
+          s"filter=${c.filterSql} delete=id%${c.deleteMod}=${c.deleteRes} " +
+          s"(batch=${expected.length} rows, stream=${actual.length})")
+    }
+  }
+
   test("dedup generator is deterministic and covers its arms") {
     for (s <- Seq(1L, 7L, 4242L))
       assert(StreamFuzzGen.genDedup(s) == StreamFuzzGen.genDedup(s))

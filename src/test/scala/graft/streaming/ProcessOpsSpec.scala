@@ -7,6 +7,22 @@ import org.apache.spark.sql.streaming.{OutputMode, TimeMode, Trigger}
 import graft.SparkSuite
 import ProcessOps._
 
+/** [[ProcessOps.RangeBoundedOverProcessor]] with its persisted
+  * ascending-timestamp index WITHHELD after every drain — clearing the
+  * `rangeIdx` ValueState while the retained rows stay present forces
+  * the next drain through the belt-and-braces rebuild path (index
+  * recomputed from the retained MapState keys, sorted) that no normal
+  * lifecycle reaches. Top-level so the streaming query serializes it
+  * without capturing the spec.
+  */
+class IndexLosingRangeProcessor(rangeMs: Long)
+    extends ProcessOps.RangeBoundedOverProcessor(rangeMs) {
+  override protected def endDrain(): Unit = {
+    super.endDrain()
+    idx.clear()
+  }
+}
+
 /** Specs for the process-function layer: timers, bounded over-aggregate,
   * and state TTL.
   *
@@ -116,6 +132,30 @@ class ProcessOpsSpec extends SparkSuite {
           TimedIn("k", new java.sql.Timestamp(105L), 4))))
     val at105 = rows.filter(_.ts == 105L).map(o => (o.movingSum, o.n))
     assert(at105 == Seq((7L, 3L), (7L, 3L)), s"peers diverged: $at105")
+  }
+
+  test("range index rebuild: a withheld rangeIdx state drains identically") {
+    // three batches so the second and third drains find retained rows
+    // with the index gone — eviction must still walk the REBUILT
+    // ascending index (ts 100/105 evicted at 114/130, all at 150)
+    val batches = Seq(
+      Seq(TimedIn("k", new java.sql.Timestamp(100L), 1),
+        TimedIn("k", new java.sql.Timestamp(105L), 2)),
+      Seq(TimedIn("k", new java.sql.Timestamp(114L), 4),
+        TimedIn("k", new java.sql.Timestamp(130L), 8)),
+      Seq(TimedIn("k", new java.sql.Timestamp(135L), 16),
+        TimedIn("k", new java.sql.Timestamp(150L), 32)))
+    def canon(rows: Seq[OverOut]) =
+      rows.map(o => (o.ts, o.v, o.movingSum, o.n)).sorted
+    val expected = canon(runOver(new RangeBoundedOverProcessor(10), batches))
+    val actual = canon(runOver(new IndexLosingRangeProcessor(10), batches))
+    assert(actual == expected, s"rebuild path diverged: $actual")
+    // spot-pin the rebuilt-index evictions, not just self-agreement
+    val m = actual.map { case (ts, _, s, n) => ts -> ((s, n)) }.toMap
+    assert(m(114L) == ((6L, 2L)))   // 100 evicted by the rebuilt index
+    assert(m(130L) == ((8L, 1L)))   // 105/114 evicted
+    assert(m(135L) == ((24L, 2L)))  // 130 within [125, 135]
+    assert(m(150L) == ((32L, 1L)))
   }
 
   test("state TTL: counts reset after expiry") {
