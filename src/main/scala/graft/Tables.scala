@@ -14,7 +14,28 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+  /** Memoized analyzed plans per (session, sfDir, table). `spark.read
+    * .parquet` builds a fresh FileIndex and re-infers the schema from the
+    * parquet footer on EVERY call, and the SQL corpora call
+    * [[registerAll]] (10 loads) once per query — ~1,600 redundant
+    * footer/listing rounds per Bench run. A DataFrame is a lazy plan,
+    * not data: reusing it never caches rows, every action still scans
+    * the parquet input, and Catalyst pushdown/pruning are unchanged
+    * (same LogicalRelation). Entries are per-session, so a stopped
+    * session's plans are never served to a live one; the testdata dirs
+    * are immutable for a Verify/Bench JVM's lifetime (same contract as
+    * StreamQueries.sortedEventsCache).
+    */
+  private val frameCache =
+    new java.util.concurrent.ConcurrentHashMap[
+      (SparkSession, String, String), DataFrame]()
+
+  def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    frameCache.computeIfAbsent((spark, sfDir, name),
+      { case (s, d, n) => loadUncached(s, d, n) })
+
+  private def loadUncached(spark: SparkSession, sfDir: String,
+      name: String): DataFrame = {
     // events.ts has shipped in two parquet encodings across testdata
     // generations: TIMESTAMP(NANOS) (which Spark's microsecond TimestampType
     // cannot represent — read as raw int64 and truncate), and plain
